@@ -1,0 +1,22 @@
+"""Ray-Data-native fulltext indexing + BM25 query engine.
+
+Plays the document-indexing role of the Snowplow→Elasticsearch loader
+(reference: /root/reference, surveyed in SURVEY.md) re-expressed
+Ray-Data-first: ``ray.data.Dataset`` pipelines of ``map_batches`` over
+zero-copy Arrow batches build a compressed inverted index (SPIMI runs →
+groupby-shard shuffle → delta/FOR-encoded posting segments with
+block-max metadata) and serve BM25 top-k via term-at-a-time numpy
+scoring or block-max WAND.
+
+Package layout
+--------------
+- ``tokenizer``   Arrow-kernel tokenization (the P2-analogue hot path)
+- ``codec``       posting-list block codec (delta + frame-of-reference)
+- ``bm25``        the one shared BM25 formula (engine + oracle use it)
+- ``sources/``    parquet readers + the deterministic corpus generator
+- ``stages/``     map_batches stages: extract, postings, segment encode
+- ``state/``      per-partition manifests (exactly-once commit), metrics
+- ``pipelines/``  build_index, query engine, dedup, ANN, text analysis
+"""
+
+__version__ = "0.1.0"

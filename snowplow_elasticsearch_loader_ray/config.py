@@ -1,0 +1,82 @@
+"""Engine configuration.
+
+The reference decodes a HOCON ``Config`` (reference
+``modules/core/src/main/scala/.../Config.scala:26-110``) with batching,
+retry, parallelism and dead-letter knobs; this dataclass carries the
+engine-side equivalents (SURVEY.md §2 C-row "Config").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Knobs for the index build + query pipelines.
+
+    Reference analogues (file:line in /root/reference):
+    - ``flush_max_bytes``  ← ``batching.maxBytes`` 10 MB
+      (``modules/core/src/main/resources/reference.conf:28``): the SPIMI
+      run/flush threshold plays the loader's size-based batch flush.
+    - ``max_record_bytes`` ← ``output.bad.maxRecordSize`` 1,000,000 B
+      (``config/config.aws.reference.hocon:120``): oversized docs go to
+      the dead-letter table with a truncated payload.
+    - ``transient_retries`` ← 5 × 1 s retry budget
+      (``reference.conf:31-36``): transient failures retry; permanent
+      (per-row deterministic) failures become bad rows, never retries.
+    - ``num_term_shards`` plays the ES index-sharding role
+      (``ElasticsearchSink.scala:90-94``): hash(term) % shards routes a
+      posting to its segment partition.
+    """
+
+    # --- index layout ---
+    num_term_shards: int = 16          # segment partitions; scale ~2-4x cluster cores
+    block_size: int = 128              # postings per compressed block (block-max granularity)
+
+    # --- BM25 (fixed; oracle and engine share these) ---
+    k1: float = 1.2
+    b: float = 0.75
+    score_round: int = 7               # ranking uses round(score, 7) then doc_id asc
+
+    # --- batching / flush (A1 analogue) ---
+    batch_size: int = 2000             # docs per map_batches call in the build path
+    flush_max_bytes: int = 10_000_000
+
+    # --- dead letter (D1 analogue) ---
+    max_record_bytes: int = 1_000_000
+
+    # --- retries (W3 analogue) ---
+    transient_retries: int = 5
+
+    # --- parallelism (Environment.scala:85-96 analogue) ---
+    build_concurrency: int | None = None   # None → let Ray size the task pool
+    query_concurrency: int = 2
+
+    # test hook: fail the build after N committed partitions (resume tests)
+    fail_after_parts: int | None = None
+
+
+#: terms reserved for non-term payloads inside segments. Doc lengths are
+#: stored as the posting list of this pseudo-term, sharded by
+#: hash(doc_id) (not hash(term)) so they stay balanced across segments.
+DOCLEN_TERM = ""
+
+
+DEFAULT_CONFIG = IndexConfig()
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Knobs for the dedup family (SURVEY.md "beyond the reference")."""
+
+    shingle_size: int = 3
+    num_perm: int = 64            # minhash permutations
+    num_bands: int = 16           # LSH bands (rows = num_perm // num_bands)
+    jaccard_threshold: float = 0.8
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3
+    cosine_threshold: float = 0.95
+
+
+DEFAULT_DEDUP = DedupConfig()

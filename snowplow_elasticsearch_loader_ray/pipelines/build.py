@@ -1,0 +1,296 @@
+"""Index build: ingest → SPIMI runs → per-shard segment encode.
+
+Physical plan (SURVEY.md §7.3), all stages streaming Ray Data unless
+noted:
+
+1. **ingest_pages** (optional, for raw page corpora):
+   ``read_parquet(pages, columns=[url, warc_ts, html, lang])`` →
+   ``map_batches(ExtractTransform)`` → one ``write_parquet`` partitioned
+   by ``status``: good docs and dead-letter rows land in separate
+   directories from a single pass (the reference's good-sink/bad-sink
+   split, ``Processing.scala:209-267``, without reading the corpus
+   twice). Note ``text`` is NOT read — the engine re-derives it from
+   ``html`` (byte-identity invariant).
+
+2. **phase 1 — runs**: per input partition,
+   ``read_parquet(files_k, columns=[doc_id, text])`` →
+   ``map_batches(TokenizePostings)`` → ``write_parquet(tmp,
+   partition_cols=["shard"])`` → atomic rename → manifest commit. The
+   hive-partitioned write IS the term-shard exchange, materialized to
+   storage instead of held in the object store: at 100 TB the shuffle
+   spills by construction, and a killed job resumes at partition
+   granularity (the KCL-checkpoint analogue, SURVEY.md C1).
+
+3. **phase 2 — segments**: one Ray task per shard reads
+   ``runs/part=*/shard=j``, sorts by (term, doc_id), delta/FOR-encodes
+   posting blocks with block-max metadata and commits
+   ``segments/shard-j.parquet`` + manifest. Embarrassingly parallel —
+   the all-to-all already happened in phase 1. Head-term skew: a single
+   term's postings are inherently one list, but shards hold many terms
+   and ``num_term_shards`` spreads the heavy ones; the doclen
+   pseudo-term is doc-hashed so per-doc payloads never pile onto one
+   shard (SURVEY.md §4 "Skew").
+
+4. **finalize**: N / avgdl / counters roll up from manifests (the
+   running-counter analogue of ``Processing.scala:237-249``) into
+   ``stats.json`` + ``metrics.json`` + an ``index`` manifest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
+from ..stages.extract import ExtractTransform
+from ..stages.postings import TokenizePostings
+from ..stages.segment import encode_shard_table, SEGMENT_SCHEMA
+from ..state import manifest as mf
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by the fail_after_parts test hook (resume tests)."""
+
+
+def _input_files(source: str | list[str]) -> list[str]:
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            return sorted(glob.glob(os.path.join(source, "*.parquet")))
+        return [source]
+    return sorted(source)
+
+
+# --------------------------------------------------------------------------
+# ingest (pages → docs + dead letters)
+# --------------------------------------------------------------------------
+
+def ingest_pages(pages: str | list[str], out_dir: str,
+                 cfg: IndexConfig = DEFAULT_CONFIG) -> dict:
+    """Extract text from raw pages; returns the ingest counter dict.
+
+    Output layout: ``out_dir/docs/status=good/*.parquet`` (document
+    table) and ``status=<error_type>/`` (dead letters), one streaming
+    pass, committed via manifest.
+    """
+    files = _input_files(pages)
+    man_dir = os.path.join(out_dir, "manifests")
+    docs_dir = os.path.join(out_dir, "docs")
+    if mf.is_committed(man_dir, "ingest"):
+        return mf.load(man_dir, "ingest")["counters"]
+
+    tmp = os.path.join(out_dir, "_tmp_docs")
+    shutil.rmtree(tmp, ignore_errors=True)
+    t0 = time.time()
+    ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
+    ds = ds.map_batches(ExtractTransform(cfg), batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    ds.write_parquet(tmp, partition_cols=["status"])
+    if os.path.exists(docs_dir):
+        shutil.rmtree(docs_dir)
+    mf.commit_dir_rename(tmp, docs_dir)
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT status, count(*) FROM read_parquet('{docs_dir}/*/*.parquet', "
+        f"hive_partitioning=1) GROUP BY 1"
+    ).fetchall()
+    con.close()
+    counters = {status: int(c) for status, c in rows}
+    counters.setdefault("good", 0)
+    mf.commit(man_dir, "ingest", {
+        "stage": "ingest",
+        "input_files": [os.path.basename(f) for f in files],
+        "counters": counters,
+        "wall_s": round(time.time() - t0, 3),
+    })
+    return counters
+
+
+def good_docs_dir(ingest_out_dir: str) -> str:
+    return os.path.join(ingest_out_dir, "docs", "status=good")
+
+
+# --------------------------------------------------------------------------
+# phase 1: runs
+# --------------------------------------------------------------------------
+
+def _plan_parts(files: list[str], target_parts: int | None) -> list[list[str]]:
+    """Group input files into resume partitions (file granularity)."""
+    if not target_parts or target_parts >= len(files):
+        return [[f] for f in files]
+    out: list[list[str]] = [[] for _ in range(target_parts)]
+    for j, f in enumerate(files):
+        out[j % target_parts].append(f)
+    return [p for p in out if p]
+
+
+def _run_counters(part_dir: str) -> dict:
+    import duckdb
+    con = duckdb.connect()
+    docs, tokens, postings = con.sql(
+        f"SELECT count(*) FILTER (WHERE term = '{DOCLEN_TERM}'), "
+        f"coalesce(sum(tf) FILTER (WHERE term = '{DOCLEN_TERM}'), 0), "
+        f"count(*) FILTER (WHERE term <> '{DOCLEN_TERM}') "
+        f"FROM read_parquet('{part_dir}/*/*.parquet')"
+    ).fetchone()
+    con.close()
+    return {"docs": int(docs), "tokens": int(tokens), "postings": int(postings)}
+
+
+def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
+               num_parts: int | None = None) -> None:
+    man_dir = os.path.join(index_dir, "manifests")
+    runs_dir = os.path.join(index_dir, "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    parts = _plan_parts(doc_files, num_parts)
+    done = 0
+    for k, files_k in enumerate(parts):
+        name = f"runs-part-{k:04d}"
+        if mf.is_committed(man_dir, name):
+            continue
+        t0 = time.time()
+        final = os.path.join(runs_dir, f"part={k:04d}")
+        tmp = os.path.join(runs_dir, f"_tmp_part={k:04d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)  # uncommitted leftovers
+
+        ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"])
+        ds = ds.map_batches(TokenizePostings(cfg), batch_format="pyarrow",
+                            batch_size=cfg.batch_size,
+                            concurrency=cfg.build_concurrency)
+        ds.write_parquet(tmp, partition_cols=["shard"])
+        mf.commit_dir_rename(tmp, final)
+        counters = _run_counters(final)
+        row_count = counters["docs"]
+        mf.commit(man_dir, name, {
+            "part": k,
+            "stage": "runs",
+            "input_files": [os.path.basename(f) for f in files_k],
+            "row_count": row_count,
+            "counters": counters,
+            "outputs": [os.path.relpath(final, index_dir)],
+            "wall_s": round(time.time() - t0, 3),
+        })
+        done += 1
+        if cfg.fail_after_parts is not None and done >= cfg.fail_after_parts:
+            raise SimulatedFailure(f"injected failure after {done} run parts")
+
+
+# --------------------------------------------------------------------------
+# phase 2: segments (one Ray task per shard — the exchange already
+# happened via the partitioned run write, so this is a parallel map)
+# --------------------------------------------------------------------------
+
+@ray.remote(num_cpus=1)
+def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
+    runs_dir = os.path.join(index_dir, "runs")
+    seg_dir = os.path.join(index_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(runs_dir, "part=*", f"shard={shard}", "*.parquet")))
+    if files:
+        runs = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "doc_id", "tf"]) for f in files]
+        )
+        seg = encode_shard_table(runs, block_size=block_size)
+    else:
+        seg = SEGMENT_SCHEMA.empty_table()
+    out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(seg, tmp, compression="zstd")
+    os.replace(tmp, out)
+
+    dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM)
+    dl = seg.filter(dl_mask)
+    return {
+        "part": shard,
+        "stage": "segments",
+        "input_files": [os.path.relpath(f, index_dir) for f in files],
+        "counters": {
+            "terms": int(seg.num_rows - dl.num_rows),
+            "postings": int(pa.compute.sum(seg.filter(
+                pa.compute.invert(dl_mask))["df"]).as_py() or 0),
+            "docs": int(pa.compute.sum(dl["df"]).as_py() or 0),
+            "tokens": int(pa.compute.sum(dl["cf"]).as_py() or 0),
+            "bytes_written": os.path.getsize(out),
+        },
+        "outputs": [os.path.relpath(out, index_dir)],
+        "content_hash": mf.content_hash([out]),
+    }
+
+
+def build_segments(index_dir: str, cfg: IndexConfig) -> None:
+    man_dir = os.path.join(index_dir, "manifests")
+    missing = [s for s in range(cfg.num_term_shards)
+               if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
+    refs = [_encode_shard.remote(index_dir, s, cfg.block_size) for s in missing]
+    for s, payload in zip(missing, ray.get(refs)):
+        mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
+
+
+# --------------------------------------------------------------------------
+# finalize + top-level driver
+# --------------------------------------------------------------------------
+
+def finalize(index_dir: str, cfg: IndexConfig, wall_s: float) -> dict:
+    man_dir = os.path.join(index_dir, "manifests")
+    seg_manifests = mf.load_all(man_dir, prefix="segment-shard-")
+    run_manifests = mf.load_all(man_dir, prefix="runs-part-")
+    n_docs = sum(m["counters"]["docs"] for m in seg_manifests.values())
+    total_tokens = sum(m["counters"]["tokens"] for m in seg_manifests.values())
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_term_shards": cfg.num_term_shards,
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    metrics = {
+        "docs": n_docs,
+        "tokens": total_tokens,
+        "postings": sum(m["counters"]["postings"] for m in seg_manifests.values()),
+        "terms": sum(m["counters"]["terms"] for m in seg_manifests.values()),
+        "bytes_written": sum(m["counters"]["bytes_written"] for m in seg_manifests.values()),
+        "run_parts": len(run_manifests),
+        "segment_shards": len(seg_manifests),
+        "wall_s": round(wall_s, 3),
+    }
+    mf.commit(man_dir, "stats", {"stage": "stats", "stats": stats})
+    mf.commit(man_dir, "metrics", {"stage": "metrics", "metrics": metrics})
+    mf.commit(man_dir, "index", {"stage": "index", "complete": True})
+    return stats
+
+
+def build_index(docs: str | list[str], index_dir: str,
+                cfg: IndexConfig = DEFAULT_CONFIG,
+                num_parts: int | None = None) -> dict:
+    """Build (or resume) the full index over a document table.
+
+    ``docs``: parquet file(s)/dir with at least (doc_id: int64,
+    text: string). Returns the corpus stats dict.
+    """
+    t0 = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    man_dir = os.path.join(index_dir, "manifests")
+    if mf.is_committed(man_dir, "index"):
+        return mf.load(man_dir, "stats")["stats"]
+    files = _input_files(docs)
+    build_runs(files, index_dir, cfg, num_parts)
+    build_segments(index_dir, cfg)
+    return finalize(index_dir, cfg, time.time() - t0)
+
+
+def index_metrics(index_dir: str) -> dict:
+    return mf.load(os.path.join(index_dir, "manifests"), "metrics")["metrics"]
+
+
+def index_stats(index_dir: str) -> dict:
+    return mf.load(os.path.join(index_dir, "manifests"), "stats")["stats"]

@@ -1,0 +1,335 @@
+"""BM25 top-k query serving over merged segments.
+
+The analogue of the reference IT harness's only query surface —
+polling ES ``_search`` and reading ranked hits
+(``TestHelpers.scala:157-201``, SURVEY.md Q1) — except the relevance
+engine ES provided is implemented here from scratch.
+
+Two execution strategies over the same segments, tested rank-identical:
+
+- ``score_taat``: term-at-a-time scoring with numpy over fully decoded
+  posting lists — vectorized, the throughput path for mid-size
+  candidate sets.
+- ``score_bmw``: document-at-a-time block-max WAND — skips whole
+  blocks whose score upper bound can't enter the current top-k; the
+  scale path for head-term queries over very long lists.
+
+Determinism: terms are processed in sorted order in both strategies, so
+per-doc float summation order is identical; ranking is by
+``(round(score, 7) desc, doc_id asc)`` (bm25.py).
+
+The ``QueryEngine`` actor holds the loaded index (term dict, doclen
+arrays, stats) — built once in ``__init__``, the stateful-actor-pool
+pattern the loader uses for its sink clients
+(``ElasticsearchSink.scala:45-109``: one http client per pipe, reused).
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import bm25
+from ..codec import PostingList
+from ..config import DOCLEN_TERM
+from ..pipelines.build import index_stats
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Unique query terms, sorted (fixed scoring order; duplicates dropped)."""
+    return sorted(set(_TOKEN_RE.findall(q.lower())))
+
+
+class IndexReader:
+    """In-memory view over an index directory's segments + stats.
+
+    At sandbox scale the whole term dictionary and encoded postings fit
+    in one process; at 1e12-doc scale this object would hold one term
+    shard per reader actor (terms route by ``term_shard_one``) with
+    postings mmap'd — the layout (per-shard segment files, doc-hashed
+    doclen pseudo-postings) is already partitioned for that.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        st = index_stats(index_dir)
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        self.terms: dict[str, tuple[int, int, bytes]] = {}
+        dl_docs: list[np.ndarray] = []
+        dl_lens: list[np.ndarray] = []
+        for f in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
+            t = pq.read_table(f)
+            for term, df, cf, buf in zip(
+                t["term"].to_pylist(), t["df"].to_pylist(),
+                t["cf"].to_pylist(), t["postings"].to_pylist(),
+            ):
+                if term == DOCLEN_TERM:
+                    d, ln = PostingList(buf).decode_all()
+                    dl_docs.append(d)
+                    dl_lens.append(ln)
+                else:
+                    self.terms[term] = (df, cf, buf)
+        if dl_docs:
+            docs = np.concatenate(dl_docs)
+            lens = np.concatenate(dl_lens)
+            order = np.argsort(docs, kind="stable")
+            self.dl_doc_ids = docs[order]
+            self.dl_lens = lens[order].astype(np.float64)
+        else:
+            self.dl_doc_ids = np.empty(0, dtype=np.int64)
+            self.dl_lens = np.empty(0, dtype=np.float64)
+
+    def doclen_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.dl_doc_ids, doc_ids)
+        return self.dl_lens[idx]
+
+    def postings(self, term: str) -> PostingList | None:
+        e = self.terms.get(term)
+        return PostingList(e[2]) if e else None
+
+    def df(self, term: str) -> int:
+        e = self.terms.get(term)
+        return e[0] if e else 0
+
+    def doc_lengths_table(self) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(self.dl_doc_ids),
+            "doclen": pa.array(self.dl_lens.astype(np.int64)),
+        })
+
+    def term_stats_table(self) -> pa.Table:
+        items = sorted(self.terms.items())
+        return pa.table({
+            "term": pa.array([t for t, _ in items], type=pa.string()),
+            "df": pa.array([e[0] for _, e in items], type=pa.int64()),
+            "cf": pa.array([e[1] for _, e in items], type=pa.int64()),
+        })
+
+
+# --------------------------------------------------------------------------
+# term-at-a-time (vectorized numpy)
+# --------------------------------------------------------------------------
+
+def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (doc_ids, rounded scores) by exhaustive term-at-a-time BM25."""
+    terms = tokenize_query(query)
+    all_docs: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        docs, tfs = pl.decode_all()
+        w = bm25.idf(reader.n_docs, len(docs))
+        dls = reader.doclen_of(docs)
+        all_docs.append(docs)
+        all_scores.append(w * bm25.tf_weight(tfs, dls, reader.avgdl))
+    if not all_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    # accumulate per doc: terms were appended in sorted order and
+    # np.add.reduceat over the doc-grouped, order-preserving layout keeps
+    # summation order = sorted-term order (determinism contract)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    # stable accumulation in term order: iterate per term array
+    pos = 0
+    for d, s in zip(all_docs, all_scores):
+        acc[inv[pos : pos + len(d)]] += s
+        pos += len(d)
+    return bm25.rank_topk(uniq, acc, k)
+
+
+# --------------------------------------------------------------------------
+# block-max WAND (document-at-a-time with block skipping)
+# --------------------------------------------------------------------------
+
+class _Cursor:
+    __slots__ = ("term", "pl", "idf", "ub", "bi", "docs", "tfs", "pos", "cur")
+
+    def __init__(self, term: str, pl: PostingList, idf_t: float):
+        self.term = term
+        self.pl = pl
+        self.idf = idf_t
+        self.ub = bm25.upper_bound(idf_t, int(pl.max_tf.max()))
+        self.bi = -1
+        self.docs = self.tfs = None
+        self.pos = 0
+        self.cur = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= self.pl.n_blocks:
+            self.cur = np.iinfo(np.int64).max
+            return
+        self.bi = bi
+        self.docs, self.tfs = self.pl.decode_block(bi)
+        self.pos = 0
+        self.cur = int(self.docs[0])
+
+    def block_ub(self) -> float:
+        if self.bi >= self.pl.n_blocks:
+            return 0.0
+        return bm25.upper_bound(self.idf, int(self.pl.max_tf[self.bi]))
+
+    def next_geq(self, target: int) -> None:
+        if self.cur >= target:
+            return
+        if self.bi >= self.pl.n_blocks or target > self.pl.last_doc[self.bi]:
+            bi = self.pl.first_block_geq(target)
+            if bi >= self.pl.n_blocks:
+                self.cur = np.iinfo(np.int64).max
+                self.bi = self.pl.n_blocks
+                return
+            if bi != self.bi:
+                self._load_block(bi)
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target))
+        self.cur = int(self.docs[self.pos])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._load_block(self.bi + 1)
+        else:
+            self.cur = int(self.docs[self.pos])
+
+    def tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+
+_MAXDOC = np.iinfo(np.int64).max
+
+
+def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k via block-max WAND; rank-identical to score_taat by contract."""
+    terms = tokenize_query(query)
+    cursors: list[_Cursor] = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is not None and pl.n:
+            cursors.append(_Cursor(t, pl, bm25.idf(reader.n_docs, pl.n)))
+    if not cursors:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    # fixed scoring order = sorted term order (same as TAAT)
+    heap: list[tuple[float, int]] = []   # (score, -doc_id) min-heap of top-k
+    theta = -np.inf
+    while True:
+        live = sorted((c for c in cursors if c.cur != _MAXDOC), key=lambda c: c.cur)
+        if not live:
+            break
+        # pivot: smallest doc where the prefix upper-bound sum can beat theta
+        acc_ub = 0.0
+        pivot = None
+        for c in live:
+            acc_ub += c.ub
+            if acc_ub > theta or len(heap) < k:
+                pivot = c.cur
+                break
+        if pivot is None:
+            break
+        # block-max refinement: sum of block UBs at the pivot
+        block_ub = 0.0
+        for c in live:
+            if c.cur > pivot:
+                break
+            c_bi = c.pl.first_block_geq(pivot)
+            if c_bi < c.pl.n_blocks:
+                block_ub += bm25.upper_bound(c.idf, int(c.pl.max_tf[c_bi]))
+        if len(heap) >= k and block_ub <= theta:
+            # skip: advance cursors at/before the pivot past the nearest
+            # block boundary — capped by the first cursor beyond the
+            # pivot (its ub wasn't counted in block_ub, so docs at or
+            # after its position must be re-evaluated)
+            nxt = _MAXDOC
+            for c in live:
+                if c.cur > pivot:
+                    nxt = min(nxt, c.cur)
+                    break
+                bi = c.pl.first_block_geq(pivot)
+                if bi < c.pl.n_blocks:
+                    nxt = min(nxt, int(c.pl.last_doc[bi]) + 1)
+            for c in live:
+                if c.cur <= pivot:
+                    c.next_geq(nxt)
+            continue
+        # align all cursors <= pivot onto pivot and score it
+        for c in live:
+            if c.cur < pivot:
+                c.next_geq(pivot)
+        score = 0.0
+        dl = float(reader.doclen_of(np.array([pivot]))[0])
+        for c in cursors:           # fixed (sorted-term) order for determinism
+            if c.cur == pivot:
+                score += c.idf * float(bm25.tf_weight(
+                    np.float64(c.tf()), np.float64(dl), reader.avgdl))
+        for c in cursors:
+            if c.cur == pivot:
+                c.advance()
+        # heap entries use the ROUNDED score so eviction ties break by
+        # doc_id exactly as rank_topk does in TAAT (rank-identity
+        # contract); the rounded theta is <= the raw one, so pruning
+        # with it only admits more candidates — never unsafe.
+        entry = (round(score, bm25.SCORE_ROUND), -pivot)
+        if len(heap) < k:
+            heapq.heappush(heap, entry)
+        elif entry > heap[0]:
+            heapq.heapreplace(heap, entry)
+        if len(heap) >= k:
+            theta = heap[0][0]
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    docs = np.array([-nd for _, nd in out], dtype=np.int64)
+    scores = np.array([s for s, _ in out], dtype=np.float64)
+    return docs, scores
+
+
+# --------------------------------------------------------------------------
+# batch query surface
+# --------------------------------------------------------------------------
+
+class QueryEngine:
+    """Stateful query server: index loaded once, queries served per call.
+
+    Usable directly or as a ``map_batches`` actor class over a query
+    dataset (``concurrency=N`` replicates the reader, the query-side
+    actor-pool analogue of ``uploadParallelism``).
+    """
+
+    def __init__(self, index_dir: str, strategy: str = "taat"):
+        self.reader = IndexReader(index_dir)
+        self.strategy = strategy
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        fn = score_taat if self.strategy == "taat" else score_bmw
+        return fn(self.reader, query, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        ranks: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * batch.num_rows
+        for qid, q, k in zip(batch["qid"].to_pylist(), batch["query"].to_pylist(), ks):
+            d, s = self.topk(q, int(k))
+            for r in range(len(d)):
+                qids.append(int(qid))
+                ranks.append(r + 1)
+                docs.append(int(d[r]))
+                scores.append(float(s[r]))
+        return pa.table({
+            "qid": pa.array(qids, type=pa.int32()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })

@@ -1,0 +1,118 @@
+"""End-to-end: ingest → index build → BM25 rank-identity vs the oracle.
+
+The analogue of the reference's ProcessingSpec end-to-end traces +
+the IT harness's ranked `_search` verification.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.oracle import OracleIndex
+from snowplow_elasticsearch_loader_ray.pipelines import build as B
+from snowplow_elasticsearch_loader_ray.pipelines.query import (
+    IndexReader, QueryEngine, score_bmw, score_taat,
+)
+from snowplow_elasticsearch_loader_ray.sources import synth
+
+CFG = IndexConfig(max_record_bytes=100_000, num_term_shards=8, batch_size=500)
+
+
+@pytest.fixture(scope="module")
+def built(tiny_pages, tmp_path_factory):
+    pages_dir, _paths = tiny_pages
+    out = tmp_path_factory.mktemp("index_tiny")
+    ingest_dir = str(out / "ingest")
+    index_dir = str(out / "index")
+    counters = B.ingest_pages(pages_dir, ingest_dir, CFG)
+    stats = B.build_index(B.good_docs_dir(ingest_dir), index_dir, CFG)
+    return ingest_dir, index_dir, counters, stats
+
+
+@pytest.fixture(scope="module")
+def oracle(built):
+    ingest_dir = built[0]
+    docs = pq.read_table(B.good_docs_dir(ingest_dir), columns=["doc_id", "text"])
+    return OracleIndex(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+
+
+def test_ingest_counters(built):
+    counters = built[2]
+    expected = synth.expected_bad_counts(1000)
+    assert counters["good"] == expected["good"]
+    assert counters.get("extract_error", 0) == expected["extract_error"]
+    assert counters.get("size_violation", 0) == expected["size_violation"]
+    assert counters.get("schema_violation", 0) == expected["schema_violation"]
+
+
+def test_stats_match_oracle(built, oracle):
+    stats = built[3]
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["total_tokens"] == oracle.total_tokens
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_term_stats_match_oracle(built, oracle):
+    reader = IndexReader(built[1])
+    engine = {r["term"]: (r["df"], r["cf"]) for r in reader.term_stats_table().to_pylist()}
+    assert engine == oracle.term_stats()
+
+
+def test_doclens_match_oracle(built, oracle):
+    reader = IndexReader(built[1])
+    got = dict(zip(reader.dl_doc_ids.tolist(), reader.dl_lens.astype(int).tolist()))
+    assert got == oracle.doclen
+
+
+def test_postings_doc_id_ascending(built):
+    from snowplow_elasticsearch_loader_ray.codec import PostingList
+    from snowplow_elasticsearch_loader_ray.config import DOCLEN_TERM
+
+    for f in glob.glob(os.path.join(built[1], "segments", "*.parquet")):
+        t = pq.read_table(f)
+        for term, buf in zip(t["term"].to_pylist(), t["postings"].to_pylist()):
+            docs, tfs = PostingList(buf).decode_all()
+            if len(docs) > 1:
+                assert (np.diff(docs) > 0).all(), term
+            if term != DOCLEN_TERM:
+                assert (tfs >= 1).all()
+
+
+def test_bm25_rank_identity_vs_oracle(built, oracle):
+    reader = IndexReader(built[1])
+    for qid, q, k in synth.generate_queries():
+        want = oracle.topk(q, k)
+        docs, scores = score_taat(reader, q, k)
+        got = list(zip(docs.tolist(), scores.tolist()))
+        assert got == want, f"qid={qid} q={q!r}"
+
+
+def test_bmw_matches_taat(built):
+    reader = IndexReader(built[1])
+    for qid, q, k in synth.generate_queries():
+        d1, s1 = score_taat(reader, q, k)
+        d2, s2 = score_bmw(reader, q, k)
+        assert d1.tolist() == d2.tolist(), f"qid={qid} q={q!r}"
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+
+
+def test_query_engine_batch_surface(built):
+    import pyarrow as pa
+
+    eng = QueryEngine(built[1])
+    batch = pa.table({"qid": [0, 1], "query": ["bababa", "nosuchterm"], "k": [5, 5]})
+    out = eng(batch)
+    assert out.num_rows <= 10
+    assert set(out["qid"].to_pylist()) <= {0, 1}
+    ranks = [r for q, r in zip(out["qid"].to_pylist(), out["rank"].to_pylist()) if q == 0]
+    assert ranks == sorted(ranks)
+
+
+def test_build_is_idempotent(built):
+    # second call sees the committed index manifest and returns stats
+    stats2 = B.build_index("unused", built[1], CFG)
+    assert stats2["n_docs"] == built[3]["n_docs"]

@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from snowplow_elasticsearch_loader_ray.codec import (
+    PostingList, decode_postings, encode_postings,
+)
+
+
+def _roundtrip(docs, tfs, block_size=128):
+    buf = encode_postings(np.asarray(docs), np.asarray(tfs), block_size=block_size)
+    d, t = decode_postings(buf)
+    np.testing.assert_array_equal(d, np.asarray(docs, dtype=np.int64))
+    np.testing.assert_array_equal(t, np.asarray(tfs, dtype=np.int32))
+    return buf
+
+
+def test_roundtrip_small():
+    _roundtrip([1, 2, 3], [1, 1, 2])
+
+
+def test_roundtrip_single():
+    _roundtrip([42], [7])
+
+
+def test_roundtrip_large_gaps_and_tfs():
+    docs = np.cumsum(np.array([10**9, 5, 2**33, 1, 70000, 3], dtype=np.int64))
+    tfs = np.array([1, 300, 70000, 2**31 - 1, 2, 1], dtype=np.int64)
+    _roundtrip(docs, tfs)
+
+
+def test_roundtrip_multiblock_random():
+    rng = np.random.default_rng(7)
+    gaps = rng.integers(1, 10000, size=10_000)
+    docs = np.cumsum(gaps)
+    tfs = rng.integers(1, 500, size=10_000)
+    buf = _roundtrip(docs, tfs, block_size=128)
+    pl = PostingList(buf)
+    assert pl.n_blocks == (10_000 + 127) // 128
+    # block metadata correctness
+    for bi in [0, 3, pl.n_blocks - 1]:
+        d, t = pl.decode_block(bi)
+        assert pl.last_doc[bi] == d[-1]
+        assert pl.max_tf[bi] == t.max()
+    # compression: delta+FOR beats raw int64+int32 encoding
+    assert len(buf) < 10_000 * 12
+
+
+def test_roundtrip_zero_tf_allowed():
+    # doclen pseudo-postings may carry 0 (empty docs)
+    _roundtrip([5, 9], [0, 3])
+
+
+def test_first_block_geq():
+    docs = np.arange(0, 1000, 2, dtype=np.int64)  # 500 postings, 4 blocks
+    buf = encode_postings(docs, np.ones(500), block_size=128)
+    pl = PostingList(buf)
+    assert pl.first_block_geq(0) == 0
+    assert pl.first_block_geq(int(pl.last_doc[0])) == 0
+    assert pl.first_block_geq(int(pl.last_doc[0]) + 1) == 1
+    assert pl.first_block_geq(998) == pl.n_blocks - 1
+    assert pl.first_block_geq(999) == pl.n_blocks
+    assert pl.first_block_geq(10_000) == pl.n_blocks
+
+
+def test_empty_list():
+    buf = encode_postings(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32))
+    d, t = decode_postings(buf)
+    assert len(d) == 0 and len(t) == 0
+
+
+def test_non_increasing_docs_rejected():
+    # the build guarantees strict doc_id increase (unique (term, doc_id)
+    # pairs); the codec validates rather than silently corrupting deltas
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 5]), np.array([1, 1]))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([9, 5]), np.array([1, 1]))
