@@ -1,0 +1,85 @@
+"""Kill-mid-build → resume: exactly-once segment commits (SURVEY.md C1).
+
+The engine's version of the reference's checkpoint-after-everything
+ordering (Processing.scala:269-272, ProcessingSpec.scala:59-80): a
+partition's manifest commits only after its outputs are durable; on
+restart, committed partitions are skipped byte-untouched and the final
+index equals a clean run's.
+"""
+
+import glob
+import os
+
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.pipelines import build as B
+from snowplow_elasticsearch_loader_ray.state import manifest as mf
+
+CFG = IndexConfig(max_record_bytes=100_000, num_term_shards=8, batch_size=200)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tiny_pages, tmp_path_factory):
+    pages_dir, _ = tiny_pages
+    out = tmp_path_factory.mktemp("resume")
+    B.ingest_pages(pages_dir, str(out / "ingest"), CFG)
+    d = B.good_docs_dir(str(out / "ingest"))
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) >= 3, "need >=3 parts to test resume"
+    return d
+
+
+def _snapshot(index_dir):
+    files = sorted(glob.glob(os.path.join(index_dir, "runs", "part=*", "*", "*.parquet")))
+    return {f: (os.path.getmtime(f), os.path.getsize(f)) for f in files}
+
+
+def test_kill_and_resume_equals_clean_run(docs_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("idx")
+    resumed_dir = str(out / "resumed")
+    clean_dir = str(out / "clean")
+
+    # 1. killed run: fails after 2 committed run parts
+    fail_cfg = IndexConfig(max_record_bytes=100_000, num_term_shards=8,
+                           batch_size=200, fail_after_parts=2)
+    with pytest.raises(B.SimulatedFailure):
+        B.build_index(docs_dir, resumed_dir, fail_cfg)
+    man_dir = os.path.join(resumed_dir, "manifests")
+    committed = [n for n in mf.load_all(man_dir) if n.startswith("runs-part-")]
+    assert len(committed) == 2
+    snap_before = _snapshot(resumed_dir)
+    assert snap_before, "committed run parts must exist on disk"
+
+    # 2. resume: completes; committed parts byte-untouched
+    stats_resumed = B.build_index(docs_dir, resumed_dir, CFG)
+    snap_after = _snapshot(resumed_dir)
+    for f, (mtime, size) in snap_before.items():
+        assert snap_after[f] == (mtime, size), f"committed file rewritten: {f}"
+
+    # 3. clean run elsewhere: identical stats and identical segment content
+    stats_clean = B.build_index(docs_dir, clean_dir, CFG)
+    assert stats_resumed == stats_clean
+    seg_r = {n: m["content_hash"] for n, m in mf.load_all(
+        os.path.join(resumed_dir, "manifests"), "segment-shard-").items()}
+    seg_c = {n: m["content_hash"] for n, m in mf.load_all(
+        os.path.join(clean_dir, "manifests"), "segment-shard-").items()}
+    assert seg_r == seg_c, "resumed and clean segments must be byte-identical"
+
+
+def test_partial_segment_resume(docs_dir, tmp_path_factory):
+    # delete one committed segment manifest → only that shard re-encodes
+    out = tmp_path_factory.mktemp("idx2")
+    index_dir = str(out / "idx")
+    B.build_index(docs_dir, index_dir, CFG)
+    man_dir = os.path.join(index_dir, "manifests")
+    victim = "segment-shard-0003"
+    old_hash = mf.load(man_dir, victim)["content_hash"]
+    os.remove(mf.manifest_path(man_dir, victim))
+    os.remove(mf.manifest_path(man_dir, "index"))
+
+    other = "segment-shard-0001"
+    other_mtime = os.path.getmtime(os.path.join(index_dir, "segments", "shard-0001.parquet"))
+    B.build_index(docs_dir, index_dir, CFG)
+    assert mf.load(man_dir, victim)["content_hash"] == old_hash  # deterministic re-encode
+    assert os.path.getmtime(os.path.join(index_dir, "segments", "shard-0001.parquet")) == other_mtime
+    assert mf.is_committed(man_dir, "index")
