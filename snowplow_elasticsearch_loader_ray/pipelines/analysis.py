@@ -1,0 +1,173 @@
+"""Text analysis over document tables: quality stats, language ID,
+token counting, document fingerprinting.
+
+These are the "large-scale training-data pipeline" operators layered on
+the same tokenizer hot path as the index build. All stages are
+stateless-vectorized ``map_batches`` transforms over Arrow batches —
+language profiles and stopword sets are compiled once per actor when
+run with ``concurrency=N``.
+
+Oracle parity: ``quality_stats`` emits only integers and exact integer
+ratios so the DuckDB oracle hashes bit-identically; ``lang_id`` and
+``fingerprint`` are engine-defined (rows-only checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tokenizer import tokenize_to_terms
+
+#: fixed stopword list (documented; the oracle SQL embeds the same list)
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+#: per-language marker-token profiles for the n-gram/stopword heuristic
+#: language ID. Deterministic tie-break: first language in this dict
+#: order wins; no markers at all → "und".
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "it", "for", "on", "with", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "da": ["og", "er", "det", "en", "til", "af", "med", "som", "den"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "con", "que"],
+    "zh": ["de5", "shi4", "zai4"],  # pinyin-ish placeholders; html corpora are latin-tokenized
+}
+
+
+def _flat_tokens(batch_texts) -> tuple[pa.Array, np.ndarray, int]:
+    flat, idx = tokenize_to_terms(batch_texts)
+    return flat, idx.to_numpy(zero_copy_only=False), len(batch_texts)
+
+
+class QualityStats:
+    """doc → integer quality metrics (+ exact-division double ratio).
+
+    Columns: n_tokens, n_types (distinct terms), n_stopwords, max_tf,
+    stopword_ratio (= n_stopwords / n_tokens as float64 — identical in
+    engine and oracle because both divide the same exact integers).
+    """
+
+    def __init__(self, stopwords: list[str] = STOPWORDS):
+        self.stop = pa.array(stopwords, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        n_tokens = np.bincount(idx, minlength=n).astype(np.int64)
+
+        is_stop = pc.is_in(flat, value_set=self.stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(idx[is_stop], minlength=n).astype(np.int64)
+
+        pairs = pa.table({"i": pa.array(idx), "term": flat})
+        tf = pairs.group_by(["i", "term"]).aggregate([("term", "count")])
+        ti = tf["i"].to_numpy(zero_copy_only=False)
+        tc = tf["term_count"].to_numpy(zero_copy_only=False)
+        n_types = np.bincount(ti, minlength=n).astype(np.int64)
+        max_tf = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_tf, ti, tc)
+
+        ratio = np.divide(n_stop, n_tokens, out=np.zeros(n, dtype=np.float64),
+                          where=n_tokens > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_types": pa.array(n_types),
+            "n_stopwords": pa.array(n_stop),
+            "max_tf": pa.array(max_tf),
+            "stopword_ratio": pa.array(ratio),
+        })
+
+
+class LangId:
+    """Marker-token language ID (n-gram-heuristic family; engine-defined)."""
+
+    def __init__(self, profiles: dict[str, list[str]] | None = None):
+        profs = profiles or LANG_PROFILES
+        self.langs = list(profs)
+        self.sets = [pa.array(v, type=pa.string()) for v in profs.values()]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        scores = np.zeros((len(self.langs), n), dtype=np.int64)
+        for li, vs in enumerate(self.sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            if hit.any():
+                scores[li] = np.bincount(idx[hit], minlength=n)
+        best = scores.argmax(axis=0)           # ties → first profile order
+        none = scores.max(axis=0) == 0
+        langs = np.array(self.langs, dtype=object)[best]
+        langs[none] = "und"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(langs, type=pa.string()),
+            "marker_hits": pa.array(scores.max(axis=0)),
+        })
+
+
+def _hash_tokens(flat: pa.Array) -> np.ndarray:
+    """Per-token 64-bit hashes via dictionary encode + per-unique blake2b."""
+    import hashlib
+
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    vocab = d.dictionary.to_pylist()
+    lut = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+         for t in vocab),
+        dtype=np.uint64, count=len(vocab),
+    )
+    return lut[d.indices.to_numpy(zero_copy_only=False)]
+
+
+class Fingerprint:
+    """Order-sensitive 64-bit document fingerprint (rolling-hash family).
+
+    fp(doc) = XOR over tokens of mix(h(token) ^ rot(position)) — position
+    is mixed in so permuted documents fingerprint differently; XOR-reduce
+    makes it one vectorized ``bitwise_xor.reduceat`` per batch.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        h = _hash_tokens(flat)
+        # position within doc
+        counts = np.bincount(idx, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(h), dtype=np.uint64) - starts[idx].astype(np.uint64)
+        x = h ^ (pos * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x2545F4914F6CDD1D))
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        fp = np.zeros(n, dtype=np.uint64)
+        nz = counts > 0
+        if len(h):
+            red = np.bitwise_xor.reduceat(x, starts[nz])
+            fp[nz] = red
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fp.view(np.int64)),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        })
+
+
+def _apply(ds, cls, concurrency):
+    # concurrency=None → stateless tasks over a prebuilt instance (state
+    # serialized once into the task closure); concurrency=N → actor pool
+    # with per-actor __init__ (the stateful-stage pattern)
+    if concurrency is None:
+        return ds.map_batches(cls(), batch_format="pyarrow")
+    return ds.map_batches(cls, batch_format="pyarrow", concurrency=concurrency)
+
+
+def quality_stats(ds, concurrency=None):
+    return _apply(ds, QualityStats, concurrency)
+
+
+def lang_id(ds, concurrency=None):
+    return _apply(ds, LangId, concurrency)
+
+
+def fingerprints(ds, concurrency=None):
+    return _apply(ds, Fingerprint, concurrency)

@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- ``ann_topk``: exact brute-force cosine top-k — the baseline. The
+  query matrix is broadcast once (``ray.put``) and every batch does one
+  numpy matmul against it; per-batch local top-k candidates are reduced
+  on the driver (n_batches × k rows per query — small).
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  restrict the matmul to colliding vectors (approximate; recall
+  depends on planes/tables, measured in tests against brute force).
+- ``embedding_dup_pairs``: exact near-duplicate pairs with cosine >=
+  threshold (block × broadcast-matrix sweep at sandbox scale; at 1e12
+  rows the same kernel runs per LSH bucket).
+
+Determinism: cosine is computed in float64 after exact float32→float64
+casts; ordering uses (round(cos, 9) desc, vec_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+SIM_ROUND = 9
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lists = batch[col]
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    # the engine assumes fixed-dim embeddings (validated here)
+    if dim == 0 or (np.diff(offs) != dim).any():
+        raise ValueError("ragged or empty embedding column")
+    return flat[offs[0] : offs[-1]].reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKPerBatch:
+    """Emit each batch's local top-k per query (candidate generation)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.q = _normalize(ray.get(queries_ref))        # broadcast, once per actor/task
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        sims = m @ self.q.T                               # [batch, n_queries]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        # per-query local top-k: argpartition then exact ordering
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.append(np.full(len(part), qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_s.append(s[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def _final_topk(cand: pa.Table, k: int) -> pa.Table:
+    q = cand["query_id"].to_numpy(zero_copy_only=False)
+    v = cand["vec_id"].to_numpy(zero_copy_only=False)
+    s = np.round(cand["sim"].to_numpy(zero_copy_only=False), SIM_ROUND)
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi in np.unique(q):
+        m = q == qi
+        order = np.lexsort((v[m], -s[m]))[:k]
+        out_q.extend([int(qi)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_v.extend(v[m][order].tolist())
+        out_s.extend(s[m][order].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int32()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "sim": pa.array(out_s, type=pa.float64()),
+    })
+
+
+def ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10) -> pa.Table:
+    """Exact cosine top-k of ``queries`` (rows = query vectors) over ds."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(
+        _TopKPerBatch(qref, k), batch_format="pyarrow", batch_size=4096
+    )
+    return _final_topk(pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    ), k)
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# --------------------------------------------------------------------------
+
+class _HyperplaneBucket:
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref)                 # [n_planes, dim]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        bits = (m @ self.planes.T) > 0
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+                 n_planes: int = 6, seed: int = 42) -> pa.Table:
+    """Approximate cosine top-k: search only LSH-colliding buckets.
+
+    Random-hyperplane signatures; queries and vectors share the plane
+    matrix (broadcast). Recall < 1 by construction — measured against
+    ``ann_topk`` in tests; production would multi-probe adjacent
+    buckets / several tables.
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, queries.shape[1]))
+    pref = ray.put(planes)
+    qb = (_normalize(queries) @ planes.T) > 0
+    qbucket = np.zeros(len(queries), dtype=np.int64)
+    for i in range(n_planes):
+        qbucket |= qb[:, i].astype(np.int64) << i
+    wanted = pa.array(np.unique(qbucket))
+
+    import pyarrow.compute as pc
+
+    bucketed = ds.map_batches(_HyperplaneBucket(pref), batch_format="pyarrow")
+    pruned = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b["bucket"], value_set=wanted)),
+        batch_format="pyarrow",
+    )
+    # per-bucket exact search over the pruned (much smaller) candidate set
+    qref = ray.put(queries)
+
+    class _BucketTopK(_TopKPerBatch):
+        def __init__(self):
+            super().__init__(qref, k)
+            self.qbucket = qbucket
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            # keep only (query, vec) pairs in the same bucket
+            vb = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
+            keep = [self.qbucket[q] == vb[v]
+                    for q, v in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist())]
+            return out.filter(pa.array(keep))
+
+    cand = pruned.map_batches(_BucketTopK(), batch_format="pyarrow", batch_size=4096)
+    tables = list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return _final_topk(pa.table({"query_id": pa.array([], pa.int64()),
+                                     "vec_id": pa.array([], pa.int64()),
+                                     "sim": pa.array([], pa.float64())}), k)
+    return _final_topk(pa.concat_tables(tables), k)
+
+
+# --------------------------------------------------------------------------
+# exact cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95) -> pa.Table:
+    """Exact pairs with cosine >= threshold (vec_id_a < vec_id_b).
+
+    Block × broadcast sweep: the full normalized matrix is broadcast
+    (fine for sandbox scale / one LSH bucket at real scale); each batch
+    computes its rows × all columns and keeps upper-triangle hits.
+    """
+    rows = pa.concat_tables(list(
+        ds.select_columns(["vec_id", "embedding"]).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    ))
+    all_ids = rows["vec_id"].to_numpy(zero_copy_only=False)
+    all_m = _normalize(_batch_matrix(rows))
+    ref = ray.put((all_ids, all_m))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        m = _normalize(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ m_all.T
+        bi, aj = np.nonzero(sims >= threshold)
+        a = ids[bi]
+        b = ids_all[aj]
+        keep = a < b
+        return pa.table({
+            "vec_id_a": pa.array(a[keep], type=pa.int64()),
+            "vec_id_b": pa.array(b[keep], type=pa.int64()),
+            "cosine": pa.array(np.round(sims[bi, aj][keep], SIM_ROUND), type=pa.float64()),
+        })
+
+    empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                      "vec_id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    tables = list(
+        ds.map_batches(per_batch, batch_format="pyarrow", batch_size=4096)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    out = pa.concat_tables(tables) if tables else empty
+    idx = np.lexsort((out["vec_id_b"].to_numpy(zero_copy_only=False),
+                      out["vec_id_a"].to_numpy(zero_copy_only=False)))
+    return out.take(pa.array(idx))

@@ -1,0 +1,86 @@
+"""Text-analysis ops vs DuckDB oracles over the driver's documents table."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from snowplow_elasticsearch_loader_ray.pipelines import analysis as A
+
+SF = "/root/testdata/sf0.001"
+TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_quality_stats_vs_duckdb(docs):
+    got = A.quality_stats(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    stop_sql = ", ".join(f"'{s}'" for s in A.STOPWORDS)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_types,
+               len(list_filter(toks, x -> x IN ({stop_sql}))) AS n_stopwords,
+               CASE WHEN len(toks)=0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> x IN ({stop_sql}))) / len(toks)
+               END AS stopword_ratio
+        FROM (SELECT doc_id, {TOK} AS toks FROM '{SF}/documents.parquet')
+        ORDER BY doc_id
+    """).df()
+    con.close()
+    np.testing.assert_array_equal(got["n_tokens"], want["n_tokens"])
+    np.testing.assert_array_equal(got["n_types"], want["n_types"])
+    np.testing.assert_array_equal(got["n_stopwords"], want["n_stopwords"])
+    np.testing.assert_array_equal(got["stopword_ratio"], want["stopword_ratio"])
+
+
+def test_quality_max_tf(docs):
+    got = A.quality_stats(docs).to_pandas().set_index("doc_id")
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:50]:
+        c = Counter(re.findall(r"[a-z0-9]+", text.lower()))
+        assert got.loc[doc_id, "max_tf"] == (max(c.values()) if c else 0)
+
+
+def test_lang_id_deterministic(docs):
+    out1 = A.lang_id(docs).to_pandas().sort_values("doc_id")
+    out2 = A.lang_id(docs).to_pandas().sort_values("doc_id")
+    assert (out1["pred_lang"].values == out2["pred_lang"].values).all()
+    assert set(out1["pred_lang"]) <= set(A.LANG_PROFILES) | {"und"}
+
+
+def test_lang_id_profiles():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat and the dog is on it for sure",
+            "der hund und die katze ist nicht da",
+            "le chat et la souris est dans une maison",
+            "xyzzy qwerty",
+        ],
+    }))
+    out = A.lang_id(ds).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist() == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_order_sensitive(docs):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"],
+    }))
+    out = A.fingerprints(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[3, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[2, "fingerprint"]
+    # stable across runs
+    out2 = A.fingerprints(ds).to_pandas().set_index("doc_id")
+    assert out.loc[2, "fingerprint"] == out2.loc[2, "fingerprint"]
