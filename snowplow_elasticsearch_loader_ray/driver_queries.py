@@ -1,0 +1,512 @@
+"""Driver-facing query surface: one callable + one oracle SQL per operator.
+
+Implements the ``queries()`` / ``oracle_sql()`` contract of
+``__ray_entry__.py``: each callable takes an ``sf_dir`` containing the
+driver's parquet tables (documents / embeddings / events, which DuckDB
+pre-registers as views) and runs the corresponding engine pipeline; the
+paired SQL computes the same result for the correctness gate.
+
+Float-determinism rules used throughout (so order-insensitive value
+hashes match bit-for-bit):
+- ranking columns are integers; scores/similarities are either excluded
+  from compared outputs or are exact integer divisions (identical IEEE
+  results in numpy and DuckDB);
+- BM25 ranking uses round(score, 7) desc, doc_id asc on both sides —
+  documented in bm25.py;
+- SQL expressions mirror the engine's operation shapes (e.g.
+  ``(1.2 + 1)`` not ``2.2``) so both evaluate identical doubles.
+
+The index-backed queries build (once, cached under /tmp via the
+manifest-resume machinery) a real index from ``documents.parquet`` —
+the driver's correctness check therefore exercises the full SPIMI →
+shuffle → merge → segment path, not a shortcut.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from .config import IndexConfig, DedupConfig
+from .pipelines import analysis as A
+from .pipelines import ann as ANN
+from .pipelines import build as B
+from .pipelines import dedup as D
+from .pipelines.query import IndexReader, QueryEngine
+
+CACHE_ROOT = "/tmp/sploader_ray_cache"
+CFG = IndexConfig()
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.5
+N_ANN_QUERIES = 10
+TOPK = 10
+
+#: the tokenizer, as DuckDB SQL (exact engine parity — tokenizer.py)
+TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+#: fixed BM25 query set over the driver documents vocabulary
+#: (the engine's own Zipf corpus has its own set, sources/synth.py)
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "the"), (1, "data"), (2, "join"), (3, "batch"), (4, "key"),
+    (5, "window"), (6, "vector"), (7, "customer"), (8, "dup"), (9, "spark"),
+    (10, "merge sort"), (11, "hash join"), (12, "data stream"),
+    (13, "group key"), (14, "slow query"), (15, "fast scan"),
+    (16, "big table"), (17, "order line"), (18, "small part"),
+    (19, "filter row"), (20, "sort merge join"),
+    (21, "stream batch window agg"), (22, "customer order line value"),
+    (23, "the data table scan filter"), (24, "no such termxyz"),
+]
+
+_READERS: dict[str, IndexReader] = {}
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _index_dir(sf_dir: str) -> str:
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(CACHE_ROOT, key, "index")
+
+
+def _ensure_index(sf_dir: str) -> str:
+    d = _index_dir(sf_dir)
+    B.build_index(_docs_path(sf_dir), d, CFG)
+    return d
+
+
+def _reader(sf_dir: str) -> IndexReader:
+    d = _ensure_index(sf_dir)
+    if d not in _READERS:
+        _READERS[d] = IndexReader(d)
+    return _READERS[d]
+
+
+def _docs_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+
+# --------------------------------------------------------------------------
+# fulltext index queries (run against the real built index)
+# --------------------------------------------------------------------------
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    st = B.index_stats(_ensure_index(sf_dir))
+    return pa.table({
+        "n_docs": pa.array([st["n_docs"]], pa.int64()),
+        "total_tokens": pa.array([st["total_tokens"]], pa.int64()),
+        "avgdl": pa.array([st["avgdl"]], pa.float64()),
+    })
+
+
+CORPUS_STATS_SQL = f"""
+SELECT count(*)::BIGINT AS n_docs,
+       coalesce(sum(len({TOK_SQL})), 0)::BIGINT AS total_tokens,
+       coalesce(sum(len({TOK_SQL})), 0)::DOUBLE / count(*)::DOUBLE AS avgdl
+FROM documents
+"""
+
+
+def doc_lengths(sf_dir: str) -> pa.Table:
+    return _reader(sf_dir).doc_lengths_table()
+
+
+DOC_LENGTHS_SQL = f"""
+SELECT doc_id, len({TOK_SQL})::BIGINT AS doclen FROM documents
+"""
+
+
+def term_stats(sf_dir: str) -> pa.Table:
+    return _reader(sf_dir).term_stats_table()
+
+
+TERM_STATS_SQL = f"""
+SELECT term, count(*)::BIGINT AS df, sum(cnt)::BIGINT AS cf
+FROM (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+)
+GROUP BY term
+"""
+
+
+def _topk_table(sf_dir: str, strategy: str) -> pa.Table:
+    eng = QueryEngine(_ensure_index(sf_dir), strategy=strategy)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = eng.topk(q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    return _topk_table(sf_dir, "taat")
+
+
+def bm25_topk_wand(sf_dir: str) -> pa.Table:
+    return _topk_table(sf_dir, "bmw")
+
+
+def _bm25_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in DOC_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    out = D.exact_dedup(_docs_ds(sf_dir)).to_pandas()
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_dups": pa.array(out["n_dups"], pa.int64()),
+    })
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def jaccard_pairs(sf_dir: str) -> pa.Table:
+    out = D.jaccard_dup_pairs(_docs_ds(sf_dir), threshold=JACCARD_THRESHOLD)
+    return out.select(["doc_id_a", "doc_id_b", "intersection", "jaccard"])
+
+
+JACCARD_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, {TOK_SQL} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, i::BIGINT AS intersection,
+       i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_pairs(sf_dir: str) -> pa.Table:
+    cfg = DedupConfig(jaccard_threshold=JACCARD_THRESHOLD)
+    return D.minhash_lsh_pairs(_docs_ds(sf_dir), cfg).select(["doc_id_a", "doc_id_b"])
+
+
+def simhash_pairs(sf_dir: str) -> pa.Table:
+    return D.simhash_pairs(_docs_ds(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def quality(sf_dir: str) -> pa.Table:
+    df = A.quality_stats(_docs_ds(sf_dir)).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in A.STOPWORDS)
+QUALITY_SQL = f"""
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_types,
+       len(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS n_stopwords,
+       coalesce(list_max(list_transform(list_distinct(toks),
+                t -> len(list_filter(toks, x -> x = t)))), 0)::BIGINT AS max_tf,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks)
+       END AS stopword_ratio
+FROM (SELECT doc_id, {TOK_SQL} AS toks FROM documents)
+"""
+
+
+def langid(sf_dir: str) -> pa.Table:
+    df = A.lang_id(_docs_ds(sf_dir)).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    df = A.fingerprints(_docs_ds(sf_dir)).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    idx = pc.sort_indices(t["vec_id"])
+    t = t.take(idx)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)[:N_ANN_QUERIES]
+    mat = np.array(t["embedding"].to_pylist()[:N_ANN_QUERIES], dtype=np.float64)
+    return ids, mat
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = ANN.ann_topk(ds, qmat, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)], pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 9) AS sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def embedding_pairs(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ANN.embedding_dup_pairs(ds, threshold=COSINE_THRESHOLD).select(
+        ["vec_id_a", "vec_id_b"])
+
+
+EMBEDDING_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_THRESHOLD}
+"""
+
+
+def lsh_ann(sf_dir: str) -> pa.Table:
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = ANN.lsh_ann_topk(ds, qmat, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)], pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
+# --------------------------------------------------------------------------
+# streaming-counter / routing analogues over the events table
+# --------------------------------------------------------------------------
+
+def events_min_ts(sf_dir: str) -> pa.Table:
+    """A2/A3 analogue: running-min timestamp + item counter
+    (chooseEarliestTstamp, Processing.scala:184-190; counters :237-249)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    res = ds.aggregate(Min("ts"), Count())
+    return pa.table({
+        "earliest_ts": pa.array([res["min(ts)"]], pa.timestamp("us")),
+        "n_events": pa.array([res["count()"]], pa.int64()),
+    })
+
+
+EVENTS_MIN_TS_SQL = "SELECT min(ts) AS earliest_ts, count(*)::BIGINT AS n_events FROM events"
+
+
+def shard_routing(sf_dir: str) -> pa.Table:
+    """P5/W4 analogue: date-formatted shard suffix → per-shard counts
+    (Processing.scala:162-171; '-yyyy-MM-dd' per loader-sharding.hocon:19-23;
+    fail-open: null ts → null suffix)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def suffix(b: pa.Table) -> pa.Table:
+        return pa.table({"shard_suffix": pc.strftime(b["ts"], format="-%Y-%m-%d")})
+
+    out = ds.map_batches(suffix, batch_format="pyarrow").groupby(
+        "shard_suffix").aggregate(Count(alias_name="n"))
+    df = out.to_pandas()
+    return pa.table({
+        "shard_suffix": pa.array(df["shard_suffix"], pa.string()),
+        "n": pa.array(df["n"], pa.int64()),
+    })
+
+
+SHARD_ROUTING_SQL = """
+SELECT strftime(ts, '-%Y-%m-%d') AS shard_suffix, count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    ).to_pandas()
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "min_value": pa.array(out["min_value"], pa.float64()),
+        "max_value": pa.array(out["max_value"], pa.float64()),
+    })
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def lang_counts(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+    })
+
+
+LANG_COUNTS_SQL = "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1"
+
+
+# --------------------------------------------------------------------------
+# page-corpus ingest summary (engine's own corpus; rows-only check)
+# --------------------------------------------------------------------------
+
+def ingest_summary(sf_dir: str) -> pa.Table:
+    """Extraction + dead-letter pipeline over the synthetic page corpus
+    (size scaled from sf). Rows-only check: the exact per-category
+    counts are asserted against expected_bad_counts in pytest."""
+    from .sources.synth import generate_pages
+
+    n_rows = 2000
+    key = hashlib.sha256(f"pages-{n_rows}".encode()).hexdigest()[:12]
+    pages_dir = os.path.join(CACHE_ROOT, key, "pages")
+    out_dir = os.path.join(CACHE_ROOT, key, "ingest")
+    generate_pages(pages_dir, n_rows=n_rows, n_parts=4)
+    cfg = IndexConfig(max_record_bytes=100_000)
+    counters = B.ingest_pages(pages_dir, out_dir, cfg)
+    items = sorted(counters.items())
+    return pa.table({
+        "status": pa.array([k for k, _ in items], pa.string()),
+        "n": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def registry() -> tuple[dict, dict]:
+    queries = {
+        "corpus_stats": corpus_stats,
+        "doc_lengths": doc_lengths,
+        "term_stats": term_stats,
+        "bm25_topk": bm25_topk,
+        "bm25_topk_wand": bm25_topk_wand,
+        "dedup_exact": dedup_exact,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_pairs": minhash_pairs,
+        "simhash_pairs": simhash_pairs,
+        "quality_stats": quality,
+        "lang_id": langid,
+        "fingerprints": fingerprints,
+        "ann_topk": ann_topk,
+        "lsh_ann_topk": lsh_ann,
+        "embedding_pairs": embedding_pairs,
+        "events_min_ts": events_min_ts,
+        "shard_routing": shard_routing,
+        "events_by_type": events_by_type,
+        "lang_counts": lang_counts,
+        "ingest_summary": ingest_summary,
+    }
+    oracles = {
+        "corpus_stats": CORPUS_STATS_SQL,
+        "doc_lengths": DOC_LENGTHS_SQL,
+        "term_stats": TERM_STATS_SQL,
+        "bm25_topk": _bm25_sql(),
+        "bm25_topk_wand": _bm25_sql(),
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "quality_stats": QUALITY_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "embedding_pairs": EMBEDDING_PAIRS_SQL,
+        "events_min_ts": EVENTS_MIN_TS_SQL,
+        "shard_routing": SHARD_ROUTING_SQL,
+        "events_by_type": EVENTS_BY_TYPE_SQL,
+        "lang_counts": LANG_COUNTS_SQL,
+        # minhash_pairs / simhash_pairs / lang_id / fingerprints /
+        # lsh_ann_topk / ingest_summary: engine-defined (sketches,
+        # heuristics, approximate search, own corpus) → rows-only checks
+    }
+    return queries, oracles

@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as Arrow ``binary`` columns with
+typed metadata columns next to them — the same shape the pages corpus
+uses for ``html``. Stages follow the actor-pool ``map_batches``
+contract (decoder state built once per actor in ``__init__``); the
+actual codec libraries are not available in this container, so the
+decode kernels are STUBS behind ``NotImplementedError`` with a
+deterministic fake mode — the Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested.
+
+Batch-size note: for multi-MB payloads, call with a small
+``batch_size`` (16-64) so batch × concurrency stays inside the worker
+heap; blocks of large binaries should also raise
+``DataContext.target_max_block_size`` so readers don't split rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FEATURE_DIM = 16
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row lengths, flat value bytes) of a Binary/LargeBinary array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=dtype)[arr.offset: arr.offset + len(arr) + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    return np.diff(offs).astype(np.int64), buf
+
+
+class ByteHistogram:
+    """REAL baseline featurizer: 16-bin byte histogram per payload.
+
+    Fully vectorized: one ``bincount`` over (row, high-nibble) composite
+    keys across the whole batch's value buffer — no per-row loop.
+    """
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lens, buf = _binary_parts(batch[self.col])
+        row = np.repeat(np.arange(len(lens)), lens)
+        key = row * FEATURE_DIM + (buf >> 4)
+        hist = np.bincount(key, minlength=len(lens) * FEATURE_DIM).reshape(-1, FEATURE_DIM)
+        feats = pa.FixedSizeListArray.from_arrays(
+            pa.array(hist.astype(np.float32).reshape(-1)), FEATURE_DIM
+        )
+        out = batch.drop_columns([self.col])
+        out = out.append_column("n_bytes", pa.array(lens))
+        return out.append_column("features", feats)
+
+
+class DecodeImage:
+    """STUB decode stage (no image libs in this container).
+
+    ``fake=True`` produces a deterministic fake decode (dimensions from
+    a hash of the payload) so downstream plumbing is exercisable;
+    ``fake=False`` raises NotImplementedError, marking exactly where a
+    real ``PIL.Image.open`` call goes.
+    """
+
+    def __init__(self, col: str = "payload", fake: bool = False):
+        self.col = col
+        self.fake = fake
+        self._decoder = None  # real impl: lazy-import PIL here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an image library not present in this "
+                "container; run with fake=True for plumbing tests"
+            )
+        payloads = batch[self.col].to_pylist()
+        w = np.array([(len(p or b"") * 2654435761) % 1920 + 16 for p in payloads], dtype=np.int32)
+        h = np.array([(len(p or b"") * 40503) % 1080 + 16 for p in payloads], dtype=np.int32)
+        out = batch.drop_columns([self.col])
+        out = out.append_column("width", pa.array(w))
+        out = out.append_column("height", pa.array(h))
+        return out.append_column(
+            "decode_ok", pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+
+
+class FrameSample:
+    """STUB video frame sampler: every payload → n_frames offsets.
+
+    Real impl would demux with pyav once per actor; the deterministic
+    stub emits evenly spaced byte offsets so the flat_map-shaped output
+    layout (one row per frame, parent id carried) is testable.
+    """
+
+    def __init__(self, col: str = "payload", n_frames: int = 4):
+        self.col = col
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lens, _buf = _binary_parts(batch[self.col])
+        n = batch.num_rows
+        ids = batch["url" if "url" in batch.column_names else batch.column_names[0]]
+        parent = np.repeat(np.arange(n), self.n_frames)
+        frame = np.tile(np.arange(self.n_frames), n)
+        offset = (lens[parent] * frame) // self.n_frames
+        return pa.table({
+            "parent": ids.take(pa.array(parent)),
+            "frame": pa.array(frame.astype(np.int32)),
+            "byte_offset": pa.array(offset.astype(np.int64)),
+        })

@@ -1,0 +1,58 @@
+"""Multimodal plumbing: binary columns through actor-pool stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from snowplow_elasticsearch_loader_ray.pipelines.multimodal import (
+    FEATURE_DIM, ByteHistogram, DecodeImage, FrameSample,
+)
+
+
+def _ds():
+    return ray.data.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(10)],
+        "payload": [bytes(range(i, i + 40)) * (i + 1) for i in range(10)],
+    }))
+
+
+def test_byte_histogram_features():
+    out = ray.data.from_arrow(
+        pa.table({"url": ["a"], "payload": [b"\x00\x10\x20\xff\xff"]})
+    ).map_batches(ByteHistogram(), batch_format="pyarrow").take_all()
+    f = out[0]["features"]
+    assert len(f) == FEATURE_DIM
+    assert f[0] == 1 and f[1] == 1 and f[2] == 1 and f[15] == 2
+    assert out[0]["n_bytes"] == 5
+
+
+def test_byte_histogram_batched_actor_pool():
+    out = _ds().map_batches(ByteHistogram, batch_format="pyarrow",
+                            batch_size=4, concurrency=2).to_pandas()
+    assert len(out) == 10
+    assert all(len(v) == FEATURE_DIM for v in out["features"])
+    # histogram sums equal payload length
+    np.testing.assert_array_equal(
+        np.array([sum(v) for v in out["features"]]), out["n_bytes"].to_numpy())
+
+
+def test_decode_image_stub_raises_without_fake():
+    with pytest.raises(Exception):  # ray wraps the NotImplementedError
+        _ds().map_batches(DecodeImage(), batch_format="pyarrow").take_all()
+
+
+def test_decode_image_fake_deterministic():
+    out1 = _ds().map_batches(DecodeImage(fake=True), batch_format="pyarrow").to_pandas()
+    out2 = _ds().map_batches(DecodeImage(fake=True), batch_format="pyarrow").to_pandas()
+    assert (out1["width"] == out2["width"]).all()
+    assert out1["decode_ok"].all()
+    assert (out1["width"] >= 16).all() and (out1["height"] >= 16).all()
+
+
+def test_frame_sample_layout():
+    out = _ds().map_batches(FrameSample(n_frames=4), batch_format="pyarrow").to_pandas()
+    assert len(out) == 40
+    assert set(out["frame"]) == {0, 1, 2, 3}
+    g = out[out["parent"] == "u3"].sort_values("frame")
+    assert (g["byte_offset"].to_numpy() == sorted(g["byte_offset"])).all()
