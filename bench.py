@@ -1,0 +1,176 @@
+"""Benchmark harness: one JSON line on stdout (driver contract).
+
+Headline pipeline: full engine flow over the deterministic synthetic
+page corpus scaled to the sf of ``$GRAFT_SF_DIR`` — ingest (HTML→text +
+dead letters) → index build (SPIMI runs → shard shuffle → compressed
+segments) → the fixed 50-query BM25 set. ``value`` is the end-to-end
+seconds; ``queries`` carries per-stage wall times, docs/s and query
+latency percentiles, plus the (tiny) driver-table index build.
+
+Modes:
+  python bench.py              # one timed run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # fresh processes at 8 and 32 CPUs on the
+                               # same input; prints throughput at both +
+                               # scaling efficiency (sandbox substitute
+                               # for the N vs 4N node criterion)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PARTS_FILES = 64     # corpus files (parallelism units)
+RUN_PARTS = 4          # resume/checkpoint partitions in phase 1
+QUERY_REPEATS = 3
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def _warm(paths):
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import glob
+
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import build as B
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+    from snowplow_elasticsearch_loader_ray.sources.synth import (
+        generate_pages, generate_queries,
+    )
+
+    sf = _sf_of(SF_DIR)
+    n_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "0")) or max(2000, int(600_000 * sf))
+    cfg = IndexConfig(max_record_bytes=100_000,
+                      num_term_shards=max(16, NCPU), batch_size=2000)
+
+    stages: dict[str, float] = {}
+
+    # corpus generation is cached across runs (deterministic); warm the
+    # page cache so we measure compute + shuffle, not first disk read
+    pages_dir = f"/tmp/bench_pages_{n_rows}"
+    t0 = time.time()
+    paths = generate_pages(pages_dir, n_rows=n_rows, n_parts=N_PARTS_FILES)
+    stages["corpus_gen_s"] = round(time.time() - t0, 3)
+    _warm(paths)
+
+    # spin up the full worker pool before timing (cluster boot isn't
+    # pipeline throughput; on a real cluster workers are long-lived)
+    ray.data.range(200_000, override_num_blocks=NCPU * 2).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
+    work = f"/tmp/bench_work_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    t_head = time.time()
+    t0 = time.time()
+    counters = B.ingest_pages(pages_dir, f"{work}/ingest", cfg)
+    stages["ingest_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    stats = B.build_index(B.good_docs_dir(f"{work}/ingest"), f"{work}/index",
+                          cfg, num_parts=RUN_PARTS)
+    stages["index_build_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    eng = QueryEngine(f"{work}/index")
+    stages["index_load_s"] = round(time.time() - t0, 3)
+
+    lat = []
+    qs = generate_queries()
+    for _ in range(QUERY_REPEATS):
+        for _qid, q, k in qs:
+            t0 = time.time()
+            eng.topk(q, k)
+            lat.append(time.time() - t0)
+    stages["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
+    stages["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 3)
+    headline = time.time() - t_head
+
+    stages["docs_per_sec"] = round(
+        stats["n_docs"] / (stages["ingest_s"] + stages["index_build_s"]), 1)
+    stages["n_docs"] = stats["n_docs"]
+    stages["n_tokens"] = stats["total_tokens"]
+    stages["bad_rows"] = sum(v for k, v in counters.items() if k != "good")
+
+    # driver-table index build (sf documents.parquet — small)
+    t0 = time.time()
+    shutil.rmtree(f"{work}/docs_index", ignore_errors=True)
+    B.build_index(os.path.join(SF_DIR, "documents.parquet"),
+                  f"{work}/docs_index", cfg)
+    stages["docs_table_build_s"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "e2e_index_build_and_query_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": stages,
+        "sf": sf,
+        "num_cpus": NCPU,
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    # the scaling criterion needs a compute-dominated job: use a larger
+    # fixed corpus (same input at both parallelism levels) so fixed
+    # per-pipeline overheads (~seconds) don't mask the scaling signal
+    rows = os.environ.get("GRAFT_BENCH_ROWS", "240000")
+
+    def at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = at(8), at(32)
+    tput_lo = lo["queries"]["docs_per_sec"]
+    tput_hi = hi["queries"]["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "indexing_scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "docs_per_sec_8": tput_lo,
+            "docs_per_sec_32": tput_hi,
+            "e2e_sec_8": lo["value"],
+            "e2e_sec_32": hi["value"],
+        },
+        "sf": lo["sf"],
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_once()
+    print(json.dumps(result))

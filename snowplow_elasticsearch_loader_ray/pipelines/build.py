@@ -47,6 +47,26 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+# Ray's path resolution probes `fsspec.implementations.http` on every
+# read/write call; without aiohttp that import raises, and when two
+# threads race the probe the half-initialized module surfaces as a bare
+# ImportError that Ray's ModuleNotFoundError handler misses. Wrap the
+# probe so concurrently-driven pipelines (threaded phase-1 parts) are
+# safe: no-http-filesystem is the correct answer either way.
+from ray.data.datasource import path_util as _ray_path_util
+
+_orig_is_http = _ray_path_util._is_http_filesystem
+
+
+def _is_http_filesystem_safe(fs):  # pragma: no cover - exercised via threads
+    try:
+        return _orig_is_http(fs)
+    except ImportError:
+        return False
+
+
+_ray_path_util._is_http_filesystem = _is_http_filesystem_safe
+
 from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
 from ..stages.extract import ExtractTransform
 from ..stages.postings import TokenizePostings
@@ -144,43 +164,60 @@ def _run_counters(part_dir: str) -> dict:
     return {"docs": int(docs), "tokens": int(tokens), "postings": int(postings)}
 
 
-def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
-               num_parts: int | None = None) -> None:
+def _build_one_part(k: int, files_k: list[str], index_dir: str,
+                    cfg: IndexConfig) -> None:
     man_dir = os.path.join(index_dir, "manifests")
     runs_dir = os.path.join(index_dir, "runs")
-    os.makedirs(runs_dir, exist_ok=True)
-    parts = _plan_parts(doc_files, num_parts)
-    done = 0
-    for k, files_k in enumerate(parts):
-        name = f"runs-part-{k:04d}"
-        if mf.is_committed(man_dir, name):
-            continue
-        t0 = time.time()
-        final = os.path.join(runs_dir, f"part={k:04d}")
-        tmp = os.path.join(runs_dir, f"_tmp_part={k:04d}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(final, ignore_errors=True)  # uncommitted leftovers
+    t0 = time.time()
+    final = os.path.join(runs_dir, f"part={k:04d}")
+    tmp = os.path.join(runs_dir, f"_tmp_part={k:04d}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)  # uncommitted leftovers
 
-        ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"])
-        ds = ds.map_batches(TokenizePostings(cfg), batch_format="pyarrow",
-                            batch_size=cfg.batch_size,
-                            concurrency=cfg.build_concurrency)
-        ds.write_parquet(tmp, partition_cols=["shard"])
-        mf.commit_dir_rename(tmp, final)
-        counters = _run_counters(final)
-        row_count = counters["docs"]
-        mf.commit(man_dir, name, {
-            "part": k,
-            "stage": "runs",
-            "input_files": [os.path.basename(f) for f in files_k],
-            "row_count": row_count,
-            "counters": counters,
-            "outputs": [os.path.relpath(final, index_dir)],
-            "wall_s": round(time.time() - t0, 3),
-        })
-        done += 1
-        if cfg.fail_after_parts is not None and done >= cfg.fail_after_parts:
-            raise SimulatedFailure(f"injected failure after {done} run parts")
+    ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"])
+    ds = ds.map_batches(TokenizePostings(cfg), batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                        concurrency=cfg.build_concurrency)
+    ds.write_parquet(tmp, partition_cols=["shard"])
+    mf.commit_dir_rename(tmp, final)
+    counters = _run_counters(final)
+    mf.commit(man_dir, f"runs-part-{k:04d}", {
+        "part": k,
+        "stage": "runs",
+        "input_files": [os.path.basename(f) for f in files_k],
+        "row_count": counters["docs"],
+        "counters": counters,
+        "outputs": [os.path.relpath(final, index_dir)],
+        "wall_s": round(time.time() - t0, 3),
+    })
+
+
+def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
+               num_parts: int | None = None) -> None:
+    """Phase 1. Parts are the RESUME granularity, not the parallelism
+    unit: uncommitted parts run as concurrently-driven Ray Data
+    pipelines (each streams its own blocks across the cluster), so a
+    fine checkpoint grain doesn't serialize the build. With the
+    fail_after_parts test hook the loop runs sequentially so the commit
+    count at failure is deterministic."""
+    man_dir = os.path.join(index_dir, "manifests")
+    os.makedirs(os.path.join(index_dir, "runs"), exist_ok=True)
+    parts = _plan_parts(doc_files, num_parts)
+    todo = [(k, files_k) for k, files_k in enumerate(parts)
+            if not mf.is_committed(man_dir, f"runs-part-{k:04d}")]
+    if cfg.fail_after_parts is not None:
+        for done, (k, files_k) in enumerate(todo, start=1):
+            _build_one_part(k, files_k, index_dir, cfg)
+            if done >= cfg.fail_after_parts:
+                raise SimulatedFailure(f"injected failure after {done} run parts")
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(todo)))) as pool:
+        futs = [pool.submit(_build_one_part, k, files_k, index_dir, cfg)
+                for k, files_k in todo]
+        for f in futs:
+            f.result()
 
 
 # --------------------------------------------------------------------------
