@@ -50,6 +50,13 @@ def rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int,
               score_round: int = SCORE_ROUND) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (round(score) desc, doc_id asc); returns (doc_ids, rounded scores)."""
     r = np.round(scores, score_round)
+    if len(r) > 4 * k + 64:
+        # pre-cut with a selection: keep every candidate at or above the
+        # k-th largest ROUNDED score (ties included), then sort only
+        # those — identical result to the full lexsort
+        kth = np.partition(r, len(r) - k)[len(r) - k]
+        sel = np.nonzero(r >= kth)[0]
+        doc_ids, r = doc_ids[sel], r[sel]
     order = np.lexsort((doc_ids, -r))
     top = order[:k]
     return doc_ids[top], r[top]

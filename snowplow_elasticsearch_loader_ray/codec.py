@@ -132,15 +132,50 @@ class PostingList:
         return docs, tfs.astype(np.int32)
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the whole list, vectorized across blocks.
+
+        Full blocks sharing a width byte have identical byte size, so
+        each width class decodes as one u8 gather → dtype views → one
+        2-D cumsum — no per-block Python loop (the query-path hot spot:
+        a head term at 10^8 postings is ~10^6 blocks). The (at most
+        one) short tail block falls back to ``decode_block``.
+        """
         if self.n == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         docs = np.empty(self.n, dtype=np.int64)
         tfs = np.empty(self.n, dtype=np.int32)
-        for bi in range(self.n_blocks):
-            d, t = self.decode_block(bi)
-            lo = bi * self.block_size
-            docs[lo : lo + len(d)] = d
-            tfs[lo : lo + len(t)] = t
+        B = self.block_size
+        n_full = self.n // B
+        buf8 = np.frombuffer(self.buf, dtype=np.uint8)
+        if n_full:
+            w = self.widths[:n_full]
+            run_starts = np.concatenate(([0], np.nonzero(w[1:] != w[:-1])[0] + 1))
+            run_ends = np.concatenate((run_starts[1:], [n_full]))
+            for lo, hi in zip(run_starts, run_ends):
+                wd, wt = int(w[lo]) & 0xF, int(w[lo]) >> 4
+                nbytes = 8 + wd * (B - 1) + wt * B
+                # blocks are laid out sequentially, so an equal-width run
+                # is one contiguous record array → zero-copy reshape
+                base = self.payload_start + int(self.offsets[lo])
+                mat = buf8[base : base + (hi - lo) * nbytes].reshape(hi - lo, nbytes)
+                first = mat[:, :8].copy().view("<i8").reshape(-1)
+                gaps = (
+                    mat[:, 8 : 8 + wd * (B - 1)].copy().view(_DTYPES[wd])
+                    .reshape(hi - lo, B - 1)
+                )
+                t = (
+                    mat[:, 8 + wd * (B - 1) :].copy().view(_DTYPES[wt])
+                    .reshape(hi - lo, B)
+                )
+                d = docs[lo * B : hi * B].reshape(hi - lo, B)
+                d[:, 0] = first
+                np.cumsum(gaps, axis=1, dtype=np.int64, out=d[:, 1:])
+                d[:, 1:] += first[:, None] + np.arange(1, B, dtype=np.int64)
+                tfs[lo * B : hi * B] = t.reshape(-1)
+        if n_full < self.n_blocks:
+            d, t = self.decode_block(self.n_blocks - 1)
+            docs[n_full * B :] = d
+            tfs[n_full * B :] = t
         return docs, tfs
 
     def first_block_geq(self, doc_id: int) -> int:

@@ -115,14 +115,13 @@ def ingest_pages(pages: str | list[str], out_dir: str,
         shutil.rmtree(docs_dir)
     mf.commit_dir_rename(tmp, docs_dir)
 
-    import duckdb
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT status, count(*) FROM read_parquet('{docs_dir}/*/*.parquet', "
-        f"hive_partitioning=1) GROUP BY 1"
-    ).fetchall()
-    con.close()
-    counters = {status: int(c) for status, c in rows}
+    # per-status counts from parquet footers only (no data scan): the
+    # hive layout keys each status to a directory, so footer row counts
+    # are exact — at 100 TB this is a metadata listing, not a read
+    counters: dict[str, int] = {}
+    for d in sorted(glob.glob(os.path.join(docs_dir, "status=*"))):
+        status = os.path.basename(d).split("=", 1)[1]
+        counters[status] = _footer_rows(glob.glob(os.path.join(d, "*.parquet")))
     counters.setdefault("good", 0)
     mf.commit(man_dir, "ingest", {
         "stage": "ingest",
@@ -151,17 +150,20 @@ def _plan_parts(files: list[str], target_parts: int | None) -> list[list[str]]:
     return [p for p in out if p]
 
 
-def _run_counters(part_dir: str) -> dict:
-    import duckdb
-    con = duckdb.connect()
-    docs, tokens, postings = con.sql(
-        f"SELECT count(*) FILTER (WHERE term = '{DOCLEN_TERM}'), "
-        f"coalesce(sum(tf) FILTER (WHERE term = '{DOCLEN_TERM}'), 0), "
-        f"count(*) FILTER (WHERE term <> '{DOCLEN_TERM}') "
-        f"FROM read_parquet('{part_dir}/*/*.parquet')"
-    ).fetchone()
-    con.close()
-    return {"docs": int(docs), "tokens": int(tokens), "postings": int(postings)}
+def _footer_rows(files: list[str]) -> int:
+    """Exact row count from parquet footers (metadata only, no scan)."""
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _run_counters(part_dir: str, input_files: list[str]) -> dict:
+    """Per-part counters from parquet footers only. Every input doc
+    contributes exactly one doclen pseudo-posting row, so docs = input
+    footer rows and postings = output footer rows − docs. Token totals
+    come from the segment manifests (phase 2), where the doclen rows
+    are actually decoded — no data scan here."""
+    docs = _footer_rows(input_files)
+    out_rows = _footer_rows(glob.glob(os.path.join(part_dir, "*", "*.parquet")))
+    return {"docs": int(docs), "postings": int(out_rows - docs)}
 
 
 def _build_one_part(k: int, files_k: list[str], index_dir: str,
@@ -180,7 +182,7 @@ def _build_one_part(k: int, files_k: list[str], index_dir: str,
                         concurrency=cfg.build_concurrency)
     ds.write_parquet(tmp, partition_cols=["shard"])
     mf.commit_dir_rename(tmp, final)
-    counters = _run_counters(final)
+    counters = _run_counters(final, files_k)
     mf.commit(man_dir, f"runs-part-{k:04d}", {
         "part": k,
         "stage": "runs",

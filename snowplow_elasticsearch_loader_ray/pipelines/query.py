@@ -92,6 +92,15 @@ class IndexReader:
         idx = np.searchsorted(self.dl_doc_ids, doc_ids)
         return self.dl_lens[idx]
 
+    def acc_buffer(self) -> np.ndarray:
+        """Zeroed per-partition score accumulator (reused across queries)."""
+        buf = getattr(self, "_acc", None)
+        if buf is None or len(buf) != len(self.dl_doc_ids):
+            buf = self._acc = np.zeros(len(self.dl_doc_ids), dtype=np.float64)
+        else:
+            buf.fill(0.0)
+        return buf
+
     def postings(self, term: str) -> PostingList | None:
         e = self.terms.get(term)
         return PostingList(e[2]) if e else None
@@ -120,34 +129,33 @@ class IndexReader:
 # --------------------------------------------------------------------------
 
 def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k (doc_ids, rounded scores) by exhaustive term-at-a-time BM25."""
+    """Top-k (doc_ids, rounded scores) by exhaustive term-at-a-time BM25.
+
+    Uses a dense per-partition accumulator indexed by the reader's
+    sorted-doc position (the classic TAAT score-array design): each
+    term's postings scatter-add in sorted-term order, so per-doc float
+    summation order is fixed (determinism contract). The accumulator is
+    one float64 per doc in THIS reader's partition — at 10^12 docs the
+    corpus is doc-partitioned across query shards (see ``IndexReader``),
+    each holding ~10^7-10^8 docs, so the array stays ~100 MB-scale.
+    """
     terms = tokenize_query(query)
-    all_docs: list[np.ndarray] = []
-    all_scores: list[np.ndarray] = []
+    acc = reader.acc_buffer()
+    matched = False
     for t in terms:
         pl = reader.postings(t)
         if pl is None:
             continue
+        matched = True
         docs, tfs = pl.decode_all()
+        pos = np.searchsorted(reader.dl_doc_ids, docs)
         w = bm25.idf(reader.n_docs, len(docs))
-        dls = reader.doclen_of(docs)
-        all_docs.append(docs)
-        all_scores.append(w * bm25.tf_weight(tfs, dls, reader.avgdl))
-    if not all_docs:
+        acc[pos] += w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
+    if not matched:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    docs = np.concatenate(all_docs)
-    scores = np.concatenate(all_scores)
-    # accumulate per doc: terms were appended in sorted order and
-    # np.add.reduceat over the doc-grouped, order-preserving layout keeps
-    # summation order = sorted-term order (determinism contract)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    # stable accumulation in term order: iterate per term array
-    pos = 0
-    for d, s in zip(all_docs, all_scores):
-        acc[inv[pos : pos + len(d)]] += s
-        pos += len(d)
-    return bm25.rank_topk(uniq, acc, k)
+    # BM25 partial scores are strictly positive, so nonzero == matched
+    cand = np.nonzero(acc)[0]
+    return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
 
 
 # --------------------------------------------------------------------------

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..codec import encode_postings
 
@@ -37,35 +36,50 @@ def encode_shard_table(runs: pa.Table, block_size: int = 128) -> pa.Table:
     Requires globally-unique (term, doc_id) pairs, which the build
     guarantees: every doc is tokenized in exactly one batch and the
     per-batch combiner already collapsed duplicates.
+
+    The (term, doc_id) sort runs on integer keys: the term column is
+    dictionary-encoded once and rows are ordered by (term rank, doc_id)
+    with ``np.lexsort`` — the vocabulary is tiny next to the posting
+    count, so ranking ~10^2..10^5 strings then radix-sorting ~10^6..10^8
+    ints beats a full string sort of every run row. The output term
+    order is byte-ascending, identical to the previous arrow string
+    sort (tokens are [a-z0-9], and UTF-8 byte order equals code-point
+    order regardless).
     """
     if runs.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
-    idx = pc.sort_indices(runs, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
-    runs = runs.take(idx).combine_chunks()
-
-    terms = runs["term"].to_numpy(zero_copy_only=False)
+    term_col = runs["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    enc = term_col.dictionary_encode()
+    vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+    dict_idx = enc.indices.to_numpy(zero_copy_only=False)
     doc_ids = runs["doc_id"].to_numpy(zero_copy_only=False)
     tfs = runs["tf"].to_numpy(zero_copy_only=False)
 
-    change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(terms)]))
+    vocab_order = np.argsort(vocab)                 # term-string rank, small
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vocab_order] = np.arange(len(vocab))
+    order = np.lexsort((doc_ids, rank[dict_idx]))   # integer-key row sort
+    keys = rank[dict_idx][order]
+    doc_ids = np.ascontiguousarray(doc_ids[order])
+    tfs = np.ascontiguousarray(tfs[order])
 
-    out_terms: list[str] = []
-    out_df = np.empty(len(starts), dtype=np.int64)
-    out_cf = np.empty(len(starts), dtype=np.int64)
-    out_post: list[bytes] = []
-    for g, (lo, hi) in enumerate(zip(starts, ends)):
-        d = doc_ids[lo:hi]
-        t = tfs[lo:hi]
-        out_terms.append(terms[lo])
-        out_df[g] = hi - lo
-        out_cf[g] = int(t.sum())
-        out_post.append(encode_postings(d, t, block_size=block_size))
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(keys)]))
+    sorted_vocab = vocab[vocab_order]
+
+    out_df = ends - starts
+    out_cf = np.add.reduceat(tfs.astype(np.int64), starts)
+    out_post: list[bytes] = [
+        encode_postings(doc_ids[lo:hi], tfs[lo:hi], block_size=block_size)
+        for lo, hi in zip(starts, ends)
+    ]
     return pa.table(
         {
-            "term": pa.array(out_terms, type=pa.string()),
-            "df": pa.array(out_df),
+            "term": pa.array(sorted_vocab[keys[starts]], type=pa.string()),
+            "df": pa.array(out_df, type=pa.int64()),
             "cf": pa.array(out_cf),
             "postings": pa.array(out_post, type=pa.binary()),
         }
