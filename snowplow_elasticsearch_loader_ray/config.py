@@ -33,6 +33,7 @@ class IndexConfig:
     # --- index layout ---
     num_term_shards: int = 16          # segment partitions; scale ~2-4x cluster cores
     block_size: int = 128              # postings per compressed block (block-max granularity)
+    run_row_group_size: int = 16_384   # rows per run-file row group (phase-2 shard pruning grain)
 
     # --- BM25 (fixed; oracle and engine share these) ---
     k1: float = 1.2
@@ -40,7 +41,13 @@ class IndexConfig:
     score_round: int = 7               # ranking uses round(score, 7) then doc_id asc
 
     # --- batching / flush (A1 analogue) ---
-    batch_size: int = 2000             # docs per map_batches call in the build path
+    # docs per map_batches call. Measured optimum ~2000 on 2 KB docs:
+    # token intermediates of a larger batch fall out of per-core cache
+    # and per-doc cost doubles (see BASELINE.md). Batches slice
+    # zero-copy WITHIN a block (reads use one block per file, which
+    # fuses read->map->write into one task); only the block seam would
+    # copy, and there is none at this alignment.
+    batch_size: int | None = 2000
     flush_max_bytes: int = 10_000_000
 
     # --- dead letter (D1 analogue) ---

@@ -157,8 +157,102 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     return _topk_table(sf_dir, "taat")
 
 
+#: multi-term queries driving the boolean surface (subset of DOC_QUERIES)
+BOOL_QUERIES = [(qid, q) for qid, q in DOC_QUERIES if " " in q]
+
+
+def boolean_and(sf_dir: str) -> pa.Table:
+    from .pipelines.query import boolean_and as _and
+
+    r = _reader(sf_dir)
+    qids, docs = [], []
+    for qid, q in BOOL_QUERIES:
+        d = _and(r, q)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def boolean_or(sf_dir: str) -> pa.Table:
+    from .pipelines.query import boolean_or as _or
+
+    r = _reader(sf_dir)
+    qids, docs, matched = [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, c = _or(r, q)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        matched.extend(c.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_terms_matched": pa.array(matched, pa.int64()),
+    })
+
+
+def _bool_values() -> str:
+    import re
+
+    pairs = []
+    for qid, q in BOOL_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return ", ".join(pairs)
+
+
+def _boolean_and_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(qid, term) AS (VALUES {_bool_values()}),
+qsize AS (SELECT qid, count(*) AS nt FROM q GROUP BY 1),
+hits AS (
+  SELECT q.qid, tok.doc_id, count(DISTINCT tok.term) AS nm
+  FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2
+)
+SELECT h.qid::BIGINT AS qid, h.doc_id
+FROM hits h JOIN qsize s ON s.qid = h.qid WHERE h.nm = s.nt
+"""
+
+
+def _boolean_or_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(qid, term) AS (VALUES {_bool_values()})
+SELECT q.qid::BIGINT AS qid, tok.doc_id,
+       count(DISTINCT tok.term)::BIGINT AS n_terms_matched
+FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2
+"""
+
+
 def bm25_topk_wand(sf_dir: str) -> pa.Table:
     return _topk_table(sf_dir, "bmw")
+
+
+def bm25_topk_distributed(sf_dir: str) -> pa.Table:
+    """The query-side actor-pool path: the query set as a Dataset,
+    served by ``map_batches(QueryEngine, concurrency=2)`` — each actor
+    loads the index once in ``__init__`` (the stateful-stage pattern;
+    ES-client analogue, ``ElasticsearchSink.scala:45-109``)."""
+    index_dir = _ensure_index(sf_dir)
+    qtbl = pa.table({
+        "qid": pa.array([q for q, _ in DOC_QUERIES], pa.int32()),
+        "query": pa.array([s for _, s in DOC_QUERIES], pa.string()),
+        "k": pa.array([TOPK] * len(DOC_QUERIES), pa.int32()),
+    })
+    out = (
+        ray.data.from_arrow(qtbl)
+        .map_batches(QueryEngine, fn_constructor_args=(index_dir,),
+                     batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    return pa.table({
+        "qid": pa.array(out["qid"].astype("int64")),
+        "rank": pa.array(out["rank"].astype("int64")),
+        "doc_id": pa.array(out["doc_id"].astype("int64")),
+    })
 
 
 def _bm25_sql() -> str:
@@ -474,6 +568,9 @@ def registry() -> tuple[dict, dict]:
         "term_stats": term_stats,
         "bm25_topk": bm25_topk,
         "bm25_topk_wand": bm25_topk_wand,
+        "bm25_topk_distributed": bm25_topk_distributed,
+        "boolean_and": boolean_and,
+        "boolean_or": boolean_or,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_pairs": minhash_pairs,
@@ -496,6 +593,9 @@ def registry() -> tuple[dict, dict]:
         "term_stats": TERM_STATS_SQL,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_wand": _bm25_sql(),
+        "bm25_topk_distributed": _bm25_sql(),
+        "boolean_and": _boolean_and_sql(),
+        "boolean_or": _boolean_or_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "quality_stats": QUALITY_SQL,

@@ -14,22 +14,24 @@ noted:
 
 2. **phase 1 — runs**: per input partition,
    ``read_parquet(files_k, columns=[doc_id, text])`` →
-   ``map_batches(TokenizePostings)`` → ``write_parquet(tmp,
-   partition_cols=["shard"])`` → atomic rename → manifest commit. The
-   hive-partitioned write IS the term-shard exchange, materialized to
-   storage instead of held in the object store: at 100 TB the shuffle
-   spills by construction, and a killed job resumes at partition
-   granularity (the KCL-checkpoint analogue, SURVEY.md C1).
+   ``map_batches(TokenizePostings)`` → shard-sorted parquet with small
+   row groups → atomic rename → manifest commit. The shard-clustered
+   row-group layout IS the term-shard exchange, materialized to storage
+   instead of held in the object store: at 100 TB the shuffle spills by
+   construction, a killed job resumes at partition granularity (the
+   KCL-checkpoint analogue, SURVEY.md C1), and the file count stays at
+   one per output block (not blocks × shards).
 
 3. **phase 2 — segments**: one Ray task per shard reads
-   ``runs/part=*/shard=j``, sorts by (term, doc_id), delta/FOR-encodes
-   posting blocks with block-max metadata and commits
-   ``segments/shard-j.parquet`` + manifest. Embarrassingly parallel —
-   the all-to-all already happened in phase 1. Head-term skew: a single
-   term's postings are inherently one list, but shards hold many terms
-   and ``num_term_shards`` spreads the heavy ones; the doclen
-   pseudo-term is doc-hashed so per-doc payloads never pile onto one
-   shard (SURVEY.md §4 "Skew").
+   ``runs/part=*/*.parquet`` with a ``shard == j`` filter (row-group
+   statistics prune to ~1/num_shards of each file), sorts by
+   (term, doc_id), delta/FOR-encodes posting blocks with block-max
+   metadata and commits ``segments/shard-j.parquet`` + manifest.
+   Embarrassingly parallel — the all-to-all already happened in
+   phase 1. Head-term skew: a single term's postings are inherently one
+   list, but shards hold many terms and ``num_term_shards`` spreads the
+   heavy ones; the doclen pseudo-term is doc-hashed so per-doc payloads
+   never pile onto one shard (SURVEY.md §4 "Skew").
 
 4. **finalize**: N / avgdl / counters roll up from manifests (the
    running-counter analogue of ``Processing.scala:237-249``) into
@@ -71,6 +73,7 @@ from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
 from ..stages.extract import ExtractTransform
 from ..stages.postings import TokenizePostings
 from ..stages.segment import encode_shard_table, SEGMENT_SCHEMA
+from ..stages.transforms import with_retries
 from ..state import manifest as mf
 
 
@@ -107,13 +110,18 @@ def ingest_pages(pages: str | list[str], out_dir: str,
     tmp = os.path.join(out_dir, "_tmp_docs")
     shutil.rmtree(tmp, ignore_errors=True)
     t0 = time.time()
-    ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
+    # one block per input file + block-aligned batches: map stages see
+    # whole zero-copy blocks instead of re-sliced seams across blocks
+    ds = ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"],
+                               override_num_blocks=len(files))
     ds = ds.map_batches(ExtractTransform(cfg), batch_format="pyarrow",
                         batch_size=cfg.batch_size)
-    ds.write_parquet(tmp, partition_cols=["status"])
+    ds.write_parquet(tmp, partition_cols=["status"], compression="zstd")
     if os.path.exists(docs_dir):
         shutil.rmtree(docs_dir)
-    mf.commit_dir_rename(tmp, docs_dir)
+    # docs are a lineage-recoverable intermediate (re-derivable from the
+    # pages by rerunning ingest) — no per-file fsync
+    mf.commit_dir_rename(tmp, docs_dir, durable=False)
 
     # per-status counts from parquet footers only (no data scan): the
     # hive layout keys each status to a directory, so footer row counts
@@ -152,6 +160,11 @@ def _plan_parts(files: list[str], target_parts: int | None) -> list[list[str]]:
 
 def _footer_rows(files: list[str]) -> int:
     """Exact row count from parquet footers (metadata only, no scan)."""
+    if len(files) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return sum(pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files))
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
@@ -162,7 +175,7 @@ def _run_counters(part_dir: str, input_files: list[str]) -> dict:
     come from the segment manifests (phase 2), where the doclen rows
     are actually decoded — no data scan here."""
     docs = _footer_rows(input_files)
-    out_rows = _footer_rows(glob.glob(os.path.join(part_dir, "*", "*.parquet")))
+    out_rows = _footer_rows(glob.glob(os.path.join(part_dir, "*.parquet")))
     return {"docs": int(docs), "postings": int(out_rows - docs)}
 
 
@@ -176,12 +189,20 @@ def _build_one_part(k: int, files_k: list[str], index_dir: str,
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final, ignore_errors=True)  # uncommitted leftovers
 
-    ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"],
+                               override_num_blocks=len(files_k))
     ds = ds.map_batches(TokenizePostings(cfg), batch_format="pyarrow",
                         batch_size=cfg.batch_size,
                         concurrency=cfg.build_concurrency)
-    ds.write_parquet(tmp, partition_cols=["shard"])
-    mf.commit_dir_rename(tmp, final)
+    # One file per output block with shard-clustered row groups (the
+    # batch is sorted by shard): phase 2 then prunes to its shard via
+    # row-group statistics. This replaces a hive write of blocks ×
+    # shards tiny files — at 100 TB that's the difference between ~10^4
+    # and ~10^6 exchange files per partition.
+    ds.write_parquet(tmp, row_group_size=cfg.run_row_group_size,
+                     compression="zstd")
+    # runs are shuffle intermediates: recompute-on-loss, not fsync
+    mf.commit_dir_rename(tmp, final, durable=False)
     counters = _run_counters(final, files_k)
     mf.commit(man_dir, f"runs-part-{k:04d}", {
         "part": k,
@@ -229,21 +250,36 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
 
 @ray.remote(num_cpus=1)
 def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
+    import pyarrow.dataset as pads
+
     runs_dir = os.path.join(index_dir, "runs")
     seg_dir = os.path.join(index_dir, "segments")
     os.makedirs(seg_dir, exist_ok=True)
-    files = sorted(glob.glob(os.path.join(runs_dir, "part=*", f"shard={shard}", "*.parquet")))
+    files = sorted(glob.glob(os.path.join(runs_dir, "part=*", "*.parquet")))
     if files:
-        runs = pa.concat_tables(
-            [pq.read_table(f, columns=["term", "doc_id", "tf"]) for f in files]
+        # row-group-pruned read: each run file is shard-sorted, so the
+        # filter touches only the groups whose stats overlap this shard.
+        # Terms come back dictionary-encoded (parquet dictionary pages)
+        # so no per-posting string is materialized.
+        fmt = pads.ParquetFileFormat(read_options={"dictionary_columns": ["term"]})
+        runs = pads.dataset(files, format=fmt).to_table(
+            columns=["term", "doc_id", "tf"],
+            filter=pads.field("shard") == shard,
         )
         seg = encode_shard_table(runs, block_size=block_size)
     else:
         seg = SEGMENT_SCHEMA.empty_table()
     out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
     tmp = out + ".tmp"
-    pq.write_table(seg, tmp, compression="zstd")
-    os.replace(tmp, out)
+
+    def _write() -> None:
+        # transient I/O retried with the reference's bounded budget
+        # (5 × 1 s, reference.conf:31-36); deterministic failures raise
+        # immediately (W2 permanent/transient split)
+        pq.write_table(seg, tmp, compression="zstd")
+        os.replace(tmp, out)
+
+    with_retries(_write, delay_s=0.2)
 
     dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM)
     dl = seg.filter(dl_mask)

@@ -159,6 +159,48 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
 
 
 # --------------------------------------------------------------------------
+# boolean retrieval (the ES bool-query analogue of the IT harness's
+# _search surface, SURVEY.md Q1 — conjunctive/disjunctive over postings)
+# --------------------------------------------------------------------------
+
+def boolean_and(reader: IndexReader, query: str) -> np.ndarray:
+    """doc_ids (ascending) containing EVERY query term.
+
+    Intersects posting lists smallest-df-first so the candidate set
+    shrinks fastest; lists are doc_id-ascending by codec invariant, so
+    each step is one sorted-array intersection.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    pls = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            return np.empty(0, dtype=np.int64)
+        pls.append(pl)
+    lists = sorted((pl.decode_all()[0] for pl in pls), key=len)
+    cur = lists[0]
+    for d in lists[1:]:
+        cur = np.intersect1d(cur, d, assume_unique=True)
+        if not len(cur):
+            break
+    return cur.astype(np.int64)
+
+
+def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids ascending, number of distinct query terms matched)."""
+    terms = tokenize_query(query)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    docs = np.concatenate(hits)
+    uniq, counts = np.unique(docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+# --------------------------------------------------------------------------
 # block-max WAND (document-at-a-time with block skipping)
 # --------------------------------------------------------------------------
 

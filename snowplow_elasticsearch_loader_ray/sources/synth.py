@@ -181,6 +181,8 @@ def generate_part(lo: int, hi: int, max_record_bytes: int = 100_000) -> pa.Table
         tokens = pc.if_else(pa.array(m_na), na_full, tokens)
 
     offsets = np.concatenate(([0], np.cumsum(dl))).astype(np.int64)
+    if isinstance(tokens, pa.ChunkedArray):   # kernels chunk large batches
+        tokens = tokens.combine_chunks()
     lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), tokens)
     texts = pc.binary_join(lists, pa.scalar(" "))
     texts = pc.cast(texts, pa.string())
@@ -222,11 +224,25 @@ def generate_pages(out_dir: str, n_rows: int, n_parts: int,
     if not overwrite and all(os.path.exists(p) for p in paths):
         return paths
     bounds = np.linspace(0, n_rows, n_parts + 1).astype(int)
-    for k, path in enumerate(paths):
+    todo = [(k, p) for k, p in enumerate(paths)]
+
+    def _write_one(k: int, path: str) -> None:
         tbl = generate_part(int(bounds[k]), int(bounds[k + 1]), max_record_bytes)
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp, compression="zstd")
         os.replace(tmp, path)
+
+    # each part is a pure function of its row range, so generation
+    # parallelizes as Ray tasks when a session is live (bench path);
+    # bytes are identical either way
+    import ray
+
+    if ray.is_initialized() and len(todo) > 1:
+        gen = ray.remote(num_cpus=1)(_write_one)
+        ray.get([gen.remote(k, p) for k, p in todo])
+    else:
+        for k, p in todo:
+            _write_one(k, p)
     return paths
 
 

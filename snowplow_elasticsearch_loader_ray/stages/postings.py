@@ -1,11 +1,19 @@
 """SPIMI posting construction as a ``map_batches`` stage.
 
 One batch of documents in → one sorted run of partial postings out:
-``(shard: int32, term: string, doc_id: int64, tf: int32)``. This is the
-per-batch combiner (SURVEY.md §7 stage 4): term frequencies are already
-aggregated per (doc, term) inside the batch with Arrow ``group_by``, so
-the downstream shard exchange moves one row per distinct (doc, term) —
-not one row per token.
+``(shard: int32, term: dictionary<string>, doc_id: int64, tf: int32)``.
+This is the per-batch combiner (SURVEY.md §7 stage 4): term frequencies
+are already aggregated per (doc, term) inside the batch, so the
+downstream shard exchange moves one row per distinct (doc, term) — not
+one row per token.
+
+Hot-path design (this stage dominates build CPU — see BASELINE.md):
+after tokenization the batch works entirely on integers — terms are
+dictionary-encoded once, tf counting is one ``np.unique`` over
+``doc*V + term_index`` composite keys, the output ordering is one
+integer ``np.lexsort``, and the term column is emitted as a
+``DictionaryArray`` (indices over the batch vocabulary), so no
+per-posting string is ever materialized, hashed, sorted or copied.
 
 Doc lengths ride along as pseudo-postings of ``DOCLEN_TERM`` (term "")
 with ``tf = doclen``, sharded by ``hash(doc_id)`` instead of
@@ -15,19 +23,18 @@ out of the segment table as ``sum(df)`` / ``sum(cf)`` of the pseudo-term
 — the engine's version of the reference's running counters
 (``Processing.scala:102,111,237-249``).
 
-The batch output is sorted by (shard, term, doc_id), which makes the
-partitioned run files row-group-clustered for the phase-2 per-shard
-read and keeps parquet encodings tight.
+The batch output is sorted by (shard, term, doc) which makes the run
+files shard-clustered per row group for the phase-2 pruned read and
+keeps parquet encodings tight.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
-from ..tokenizer import doc_term_frequencies, doc_shard, term_shards
+from ..tokenizer import doc_shard, term_shard_one, tokenize_to_terms
 
 RUN_SCHEMA = pa.schema(
     [
@@ -46,28 +53,51 @@ class TokenizePostings:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tf_table, doclen = doc_term_frequencies(doc_ids, batch["text"])
+        flat, idx = tokenize_to_terms(batch["text"])
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        doclen = np.bincount(idx_np, minlength=n_docs).astype(np.int32)
 
-        shard = term_shards(tf_table["term"], self.cfg.num_term_shards)
-        postings = pa.table(
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        vocab: list[str] = enc.dictionary.to_pylist()
+        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(len(vocab), 1)
+
+        # tf per (doc, term): one sort of composite integer keys
+        comp = idx_np.astype(np.int64) * V + didx
+        uniq, counts = np.unique(comp, return_counts=True)
+        row_doc = uniq // V                       # batch row index
+        row_tidx = (uniq % V).astype(np.int64)    # vocab index
+
+        # shard per unique term, once (vocab is tiny vs postings)
+        shard_lut = np.fromiter(
+            (term_shard_one(t, self.cfg.num_term_shards) for t in vocab),
+            dtype=np.int32, count=len(vocab),
+        )
+        post_shard = shard_lut[row_tidx]
+
+        # append doclen pseudo-postings (vocab index V = DOCLEN_TERM)
+        all_shard = np.concatenate(
+            [post_shard, doc_shard(doc_ids, self.cfg.num_term_shards)])
+        all_tidx = np.concatenate(
+            [row_tidx, np.full(n_docs, len(vocab), dtype=np.int64)])
+        all_doc = np.concatenate([doc_ids[row_doc], doc_ids])
+        all_tf = np.concatenate([counts.astype(np.int32), doclen])
+
+        order = np.lexsort((all_doc, all_tidx, all_shard))
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(all_tidx[order].astype(np.int32)),
+            pa.array(vocab + [DOCLEN_TERM], type=pa.string()),
+        )
+        return pa.table(
             {
-                "shard": pa.array(shard, type=pa.int32()),
-                "term": tf_table["term"],
-                "doc_id": tf_table["doc_id"],
-                "tf": tf_table["tf"],
-            }
+                "shard": pa.array(all_shard[order]),
+                "term": term_col.cast(pa.string()),
+                "doc_id": pa.array(all_doc[order]),
+                "tf": pa.array(all_tf[order]),
+            },
+            schema=RUN_SCHEMA,
         )
-        dl_rows = pa.table(
-            {
-                "shard": pa.array(doc_shard(doc_ids, self.cfg.num_term_shards), type=pa.int32()),
-                "term": pa.array(np.full(len(doc_ids), DOCLEN_TERM, dtype=object), type=pa.string()),
-                "doc_id": pa.array(doc_ids),
-                "tf": pa.array(doclen, type=pa.int32()),
-            }
-        )
-        out = pa.concat_tables([postings, dl_rows]).combine_chunks()
-        idx = pc.sort_indices(
-            out, sort_keys=[("shard", "ascending"), ("term", "ascending"), ("doc_id", "ascending")]
-        )
-        return out.take(idx).cast(RUN_SCHEMA)

@@ -51,7 +51,10 @@ def encode_shard_table(runs: pa.Table, block_size: int = 128) -> pa.Table:
     term_col = runs["term"]
     if isinstance(term_col, pa.ChunkedArray):
         term_col = term_col.combine_chunks()
-    enc = term_col.dictionary_encode()
+    # the build reads the term column dictionary-encoded straight from
+    # parquet (dictionary pages), so this is usually a no-op view
+    enc = (term_col if pa.types.is_dictionary(term_col.type)
+           else term_col.dictionary_encode())
     vocab = enc.dictionary.to_numpy(zero_copy_only=False)
     dict_idx = enc.indices.to_numpy(zero_copy_only=False)
     doc_ids = runs["doc_id"].to_numpy(zero_copy_only=False)
@@ -60,8 +63,9 @@ def encode_shard_table(runs: pa.Table, block_size: int = 128) -> pa.Table:
     vocab_order = np.argsort(vocab)                 # term-string rank, small
     rank = np.empty(len(vocab), dtype=np.int64)
     rank[vocab_order] = np.arange(len(vocab))
-    order = np.lexsort((doc_ids, rank[dict_idx]))   # integer-key row sort
-    keys = rank[dict_idx][order]
+    kd = rank[dict_idx]
+    order = np.lexsort((doc_ids, kd))               # integer-key row sort
+    keys = kd[order]
     doc_ids = np.ascontiguousarray(doc_ids[order])
     tfs = np.ascontiguousarray(tfs[order])
 

@@ -100,7 +100,9 @@ def decompress_one(payload: bytes, max_bytes: int = 10_000_000) -> tuple[bytes |
 class DecompressPayloads:
     """``map_batches`` stage: ``(payload: binary)`` → same rows plus
     ``status`` ('good' | 'decompress_error') and ``error`` columns, with
-    ``payload`` replaced by the decompressed bytes on good rows."""
+    ``payload`` replaced by the decompressed bytes on good rows; failed
+    rows keep the ORIGINAL payload (the dead letter carries the source
+    bytes, ``Processing.scala:206-207``)."""
 
     def __init__(self, max_bytes: int = 10_000_000, column: str = "payload"):
         self.max_bytes = max_bytes
@@ -112,7 +114,7 @@ class DecompressPayloads:
         errors: list[str | None] = []
         for b in batch[self.column].to_pylist():
             data, err = decompress_one(b or b"", self.max_bytes)
-            out_payload.append(data)
+            out_payload.append(data if err is None else b)
             status.append("good" if err is None else "decompress_error")
             errors.append(err)
         cols = {name: batch[name] for name in batch.column_names}

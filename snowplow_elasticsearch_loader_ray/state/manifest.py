@@ -95,11 +95,37 @@ def commit(manifest_dir: str, name: str, payload: dict) -> dict:
     return payload
 
 
-def commit_dir_rename(tmp_dir: str, final_dir: str) -> None:
-    """Atomic publish of an output directory (write-temp-then-rename)."""
-    for root, _dirs, files in os.walk(tmp_dir):
-        for fn in files:
-            with open(os.path.join(root, fn), "rb") as f:
-                os.fsync(f.fileno())
+def _fsync_file(path: str) -> None:
+    with open(path, "rb") as f:
+        os.fsync(f.fileno())
+
+
+def commit_dir_rename(tmp_dir: str, final_dir: str, durable: bool = True) -> None:
+    """Atomic publish of an output directory (write-temp-then-rename).
+
+    ``durable=True`` fsyncs every file before the rename (final,
+    non-recomputable artifacts). ``durable=False`` skips the data
+    fsyncs — correct for lineage-recoverable INTERMEDIATES (extracted
+    docs, posting runs): if a machine crash loses async-writeback pages
+    after commit, the recovery path is "delete the stage's manifests
+    and outputs, rerun the stage", exactly like shuffle-file loss in a
+    lineage system. Forcing multi-GB intermediate fsyncs otherwise
+    serializes the build on one disk's flush bandwidth.
+
+    fsyncs run on a thread pool (fsync releases the GIL) — a serial
+    walk over many output files otherwise becomes a fixed per-partition
+    commit cost that caps scaling.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if durable:
+        paths = [os.path.join(root, fn)
+                 for root, _dirs, files in os.walk(tmp_dir) for fn in files]
+        if len(paths) > 4:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                list(pool.map(_fsync_file, paths))
+        else:
+            for p in paths:
+                _fsync_file(p)
     os.replace(tmp_dir, final_dir)
     _fsync_dir(os.path.dirname(final_dir))

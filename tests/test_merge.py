@@ -1,0 +1,91 @@
+"""Index-merge tests: merged-halves ≡ single build, and upsert-by-doc_id
+(the W5 idempotency contract, ``ElasticsearchSink.scala:92``)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.pipelines import build as B
+from snowplow_elasticsearch_loader_ray.pipelines.merge import merge_indexes
+from snowplow_elasticsearch_loader_ray.pipelines.query import IndexReader, QueryEngine
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+CFG = IndexConfig(num_term_shards=8)
+
+
+@pytest.fixture(scope="module")
+def split_docs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    t = pq.read_table(SF_DOCS, columns=["doc_id", "text"])
+    even = t.filter(pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 0))
+    odd = t.filter(pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 1), 1))
+    pq.write_table(even, str(root / "even.parquet"))
+    pq.write_table(odd, str(root / "odd.parquet"))
+    return root, t
+
+
+def test_merged_halves_equal_single_build(ray_session, split_docs):
+    root, _t = split_docs
+    B.build_index(SF_DOCS, str(root / "idx_full"), CFG)
+    B.build_index(str(root / "even.parquet"), str(root / "idx_even"), CFG)
+    B.build_index(str(root / "odd.parquet"), str(root / "idx_odd"), CFG)
+    stats = merge_indexes([str(root / "idx_even"), str(root / "idx_odd")],
+                          str(root / "idx_merged"), CFG)
+
+    full = IndexReader(str(root / "idx_full"))
+    merged = IndexReader(str(root / "idx_merged"))
+    assert stats["n_docs"] == full.n_docs
+    assert stats["avgdl"] == full.avgdl
+    assert merged.term_stats_table().equals(full.term_stats_table())
+    assert merged.doc_lengths_table().equals(full.doc_lengths_table())
+
+    qf = QueryEngine(str(root / "idx_full"))
+    qm = QueryEngine(str(root / "idx_merged"))
+    for q in ["the data", "customer order line value", "join"]:
+        df_, sf_ = qf.topk(q, 10)
+        dm, sm = qm.topk(q, 10)
+        assert (df_ == dm).all() and (sf_ == sm).all()
+
+
+def test_merge_upserts_newer_document(ray_session, split_docs, tmp_path):
+    root, t = split_docs
+    B.build_index(SF_DOCS, str(root / "idx_full"), CFG)  # cached if built
+    # delta: one re-crawled doc with new text
+    target = t["doc_id"][0].as_py()
+    delta = pa.table({
+        "doc_id": pa.array([target], pa.int64()),
+        "text": pa.array(["zzznewtoken zzznewtoken fresh content"], pa.string()),
+    })
+    pq.write_table(delta, str(tmp_path / "delta.parquet"))
+    B.build_index(str(tmp_path / "delta.parquet"), str(tmp_path / "idx_delta"), CFG)
+
+    merge_indexes([str(root / "idx_full"), str(tmp_path / "idx_delta")],
+                  str(tmp_path / "idx_up"), CFG)
+    up = IndexReader(str(tmp_path / "idx_up"))
+    full = IndexReader(str(root / "idx_full"))
+
+    # same corpus size (upsert, not append)
+    assert up.n_docs == full.n_docs
+    # the doc's length reflects the NEW text (4 tokens)
+    assert up.doclen_of(np.array([target]))[0] == 4.0
+    # new term points at the doc with its delta tf
+    pl = up.postings("zzznewtoken")
+    docs, tfs = pl.decode_all()
+    assert docs.tolist() == [target] and tfs.tolist() == [2]
+    # stale terms from the OLD text no longer hit the doc (delete-list
+    # semantics, not just last-wins): check every old-only term
+    import re
+    old_text = t["text"][0].as_py()
+    new_terms = {"zzznewtoken", "fresh", "content"}
+    for tok in set(re.findall(r"[a-z0-9]+", old_text.lower())) - new_terms:
+        pl_old = up.postings(tok)
+        if pl_old is not None:
+            assert target not in pl_old.decode_all()[0]
+    # resume: re-merge returns committed stats instantly
+    again = merge_indexes([str(root / "idx_full"), str(tmp_path / "idx_delta")],
+                          str(tmp_path / "idx_up"), CFG)
+    assert again["n_docs"] == up.n_docs

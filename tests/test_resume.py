@@ -30,7 +30,7 @@ def docs_dir(tiny_pages, tmp_path_factory):
 
 
 def _snapshot(index_dir):
-    files = sorted(glob.glob(os.path.join(index_dir, "runs", "part=*", "*", "*.parquet")))
+    files = sorted(glob.glob(os.path.join(index_dir, "runs", "part=*", "*.parquet")))
     return {f: (os.path.getmtime(f), os.path.getsize(f)) for f in files}
 
 
