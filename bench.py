@@ -23,6 +23,13 @@ import shutil
 import sys
 import time
 
+# honest CPU accounting for the scaling comparison: without this cap a
+# worker's default 8-thread Arrow IO pool does parquet decode beyond the
+# task's num_cpus=1 budget, so an "8 CPU" session borrows up to 64
+# threads from the host and the 8-vs-32 ratio is meaningless. Workers
+# inherit the env at ray.init.
+os.environ.setdefault("ARROW_IO_THREADS", "2")
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -158,6 +165,8 @@ def run_scaling() -> dict:
     # the neighbors' — on a real idle cluster a single run suffices.
     rows = os.environ.get("GRAFT_BENCH_ROWS", "960000")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    lo_cpus, hi_cpus = (int(x) for x in
+                        os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
 
     def at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
@@ -170,26 +179,26 @@ def run_scaling() -> dict:
                 best = r
         return best
 
-    lo, hi = at(8), at(32)
+    lo, hi = at(lo_cpus), at(hi_cpus)
     tput_lo = lo["queries"]["docs_per_sec"]
     tput_hi = hi["queries"]["docs_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
     return {
-        "metric": "indexing_scaling_efficiency_8_to_32_cpus",
+        "metric": f"indexing_scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            "docs_per_sec_8": tput_lo,
-            "docs_per_sec_32": tput_hi,
-            "e2e_sec_8": lo["value"],
-            "e2e_sec_32": hi["value"],
-            "ingest_sec_8": lo["queries"]["ingest_s"],
-            "ingest_sec_32": hi["queries"]["ingest_s"],
-            "build_sec_8": lo["queries"]["index_build_s"],
-            "build_sec_32": hi["queries"]["index_build_s"],
+            f"docs_per_sec_{lo_cpus}": tput_lo,
+            f"docs_per_sec_{hi_cpus}": tput_hi,
+            f"e2e_sec_{lo_cpus}": lo["value"],
+            f"e2e_sec_{hi_cpus}": hi["value"],
+            f"ingest_sec_{lo_cpus}": lo["queries"]["ingest_s"],
+            f"ingest_sec_{hi_cpus}": hi["queries"]["ingest_s"],
+            f"build_sec_{lo_cpus}": lo["queries"]["index_build_s"],
+            f"build_sec_{hi_cpus}": hi["queries"]["index_build_s"],
         },
         "sf": lo["sf"],
-        "num_cpus": 32,
+        "num_cpus": hi_cpus,
     }
 
 

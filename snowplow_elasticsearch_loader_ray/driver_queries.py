@@ -193,6 +193,60 @@ def boolean_or(sf_dir: str) -> pa.Table:
     })
 
 
+N_TOP_TERMS = 20
+
+
+def top_terms(sf_dir: str) -> pa.Table:
+    """Highest-df terms (the term-level aggregate surface): df/cf come
+    straight from the merged segment tables, i.e. the grouped aggregate
+    the build already materialized — no rescan of the corpus."""
+    t = _reader(sf_dir).term_stats_table()
+    idx = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
+    return t.take(idx[:N_TOP_TERMS])
+
+
+TOP_TERMS_SQL = f"""
+SELECT term, count(*)::BIGINT AS df, sum(cnt)::BIGINT AS cf
+FROM (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+)
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT {N_TOP_TERMS}
+"""
+
+N_FETCH = 25
+
+
+def doc_fetch(sf_dir: str) -> pa.Table:
+    """Source-document retrieval by id (the ``hits.hits[*]._source`` read
+    of the reference IT harness, ``TestHelpers.scala:157-201``): the
+    target ids are broadcast and applied as a vectorized semi-join
+    filter inside ``map_batches`` — a lookup, not a shuffle join."""
+    ids = pa.array(sorted(
+        pq.read_table(_docs_path(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
+    )[:N_FETCH], pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=ids))
+
+    out = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "text": pa.array(out["text"], pa.string()),
+    })
+
+
+DOC_FETCH_SQL = f"""
+SELECT doc_id, text FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_FETCH})
+"""
+
+
 def _bool_values() -> str:
     import re
 
@@ -571,6 +625,8 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_distributed": bm25_topk_distributed,
         "boolean_and": boolean_and,
         "boolean_or": boolean_or,
+        "doc_fetch": doc_fetch,
+        "top_terms": top_terms,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_pairs": minhash_pairs,
@@ -596,6 +652,8 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_distributed": _bm25_sql(),
         "boolean_and": _boolean_and_sql(),
         "boolean_or": _boolean_or_sql(),
+        "doc_fetch": DOC_FETCH_SQL,
+        "top_terms": TOP_TERMS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "quality_stats": QUALITY_SQL,
