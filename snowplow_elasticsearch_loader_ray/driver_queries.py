@@ -403,6 +403,11 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
     return D.simhash_pairs(_docs_ds(sf_dir))
 
 
+def dedup_survivors(sf_dir: str) -> pa.Table:
+    cfg = DedupConfig(jaccard_threshold=JACCARD_THRESHOLD)
+    return D.dedup_survivors(_docs_ds(sf_dir), cfg)
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -631,6 +636,7 @@ def registry() -> tuple[dict, dict]:
         "jaccard_pairs": jaccard_pairs,
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
+        "dedup_survivors": dedup_survivors,
         "quality_stats": quality,
         "lang_id": langid,
         "fingerprints": fingerprints,

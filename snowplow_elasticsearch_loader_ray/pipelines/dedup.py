@@ -293,6 +293,41 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) ->
     })
 
 
+def dedup_survivors(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
+    """Keep-one-per-near-dup-cluster: the standard training-data pruning.
+
+    MinHash+LSH pairs → union-find connected components (driver-side:
+    the pair set is tiny relative to the corpus — near-dup clusters at
+    web scale are <<1% of docs; the doc UNIVERSE never leaves the
+    cluster) → survivor = min doc_id per cluster. Returns
+    ``(doc_id, cluster_root, is_survivor)`` for every doc involved in
+    at least one near-dup pair; docs with no pair are implicitly
+    survivors.
+    """
+    pairs = minhash_lsh_pairs(ds, cfg)
+    a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([a, b]))
+    parent = dict(zip(ids.tolist(), ids.tolist()))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(int(i)) for i in ids], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "cluster_root": pa.array(roots),
+        "is_survivor": pa.array(ids == roots),
+    })
+
+
 # --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------

@@ -128,3 +128,21 @@ def test_simhash_on_driver_docs(docs):
     assert zero >= n_dup_groups * 0  # sanity: runs end-to-end; dup groups → pairs
     if n_dup_groups:
         assert out.num_rows >= 1
+
+
+def test_dedup_survivors_clusters():
+    """Planted 3-doc near-dup chain A~B, B~C → one cluster, min-id survivor."""
+    base = " ".join(f"tok{i}" for i in range(120))
+    variant1 = base.replace("tok5 ", "tok5x ")
+    variant2 = base.replace("tok5 ", "tok5x ").replace("tok80 ", "tok80y ")
+    unrelated = " ".join(f"zzz{i}" for i in range(120))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+        "text": pa.array([base, variant1, variant2, unrelated]),
+    }))
+    out = D.dedup_survivors(ds, DedupConfig(jaccard_threshold=0.5)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # the unrelated doc is in no pair -> absent (implicit survivor)
+    assert set(out["doc_id"]) == {10, 20, 30}
+    assert (out["cluster_root"] == 10).all()
+    assert out["is_survivor"].tolist() == [True, False, False]
