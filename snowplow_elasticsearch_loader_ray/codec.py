@@ -77,6 +77,10 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128)
     gaps[1:] -= 1
     if n > 1 and gaps[1:].min() < 0:
         raise ValueError("doc_ids must be strictly increasing")
+    if int(tfs.max()) >= 1 << 31:
+        # decode returns int32 tf arrays (a tf is bounded by document
+        # length); reject rather than silently wrap
+        raise ValueError("tf values must fit int32")
     starts = np.arange(0, n, B, dtype=np.int64)
     ends = np.minimum(starts + B, n)
     n_b = ends - starts

@@ -193,6 +193,31 @@ def boolean_or(sf_dir: str) -> pa.Table:
     })
 
 
+SAMPLE_MOD, SAMPLE_KEEP = 97, 10
+
+
+def hash_sample(sf_dir: str) -> pa.Table:
+    """Deterministic ~10% corpus sample: doc_id is already a uniform
+    64-bit hash of the url, so ``doc_id % 97 < 10`` is a reproducible
+    hash sample (same rows on every run and cluster size) — the
+    training-data subsetting op, pushed down as a vectorized filter."""
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % SAMPLE_MOD < SAMPLE_KEEP))
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "lang": pa.array(out["lang"], pa.string()),
+    })
+
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents WHERE doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+"""
+
 N_TOP_TERMS = 20
 
 
@@ -637,6 +662,7 @@ def registry() -> tuple[dict, dict]:
         "minhash_pairs": minhash_pairs,
         "simhash_pairs": simhash_pairs,
         "dedup_survivors": dedup_survivors,
+        "hash_sample": hash_sample,
         "quality_stats": quality,
         "lang_id": langid,
         "fingerprints": fingerprints,
@@ -660,6 +686,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_or": _boolean_or_sql(),
         "doc_fetch": DOC_FETCH_SQL,
         "top_terms": TOP_TERMS_SQL,
+        "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "quality_stats": QUALITY_SQL,
