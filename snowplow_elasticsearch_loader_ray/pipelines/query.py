@@ -101,6 +101,33 @@ class IndexReader:
             buf.fill(0.0)
         return buf
 
+    #: cap on cached posting positions (~4 B each; 32M ≈ 128 MB)
+    POS_CACHE_POSTINGS = 32_000_000
+
+    def positions_of(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """Dense partition positions of a term's postings, LRU-cached.
+
+        Hot (head) terms dominate query traffic and their doc_id →
+        position binary search is the single largest scoring cost; the
+        cache turns repeat hits into a stored int32 gather. Bounded by
+        total cached postings, evicting least-recently-used terms.
+        """
+        cache = getattr(self, "_pos_cache", None)
+        if cache is None:
+            cache = self._pos_cache = {}
+            self._pos_cached_total = 0
+        hit = cache.pop(term, None)
+        if hit is not None:
+            cache[term] = hit                      # move to MRU
+            return hit
+        pos = np.searchsorted(self.dl_doc_ids, docs).astype(np.int32)
+        self._pos_cached_total += len(pos)
+        cache[term] = pos
+        while self._pos_cached_total > self.POS_CACHE_POSTINGS and len(cache) > 1:
+            old = cache.pop(next(iter(cache)))
+            self._pos_cached_total -= len(old)
+        return pos
+
     def postings(self, term: str) -> PostingList | None:
         e = self.terms.get(term)
         return PostingList(e[2]) if e else None
@@ -148,7 +175,7 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
             continue
         matched = True
         docs, tfs = pl.decode_all()
-        pos = np.searchsorted(reader.dl_doc_ids, docs)
+        pos = reader.positions_of(t, docs)
         w = bm25.idf(reader.n_docs, len(docs))
         acc[pos] += w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
     if not matched:
