@@ -161,6 +161,29 @@ def bm25_topk(sf_dir: str) -> pa.Table:
 BOOL_QUERIES = [(qid, q) for qid, q in DOC_QUERIES if " " in q]
 
 
+def bm25_topk_sharded(sf_dir: str) -> pa.Table:
+    """Scatter-gather serving over term-shard reader actors (the
+    distributed query scale path) — bit-identical scores to the single
+    reader by summing partials in sorted-term order."""
+    from .pipelines.sharded_query import ShardedQueryEngine
+
+    eng = ShardedQueryEngine(_ensure_index(sf_dir))
+    try:
+        qids, ranks, docs = [], [], []
+        for qid, q in DOC_QUERIES:
+            d, _s = eng.topk(q, TOPK)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def boolean_and(sf_dir: str) -> pa.Table:
     from .pipelines.query import boolean_and as _and
 
@@ -653,6 +676,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk": bm25_topk,
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_distributed": bm25_topk_distributed,
+        "bm25_topk_sharded": bm25_topk_sharded,
         "boolean_and": boolean_and,
         "boolean_or": boolean_or,
         "doc_fetch": doc_fetch,
@@ -682,6 +706,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk": _bm25_sql(),
         "bm25_topk_wand": _bm25_sql(),
         "bm25_topk_distributed": _bm25_sql(),
+        "bm25_topk_sharded": _bm25_sql(),
         "boolean_and": _boolean_and_sql(),
         "boolean_or": _boolean_or_sql(),
         "doc_fetch": DOC_FETCH_SQL,

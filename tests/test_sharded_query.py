@@ -1,0 +1,30 @@
+"""Scatter-gather sharded query serving ≡ single-process reader."""
+
+import numpy as np
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.pipelines import build as B
+from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+from snowplow_elasticsearch_loader_ray.pipelines.sharded_query import ShardedQueryEngine
+
+QUERIES = [
+    "the", "data", "merge sort", "customer order line value",
+    "the data table scan filter", "no such termxyz",
+]
+
+
+def test_sharded_equals_single_reader(ray_session, tmp_path):
+    cfg = IndexConfig(num_term_shards=8)
+    idx = str(tmp_path / "idx")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx, cfg)
+    single = QueryEngine(idx)
+    sharded = ShardedQueryEngine(idx)
+    try:
+        for q in QUERIES:
+            d1, s1 = single.topk(q, 10)
+            d2, s2 = sharded.topk(q, 10)
+            np.testing.assert_array_equal(d1, d2, err_msg=q)
+            np.testing.assert_array_equal(s1, s2, err_msg=q)  # bit-identical
+    finally:
+        sharded.shutdown()
