@@ -116,3 +116,37 @@ def test_build_is_idempotent(built):
     # second call sees the committed index manifest and returns stats
     stats2 = B.build_index("unused", built[1], CFG)
     assert stats2["n_docs"] == built[3]["n_docs"]
+
+
+def test_actor_pool_build_identical(ray_session, built, tmp_path):
+    """Stateful actor-pool build path (concurrency=N) produces the exact
+    same segments as the task path (the SURVEY.md §7 stage-4 contract)."""
+    import glob
+    import os
+
+    from snowplow_elasticsearch_loader_ray.state import manifest as mf
+
+    _ingest_dir, index_dir, _counters, stats = built
+    cfg2 = IndexConfig(max_record_bytes=100_000, num_term_shards=CFG.num_term_shards,
+                       batch_size=CFG.batch_size, build_concurrency=2)
+    idx2 = str(tmp_path / "idx_actor")
+    docs = B.good_docs_dir(_ingest_dir)
+    stats2 = B.build_index(docs, idx2, cfg2)
+    assert stats2 == stats
+    a = sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet")))
+    b = sorted(glob.glob(os.path.join(idx2, "segments", "*.parquet")))
+    assert mf.content_hash(a) == mf.content_hash(b)
+
+
+def test_term_shard_balance():
+    """hash(term) spreads the Zipf vocabulary: no shard holds more than
+    ~3x its fair share of terms (the W4 skew contract)."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.sources.synth import build_vocab
+    from snowplow_elasticsearch_loader_ray.tokenizer import term_shard_one
+
+    shards = np.array([term_shard_one(t, 16) for t in build_vocab()])
+    counts = np.bincount(shards, minlength=16)
+    fair = len(shards) / 16
+    assert counts.max() < 1.5 * fair and counts.min() > 0.5 * fair
