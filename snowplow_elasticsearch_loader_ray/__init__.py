@@ -20,3 +20,16 @@ Package layout
 """
 
 __version__ = "0.1.0"
+
+from .config import DedupConfig, IndexConfig  # noqa: E402,F401
+from .pipelines.build import (  # noqa: E402,F401
+    build_index, index_metrics, index_stats, ingest_pages,
+)
+from .pipelines.merge import merge_indexes  # noqa: E402,F401
+from .pipelines.query import IndexReader, QueryEngine  # noqa: E402,F401
+
+__all__ = [
+    "IndexConfig", "DedupConfig", "build_index", "ingest_pages",
+    "index_stats", "index_metrics", "merge_indexes", "IndexReader",
+    "QueryEngine",
+]
