@@ -248,9 +248,21 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
 # happened via the partitioned run write, so this is a parallel map)
 # --------------------------------------------------------------------------
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
 def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
+    """One shard's segment encode. Transient I/O errors re-execute via
+    Ray task retry (the reference's bounded transient-retry, W3);
+    deterministic errors (ValueError etc.) fail the job loudly —
+    the permanent/transient split of ElasticsearchSink.scala:145-198."""
     import pyarrow.dataset as pads
+
+    # test hook (resilience tests): a `_faults/shard-<k>.once` file makes
+    # this task fail transiently exactly once; Ray's task retry
+    # (max_retries default) then recomputes it — the W3 transient path
+    fault = os.path.join(index_dir, "_faults", f"shard-{shard:04d}.once")
+    if os.path.exists(fault):
+        os.remove(fault)
+        raise OSError(f"injected transient failure for shard {shard}")
 
     runs_dir = os.path.join(index_dir, "runs")
     seg_dir = os.path.join(index_dir, "segments")

@@ -83,3 +83,21 @@ def test_partial_segment_resume(docs_dir, tmp_path_factory):
     assert mf.load(man_dir, victim)["content_hash"] == old_hash  # deterministic re-encode
     assert os.path.getmtime(os.path.join(index_dir, "segments", "shard-0001.parquet")) == other_mtime
     assert mf.is_committed(man_dir, "index")
+
+
+def test_transient_segment_failure_retried(docs_dir, tmp_path_factory):
+    """A transiently failing shard task is retried by Ray and the build
+    completes with a correct index (W3: transient -> retry, never a
+    dead letter and never a failed build)."""
+    out = tmp_path_factory.mktemp("flaky")
+    idx = str(out / "idx")
+    os.makedirs(os.path.join(idx, "_faults"), exist_ok=True)
+    open(os.path.join(idx, "_faults", "shard-0003.once"), "w").close()
+    stats = B.build_index(docs_dir, idx, CFG)
+    assert stats["n_docs"] > 0
+    # the fault file was consumed (the failure actually fired)
+    assert not os.path.exists(os.path.join(idx, "_faults", "shard-0003.once"))
+    # clean-run comparison: same index content
+    clean = str(out / "clean")
+    stats2 = B.build_index(docs_dir, clean, CFG)
+    assert stats == stats2
