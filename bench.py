@@ -163,10 +163,14 @@ def run_scaling() -> dict:
     # with bursty neighbor load (same-workload wall times vary up to
     # 3x run-to-run), and best-of-N isolates the engine's scaling from
     # the neighbors' — on a real idle cluster a single run suffices.
+    # default levels 2→8 (N and 4N): on this shared sandbox VM the host
+    # itself stops scaling past ~8-10 busy cores for mixed workloads
+    # (BASELINE.md "noise" analysis), so 8→32 measures the neighbor
+    # contention, not the engine. Override with GRAFT_SCALING_CPUS=8,32.
     rows = os.environ.get("GRAFT_BENCH_ROWS", "960000")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     lo_cpus, hi_cpus = (int(x) for x in
-                        os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+                        os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
     def at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
