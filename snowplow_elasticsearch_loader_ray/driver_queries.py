@@ -216,6 +216,70 @@ def boolean_or(sf_dir: str) -> pa.Table:
     })
 
 
+#: phrase queries over the documents table (multi-term only)
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "the data"), (1, "merge sort"), (2, "hash join"),
+    (3, "data stream"), (4, "customer order"), (5, "the the"),
+]
+
+
+def phrase_match(sf_dir: str) -> pa.Table:
+    """Exact phrase search without positional postings: the inverted
+    index prunes to conjunctive candidates (every phrase term present),
+    then candidate documents' texts are fetched (broadcast semi-join
+    filter) and verified by token-sequence containment. The classic
+    candidate-then-verify plan; a positional index would replace the
+    verify scan at higher phrase selectivity.
+    """
+    import re as _re
+
+    from .pipelines.query import boolean_and
+
+    r = _reader(sf_dir)
+    cand: dict[int, np.ndarray] = {
+        qid: boolean_and(r, q) for qid, q in PHRASE_QUERIES}
+    all_ids = np.unique(np.concatenate([v for v in cand.values()])) \
+        if any(len(v) for v in cand.values()) else np.empty(0, np.int64)
+    wanted = pa.array(all_ids, pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=wanted))
+
+    texts: dict[int, str] = {}
+    for b in ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]) \
+            .map_batches(pick, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+
+    def tokens_joined(s: str) -> str:
+        return " " + " ".join(_re.findall(r"[a-z0-9]+", s.lower())) + " "
+
+    qids, docs = [], []
+    for qid, q in PHRASE_QUERIES:
+        needle = tokens_joined(q)
+        for d in cand[qid]:
+            if needle in tokens_joined(texts[int(d)]):
+                qids.append(qid)
+                docs.append(int(d))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _phrase_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id FROM tok WHERE joined LIKE "
+        f"'% {q} %'" for qid, q in PHRASE_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ' ' || array_to_string({TOK_SQL}, ' ') || ' ' AS joined
+  FROM documents
+)
+{cases}
+"""
+
+
 SAMPLE_MOD, SAMPLE_KEEP = 97, 10
 
 
@@ -681,6 +745,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_or": boolean_or,
         "doc_fetch": doc_fetch,
         "top_terms": top_terms,
+        "phrase_match": phrase_match,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_pairs": minhash_pairs,
@@ -711,6 +776,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_or": _boolean_or_sql(),
         "doc_fetch": DOC_FETCH_SQL,
         "top_terms": TOP_TERMS_SQL,
+        "phrase_match": _phrase_sql(),
         "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
