@@ -614,6 +614,19 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {C
 """
 
 
+def ivf_ann(sf_dir: str) -> pa.Table:
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = ANN.ivf_ann_topk(ds, qmat, k=TOPK, n_cells=16, nprobe=4)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)], pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
 def lsh_ann(sf_dir: str) -> pa.Table:
     qids, qmat = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -757,6 +770,7 @@ def registry() -> tuple[dict, dict]:
         "fingerprints": fingerprints,
         "ann_topk": ann_topk,
         "lsh_ann_topk": lsh_ann,
+        "ivf_ann_topk": ivf_ann,
         "embedding_pairs": embedding_pairs,
         "events_min_ts": events_min_ts,
         "shard_routing": shard_routing,

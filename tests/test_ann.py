@@ -101,3 +101,23 @@ def test_embedding_dup_pairs_vs_exhaustive(emb_ds, emb_np):
     want = sorted(zip(ids[ai].tolist(), ids[bi].tolist()))
     got_pairs = sorted(zip(got["vec_id_a"].to_pylist(), got["vec_id_b"].to_pylist()))
     assert got_pairs == want
+
+
+def test_ivf_recall_vs_brute(emb_ds, emb_np):
+    """IVF with generous nprobe reaches high top-10 recall vs brute force."""
+    from snowplow_elasticsearch_loader_ray.pipelines.ann import ann_topk, ivf_ann_topk
+
+    _ids, mat = emb_np
+    qmat = mat[:5]
+    exact = ann_topk(emb_ds, qmat, k=10).to_pandas()
+    approx = ivf_ann_topk(emb_ds, qmat, k=10, n_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.6, recalls
+
+    # determinism: same centroids -> identical results across runs
+    again = ivf_ann_topk(emb_ds, qmat, k=10, n_cells=8, nprobe=4).to_pandas()
+    assert approx.equals(again)
