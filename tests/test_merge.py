@@ -89,3 +89,29 @@ def test_merge_upserts_newer_document(ray_session, split_docs, tmp_path):
     again = merge_indexes([str(root / "idx_full"), str(tmp_path / "idx_delta")],
                           str(tmp_path / "idx_up"), CFG)
     assert again["n_docs"] == up.n_docs
+
+
+def test_three_generation_merge(ray_session, split_docs, tmp_path):
+    """base + delta1 + delta2 (re-touching the same doc): newest wins."""
+    root, t = split_docs
+    B.build_index(SF_DOCS, str(root / "idx_full"), CFG)
+    target = t["doc_id"][0].as_py()
+
+    def delta(path, text):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([target], pa.int64()),
+            "text": pa.array([text], pa.string()),
+        }), str(path))
+
+    delta(tmp_path / "d1.parquet", "gen one words")
+    delta(tmp_path / "d2.parquet", "gen two final words")
+    B.build_index(str(tmp_path / "d1.parquet"), str(tmp_path / "i1"), CFG)
+    B.build_index(str(tmp_path / "d2.parquet"), str(tmp_path / "i2"), CFG)
+    merge_indexes([str(root / "idx_full"), str(tmp_path / "i1"),
+                   str(tmp_path / "i2")], str(tmp_path / "merged"), CFG)
+    up = IndexReader(str(tmp_path / "merged"))
+    assert up.doclen_of(np.array([target]))[0] == 4.0       # gen-2 text
+    docs, _ = up.postings("final").decode_all()
+    assert target in docs
+    one = up.postings("one")
+    assert one is None or target not in one.decode_all()[0]  # gen-1 dead
