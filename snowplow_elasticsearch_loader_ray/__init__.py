@@ -4,9 +4,9 @@ Plays the document-indexing role of the Snowplow→Elasticsearch loader
 (reference: /root/reference, surveyed in SURVEY.md) re-expressed
 Ray-Data-first: ``ray.data.Dataset`` pipelines of ``map_batches`` over
 zero-copy Arrow batches build a compressed inverted index (SPIMI runs →
-groupby-shard shuffle → delta/FOR-encoded posting segments with
-block-max metadata) and serve BM25 top-k via term-at-a-time numpy
-scoring or block-max WAND.
+materialized shard-clustered exchange → delta/FOR-encoded posting
+segments with block-max metadata) and serve BM25 top-k via
+term-at-a-time numpy scoring or block-max WAND.
 
 Package layout
 --------------
