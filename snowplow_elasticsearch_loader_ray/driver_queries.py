@@ -329,6 +329,61 @@ ORDER BY df DESC, term
 LIMIT {N_TOP_TERMS}
 """
 
+def vocabulary_stats(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary shape from the merged term table: size, hapax
+    count (df=1), max df, total postings — the aggregate the build
+    already materialized (nothing rescans the corpus)."""
+    t = _reader(sf_dir).term_stats_table()
+    df = t["df"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "n_terms": pa.array([len(df)], pa.int64()),
+        "n_hapax": pa.array([int((df == 1).sum())], pa.int64()),
+        "max_df": pa.array([int(df.max()) if len(df) else 0], pa.int64()),
+        "total_postings": pa.array([int(df.sum())], pa.int64()),
+    })
+
+
+VOCABULARY_STATS_SQL = f"""
+WITH df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY term
+)
+SELECT count(*)::BIGINT AS n_terms,
+       count(*) FILTER (WHERE df = 1)::BIGINT AS n_hapax,
+       coalesce(max(df), 0)::BIGINT AS max_df,
+       coalesce(sum(df), 0)::BIGINT AS total_postings
+FROM df
+"""
+
+
+def lang_doclen_stats(sf_dir: str) -> pa.Table:
+    """Per-language doc counts + token totals (grouped aggregate over
+    the documents table; token counting via the engine tokenizer)."""
+    from snowplow_elasticsearch_loader_ray import tokenizer as T
+
+    def stats(b: pa.Table) -> pa.Table:
+        n = T.token_counts(b["text"])
+        return pa.table({"lang": b["lang"], "n_tokens": pa.array(n)})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["lang", "text"])
+    out = ds.map_batches(stats, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        ray.data.aggregate.Sum("n_tokens", alias_name="total_tokens"),
+    ).to_pandas()
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "total_tokens": pa.array(out["total_tokens"], pa.int64()),
+    })
+
+
+LANG_DOCLEN_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       coalesce(sum(len({TOK_SQL})), 0)::BIGINT AS total_tokens
+FROM documents GROUP BY lang
+"""
+
 N_FETCH = 25
 
 
@@ -759,6 +814,8 @@ def registry() -> tuple[dict, dict]:
         "doc_fetch": doc_fetch,
         "top_terms": top_terms,
         "phrase_match": phrase_match,
+        "vocabulary_stats": vocabulary_stats,
+        "lang_doclen_stats": lang_doclen_stats,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_pairs": minhash_pairs,
@@ -791,6 +848,8 @@ def registry() -> tuple[dict, dict]:
         "doc_fetch": DOC_FETCH_SQL,
         "top_terms": TOP_TERMS_SQL,
         "phrase_match": _phrase_sql(),
+        "vocabulary_stats": VOCABULARY_STATS_SQL,
+        "lang_doclen_stats": LANG_DOCLEN_SQL,
         "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
