@@ -93,6 +93,12 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = 128)
     block_bytes = 8 + wd * (n_b - 1) + wt * n_b
     offsets = np.zeros(n_blocks, dtype=np.int64)
     np.cumsum(block_bytes[:-1], out=offsets[1:])
+    if int(block_bytes.sum()) >= 1 << 32:
+        # offsets serialize as u32; a payload past 4 GiB (~5e8 postings)
+        # would silently truncate them — fail loudly instead. Lists that
+        # big should be split across more term shards.
+        raise ValueError("posting-list payload exceeds u32 offset range; "
+                         "increase num_term_shards for this corpus")
     out = np.empty(int(block_bytes.sum()), dtype=np.uint8)
 
     # first_doc of every block: one 8-byte scatter

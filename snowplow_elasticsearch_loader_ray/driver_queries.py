@@ -72,7 +72,14 @@ def _docs_path(sf_dir: str) -> str:
 
 
 def _index_dir(sf_dir: str) -> str:
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    # cache key = path + a content fingerprint of documents.parquet
+    # (size + mtime_ns): regenerating the table at the same path must
+    # invalidate the cached index, not silently serve a stale one
+    docs = _docs_path(sf_dir)
+    st = os.stat(docs)
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, key, "index")
 
 

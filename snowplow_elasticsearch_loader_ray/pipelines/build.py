@@ -135,6 +135,7 @@ def ingest_pages(pages: str | list[str], out_dir: str,
         "stage": "ingest",
         "input_files": [os.path.basename(f) for f in files],
         "counters": counters,
+        "durable": False,          # lineage-recoverable (rerun ingest)
         "wall_s": round(time.time() - t0, 3),
     })
     return counters
@@ -211,6 +212,7 @@ def _build_one_part(k: int, files_k: list[str], index_dir: str,
         "row_count": counters["docs"],
         "counters": counters,
         "outputs": [os.path.relpath(final, index_dir)],
+        "durable": False,          # shuffle intermediate (rerun part)
         "wall_s": round(time.time() - t0, 3),
     })
 

@@ -6,7 +6,15 @@ KCL checkpoints debounced — ``config.aws.reference.hocon:55``). The
 at-least-once ack becomes an exactly-once *visible output* rule:
 
 - a partition's manifest is written only AFTER its output files are
-  fully written and fsync'd (write-temp → ``os.replace`` rename);
+  fully written (write-temp → ``os.replace`` rename; the manifest file
+  itself is always fsync'd). Output DATA files are fsync'd only for
+  ``durable=True`` commits (final, non-recomputable artifacts);
+  lineage-recoverable intermediates (extracted docs, posting runs)
+  commit with ``durable=False`` — after a machine-level crash such a
+  stage can be manifest-committed with lost data pages, and recovery
+  is "delete the stage's manifests and outputs, rerun the stage"
+  (shuffle-loss recompute). Callers record ``durable`` and row counts
+  in the manifest payload so an auditor can tell the two apart;
 - on resume the driver scans manifests and skips committed partitions —
   uncommitted work is recomputed (at-least-once work, exactly-once
   output), mirroring the checkpoint-after-everything ordering the
