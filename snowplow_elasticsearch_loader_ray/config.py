@@ -84,6 +84,14 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     cosine_threshold: float = 0.95
+    # boilerplate caps: a shingle / simhash-chunk key shared by more
+    # docs than this is dropped from pair generation (it is boilerplate,
+    # not duplication signal — the standard web-corpus df cut). The
+    # defaults sit far above anything the sandbox corpora produce, so
+    # oracle-checked results stay exact; a 10^12-doc run sets these to
+    # O(10^2-10^3).
+    max_shingle_df: int = 65_536
+    simhash_max_group: int = 65_536
 
 
 DEFAULT_DEDUP = DedupConfig()

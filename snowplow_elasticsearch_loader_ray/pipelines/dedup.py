@@ -18,7 +18,6 @@ Scale notes (each documented on the operator):
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
@@ -109,17 +108,25 @@ def distinct_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.nda
 
 
 class ShingleRows:
-    """docs → exploded rows (doc_id, shingle: int64) of distinct shingles."""
+    """docs → exploded rows (doc_id, shingle, n_shingles) of distinct shingles.
+
+    ``n_shingles`` (the doc's distinct-shingle count, exact — shingling
+    is per-doc within the batch) rides on every exploded row so the
+    pair plan can compute |A|+|B| without a driver-side size dict or a
+    second shuffle: the sizes arrive at the pair groupby as grouped-by
+    columns.
+    """
 
     def __init__(self, cfg: DedupConfig = DEFAULT_DEDUP):
         self.k = cfg.shingle_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh, sdoc, _ = distinct_shingles(batch["text"], self.k)
+        sh, sdoc, counts = distinct_shingles(batch["text"], self.k)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(doc_ids[sdoc], type=pa.int64()),
             "shingle": pa.array(sh.view(np.int64)),
+            "n_shingles": pa.array(counts[sdoc], type=pa.int64()),
         })
 
 
@@ -127,41 +134,53 @@ class ShingleRows:
 # exact n-gram Jaccard pairs (oracle-checkable)
 # --------------------------------------------------------------------------
 
-def _pairs_in_group(g: pa.Table) -> pa.Table:
-    """All (a<b) doc pairs sharing this shingle, vectorized."""
-    ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
-    m = len(ids)
-    if m < 2:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64())})
-    ai, bi = np.triu_indices(m, k=1)
-    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+def _make_pairs_in_group(max_df: int):
+    def _pairs_in_group(g: pa.Table) -> pa.Table:
+        """All (a<b) doc pairs sharing this shingle, each carrying both
+        docs' set sizes (vectorized). Groups larger than ``max_df`` are
+        dropped — the documented boilerplate-shingle cap."""
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "na": pa.array([], type=pa.int64()),
+                          "nb": pa.array([], type=pa.int64())})
+        m = g.num_rows
+        if m < 2 or m > max_df:
+            return empty
+        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        sizes = g["n_shingles"].to_numpy(zero_copy_only=False)[order]
+        ai, bi = np.triu_indices(m, k=1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi]),
+                         "na": pa.array(sizes[ai]), "nb": pa.array(sizes[bi])})
+
+    return _pairs_in_group
 
 
-def jaccard_dup_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP,
-                      threshold: float | None = None) -> pa.Table:
-    """Exact word-k-gram Jaccard duplicate pairs (jaccard >= threshold).
+def _pair_jaccard_table(ds: ray.data.Dataset, cfg: DedupConfig,
+                        threshold: float | None) -> pa.Table:
+    """The shared distributed exact-Jaccard pair plan.
 
-    Distributed plan: explode distinct shingles → ``groupby(shingle)``
-    emits co-occurring pairs → ``groupby(pair)`` counts = |A∩B| →
-    |A|,|B| from per-doc shingle counts (small, broadcast) → filter.
-    The shuffle key is the 8-byte shingle hash; pair explosion is
-    quadratic only within one shingle's group (rare-shingle groups are
-    tiny; a production corpus would drop ultra-common shingles — at this
-    exactness-checked tier no cap is applied).
+    explode distinct shingles (each row carries its doc's set size) →
+    ``groupby(shingle)`` emits co-occurring (a,b,na,nb) pairs →
+    ``groupby(pair)`` counts = |A∩B| → jaccard from the riding sizes.
+    No driver-side state: sizes travel WITH the pair rows, so the only
+    driver materialization is the (small) final pair table. The shuffle
+    key is the 8-byte shingle hash. Pair explosion is quadratic only
+    within one shingle's group and is bounded by ``cfg.max_shingle_df``
+    (a shingle shared by more docs than that is boilerplate, not
+    duplication signal — standard MinHash-corpus practice; at the
+    sandbox's exactness-checked scale every group is far below the cap,
+    so the DuckDB oracle stays exact).
 
-    Returns a pyarrow Table (small result): doc_id_a, doc_id_b,
-    intersection, union, jaccard.
+    ``threshold=None`` keeps all co-shingle pairs (the MinHash verify
+    path filters to its candidate set instead).
     """
-    t = threshold if threshold is not None else cfg.jaccard_threshold
     sh = ds.map_batches(ShingleRows(cfg), batch_format="pyarrow")
-    # per-doc set sizes (drives |A|+|B|): small table → driver dict
-    sizes_tbl = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
-    sizes = dict(zip(sizes_tbl["doc_id"], sizes_tbl["n_shingles"]))
     pairs = (
         sh.groupby("shingle")
-        .map_groups(_pairs_in_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .map_groups(_make_pairs_in_group(cfg.max_shingle_df),
+                    batch_format="pyarrow")
+        .groupby(["a", "b", "na", "nb"])
         .aggregate(Count(alias_name="intersection"))
         .to_pandas()
     )
@@ -174,11 +193,11 @@ def jaccard_dup_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP,
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
     inter = pairs["intersection"].to_numpy().astype(np.int64)
-    na = np.array([sizes[x] for x in a], dtype=np.int64)
-    nb = np.array([sizes[x] for x in b], dtype=np.int64)
+    na = pairs["na"].to_numpy().astype(np.int64)
+    nb = pairs["nb"].to_numpy().astype(np.int64)
     union = na + nb - inter
     jac = inter / union
-    keep = jac >= t
+    keep = jac >= threshold if threshold is not None else np.ones(len(jac), bool)
     order = np.lexsort((b[keep], a[keep]))
     return pa.table({
         "doc_id_a": pa.array(a[keep][order], type=pa.int64()),
@@ -187,6 +206,18 @@ def jaccard_dup_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP,
         "union": pa.array(union[keep][order]),
         "jaccard": pa.array(jac[keep][order], type=pa.float64()),
     })
+
+
+def jaccard_dup_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP,
+                      threshold: float | None = None) -> pa.Table:
+    """Exact word-k-gram Jaccard duplicate pairs (jaccard >= threshold).
+
+    See ``_pair_jaccard_table`` for the distributed plan. Returns a
+    pyarrow Table (small result): doc_id_a, doc_id_b, intersection,
+    union, jaccard.
+    """
+    t = threshold if threshold is not None else cfg.jaccard_threshold
+    return _pair_jaccard_table(ds, cfg, t)
 
 
 # --------------------------------------------------------------------------
@@ -247,10 +278,16 @@ def _candidate_pairs(g: pa.Table) -> pa.Table:
 def minhash_lsh_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
     """Near-dup pairs: LSH candidates → exact-Jaccard verification.
 
-    Candidate generation is fully distributed (band-hash groupby);
-    verification re-shingles only candidate docs. The candidate set is
-    assumed driver-small (near-dup pairs are rare); at larger rates the
-    verify step becomes a shingle join keyed by pair — same primitives.
+    Both halves are distributed:
+    - candidate generation is a band-hash ``groupby`` over fixed-size
+      signature rows (never text);
+    - verification restricts the corpus to candidate docs (broadcast
+      semi-join filter — candidate docs are rare) and runs the same
+      distributed pair-keyed Jaccard plan as ``jaccard_dup_pairs``
+      (sizes ride on the pair rows; intersections come from the shingle
+      groupby). The only driver-resident tables are the candidate pair
+      list and the final verified pairs — both tiny relative to the
+      corpus.
     """
     bands = ds.map_batches(MinHashBands(cfg), batch_format="pyarrow")
     cand = (
@@ -260,37 +297,28 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) ->
         .aggregate(Count(alias_name="n_bands"))
         .to_pandas()
     )
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                      "doc_id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     if len(cand) == 0:
-        return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                         "doc_id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+        return empty
     involved = pa.array(sorted(set(cand["a"]) | set(cand["b"])), type=pa.int64())
 
     def _only_candidates(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["doc_id"], value_set=involved))
 
-    # re-shingle only the candidate docs (vectorized semi-join filter —
-    # the broadcast-key-set pattern), then verify exact Jaccard
-    sets: dict[int, set] = {}
-    for b in ds.map_batches(_only_candidates, batch_format="pyarrow").map_batches(
-        ShingleRows(cfg), batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for d, s in zip(b["doc_id"].to_pylist(), b["shingle"].to_pylist()):
-            sets.setdefault(d, set()).add(s)
-    out_a, out_b, out_j = [], [], []
-    for a, b_ in sorted(zip(cand["a"], cand["b"])):
-        sa, sb = sets.get(a, set()), sets.get(b_, set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= cfg.jaccard_threshold:
-            out_a.append(a); out_b.append(b_); out_j.append(j)
-    return pa.table({
-        "doc_id_a": pa.array(out_a, type=pa.int64()),
-        "doc_id_b": pa.array(out_b, type=pa.int64()),
-        "jaccard": pa.array(out_j, type=pa.float64()),
-    })
+    verified = _pair_jaccard_table(
+        ds.map_batches(_only_candidates, batch_format="pyarrow"), cfg,
+        cfg.jaccard_threshold)
+    if verified.num_rows == 0:
+        return empty
+    # keep only LSH-candidate pairs (the co-shingle pairs among involved
+    # docs are a superset); the candidate key set is driver-small
+    cand_keys = set(zip(cand["a"].tolist(), cand["b"].tolist()))
+    va = verified["doc_id_a"].to_numpy(zero_copy_only=False)
+    vb = verified["doc_id_b"].to_numpy(zero_copy_only=False)
+    keep = pa.array([(x, y) in cand_keys for x, y in zip(va, vb)])
+    return verified.filter(keep).select(["doc_id_a", "doc_id_b", "jaccard"])
 
 
 def dedup_survivors(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
@@ -357,44 +385,85 @@ class SimHash:
         })
 
 
+class SimHashChunks:
+    """(doc_id, simhash) → 4 exploded rows (chunk, chunk_key, doc_id, simhash).
+
+    The pigeonhole keys: any pair within hamming 3 agrees on at least
+    one of the 4 16-bit chunks, so chunk-equality groupby generates a
+    complete candidate set — the SimHash analogue of MinHash banding.
+    Each exploded row carries the full signature so hamming verifies
+    inside the group (no second fetch, no driver state).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = SimHash()(batch)
+        ids = sigs["doc_id"].to_numpy(zero_copy_only=False)
+        sh = sigs["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        chunks = np.tile(np.arange(4, dtype=np.int32), len(ids))
+        rep_sh = np.repeat(sh, 4)
+        keys = (rep_sh >> (np.uint64(16) * chunks.astype(np.uint64))) & np.uint64(0xFFFF)
+        return pa.table({
+            "chunk": pa.array(chunks),
+            "chunk_key": pa.array(keys.astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
+            "simhash": pa.array(rep_sh.view(np.int64)),
+        })
+
+
+def _make_simhash_group_pairs(max_hamming: int, max_group: int):
+    def _group_pairs(g: pa.Table) -> pa.Table:
+        """(a<b, hamming) for pairs in one chunk bucket with hamming <=
+        max_hamming, vectorized XOR-popcount. Buckets larger than
+        ``max_group`` (pathological boilerplate signatures) are dropped."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        m = g.num_rows
+        if m < 2 or m > max_group:
+            return empty
+        order = np.argsort(g["doc_id"].to_numpy(zero_copy_only=False))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[order]
+        sh = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)[order]
+        ai, bi = np.triu_indices(m, k=1)
+        x = np.bitwise_xor(sh[ai], sh[bi])
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table({
+            "a": pa.array(ids[ai][keep]),
+            "b": pa.array(ids[bi][keep]),
+            "hamming": pa.array(ham[keep].astype(np.int32)),
+        })
+
+    return _group_pairs
+
+
 def simhash_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.Table:
     """Pairs with hamming(simhash) <= max_hamming via pigeonhole bucketing.
 
-    4 × 16-bit chunks: any pair within hamming 3 shares at least one
-    chunk (pigeonhole), so candidates come from 4 chunk-equality
-    bucketings — the SimHash analogue of LSH banding. Signatures are
-    computed distributed (vectorized map_batches, 16 B/doc output); the
-    signature table is then bucketed here on the driver, which holds to
-    ~10^8 docs — beyond that the same chunk keys go through
-    ``groupby(chunk)`` like the MinHash band rows do.
+    Fully distributed: signatures are vectorized ``map_batches`` (16
+    B/doc), the 4 chunk keys explode in the same pass, candidates +
+    hamming verification happen inside ``groupby(chunk, chunk_key)``
+    groups (each row carries its signature), and the cross-chunk pair
+    dedupe is a second small ``groupby(a, b)`` — the exact MinHash-band
+    plan shape, no driver-side signature table or seen-set. Only the
+    final (rare) pair table lands on the driver.
     """
-    sigs = ds.map_batches(SimHash(), batch_format="pyarrow").to_pandas()
-    ids = sigs["doc_id"].to_numpy()
-    sh = sigs["simhash"].to_numpy().view(np.uint64)
-    seen: set[tuple[int, int]] = set()
-    out_a, out_b, out_h = [], [], []
-    for c in range(4):
-        chunk = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        cs = chunk[order]
-        bounds = np.nonzero(np.concatenate(([True], cs[1:] != cs[:-1])))[0]
-        bounds = np.concatenate((bounds, [len(cs)]))
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            if hi - lo < 2:
-                continue
-            grp = order[lo:hi]
-            for x, y in combinations(sorted(ids[grp].tolist()), 2):
-                if (x, y) in seen:
-                    continue
-                seen.add((x, y))
-        # verification below uses `seen` accumulated across chunks
-    id_to_sig = dict(zip(ids.tolist(), sh.tolist()))
-    for x, y in sorted(seen):
-        d = int(bin(id_to_sig[x] ^ id_to_sig[y]).count("1"))
-        if d <= cfg.simhash_max_hamming:
-            out_a.append(x); out_b.append(y); out_h.append(d)
+    pairs = (
+        ds.map_batches(SimHashChunks(), batch_format="pyarrow")
+        .groupby(["chunk", "chunk_key"])
+        .map_groups(_make_simhash_group_pairs(cfg.simhash_max_hamming,
+                                              cfg.simhash_max_group),
+                    batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .to_pandas()
+    )
+    a = pairs["a"].to_numpy() if len(pairs) else np.empty(0, np.int64)
+    b = pairs["b"].to_numpy() if len(pairs) else np.empty(0, np.int64)
+    h = pairs["hamming"].to_numpy() if len(pairs) else np.empty(0, np.int32)
+    order = np.lexsort((b, a))
     return pa.table({
-        "doc_id_a": pa.array(out_a, type=pa.int64()),
-        "doc_id_b": pa.array(out_b, type=pa.int64()),
-        "hamming": pa.array(out_h, type=pa.int32()),
+        "doc_id_a": pa.array(a[order], type=pa.int64()),
+        "doc_id_b": pa.array(b[order], type=pa.int64()),
+        "hamming": pa.array(h[order].astype(np.int32)),
     })
