@@ -8,8 +8,10 @@
   restrict the matmul to colliding vectors (approximate; recall
   depends on planes/tables, measured in tests against brute force).
 - ``embedding_dup_pairs``: exact near-duplicate pairs with cosine >=
-  threshold (block × broadcast-matrix sweep at sandbox scale; at 1e12
-  rows the same kernel runs per LSH bucket).
+  threshold — distributed block-nested-loop over object-store block
+  refs (one task per block pair; the driver holds refs, never vectors).
+- ``embedding_dup_pairs_lsh``: the 10^12-row near-dup path — multi-table
+  hyperplane-LSH candidate buckets, exact in-bucket cosine.
 
 Determinism: cosine is computed in float64 after exact float32→float64
 casts; ordering uses (round(cos, 9) desc, vec_id asc).
@@ -282,44 +284,154 @@ def ivf_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
 # exact cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 
-def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95) -> pa.Table:
-    """Exact pairs with cosine >= threshold (vec_id_a < vec_id_b).
+@ray.remote(num_cpus=1)
+def _block_pair_sweep(ta: pa.Table, tb: pa.Table, threshold: float,
+                      same: bool) -> pa.Table:
+    """Exact cosine hits between two normalized blocks (one matmul).
 
-    Block × broadcast sweep: the full normalized matrix is broadcast
-    (fine for sandbox scale / one LSH bucket at real scale); each batch
-    computes its rows × all columns and keeps upper-triangle hits.
+    Runs as a Ray task pulling both blocks zero-copy from the object
+    store; the driver only ever holds block REFS and the (rare) hit
+    pairs. ``same=True`` restricts to the upper triangle.
     """
-    rows = pa.concat_tables(list(
-        ds.select_columns(["vec_id", "embedding"]).iter_batches(
-            batch_format="pyarrow", batch_size=None)
-    ))
-    all_ids = rows["vec_id"].to_numpy(zero_copy_only=False)
-    all_m = _normalize(_batch_matrix(rows))
-    ref = ray.put((all_ids, all_m))
+    ma, ids_a = _batch_matrix(ta), ta["vec_id"].to_numpy(zero_copy_only=False)
+    mb, ids_b = _batch_matrix(tb), tb["vec_id"].to_numpy(zero_copy_only=False)
+    sims = ma @ mb.T
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1) if same
+                        else sims >= threshold)
+    a, b = ids_a[ia], ids_b[ib]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({
+        "vec_id_a": pa.array(lo, type=pa.int64()),
+        "vec_id_b": pa.array(hi, type=pa.int64()),
+        "cosine": pa.array(np.round(sims[ia, ib], SIM_ROUND), type=pa.float64()),
+    })
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
+
+def _list_column(m: np.ndarray) -> pa.ListArray:
+    """2-D float64 matrix → list<double> column, zero-copy flat values."""
+    rows, dim = m.shape
+    offsets = pa.array(np.arange(0, (rows + 1) * dim, dim, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1)))
+
+
+class _NormalizeBlock:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch))
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = m @ m_all.T
-        bi, aj = np.nonzero(sims >= threshold)
-        a = ids[bi]
-        b = ids_all[aj]
-        keep = a < b
         return pa.table({
-            "vec_id_a": pa.array(a[keep], type=pa.int64()),
-            "vec_id_b": pa.array(b[keep], type=pa.int64()),
-            "cosine": pa.array(np.round(sims[bi, aj][keep], SIM_ROUND), type=pa.float64()),
+            "vec_id": batch["vec_id"],
+            "embedding": _list_column(m),
         })
 
+
+def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
+                        block_rows: int = 4096) -> pa.Table:
+    """Exact pairs with cosine >= threshold (vec_id_a < vec_id_b).
+
+    Distributed block-nested-loop: vectors normalize per batch, the
+    normalized dataset materializes into the OBJECT STORE (never the
+    driver), and one Ray task per block pair (i <= j) pulls its two
+    blocks and does a single matmul. Each unordered pair is examined by
+    exactly one task, so the result is exact with no dedupe shuffle.
+    Work is inherently O(N^2 / block_rows) — that is what "exact
+    all-pairs" costs; at 10^12 rows use ``embedding_dup_pairs_lsh``
+    (candidates from hyperplane buckets, same in-bucket kernel), which
+    is the standard near-dup trade at the thresholds (~0.95) where
+    near-dup mining operates.
+    """
+    norm = (ds.select_columns(["vec_id", "embedding"])
+            .map_batches(_NormalizeBlock(), batch_format="pyarrow",
+                         batch_size=block_rows)
+            .materialize())
+    n = norm.count()
+    nblocks = max(1, -(-n // block_rows))
+    refs = norm.repartition(nblocks).materialize().to_arrow_refs()
+    tasks = [_block_pair_sweep.remote(refs[i], refs[j], threshold, i == j)
+             for i in range(len(refs)) for j in range(i, len(refs))]
     empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
                       "vec_id_b": pa.array([], pa.int64()),
                       "cosine": pa.array([], pa.float64())})
-    tables = list(
-        ds.map_batches(per_batch, batch_format="pyarrow", batch_size=4096)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    out = pa.concat_tables(tables) if tables else empty
+    tables = [t for t in ray.get(tasks) if t.num_rows] or [empty]
+    out = pa.concat_tables(tables)
     idx = np.lexsort((out["vec_id_b"].to_numpy(zero_copy_only=False),
                       out["vec_id_a"].to_numpy(zero_copy_only=False)))
     return out.take(pa.array(idx))
+
+
+def embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
+                            n_planes: int = 8, n_tables: int = 4,
+                            seed: int = 42) -> pa.Table:
+    """Approximate near-dup pairs: hyperplane-LSH candidates, exact
+    in-bucket cosine — the 10^12-row scale path.
+
+    ``n_tables`` independent plane sets each bucket every vector
+    (map_batches, 8 B/vector/table output + the vector itself);
+    ``groupby(table, bucket)`` co-locates colliding vectors and the
+    in-group sweep is the same exact-cosine kernel. A pair colliding in
+    several tables dedupes through the final groupby(a, b). Recall < 1
+    by construction (measured in tests against the exact operator);
+    at cos >= 0.95 two vectors disagree on a random hyperplane with
+    p = acos(0.95)/pi ≈ 0.10, so one 8-plane table catches ~43% and 4
+    tables ~90%+ of true pairs.
+    """
+    rng = np.random.default_rng(seed)
+    dim = len(ds.take(1)[0]["embedding"])
+    planes = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    pref = ray.put(planes)
+
+    class _MultiBucket:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            tabs, bucks = [], []
+            for ti, pl in enumerate(self.planes):
+                bits = (m @ pl.T) > 0
+                bucket = np.zeros(len(m), dtype=np.int64)
+                for i in range(bits.shape[1]):
+                    bucket |= bits[:, i].astype(np.int64) << i
+                tabs.append(np.full(len(m), ti, dtype=np.int32))
+                bucks.append(bucket)
+            reps = len(self.planes)
+            return pa.table({
+                "table": pa.array(np.concatenate(tabs)),
+                "bucket": pa.array(np.concatenate(bucks)),
+                "vec_id": pa.array(np.tile(ids, reps), type=pa.int64()),
+                "embedding": _list_column(np.tile(m, (reps, 1))),
+            })
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        m = _batch_matrix(g)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo, type=pa.int64()),
+                         "b": pa.array(hi, type=pa.int64()),
+                         "cosine": pa.array(np.round(sims[ia, ib], SIM_ROUND),
+                                            type=pa.float64())})
+
+    from ray.data.aggregate import Max
+
+    pairs = (ds.select_columns(["vec_id", "embedding"])
+             .map_batches(_MultiBucket, batch_format="pyarrow", concurrency=2)
+             .groupby(["table", "bucket"])
+             .map_groups(_bucket_pairs, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .aggregate(Max("cosine", alias_name="cosine"))
+             .to_pandas())
+    a = pairs["a"].to_numpy() if len(pairs) else np.empty(0, np.int64)
+    b = pairs["b"].to_numpy() if len(pairs) else np.empty(0, np.int64)
+    c = pairs["cosine"].to_numpy() if len(pairs) else np.empty(0, np.float64)
+    order = np.lexsort((b, a))
+    return pa.table({
+        "vec_id_a": pa.array(a[order], type=pa.int64()),
+        "vec_id_b": pa.array(b[order], type=pa.int64()),
+        "cosine": pa.array(c[order], type=pa.float64()),
+    })

@@ -121,3 +121,46 @@ def test_ivf_recall_vs_brute(emb_ds, emb_np):
     # determinism: same centroids -> identical results across runs
     again = ivf_ann_topk(emb_ds, qmat, k=10, n_cells=8, nprobe=4).to_pandas()
     assert approx.equals(again)
+
+
+def test_embedding_dup_pairs_multiblock_matches_bruteforce(emb_np):
+    """The block-pair plan (several object-store blocks, one task per
+    block pair) must equal brute force — incl. a planted duplicate."""
+    ids, mat = emb_np
+    mat = mat.copy()
+    mat[7] = mat[3] * 2.0                       # planted exact dup (cos=1)
+    import pyarrow as pa
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(r) for r in mat])})
+    ds = ray.data.from_arrow(tbl)
+    thr = 0.8
+    got = ANN.embedding_dup_pairs(ds, threshold=thr, block_rows=16)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    ai, bi = np.nonzero(np.triu(sims >= thr, k=1))
+    want = sorted(zip(ids[ai].tolist(), ids[bi].tolist()))
+    got_pairs = sorted(zip(got["vec_id_a"].to_pylist(), got["vec_id_b"].to_pylist()))
+    assert got_pairs == want
+    assert (min(ids[3], ids[7]), max(ids[3], ids[7])) in got_pairs
+
+
+def test_embedding_dup_pairs_lsh_subset_and_planted(emb_np):
+    """LSH variant: subset of exact pairs; planted exact dups always
+    collide (identical signatures) so they must be found."""
+    ids, mat = emb_np
+    mat = mat.copy()
+    mat[5] = mat[1] * 3.0
+    mat[9] = mat[2] * 0.5
+    import pyarrow as pa
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(r) for r in mat])})
+    ds = ray.data.from_arrow(tbl)
+    thr = 0.8
+    exact = ANN.embedding_dup_pairs(ds, threshold=thr)
+    approx = ANN.embedding_dup_pairs_lsh(ds, threshold=thr)
+    e = set(zip(exact["vec_id_a"].to_pylist(), exact["vec_id_b"].to_pylist()))
+    a = set(zip(approx["vec_id_a"].to_pylist(), approx["vec_id_b"].to_pylist()))
+    assert a <= e
+    for x, y in [(1, 5), (2, 9)]:
+        pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
+        assert pair in a
