@@ -250,6 +250,39 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
 # happened via the partitioned run write, so this is a parallel map)
 # --------------------------------------------------------------------------
 
+def write_shard_doclens(index_dir: str, shard: int, dl: pa.Table) -> str:
+    """Decode a shard's doclen pseudo-postings into a standalone
+    ``doclens/shard-NNNN.parquet`` (doc_id, doclen) table.
+
+    Runs inside the shard task that already holds the rows — no extra
+    read pass. Doclen pseudo-postings are hashed by doc_id (not term),
+    so shard j's file holds exactly the docs with hash(doc) % S == j: a
+    doc-partitioned reader at 10^12 docs opens only its own partitions'
+    files, and the single-node sharded reader loads the whole (tiny,
+    ~16 B/doc) directory once instead of decoding every segment.
+    """
+    from ..codec import PostingList
+
+    dl_dir = os.path.join(index_dir, "doclens")
+    os.makedirs(dl_dir, exist_ok=True)
+    docs_parts, len_parts = [], []
+    for buf in dl["postings"].to_pylist():
+        d, ln = PostingList(buf).decode_all()
+        docs_parts.append(d)
+        len_parts.append(ln.astype("int64"))
+    import numpy as np
+
+    docs = np.concatenate(docs_parts) if docs_parts else np.empty(0, "int64")
+    lens = np.concatenate(len_parts) if len_parts else np.empty(0, "int64")
+    t = pa.table({"doc_id": pa.array(docs, pa.int64()),
+                  "doclen": pa.array(lens, pa.int64())})
+    out = os.path.join(dl_dir, f"shard-{shard:04d}.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return out
+
+
 @ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
 def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
     """One shard's segment encode. Transient I/O errors re-execute via
@@ -297,6 +330,7 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
 
     dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM)
     dl = seg.filter(dl_mask)
+    dl_out = write_shard_doclens(index_dir, shard, dl)
     return {
         "part": shard,
         "stage": "segments",
@@ -309,7 +343,8 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
             "tokens": int(pa.compute.sum(dl["cf"]).as_py() or 0),
             "bytes_written": os.path.getsize(out),
         },
-        "outputs": [os.path.relpath(out, index_dir)],
+        "outputs": [os.path.relpath(out, index_dir),
+                    os.path.relpath(dl_out, index_dir)],
         "content_hash": mf.content_hash([out]),
     }
 

@@ -126,6 +126,9 @@ def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
 
     dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM) if seg.num_rows else None
     dl = seg.filter(dl_mask) if seg.num_rows else seg
+    from .build import write_shard_doclens
+
+    write_shard_doclens(out_dir, shard, dl)
     n_terms = seg.num_rows - dl.num_rows
     return {
         "part": shard,

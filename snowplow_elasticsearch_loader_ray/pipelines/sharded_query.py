@@ -15,9 +15,11 @@ Partitioning assumptions (documented per SURVEY.md custom-op rule):
 - terms route by ``term_shard_one(term) % num_term_shards`` — identical
   at build and query time;
 - every shard actor holds the full doclen array for ITS postings' docs:
-  here the global doclen table (~12 B/doc) is loaded per actor; at
-  10^12 docs the corpus is additionally doc-partitioned and each
-  (term-shard × doc-partition) actor holds its partition's doclens.
+  here the standalone ``doclens/shard-*.parquet`` tables (written by the
+  build's shard tasks, ~16 B/doc total) are loaded once per actor; at
+  10^12 docs the corpus is additionally doc-partitioned, and because
+  doclen files are doc-hashed each (term-shard × doc-partition) actor
+  opens exactly its partition's files.
 """
 
 from __future__ import annotations
@@ -45,25 +47,37 @@ class ShardReader:
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
         self.terms: dict[str, bytes] = {}
-        dl_docs, dl_lens = [], []
         # own segment: this shard's term postings
         t = pq.read_table(os.path.join(index_dir, "segments",
                                        f"shard-{shard:04d}.parquet"))
         for term, buf in zip(t["term"].to_pylist(), t["postings"].to_pylist()):
             if term != DOCLEN_TERM:
                 self.terms[term] = buf
-        # doclen pseudo-postings are doc-hashed across ALL segments
-        for s in range(num_shards):
-            seg = pq.read_table(
-                os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
-            for term, buf in zip(seg["term"].to_pylist(),
-                                 seg["postings"].to_pylist()):
-                if term == DOCLEN_TERM:
-                    d, ln = PostingList(buf).decode_all()
-                    dl_docs.append(d)
-                    dl_lens.append(ln)
-        docs = np.concatenate(dl_docs) if dl_docs else np.empty(0, np.int64)
-        lens = np.concatenate(dl_lens) if dl_lens else np.empty(0, np.int64)
+        # global doc lengths come from the standalone doclens table the
+        # build's shard tasks wrote (~16 B/doc total): O(1) columnar
+        # reads per actor instead of decoding every segment's postings
+        # (which was O(num_shards) full segment reads per actor)
+        import glob as _glob
+
+        dl_files = sorted(_glob.glob(
+            os.path.join(index_dir, "doclens", "shard-*.parquet")))
+        if dl_files:
+            dl = pq.read_table(dl_files)
+            docs = dl["doc_id"].to_numpy(zero_copy_only=False)
+            lens = dl["doclen"].to_numpy(zero_copy_only=False)
+        else:  # pre-doclens index layout: decode segments (legacy path)
+            dl_docs, dl_lens = [], []
+            for s in range(num_shards):
+                seg = pq.read_table(
+                    os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
+                for term, buf in zip(seg["term"].to_pylist(),
+                                     seg["postings"].to_pylist()):
+                    if term == DOCLEN_TERM:
+                        d, ln = PostingList(buf).decode_all()
+                        dl_docs.append(d)
+                        dl_lens.append(ln)
+            docs = np.concatenate(dl_docs) if dl_docs else np.empty(0, np.int64)
+            lens = np.concatenate(dl_lens) if dl_lens else np.empty(0, np.int64)
         order = np.argsort(docs, kind="stable")
         self.dl_doc_ids = docs[order]
         self.dl_lens = lens[order].astype(np.float64)
