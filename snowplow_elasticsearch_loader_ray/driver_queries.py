@@ -780,6 +780,253 @@ LANG_COUNTS_SQL = "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP 
 
 
 # --------------------------------------------------------------------------
+# payload purposes + decompression (P3 / P4 / S2) — fixture-driven,
+# sf-independent (the reference's Kinesis payload stream has no testdata
+# analogue; inputs are content-defined in sources/payload_fixtures.py so
+# the oracle embeds the SAME inputs as VALUES)
+# --------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _records_table(out_dir: str) -> pa.Table:
+    """Read back an ingest_payloads records/ hive layout."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(out_dir, "records"), partitioning="hive")
+    t = d.to_table(columns=["status", "record", "payload_b64"])
+    return pa.table({
+        "status": pc.cast(t["status"], pa.string()),
+        "record": t["record"],
+        "payload_b64": t["payload_b64"],
+    })
+
+
+def payload_json(sf_dir: str) -> pa.Table:
+    """P3 transformJson end-to-end (Processing.scala:118-132): NDJSON
+    payloads → validate-and-pass-through (verbatim bytes on success) /
+    parse_error + base64 payload, through the full partitioned-write
+    ingest. The oracle recomputes validity with DuckDB json_valid over
+    the same VALUES."""
+    from .pipelines.payloads import ingest_payloads
+    from .sources import payload_fixtures as PF
+
+    src = PF.write_json_fixture(CACHE_ROOT)
+    out = os.path.join(os.path.dirname(src), "ingest_json")
+    ingest_payloads(src, out, purpose="json")
+    return _records_table(out)
+
+
+def _payload_json_sql() -> str:
+    from .sources import payload_fixtures as PF
+
+    values = ", ".join(f"({_sql_quote(l)})" for l in PF.JSON_LINES)
+    return f"""
+WITH p(payload) AS (VALUES {values})
+SELECT CASE WHEN json_valid(payload) THEN 'good' ELSE 'parse_error' END AS status,
+       CASE WHEN json_valid(payload) THEN payload END AS record,
+       CASE WHEN json_valid(payload) THEN NULL ELSE to_base64(payload::BLOB) END AS payload_b64
+FROM p
+"""
+
+
+def payload_bad(sf_dir: str) -> pa.Table:
+    """P4 transformBadRow end-to-end (Processing.scala:134-150 + the 12
+    BadRowTransformer fix-ups). The oracle pins hand-derived expected
+    strings (mirroring BadRowTransformerSpec) for the same inputs."""
+    from .pipelines.payloads import ingest_payloads
+    from .sources import payload_fixtures as PF
+
+    src = PF.write_bad_fixture(CACHE_ROOT)
+    out = os.path.join(os.path.dirname(src), "ingest_bad")
+    ingest_payloads(src, out, purpose="bad")
+    return _records_table(out)
+
+
+def _payload_bad_sql() -> str:
+    from .sources import payload_fixtures as PF
+
+    rows = []
+    for line, status, record in PF.BAD_CASES:
+        if status == "good":
+            rows.append(f"('good', {_sql_quote(record)}, NULL::VARCHAR)")
+        else:
+            rows.append(
+                f"('parse_error', NULL::VARCHAR, to_base64({_sql_quote(line)}::BLOB))")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") t(status, record, payload_b64)")
+
+
+def decompress_roundtrip(sf_dir: str) -> pa.Table:
+    """S2 magic-byte decompression end-to-end (Processing.scala:42-49):
+    gzip round-trips to the original plaintext; corrupt frames,
+    over-cap payloads and zstd-without-codec land as decompress_error
+    bad rows. The oracle pins the plaintexts the fixture compressed."""
+    from .pipelines.payloads import ingest_payloads
+    from .sources import payload_fixtures as PF
+
+    src = PF.write_decompress_fixture(CACHE_ROOT)
+    out = os.path.join(os.path.dirname(src), "ingest_decompress")
+    ingest_payloads(src, out, purpose="json", decompress=True)
+    return _records_table(out).select(["status", "record"])
+
+
+def _decompress_sql() -> str:
+    from .sources import payload_fixtures as PF
+
+    rows = []
+    for status, rec in PF.expected_decompress():
+        rec_sql = _sql_quote(rec) if rec is not None else "NULL::VARCHAR"
+        rows.append(f"({_sql_quote(status)}, {rec_sql})")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(status, record)"
+
+
+# --------------------------------------------------------------------------
+# merge/upsert (W5): two generations -> merged index == last-wins corpus
+# --------------------------------------------------------------------------
+
+UPSERT_MOD = 7
+UPSERT_TOKEN = "graftupsert"
+
+
+def merge_upsert_terms(sf_dir: str) -> pa.Table:
+    """W5 upsert-by-doc_id end-to-end (ElasticsearchSink.scala:92):
+    generation 2 re-indexes every doc_id % 7 == 0 with an extra token;
+    merging [gen1, gen2] must yield term stats identical to indexing the
+    last-wins corpus directly (stale postings removed, new token
+    counted) — which is exactly what the oracle computes in SQL."""
+    from .pipelines.merge import merge_indexes
+
+    gen1 = _ensure_index(sf_dir)
+    root = os.path.dirname(_index_dir(sf_dir))
+    up_root = os.path.join(root, "upsert")
+    gen2_docs = os.path.join(up_root, "gen2_docs.parquet")
+    if not os.path.exists(gen2_docs):
+        os.makedirs(up_root, exist_ok=True)
+        t = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % UPSERT_MOD == 0))
+        patched = pc.binary_join_element_wise(
+            sub["text"], pa.array([UPSERT_TOKEN] * sub.num_rows), " ")
+        tmp = gen2_docs + ".tmp"
+        pq.write_table(pa.table({"doc_id": sub["doc_id"], "text": patched}), tmp)
+        os.replace(tmp, gen2_docs)
+    gen2 = os.path.join(up_root, "gen2_index")
+    B.build_index(gen2_docs, gen2, CFG)
+    merged = os.path.join(up_root, "merged_index")
+    merge_indexes([gen1, gen2], merged, CFG)
+    from .pipelines.query import IndexReader
+
+    return IndexReader(merged).term_stats_table()
+
+
+MERGE_UPSERT_SQL = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {UPSERT_MOD} = 0 THEN text || ' {UPSERT_TOKEN}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS df, sum(cnt)::BIGINT AS cf
+FROM (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM docs2)
+  GROUP BY 1, 2
+)
+GROUP BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# W2/W3 retry, C1 checkpoint/resume, M1 metrics — driver-checkable:
+# each builds (or resumes) a real index under adverse conditions and the
+# oracle recomputes the final state from the corpus in SQL
+# --------------------------------------------------------------------------
+
+def fault_retry_stats(sf_dir: str) -> pa.Table:
+    """W2/W3: transient I/O faults injected into two shard-encode tasks
+    (the _faults test hook raises OSError exactly once per file); Ray's
+    bounded task retry recomputes them (ElasticsearchSink.scala:81-104
+    transient path) and the finished index must be IDENTICAL to a clean
+    build — checked against the term-stats oracle."""
+    from .state import manifest as mf
+    from .pipelines.query import IndexReader
+
+    idx = os.path.join(os.path.dirname(_index_dir(sf_dir)), "fault_retry", "index")
+    if not mf.is_committed(os.path.join(idx, "manifests"), "index"):
+        faults = os.path.join(idx, "_faults")
+        os.makedirs(faults, exist_ok=True)
+        for s in (3, 7):
+            open(os.path.join(faults, f"shard-{s:04d}.once"), "w").close()
+        B.build_index(_docs_path(sf_dir), idx, CFG)
+    return IndexReader(idx).term_stats_table()
+
+
+def resume_stats(sf_dir: str) -> pa.Table:
+    """C1 checkpoint/resume (Processing.scala:269-272 ack analogue): the
+    corpus splits into 4 partitions, the first build is killed by an
+    injected failure after 2 committed run parts, and the second build
+    resumes from the manifests (skipping committed parts). The resumed
+    index must equal a clean build — checked against the term-stats
+    oracle."""
+    from .state import manifest as mf
+    from .pipelines.build import SimulatedFailure
+    from .pipelines.query import IndexReader
+
+    root = os.path.join(os.path.dirname(_index_dir(sf_dir)), "resume")
+    idx = os.path.join(root, "index")
+    if not mf.is_committed(os.path.join(idx, "manifests"), "index"):
+        docs_dir = os.path.join(root, "docs")
+        os.makedirs(docs_dir, exist_ok=True)
+        t = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+        n = t.num_rows
+        files = []
+        for i in range(4):
+            f = os.path.join(docs_dir, f"part-{i}.parquet")
+            if not os.path.exists(f):
+                tmp = f + ".tmp"
+                pq.write_table(t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), tmp)
+                os.replace(tmp, f)
+            files.append(f)
+        import dataclasses
+
+        try:
+            B.build_index(files, idx,
+                          dataclasses.replace(CFG, fail_after_parts=2),
+                          num_parts=4)
+        except SimulatedFailure:
+            pass
+        B.build_index(files, idx, CFG, num_parts=4)
+    return IndexReader(idx).term_stats_table()
+
+
+def build_metrics(sf_dir: str) -> pa.Table:
+    """M1 metrics rollup (Metrics.scala:23-58 analogue): the build's
+    per-partition manifest counters summed at finalize must equal the
+    corpus-level truths the oracle recomputes (docs, tokens, distinct
+    terms, postings)."""
+    _ensure_index(sf_dir)
+    m = B.index_metrics(_index_dir(sf_dir))
+    return pa.table({
+        "docs": pa.array([m["docs"]], pa.int64()),
+        "tokens": pa.array([m["tokens"]], pa.int64()),
+        "terms": pa.array([m["terms"]], pa.int64()),
+        "postings": pa.array([m["postings"]], pa.int64()),
+    })
+
+
+BUILD_METRICS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS docs,
+       (SELECT count(*) FROM tok)::BIGINT AS tokens,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS terms,
+       (SELECT count(*) FROM tf)::BIGINT AS postings
+"""
+
+
+# --------------------------------------------------------------------------
 # page-corpus ingest summary (engine's own corpus; rows-only check)
 # --------------------------------------------------------------------------
 
@@ -841,6 +1088,13 @@ def registry() -> tuple[dict, dict]:
         "events_by_type": events_by_type,
         "lang_counts": lang_counts,
         "ingest_summary": ingest_summary,
+        "payload_json": payload_json,
+        "payload_bad": payload_bad,
+        "decompress_roundtrip": decompress_roundtrip,
+        "merge_upsert_terms": merge_upsert_terms,
+        "fault_retry_stats": fault_retry_stats,
+        "resume_stats": resume_stats,
+        "build_metrics": build_metrics,
     }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
@@ -867,6 +1121,13 @@ def registry() -> tuple[dict, dict]:
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
         "lang_counts": LANG_COUNTS_SQL,
+        "payload_json": _payload_json_sql(),
+        "payload_bad": _payload_bad_sql(),
+        "decompress_roundtrip": _decompress_sql(),
+        "merge_upsert_terms": MERGE_UPSERT_SQL,
+        "fault_retry_stats": TERM_STATS_SQL,
+        "resume_stats": TERM_STATS_SQL,
+        "build_metrics": BUILD_METRICS_SQL,
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # lsh_ann_topk / ingest_summary: engine-defined (sketches,
         # heuristics, approximate search, own corpus) → rows-only checks
