@@ -939,6 +939,43 @@ GROUP BY term
 
 
 # --------------------------------------------------------------------------
+# multimodal: REAL image header decode (PNG/GIF/JPEG/BMP dimensions
+# parsed from bytes; no codec lib) over an actor-pool stage
+# --------------------------------------------------------------------------
+
+def image_meta(sf_dir: str) -> pa.Table:
+    """Image metadata extraction over binary payloads: a deterministic
+    fixture of byte-valid PNG/GIF/JPEG/BMP files (plus one junk payload)
+    flows through the actor-pool ``DecodeImageHeaders`` stage; the
+    oracle pins (format, width, height) from the fixture's build
+    parameters — independent of the parser."""
+    from .pipelines.multimodal import DecodeImageHeaders
+    from .sources.images import write_image_fixture
+
+    src = write_image_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(DecodeImageHeaders, batch_format="pyarrow",
+                        batch_size=4, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("img_id").reset_index(drop=True)
+    return pa.table({
+        "img_id": pa.array(out["img_id"], pa.int64()),
+        "format": pa.array(out["format"], pa.string()),
+        "width": pa.array(out["width"].astype("int64")),
+        "height": pa.array(out["height"].astype("int64")),
+    })
+
+
+def _image_meta_sql() -> str:
+    from .sources.images import IMAGE_CASES
+
+    rows = ", ".join(f"({i}, '{f}', {w}, {h})" for i, f, w, h in IMAGE_CASES)
+    return (f"SELECT img_id::BIGINT AS img_id, format, width::BIGINT AS width, "
+            f"height::BIGINT AS height FROM (VALUES {rows}) "
+            f"t(img_id, format, width, height)")
+
+
+# --------------------------------------------------------------------------
 # W2/W3 retry, C1 checkpoint/resume, M1 metrics — driver-checkable:
 # each builds (or resumes) a real index under adverse conditions and the
 # oracle recomputes the final state from the corpus in SQL
@@ -1095,6 +1132,7 @@ def registry() -> tuple[dict, dict]:
         "fault_retry_stats": fault_retry_stats,
         "resume_stats": resume_stats,
         "build_metrics": build_metrics,
+        "image_meta": image_meta,
     }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
@@ -1128,6 +1166,7 @@ def registry() -> tuple[dict, dict]:
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "build_metrics": BUILD_METRICS_SQL,
+        "image_meta": _image_meta_sql(),
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # lsh_ann_topk / ingest_summary: engine-defined (sketches,
         # heuristics, approximate search, own corpus) → rows-only checks

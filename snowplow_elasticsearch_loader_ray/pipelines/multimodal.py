@@ -3,11 +3,17 @@
 Image/audio/video payloads are carried as Arrow ``binary`` columns with
 typed metadata columns next to them — the same shape the pages corpus
 uses for ``html``. Stages follow the actor-pool ``map_batches``
-contract (decoder state built once per actor in ``__init__``); the
-actual codec libraries are not available in this container, so the
-decode kernels are STUBS behind ``NotImplementedError`` with a
-deterministic fake mode — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.
+contract (decoder state built once per actor in ``__init__``).
+
+What is REAL vs STUBBED in this container (no image/video codec libs):
+
+- ``ByteHistogram`` — real, fully vectorized featurizer.
+- ``DecodeImageHeaders`` — REAL container-header decode: format +
+  pixel dimensions parsed straight from PNG/GIF/JPEG/BMP bytes (no
+  codec library required; oracle-checked by the driver entry).
+- ``DecodeImage`` (full pixel decode) / ``FrameSample`` (video demux)
+  — declared stubs behind ``NotImplementedError`` with deterministic
+  fake modes; the Ray-side plumbing is real and tested.
 
 Batch-size note: for multi-MB payloads, call with a small
 ``batch_size`` (16-64) so batch × concurrency stays inside the worker
@@ -16,6 +22,8 @@ heap; blocks of large binaries should also raise
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -56,8 +64,75 @@ class ByteHistogram:
         return out.append_column("features", feats)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: JPEG frame markers carrying dimensions (SOF0-15 minus DHT/DAC/RSTn)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def image_meta(p: bytes) -> tuple[str, int, int]:
+    """(format, width, height) parsed from container header bytes.
+
+    Pure-python header parse — PNG IHDR, GIF logical screen descriptor,
+    JPEG SOFn marker scan, BMP info header. Unknown/corrupt payloads
+    return ("unknown", 0, 0) — a deterministic per-row failure, never an
+    exception (the bad-row rule of the ingest stages).
+    """
+    try:
+        if p[:8] == _PNG_MAGIC and len(p) >= 24 and p[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", p[16:24])
+            return "png", w, h
+        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            return "gif", w, h
+        if p[:2] == b"BM" and len(p) >= 26:
+            w, h = struct.unpack("<ii", p[18:26])
+            return "bmp", w, abs(h)
+        if p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 <= len(p) and p[i] == 0xFF:
+                marker = p[i + 1]
+                if marker == 0xFF:          # fill byte
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                    return "jpeg", w, h
+                i += 2 + seglen
+    except struct.error:
+        pass
+    return "unknown", 0, 0
+
+
+class DecodeImageHeaders:
+    """REAL image metadata stage: payload bytes → (format, width,
+    height, decode_ok) columns, actor-pool ``map_batches`` contract.
+
+    The byte-level header parse is per-row by nature (variable-length
+    marker scans), but each row touches only the first O(100) bytes of
+    its payload — at 100 TB the cost is dominated by reading the binary
+    column, which parquet column pruning already limits to this stage.
+    """
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [image_meta(p or b"") for p in batch[self.col].to_pylist()]
+        out = batch.drop_columns([self.col])
+        out = out.append_column("format", pa.array([m[0] for m in metas], pa.string()))
+        out = out.append_column("width", pa.array([m[1] for m in metas], pa.int32()))
+        out = out.append_column("height", pa.array([m[2] for m in metas], pa.int32()))
+        return out.append_column(
+            "decode_ok", pa.array([m[0] != "unknown" for m in metas]))
+
+
 class DecodeImage:
-    """STUB decode stage (no image libs in this container).
+    """STUB full-pixel decode stage (no image libs in this container).
+    Header-only metadata has a REAL implementation: ``DecodeImageHeaders``.
 
     ``fake=True`` produces a deterministic fake decode (dimensions from
     a hash of the payload) so downstream plumbing is exercisable;
