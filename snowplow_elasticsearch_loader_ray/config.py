@@ -49,6 +49,11 @@ class IndexConfig:
     # copy, and there is none at this alignment.
     batch_size: int | None = 2000
     flush_max_bytes: int = 10_000_000
+    # A1 time half: a partial micro-batch older than this flushes anyway
+    # (``batching.maxDelay`` "1 second", reference.conf:29; used by the
+    # streaming-ingest surface, sources/stream.py — bounded-corpus
+    # pipelines flush by size/block boundaries alone)
+    flush_max_delay_s: float = 1.0
 
     # --- dead letter (D1 analogue) ---
     max_record_bytes: int = 1_000_000
@@ -62,6 +67,33 @@ class IndexConfig:
 
     # test hook: fail the build after N committed partitions (resume tests)
     fail_after_parts: int | None = None
+
+
+@dataclass(frozen=True)
+class ShardSuffixConfig:
+    """P5 shard-suffix derivation knobs (Config.scala:130-145: the
+    reference whitelists which timestamp field drives the suffix and
+    takes a DateTimeFormatter pattern from config; loader-sharding
+    example '-yyyy-MM-dd').
+
+    ``field`` must be one of ``ALLOWED_FIELDS`` (the reference rejects
+    non-timestamp fields at config decode time); ``date_format`` is a
+    strftime pattern (the DateTimeFormatter analogue).
+    """
+
+    ALLOWED_FIELDS = ("ts", "warc_ts", "collector_tstamp")
+
+    field_name: str = "ts"
+    date_format: str = "-%Y-%m-%d"
+
+    def __post_init__(self):
+        if self.field_name not in self.ALLOWED_FIELDS:
+            raise ValueError(
+                f"shard suffix field {self.field_name!r} not in whitelist "
+                f"{self.ALLOWED_FIELDS}")
+
+
+DEFAULT_SHARD_SUFFIX = ShardSuffixConfig()
 
 
 #: terms reserved for non-term payloads inside segments. Doc lengths are

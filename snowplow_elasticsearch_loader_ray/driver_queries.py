@@ -723,11 +723,17 @@ EVENTS_MIN_TS_SQL = "SELECT min(ts) AS earliest_ts, count(*)::BIGINT AS n_events
 def shard_routing(sf_dir: str) -> pa.Table:
     """P5/W4 analogue: date-formatted shard suffix → per-shard counts
     (Processing.scala:162-171; '-yyyy-MM-dd' per loader-sharding.hocon:19-23;
-    fail-open: null ts → null suffix)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    fail-open: null ts → null suffix). Field + format are config-driven
+    (ShardSuffixConfig: whitelisted field, strftime pattern —
+    Config.scala:130-145)."""
+    from .config import DEFAULT_SHARD_SUFFIX as SS
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=[SS.field_name])
 
     def suffix(b: pa.Table) -> pa.Table:
-        return pa.table({"shard_suffix": pc.strftime(b["ts"], format="-%Y-%m-%d")})
+        return pa.table({"shard_suffix": pc.strftime(b[SS.field_name],
+                                                     format=SS.date_format)})
 
     out = ds.map_batches(suffix, batch_format="pyarrow").groupby(
         "shard_suffix").aggregate(Count(alias_name="n"))

@@ -384,12 +384,27 @@ class QueryEngine:
     """
 
     def __init__(self, index_dir: str, strategy: str = "taat"):
+        from ..health import HealthMonitor
+
         self.reader = IndexReader(index_dir)
         self.strategy = strategy
+        # H1: the probe the serving layer polls (RuntimeService analogue;
+        # unhealthyLatency default per reference.conf:49-52)
+        self.health = HealthMonitor()
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         fn = score_taat if self.strategy == "taat" else score_bmw
-        return fn(self.reader, query, k)
+        op = self.health.begin("query")
+        try:
+            out = fn(self.reader, query, k)
+        except Exception as e:
+            self.health.end(op, ok=False, error=str(e))
+            raise
+        self.health.end(op, ok=True)
+        return out
+
+    def healthy(self) -> bool:
+        return self.health.healthy()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: list[int] = []

@@ -1,0 +1,133 @@
+"""A1 size+time batching + H1 health probe semantics (fake clocks).
+
+Mirrors the reference's BatchUp.withTimeout contract
+(Processing.scala:80, reference.conf:27-30) and the health probe's
+failure / unhealthy-latency rules (RuntimeService.scala,
+reference.conf:49-52) deterministically — no sleeps.
+"""
+
+import os
+
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import (
+    IndexConfig, ShardSuffixConfig)
+from snowplow_elasticsearch_loader_ray.health import HealthMonitor
+from snowplow_elasticsearch_loader_ray.stages.batchup import BatchUp
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_batchup_flushes_on_size():
+    clk = FakeClock()
+    b = BatchUp(max_bytes=10, max_delay_s=100.0, clock=clk)
+    assert b.add("a", 4) is None
+    assert b.add("b", 4) is None
+    out = b.add("c", 4)              # 12 >= 10: flush INCLUDING the tripper
+    assert out is not None and out.items == ["a", "b", "c"]
+    assert out.reason == "size" and out.n_bytes == 12
+    assert b.close() is None         # nothing left
+
+
+def test_batchup_flushes_on_delay():
+    clk = FakeClock()
+    b = BatchUp(max_bytes=1_000, max_delay_s=1.0, clock=clk)
+    assert b.add("a", 1) is None
+    clk.t = 0.5
+    assert b.poll() is None          # not old enough
+    clk.t = 1.0
+    out = b.poll()                   # age == maxDelay: flush partial
+    assert out is not None and out.items == ["a"] and out.reason == "delay"
+    assert b.poll() is None          # empty batcher never times out
+    clk.t = 50.0
+    assert b.poll() is None
+
+
+def test_batchup_age_starts_at_first_item():
+    clk = FakeClock()
+    b = BatchUp(max_bytes=1_000, max_delay_s=1.0, clock=clk)
+    clk.t = 10.0
+    b.add("a", 1)
+    clk.t = 10.9
+    assert b.poll() is None
+    clk.t = 11.0
+    assert b.poll().items == ["a"]
+
+
+def test_batchup_oversized_single_item_flushes_alone():
+    b = BatchUp(max_bytes=10, max_delay_s=100.0, clock=FakeClock())
+    out = b.add("huge", 50)
+    assert out.items == ["huge"] and out.reason == "size"
+
+
+def test_batchup_feed_and_close():
+    clk = FakeClock()
+    b = BatchUp(max_bytes=8, max_delay_s=100.0, clock=clk)
+    batches = list(b.feed((c, 4) for c in "abcde"))
+    assert [x.items for x in batches] == [["a", "b"], ["c", "d"], ["e"]]
+    assert [x.reason for x in batches] == ["size", "size", "close"]
+
+
+def test_stream_ingest_micro_batches(tmp_path):
+    """The unbounded-source surface: size-flushed micro-batches each
+    commit a parquet part + manifest; counters add up."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    payloads = [b'{"n":%d}' % i for i in range(10)] + [b"{bad"]
+    cfg = IndexConfig(flush_max_bytes=30, flush_max_delay_s=100.0)
+    out = str(tmp_path / "stream")
+    counters = stream_ingest(iter(payloads), out, purpose="json", cfg=cfg,
+                             clock=FakeClock())
+    assert counters["good"] == 10 and counters["parse_error"] == 1
+    assert counters["batches"] == counters["flush_size"] + 1  # + close tail
+    parts = sorted(os.listdir(os.path.join(out, "records")))
+    assert len(parts) == counters["batches"]
+    mans = os.listdir(os.path.join(out, "manifests"))
+    assert len(mans) == counters["batches"] + 1               # + stream rollup
+
+
+def test_health_probe_failure_and_recovery():
+    clk = FakeClock()
+    h = HealthMonitor(unhealthy_latency_s=120.0, clock=clk)
+    assert h.healthy()
+    h.report_failure("bad-sink", "boom")
+    assert not h.healthy()
+    h.report_success("bad-sink")                  # same service recovers
+    assert h.healthy()
+
+
+def test_health_probe_unhealthy_latency():
+    clk = FakeClock()
+    h = HealthMonitor(unhealthy_latency_s=120.0, clock=clk)
+    op = h.begin("index-write")
+    clk.t = 119.0
+    assert h.healthy()
+    clk.t = 121.0
+    assert not h.healthy()                        # stuck op > unhealthyLatency
+    h.end(op, ok=True)
+    assert h.healthy()                            # finished: healthy again
+    assert h.status()["success"] == 1
+
+
+def test_query_engine_health_wiring():
+    """QueryEngine exposes the probe and stays healthy through queries."""
+    import ray
+    from snowplow_elasticsearch_loader_ray.driver_queries import _ensure_index
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_ensure_index("/root/testdata/sf0.001"))
+    eng.topk("data", 5)
+    assert eng.healthy()
+    assert eng.health.status()["success"] == 1
+
+
+def test_shard_suffix_config_whitelist():
+    ShardSuffixConfig(field_name="warc_ts", date_format="-%Y-%m")
+    with pytest.raises(ValueError):
+        ShardSuffixConfig(field_name="url")
