@@ -703,6 +703,62 @@ def lsh_ann(sf_dir: str) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# quantitative gates for the approximate operators: measured recall
+# against the ENGINE-EXACT result (deterministic: fixed seeds + data),
+# so "approximate" is graded on numbers, not merely "runs"
+# --------------------------------------------------------------------------
+
+def ann_recall(sf_dir: str) -> pa.Table:
+    """Per-query hits@10 of the LSH and IVF ANN paths against exact
+    brute-force cosine top-10 (the ann_topk oracle result). Fixed seeds
+    make the value-hash deterministic across runs.
+
+    Reading the numbers: the driver's embeddings are near-uniform
+    random, the hardest case for bucketed ANN — recall ≈ fraction of
+    corpus scanned (LSH ~0.3 at ~10% scanned; IVF ~0.9 at nprobe/cells
+    = 1/4 because k-means adapts to the data). On clustered / near-dup
+    corpora LSH recall is far higher (planted-dup tests in
+    tests/test_ann.py show exact dups are always found)."""
+    _qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    exact = ANN.ann_topk(ds, qmat, k=TOPK)
+    rows = []
+    for method, fn in (
+        ("lsh", lambda: ANN.lsh_ann_topk(ds, qmat, k=TOPK)),
+        ("ivf", lambda: ANN.ivf_ann_topk(ds, qmat, k=TOPK, n_cells=16, nprobe=4)),
+    ):
+        approx = fn()
+        for qi in range(len(qmat)):
+            e = set(exact.filter(pc.equal(exact["query_id"], qi))["vec_id"].to_pylist())
+            a = set(approx.filter(pc.equal(approx["query_id"], qi))["vec_id"].to_pylist())
+            rows.append((method, qi, len(e & a)))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "query_id": pa.array([r[1] for r in rows], pa.int64()),
+        "hits_at_10": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def minhash_recall(sf_dir: str) -> pa.Table:
+    """MinHash+LSH pair mining vs exact Jaccard pairs at the same
+    threshold: exact-pair count, mined-pair count, overlap, and whether
+    every mined pair is exact-verified (precision is 1.0 by construction
+    — the verify step computes exact Jaccard)."""
+    cfg = DedupConfig(jaccard_threshold=JACCARD_THRESHOLD)
+    exact = D.jaccard_dup_pairs(_docs_ds(sf_dir), cfg)
+    mined = D.minhash_lsh_pairs(_docs_ds(sf_dir), cfg)
+    e = set(zip(exact["doc_id_a"].to_pylist(), exact["doc_id_b"].to_pylist()))
+    m = set(zip(mined["doc_id_a"].to_pylist(), mined["doc_id_b"].to_pylist()))
+    return pa.table({
+        "n_exact": pa.array([len(e)], pa.int64()),
+        "n_mined": pa.array([len(m)], pa.int64()),
+        "n_common": pa.array([len(e & m)], pa.int64()),
+        "precision_is_exact": pa.array([m <= e]),
+    })
+
+
+# --------------------------------------------------------------------------
 # streaming-counter / routing analogues over the events table
 # --------------------------------------------------------------------------
 
@@ -1139,6 +1195,8 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": resume_stats,
         "build_metrics": build_metrics,
         "image_meta": image_meta,
+        "ann_recall": ann_recall,
+        "minhash_recall": minhash_recall,
     }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,

@@ -122,13 +122,16 @@ class _HyperplaneBucket:
 
 
 def lsh_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
-                 n_planes: int = 6, seed: int = 42) -> pa.Table:
+                 n_planes: int = 6, seed: int = 42,
+                 multiprobe: int = 1) -> pa.Table:
     """Approximate cosine top-k: search only LSH-colliding buckets.
 
     Random-hyperplane signatures; queries and vectors share the plane
-    matrix (broadcast). Recall < 1 by construction — measured against
-    ``ann_topk`` in tests; production would multi-probe adjacent
-    buckets / several tables.
+    matrix (broadcast). ``multiprobe`` is the standard recall lever: a
+    query also probes buckets within that signature hamming radius
+    (radius 1 = flip each plane once — the planes most likely to have
+    mis-split a true neighbor). Recall < 1 by construction — measured
+    against ``ann_topk`` in tests and the ann_recall driver entry.
     """
     queries = np.asarray(queries, dtype=np.float64)
     rng = np.random.default_rng(seed)
@@ -138,7 +141,14 @@ def lsh_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     qbucket = np.zeros(len(queries), dtype=np.int64)
     for i in range(n_planes):
         qbucket |= qb[:, i].astype(np.int64) << i
-    wanted = pa.array(np.unique(qbucket))
+    probe_sets = []
+    for b in qbucket:
+        s = {int(b)}
+        if multiprobe >= 1:
+            s |= {int(b) ^ (1 << i) for i in range(n_planes)}
+        probe_sets.append(s)
+    wanted = pa.array(np.unique(np.array(sorted(set().union(*probe_sets)),
+                                         dtype=np.int64)))
 
     import pyarrow.compute as pc
 
@@ -153,13 +163,13 @@ def lsh_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     class _BucketTopK(_TopKPerBatch):
         def __init__(self):
             super().__init__(qref, k)
-            self.qbucket = qbucket
+            self.probe_sets = probe_sets
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = super().__call__(batch)
-            # keep only (query, vec) pairs in the same bucket
+            # keep only (query, vec) pairs within the query's probe set
             vb = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
-            keep = [self.qbucket[q] == vb[v]
+            keep = [vb[v] in self.probe_sets[q]
                     for q, v in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist())]
             return out.filter(pa.array(keep))
 
