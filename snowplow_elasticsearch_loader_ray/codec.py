@@ -234,3 +234,23 @@ class PostingList:
 
 def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return PostingList(buf).decode_all()
+
+
+def binary_views(arr) -> list[memoryview]:
+    """Zero-copy per-row memoryviews over a Binary/LargeBinary array.
+
+    Reader warm-up path: ``to_pylist()`` copies every posting buffer
+    into a Python bytes object; a memoryview slice over the single
+    Arrow data buffer shares it instead (``PostingList`` /
+    ``np.frombuffer`` accept any buffer protocol object). The returned
+    views keep the Arrow buffer alive via their base object.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = memoryview(arr.buffers()[2])
+    return [data[offs[i]:offs[i + 1]] for i in range(len(arr))]

@@ -66,11 +66,16 @@ class IndexReader:
         self.terms: dict[str, tuple[int, int, bytes]] = {}
         dl_docs: list[np.ndarray] = []
         dl_lens: list[np.ndarray] = []
+        from ..codec import binary_views
+
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
             t = pq.read_table(f)
+            # postings stay zero-copy views over the Arrow data buffer
+            # (one buffer per segment file) — warm-up copies nothing
+            views = binary_views(t["postings"])
             for term, df, cf, buf in zip(
                 t["term"].to_pylist(), t["df"].to_pylist(),
-                t["cf"].to_pylist(), t["postings"].to_pylist(),
+                t["cf"].to_pylist(), views,
             ):
                 if term == DOCLEN_TERM:
                     d, ln = PostingList(buf).decode_all()

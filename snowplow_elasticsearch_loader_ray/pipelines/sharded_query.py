@@ -47,10 +47,13 @@ class ShardReader:
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
         self.terms: dict[str, bytes] = {}
-        # own segment: this shard's term postings
+        # own segment: this shard's term postings (zero-copy views over
+        # the segment's single Arrow data buffer)
+        from ..codec import binary_views
+
         t = pq.read_table(os.path.join(index_dir, "segments",
                                        f"shard-{shard:04d}.parquet"))
-        for term, buf in zip(t["term"].to_pylist(), t["postings"].to_pylist()):
+        for term, buf in zip(t["term"].to_pylist(), binary_views(t["postings"])):
             if term != DOCLEN_TERM:
                 self.terms[term] = buf
         # global doc lengths come from the standalone doclens table the

@@ -75,3 +75,17 @@ def test_non_increasing_docs_rejected():
         encode_postings(np.array([5, 5]), np.array([1, 1]))
     with pytest.raises(ValueError):
         encode_postings(np.array([9, 5]), np.array([1, 1]))
+
+
+def test_binary_views_zero_copy_roundtrip():
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.codec import binary_views
+
+    bufs = [b"", b"abc", b"x" * 1000, b"\x00\xff" * 7]
+    arr = pa.chunked_array([pa.array(bufs[:2], pa.binary()),
+                            pa.array(bufs[2:], pa.binary())])
+    views = binary_views(arr)
+    assert [bytes(v) for v in views] == bufs
+    # sliced arrays (nonzero offset) must still map correctly
+    sliced = pa.array(bufs, pa.binary()).slice(1, 2)
+    assert [bytes(v) for v in binary_views(sliced)] == bufs[1:3]
