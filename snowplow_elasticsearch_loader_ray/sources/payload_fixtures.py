@@ -79,15 +79,22 @@ BAD_CASES: list[tuple[str, str, str | None]] = [
 ]
 
 #: decompress fixture: (payload bytes builder, expected status, expected
-#: record). Built lazily so gzip runs once at fixture write time.
+#: record). Built lazily so compression runs once at fixture write time.
 def _decompress_rows() -> list[tuple[bytes, str, str | None]]:
+    import pyarrow as pa
+
     big = '{"pad":"' + "a" * 2_000_000 + '"}'
+    zc = pa.Codec("zstd")
     return [
         (gzip.compress('{"ok":1}'.encode()), "good", '{"ok":1}'),
         ('{"plain":true}'.encode(), "good", '{"plain":true}'),
         (b"\x1f\x8b\x00\x00garbage-not-gzip", "decompress_error", None),
         (gzip.compress(big.encode()), "decompress_error", None),   # > cap
-        (b"\x28\xb5\x2f\xfdzstd-frame-no-codec", "decompress_error", None),
+        # REAL zstd round-trip (pyarrow codec writes the content size)
+        (zc.compress('{"zstd":true}'.encode()).to_pybytes(), "good",
+         '{"zstd":true}'),
+        (zc.compress(big.encode()).to_pybytes(), "decompress_error", None),
+        (b"\x28\xb5\x2f\xfdcorrupt-zstd-frame", "decompress_error", None),
     ]
 
 

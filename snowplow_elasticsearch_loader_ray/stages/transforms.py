@@ -17,9 +17,11 @@ Also here:
 - ``decompress_payloads`` — the source decompression step
   (``Processing.scala:42-49``, S2): zstd/gzip auto-detected by magic
   bytes, per-payload size cap, corrupt payloads → bad rows (never task
-  failures). zstd has no stdlib codec in this interpreter, so it is
-  detected and reported as a distinct bad-row type unless a ``zstandard``
-  module is importable (import-try gate).
+  failures). zstd decompression is REAL in every environment: the
+  ``zstandard`` module when importable, else pyarrow's bundled zstd
+  codec driven by the frame's declared content size (RFC 8878 header
+  parse); only content-size-less streaming frames fall back to a
+  deterministic bad row on the pyarrow path.
 - ``with_retries`` — the bounded retry loop with the
   permanent-vs-transient error split (``ElasticsearchSink.scala:81-104,
   145-198``, W2/W3): deterministic per-row failures become bad rows,
@@ -45,6 +47,61 @@ try:  # pragma: no cover - not present in this container
     import zstandard as _zstd
 except ImportError:
     _zstd = None
+
+
+def _zstd_content_size(p: bytes) -> int | None:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1).
+
+    Returns None when the frame omits it (streaming frames with
+    fcs_flag=0 and no Single_Segment flag) or the header is truncated.
+    Needed because pyarrow's zstd codec (the fallback decompressor when
+    the ``zstandard`` module is absent) requires the exact output size.
+    """
+    if len(p) < 6:
+        return None
+    fhd = p[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 0x3]
+    off = 5 + (0 if single_segment else 1) + did_size
+    try:
+        if fcs_flag == 0:
+            return p[off] if single_segment else None
+        if fcs_flag == 1:
+            return int.from_bytes(p[off:off + 2], "little") + 256
+        if fcs_flag == 2:
+            return int.from_bytes(p[off:off + 4], "little")
+        return int.from_bytes(p[off:off + 8], "little")
+    except IndexError:
+        return None
+
+
+def _zstd_decompress(p: bytes, max_bytes: int) -> tuple[bytes | None, str | None]:
+    """Real zstd decompression with the size cap; never raises.
+
+    Prefers the ``zstandard`` module; falls back to pyarrow's bundled
+    zstd codec (always present — Ray Data depends on pyarrow), which
+    needs the frame's declared content size. Content-size-less
+    streaming frames are a deterministic bad row on the fallback path.
+    """
+    if _zstd is not None:  # pragma: no cover - module absent here
+        try:
+            return _zstd.ZstdDecompressor().decompress(
+                p, max_output_size=max_bytes), None
+        except Exception as e:  # noqa: BLE001
+            return None, f"corrupt zstd payload: {e}"
+    size = _zstd_content_size(p)
+    if size is None:
+        return None, "zstd frame without declared content size"
+    if size > max_bytes:
+        return None, f"decompressed payload exceeds {max_bytes} B cap"
+    try:
+        import pyarrow as _pa
+
+        out = _pa.Codec("zstd").decompress(p, size)
+        return out.to_pybytes(), None
+    except Exception as e:  # noqa: BLE001 - poisoned rows must not fail tasks
+        return None, f"corrupt zstd payload: {e}"
 
 GZIP_MAGIC = b"\x1f\x8b"
 ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
@@ -86,10 +143,7 @@ def decompress_one(payload: bytes, max_bytes: int = 10_000_000) -> tuple[bytes |
                 return None, f"decompressed payload exceeds {max_bytes} B cap"
             return out, None
         if codec == "zstd":
-            if _zstd is None:
-                return None, "zstd payload but no zstd codec available"
-            out = _zstd.ZstdDecompressor().decompress(payload, max_output_size=max_bytes)
-            return out, None
+            return _zstd_decompress(payload, max_bytes)
         if len(payload) > max_bytes:
             return None, f"payload exceeds {max_bytes} B cap"
         return payload, None

@@ -196,3 +196,35 @@ def test_retry_budget_exhausted_reraises_last():
 
     with pytest.raises(OSError):
         T.with_retries(always, attempts=3, sleep=lambda _s: None)
+
+
+def test_zstd_real_roundtrip_via_pyarrow_codec():
+    """S2 zstd path is REAL without the zstandard module: pyarrow's
+    bundled codec + RFC 8878 content-size header parse
+    (ProcessingSpec.scala:277-350 round-trip analogue)."""
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.stages import transforms as T
+
+    payload = b'{"zstd": "roundtrip", "n": 42}'
+    comp = pa.Codec("zstd").compress(payload).to_pybytes()
+    assert T.detect_codec(comp) == "zstd"
+    out, err = T.decompress_one(comp, max_bytes=1_000_000)
+    assert err is None and out == payload
+    # over-cap declared size -> deterministic bad row, no decompression
+    big = pa.Codec("zstd").compress(b"x" * 500_000).to_pybytes()
+    out, err = T.decompress_one(big, max_bytes=100)
+    assert out is None and "cap" in err
+    # corrupt frame body -> bad row, never a raise
+    out, err = T.decompress_one(comp[:8] + b"\x00\x00\x00\x00", max_bytes=1_000)
+    assert out is None and err is not None
+
+
+def test_zstd_content_size_header_parse():
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.stages.transforms import (
+        _zstd_content_size)
+
+    for n in (0, 1, 255, 256, 300, 70_000, 1 << 20):
+        comp = pa.Codec("zstd").compress(b"a" * n).to_pybytes()
+        assert _zstd_content_size(comp) == n, n
+    assert _zstd_content_size(b"\x28\xb5\x2f\xfd") is None   # truncated
