@@ -578,8 +578,45 @@ def simhash_pairs(sf_dir: str) -> pa.Table:
 
 
 def dedup_survivors(sf_dir: str) -> pa.Table:
+    """Keep-one-per-near-dup-cluster over MinHash+LSH pairs. Oracle:
+    connected components (recursive CTE) over the EXACT Jaccard pair
+    set — a strict gate that also enforces full LSH recall at this
+    corpus scale (measured 25/25 by minhash_recall)."""
     cfg = DedupConfig(jaccard_threshold=JACCARD_THRESHOLD)
     return D.dedup_survivors(_docs_ds(sf_dir), cfg)
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, {TOK_SQL} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, min(r)::BIGINT AS cluster_root, (id = min(r)) AS is_survivor
+FROM reach GROUP BY id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1216,6 +1253,7 @@ def registry() -> tuple[dict, dict]:
         "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "quality_stats": QUALITY_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_pairs": EMBEDDING_PAIRS_SQL,
