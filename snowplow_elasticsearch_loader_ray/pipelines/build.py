@@ -291,6 +291,14 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
     the permanent/transient split of ElasticsearchSink.scala:145-198."""
     import pyarrow.dataset as pads
 
+    # honest per-task threading: the dataset scanner's default CPU pool
+    # is sized to ALL host cores, so N concurrent shard tasks would run
+    # N x cores threads — measured 3x WALL-TIME DEGRADATION at 32
+    # concurrent tasks vs 8 on this host (phase probe, BASELINE.md).
+    # One task = one Ray CPU = one scan thread (+2 IO).
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+
     # test hook (resilience tests): a `_faults/shard-<k>.once` file makes
     # this task fail transiently exactly once; Ray's task retry
     # (max_retries default) then recomputes it — the W3 transient path
