@@ -127,18 +127,45 @@ def ingest_pages(pages: str | list[str], out_dir: str,
     # hive layout keys each status to a directory, so footer row counts
     # are exact — at 100 TB this is a metadata listing, not a read
     counters: dict[str, int] = {}
+    error_samples: dict[str, list[str]] = {}
     for d in sorted(glob.glob(os.path.join(docs_dir, "status=*"))):
         status = os.path.basename(d).split("=", 1)[1]
-        counters[status] = _footer_rows(glob.glob(os.path.join(d, "*.parquet")))
+        part_files = glob.glob(os.path.join(d, "*.parquet"))
+        counters[status] = _footer_rows(part_files)
+        if status != "good" and part_files:
+            error_samples[status] = _sample_errors(part_files[0])
     counters.setdefault("good", 0)
     mf.commit(man_dir, "ingest", {
         "stage": "ingest",
         "input_files": [os.path.basename(f) for f in files],
         "counters": counters,
+        "error_messages": error_samples,
         "durable": False,          # lineage-recoverable (rerun ingest)
         "wall_s": round(time.time() - t0, 3),
     })
     return counters
+
+
+def _sample_errors(path: str, cap: int = 10) -> list[str]:
+    """Up to ``cap`` distinct error messages from one dead-letter file
+    (first batch only — a bounded metadata-grade read). The cap mirrors
+    the reference's readable-message rule: 'Error messages are capped at
+    10 to keep the message readable' (ElasticsearchSink.scala:172-180)."""
+    msgs: list[str] = []
+    try:
+        pf = pq.ParquetFile(path)
+        if "error" not in pf.schema_arrow.names:
+            return msgs
+        for batch in pf.iter_batches(batch_size=256, columns=["error"]):
+            for e in batch["error"].to_pylist():
+                if e and e not in msgs:
+                    msgs.append(e)
+                    if len(msgs) >= cap:
+                        return msgs
+            break                              # one batch is plenty
+    except OSError:
+        pass
+    return msgs
 
 
 def good_docs_dir(ingest_out_dir: str) -> str:
