@@ -238,8 +238,6 @@ def phrase_match(sf_dir: str) -> pa.Table:
     candidate-then-verify plan; a positional index would replace the
     verify scan at higher phrase selectivity.
     """
-    import re as _re
-
     from .pipelines.query import boolean_and
 
     r = _reader(sf_dir)
@@ -248,29 +246,41 @@ def phrase_match(sf_dir: str) -> pa.Table:
     all_ids = np.unique(np.concatenate([v for v in cand.values()])) \
         if any(len(v) for v in cand.values()) else np.empty(0, np.int64)
     wanted = pa.array(all_ids, pa.int64())
+    # per-query candidate sets broadcast once; verification runs INSIDE
+    # map_batches (each batch checks only its own rows), so candidate
+    # texts never accumulate on the driver — only (qid, doc_id) hits do
+    cand_ref = ray.put({qid: set(v.tolist()) for qid, v in cand.items()})
 
-    def pick(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["doc_id"], value_set=wanted))
+    class _VerifyPhrases:
+        def __init__(self):
+            import re as _re
 
-    texts: dict[int, str] = {}
-    for b in ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"]) \
-            .map_batches(pick, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+            self.cand = ray.get(cand_ref)
+            self.tok = _re.compile(r"[a-z0-9]+")
+            self.needles = {qid: " " + " ".join(self.tok.findall(q.lower())) + " "
+                            for qid, q in PHRASE_QUERIES}
 
-    def tokens_joined(s: str) -> str:
-        return " " + " ".join(_re.findall(r"[a-z0-9]+", s.lower())) + " "
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b["doc_id"], value_set=wanted))
+            qids, docs = [], []
+            for d, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+                joined = " " + " ".join(self.tok.findall(text.lower())) + " "
+                for qid, members in self.cand.items():
+                    if d in members and self.needles[qid] in joined:
+                        qids.append(qid)
+                        docs.append(d)
+            return pa.table({
+                "qid": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+            })
 
-    qids, docs = [], []
-    for qid, q in PHRASE_QUERIES:
-        needle = tokens_joined(q)
-        for d in cand[qid]:
-            if needle in tokens_joined(texts[int(d)]):
-                qids.append(qid)
-                docs.append(int(d))
+    out = (ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+           .map_batches(_VerifyPhrases, batch_format="pyarrow", concurrency=2)
+           .to_pandas())
+    out = out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
     return pa.table({
-        "qid": pa.array(qids, pa.int64()),
-        "doc_id": pa.array(docs, pa.int64()),
+        "qid": pa.array(out["qid"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
     })
 
 
