@@ -284,6 +284,29 @@ def phrase_match(sf_dir: str) -> pa.Table:
     })
 
 
+def phrase_positional(sf_dir: str) -> pa.Table:
+    """Exact phrase search over a real POSITIONAL index (per-(term,doc)
+    in-doc position lists, ``pipelines/positions.py``): phrases resolve
+    inside the index by offset-shifted position intersection — no text
+    re-read. Same oracle as the candidate-then-verify plan; the two
+    engines must agree exactly."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      phrase_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    r = PositionalReader(pos_dir)
+    qids, docs = [], []
+    for qid, q in PHRASE_QUERIES:
+        for d in phrase_search(r, q):
+            qids.append(qid)
+            docs.append(int(d))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def _phrase_sql() -> str:
     cases = "\nUNION ALL\n".join(
         f"SELECT {qid} AS qid, doc_id FROM tok WHERE joined LIKE "
@@ -1214,6 +1237,7 @@ def registry() -> tuple[dict, dict]:
         "doc_fetch": doc_fetch,
         "top_terms": top_terms,
         "phrase_match": phrase_match,
+        "phrase_positional": phrase_positional,
         "vocabulary_stats": vocabulary_stats,
         "lang_doclen_stats": lang_doclen_stats,
         "dedup_exact": dedup_exact,
@@ -1258,6 +1282,7 @@ def registry() -> tuple[dict, dict]:
         "doc_fetch": DOC_FETCH_SQL,
         "top_terms": TOP_TERMS_SQL,
         "phrase_match": _phrase_sql(),
+        "phrase_positional": _phrase_sql(),
         "vocabulary_stats": VOCABULARY_STATS_SQL,
         "lang_doclen_stats": LANG_DOCLEN_SQL,
         "hash_sample": HASH_SAMPLE_SQL,

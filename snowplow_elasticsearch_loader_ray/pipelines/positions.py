@@ -1,0 +1,265 @@
+"""Positional index: real phrase queries via position-list intersection.
+
+The candidate-then-verify phrase plan (``driver_queries.phrase_match``)
+re-reads candidate documents' text; at higher phrase selectivity the
+classic fix is a POSITIONAL index — per (term, doc) token positions —
+so phrases resolve inside the index with no text fetch. The reference
+delegates this to Elasticsearch (index_options=positions is the ES
+default for text fields; the IT harness's match_phrase surface rides on
+it); this module is the from-scratch Ray Data equivalent.
+
+Physical plan mirrors the main build (SURVEY.md §7.3, same
+manifest/resume machinery):
+
+- phase 1: ``map_batches(TokenizePositions)`` emits one row per
+  (doc, term) carrying the term's in-doc positions as a ``list<int32>``
+  column — fully vectorized (one lexsort + one ListArray construction
+  per batch, no per-group Python loop) — written shard-sorted per
+  partition;
+- phase 2: one task per term shard reads its rows (row-group-statistics
+  pruned), sorts by (term, doc_id) and writes
+  ``positions/shard-NNNN.parquet`` — term-sorted row groups, so a
+  query's per-term read prunes by the parquet term statistics;
+- query: for each phrase term fetch (doc_id, positions) from its shard,
+  intersect doc sets, then verify adjacency with ``np.intersect1d``
+  over offset-shifted position arrays (repeated phrase terms reuse one
+  fetch with different offsets).
+
+Partitioning assumption (custom-op rule): same ``term_shard_one``
+routing as the main index; a term's full position postings live in one
+shard file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..config import IndexConfig, DEFAULT_CONFIG
+from ..state import manifest as mf
+from ..tokenizer import term_shard_one, tokenize_to_terms
+from .build import _input_files
+
+POSITIONS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("positions", pa.list_(pa.int32())),
+])
+
+
+class TokenizePositions:
+    """(doc_id, text) batches → (shard, term, doc_id, positions) rows.
+
+    Vectorized: token stream → in-doc positions by one bincount/cumsum,
+    (doc, term) grouping by one integer lexsort, position lists as a
+    single zero-copy ``ListArray`` over the sorted position buffer.
+    """
+
+    def __init__(self, cfg: IndexConfig = DEFAULT_CONFIG):
+        self.num_shards = cfg.num_term_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, idx = tokenize_to_terms(batch["text"])
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        n = len(idx_np)
+        if n == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int32())),
+            })
+        counts = np.bincount(idx_np, minlength=batch.num_rows)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = (np.arange(n, dtype=np.int64) - starts[idx_np]).astype(np.int32)
+
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        tid = d.indices.to_numpy(zero_copy_only=False)
+        vocab = d.dictionary
+
+        order = np.lexsort((pos, tid, idx_np))
+        sidx, stid, spos = idx_np[order], tid[order], pos[order]
+        change = (sidx[1:] != sidx[:-1]) | (stid[1:] != stid[:-1])
+        gstarts = np.concatenate(([0], np.nonzero(change)[0] + 1))
+        offsets = np.concatenate((gstarts, [n])).astype(np.int32)
+
+        # shard per group: hash each unique term once (small vocab)
+        lut = np.fromiter(
+            (term_shard_one(t, self.num_shards) for t in vocab.to_pylist()),
+            dtype=np.int32, count=len(vocab))
+        g_tid = stid[gstarts]
+        g_shard = lut[g_tid]
+        g_doc = doc_ids[sidx[gstarts]]
+        positions_col = pa.ListArray.from_arrays(pa.array(offsets),
+                                                 pa.array(spos))
+        t = pa.table({
+            "shard": pa.array(g_shard),
+            "term": pa.DictionaryArray.from_arrays(
+                pa.array(g_tid.astype(np.int32)), vocab),
+            "doc_id": pa.array(g_doc, type=pa.int64()),
+            "positions": positions_col,
+        })
+        # shard-sorted rows → shard-clustered row groups in the run file
+        # (phase 2 prunes by row-group statistics, same as the main build)
+        return t.take(pa.array(np.argsort(g_shard, kind="stable")))
+
+
+@ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
+def _encode_pos_shard(pos_dir: str, shard: int) -> dict:
+    import pyarrow.dataset as pads
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    runs_dir = os.path.join(pos_dir, "runs")
+    seg_dir = os.path.join(pos_dir, "positions")
+    os.makedirs(seg_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(runs_dir, "part=*", "*.parquet")))
+    if files:
+        fmt = pads.ParquetFileFormat(read_options={"dictionary_columns": ["term"]})
+        t = pads.dataset(files, format=fmt).to_table(
+            columns=["term", "doc_id", "positions"],
+            filter=pads.field("shard") == shard)
+        t = pa.table({
+            "term": pc.cast(t["term"], pa.string()),
+            "doc_id": t["doc_id"],
+            "positions": t["positions"],
+        })
+        t = t.take(pc.sort_indices(t, sort_keys=[("term", "ascending"),
+                                                 ("doc_id", "ascending")]))
+    else:
+        t = POSITIONS_SCHEMA.empty_table()
+    out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+    tmp = out + ".tmp"
+    # small row groups: a query's one-term read prunes to the groups
+    # whose [min,max] term stats cover it
+    pq.write_table(t, tmp, compression="zstd", row_group_size=4096)
+    os.replace(tmp, out)
+    return {
+        "part": shard,
+        "stage": "positions",
+        "counters": {"rows": t.num_rows},
+        "outputs": [os.path.relpath(out, pos_dir)],
+    }
+
+
+def build_positions(docs: str | list[str], pos_dir: str,
+                    cfg: IndexConfig = DEFAULT_CONFIG) -> None:
+    """Build (or resume) the positional index over a document table."""
+    os.makedirs(pos_dir, exist_ok=True)
+    man_dir = os.path.join(pos_dir, "manifests")
+    if mf.is_committed(man_dir, "positions"):
+        return
+    files = _input_files(docs)
+    runs_dir = os.path.join(pos_dir, "runs")
+    if not mf.is_committed(man_dir, "pos-runs"):
+        tmp = os.path.join(pos_dir, "_tmp_runs")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(runs_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = ray.data.read_parquet(files, columns=["doc_id", "text"],
+                                   override_num_blocks=len(files))
+        ds = ds.map_batches(TokenizePositions(cfg), batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+        ds.write_parquet(os.path.join(tmp, "part=all"),
+                         row_group_size=cfg.run_row_group_size,
+                         compression="zstd")
+        mf.commit_dir_rename(tmp, runs_dir, durable=False)
+        mf.commit(man_dir, "pos-runs", {
+            "stage": "pos-runs", "durable": False,
+            "input_files": [os.path.basename(f) for f in files],
+            "wall_s": round(time.time() - t0, 3),
+        })
+    missing = [s for s in range(cfg.num_term_shards)
+               if not mf.is_committed(man_dir, f"pos-shard-{s:04d}")]
+    refs = [_encode_pos_shard.remote(pos_dir, s) for s in missing]
+    for s, payload in zip(missing, ray.get(refs)):
+        mf.commit(man_dir, f"pos-shard-{s:04d}", payload)
+    mf.commit(man_dir, "positions", {
+        "stage": "positions", "complete": True,
+        "num_term_shards": cfg.num_term_shards,
+    })
+
+
+# --------------------------------------------------------------------------
+# query side
+# --------------------------------------------------------------------------
+
+class PositionalReader:
+    """Per-term (doc_id, positions) fetch from the positional shards."""
+
+    def __init__(self, pos_dir: str):
+        man = mf.load(os.path.join(pos_dir, "manifests"), "positions")
+        self.pos_dir = pos_dir
+        self.num_shards = int(man["num_term_shards"])
+        self._cache: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+
+    def term_positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        import pyarrow.dataset as pads
+
+        shard = term_shard_one(term, self.num_shards)
+        f = os.path.join(self.pos_dir, "positions", f"shard-{shard:04d}.parquet")
+        t = pads.dataset(f).to_table(columns=["doc_id", "positions"],
+                                     filter=pads.field("term") == term)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        plists = t["positions"]
+        if isinstance(plists, pa.ChunkedArray):
+            plists = plists.combine_chunks()
+        flat = plists.values.to_numpy(zero_copy_only=False)
+        offs = plists.offsets.to_numpy(zero_copy_only=False)
+        pos = [flat[offs[i]:offs[i + 1]] for i in range(len(docs))]
+        out = (docs, pos)
+        self._cache[term] = out
+        return out
+
+
+def phrase_search(reader: PositionalReader, phrase: str) -> np.ndarray:
+    """doc_ids (ascending) containing the exact token sequence.
+
+    Tokenization matches the engine rule; phrase order and duplicate
+    terms are honored (each occurrence adds an offset constraint over
+    the SAME fetched position list).
+    """
+    import re as _re
+
+    terms = _re.findall(r"[a-z0-9]+", phrase.lower())
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    fetched = {t: reader.term_positions(t) for t in set(terms)}
+    # conjunctive doc intersection, smallest first
+    doc_sets = [fetched[t][0] for t in set(terms)]
+    cand = sorted(doc_sets, key=len)[0]
+    for d in doc_sets:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+        if not len(cand):
+            return np.empty(0, dtype=np.int64)
+    out = []
+    # per-candidate adjacency check: positions of term i shifted by -i
+    # must share at least one start position
+    lookups = {t: dict(zip(docs.tolist(), range(len(docs))))
+               for t, (docs, _p) in fetched.items()}
+    for doc in cand.tolist():
+        starts: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            docs_t, pos_t = fetched[t]
+            p = pos_t[lookups[t][doc]].astype(np.int64) - i
+            starts = p if starts is None else np.intersect1d(starts, p,
+                                                             assume_unique=True)
+            if not len(starts):
+                break
+        if starts is not None and len(starts):
+            out.append(doc)
+    return np.array(sorted(out), dtype=np.int64)

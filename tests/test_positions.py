@@ -1,0 +1,66 @@
+"""Positional index: build + phrase adjacency semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+    PositionalReader, TokenizePositions, build_positions, phrase_search)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown foxes are quick brown"),
+    (3, "the the the repeated tokens here"),
+    (4, "Punctuation, splits; tokens—brown fox!"),
+    (5, ""),
+    (6, "brown. fox? BROWN FOX"),
+]
+
+
+def _build(tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS], pa.string()),
+    }), src)
+    pos_dir = str(tmp_path / "pos")
+    build_positions(src, pos_dir, IndexConfig(num_term_shards=4))
+    return PositionalReader(pos_dir)
+
+
+def test_tokenize_positions_groups():
+    out = TokenizePositions(IndexConfig(num_term_shards=4))(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a b a c b a"], pa.string()),
+    }))
+    by_term = {t: p for t, p in zip(out["term"].to_pylist(),
+                                    out["positions"].to_pylist())}
+    assert by_term == {"a": [0, 2, 5], "b": [1, 4], "c": [3]}
+
+
+def test_phrase_search_semantics(tmp_path):
+    r = _build(tmp_path)
+    assert phrase_search(r, "quick brown").tolist() == [1, 2]
+    assert phrase_search(r, "brown fox").tolist() == [1, 4, 6]   # across punctuation
+    assert phrase_search(r, "the the").tolist() == [3]           # repeated term
+    assert phrase_search(r, "the the the").tolist() == [3]
+    assert phrase_search(r, "fox jumps over").tolist() == [1]
+    assert phrase_search(r, "lazy fox").tolist() == []           # terms present, not adjacent
+    assert phrase_search(r, "absent tokens").tolist() == []
+    assert phrase_search(r, "").tolist() == []
+    # case/punctuation-insensitive tokenizer rule
+    assert phrase_search(r, "BROWN, fox!").tolist() == [1, 4, 6]
+
+
+def test_positions_resume(tmp_path):
+    """Second build over a committed positions dir is a no-op resume."""
+    import time
+
+    r = _build(tmp_path)
+    t0 = time.time()
+    build_positions(str(tmp_path / "docs.parquet"), str(tmp_path / "pos"),
+                    IndexConfig(num_term_shards=4))
+    assert time.time() - t0 < 1.0
+    assert phrase_search(r, "quick brown").tolist() == [1, 2]
