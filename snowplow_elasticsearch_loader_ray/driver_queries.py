@@ -488,6 +488,81 @@ FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2
 """
 
 
+#: (qid, scoring query, non-scoring filter term) — the ES bool pattern
+FILTERED_QUERIES: list[tuple[int, str, str]] = [
+    (0, "data stream", "table"),
+    (1, "the data", "key"),
+    (2, "customer order", "row"),
+    (3, "merge sort", "fast"),
+    (4, "join", "window"),
+    (5, "big scan", "nosuchfilterterm"),
+]
+
+
+def bm25_topk_filtered(sf_dir: str) -> pa.Table:
+    """Filtered BM25: the ES bool-query filter(non-scoring)+must(scoring)
+    shape — candidates restricted to docs containing the filter term
+    BEFORE ranking, scores unchanged for survivors."""
+    from .pipelines.query import score_taat_filtered
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q, fterm in FILTERED_QUERIES:
+        d, _s = score_taat_filtered(r, q, fterm, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _bm25_filtered_sql() -> str:
+    import re
+
+    pairs, fpairs = [], []
+    for qid, q, fterm in FILTERED_QUERIES:
+        fpairs.append(f"({qid}, '{fterm}')")
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+fq(qid, fterm) AS (VALUES {", ".join(fpairs)}),
+allowed AS (
+  SELECT DISTINCT fq.qid, tok.doc_id FROM fq JOIN tok ON tok.term = fq.fterm
+),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN allowed a ON a.qid = q.qid AND a.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def bm25_topk_wand(sf_dir: str) -> pa.Table:
     return _topk_table(sf_dir, "bmw")
 
@@ -1232,6 +1307,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_wand": bm25_topk_wand,
         "bm25_topk_distributed": bm25_topk_distributed,
         "bm25_topk_sharded": bm25_topk_sharded,
+        "bm25_topk_filtered": bm25_topk_filtered,
         "boolean_and": boolean_and,
         "boolean_or": boolean_or,
         "doc_fetch": doc_fetch,
@@ -1277,6 +1353,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_wand": _bm25_sql(),
         "bm25_topk_distributed": _bm25_sql(),
         "bm25_topk_sharded": _bm25_sql(),
+        "bm25_topk_filtered": _bm25_filtered_sql(),
         "boolean_and": _boolean_and_sql(),
         "boolean_or": _boolean_or_sql(),
         "doc_fetch": DOC_FETCH_SQL,

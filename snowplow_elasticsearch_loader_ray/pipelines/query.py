@@ -190,6 +190,39 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
     return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
 
 
+def score_taat_filtered(reader: IndexReader, query: str, filter_term: str,
+                        k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k BM25 restricted to docs containing ``filter_term`` — the ES
+    bool-query ``filter`` (non-scoring) + ``must`` (scoring) pattern.
+
+    Accumulation is identical to ``score_taat`` (same sorted-term float
+    order → same scores for surviving docs); the filter applies to the
+    CANDIDATE set before ranking, so no scoring doc is lost to top-k
+    truncation. The filter list rides the postings-position cache.
+    """
+    terms = tokenize_query(query)
+    fpl = reader.postings(filter_term)
+    if fpl is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    acc = reader.acc_buffer()
+    matched = False
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        matched = True
+        docs, tfs = pl.decode_all()
+        pos = reader.positions_of(t, docs)
+        w = bm25.idf(reader.n_docs, len(docs))
+        acc[pos] += w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
+    if not matched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    fdocs = fpl.decode_all()[0]
+    fpos = reader.positions_of(filter_term, fdocs)
+    cand = fpos[acc[fpos] != 0.0]
+    return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
+
+
 # --------------------------------------------------------------------------
 # boolean retrieval (the ES bool-query analogue of the IT harness's
 # _search surface, SURVEY.md Q1 — conjunctive/disjunctive over postings)
