@@ -133,6 +133,10 @@ def run_once() -> dict:
     stages["n_docs"] = stats["n_docs"]
     stages["n_tokens"] = stats["total_tokens"]
     stages["bad_rows"] = sum(v for k, v in counters.items() if k != "good")
+    m = B.index_metrics(f"{work}/index")
+    stages["index_bytes"] = m["bytes_written"]
+    stages["n_postings"] = m["postings"]
+    stages["bytes_per_posting"] = round(m["bytes_written"] / max(1, m["postings"]), 3)
 
     # driver-table index build (sf documents.parquet — small)
     t0 = time.time()

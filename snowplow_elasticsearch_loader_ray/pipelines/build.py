@@ -318,13 +318,15 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
     the permanent/transient split of ElasticsearchSink.scala:145-198."""
     import pyarrow.dataset as pads
 
-    # honest per-task threading: the dataset scanner's default CPU pool
-    # is sized to ALL host cores, so N concurrent shard tasks would run
-    # N x cores threads — measured 3x WALL-TIME DEGRADATION at 32
-    # concurrent tasks vs 8 on this host (phase probe, BASELINE.md).
-    # One task = one Ray CPU = one scan thread (+2 IO).
-    pa.set_cpu_count(1)
-    pa.set_io_thread_count(2)
+    # Threading note (measured, BASELINE.md round-2): capping the Arrow
+    # CPU pool per task (pa.set_cpu_count(1)) was tried against an
+    # apparent 3x phase-2 degradation at 32 concurrent tasks; the
+    # degradation turned out to be shared-VM noise (controlled A/B shows
+    # 8-vs-32-concurrent parity), and the cap is PROCESS-wide — it leaks
+    # into reused Ray workers and slows every later pyarrow scan there
+    # (10x on the small follow-up build). So: no per-task thread capping;
+    # ARROW_IO_THREADS=2 in the environment (bench.py) remains the one
+    # honest-accounting knob for scaling comparisons.
 
     # test hook (resilience tests): a `_faults/shard-<k>.once` file makes
     # this task fail transiently exactly once; Ray's task retry

@@ -448,6 +448,12 @@ def simhash_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.
     plan shape, no driver-side signature table or seen-set. Only the
     final (rare) pair table lands on the driver.
     """
+    if cfg.simhash_max_hamming > 3:
+        # 4 disjoint 16-bit chunks guarantee a shared chunk only up to
+        # hamming 3 (pigeonhole); a larger radius needs more/overlapping
+        # chunkings — fail loudly rather than silently missing pairs
+        raise ValueError("simhash_max_hamming > 3 requires more than 4 "
+                         "chunk bucketings; not supported")
     pairs = (
         ds.map_batches(SimHashChunks(), batch_format="pyarrow")
         .groupby(["chunk", "chunk_key"])

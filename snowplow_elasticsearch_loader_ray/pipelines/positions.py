@@ -119,8 +119,6 @@ class TokenizePositions:
 def _encode_pos_shard(pos_dir: str, shard: int) -> dict:
     import pyarrow.dataset as pads
 
-    pa.set_cpu_count(1)
-    pa.set_io_thread_count(2)
     runs_dir = os.path.join(pos_dir, "runs")
     seg_dir = os.path.join(pos_dir, "positions")
     os.makedirs(seg_dir, exist_ok=True)
