@@ -307,6 +307,63 @@ def phrase_positional(sf_dir: str) -> pa.Table:
     })
 
 
+def first_hit_position(sf_dir: str) -> pa.Table:
+    """Highlight-offset computation (the ES ``highlight`` analogue of
+    the reference IT harness's search surface): for every conjunctive
+    match of a multi-term query, the earliest token index at which any
+    query term occurs — resolved entirely inside the POSITIONAL index
+    (first element of each term's position list), no text read."""
+    from .pipelines.positions import PositionalReader, build_positions
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    r = PositionalReader(pos_dir)
+    import re as _re
+
+    qids, docs, hits = [], [], []
+    for qid, q in BOOL_QUERIES:
+        terms = sorted(set(_re.findall(r"[a-z0-9]+", q.lower())))
+        fetched = [r.term_positions(t) for t in terms]
+        if any(len(d) == 0 for d, _p in fetched):
+            continue
+        common = fetched[0][0]
+        for d, _p in fetched[1:]:
+            common = np.intersect1d(common, d, assume_unique=True)
+        lookups = [dict(zip(d.tolist(), range(len(d)))) for d, _p in fetched]
+        for doc in common.tolist():
+            first = min(int(p[lk[doc]][0]) for (_d, p), lk in zip(fetched, lookups))
+            qids.append(qid)
+            docs.append(doc)
+            hits.append(first)
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "first_hit": pa.array(hits, pa.int64()),
+    })
+
+
+def _first_hit_sql() -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, s.t AS term, min(s.p - 1) AS first_pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+  GROUP BY doc_id, s.t
+),
+q(qid, term) AS (VALUES {_bool_values()}),
+qsize AS (SELECT qid, count(*) AS nt FROM q GROUP BY 1),
+hits AS (
+  SELECT q.qid, pos.doc_id, count(*) AS nm, min(pos.first_pos) AS first_hit
+  FROM q JOIN pos ON pos.term = q.term GROUP BY 1, 2
+)
+SELECT h.qid::BIGINT AS qid, h.doc_id, h.first_hit::BIGINT AS first_hit
+FROM hits h JOIN qsize s ON s.qid = h.qid WHERE h.nm = s.nt
+"""
+
+
 def _phrase_sql() -> str:
     cases = "\nUNION ALL\n".join(
         f"SELECT {qid} AS qid, doc_id FROM tok WHERE joined LIKE "
@@ -1314,6 +1371,7 @@ def registry() -> tuple[dict, dict]:
         "top_terms": top_terms,
         "phrase_match": phrase_match,
         "phrase_positional": phrase_positional,
+        "first_hit_position": first_hit_position,
         "vocabulary_stats": vocabulary_stats,
         "lang_doclen_stats": lang_doclen_stats,
         "dedup_exact": dedup_exact,
@@ -1360,6 +1418,7 @@ def registry() -> tuple[dict, dict]:
         "top_terms": TOP_TERMS_SQL,
         "phrase_match": _phrase_sql(),
         "phrase_positional": _phrase_sql(),
+        "first_hit_position": _first_hit_sql(),
         "vocabulary_stats": VOCABULARY_STATS_SQL,
         "lang_doclen_stats": LANG_DOCLEN_SQL,
         "hash_sample": HASH_SAMPLE_SQL,
