@@ -1239,6 +1239,44 @@ def _image_meta_sql() -> str:
             f"t(img_id, format, width, height)")
 
 
+def audio_meta(sf_dir: str) -> pa.Table:
+    """Audio metadata extraction: byte-valid WAV fixtures (plus junk)
+    through the actor-pool ``DecodeAudioHeaders`` stage; oracle pins
+    (format, channels, sample_rate, bits, duration) from the fixture
+    build parameters."""
+    from .pipelines.multimodal import DecodeAudioHeaders
+    from .sources.images import write_audio_fixture
+
+    src = write_audio_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(DecodeAudioHeaders, batch_format="pyarrow",
+                        batch_size=2, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("audio_id").reset_index(drop=True)
+    return pa.table({
+        "audio_id": pa.array(out["audio_id"], pa.int64()),
+        "format": pa.array(out["format"], pa.string()),
+        "channels": pa.array(out["channels"].astype("int64")),
+        "sample_rate": pa.array(out["sample_rate"].astype("int64")),
+        "bits": pa.array(out["bits"].astype("int64")),
+        "duration_s": pa.array(out["duration_s"], pa.float64()),
+    })
+
+
+def _audio_meta_sql() -> str:
+    from .sources.images import AUDIO_CASES
+
+    rows = [f"({i}, 'wav', {ch}, {sr}, {b}, {nf}/{sr}::DOUBLE)"
+            for i, ch, sr, b, nf in AUDIO_CASES]
+    rows.append("(99, 'unknown', 0, 0, 0, 0.0)")
+    return (
+        "SELECT audio_id::BIGINT AS audio_id, format, channels::BIGINT AS channels, "
+        "sample_rate::BIGINT AS sample_rate, bits::BIGINT AS bits, "
+        "duration_s::DOUBLE AS duration_s FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(audio_id, format, channels, sample_rate, bits, duration_s)")
+
+
 # --------------------------------------------------------------------------
 # W2/W3 retry, C1 checkpoint/resume, M1 metrics — driver-checkable:
 # each builds (or resumes) a real index under adverse conditions and the
@@ -1400,6 +1438,7 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": resume_stats,
         "build_metrics": build_metrics,
         "image_meta": image_meta,
+        "audio_meta": audio_meta,
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
     }
@@ -1440,6 +1479,7 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": TERM_STATS_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
+        "audio_meta": _audio_meta_sql(),
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # lsh_ann_topk / ingest_summary: engine-defined (sketches,
         # heuristics, approximate search, own corpus) → rows-only checks

@@ -130,6 +130,56 @@ class DecodeImageHeaders:
             "decode_ok", pa.array([m[0] != "unknown" for m in metas]))
 
 
+def audio_meta(p: bytes) -> tuple[str, int, int, int, float]:
+    """(format, channels, sample_rate, bits, duration_s) from container
+    header bytes. REAL for RIFF/WAVE (fmt + data chunk walk); unknown/
+    corrupt payloads return ("unknown", 0, 0, 0, 0.0) — deterministic
+    bad row, never an exception.
+    """
+    try:
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i = 12
+            channels = rate = bits = data_len = 0
+            while i + 8 <= len(p):
+                tag = p[i:i + 4]
+                size = struct.unpack("<I", p[i + 4:i + 8])[0]
+                body = p[i + 8:i + 8 + size]
+                if tag == b"fmt " and len(body) >= 16:
+                    _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                    bits = struct.unpack("<H", body[14:16])[0]
+                elif tag == b"data":
+                    data_len = size
+                i += 8 + size + (size & 1)          # chunks are word-aligned
+            if channels and rate and bits:
+                dur = data_len / (rate * channels * (bits // 8 or 1))
+                return "wav", channels, rate, bits, round(dur, 6)
+    except struct.error:
+        pass
+    return "unknown", 0, 0, 0, 0.0
+
+
+class DecodeAudioHeaders:
+    """REAL audio metadata stage: payload bytes → (format, channels,
+    sample_rate, bits, duration_s, decode_ok) columns; actor-pool
+    ``map_batches`` contract, same shape as ``DecodeImageHeaders``.
+    Sample decode (PCM frames → arrays) would slot in per actor; only
+    the header walk is needed for corpus statistics / filtering."""
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [audio_meta(p or b"") for p in batch[self.col].to_pylist()]
+        out = batch.drop_columns([self.col])
+        out = out.append_column("format", pa.array([m[0] for m in metas], pa.string()))
+        out = out.append_column("channels", pa.array([m[1] for m in metas], pa.int32()))
+        out = out.append_column("sample_rate", pa.array([m[2] for m in metas], pa.int32()))
+        out = out.append_column("bits", pa.array([m[3] for m in metas], pa.int32()))
+        out = out.append_column("duration_s", pa.array([m[4] for m in metas], pa.float64()))
+        return out.append_column(
+            "decode_ok", pa.array([m[0] != "unknown" for m in metas]))
+
+
 class DecodeImage:
     """STUB full-pixel decode stage (no image libs in this container).
     Header-only metadata has a REAL implementation: ``DecodeImageHeaders``.

@@ -99,3 +99,43 @@ def write_image_fixture(cache_root: str) -> str:
         }), tmp)
         os.replace(tmp, path)
     return path
+
+
+def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
+    """Byte-valid PCM WAV with deterministic sample data."""
+    data_len = n_frames * channels * (bits // 8)
+    data = bytes((i * 31) % 256 for i in range(data_len))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * (bits // 8), channels * (bits // 8), bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", data_len) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+#: (audio_id, channels, sample_rate, bits, n_frames) — duration derives
+AUDIO_CASES: list[tuple[int, int, int, int, int]] = [
+    (0, 1, 8000, 8, 4000),       # 0.5 s mono 8-bit
+    (1, 2, 44100, 16, 44100),    # 1.0 s stereo CD
+    (2, 1, 16000, 16, 24000),    # 1.5 s speech mono
+    (3, 6, 48000, 24, 4800),     # 0.1 s surround 24-bit
+]
+
+
+def write_audio_fixture(cache_root: str) -> str:
+    """→ parquet path (audio_id: int64, payload: binary): WAV cases plus
+    one junk payload (audio_id = 99)."""
+    key = hashlib.sha256(repr(AUDIO_CASES).encode()).hexdigest()[:12]
+    d = os.path.join(cache_root, f"audio-{key}")
+    path = os.path.join(d, "audio.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        ids = [c[0] for c in AUDIO_CASES] + [99]
+        payloads = [make_wav(c[1], c[2], c[3], c[4]) for c in AUDIO_CASES] \
+            + [b"RIFFnot-really-a-wave-file"]
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "audio_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path

@@ -86,3 +86,26 @@ def test_image_header_decode_real():
     assert list(out["width"]) == [c[2] for c in IMAGE_CASES]
     assert list(out["height"]) == [c[3] for c in IMAGE_CASES]
     assert out["decode_ok"].sum() == len(IMAGE_CASES) - 1
+
+
+def test_audio_header_decode_real():
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import (
+        DecodeAudioHeaders, audio_meta)
+    from snowplow_elasticsearch_loader_ray.sources.images import (
+        AUDIO_CASES, make_wav)
+
+    for _i, ch, sr, bits, nf in AUDIO_CASES:
+        fmt, c, r, b, d = audio_meta(make_wav(ch, sr, bits, nf))
+        assert (fmt, c, r, b) == ("wav", ch, sr, bits)
+        assert abs(d - nf / sr) < 1e-9
+    assert audio_meta(b"RIFFjunk")[0] == "unknown"
+    assert audio_meta(b"")[0] == "unknown"
+    wav = make_wav(2, 44100, 16, 100)
+    assert audio_meta(wav[:20])[0] == "unknown"       # truncated: no fmt
+    out = (ray.data.from_arrow(pa.table({
+        "audio_id": [0, 1],
+        "payload": [make_wav(1, 8000, 8, 800), b"nope"],
+    })).map_batches(DecodeAudioHeaders, batch_format="pyarrow", concurrency=2)
+       .to_pandas().sort_values("audio_id"))
+    assert list(out["format"]) == ["wav", "unknown"]
+    assert list(out["decode_ok"]) == [True, False]
