@@ -556,6 +556,29 @@ FILTERED_QUERIES: list[tuple[int, str, str]] = [
 ]
 
 
+def bm25_topk_grid(sf_dir: str) -> pa.Table:
+    """The (term shard × doc partition) grid serving path — per-cell
+    memory independent of corpus size; scores bit-identical to the
+    single reader (see pipelines/grid_query.py)."""
+    from .pipelines.grid_query import GridQueryEngine
+
+    eng = GridQueryEngine(_ensure_index(sf_dir), n_doc_parts=3)
+    try:
+        qids, ranks, docs = [], [], []
+        for qid, q in DOC_QUERIES:
+            d, _s = eng.topk(q, TOPK)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            docs.extend(d.tolist())
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def bm25_topk_filtered(sf_dir: str) -> pa.Table:
     """Filtered BM25: the ES bool-query filter(non-scoring)+must(scoring)
     shape — candidates restricted to docs containing the filter term
@@ -1403,6 +1426,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_distributed": bm25_topk_distributed,
         "bm25_topk_sharded": bm25_topk_sharded,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_topk_grid": bm25_topk_grid,
         "boolean_and": boolean_and,
         "boolean_or": boolean_or,
         "doc_fetch": doc_fetch,
@@ -1451,6 +1475,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_distributed": _bm25_sql(),
         "bm25_topk_sharded": _bm25_sql(),
         "bm25_topk_filtered": _bm25_filtered_sql(),
+        "bm25_topk_grid": _bm25_sql(),
         "boolean_and": _boolean_and_sql(),
         "boolean_or": _boolean_or_sql(),
         "doc_fetch": DOC_FETCH_SQL,

@@ -1,0 +1,139 @@
+"""Grid-sharded BM25 serving: (term shard × doc partition) reader cells.
+
+The 10^12-doc layout the term-sharded engine's docstring commits to
+(``sharded_query.py``): one actor per (term shard, doc partition) cell,
+each holding ONLY its shard's postings restricted to its doc partition
+plus that partition's doc lengths — so per-actor memory is
+``postings / (S × P)`` and doclens ``/ P``, both independent of corpus
+size once the grid is sized. A query scatters each term to the P cells
+of its term shard; every cell returns partial per-doc scores for its
+(term, partition) slice; the driver concatenates per term (partitions
+are doc-disjoint) and combines in GLOBAL sorted-term order — the same
+float-summation order as the single-process reader, so scores are
+bit-identical, not merely rank-identical.
+
+Partitioning assumptions (custom-op rule):
+- terms route by ``term_shard_one`` (identical at build/query time);
+- docs route by ``doc_shard`` (the splitmix hash also used for doclen
+  pseudo-postings) with the grid's OWN modulus ``n_doc_parts`` — any
+  value works because cells filter at load time;
+- BM25 idf uses the GLOBAL df (the segment's df column), not the
+  partition-local posting count — cells store it per term.
+
+Cells hold decoded (doc_id, tf) arrays for their slice (12 B/posting);
+a production cell at the memory margin would re-encode its slice with
+the block codec — the load path below is where that swap goes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+
+from .. import bm25
+from ..codec import PostingList, binary_views
+from ..config import DOCLEN_TERM
+from ..tokenizer import doc_shard, term_shard_one
+from .build import index_stats
+from .query import tokenize_query
+
+
+@ray.remote(num_cpus=1)
+class GridCellReader:
+    """One (term shard, doc partition) cell."""
+
+    def __init__(self, index_dir: str, shard: int, doc_part: int,
+                 n_doc_parts: int):
+        st = index_stats(index_dir)
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        self.terms: dict[str, tuple[int, np.ndarray, np.ndarray]] = {}
+        t = pq.read_table(os.path.join(index_dir, "segments",
+                                       f"shard-{shard:04d}.parquet"))
+        for term, df, buf in zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                                 binary_views(t["postings"])):
+            if term == DOCLEN_TERM:
+                continue
+            docs, tfs = PostingList(buf).decode_all()
+            mask = doc_shard(docs, n_doc_parts) == doc_part
+            if mask.any():
+                # global df rides along: idf must see the whole corpus
+                self.terms[term] = (int(df), docs[mask], tfs[mask])
+        dl_files = sorted(glob.glob(
+            os.path.join(index_dir, "doclens", "shard-*.parquet")))
+        dl = pq.read_table(dl_files)
+        docs = dl["doc_id"].to_numpy(zero_copy_only=False)
+        lens = dl["doclen"].to_numpy(zero_copy_only=False)
+        mask = doc_shard(docs, n_doc_parts) == doc_part
+        docs, lens = docs[mask], lens[mask]
+        order = np.argsort(docs, kind="stable")
+        self.dl_doc_ids = docs[order]
+        self.dl_lens = lens[order].astype(np.float64)
+
+    def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            hit = self.terms.get(t)
+            if hit is None:
+                continue
+            df, docs, tfs = hit
+            w = bm25.idf(self.n_docs, df)
+            dls = self.dl_lens[np.searchsorted(self.dl_doc_ids, docs)]
+            out[t] = (docs, w * bm25.tf_weight(tfs, dls, self.avgdl))
+        return out
+
+
+class GridQueryEngine:
+    """Scatter-gather top-k over the (shard × partition) cell grid."""
+
+    def __init__(self, index_dir: str, n_doc_parts: int = 2,
+                 cpus_per_reader: float | None = None):
+        st = index_stats(index_dir)
+        self.num_shards = int(st["num_term_shards"])
+        self.n_doc_parts = n_doc_parts
+        n_cells = self.num_shards * n_doc_parts
+        if cpus_per_reader is None:
+            avail = max(1.0, ray.cluster_resources().get("CPU", 1.0))
+            cpus_per_reader = min(1.0, max(0.05, (avail * 0.8) / n_cells))
+        self.cells = {
+            (s, p): GridCellReader.options(num_cpus=cpus_per_reader).remote(
+                index_dir, s, p, n_doc_parts)
+            for s in range(self.num_shards) for p in range(n_doc_parts)
+        }
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        terms = tokenize_query(query)
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)
+        refs = [self.cells[s, p].partial_scores.remote(ts)
+                for s, ts in sorted(by_shard.items())
+                for p in range(self.n_doc_parts)]
+        # per term: concatenate partition slices (doc-disjoint)
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for part in ray.get(refs):
+            for t, ds in part.items():
+                by_term.setdefault(t, []).append(ds)
+        if not by_term:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs = np.concatenate([d for t in terms if t in by_term
+                               for d, _s in by_term[t]])
+        scores = np.concatenate([s for t in terms if t in by_term
+                                 for _d, s in by_term[t]])
+        # identical combine to ShardedQueryEngine: stable doc sort keeps
+        # the term-major order per doc → bit-identical float summation
+        order = np.argsort(docs, kind="stable")
+        docs_s, scores_s = docs[order], scores[order]
+        boundaries = np.concatenate(
+            ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
+        return bm25.rank_topk(docs_s[boundaries],
+                              np.add.reduceat(scores_s, boundaries), k)
+
+    def shutdown(self) -> None:
+        for c in self.cells.values():
+            ray.kill(c)
+        self.cells = {}

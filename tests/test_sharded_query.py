@@ -28,3 +28,25 @@ def test_sharded_equals_single_reader(ray_session, tmp_path):
             np.testing.assert_array_equal(s1, s2, err_msg=q)  # bit-identical
     finally:
         sharded.shutdown()
+
+
+def test_grid_engine_bit_identical(ray_session, tmp_path):
+    """(term shard x doc partition) grid scores must be BIT-identical to
+    the single-process reader, for a partition count that does not
+    divide the shard count."""
+    from snowplow_elasticsearch_loader_ray.pipelines.grid_query import (
+        GridQueryEngine)
+
+    cfg = IndexConfig(num_term_shards=8)
+    idx = str(tmp_path / "gidx")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx, cfg)
+    single = QueryEngine(idx)
+    grid = GridQueryEngine(idx, n_doc_parts=3)
+    try:
+        for q in QUERIES:
+            d1, s1 = single.topk(q, 10)
+            d2, s2 = grid.topk(q, 10)
+            np.testing.assert_array_equal(d1, d2, err_msg=q)
+            np.testing.assert_array_equal(s1, s2, err_msg=q)
+    finally:
+        grid.shutdown()
