@@ -24,6 +24,7 @@ shuffle → merge → segment path, not a shortcut.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 
@@ -425,6 +426,38 @@ GROUP BY term
 ORDER BY df DESC, term
 LIMIT {N_TOP_TERMS}
 """
+
+def doclen_percentiles(sf_dir: str) -> pa.Table:
+    """Corpus doc-length distribution from the standalone doclen tables
+    (written by the build's shard tasks — no corpus rescan): discrete
+    percentiles defined as the value at index floor(q·(n−1)) of the
+    sorted lengths (DuckDB ``quantile_disc`` parity)."""
+    d = _ensure_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(d, "doclens", "shard-*.parquet")))
+    lens = np.sort(pq.read_table(files, columns=["doclen"])["doclen"]
+                   .to_numpy(zero_copy_only=False))
+    n = len(lens)
+    qs = [0.5, 0.9, 0.99]
+    vals = [int(lens[int(np.floor(q * (n - 1)))]) for q in qs] if n else [0, 0, 0]
+    return pa.table({
+        "p50": pa.array([vals[0]], pa.int64()),
+        "p90": pa.array([vals[1]], pa.int64()),
+        "p99": pa.array([vals[2]], pa.int64()),
+        "max_len": pa.array([int(lens[-1]) if n else 0], pa.int64()),
+        "n_docs": pa.array([n], pa.int64()),
+    })
+
+
+DOCLEN_PERCENTILES_SQL = f"""
+WITH dl AS (SELECT len({TOK_SQL})::BIGINT AS doclen FROM documents)
+SELECT quantile_disc(doclen, 0.5)::BIGINT AS p50,
+       quantile_disc(doclen, 0.9)::BIGINT AS p90,
+       quantile_disc(doclen, 0.99)::BIGINT AS p99,
+       max(doclen)::BIGINT AS max_len,
+       count(*)::BIGINT AS n_docs
+FROM dl
+"""
+
 
 def vocabulary_stats(sf_dir: str) -> pa.Table:
     """Corpus vocabulary shape from the merged term table: size, hapax
@@ -1435,6 +1468,7 @@ def registry() -> tuple[dict, dict]:
         "phrase_positional": phrase_positional,
         "first_hit_position": first_hit_position,
         "vocabulary_stats": vocabulary_stats,
+        "doclen_percentiles": doclen_percentiles,
         "lang_doclen_stats": lang_doclen_stats,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
@@ -1484,6 +1518,7 @@ def registry() -> tuple[dict, dict]:
         "phrase_positional": _phrase_sql(),
         "first_hit_position": _first_hit_sql(),
         "vocabulary_stats": VOCABULARY_STATS_SQL,
+        "doclen_percentiles": DOCLEN_PERCENTILES_SQL,
         "lang_doclen_stats": LANG_DOCLEN_SQL,
         "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

@@ -64,3 +64,29 @@ def test_positions_resume(tmp_path):
                     IndexConfig(num_term_shards=4))
     assert time.time() - t0 < 1.0
     assert phrase_search(r, "quick brown").tolist() == [1, 2]
+
+
+def test_positions_per_shard_reencode(tmp_path):
+    """Deleting one positional shard manifest + file re-encodes ONLY that
+    shard on rebuild (the per-partition resume contract)."""
+    import os
+
+    r = _build(tmp_path)
+    pos = str(tmp_path / "pos")
+    # record mtimes, then invalidate shard 2
+    seg = os.path.join(pos, "positions", "shard-0002.parquet")
+    other = os.path.join(pos, "positions", "shard-0001.parquet")
+    m_other = os.path.getmtime(other)
+    os.remove(seg)
+    os.remove(os.path.join(pos, "manifests", "pos-shard-0002.json"))
+    os.remove(os.path.join(pos, "manifests", "positions.json"))
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        build_positions, PositionalReader, phrase_search)
+
+    build_positions(str(tmp_path / "docs.parquet"), pos,
+                    IndexConfig(num_term_shards=4))
+    assert os.path.exists(seg)
+    assert os.path.getmtime(other) == m_other          # untouched
+    r2 = PositionalReader(pos)
+    assert phrase_search(r2, "quick brown").tolist() == [1, 2]
