@@ -1333,6 +1333,47 @@ def _audio_meta_sql() -> str:
         + ") t(audio_id, format, channels, sample_rate, bits, duration_s)")
 
 
+def video_frames(sf_dir: str) -> pa.Table:
+    """AVI frame sampling (REAL container demux — idx1 index walk):
+    byte-valid AVI fixtures through the actor-pool ``SampleAviFrames``
+    stage, every 2nd frame kept; oracle pins (frame_no, byte_offset,
+    frame_bytes, keyframe) from the fixture's LAYOUT ARITHMETIC,
+    independent of the parser."""
+    from .pipelines.multimodal import SampleAviFrames
+    from .sources.images import write_video_fixture
+
+    src, _exp = write_video_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(SampleAviFrames, fn_constructor_kwargs={"every": 2},
+                        batch_format="pyarrow", batch_size=2, concurrency=2)
+           .to_pandas())
+    out = out.sort_values(["video_id", "frame_no"]).reset_index(drop=True)
+    return pa.table({
+        "video_id": pa.array(out["video_id"], pa.int64()),
+        "frame_no": pa.array(out["frame_no"].astype("int64")),
+        "byte_offset": pa.array(out["byte_offset"].astype("int64")),
+        "frame_bytes": pa.array(out["frame_bytes"].astype("int64")),
+        "keyframe": pa.array(out["keyframe"].astype(bool)),
+    })
+
+
+def _video_frames_sql() -> str:
+    from .sources.images import write_video_fixture
+
+    _src, expected = write_video_fixture(CACHE_ROOT)
+    rows = []
+    for vid in sorted(expected):
+        for fno, (off, sz, kf) in enumerate(expected[vid]):
+            if fno % 2:
+                continue
+            rows.append(f"({vid}, {fno}, {off}, {sz}, {str(kf).upper()})")
+    return (
+        "SELECT video_id::BIGINT AS video_id, frame_no::BIGINT AS frame_no, "
+        "byte_offset::BIGINT AS byte_offset, frame_bytes::BIGINT AS frame_bytes, "
+        "keyframe FROM (VALUES " + ", ".join(rows)
+        + ") t(video_id, frame_no, byte_offset, frame_bytes, keyframe)")
+
+
 # --------------------------------------------------------------------------
 # W2/W3 retry, C1 checkpoint/resume, M1 metrics — driver-checkable:
 # each builds (or resumes) a real index under adverse conditions and the
@@ -1497,6 +1538,7 @@ def registry() -> tuple[dict, dict]:
         "build_metrics": build_metrics,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
+        "video_frames": video_frames,
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
     }
@@ -1540,6 +1582,7 @@ def registry() -> tuple[dict, dict]:
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
         "audio_meta": _audio_meta_sql(),
+        "video_frames": _video_frames_sql(),
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # lsh_ann_topk / ingest_summary: engine-defined (sketches,
         # heuristics, approximate search, own corpus) → rows-only checks

@@ -90,13 +90,17 @@ def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
     os.makedirs(seg_dir, exist_ok=True)
     name = f"shard-{shard:04d}.parquet"
 
+    from ..codec import binary_views
+
     by_term: dict[str, list[tuple[int, bytes]]] = {}
+    tables = []                               # keep buffers alive for views
     for i, d in enumerate(input_dirs):        # input order = age order
         path = os.path.join(d, "segments", name)
         if not os.path.exists(path):
             continue
         t = pq.read_table(path)
-        for term, buf in zip(t["term"].to_pylist(), t["postings"].to_pylist()):
+        tables.append(t)
+        for term, buf in zip(t["term"].to_pylist(), binary_views(t["postings"])):
             by_term.setdefault(term, []).append((i, buf))
 
     out_terms: list[str] = []

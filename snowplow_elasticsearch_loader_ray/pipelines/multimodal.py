@@ -212,8 +212,99 @@ class DecodeImage:
         )
 
 
+def avi_frame_index(p: bytes) -> list[tuple[int, int, bool]]:
+    """REAL AVI container demux (no codec lib): the idx1 frame index →
+    [(absolute byte offset of frame chunk data, size, is_keyframe)].
+
+    Walks top-level RIFF chunks to locate the ``movi`` LIST and the
+    ``idx1`` index, then decodes 16-byte index entries (ckid, flags,
+    offset, size), keeping video stream chunks (ckid ``??dc``/``??db``).
+    Handles both idx1 offset conventions (relative to the ``movi``
+    fourcc vs absolute). Corrupt/non-AVI payloads → empty list, never
+    an exception. Decoding the frame BYTES into pixels needs a codec —
+    that part stays out of scope; the offsets/sizes returned here are
+    what a GPU decode stage would seek to.
+    """
+    out: list[tuple[int, int, bool]] = []
+    try:
+        if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+            return out
+        i = 12
+        movi_pos = None
+        idx_span = None
+        while i + 8 <= len(p):
+            tag = p[i:i + 4]
+            size = struct.unpack("<I", p[i + 4:i + 8])[0]
+            if tag == b"LIST" and p[i + 8:i + 12] == b"movi":
+                movi_pos = i + 8               # position of the 'movi' fourcc
+            elif tag == b"idx1":
+                idx_span = (i + 8, size)
+            i += 8 + size + (size & 1)
+        if idx_span is None:
+            return out
+        base, size = idx_span
+        entries = []
+        for j in range(base, base + size - 15, 16):
+            ckid = p[j:j + 4]
+            flags, off, sz = struct.unpack("<III", p[j + 4:j + 16])
+            if ckid[2:4] not in (b"dc", b"db"):
+                continue                        # not a video chunk
+            entries.append((off, sz, bool(flags & 0x10)))
+        if not entries:
+            return out
+        # offset convention is per FILE, decided from the first entry
+        # (the ffmpeg rule): a first offset pointing inside the movi
+        # list's header region means offsets are relative to the 'movi'
+        # fourcc; otherwise they are absolute file offsets
+        relative = movi_pos is not None and entries[0][0] < movi_pos
+        for off, sz, kf in entries:
+            abs_off = movi_pos + off if relative else off
+            # abs_off points at the chunk header; data starts 8 bytes in
+            out.append((abs_off + 8, sz, kf))
+    except struct.error:
+        return out
+    return out
+
+
+class SampleAviFrames:
+    """REAL video frame sampler over AVI payloads: one output row per
+    sampled frame (parent id, frame_no, byte_offset, frame_bytes,
+    keyframe) — the flat_map-shaped stage a GPU decode pool consumes.
+    ``every`` = keep every k-th video frame. Non-AVI payloads produce
+    no rows (they belong in the dead-letter channel upstream).
+    """
+
+    def __init__(self, col: str = "payload", id_col: str = "video_id",
+                 every: int = 2):
+        self.col = col
+        self.id_col = id_col
+        self.every = max(1, every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, offs, sizes, keys = [], [], [], [], []
+        for vid, p in zip(batch[self.id_col].to_pylist(),
+                          batch[self.col].to_pylist()):
+            for fno, (off, sz, kf) in enumerate(avi_frame_index(p or b"")):
+                if fno % self.every:
+                    continue
+                ids.append(vid)
+                frames.append(fno)
+                offs.append(off)
+                sizes.append(sz)
+                keys.append(kf)
+        return pa.table({
+            self.id_col: pa.array(ids, batch[self.id_col].type),
+            "frame_no": pa.array(frames, pa.int32()),
+            "byte_offset": pa.array(offs, pa.int64()),
+            "frame_bytes": pa.array(sizes, pa.int64()),
+            "keyframe": pa.array(keys),
+        })
+
+
 class FrameSample:
     """STUB video frame sampler: every payload → n_frames offsets.
+    A REAL container-level demuxer exists for AVI: ``SampleAviFrames``
+    (idx1 frame index → per-frame offsets/sizes/keyframes).
 
     Real impl would demux with pyav once per actor; the deterministic
     stub emits evenly spaced byte offsets so the flat_map-shaped output

@@ -139,3 +139,64 @@ def write_audio_fixture(cache_root: str) -> str:
         }), tmp)
         os.replace(tmp, path)
     return path
+
+
+def make_avi(frame_sizes: list[int], keyframe_every: int = 3) -> tuple[bytes, list[tuple[int, int, bool]]]:
+    """Byte-valid minimal AVI (hdrl + movi + idx1) with junk frame data.
+
+    Returns (payload, expected [(data_offset, size, keyframe)]) — the
+    expected offsets come from the LAYOUT ARITHMETIC here, independent
+    of the parser's chunk walk.
+    """
+    avih = b"avih" + struct.pack("<I", 56) + b"\x00" * 56
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi_body = b"movi"
+    rel_offsets = []                      # offset of each chunk from 'movi'
+    for i, sz in enumerate(frame_sizes):
+        rel_offsets.append(len(movi_body))
+        data = bytes(((i * 37 + k) % 256) for k in range(sz))
+        movi_body += b"00dc" + struct.pack("<I", sz) + data + (b"\x00" if sz & 1 else b"")
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    idx_body = b""
+    for i, (off, sz) in enumerate(zip(rel_offsets, frame_sizes)):
+        flags = 0x10 if i % keyframe_every == 0 else 0
+        idx_body += b"00dc" + struct.pack("<III", flags, off, sz)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+    body = b"AVI " + hdrl + movi + idx1
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    movi_pos = len(b"RIFF") + 4 + len(b"AVI ") + len(hdrl) + 8  # 'movi' fourcc
+    expected = [(movi_pos + off + 8, sz, i % keyframe_every == 0)
+                for i, (off, sz) in enumerate(zip(rel_offsets, frame_sizes))]
+    return payload, expected
+
+
+#: (video_id, frame sizes) — the video fixture
+VIDEO_CASES: list[tuple[int, list[int]]] = [
+    (0, [100, 40, 41, 200, 7]),
+    (1, [12, 12, 12, 12]),
+    (2, [999]),
+]
+
+
+def write_video_fixture(cache_root: str) -> tuple[str, dict[int, list[tuple[int, int, bool]]]]:
+    """→ (parquet path with (video_id, payload), expected frame index per
+    video). A junk payload rides as video_id 99 (expects no frames)."""
+    key = hashlib.sha256(repr(VIDEO_CASES).encode()).hexdigest()[:12]
+    d = os.path.join(cache_root, f"video-{key}")
+    path = os.path.join(d, "video.parquet")
+    expected = {}
+    payloads = []
+    for vid, sizes in VIDEO_CASES:
+        p, exp = make_avi(sizes)
+        payloads.append(p)
+        expected[vid] = exp
+    expected[99] = []
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "video_id": pa.array([v for v, _ in VIDEO_CASES] + [99], pa.int64()),
+            "payload": pa.array(payloads + [b"RIFFnope"], pa.binary()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path, expected

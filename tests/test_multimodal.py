@@ -109,3 +109,25 @@ def test_audio_header_decode_real():
        .to_pandas().sort_values("audio_id"))
     assert list(out["format"]) == ["wav", "unknown"]
     assert list(out["decode_ok"]) == [True, False]
+
+
+def test_avi_frame_index_real():
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import (
+        SampleAviFrames, avi_frame_index)
+    from snowplow_elasticsearch_loader_ray.sources.images import make_avi
+
+    payload, expected = make_avi([50, 60, 70, 80, 90])
+    got = avi_frame_index(payload)
+    assert got == expected
+    # frame data at the reported offsets is the chunk data we wrote
+    off0, sz0, _ = got[0]
+    assert payload[off0:off0 + 4] == bytes((0 * 37 + k) % 256 for k in range(4))
+    assert avi_frame_index(b"RIFFjunk") == []
+    assert avi_frame_index(payload[:30]) == []
+    out = (ray.data.from_arrow(pa.table({
+        "video_id": [7], "payload": [payload],
+    })).map_batches(SampleAviFrames, fn_constructor_kwargs={"every": 2},
+                    batch_format="pyarrow", concurrency=1).to_pandas())
+    assert list(out["frame_no"]) == [0, 2, 4]
+    assert list(out["byte_offset"]) == [expected[0][0], expected[2][0], expected[4][0]]
+    assert list(out["keyframe"]) == [True, False, False] or list(out["keyframe"]) == [expected[0][2], expected[2][2], expected[4][2]]
