@@ -1203,6 +1203,142 @@ def _decompress_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# A1 time-flush batching (stream_batches) + H1 health probe (health_probe)
+# — deterministic scripted-clock replays; the oracles pin hand-derived
+# expected rows as VALUES (the payload_bad pattern)
+# --------------------------------------------------------------------------
+
+def stream_batches(sf_dir: str) -> pa.Table:
+    """A1 size-OR-age micro-batching end-to-end (Processing.scala:80,
+    ``BatchUp.withTimeout``; defaults reference.conf:27-30): an
+    arrival-scripted payload stream drives ``stream_ingest``; each
+    flushed micro-batch commits its own parquet part + manifest. The
+    oracle pins the hand-derived per-batch truth (rows, bytes, flush
+    reason, good-record count) for the same scripted plan."""
+    import shutil
+
+    from .sources import payload_fixtures as PF
+    from .sources.stream import stream_ingest
+
+    out = os.path.join(CACHE_ROOT, "stream_batches")
+    shutil.rmtree(out, ignore_errors=True)
+    plan = PF.stream_payloads()
+    now = [0.0]
+
+    def arrivals():
+        for payload, t in plan:
+            now[0] = t
+            yield payload
+
+    cfg = IndexConfig(flush_max_bytes=PF.STREAM_MAX_BYTES,
+                      flush_max_delay_s=PF.STREAM_MAX_DELAY_S)
+    stream_ingest(arrivals(), out, purpose="json", cfg=cfg,
+                  clock=lambda: now[0])
+
+    from .state import manifest as mf
+
+    rows = []
+    for k in range(10_000):
+        name = f"batch-{k:06d}"
+        if not mf.is_committed(os.path.join(out, "manifests"), name):
+            break
+        m = mf.load(os.path.join(out, "manifests"), name)
+        part = pq.read_table(os.path.join(out, m["outputs"][0]),
+                             columns=["status"])
+        n_good = int(pc.sum(pc.equal(part["status"],
+                                     "good")).as_py() or 0)
+        rows.append((k, m["rows"], m["n_bytes"], m["flush_reason"], n_good))
+    return pa.table({
+        "batch": pa.array([r[0] for r in rows], pa.int64()),
+        "rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_bytes": pa.array([r[2] for r in rows], pa.int64()),
+        "flush_reason": pa.array([r[3] for r in rows], pa.string()),
+        "n_good": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _stream_batches_sql() -> str:
+    from .sources import payload_fixtures as PF
+
+    rows = ", ".join(
+        f"({b}, {r}, {nb}, {_sql_quote(reason)}, {g})"
+        for b, r, nb, reason, g in PF.STREAM_EXPECTED)
+    return ("SELECT batch::BIGINT AS batch, rows::BIGINT AS rows, "
+            "n_bytes::BIGINT AS n_bytes, flush_reason, n_good::BIGINT AS n_good "
+            f"FROM (VALUES {rows}) t(batch, rows, n_bytes, flush_reason, n_good)")
+
+
+# health-probe replay script: (time_s, action, arg) — op handles are
+# indices into an `ops` list. Expected healthy/inflight/n_failed per
+# step are hand-derived from the reference rules: unhealthy while any
+# service has an unresolved failure, or any in-flight op is older than
+# unhealthyLatency=120 s (RuntimeService.scala:15-25, reference.conf:49-52).
+HEALTH_SCRIPT = [
+    (0.0, "begin", "elasticsearch"),     # op0 starts
+    (60.0, "sample", None),              # op0 age 60 < 120 → healthy
+    (130.0, "sample", None),             # op0 age 130 >= 120 → UNHEALTHY
+    (135.0, "end_ok", 0),                # op0 done → healthy again
+    (140.0, "fail", "bad_sink"),         # service failure → UNHEALTHY
+    (150.0, "ok", "elasticsearch"),      # other service → still UNHEALTHY
+    (160.0, "ok", "bad_sink"),           # same service recovers → healthy
+    (170.0, "begin", "elasticsearch"),   # op1
+    (171.0, "begin", "elasticsearch"),   # op2
+    (300.0, "end_ok", 1),                # op2 age 129 >= 120 → UNHEALTHY
+    (310.0, "end_err", 2),               # op2 fails → service failed → UNHEALTHY
+    (320.0, "ok", "elasticsearch"),      # recovers → healthy
+]
+
+HEALTH_EXPECTED = [
+    (0, True, 1, 0), (1, True, 1, 0), (2, False, 1, 0), (3, True, 0, 0),
+    (4, False, 0, 1), (5, False, 0, 1), (6, True, 0, 0), (7, True, 1, 0),
+    (8, True, 2, 0), (9, False, 1, 0), (10, False, 0, 1), (11, True, 0, 0),
+]
+
+
+def health_probe(sf_dir: str) -> pa.Table:
+    """H1 health/liveness probe (RuntimeService.scala:15-25 + the
+    2-minute ``unhealthyLatency`` rule, reference.conf:49-52): replay a
+    scripted operation/failure timeline through ``HealthMonitor`` with
+    an injected clock, sampling the probe after every step. The oracle
+    pins the hand-derived (healthy, inflight, failed-services) truth."""
+    from .health import HealthMonitor
+
+    now = [0.0]
+    mon = HealthMonitor(unhealthy_latency_s=120.0, clock=lambda: now[0])
+    ops: list[int] = []
+    rows = []
+    for step, (t, action, arg) in enumerate(HEALTH_SCRIPT):
+        now[0] = t
+        if action == "begin":
+            ops.append(mon.begin(arg))
+        elif action == "end_ok":
+            mon.end(ops[arg], ok=True)
+        elif action == "end_err":
+            mon.end(ops[arg], ok=False, error="bulk rejected")
+        elif action == "fail":
+            mon.report_failure(arg, "write failed")
+        elif action == "ok":
+            mon.report_success(arg)
+        st = mon.status()
+        rows.append((step, st["healthy"], st["inflight"],
+                     len(st["failed_services"])))
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "healthy": pa.array([r[1] for r in rows], pa.bool_()),
+        "inflight": pa.array([r[2] for r in rows], pa.int64()),
+        "n_failed": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _health_probe_sql() -> str:
+    rows = ", ".join(f"({s}, {str(h).upper()}, {i}, {f})"
+                     for s, h, i, f in HEALTH_EXPECTED)
+    return ("SELECT step::BIGINT AS step, healthy, inflight::BIGINT AS inflight, "
+            f"n_failed::BIGINT AS n_failed FROM (VALUES {rows}) "
+            "t(step, healthy, inflight, n_failed)")
+
+
+# --------------------------------------------------------------------------
 # merge/upsert (W5): two generations -> merged index == last-wins corpus
 # --------------------------------------------------------------------------
 
@@ -1532,6 +1668,8 @@ def registry() -> tuple[dict, dict]:
         "payload_json": payload_json,
         "payload_bad": payload_bad,
         "decompress_roundtrip": decompress_roundtrip,
+        "stream_batches": stream_batches,
+        "health_probe": health_probe,
         "merge_upsert_terms": merge_upsert_terms,
         "fault_retry_stats": fault_retry_stats,
         "resume_stats": resume_stats,
@@ -1576,6 +1714,8 @@ def registry() -> tuple[dict, dict]:
         "payload_json": _payload_json_sql(),
         "payload_bad": _payload_bad_sql(),
         "decompress_roundtrip": _decompress_sql(),
+        "stream_batches": _stream_batches_sql(),
+        "health_probe": _health_probe_sql(),
         "merge_upsert_terms": MERGE_UPSERT_SQL,
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,

@@ -147,3 +147,57 @@ def write_decompress_fixture(cache_root: str) -> str:
 
 def expected_decompress() -> list[tuple[str, str | None]]:
     return [(status, rec) for _p, status, rec in _decompress_rows()]
+
+
+# --------------------------------------------------------------------------
+# streaming micro-batch fixture (A1 `stream_batches` driver entry)
+# --------------------------------------------------------------------------
+# Arrival-scripted payload stream for `sources.stream.stream_ingest`
+# under (maxBytes=200 B, maxDelay=1.0 s) — the reference's
+# `BatchUp.withTimeout(env.batching.maxBytes, env.batching.maxDelay)`
+# semantics (Processing.scala:80, combiner :274-298). The plan exercises
+# every flush path: size trip (batch includes the tripping item), age
+# trip on a later arrival, a single item larger than the budget, and
+# the end-of-stream close flush. One payload is invalid JSON so the
+# per-batch purpose transform (status counting) is exercised too.
+
+STREAM_MAX_BYTES = 200
+STREAM_MAX_DELAY_S = 1.0
+
+# (size_bytes, arrival_time_s, valid_json)
+STREAM_PLAN = [
+    (80, 0.0, True),    # opens batch 0
+    (80, 0.3, False),   # invalid JSON → parse_error record
+    (80, 0.6, True),    # 240 B >= 200 → size flush [p0 p1 p2]
+    (50, 2.0, True),    # opens batch 1
+    (50, 3.5, True),    # poll: age 1.5 s >= 1.0 → delay flush [p3]; opens batch 2
+    (300, 3.6, True),   # 350 B >= 200 → size flush [p4 p5]
+    (250, 5.0, True),   # alone over budget → size flush [p6]
+    (60, 5.2, True),    # opens batch 4 → close flush at end of stream
+]
+
+# hand-derived per-batch truth for the plan above:
+# (batch, rows, n_bytes, flush_reason, n_good)
+STREAM_EXPECTED = [
+    (0, 3, 240, "size", 2),
+    (1, 1, 50, "delay", 1),
+    (2, 2, 350, "size", 2),
+    (3, 1, 250, "size", 1),
+    (4, 1, 60, "close", 1),
+]
+
+
+def _stream_payload(i: int, size: int, valid: bool) -> bytes:
+    if valid:
+        head = '{"id": %d, "pad": "' % i
+        pad = size - len(head) - 2
+        assert pad >= 0, "fixture size too small for the JSON envelope"
+        return (head + "x" * pad + '"}').encode()
+    head = "notjson %d " % i
+    return (head + "x" * (size - len(head))).encode()
+
+
+def stream_payloads() -> list[tuple[bytes, float]]:
+    """→ [(payload_bytes, arrival_time_s)] for the scripted plan."""
+    return [(_stream_payload(i, size, valid), t)
+            for i, (size, t, valid) in enumerate(STREAM_PLAN)]
