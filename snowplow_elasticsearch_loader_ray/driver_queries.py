@@ -680,6 +680,136 @@ def bm25_topk_wand(sf_dir: str) -> pa.Table:
     return _topk_table(sf_dir, "bmw")
 
 
+def bm25_search_after(sf_dir: str) -> pa.Table:
+    """ES ``search_after`` deep pagination: page 2 (ranks 11-20) of each
+    query, requested with the (rounded_score, doc_id) cursor of page 1's
+    last hit — the stateless-cursor protocol ES asks clients to use
+    instead of from/size. The oracle is the page-2 slice of the same
+    BM25 ranking SQL."""
+    from .pipelines.query import score_taat, score_taat_after
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d1, s1 = score_taat(r, q, TOPK)
+        if len(d1) < TOPK:
+            continue                      # page 1 not full → no page 2
+        d2, _s2 = score_taat_after(r, q, TOPK,
+                                   after=(float(s1[-1]), int(d1[-1])))
+        qids.extend([qid] * len(d2))
+        ranks.extend(range(TOPK + 1, TOPK + 1 + len(d2)))
+        docs.extend(d2.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def lang_facet(sf_dir: str) -> pa.Table:
+    """ES ``terms`` aggregation over the FULL match set of each query
+    (aggregations see every hit, not the top-k page): matched doc_ids
+    come from the index (disjunctive postings union), the lang keys from
+    a pruned (doc_id, lang) read with per-batch partial counts — the
+    match sets broadcast once via ``ray.put``, counts combine at the
+    end (tiny: queries x langs rows)."""
+    from .pipelines.query import boolean_or
+
+    r = _reader(sf_dir)
+    cand = {qid: boolean_or(r, q)[0] for qid, q in DOC_QUERIES}
+    cand_ref = ray.put(cand)
+
+    class _LangCounts:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            langs = batch["lang"].to_numpy(zero_copy_only=False)
+            qs, ls, ns = [], [], []
+            for qid, docs in self.cand.items():
+                mask = np.isin(ids, docs, assume_unique=True)
+                if mask.any():
+                    u, c = np.unique(langs[mask], return_counts=True)
+                    qs.extend([qid] * len(u))
+                    ls.extend(u.tolist())
+                    ns.extend(c.tolist())
+            return pa.table({"qid": pa.array(qs, pa.int64()),
+                             "lang": pa.array(ls, pa.string()),
+                             "n_docs": pa.array(ns, pa.int64())})
+
+    partial = (
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+        .map_batches(_LangCounts, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    out = (partial.groupby(["qid", "lang"], as_index=False)["n_docs"].sum()
+           .astype({"qid": "int64", "n_docs": "int64"}))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+LANG_FACET_SQL_TEMPLATE = """
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+q(qid, term) AS (VALUES {values}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::BIGINT AS qid, d.lang, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def _query_term_values() -> str:
+    import re
+
+    pairs = []
+    for qid, q in DOC_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return ", ".join(pairs)
+
+
+def _lang_facet_sql() -> str:
+    return LANG_FACET_SQL_TEMPLATE.format(tok=TOK_SQL,
+                                          values=_query_term_values())
+
+
+def doclen_stats_facet(sf_dir: str) -> pa.Table:
+    """ES ``stats`` aggregation (count/min/max/sum/avg) of document
+    length over each query's full match set — served entirely from the
+    index's doclen table, no document fetch."""
+    from .pipelines.query import facet_doclen_stats
+
+    r = _reader(sf_dir)
+    rows = []
+    for qid, q in DOC_QUERIES:
+        st = facet_doclen_stats(r, q)
+        if st["n_docs"]:
+            rows.append((qid, st["n_docs"], st["min_dl"], st["max_dl"],
+                         st["sum_dl"], st["avg_dl"]))
+    return pa.table({
+        "qid": pa.array([r0[0] for r0 in rows], pa.int64()),
+        "n_docs": pa.array([r0[1] for r0 in rows], pa.int64()),
+        "min_dl": pa.array([r0[2] for r0 in rows], pa.int64()),
+        "max_dl": pa.array([r0[3] for r0 in rows], pa.int64()),
+        "sum_dl": pa.array([r0[4] for r0 in rows], pa.int64()),
+        "avg_dl": pa.array([r0[5] for r0 in rows], pa.float64()),
+    })
+
+
+def _doclen_stats_facet_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+q(qid, term) AS (VALUES {_query_term_values()}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::BIGINT AS qid, count(*)::BIGINT AS n_docs,
+       min(dl.dl) AS min_dl, max(dl.dl) AS max_dl, sum(dl.dl)::BIGINT AS sum_dl,
+       sum(dl.dl)::DOUBLE / count(*)::DOUBLE AS avg_dl
+FROM m JOIN dl USING (doc_id)
+GROUP BY 1
+"""
+
+
 def bm25_topk_distributed(sf_dir: str) -> pa.Table:
     """The query-side actor-pool path: the query set as a Dataset,
     served by ``map_batches(QueryEngine, concurrency=2)`` — each actor
@@ -704,7 +834,7 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
     })
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(page: int = 1) -> str:
     import re
 
     pairs = []
@@ -712,6 +842,7 @@ def _bm25_sql() -> str:
         for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
             pairs.append(f"({qid}, '{term}')")
     values = ", ".join(pairs)
+    lo, hi = (page - 1) * TOPK, page * TOPK
     return f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
@@ -739,7 +870,7 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
   FROM scores
 )
-SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank > {lo} AND rank <= {hi}
 """
 
 
@@ -1084,6 +1215,40 @@ EVENTS_BY_TYPE_SQL = """
 SELECT event_type, count(*)::BIGINT AS n,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1
+"""
+
+
+def events_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``date_histogram`` aggregation (daily buckets per event type):
+    per-batch partial counts keyed by (event_type, day) collapse each
+    block to at most types x days rows BEFORE the shuffle, so the
+    groupby exchanges partial counts, never events."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        g = (pa.table({"event_type": batch["event_type"], "day": day})
+             .group_by(["event_type", "day"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "day", "n"])
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["ts", "event_type"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "day": pa.array(out["day"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+EVENTS_DATE_HISTOGRAM_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
 """
 
 
@@ -1663,7 +1828,11 @@ def registry() -> tuple[dict, dict]:
         "events_min_ts": events_min_ts,
         "shard_routing": shard_routing,
         "events_by_type": events_by_type,
+        "events_date_histogram": events_date_histogram,
         "lang_counts": lang_counts,
+        "bm25_search_after": bm25_search_after,
+        "lang_facet": lang_facet,
+        "doclen_stats_facet": doclen_stats_facet,
         "ingest_summary": ingest_summary,
         "payload_json": payload_json,
         "payload_bad": payload_bad,
@@ -1710,7 +1879,11 @@ def registry() -> tuple[dict, dict]:
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
+        "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
         "lang_counts": LANG_COUNTS_SQL,
+        "bm25_search_after": _bm25_sql(page=2),
+        "lang_facet": _lang_facet_sql(),
+        "doclen_stats_facet": _doclen_stats_facet_sql(),
         "payload_json": _payload_json_sql(),
         "payload_bad": _payload_bad_sql(),
         "decompress_roundtrip": _decompress_sql(),

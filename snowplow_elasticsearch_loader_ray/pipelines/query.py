@@ -171,6 +171,13 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
     corpus is doc-partitioned across query shards (see ``IndexReader``),
     each holding ~10^7-10^8 docs, so the array stays ~100 MB-scale.
     """
+    cand_ids, cand_scores = _taat_scores(reader, query)
+    return bm25.rank_topk(cand_ids, cand_scores, k)
+
+
+def _taat_scores(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
+    """All matching (doc_ids, raw scores) by TAAT accumulation — the
+    shared core of ``score_taat`` / ``score_taat_after``."""
     terms = tokenize_query(query)
     acc = reader.acc_buffer()
     matched = False
@@ -187,7 +194,45 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     # BM25 partial scores are strictly positive, so nonzero == matched
     cand = np.nonzero(acc)[0]
-    return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
+    return reader.dl_doc_ids[cand], acc[cand]
+
+
+def score_taat_after(reader: IndexReader, query: str, k: int = 10,
+                     after: tuple[float, int] | None = None,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``search_after`` pagination: the next ``k`` results strictly
+    AFTER the cursor in the engine's total order (rounded score desc,
+    doc_id asc). The cursor is the last hit of the previous page as
+    ``(rounded_score, doc_id)`` — exactly the sort values ES asks
+    clients to replay, so deep pagination never re-ships earlier pages
+    and is stable under concurrent upserts before the cursor.
+    """
+    cand_ids, cand_scores = _taat_scores(reader, query)
+    if after is not None and len(cand_ids):
+        r = np.round(cand_scores, bm25.SCORE_ROUND)
+        a_score, a_doc = np.round(after[0], bm25.SCORE_ROUND), after[1]
+        keep = (r < a_score) | ((r == a_score) & (cand_ids > a_doc))
+        cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+    return bm25.rank_topk(cand_ids, cand_scores, k)
+
+
+def facet_doclen_stats(reader: IndexReader, query: str) -> dict:
+    """ES ``stats`` aggregation over the full match set (docs containing
+    ANY query term — aggregations see every hit, not the top-k page):
+    count/min/max/sum/avg of document length, straight off the index's
+    doclen table (no document fetch)."""
+    docs, _cnt = boolean_or(reader, query)
+    if not len(docs):
+        return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,
+                "avg_dl": 0.0}
+    dl = reader.doclen_of(docs).astype(np.int64)
+    return {
+        "n_docs": int(len(docs)),
+        "min_dl": int(dl.min()),
+        "max_dl": int(dl.max()),
+        "sum_dl": int(dl.sum()),
+        "avg_dl": float(dl.sum()) / float(len(docs)),
+    }
 
 
 def score_taat_filtered(reader: IndexReader, query: str, filter_term: str,

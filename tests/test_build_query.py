@@ -100,6 +100,24 @@ def test_bmw_matches_taat(built):
         np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
 
 
+def test_search_after_pages_partition_the_ranking(built):
+    """page1 ++ search_after(page1 cursor) == one top-2k request, for
+    every query — the ES cursor-pagination contract."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import score_taat_after
+
+    reader = IndexReader(built[1])
+    for qid, q, k in synth.generate_queries():
+        d_all, s_all = score_taat(reader, q, 2 * k)
+        d1, s1 = score_taat(reader, q, k)
+        if len(d1) < k:
+            assert len(d_all) == len(d1)
+            continue
+        d2, s2 = score_taat_after(reader, q, k,
+                                  after=(float(s1[-1]), int(d1[-1])))
+        assert d1.tolist() + d2.tolist() == d_all.tolist(), f"qid={qid}"
+        assert s1.tolist() + s2.tolist() == s_all.tolist(), f"qid={qid}"
+
+
 def test_query_engine_batch_surface(built):
     import pyarrow as pa
 
