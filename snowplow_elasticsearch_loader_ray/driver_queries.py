@@ -706,6 +706,80 @@ def bm25_search_after(sf_dir: str) -> pa.Table:
     })
 
 
+N_MLT = 5
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """ES ``more_like_this`` over the index: for each of the N_MLT
+    smallest doc_ids, pick its top-10 terms by tf x idf (term-asc
+    ties), rank the corpus by disjunctive BM25 over them with the
+    source excluded. The oracle replays both stages — term selection
+    and scoring — in SQL."""
+    from .pipelines.query import more_like_this as _mlt
+
+    r = _reader(sf_dir)
+    src = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    order = pc.sort_indices(src["doc_id"])[:N_MLT]
+    srcs, ranks, docs = [], [], []
+    for i in order.to_pylist():
+        sid = src["doc_id"][i].as_py()
+        _terms, d, _s = _mlt(r, sid, src["text"][i].as_py(),
+                             max_terms=10, k=TOPK)
+        srcs.extend([sid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "src_doc_id": pa.array(srcs, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _mlt_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_MLT}),
+sel AS (
+  SELECT s.doc_id AS src, tf.term,
+         row_number() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY tf.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) DESC,
+                    tf.term) AS rn
+  FROM src s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st
+),
+q AS (SELECT src, term FROM sel WHERE rn <= 10),
+scores AS (
+  SELECT q.src, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.src
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, doc_id,
+         row_number() OVER (PARTITION BY src ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT src AS src_doc_id, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def lang_facet(sf_dir: str) -> pa.Table:
     """ES ``terms`` aggregation over the FULL match set of each query
     (aggregations see every hit, not the top-k page): matched doc_ids
@@ -1831,6 +1905,7 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": events_date_histogram,
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
+        "more_like_this": more_like_this,
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
         "ingest_summary": ingest_summary,
@@ -1882,6 +1957,7 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
         "lang_counts": LANG_COUNTS_SQL,
         "bm25_search_after": _bm25_sql(page=2),
+        "more_like_this": _mlt_sql(),
         "lang_facet": _lang_facet_sql(),
         "doclen_stats_facet": _doclen_stats_facet_sql(),
         "payload_json": _payload_json_sql(),

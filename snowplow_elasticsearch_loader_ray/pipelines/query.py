@@ -216,6 +216,36 @@ def score_taat_after(reader: IndexReader, query: str, k: int = 10,
     return bm25.rank_topk(cand_ids, cand_scores, k)
 
 
+def more_like_this(reader: IndexReader, doc_id: int, text: str,
+                   max_terms: int = 10, k: int = 10,
+                   ) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """ES ``more_like_this``: select the source document's top
+    ``max_terms`` terms by tf x idf (ties broken by term ascending —
+    deterministic), then rank the corpus by disjunctive BM25 over the
+    selected terms with the source document excluded. Term statistics
+    come from the index (df per term), the source text from the doc
+    store — the same two lookups ES's MLT performs.
+
+    Returns (selected_terms, doc_ids, rounded_scores).
+    """
+    import collections
+    import re
+
+    tf = collections.Counter(re.findall(r"[a-z0-9]+", text.lower()))
+    weighted = []
+    for t, f in tf.items():
+        df_t = reader.df(t)
+        if df_t == 0:
+            continue
+        weighted.append((-f * bm25.idf(reader.n_docs, df_t), t))
+    weighted.sort()
+    sel = [t for _w, t in weighted[:max_terms]]
+    cand_ids, cand_scores = _taat_scores(reader, " ".join(sel))
+    keep = cand_ids != doc_id
+    docs, scores = bm25.rank_topk(cand_ids[keep], cand_scores[keep], k)
+    return sel, docs, scores
+
+
 def facet_doclen_stats(reader: IndexReader, query: str) -> dict:
     """ES ``stats`` aggregation over the full match set (docs containing
     ANY query term — aggregations see every hit, not the top-k page):
