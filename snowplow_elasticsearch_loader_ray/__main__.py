@@ -1,0 +1,116 @@
+"""CLI job entrypoints — the ``ray job submit`` surface.
+
+The reference ships as a runnable loader app (``Main.scala`` /
+``Run.scala``: parse config, run the stream until terminated); the Ray
+analogue is a driver script submitted to a cluster:
+
+    ray job submit --working-dir . -- \
+        python -m snowplow_elasticsearch_loader_ray ingest --input /data/pages --out /mnt/ingest
+    ray job submit --working-dir . -- \
+        python -m snowplow_elasticsearch_loader_ray build --docs /mnt/ingest/docs/status=good \
+            --out /mnt/index --shards 1024 --parts 64
+    ray job submit --working-dir . -- \
+        python -m snowplow_elasticsearch_loader_ray query --index /mnt/index --query "data stream" -k 10
+
+Inside a submitted job, bare ``ray.init()`` attaches to the hosting
+cluster; standalone it honours ``$RAY_ADDRESS`` (``local`` in this
+sandbox). This module is the ONE library surface that owns a Ray
+session — the pipelines themselves never call ``ray.init``.
+
+Every command prints exactly one JSON document on stdout (counters,
+stats, or hits), so jobs compose in shell pipelines and the job log
+doubles as a machine-readable result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="snowplow_elasticsearch_loader_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="pages parquet -> docs + dead letters")
+    ing.add_argument("--input", required=True, help="pages parquet file/dir")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--max-record-bytes", type=int, default=100_000)
+
+    bld = sub.add_parser("build", help="docs parquet -> inverted index")
+    bld.add_argument("--docs", required=True, help="docs parquet file/dir")
+    bld.add_argument("--out", required=True)
+    bld.add_argument("--shards", type=int, default=32, help="term shards")
+    bld.add_argument("--parts", type=int, default=None,
+                     help="resume partitions (default: one per input file)")
+
+    qry = sub.add_parser("query", help="BM25 top-k over a built index")
+    qry.add_argument("--index", required=True)
+    qry.add_argument("--query", required=True)
+    qry.add_argument("-k", type=int, default=10)
+    qry.add_argument("--strategy", choices=["taat", "bmw"], default="taat")
+
+    mrg = sub.add_parser("merge", help="merge index generations (upsert by doc_id)")
+    mrg.add_argument("--inputs", nargs="+", required=True,
+                     help="index dirs, oldest first")
+    mrg.add_argument("--out", required=True)
+    mrg.add_argument("--shards", type=int, default=32)
+
+    stm = sub.add_parser("stream", help="NDJSON payloads on stdin -> micro-batch commits")
+    stm.add_argument("--out", required=True)
+    stm.add_argument("--purpose", choices=["json", "bad"], default="json")
+    stm.add_argument("--max-bytes", type=int, default=10_000_000)
+    stm.add_argument("--max-delay-s", type=float, default=1.0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, include_dashboard=False,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from .config import IndexConfig
+    from .pipelines import build as B
+
+    if args.cmd == "ingest":
+        cfg = IndexConfig(max_record_bytes=args.max_record_bytes)
+        out = B.ingest_pages(args.input, args.out, cfg)
+    elif args.cmd == "build":
+        cfg = IndexConfig(num_term_shards=args.shards)
+        out = B.build_index(args.docs, args.out, cfg, num_parts=args.parts)
+    elif args.cmd == "query":
+        from .pipelines.query import QueryEngine
+
+        eng = QueryEngine(args.index, strategy=args.strategy)
+        docs, scores = eng.topk(args.query, args.k)
+        out = {"query": args.query,
+               "hits": [{"rank": i + 1, "doc_id": int(d), "score": float(s)}
+                        for i, (d, s) in enumerate(zip(docs, scores))]}
+    elif args.cmd == "merge":
+        from .pipelines.merge import merge_indexes
+
+        cfg = IndexConfig(num_term_shards=args.shards)
+        out = merge_indexes(args.inputs, args.out, cfg)
+    elif args.cmd == "stream":
+        from .sources.stream import stream_ingest
+
+        cfg = IndexConfig(flush_max_bytes=args.max_bytes,
+                          flush_max_delay_s=args.max_delay_s)
+        lines = (ln.rstrip("\n").encode() for ln in sys.stdin if ln.strip())
+        out = stream_ingest(lines, args.out, purpose=args.purpose, cfg=cfg)
+    else:  # pragma: no cover - argparse enforces the choices
+        raise SystemExit(2)
+
+    json.dump(out, sys.stdout, default=str)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""The `ray job submit` CLI surface: each subcommand runs the same
+pipelines the library exposes and prints one JSON document."""
+
+import json
+
+import pytest
+
+from snowplow_elasticsearch_loader_ray.__main__ import main
+from snowplow_elasticsearch_loader_ray.sources import synth
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    synth.generate_pages(str(d / "pages"), n_rows=600, n_parts=4)
+    return d
+
+
+def _run(capsys, argv):
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_ingest_build_query(corpus, capsys):
+    counters = _run(capsys, ["ingest", "--input", str(corpus / "pages"),
+                             "--out", str(corpus / "ingest")])
+    assert counters["good"] > 0
+
+    stats = _run(capsys, ["build",
+                          "--docs", str(corpus / "ingest" / "docs" / "status=good"),
+                          "--out", str(corpus / "index"), "--shards", "8"])
+    assert stats["n_docs"] == counters["good"]
+
+    hits = _run(capsys, ["query", "--index", str(corpus / "index"),
+                         "--query", synth.generate_queries()[1][1], "-k", "5"])
+    assert len(hits["hits"]) <= 5
+    assert all(h["rank"] == i + 1 for i, h in enumerate(hits["hits"]))
+
+
+def test_cli_stream(corpus, capsys, monkeypatch):
+    import io
+
+    payloads = "\n".join(['{"a": %d}' % i for i in range(10)] + ["notjson"])
+    monkeypatch.setattr("sys.stdin", io.StringIO(payloads + "\n"))
+    out = _run(capsys, ["stream", "--out", str(corpus / "stream"),
+                        "--max-bytes", "64", "--max-delay-s", "60"])
+    assert out["good"] == 10
+    assert out["parse_error"] == 1
+    assert out["batches"] >= 2
