@@ -706,6 +706,75 @@ def bm25_search_after(sf_dir: str) -> pa.Table:
     })
 
 
+PREFIX_QUERIES = ["dat", "cust", "str", "ba", "zzzzq"]
+FUZZY_QUERIES = ["dta", "custmer", "joind", "batc", "xyzzyq"]
+
+
+def prefix_match(sf_dir: str) -> pa.Table:
+    """ES ``prefix`` query: expand the prefix against the index
+    vocabulary, union the expanded terms' postings (constant-score
+    rewrite). Reports expansion width and distinct matching docs; the
+    oracle recomputes both with LIKE over the tokenized corpus."""
+    from .pipelines.query import prefix_match as _pm
+
+    r = _reader(sf_dir)
+    rows = [(p, *_pm(r, p)) for p in PREFIX_QUERIES]
+    rows = [(p, nt, len(d)) for p, nt, d in rows if nt]
+    return pa.table({
+        "prefix": pa.array([r0[0] for r0 in rows], pa.string()),
+        "n_terms": pa.array([r0[1] for r0 in rows], pa.int64()),
+        "n_docs": pa.array([r0[2] for r0 in rows], pa.int64()),
+    })
+
+
+def _prefix_sql() -> str:
+    vals = ", ".join(f"({_sql_quote(p)})" for p in PREFIX_QUERIES)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+p(prefix) AS (VALUES {vals}),
+m AS (SELECT p.prefix, tok.term, tok.doc_id
+      FROM p JOIN tok ON tok.term LIKE p.prefix || '%')
+SELECT prefix, count(DISTINCT term)::BIGINT AS n_terms,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM m GROUP BY 1
+"""
+
+
+def fuzzy_match(sf_dir: str) -> pa.Table:
+    """ES ``fuzzy`` query expansion (edit distance <= 1): SymSpell
+    delete-1 candidate generation over the index vocabulary + exact
+    Levenshtein verify. The oracle recomputes the expansion with
+    DuckDB's levenshtein over the distinct corpus vocabulary."""
+    from .pipelines.query import fuzzy_expand
+
+    r = _reader(sf_dir)
+    qs, ts, dfs = [], [], []
+    for q in FUZZY_QUERIES:
+        for t in fuzzy_expand(r, q):
+            qs.append(q)
+            ts.append(t)
+            dfs.append(r.df(t))
+    return pa.table({
+        "query": pa.array(qs, pa.string()),
+        "term": pa.array(ts, pa.string()),
+        "df": pa.array(dfs, pa.int64()),
+    })
+
+
+def _fuzzy_sql() -> str:
+    vals = ", ".join(f"({_sql_quote(q)})" for q in FUZZY_QUERIES)
+    return f"""
+WITH vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY 1
+),
+q(query) AS (VALUES {vals})
+SELECT q.query, v.term, v.df
+FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 1
+"""
+
+
 N_MLT = 5
 
 
@@ -1906,6 +1975,8 @@ def registry() -> tuple[dict, dict]:
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
+        "prefix_match": prefix_match,
+        "fuzzy_match": fuzzy_match,
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
         "ingest_summary": ingest_summary,
@@ -1958,6 +2029,8 @@ def registry() -> tuple[dict, dict]:
         "lang_counts": LANG_COUNTS_SQL,
         "bm25_search_after": _bm25_sql(page=2),
         "more_like_this": _mlt_sql(),
+        "prefix_match": _prefix_sql(),
+        "fuzzy_match": _fuzzy_sql(),
         "lang_facet": _lang_facet_sql(),
         "doclen_stats_facet": _doclen_stats_facet_sql(),
         "payload_json": _payload_json_sql(),

@@ -216,6 +216,73 @@ def score_taat_after(reader: IndexReader, query: str, k: int = 10,
     return bm25.rank_topk(cand_ids, cand_scores, k)
 
 
+def expand_prefix(reader: IndexReader, prefix: str) -> list[str]:
+    """Vocabulary terms starting with ``prefix`` (ES ``prefix`` query
+    expansion), term-ascending. At 10^12-doc scale the vocabulary is
+    term-shard-partitioned; a prefix scan runs per shard and the
+    expansions union — same shape as this single-shard scan."""
+    return sorted(t for t in reader.terms if t.startswith(prefix))
+
+
+def prefix_match(reader: IndexReader, prefix: str) -> tuple[int, np.ndarray]:
+    """ES ``prefix`` query: (number of expanded terms, ascending
+    doc_ids containing ANY expanded term — constant-score semantics,
+    like ES's default rewrite)."""
+    terms = expand_prefix(reader, prefix)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return 0, np.empty(0, dtype=np.int64)
+    return len(terms), np.unique(np.concatenate(hits)).astype(np.int64)
+
+
+def _deletes1(term: str) -> set[str]:
+    return {term[:i] + term[i + 1:] for i in range(len(term))}
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein distance <= 1 (no transpositions)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                         # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0                                # one insertion into the shorter
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_expand(reader: IndexReader, query_term: str) -> list[str]:
+    """ES ``fuzzy`` query expansion at edit distance <= 1: candidates
+    via a SymSpell-style delete-1 neighborhood index over the
+    vocabulary (built once per reader, ~vocab x avg_len entries), then
+    exact Levenshtein verification — the delete intersection
+    over-generates (e.g. transposed bigrams), so every candidate is
+    checked. Term-ascending for determinism."""
+    idx = getattr(reader, "_del1_index", None)
+    if idx is None:
+        idx = {}
+        for t in reader.terms:
+            for d in _deletes1(t):
+                idx.setdefault(d, []).append(t)
+        reader._del1_index = idx
+    cand = set()
+    if query_term in reader.terms:
+        cand.add(query_term)
+    cand.update(idx.get(query_term, ()))          # vocab = query + 1 char
+    qdels = _deletes1(query_term)
+    for d in qdels:
+        if d in reader.terms:                     # vocab = query - 1 char
+            cand.add(d)
+        cand.update(idx.get(d, ()))               # substitution / same-len
+    return sorted(t for t in cand if _lev_le1(query_term, t))
+
+
 def more_like_this(reader: IndexReader, doc_id: int, text: str,
                    max_terms: int = 10, k: int = 10,
                    ) -> tuple[list[str], np.ndarray, np.ndarray]:

@@ -118,6 +118,30 @@ def test_search_after_pages_partition_the_ranking(built):
         assert s1.tolist() + s2.tolist() == s_all.tolist(), f"qid={qid}"
 
 
+def _lev(a, b):
+    """Reference DP Levenshtein (insert/delete/substitute)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expand_equals_bruteforce(built):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import fuzzy_expand
+
+    reader = IndexReader(built[1])
+    vocab = sorted(reader.terms)
+    # mutations of real vocabulary terms + a non-word + an exact word
+    probes = [vocab[3][:-1], vocab[10] + "x", "q" + vocab[20][1:],
+              vocab[40], "zzzzzz"]
+    for q in probes:
+        brute = sorted(t for t in vocab if _lev(q, t) <= 1)
+        assert fuzzy_expand(reader, q) == brute, q
+
+
 def test_query_engine_batch_surface(built):
     import pyarrow as pa
 
