@@ -96,10 +96,15 @@ class ShardSuffixConfig:
 DEFAULT_SHARD_SUFFIX = ShardSuffixConfig()
 
 
-#: terms reserved for non-term payloads inside segments. Doc lengths are
-#: stored as the posting list of this pseudo-term, sharded by
-#: hash(doc_id) (not hash(term)) so they stay balanced across segments.
+#: reserved pseudo-term. Retained for reading legacy (pre-docmap)
+#: segments, where doc lengths were stored as this pseudo-term's
+#: posting list; current builds keep doc lengths in ``docmap/`` tables.
 DOCLEN_TERM = ""
+
+#: run-row shard tag for docmap rows (ord → doc_id, doclen); phase 2's
+#: per-shard reads filter ``shard == j`` with j >= 0, so docmap rows
+#: prune away by row-group statistics like any other shard's.
+DOCMAP_SHARD = -1
 
 
 DEFAULT_CONFIG = IndexConfig()

@@ -78,8 +78,10 @@ def _index_dir(sf_dir: str) -> str:
     # invalidate the cached index, not silently serve a stale one
     docs = _docs_path(sf_dir)
     st = os.stat(docs)
+    # "v2" = ordinal-postings/docmap index format — a cached pre-docmap
+    # index must not be served to the new reader
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"v2|{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     return os.path.join(CACHE_ROOT, key, "index")
 
@@ -428,12 +430,12 @@ LIMIT {N_TOP_TERMS}
 """
 
 def doclen_percentiles(sf_dir: str) -> pa.Table:
-    """Corpus doc-length distribution from the standalone doclen tables
-    (written by the build's shard tasks — no corpus rescan): discrete
+    """Corpus doc-length distribution from the index docmap tables
+    (written by the build's run parts — no corpus rescan): discrete
     percentiles defined as the value at index floor(q·(n−1)) of the
     sorted lengths (DuckDB ``quantile_disc`` parity)."""
     d = _ensure_index(sf_dir)
-    files = sorted(glob.glob(os.path.join(d, "doclens", "shard-*.parquet")))
+    files = sorted(glob.glob(os.path.join(d, "docmap", "part-*.parquet")))
     lens = np.sort(pq.read_table(files, columns=["doclen"])["doclen"]
                    .to_numpy(zero_copy_only=False))
     n = len(lens)

@@ -12,26 +12,30 @@ noted:
    twice). Note ``text`` is NOT read — the engine re-derives it from
    ``html`` (byte-identity invariant).
 
-2. **phase 1 — runs**: per input partition,
-   ``read_parquet(files_k, columns=[doc_id, text])`` →
-   ``map_batches(TokenizePostings)`` → shard-sorted parquet with small
-   row groups → atomic rename → manifest commit. The shard-clustered
-   row-group layout IS the term-shard exchange, materialized to storage
-   instead of held in the object store: at 100 TB the shuffle spills by
-   construction, a killed job resumes at partition granularity (the
-   KCL-checkpoint analogue, SURVEY.md C1), and the file count stays at
-   one per output block (not blocks × shards).
+2. **phase 1 — runs**: per input partition, one task per input file
+   (``map_batches(TokenizeFilePostings)`` over (path, ordinal-base)
+   items — each doc gets its dense corpus ORDINAL, see
+   stages/postings.py) → shard-sorted parquet with small row groups →
+   atomic rename → ``docmap/part-K.parquet`` (ord → doc_id, doclen;
+   a contiguous ordinal range per part) → manifest commit. The
+   shard-clustered row-group layout IS the term-shard exchange,
+   materialized to storage instead of held in the object store: at
+   100 TB the shuffle spills by construction, a killed job resumes at
+   partition granularity (the KCL-checkpoint analogue, SURVEY.md C1),
+   and the file count stays at one per output block (not blocks ×
+   shards).
 
 3. **phase 2 — segments**: one Ray task per shard reads
    ``runs/part=*/*.parquet`` with a ``shard == j`` filter (row-group
    statistics prune to ~1/num_shards of each file), sorts by
-   (term, doc_id), delta/FOR-encodes posting blocks with block-max
+   (term, ord), delta/FOR-encodes posting blocks with block-max
    metadata and commits ``segments/shard-j.parquet`` + manifest.
-   Embarrassingly parallel — the all-to-all already happened in
+   Ordinal keys make the average delta gap n_docs/df (vs 2^63/n for
+   raw 64-bit id hashes), so postings land at ~1-2 B each instead
+   of ~9. Embarrassingly parallel — the all-to-all already happened in
    phase 1. Head-term skew: a single term's postings are inherently one
    list, but shards hold many terms and ``num_term_shards`` spreads the
-   heavy ones; the doclen pseudo-term is doc-hashed so per-doc payloads
-   never pile onto one shard (SURVEY.md §4 "Skew").
+   heavy ones (SURVEY.md §4 "Skew").
 
 4. **finalize**: N / avgdl / counters roll up from manifests (the
    running-counter analogue of ``Processing.scala:237-249``) into
@@ -69,9 +73,9 @@ def _is_http_filesystem_safe(fs):  # pragma: no cover - exercised via threads
 
 _ray_path_util._is_http_filesystem = _is_http_filesystem_safe
 
-from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
+from ..config import IndexConfig, DEFAULT_CONFIG, DOCMAP_SHARD
 from ..stages.extract import ExtractTransform
-from ..stages.postings import TokenizePostings
+from ..stages.postings import TokenizeFilePostings
 from ..stages.segment import encode_shard_table, SEGMENT_SCHEMA
 from ..stages.transforms import with_retries
 from ..state import manifest as mf
@@ -177,13 +181,22 @@ def good_docs_dir(ingest_out_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 def _plan_parts(files: list[str], target_parts: int | None) -> list[list[str]]:
-    """Group input files into resume partitions (file granularity)."""
+    """Group input files into resume partitions (file granularity).
+
+    CONTIGUOUS slices of the sorted file list, so each part owns a
+    contiguous doc-ordinal range and its ``docmap/part-K.parquet`` is an
+    ordinal-range partition — the doc-partitioned layout a 10^12-doc
+    reader grid keys on."""
     if not target_parts or target_parts >= len(files):
         return [[f] for f in files]
-    out: list[list[str]] = [[] for _ in range(target_parts)]
-    for j, f in enumerate(files):
-        out[j % target_parts].append(f)
-    return [p for p in out if p]
+    n, q, r = len(files), len(files) // target_parts, len(files) % target_parts
+    out, at = [], 0
+    for i in range(target_parts):
+        size = q + (1 if i < r else 0)
+        if size:
+            out.append(files[at:at + size])
+        at += size
+    return out
 
 
 def _footer_rows(files: list[str]) -> int:
@@ -196,19 +209,39 @@ def _footer_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _run_counters(part_dir: str, input_files: list[str]) -> dict:
-    """Per-part counters from parquet footers only. Every input doc
-    contributes exactly one doclen pseudo-posting row, so docs = input
-    footer rows and postings = output footer rows − docs. Token totals
-    come from the segment manifests (phase 2), where the doclen rows
-    are actually decoded — no data scan here."""
-    docs = _footer_rows(input_files)
-    out_rows = _footer_rows(glob.glob(os.path.join(part_dir, "*.parquet")))
-    return {"docs": int(docs), "postings": int(out_rows - docs)}
+DOCMAP_SCHEMA = pa.schema([
+    ("ord", pa.int64()),
+    ("doc_id", pa.int64()),
+    ("doclen", pa.int64()),
+])
 
 
-def _build_one_part(k: int, files_k: list[str], index_dir: str,
-                    cfg: IndexConfig) -> None:
+def _write_part_docmap(part_dir: str, index_dir: str, k: int) -> tuple[str, dict]:
+    """Extract a part's docmap rows (shard == -1, row-group pruned) into
+    ``docmap/part-K.parquet`` sorted by ordinal; → (path, counters)."""
+    import pyarrow.dataset as pads
+
+    dm_dir = os.path.join(index_dir, "docmap")
+    os.makedirs(dm_dir, exist_ok=True)
+    t = pads.dataset(sorted(glob.glob(os.path.join(part_dir, "*.parquet")))) \
+        .to_table(columns=["ord", "doc_id", "tf"],
+                  filter=pads.field("shard") == DOCMAP_SHARD)
+    order = pa.compute.sort_indices(t["ord"])
+    dm = pa.table({
+        "ord": t["ord"].take(order),
+        "doc_id": t["doc_id"].take(order),
+        "doclen": t["tf"].take(order).cast(pa.int64()),
+    }, schema=DOCMAP_SCHEMA)
+    out = os.path.join(dm_dir, f"part-{k:04d}.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(dm, tmp, compression="zstd")
+    os.replace(tmp, out)
+    tokens = int(pa.compute.sum(dm["doclen"]).as_py() or 0)
+    return out, {"docs": dm.num_rows, "tokens": tokens}
+
+
+def _build_one_part(k: int, files_k: list[str], bases_k: list[int],
+                    index_dir: str, cfg: IndexConfig) -> None:
     man_dir = os.path.join(index_dir, "manifests")
     runs_dir = os.path.join(index_dir, "runs")
     t0 = time.time()
@@ -217,13 +250,13 @@ def _build_one_part(k: int, files_k: list[str], index_dir: str,
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final, ignore_errors=True)  # uncommitted leftovers
 
-    ds = ray.data.read_parquet(files_k, columns=["doc_id", "text"],
-                               override_num_blocks=len(files_k))
-    ds = ds.map_batches(TokenizePostings(cfg), batch_format="pyarrow",
-                        batch_size=cfg.batch_size,
+    items = [{"path": p, "base": b} for p, b in zip(files_k, bases_k)]
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+    ds = ds.map_batches(TokenizeFilePostings(cfg), batch_format="pyarrow",
+                        batch_size=None,
                         concurrency=cfg.build_concurrency)
     # One file per output block with shard-clustered row groups (the
-    # batch is sorted by shard): phase 2 then prunes to its shard via
+    # chunk is sorted by shard): phase 2 then prunes to its shard via
     # row-group statistics. This replaces a hive write of blocks ×
     # shards tiny files — at 100 TB that's the difference between ~10^4
     # and ~10^6 exchange files per partition.
@@ -231,14 +264,17 @@ def _build_one_part(k: int, files_k: list[str], index_dir: str,
                      compression="zstd")
     # runs are shuffle intermediates: recompute-on-loss, not fsync
     mf.commit_dir_rename(tmp, final, durable=False)
-    counters = _run_counters(final, files_k)
+    dm_out, counters = _write_part_docmap(final, index_dir, k)
+    run_rows = _footer_rows(glob.glob(os.path.join(final, "*.parquet")))
+    counters["postings"] = int(run_rows - counters["docs"])
     mf.commit(man_dir, f"runs-part-{k:04d}", {
         "part": k,
         "stage": "runs",
         "input_files": [os.path.basename(f) for f in files_k],
         "row_count": counters["docs"],
         "counters": counters,
-        "outputs": [os.path.relpath(final, index_dir)],
+        "outputs": [os.path.relpath(final, index_dir),
+                    os.path.relpath(dm_out, index_dir)],
         "durable": False,          # shuffle intermediate (rerun part)
         "wall_s": round(time.time() - t0, 3),
     })
@@ -254,19 +290,29 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
     count at failure is deterministic."""
     man_dir = os.path.join(index_dir, "manifests")
     os.makedirs(os.path.join(index_dir, "runs"), exist_ok=True)
+    # doc ordinals: base offset per input file from footer row counts
+    # (metadata only), cumulative over the SORTED global file list —
+    # deterministic across resumes, independent of part grouping
+    rows_per_file = [pq.ParquetFile(f).metadata.num_rows for f in doc_files]
+    bases: dict[str, int] = {}
+    at = 0
+    for f, n in zip(doc_files, rows_per_file):
+        bases[f] = at
+        at += n
     parts = _plan_parts(doc_files, num_parts)
     todo = [(k, files_k) for k, files_k in enumerate(parts)
             if not mf.is_committed(man_dir, f"runs-part-{k:04d}")]
     if cfg.fail_after_parts is not None:
         for done, (k, files_k) in enumerate(todo, start=1):
-            _build_one_part(k, files_k, index_dir, cfg)
+            _build_one_part(k, files_k, [bases[f] for f in files_k], index_dir, cfg)
             if done >= cfg.fail_after_parts:
                 raise SimulatedFailure(f"injected failure after {done} run parts")
         return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(4, max(1, len(todo)))) as pool:
-        futs = [pool.submit(_build_one_part, k, files_k, index_dir, cfg)
+        futs = [pool.submit(_build_one_part, k, files_k,
+                            [bases[f] for f in files_k], index_dir, cfg)
                 for k, files_k in todo]
         for f in futs:
             f.result()
@@ -277,37 +323,28 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
 # happened via the partitioned run write, so this is a parallel map)
 # --------------------------------------------------------------------------
 
-def write_shard_doclens(index_dir: str, shard: int, dl: pa.Table) -> str:
-    """Decode a shard's doclen pseudo-postings into a standalone
-    ``doclens/shard-NNNN.parquet`` (doc_id, doclen) table.
+def load_docmap(index_dir: str):
+    """Load ``docmap/part-*.parquet`` → (doc_ids, doclens) numpy arrays
+    INDEXED BY ORDINAL (dense 0..n-1; parts are contiguous ordinal
+    ranges, concatenated in part order).
 
-    Runs inside the shard task that already holds the rows — no extra
-    read pass. Doclen pseudo-postings are hashed by doc_id (not term),
-    so shard j's file holds exactly the docs with hash(doc) % S == j: a
-    doc-partitioned reader at 10^12 docs opens only its own partitions'
-    files, and the single-node sharded reader loads the whole (tiny,
-    ~16 B/doc) directory once instead of decoding every segment.
+    ~24 B/doc total: a single-node reader loads it whole; a 10^12-doc
+    deployment doc-partitions readers on these same ordinal-range
+    parts, each opening only its own files.
     """
-    from ..codec import PostingList
-
-    dl_dir = os.path.join(index_dir, "doclens")
-    os.makedirs(dl_dir, exist_ok=True)
-    docs_parts, len_parts = [], []
-    for buf in dl["postings"].to_pylist():
-        d, ln = PostingList(buf).decode_all()
-        docs_parts.append(d)
-        len_parts.append(ln.astype("int64"))
     import numpy as np
 
-    docs = np.concatenate(docs_parts) if docs_parts else np.empty(0, "int64")
-    lens = np.concatenate(len_parts) if len_parts else np.empty(0, "int64")
-    t = pa.table({"doc_id": pa.array(docs, pa.int64()),
-                  "doclen": pa.array(lens, pa.int64())})
-    out = os.path.join(dl_dir, f"shard-{shard:04d}.parquet")
-    tmp = out + ".tmp"
-    pq.write_table(t, tmp, compression="zstd")
-    os.replace(tmp, out)
-    return out
+    files = sorted(glob.glob(os.path.join(index_dir, "docmap", "part-*.parquet")))
+    if not files:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pq.read_table(files, columns=["ord", "doc_id", "doclen"])
+    ords = t["ord"].to_numpy()
+    doc_ids = t["doc_id"].to_numpy()
+    lens = t["doclen"].to_numpy()
+    if len(ords) and not (ords[0] == 0 and ords[-1] == len(ords) - 1):
+        order = np.argsort(ords, kind="stable")   # non-contiguous parts
+        doc_ids, lens = doc_ids[order], lens[order]
+    return np.ascontiguousarray(doc_ids), np.ascontiguousarray(lens)
 
 
 @ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
@@ -347,7 +384,7 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
         # so no per-posting string is materialized.
         fmt = pads.ParquetFileFormat(read_options={"dictionary_columns": ["term"]})
         runs = pads.dataset(files, format=fmt).to_table(
-            columns=["term", "doc_id", "tf"],
+            columns=["term", "ord", "tf"],
             filter=pads.field("shard") == shard,
         )
         seg = encode_shard_table(runs, block_size=block_size)
@@ -365,23 +402,16 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
 
     with_retries(_write, delay_s=0.2)
 
-    dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM)
-    dl = seg.filter(dl_mask)
-    dl_out = write_shard_doclens(index_dir, shard, dl)
     return {
         "part": shard,
         "stage": "segments",
         "input_files": [os.path.relpath(f, index_dir) for f in files],
         "counters": {
-            "terms": int(seg.num_rows - dl.num_rows),
-            "postings": int(pa.compute.sum(seg.filter(
-                pa.compute.invert(dl_mask))["df"]).as_py() or 0),
-            "docs": int(pa.compute.sum(dl["df"]).as_py() or 0),
-            "tokens": int(pa.compute.sum(dl["cf"]).as_py() or 0),
+            "terms": int(seg.num_rows),
+            "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
             "bytes_written": os.path.getsize(out),
         },
-        "outputs": [os.path.relpath(out, index_dir),
-                    os.path.relpath(dl_out, index_dir)],
+        "outputs": [os.path.relpath(out, index_dir)],
         "content_hash": mf.content_hash([out]),
     }
 
@@ -403,8 +433,8 @@ def finalize(index_dir: str, cfg: IndexConfig, wall_s: float) -> dict:
     man_dir = os.path.join(index_dir, "manifests")
     seg_manifests = mf.load_all(man_dir, prefix="segment-shard-")
     run_manifests = mf.load_all(man_dir, prefix="runs-part-")
-    n_docs = sum(m["counters"]["docs"] for m in seg_manifests.values())
-    total_tokens = sum(m["counters"]["tokens"] for m in seg_manifests.values())
+    n_docs = sum(m["counters"]["docs"] for m in run_manifests.values())
+    total_tokens = sum(m["counters"]["tokens"] for m in run_manifests.values())
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,

@@ -14,20 +14,20 @@ bit-identical, not merely rank-identical.
 
 Partitioning assumptions (custom-op rule):
 - terms route by ``term_shard_one`` (identical at build/query time);
-- docs route by ``doc_shard`` (the splitmix hash also used for doclen
-  pseudo-postings) with the grid's OWN modulus ``n_doc_parts`` — any
-  value works because cells filter at load time;
+- docs route by ORDINAL STRIPE (``ord % n_doc_parts``) — any modulus
+  works because cells filter at load time, and a production grid would
+  instead use the docmap parts' contiguous ordinal RANGES so each cell
+  reads only its range's docmap files;
 - BM25 idf uses the GLOBAL df (the segment's df column), not the
   partition-local posting count — cells store it per term.
 
-Cells hold decoded (doc_id, tf) arrays for their slice (12 B/posting);
+Cells hold decoded (ord, tf) arrays for their slice (12 B/posting);
 a production cell at the memory margin would re-encode its slice with
 the block codec — the load path below is where that swap goes.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np
@@ -37,8 +37,8 @@ import ray
 from .. import bm25
 from ..codec import PostingList, binary_views
 from ..config import DOCLEN_TERM
-from ..tokenizer import doc_shard, term_shard_one
-from .build import index_stats
+from ..tokenizer import term_shard_one
+from .build import index_stats, load_docmap
 from .query import tokenize_query
 
 
@@ -51,6 +51,8 @@ class GridCellReader:
         st = index_stats(index_dir)
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
+        self.doc_part = doc_part
+        self.n_doc_parts = n_doc_parts
         self.terms: dict[str, tuple[int, np.ndarray, np.ndarray]] = {}
         t = pq.read_table(os.path.join(index_dir, "segments",
                                        f"shard-{shard:04d}.parquet"))
@@ -59,20 +61,13 @@ class GridCellReader:
             if term == DOCLEN_TERM:
                 continue
             docs, tfs = PostingList(buf).decode_all()
-            mask = doc_shard(docs, n_doc_parts) == doc_part
+            mask = docs % n_doc_parts == doc_part
             if mask.any():
                 # global df rides along: idf must see the whole corpus
                 self.terms[term] = (int(df), docs[mask], tfs[mask])
-        dl_files = sorted(glob.glob(
-            os.path.join(index_dir, "doclens", "shard-*.parquet")))
-        dl = pq.read_table(dl_files)
-        docs = dl["doc_id"].to_numpy(zero_copy_only=False)
-        lens = dl["doclen"].to_numpy(zero_copy_only=False)
-        mask = doc_shard(docs, n_doc_parts) == doc_part
-        docs, lens = docs[mask], lens[mask]
-        order = np.argsort(docs, kind="stable")
-        self.dl_doc_ids = docs[order]
-        self.dl_lens = lens[order].astype(np.float64)
+        _doc_ids, lens = load_docmap(index_dir)
+        # own stripe only: ordinal p, p+P, p+2P, ... → dense local index
+        self.dl_lens = lens[doc_part::n_doc_parts].astype(np.float64)
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -82,7 +77,7 @@ class GridCellReader:
                 continue
             df, docs, tfs = hit
             w = bm25.idf(self.n_docs, df)
-            dls = self.dl_lens[np.searchsorted(self.dl_doc_ids, docs)]
+            dls = self.dl_lens[docs // self.n_doc_parts]
             out[t] = (docs, w * bm25.tf_weight(tfs, dls, self.avgdl))
         return out
 
@@ -94,6 +89,8 @@ class GridQueryEngine:
                  cpus_per_reader: float | None = None):
         st = index_stats(index_dir)
         self.num_shards = int(st["num_term_shards"])
+        # ordinal → external id for the final rank (see ShardedQueryEngine)
+        self._doc_ids, _lens = load_docmap(index_dir)
         self.n_doc_parts = n_doc_parts
         n_cells = self.num_shards * n_doc_parts
         if cpus_per_reader is None:
@@ -130,7 +127,7 @@ class GridQueryEngine:
         docs_s, scores_s = docs[order], scores[order]
         boundaries = np.concatenate(
             ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        return bm25.rank_topk(docs_s[boundaries],
+        return bm25.rank_topk(self._doc_ids[docs_s[boundaries]],
                               np.add.reduceat(scores_s, boundaries), k)
 
     def shutdown(self) -> None:

@@ -8,18 +8,26 @@ the same contract holds across whole index generations — merging
 "re-crawl a slice, build a small delta index, merge" is the engine's
 re-index path (no full rebuild).
 
+Ordinal spaces: each input index keys its postings on its OWN dense doc
+ordinals (stages/postings.py). The merge therefore remaps: the driver
+loads every input's docmap, computes survivors (docs not re-indexed by
+a newer input, by external doc_id), assigns the MERGED ordinal space
+(input-age order, then input ordinal — deterministic), and broadcasts
+one ``old ordinal → new ordinal or -1 (superseded)`` int64 array per
+input via ``ray.put``. Shard tasks then decode, gather-remap, drop
+killed postings and re-encode — no per-posting search.
+
 Physical plan: inputs are already term-sharded with the same shard
 function, so the merge is embarrassingly parallel — one Ray task per
 shard reads that shard's segment from every input, merges posting lists
-term-by-term (doc_id-ascending order restored, last-input-wins on
-duplicate doc_ids), re-encodes, and commits the output segment +
+term-by-term (ordinal-ascending order restored, newest-wins on
+re-indexed docs), re-encodes, and commits the output segment +
 manifest. No shuffle: the expensive all-to-all happened when each input
 was built.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 
@@ -29,61 +37,52 @@ import pyarrow.parquet as pq
 import ray
 
 from ..codec import PostingList, encode_postings
-from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
+from ..config import IndexConfig, DEFAULT_CONFIG
 from ..stages.segment import SEGMENT_SCHEMA
 from ..state import manifest as mf
-from .build import finalize, index_stats
+from .build import DOCMAP_SCHEMA, finalize, index_stats, load_docmap
 
 
-def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
-    """Boolean membership of ``values`` in a sorted unique array."""
-    pos = np.searchsorted(sorted_set, values)
-    pos[pos == len(sorted_set)] = 0
-    return (sorted_set[pos] == values) if len(sorted_set) else np.zeros(len(values), bool)
-
-
-def _merge_lists(entries: list[tuple[int, bytes]], kill_after: list[np.ndarray],
+def _merge_lists(entries: list[tuple[int, bytes]], remaps: list[np.ndarray],
                  block_size: int) -> tuple[bytes, int, int] | None:
     """Merge posting-list buffers tagged with their input index.
 
     → (encoded buffer, df, cf), or None if every posting was deleted.
-    Upsert semantics (the document-replacement contract): a doc_id
-    re-indexed by a NEWER input is dead in every older input —
-    ``kill_after[i]`` is the sorted set of doc_ids superseded after
-    input ``i``, and postings from input ``i`` are dropped against it.
-    This removes stale terms that the new version of the document no
-    longer contains (a plain last-wins dedupe would leak them).
+    Upsert semantics (the document-replacement contract): ``remaps[i]``
+    maps input ``i``'s ordinals to merged ordinals, with -1 for docs
+    superseded by a NEWER input — dropping those removes stale terms
+    that the new version of the document no longer contains (a plain
+    last-wins dedupe would leak them).
     """
     docs_parts: list[np.ndarray] = []
     tfs_parts: list[np.ndarray] = []
     for i, buf in entries:
         d, t = PostingList(buf).decode_all()
-        if len(kill_after[i]):
-            live = ~_in_sorted(d, kill_after[i])
-            d, t = d[live], t[live]
-        if len(d):
-            docs_parts.append(d)
-            tfs_parts.append(t)
+        nd = remaps[i][d]
+        live = nd >= 0
+        if live.any():
+            docs_parts.append(nd[live])
+            tfs_parts.append(t[live])
     if not docs_parts:
         return None
     if len(docs_parts) == 1:
         docs, tfs = docs_parts[0], tfs_parts[0]
+        order = np.argsort(docs, kind="stable")
+        docs, tfs = docs[order], tfs[order]
     else:
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         order = np.argsort(docs, kind="stable")
         docs, tfs = docs[order], tfs[order]
-        # survivors are disjoint across inputs post-kill except the
-        # doclen pseudo-term rows, where last (newest) wins
-        last = np.concatenate((docs[1:] != docs[:-1], [True]))
-        docs, tfs = docs[last], tfs[last]
+    # survivors are disjoint across inputs post-remap (each merged
+    # ordinal belongs to exactly one input generation)
     return encode_postings(docs, tfs, block_size=block_size), len(docs), int(tfs.sum())
 
 
 @ray.remote(num_cpus=1)
 def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
-                 block_size: int, kill_after: list[np.ndarray]) -> dict:
-    # kill_after arrives as an ObjectRef argument (one ray.put on the
+                 block_size: int, remaps: list[np.ndarray]) -> dict:
+    # remaps arrives as an ObjectRef argument (one ray.put on the
     # driver); Ray resolves it from the shared object store per node —
     # broadcast, not per-task pickling
     seg_dir = os.path.join(out_dir, "segments")
@@ -108,7 +107,7 @@ def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
     out_df: list[int] = []
     out_cf: list[int] = []
     for term in sorted(by_term):
-        merged = _merge_lists(by_term[term], kill_after, block_size)
+        merged = _merge_lists(by_term[term], remaps, block_size)
         if merged is None:
             continue                           # all postings superseded
         buf, df, cf = merged
@@ -128,38 +127,18 @@ def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
     pq.write_table(seg, tmp, compression="zstd")
     os.replace(tmp, out)
 
-    dl_mask = pa.compute.equal(seg["term"], DOCLEN_TERM) if seg.num_rows else None
-    dl = seg.filter(dl_mask) if seg.num_rows else seg
-    from .build import write_shard_doclens
-
-    write_shard_doclens(out_dir, shard, dl)
-    n_terms = seg.num_rows - dl.num_rows
     return {
         "part": shard,
         "stage": "segments",
         "input_files": [os.path.join(d, "segments", name) for d in input_dirs],
         "counters": {
-            "terms": int(n_terms),
-            "postings": int(pa.compute.sum(seg.filter(
-                pa.compute.invert(dl_mask))["df"]).as_py() or 0) if seg.num_rows else 0,
-            "docs": int(pa.compute.sum(dl["df"]).as_py() or 0),
-            "tokens": int(pa.compute.sum(dl["cf"]).as_py() or 0),
+            "terms": int(seg.num_rows),
+            "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
             "bytes_written": os.path.getsize(out),
         },
         "outputs": [os.path.relpath(out, out_dir)],
         "content_hash": mf.content_hash([out]),
     }
-
-
-def _doc_ids_of(index_dir: str) -> np.ndarray:
-    """All doc_ids of an index (decoded doclen pseudo-postings), sorted."""
-    parts = []
-    for f in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
-        t = pq.read_table(f, columns=["term", "postings"])
-        for term, buf in zip(t["term"].to_pylist(), t["postings"].to_pylist()):
-            if term == DOCLEN_TERM:
-                parts.append(PostingList(buf).decode_all()[0])
-    return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
 
 def merge_indexes(input_dirs: list[str], out_dir: str,
@@ -168,12 +147,12 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
 
     All inputs must have the same ``num_term_shards`` (same shard
     function — checked). Resumable per shard via the same manifest
-    machinery as the build. The per-input delete lists (doc_ids
-    superseded by newer inputs) are computed once and broadcast via
-    ``ray.put`` — sized by the NEWER inputs' corpora, so the intended
-    usage is base-plus-deltas (re-crawl slices), where they stay small;
-    merging two full-size generations means a corpus-sized broadcast
-    and deserves a rebuild instead.
+    machinery as the build. The per-input ordinal remap arrays are
+    computed once from the inputs' docmaps and broadcast via
+    ``ray.put`` — sized by each input's corpus, so the intended usage
+    is base-plus-deltas (re-crawl slices); merging many full-size
+    generations means corpus-sized broadcasts and deserves a rebuild
+    instead.
     """
     t0 = time.time()
     shards = {index_stats(d)["num_term_shards"] for d in input_dirs}
@@ -185,18 +164,65 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     if mf.is_committed(man_dir, "index"):
         return mf.load(man_dir, "stats")["stats"]
 
-    # kill_after[i] = docs re-indexed by any input newer than i
-    kill_after: list[np.ndarray] = [np.empty(0, np.int64)] * len(input_dirs)
-    newer = np.empty(0, np.int64)
+    # survivors per input (newest wins by external doc_id), merged
+    # ordinal assignment in (input age, input ordinal) order
+    docmaps = [load_docmap(d) for d in input_dirs]
+    newer: np.ndarray = np.empty(0, np.int64)     # ext ids seen in newer inputs
+    live_masks: list[np.ndarray] = [None] * len(input_dirs)
     for i in range(len(input_dirs) - 1, -1, -1):
-        kill_after[i] = newer
+        ext = docmaps[i][0]
+        if len(newer):
+            pos = np.searchsorted(newer, ext)
+            pos[pos == len(newer)] = 0
+            killed = (newer[pos] == ext) if len(newer) else np.zeros(len(ext), bool)
+        else:
+            killed = np.zeros(len(ext), bool)
+        live_masks[i] = ~killed
         if i:
-            newer = np.union1d(newer, _doc_ids_of(input_dirs[i]))
-    kill_ref = ray.put(kill_after)
+            newer = np.union1d(newer, ext)
+
+    remaps: list[np.ndarray] = []
+    merged_ext: list[np.ndarray] = []
+    merged_len: list[np.ndarray] = []
+    at = 0
+    for (ext, lens), live in zip(docmaps, live_masks):
+        remap = np.full(len(ext), -1, dtype=np.int64)
+        n_live = int(live.sum())
+        remap[live] = at + np.arange(n_live, dtype=np.int64)
+        at += n_live
+        remaps.append(remap)
+        merged_ext.append(ext[live])
+        merged_len.append(lens[live])
+    remap_ref = ray.put(remaps)
+
+    # merged docmap: one ordinal-range part (the merged corpus)
+    dm_dir = os.path.join(out_dir, "docmap")
+    os.makedirs(dm_dir, exist_ok=True)
+    ext_all = np.concatenate(merged_ext) if merged_ext else np.empty(0, np.int64)
+    len_all = np.concatenate(merged_len) if merged_len else np.empty(0, np.int64)
+    dm = pa.table({
+        "ord": pa.array(np.arange(len(ext_all), dtype=np.int64)),
+        "doc_id": pa.array(ext_all),
+        "doclen": pa.array(len_all.astype(np.int64)),
+    }, schema=DOCMAP_SCHEMA)
+    dm_out = os.path.join(dm_dir, "part-0000.parquet")
+    pq.write_table(dm, dm_out + ".tmp", compression="zstd")
+    os.replace(dm_out + ".tmp", dm_out)
+    if not mf.is_committed(man_dir, "runs-part-0000"):
+        mf.commit(man_dir, "runs-part-0000", {
+            "part": 0,
+            "stage": "runs",
+            "input_files": [os.path.relpath(d, out_dir) for d in input_dirs],
+            "row_count": int(len(ext_all)),
+            "counters": {"docs": int(len(ext_all)),
+                         "tokens": int(len_all.sum()),
+                         "postings": 0},
+            "outputs": [os.path.relpath(dm_out, out_dir)],
+        })
 
     missing = [s for s in range(n_shards)
                if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
-    refs = [_merge_shard.remote(input_dirs, out_dir, s, cfg.block_size, kill_ref)
+    refs = [_merge_shard.remote(input_dirs, out_dir, s, cfg.block_size, remap_ref)
             for s in missing]
     for s, payload in zip(missing, ray.get(refs)):
         mf.commit(man_dir, f"segment-shard-{s:04d}", payload)

@@ -49,13 +49,17 @@ def tokenize_query(q: str) -> list[str]:
 
 
 class IndexReader:
-    """In-memory view over an index directory's segments + stats.
+    """In-memory view over an index directory's segments + docmap.
 
-    At sandbox scale the whole term dictionary and encoded postings fit
-    in one process; at 1e12-doc scale this object would hold one term
-    shard per reader actor (terms route by ``term_shard_one``) with
-    postings mmap'd — the layout (per-shard segment files, doc-hashed
-    doclen pseudo-postings) is already partitioned for that.
+    Postings decode to dense doc ORDINALS (see stages/postings.py): the
+    ordinal IS the score-accumulator position, so scoring does no
+    binary search, and ``dl_doc_ids[ord]`` / ``dl_lens[ord]`` give the
+    external doc_id / doclen directly. At sandbox scale the whole term
+    dictionary and encoded postings fit in one process; at 1e12-doc
+    scale this object would hold one term shard per reader actor (terms
+    route by ``term_shard_one``) with postings mmap'd — the layout
+    (per-shard segment files, ordinal-range docmap parts) is already
+    partitioned for that.
     """
 
     def __init__(self, index_dir: str):
@@ -64,8 +68,6 @@ class IndexReader:
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
         self.terms: dict[str, tuple[int, int, bytes]] = {}
-        dl_docs: list[np.ndarray] = []
-        dl_lens: list[np.ndarray] = []
         from ..codec import binary_views
 
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
@@ -77,24 +79,23 @@ class IndexReader:
                 t["term"].to_pylist(), t["df"].to_pylist(),
                 t["cf"].to_pylist(), views,
             ):
-                if term == DOCLEN_TERM:
-                    d, ln = PostingList(buf).decode_all()
-                    dl_docs.append(d)
-                    dl_lens.append(ln)
-                else:
+                if term != DOCLEN_TERM:          # legacy pseudo-term guard
                     self.terms[term] = (df, cf, buf)
-        if dl_docs:
-            docs = np.concatenate(dl_docs)
-            lens = np.concatenate(dl_lens)
-            order = np.argsort(docs, kind="stable")
-            self.dl_doc_ids = docs[order]
-            self.dl_lens = lens[order].astype(np.float64)
-        else:
-            self.dl_doc_ids = np.empty(0, dtype=np.int64)
-            self.dl_lens = np.empty(0, dtype=np.float64)
+        from .build import load_docmap
+
+        # indexed by ordinal: external id + doclen per doc
+        self.dl_doc_ids, lens = load_docmap(index_dir)
+        self.dl_lens = lens.astype(np.float64)
+        self._ext_sorted: np.ndarray | None = None
+        self._ext_order: np.ndarray | None = None
 
     def doclen_of(self, doc_ids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.dl_doc_ids, doc_ids)
+        """Doc lengths by EXTERNAL doc_id (lazy sorted lookup — result
+        paths that already hold ordinals index ``dl_lens`` directly)."""
+        if self._ext_sorted is None:
+            self._ext_order = np.argsort(self.dl_doc_ids, kind="stable")
+            self._ext_sorted = self.dl_doc_ids[self._ext_order]
+        idx = self._ext_order[np.searchsorted(self._ext_sorted, doc_ids)]
         return self.dl_lens[idx]
 
     def acc_buffer(self) -> np.ndarray:
@@ -106,32 +107,14 @@ class IndexReader:
             buf.fill(0.0)
         return buf
 
-    #: cap on cached posting positions (~4 B each; 32M ≈ 128 MB)
-    POS_CACHE_POSTINGS = 32_000_000
-
     def positions_of(self, term: str, docs: np.ndarray) -> np.ndarray:
-        """Dense partition positions of a term's postings, LRU-cached.
+        """Accumulator positions of a term's decoded postings.
 
-        Hot (head) terms dominate query traffic and their doc_id →
-        position binary search is the single largest scoring cost; the
-        cache turns repeat hits into a stored int32 gather. Bounded by
-        total cached postings, evicting least-recently-used terms.
-        """
-        cache = getattr(self, "_pos_cache", None)
-        if cache is None:
-            cache = self._pos_cache = {}
-            self._pos_cached_total = 0
-        hit = cache.pop(term, None)
-        if hit is not None:
-            cache[term] = hit                      # move to MRU
-            return hit
-        pos = np.searchsorted(self.dl_doc_ids, docs).astype(np.int32)
-        self._pos_cached_total += len(pos)
-        cache[term] = pos
-        while self._pos_cached_total > self.POS_CACHE_POSTINGS and len(cache) > 1:
-            old = cache.pop(next(iter(cache)))
-            self._pos_cached_total -= len(old)
-        return pos
+        With ordinal doc keys the posting value IS the position — the
+        per-term binary search (and the position LRU cache that amortized
+        it) is gone; this is now an identity kept for the call-site
+        contract (a doc-partitioned reader would subtract its base)."""
+        return docs
 
     def postings(self, term: str) -> PostingList | None:
         e = self.terms.get(term)
@@ -233,7 +216,8 @@ def prefix_match(reader: IndexReader, prefix: str) -> tuple[int, np.ndarray]:
             if (pl := reader.postings(t)) is not None]
     if not hits:
         return 0, np.empty(0, dtype=np.int64)
-    return len(terms), np.unique(np.concatenate(hits)).astype(np.int64)
+    uniq = np.unique(np.concatenate(hits))
+    return len(terms), reader.dl_doc_ids[uniq].astype(np.int64)
 
 
 def _deletes1(term: str) -> set[str]:
@@ -371,11 +355,12 @@ def score_taat_filtered(reader: IndexReader, query: str, filter_term: str,
 # --------------------------------------------------------------------------
 
 def boolean_and(reader: IndexReader, query: str) -> np.ndarray:
-    """doc_ids (ascending) containing EVERY query term.
+    """External doc_ids containing EVERY query term (ordinal order).
 
     Intersects posting lists smallest-df-first so the candidate set
-    shrinks fastest; lists are doc_id-ascending by codec invariant, so
-    each step is one sorted-array intersection.
+    shrinks fastest; lists are ordinal-ascending by codec invariant, so
+    each step is one sorted-array intersection; ordinals map to
+    external ids once at the end.
     """
     terms = tokenize_query(query)
     if not terms:
@@ -392,19 +377,18 @@ def boolean_and(reader: IndexReader, query: str) -> np.ndarray:
         cur = np.intersect1d(cur, d, assume_unique=True)
         if not len(cur):
             break
-    return cur.astype(np.int64)
+    return reader.dl_doc_ids[cur].astype(np.int64)
 
 
 def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids ascending, number of distinct query terms matched)."""
+    """(external doc_ids in ordinal order, distinct query terms matched)."""
     terms = tokenize_query(query)
     hits = [pl.decode_all()[0] for t in terms
             if (pl := reader.postings(t)) is not None]
     if not hits:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    docs = np.concatenate(hits)
-    uniq, counts = np.unique(docs, return_counts=True)
-    return uniq.astype(np.int64), counts.astype(np.int64)
+    uniq, counts = np.unique(np.concatenate(hits), return_counts=True)
+    return reader.dl_doc_ids[uniq].astype(np.int64), counts.astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -525,7 +509,7 @@ def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray,
             if c.cur < pivot:
                 c.next_geq(pivot)
         score = 0.0
-        dl = float(reader.doclen_of(np.array([pivot]))[0])
+        dl = float(reader.dl_lens[pivot])        # pivot IS the ordinal
         for c in cursors:           # fixed (sorted-term) order for determinism
             if c.cur == pivot:
                 score += c.idf * float(bm25.tf_weight(
@@ -533,11 +517,12 @@ def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray,
         for c in cursors:
             if c.cur == pivot:
                 c.advance()
-        # heap entries use the ROUNDED score so eviction ties break by
-        # doc_id exactly as rank_topk does in TAAT (rank-identity
-        # contract); the rounded theta is <= the raw one, so pruning
-        # with it only admits more candidates — never unsafe.
-        entry = (round(score, bm25.SCORE_ROUND), -pivot)
+        # heap entries use the ROUNDED score and the EXTERNAL doc_id so
+        # eviction ties break exactly as rank_topk does in TAAT
+        # (rank-identity contract); the rounded theta is <= the raw
+        # one, so pruning with it only admits more candidates — never
+        # unsafe.
+        entry = (round(score, bm25.SCORE_ROUND), -int(reader.dl_doc_ids[pivot]))
         if len(heap) < k:
             heapq.heappush(heap, entry)
         elif entry > heap[0]:

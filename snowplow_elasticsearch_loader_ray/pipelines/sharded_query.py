@@ -14,12 +14,14 @@ computed identically) and ranking with the same
 Partitioning assumptions (documented per SURVEY.md custom-op rule):
 - terms route by ``term_shard_one(term) % num_term_shards`` — identical
   at build and query time;
-- every shard actor holds the full doclen array for ITS postings' docs:
-  here the standalone ``doclens/shard-*.parquet`` tables (written by the
-  build's shard tasks, ~16 B/doc total) are loaded once per actor; at
-  10^12 docs the corpus is additionally doc-partitioned, and because
-  doclen files are doc-hashed each (term-shard × doc-partition) actor
-  opens exactly its partition's files.
+- every shard actor holds the full ordinal-indexed doclen array (the
+  ``docmap/`` tables, ~24 B/doc total) so partial scoring is a direct
+  gather; at 10^12 docs the corpus is additionally doc-partitioned and
+  the docmap parts are ordinal-range files, so each
+  (term-shard × doc-partition) actor opens exactly its range's files.
+- partials are keyed by doc ORDINAL; the driver combines on ordinals
+  and maps the (pre-cut, ~k-sized) survivors to external doc_ids via
+  the docmap at ranking time.
 """
 
 from __future__ import annotations
@@ -34,13 +36,13 @@ from .. import bm25
 from ..codec import PostingList
 from ..config import DOCLEN_TERM
 from ..tokenizer import term_shard_one
-from .build import index_stats
+from .build import index_stats, load_docmap
 from .query import tokenize_query
 
 
 @ray.remote(num_cpus=1)
 class ShardReader:
-    """One term shard's postings + global doc lengths, held in-actor."""
+    """One term shard's postings + ordinal-indexed doc lengths."""
 
     def __init__(self, index_dir: str, shard: int, num_shards: int):
         st = index_stats(index_dir)
@@ -56,37 +58,11 @@ class ShardReader:
         for term, buf in zip(t["term"].to_pylist(), binary_views(t["postings"])):
             if term != DOCLEN_TERM:
                 self.terms[term] = buf
-        # global doc lengths come from the standalone doclens table the
-        # build's shard tasks wrote (~16 B/doc total): O(1) columnar
-        # reads per actor instead of decoding every segment's postings
-        # (which was O(num_shards) full segment reads per actor)
-        import glob as _glob
-
-        dl_files = sorted(_glob.glob(
-            os.path.join(index_dir, "doclens", "shard-*.parquet")))
-        if dl_files:
-            dl = pq.read_table(dl_files)
-            docs = dl["doc_id"].to_numpy(zero_copy_only=False)
-            lens = dl["doclen"].to_numpy(zero_copy_only=False)
-        else:  # pre-doclens index layout: decode segments (legacy path)
-            dl_docs, dl_lens = [], []
-            for s in range(num_shards):
-                seg = pq.read_table(
-                    os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
-                for term, buf in zip(seg["term"].to_pylist(),
-                                     seg["postings"].to_pylist()):
-                    if term == DOCLEN_TERM:
-                        d, ln = PostingList(buf).decode_all()
-                        dl_docs.append(d)
-                        dl_lens.append(ln)
-            docs = np.concatenate(dl_docs) if dl_docs else np.empty(0, np.int64)
-            lens = np.concatenate(dl_lens) if dl_lens else np.empty(0, np.int64)
-        order = np.argsort(docs, kind="stable")
-        self.dl_doc_ids = docs[order]
-        self.dl_lens = lens[order].astype(np.float64)
+        _doc_ids, lens = load_docmap(index_dir)
+        self.dl_lens = lens.astype(np.float64)
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-        """term → (doc_ids, per-doc partial scores) for this shard's terms."""
+        """term → (doc ordinals, per-doc partial scores) for this shard."""
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in terms:
             buf = self.terms.get(t)
@@ -94,8 +70,7 @@ class ShardReader:
                 continue
             docs, tfs = PostingList(buf).decode_all()
             w = bm25.idf(self.n_docs, len(docs))
-            dls = self.dl_lens[np.searchsorted(self.dl_doc_ids, docs)]
-            out[t] = (docs, w * bm25.tf_weight(tfs, dls, self.avgdl))
+            out[t] = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs], self.avgdl))
         return out
 
 
@@ -105,6 +80,11 @@ class ShardedQueryEngine:
     def __init__(self, index_dir: str, cpus_per_reader: float | None = None):
         st = index_stats(index_dir)
         self.num_shards = int(st["num_term_shards"])
+        # ordinal → external id for the final (pre-cut, ~k-sized) rank;
+        # held whole here (8 B/doc) — a 10^12-doc deployment keeps this
+        # doc-partitioned and fetches survivors' ids from the owning
+        # partition instead
+        self._doc_ids, _lens = load_docmap(index_dir)
         if cpus_per_reader is None:
             # fit the pool into the current cluster (a reader is mostly
             # waiting between queries; on a real cluster size this to
@@ -138,9 +118,9 @@ class ShardedQueryEngine:
         docs_s, scores_s = docs[order], scores[order]
         boundaries = np.concatenate(
             ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        uniq = docs_s[boundaries]
+        uniq = docs_s[boundaries]                 # ordinals
         sums = np.add.reduceat(scores_s, boundaries)
-        return bm25.rank_topk(uniq, sums, k)
+        return bm25.rank_topk(self._doc_ids[uniq], sums, k)
 
     def shutdown(self) -> None:
         for r in self.readers:

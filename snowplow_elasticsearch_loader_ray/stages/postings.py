@@ -1,103 +1,140 @@
-"""SPIMI posting construction as a ``map_batches`` stage.
+"""SPIMI posting construction over ordinal doc keys.
 
-One batch of documents in → one sorted run of partial postings out:
-``(shard: int32, term: dictionary<string>, doc_id: int64, tf: int32)``.
-This is the per-batch combiner (SURVEY.md §7 stage 4): term frequencies
-are already aggregated per (doc, term) inside the batch, so the
-downstream shard exchange moves one row per distinct (doc, term) — not
-one row per token.
+One chunk of documents in → one sorted run of partial postings out:
+``(shard: int32, term: dictionary<string>, ord: int64, tf: int32,
+doc_id: int64|null)``. This is the per-batch combiner (SURVEY.md §7
+stage 4): term frequencies are already aggregated per (doc, term)
+inside the chunk, so the downstream shard exchange moves one row per
+distinct (doc, term) — not one row per token.
+
+**Ordinal doc keys** (the docBase design, Lucene-style): posting lists
+store the document's dense corpus ordinal — its position in the global
+input-file order (``base_of_file + row_in_file``) — NOT the external
+64-bit ``doc_id`` hash. Sorted random 64-bit ids defeat delta coding
+(the average gap is ~2^63/n and every delta costs 8 bytes); dense
+ordinals make the average gap ``n_docs/df``, so head terms compress to
+~1 byte per posting and the whole index shrinks ~4x. The
+``ord → (doc_id, doclen)`` mapping rides along as tagged docmap rows
+(``shard = -1``) that phase 1 extracts into ``docmap/part-K.parquet``;
+readers map ordinals back to external ids at result time, and the
+dense ordinal doubles as the score-accumulator position (no binary
+search per posting at query time).
 
 Hot-path design (this stage dominates build CPU — see BASELINE.md):
-after tokenization the batch works entirely on integers — terms are
+after tokenization the chunk works entirely on integers — terms are
 dictionary-encoded once, tf counting is one ``np.unique`` over
-``doc*V + term_index`` composite keys, the output ordering is one
+``row*V + term_index`` composite keys, the output ordering is one
 integer ``np.lexsort``, and the term column is emitted as a
-``DictionaryArray`` (indices over the batch vocabulary), so no
+``DictionaryArray`` (indices over the chunk vocabulary), so no
 per-posting string is ever materialized, hashed, sorted or copied.
 
-Doc lengths ride along as pseudo-postings of ``DOCLEN_TERM`` (term "")
-with ``tf = doclen``, sharded by ``hash(doc_id)`` instead of
-``hash(term)`` so 1e12 doc-length entries stay balanced across segments
-rather than landing on a single term-hash bucket. N and avgdl then fall
-out of the segment table as ``sum(df)`` / ``sum(cf)`` of the pseudo-term
-— the engine's version of the reference's running counters
-(``Processing.scala:102,111,237-249``).
-
-The batch output is sorted by (shard, term, doc) which makes the run
-files shard-clustered per row group for the phase-2 pruned read and
-keeps parquet encodings tight.
+The chunk output is sorted by (shard, term, ord) — docmap rows
+(shard = -1) lead — which keeps the run files shard-clustered per row
+group for the phase-2 pruned read and the parquet encodings tight.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
-from ..config import IndexConfig, DEFAULT_CONFIG, DOCLEN_TERM
-from ..tokenizer import doc_shard, term_shard_one, tokenize_to_terms
+from ..config import IndexConfig, DEFAULT_CONFIG, DOCMAP_SHARD
+from ..tokenizer import term_shard_one, tokenize_to_terms
 
 RUN_SCHEMA = pa.schema(
     [
         ("shard", pa.int32()),
         ("term", pa.string()),
-        ("doc_id", pa.int64()),
+        ("ord", pa.int64()),
         ("tf", pa.int32()),
+        ("doc_id", pa.int64()),       # populated on docmap rows only
     ]
 )
 
 
-class TokenizePostings:
-    """docs ``(doc_id, text)`` → sorted partial-posting run rows."""
+def postings_chunk(doc_ids: np.ndarray, ords: np.ndarray,
+                   texts: pa.Array | pa.ChunkedArray,
+                   cfg: IndexConfig) -> pa.Table:
+    """One chunk of documents → sorted run rows (postings + docmap)."""
+    n_docs = len(doc_ids)
+    flat, idx = tokenize_to_terms(texts)
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    doclen = np.bincount(idx_np, minlength=n_docs).astype(np.int32)
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    vocab: list[str] = enc.dictionary.to_pylist()
+    didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = max(len(vocab), 1)
+
+    # tf per (doc, term): one sort of composite integer keys
+    comp = idx_np.astype(np.int64) * V + didx
+    uniq, counts = np.unique(comp, return_counts=True)
+    row_doc = uniq // V                       # chunk row index
+    row_tidx = (uniq % V).astype(np.int64)    # vocab index
+
+    # shard per unique term, once (vocab is tiny vs postings)
+    shard_lut = np.fromiter(
+        (term_shard_one(t, cfg.num_term_shards) for t in vocab),
+        dtype=np.int32, count=len(vocab),
+    )
+
+    # docmap rows lead (shard = -1, vocab index V as the placeholder)
+    all_shard = np.concatenate(
+        [shard_lut[row_tidx],
+         np.full(n_docs, DOCMAP_SHARD, dtype=np.int32)])
+    all_tidx = np.concatenate(
+        [row_tidx, np.full(n_docs, len(vocab), dtype=np.int64)])
+    all_ord = np.concatenate([ords[row_doc], ords])
+    all_tf = np.concatenate([counts.astype(np.int32), doclen])
+    all_doc = np.concatenate(
+        [np.zeros(len(row_doc), dtype=np.int64), doc_ids])
+    valid_doc = np.concatenate(
+        [np.zeros(len(row_doc), dtype=bool), np.ones(n_docs, dtype=bool)])
+
+    order = np.lexsort((all_ord, all_tidx, all_shard))
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(all_tidx[order].astype(np.int32)),
+        pa.array(vocab + [""], type=pa.string()),
+    )
+    return pa.table(
+        {
+            "shard": pa.array(all_shard[order]),
+            "term": term_col.cast(pa.string()),
+            "ord": pa.array(all_ord[order]),
+            "tf": pa.array(all_tf[order]),
+            "doc_id": pa.array(all_doc[order], type=pa.int64(),
+                               mask=~valid_doc[order]),
+        },
+        schema=RUN_SCHEMA,
+    )
+
+
+class TokenizeFilePostings:
+    """``(path, base)`` items → run-row tables, one whole input file per
+    item, streamed in row-chunks (a generator ``map_batches`` stage, so
+    a large file never materializes its postings at once).
+
+    The task reads its file directly (the same parquet scan
+    ``ray.data.read_parquet`` would issue) because ordinal assignment
+    needs the row's position WITHIN its file — ``base + row_index`` —
+    which a block-level dataset read does not expose.
+    """
 
     def __init__(self, cfg: IndexConfig = DEFAULT_CONFIG):
         self.cfg = cfg
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n_docs = batch.num_rows
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, idx = tokenize_to_terms(batch["text"])
-        idx_np = idx.to_numpy(zero_copy_only=False)
-        doclen = np.bincount(idx_np, minlength=n_docs).astype(np.int32)
-
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        enc = flat.dictionary_encode()
-        vocab: list[str] = enc.dictionary.to_pylist()
-        didx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        V = max(len(vocab), 1)
-
-        # tf per (doc, term): one sort of composite integer keys
-        comp = idx_np.astype(np.int64) * V + didx
-        uniq, counts = np.unique(comp, return_counts=True)
-        row_doc = uniq // V                       # batch row index
-        row_tidx = (uniq % V).astype(np.int64)    # vocab index
-
-        # shard per unique term, once (vocab is tiny vs postings)
-        shard_lut = np.fromiter(
-            (term_shard_one(t, self.cfg.num_term_shards) for t in vocab),
-            dtype=np.int32, count=len(vocab),
-        )
-        post_shard = shard_lut[row_tidx]
-
-        # append doclen pseudo-postings (vocab index V = DOCLEN_TERM)
-        all_shard = np.concatenate(
-            [post_shard, doc_shard(doc_ids, self.cfg.num_term_shards)])
-        all_tidx = np.concatenate(
-            [row_tidx, np.full(n_docs, len(vocab), dtype=np.int64)])
-        all_doc = np.concatenate([doc_ids[row_doc], doc_ids])
-        all_tf = np.concatenate([counts.astype(np.int32), doclen])
-
-        order = np.lexsort((all_doc, all_tidx, all_shard))
-        term_col = pa.DictionaryArray.from_arrays(
-            pa.array(all_tidx[order].astype(np.int32)),
-            pa.array(vocab + [DOCLEN_TERM], type=pa.string()),
-        )
-        return pa.table(
-            {
-                "shard": pa.array(all_shard[order]),
-                "term": term_col.cast(pa.string()),
-                "doc_id": pa.array(all_doc[order]),
-                "tf": pa.array(all_tf[order]),
-            },
-            schema=RUN_SCHEMA,
-        )
+    def __call__(self, batch: pa.Table):
+        for path, base in zip(batch["path"].to_pylist(),
+                              batch["base"].to_pylist()):
+            pf = pq.ParquetFile(path)
+            off = 0
+            for chunk in pf.iter_batches(batch_size=self.cfg.batch_size,
+                                         columns=["doc_id", "text"]):
+                t = pa.Table.from_batches([chunk])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ords = base + off + np.arange(len(ids), dtype=np.int64)
+                off += len(ids)
+                yield postings_chunk(ids, ords, t["text"], self.cfg)

@@ -33,12 +33,15 @@ SEGMENT_SCHEMA = pa.schema(
 def encode_shard_table(runs: pa.Table, block_size: int = 128) -> pa.Table:
     """All run rows of one shard → one segment table (term, df, cf, postings).
 
-    Requires globally-unique (term, doc_id) pairs, which the build
+    Posting lists key on the dense doc ORDINAL (the docBase design —
+    see stages/postings.py): delta gaps average n_docs/df instead of
+    2^63/n, so the codec's byte-width classes actually engage.
+    Requires globally-unique (term, ord) pairs, which the build
     guarantees: every doc is tokenized in exactly one batch and the
     per-batch combiner already collapsed duplicates.
 
     The (term, doc_id) sort runs on integer keys: the term column is
-    dictionary-encoded once and rows are ordered by (term rank, doc_id)
+    dictionary-encoded once and rows are ordered by (term rank, ord)
     with ``np.lexsort`` — the vocabulary is tiny next to the posting
     count, so ranking ~10^2..10^5 strings then radix-sorting ~10^6..10^8
     ints beats a full string sort of every run row. The output term
@@ -57,7 +60,7 @@ def encode_shard_table(runs: pa.Table, block_size: int = 128) -> pa.Table:
            else term_col.dictionary_encode())
     vocab = enc.dictionary.to_numpy(zero_copy_only=False)
     dict_idx = enc.indices.to_numpy(zero_copy_only=False)
-    doc_ids = runs["doc_id"].to_numpy(zero_copy_only=False)
+    doc_ids = runs["ord"].to_numpy(zero_copy_only=False)
     tfs = runs["tf"].to_numpy(zero_copy_only=False)
 
     vocab_order = np.argsort(vocab)                 # term-string rank, small

@@ -129,6 +129,16 @@ def _lev(a, b):
     return prev[-1]
 
 
+def test_ordinal_postings_compress(built):
+    """The docBase win: ordinal delta gaps keep the synth corpus's
+    postings under 3 B each (raw 64-bit id hashes cost ~9 B)."""
+    from snowplow_elasticsearch_loader_ray.pipelines.build import index_metrics
+
+    m = index_metrics(built[1])
+    assert m["postings"] > 0
+    assert m["bytes_written"] / m["postings"] < 3.0
+
+
 def test_fuzzy_expand_equals_bruteforce(built):
     from snowplow_elasticsearch_loader_ray.pipelines.query import fuzzy_expand
 

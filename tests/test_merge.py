@@ -41,7 +41,12 @@ def test_merged_halves_equal_single_build(ray_session, split_docs):
     assert stats["n_docs"] == full.n_docs
     assert stats["avgdl"] == full.avgdl
     assert merged.term_stats_table().equals(full.term_stats_table())
-    assert merged.doc_lengths_table().equals(full.doc_lengths_table())
+    # doc ordinal order differs (merged = input order, full = corpus
+    # order) — compare lengths as a doc_id-keyed mapping
+    def _dl_map(r):
+        t = r.doc_lengths_table()
+        return dict(zip(t["doc_id"].to_pylist(), t["doclen"].to_pylist()))
+    assert _dl_map(merged) == _dl_map(full)
 
     qf = QueryEngine(str(root / "idx_full"))
     qm = QueryEngine(str(root / "idx_merged"))
@@ -72,10 +77,11 @@ def test_merge_upserts_newer_document(ray_session, split_docs, tmp_path):
     assert up.n_docs == full.n_docs
     # the doc's length reflects the NEW text (4 tokens)
     assert up.doclen_of(np.array([target]))[0] == 4.0
-    # new term points at the doc with its delta tf
+    # new term points at the doc with its delta tf (postings decode to
+    # ordinals; map back via the merged docmap)
     pl = up.postings("zzznewtoken")
-    docs, tfs = pl.decode_all()
-    assert docs.tolist() == [target] and tfs.tolist() == [2]
+    ords, tfs = pl.decode_all()
+    assert up.dl_doc_ids[ords].tolist() == [target] and tfs.tolist() == [2]
     # stale terms from the OLD text no longer hit the doc (delete-list
     # semantics, not just last-wins): check every old-only term
     import re
@@ -84,7 +90,7 @@ def test_merge_upserts_newer_document(ray_session, split_docs, tmp_path):
     for tok in set(re.findall(r"[a-z0-9]+", old_text.lower())) - new_terms:
         pl_old = up.postings(tok)
         if pl_old is not None:
-            assert target not in pl_old.decode_all()[0]
+            assert target not in up.dl_doc_ids[pl_old.decode_all()[0]]
     # resume: re-merge returns committed stats instantly
     again = merge_indexes([str(root / "idx_full"), str(tmp_path / "idx_delta")],
                           str(tmp_path / "idx_up"), CFG)
@@ -111,7 +117,7 @@ def test_three_generation_merge(ray_session, split_docs, tmp_path):
                    str(tmp_path / "i2")], str(tmp_path / "merged"), CFG)
     up = IndexReader(str(tmp_path / "merged"))
     assert up.doclen_of(np.array([target]))[0] == 4.0       # gen-2 text
-    docs, _ = up.postings("final").decode_all()
+    docs = up.dl_doc_ids[up.postings("final").decode_all()[0]]
     assert target in docs
     one = up.postings("one")
-    assert one is None or target not in one.decode_all()[0]  # gen-1 dead
+    assert one is None or target not in up.dl_doc_ids[one.decode_all()[0]]
