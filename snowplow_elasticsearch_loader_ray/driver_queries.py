@@ -1363,6 +1363,44 @@ FROM events GROUP BY 1
 """
 
 
+def distinct_users(sf_dir: str) -> pa.Table:
+    """Exact count-distinct (the truth the HLL sketch approximates):
+    per-batch ``pc.unique`` pre-shrink, then one distributed dedup."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"user_id": pc.unique(b["user_id"])}),
+        batch_format="pyarrow")
+    n = len(ds.unique("user_id"))
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+DISTINCT_USERS_SQL = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_distinct FROM events
+"""
+
+
+def hll_users(sf_dir: str) -> pa.Table:
+    """ES ``cardinality`` aggregation: HyperLogLog count-distinct of
+    events.user_id (p=14, ~0.8% expected error). One streaming pass,
+    one 16 KiB register row per block, elementwise-max merge — the
+    sketch never ships values. Reported next to the exact count; the
+    relative error is pytest-bounded (deterministic splitmix64 hash)."""
+    from .pipelines import analysis as A2
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    est = A2.hll_cardinality(ds, "user_id")
+    exact = int(distinct_users(sf_dir)["n_distinct"][0].as_py())
+    return pa.table({
+        "column": pa.array(["user_id"], pa.string()),
+        "hll_estimate": pa.array([round(est, 1)], pa.float64()),
+        "exact": pa.array([exact], pa.int64()),
+        "rel_err_pct": pa.array([round(abs(est - exact) / exact * 100, 3)],
+                                pa.float64()),
+    })
+
+
 def events_date_histogram(sf_dir: str) -> pa.Table:
     """ES ``date_histogram`` aggregation (daily buckets per event type):
     per-batch partial counts keyed by (event_type, day) collapse each
@@ -1974,6 +2012,8 @@ def registry() -> tuple[dict, dict]:
         "shard_routing": shard_routing,
         "events_by_type": events_by_type,
         "events_date_histogram": events_date_histogram,
+        "distinct_users": distinct_users,
+        "hll_users": hll_users,
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
@@ -2028,6 +2068,9 @@ def registry() -> tuple[dict, dict]:
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
         "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
+        "distinct_users": DISTINCT_USERS_SQL,
+        # hll_users: approximate sketch (engine-defined hash) → rows-only;
+        # its error vs the exact count is pytest-bounded
         "lang_counts": LANG_COUNTS_SQL,
         "bm25_search_after": _bm25_sql(page=2),
         "more_like_this": _mlt_sql(),

@@ -171,3 +171,78 @@ def lang_id(ds, concurrency=None):
 
 def fingerprints(ds, concurrency=None):
     return _apply(ds, Fingerprint, concurrency)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog cardinality (the ES `cardinality` aggregation's sketch;
+# the "novel sketch" custom-operator family)
+# --------------------------------------------------------------------------
+# Distributed shape: each block collapses to one 2^p-byte register
+# array inside map_batches (np.maximum.at over hashed values) and the
+# driver merges register arrays by elementwise max — HLL's merge is
+# exactly the same max, so block sketches compose associatively and the
+# combine moves 2^p bytes per block, never values. At 100 TB this is
+# the canonical pre-aggregated sketch pattern: a groupby-key variant
+# would emit one register row per (key, block) and merge with a tiny
+# groupby.
+
+HLL_P = 14                    # 2^14 registers = 16 KiB, rel. error ~0.81%
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Splitmix64 finalizer — the deterministic 64-bit value hash."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hll_block_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """One block of int64 values → its HLL register array (uint8[2^p]).
+
+    Register index = top ``p`` hash bits; rank = trailing-zero count of
+    the remaining bits + 1 (the trailing-zero convention — same
+    geometric distribution as leading-zero HLL, and ntz vectorizes
+    exactly in numpy: the isolated lowest set bit is a power of two,
+    whose float64 log2 is exact).
+    """
+    m = 1 << p
+    h = _mix64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    lsb = (w & (~w + np.uint64(1))).astype(np.float64)
+    rho = np.where(w == 0, 64 - p + 1,
+                   np.log2(np.where(lsb == 0, 1.0, lsb)).astype(np.int64) + 1
+                   ).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with small-range linear counting."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_cardinality(ds, column: str, p: int = HLL_P) -> float:
+    """Approximate count-distinct of an int64 column, one streaming pass."""
+
+    def block(batch: pa.Table) -> pa.Table:
+        vals = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"regs": pa.array([hll_block_registers(vals, p).tobytes()],
+                                          pa.binary())})
+
+    parts = ds.map_batches(block, batch_format="pyarrow").take_all()
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
+    return hll_estimate(regs)

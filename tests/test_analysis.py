@@ -84,3 +84,35 @@ def test_fingerprint_order_sensitive(docs):
     # stable across runs
     out2 = A.fingerprints(ds).to_pandas().set_index("doc_id")
     assert out.loc[2, "fingerprint"] == out2.loc[2, "fingerprint"]
+
+
+def test_hll_error_bounds_and_merge():
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import (
+        hll_block_registers, hll_estimate,
+    )
+
+    for n in (100, 5_000, 200_000, 1_000_000):
+        est = hll_estimate(hll_block_registers(np.arange(n, dtype=np.int64)))
+        assert abs(est - n) / n < 0.03, (n, est)
+    # the HLL merge (elementwise max) equals the sketch of the union
+    a = hll_block_registers(np.arange(0, 60_000, dtype=np.int64))
+    b = hll_block_registers(np.arange(30_000, 100_000, dtype=np.int64))
+    u = hll_block_registers(np.arange(0, 100_000, dtype=np.int64))
+    assert (np.maximum(a, b) == u).all()
+
+
+def test_hll_dataset_matches_exact(ray_session):
+    import numpy as np
+    import ray
+
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import hll_cardinality
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40_000, size=120_000)      # ~37k distinct
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})) \
+        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=10_000)
+    est = hll_cardinality(ds, "v")
+    exact = len(np.unique(vals))
+    assert abs(est - exact) / exact < 0.03, (est, exact)
