@@ -777,6 +777,112 @@ FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 1
 """
 
 
+SIG_MIN_FG_DF = 3
+SIG_TOP = 5
+
+
+def significant_terms(sf_dir: str) -> pa.Table:
+    """ES ``significant_terms`` aggregation: terms over-represented in a
+    query's match set vs the whole corpus, scored by lift =
+    (fg_df/fg_size)/(bg_df/n_docs), min fg_df 3, top 5 per query by
+    (rounded lift desc, term asc). Match sets come from the index
+    (postings union, broadcast once); per-batch partials count each
+    term's DISTINCT matched docs vectorized (composite-key unique +
+    bincount); background df is the index's term stats. The oracle
+    replays the whole computation in SQL."""
+    from .pipelines.query import boolean_or
+    from .tokenizer import tokenize_to_terms
+
+    r = _reader(sf_dir)
+    n_docs = r.n_docs
+    cand = {qid: set(boolean_or(r, q)[0].tolist()) for qid, q in DOC_QUERIES}
+    fg_sizes = {qid: len(v) for qid, v in cand.items()}
+    cand_ref = ray.put(cand)
+
+    class _FgCounts:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            flat, idx = tokenize_to_terms(batch["text"])
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            enc = flat.dictionary_encode()
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            tid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            row = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = max(len(vocab), 1)
+            pairs = np.unique(row * V + tid)          # distinct (doc, term)
+            prow, ptid = pairs // V, pairs % V
+            qs, ts, ns = [], [], []
+            for qid, docs in self.cand.items():
+                mask = np.isin(ids[prow],
+                               np.fromiter(docs, dtype=np.int64, count=len(docs)))
+                if not mask.any():
+                    continue
+                counts = np.bincount(ptid[mask], minlength=V)
+                nz = np.nonzero(counts)[0]
+                qs.extend([qid] * len(nz))
+                ts.extend(vocab[nz].tolist())
+                ns.extend(counts[nz].tolist())
+            return pa.table({"qid": pa.array(qs, pa.int64()),
+                             "term": pa.array(ts, pa.string()),
+                             "fg_df": pa.array(ns, pa.int64())})
+
+    partial = (
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+        .map_batches(_FgCounts, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    fg = partial.groupby(["qid", "term"], as_index=False)["fg_df"].sum()
+    rows = []
+    for qid, grp in fg.groupby("qid"):
+        n_fg = fg_sizes[int(qid)]
+        scored = []
+        for term, fg_df in zip(grp["term"], grp["fg_df"]):
+            if fg_df < SIG_MIN_FG_DF:
+                continue
+            bg_df = r.df(term)
+            lift = round((fg_df / n_fg) / (bg_df / n_docs), 6)
+            scored.append((-lift, term, int(fg_df), int(bg_df), lift))
+        scored.sort()
+        for _neg, term, fg_df, bg_df, lift in scored[:SIG_TOP]:
+            rows.append((int(qid), term, fg_df, bg_df, lift))
+    return pa.table({
+        "qid": pa.array([r0[0] for r0 in rows], pa.int64()),
+        "term": pa.array([r0[1] for r0 in rows], pa.string()),
+        "fg_df": pa.array([r0[2] for r0 in rows], pa.int64()),
+        "bg_df": pa.array([r0[3] for r0 in rows], pa.int64()),
+        "lift": pa.array([r0[4] for r0 in rows], pa.float64()),
+    })
+
+
+def _significant_terms_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(qid, term) AS (VALUES {_query_term_values()}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+fgsize AS (SELECT qid, count(*)::DOUBLE AS n_fg FROM m GROUP BY 1),
+fg AS (SELECT m.qid, tok.term, count(DISTINCT tok.doc_id)::BIGINT AS fg_df
+       FROM m JOIN tok USING (doc_id) GROUP BY 1, 2),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY 1),
+scored AS (
+  SELECT fg.qid, fg.term, fg.fg_df, bg.bg_df,
+         round((fg.fg_df / fs.n_fg)
+               / (bg.bg_df / (SELECT count(*)::DOUBLE FROM documents)), 6) AS lift
+  FROM fg JOIN fgsize fs USING (qid) JOIN bg USING (term)
+  WHERE fg.fg_df >= {SIG_MIN_FG_DF}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY lift DESC, term) AS rn
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, term, fg_df, bg_df, lift
+FROM ranked WHERE rn <= {SIG_TOP}
+"""
+
+
 N_MLT = 5
 
 
@@ -2021,6 +2127,7 @@ def registry() -> tuple[dict, dict]:
         "fuzzy_match": fuzzy_match,
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
+        "significant_terms": significant_terms,
         "ingest_summary": ingest_summary,
         "payload_json": payload_json,
         "payload_bad": payload_bad,
@@ -2078,6 +2185,7 @@ def registry() -> tuple[dict, dict]:
         "fuzzy_match": _fuzzy_sql(),
         "lang_facet": _lang_facet_sql(),
         "doclen_stats_facet": _doclen_stats_facet_sql(),
+        "significant_terms": _significant_terms_sql(),
         "payload_json": _payload_json_sql(),
         "payload_bad": _payload_bad_sql(),
         "decompress_roundtrip": _decompress_sql(),
