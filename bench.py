@@ -214,7 +214,10 @@ def run_scaling() -> dict:
         best = None
         for _ in range(repeats):
             out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                                 env=env, capture_output=True, text=True, check=True)
+                                 env=env, capture_output=True, text=True)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(f"bench subprocess failed (rc={out.returncode})")
             r = json.loads(out.stdout.strip().splitlines()[-1])
             if best is None or r["queries"]["docs_per_sec"] > best["queries"]["docs_per_sec"]:
                 best = r

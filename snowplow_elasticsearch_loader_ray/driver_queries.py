@@ -959,44 +959,23 @@ SELECT src AS src_doc_id, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <=
 
 def lang_facet(sf_dir: str) -> pa.Table:
     """ES ``terms`` aggregation over the FULL match set of each query
-    (aggregations see every hit, not the top-k page): matched doc_ids
-    come from the index (disjunctive postings union), the lang keys from
-    a pruned (doc_id, lang) read with per-batch partial counts — the
-    match sets broadcast once via ``ray.put``, counts combine at the
-    end (tiny: queries x langs rows)."""
-    from .pipelines.query import boolean_or
+    (aggregations see every hit, not the top-k page), served entirely
+    from the index: matched ordinals from the postings union, lang keys
+    by ordinal gather from the docmap's ``lang`` doc-value column — no
+    corpus read and no match-set broadcast (the ES doc_values design;
+    scale shape documented on ``facet_lang_counts``)."""
+    from .pipelines.query import facet_lang_counts
 
     r = _reader(sf_dir)
-    cand = {qid: boolean_or(r, q)[0] for qid, q in DOC_QUERIES}
-    cand_ref = ray.put(cand)
-
-    class _LangCounts:
-        def __init__(self):
-            self.cand = ray.get(cand_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy()
-            langs = batch["lang"].to_numpy(zero_copy_only=False)
-            qs, ls, ns = [], [], []
-            for qid, docs in self.cand.items():
-                mask = np.isin(ids, docs, assume_unique=True)
-                if mask.any():
-                    u, c = np.unique(langs[mask], return_counts=True)
-                    qs.extend([qid] * len(u))
-                    ls.extend(u.tolist())
-                    ns.extend(c.tolist())
-            return pa.table({"qid": pa.array(qs, pa.int64()),
-                             "lang": pa.array(ls, pa.string()),
-                             "n_docs": pa.array(ns, pa.int64())})
-
-    partial = (
-        ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
-        .map_batches(_LangCounts, batch_format="pyarrow", concurrency=2)
-        .to_pandas()
-    )
-    out = (partial.groupby(["qid", "lang"], as_index=False)["n_docs"].sum()
-           .astype({"qid": "int64", "n_docs": "int64"}))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    qs, ls, ns = [], [], []
+    for qid, q in DOC_QUERIES:
+        for lang, n in sorted(facet_lang_counts(r, q).items()):
+            qs.append(qid)
+            ls.append(lang)
+            ns.append(n)
+    return pa.table({"qid": pa.array(qs, pa.int64()),
+                     "lang": pa.array(ls, pa.string()),
+                     "n_docs": pa.array(ns, pa.int64())})
 
 
 LANG_FACET_SQL_TEMPLATE = """

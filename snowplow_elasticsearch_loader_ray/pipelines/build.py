@@ -213,6 +213,7 @@ DOCMAP_SCHEMA = pa.schema([
     ("ord", pa.int64()),
     ("doc_id", pa.int64()),
     ("doclen", pa.int64()),
+    ("lang", pa.string()),          # doc-value (null if the input had none)
 ])
 
 
@@ -224,13 +225,14 @@ def _write_part_docmap(part_dir: str, index_dir: str, k: int) -> tuple[str, dict
     dm_dir = os.path.join(index_dir, "docmap")
     os.makedirs(dm_dir, exist_ok=True)
     t = pads.dataset(sorted(glob.glob(os.path.join(part_dir, "*.parquet")))) \
-        .to_table(columns=["ord", "doc_id", "tf"],
+        .to_table(columns=["ord", "doc_id", "tf", "lang"],
                   filter=pads.field("shard") == DOCMAP_SHARD)
     order = pa.compute.sort_indices(t["ord"])
     dm = pa.table({
         "ord": t["ord"].take(order),
         "doc_id": t["doc_id"].take(order),
         "doclen": t["tf"].take(order).cast(pa.int64()),
+        "lang": t["lang"].take(order),
     }, schema=DOCMAP_SCHEMA)
     out = os.path.join(dm_dir, f"part-{k:04d}.parquet")
     tmp = out + ".tmp"
@@ -345,6 +347,26 @@ def load_docmap(index_dir: str):
         order = np.argsort(ords, kind="stable")   # non-contiguous parts
         doc_ids, lens = doc_ids[order], lens[order]
     return np.ascontiguousarray(doc_ids), np.ascontiguousarray(lens)
+
+
+def load_docvalues(index_dir: str, column: str = "lang"):
+    """Load one docmap doc-value column indexed by ordinal (ES
+    doc_values: columnar per-doc metadata served by ordinal gather —
+    facets never re-read the corpus). → numpy object array, or None if
+    the column is all-null (input had no such field)."""
+    import numpy as np
+
+    files = sorted(glob.glob(os.path.join(index_dir, "docmap", "part-*.parquet")))
+    if not files:
+        return None
+    t = pq.read_table(files, columns=["ord", column])
+    if t[column].null_count == t.num_rows:
+        return None
+    ords = t["ord"].to_numpy()
+    vals = np.asarray(t[column].to_pylist(), dtype=object)
+    if len(ords) and not (ords[0] == 0 and ords[-1] == len(ords) - 1):
+        vals = vals[np.argsort(ords, kind="stable")]
+    return vals
 
 
 @ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])

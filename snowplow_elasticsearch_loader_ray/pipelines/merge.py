@@ -40,7 +40,8 @@ from ..codec import PostingList, encode_postings
 from ..config import IndexConfig, DEFAULT_CONFIG
 from ..stages.segment import SEGMENT_SCHEMA
 from ..state import manifest as mf
-from .build import DOCMAP_SCHEMA, finalize, index_stats, load_docmap
+from .build import (DOCMAP_SCHEMA, finalize, index_stats, load_docmap,
+                    load_docvalues)
 
 
 def _merge_lists(entries: list[tuple[int, bytes]], remaps: list[np.ndarray],
@@ -181,11 +182,13 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
         if i:
             newer = np.union1d(newer, ext)
 
+    langmaps = [load_docvalues(d) for d in input_dirs]
     remaps: list[np.ndarray] = []
     merged_ext: list[np.ndarray] = []
     merged_len: list[np.ndarray] = []
+    merged_lang: list[np.ndarray] = []
     at = 0
-    for (ext, lens), live in zip(docmaps, live_masks):
+    for (ext, lens), lg, live in zip(docmaps, langmaps, live_masks):
         remap = np.full(len(ext), -1, dtype=np.int64)
         n_live = int(live.sum())
         remap[live] = at + np.arange(n_live, dtype=np.int64)
@@ -193,6 +196,8 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
         remaps.append(remap)
         merged_ext.append(ext[live])
         merged_len.append(lens[live])
+        merged_lang.append(lg[live] if lg is not None
+                           else np.full(n_live, None, dtype=object))
     remap_ref = ray.put(remaps)
 
     # merged docmap: one ordinal-range part (the merged corpus)
@@ -200,10 +205,13 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     os.makedirs(dm_dir, exist_ok=True)
     ext_all = np.concatenate(merged_ext) if merged_ext else np.empty(0, np.int64)
     len_all = np.concatenate(merged_len) if merged_len else np.empty(0, np.int64)
+    lang_all = (np.concatenate(merged_lang) if merged_lang
+                else np.empty(0, object))
     dm = pa.table({
         "ord": pa.array(np.arange(len(ext_all), dtype=np.int64)),
         "doc_id": pa.array(ext_all),
         "doclen": pa.array(len_all.astype(np.int64)),
+        "lang": pa.array(lang_all.tolist(), pa.string()),
     }, schema=DOCMAP_SCHEMA)
     dm_out = os.path.join(dm_dir, "part-0000.parquet")
     pq.write_table(dm, dm_out + ".tmp", compression="zstd")

@@ -297,6 +297,31 @@ def more_like_this(reader: IndexReader, doc_id: int, text: str,
     return sel, docs, scores
 
 
+def facet_lang_counts(reader: IndexReader, query: str) -> dict[str, int]:
+    """ES ``terms`` aggregation on the ``lang`` doc-value over the full
+    match set: matched ordinals from the postings union, lang keys by
+    ordinal gather from the docmap's doc-value column — no corpus read,
+    no match-set broadcast. A doc-partitioned reader computes its
+    partition's counts the same way and partial counts sum (tiny:
+    langs × partitions rows)."""
+    langs = getattr(reader, "_dl_langs", None)
+    if langs is None:
+        from .build import load_docvalues
+
+        langs = load_docvalues(reader.index_dir, "lang")
+        if langs is None:
+            raise ValueError("index has no 'lang' doc-value")
+        reader._dl_langs = langs
+    terms = tokenize_query(query)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return {}
+    ords = np.unique(np.concatenate(hits))
+    u, c = np.unique(langs[ords], return_counts=True)
+    return dict(zip(u.tolist(), c.tolist()))
+
+
 def facet_doclen_stats(reader: IndexReader, query: str) -> dict:
     """ES ``stats`` aggregation over the full match set (docs containing
     ANY query term — aggregations see every hit, not the top-k page):

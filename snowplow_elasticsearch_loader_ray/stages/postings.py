@@ -49,14 +49,21 @@ RUN_SCHEMA = pa.schema(
         ("ord", pa.int64()),
         ("tf", pa.int32()),
         ("doc_id", pa.int64()),       # populated on docmap rows only
+        ("lang", pa.string()),        # doc-value, docmap rows only
     ]
 )
 
 
 def postings_chunk(doc_ids: np.ndarray, ords: np.ndarray,
                    texts: pa.Array | pa.ChunkedArray,
-                   cfg: IndexConfig) -> pa.Table:
-    """One chunk of documents → sorted run rows (postings + docmap)."""
+                   cfg: IndexConfig,
+                   langs: pa.Array | None = None) -> pa.Table:
+    """One chunk of documents → sorted run rows (postings + docmap).
+
+    ``langs`` (optional) is the per-doc ``lang`` doc-value: it rides the
+    docmap rows into ``docmap/part-K.parquet`` so facet queries gather
+    metadata by ordinal instead of re-reading the corpus (the ES
+    doc_values design)."""
     n_docs = len(doc_ids)
     flat, idx = tokenize_to_terms(texts)
     idx_np = idx.to_numpy(zero_copy_only=False)
@@ -99,6 +106,13 @@ def postings_chunk(doc_ids: np.ndarray, ords: np.ndarray,
         pa.array(all_tidx[order].astype(np.int32)),
         pa.array(vocab + [""], type=pa.string()),
     )
+    if langs is not None:
+        lang_np = np.asarray(langs.to_pylist(), dtype=object)
+        all_lang = np.concatenate(
+            [np.full(len(row_doc), None, dtype=object), lang_np])[order]
+        lang_col = pa.array(all_lang.tolist(), type=pa.string())
+    else:
+        lang_col = pa.nulls(len(order), pa.string())
     return pa.table(
         {
             "shard": pa.array(all_shard[order]),
@@ -107,6 +121,7 @@ def postings_chunk(doc_ids: np.ndarray, ords: np.ndarray,
             "tf": pa.array(all_tf[order]),
             "doc_id": pa.array(all_doc[order], type=pa.int64(),
                                mask=~valid_doc[order]),
+            "lang": lang_col,
         },
         schema=RUN_SCHEMA,
     )
@@ -130,11 +145,17 @@ class TokenizeFilePostings:
         for path, base in zip(batch["path"].to_pylist(),
                               batch["base"].to_pylist()):
             pf = pq.ParquetFile(path)
+            cols = ["doc_id", "text"]
+            has_lang = "lang" in pf.schema_arrow.names
+            if has_lang:
+                cols.append("lang")
             off = 0
             for chunk in pf.iter_batches(batch_size=self.cfg.batch_size,
-                                         columns=["doc_id", "text"]):
+                                         columns=cols):
                 t = pa.Table.from_batches([chunk])
                 ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
                 ords = base + off + np.arange(len(ids), dtype=np.int64)
                 off += len(ids)
-                yield postings_chunk(ids, ords, t["text"], self.cfg)
+                yield postings_chunk(
+                    ids, ords, t["text"], self.cfg,
+                    langs=t["lang"].combine_chunks() if has_lang else None)
