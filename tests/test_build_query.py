@@ -129,6 +129,26 @@ def _lev(a, b):
     return prev[-1]
 
 
+def test_lang_docvalue_facet_matches_bruteforce(built):
+    """The docmap lang doc-value serves terms-agg counts identical to a
+    direct scan of the ingested docs (full match set per query)."""
+    import collections
+    import re
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        boolean_or, facet_lang_counts,
+    )
+
+    reader = IndexReader(built[1])
+    docs = pq.read_table(B.good_docs_dir(built[0]),
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()))
+    for _qid, q, _k in synth.generate_queries()[:6]:
+        matched, _ = boolean_or(reader, q)
+        want = collections.Counter(lang_of[d] for d in matched.tolist())
+        assert facet_lang_counts(reader, q) == dict(want), q
+
+
 def test_ordinal_postings_compress(built):
     """The docBase win: ordinal delta gaps keep the synth corpus's
     postings under 3 B each (raw 64-bit id hashes cost ~9 B)."""
