@@ -789,7 +789,15 @@ def significant_terms(sf_dir: str) -> pa.Table:
     (postings union, broadcast once); per-batch partials count each
     term's DISTINCT matched docs vectorized (composite-key unique +
     bincount); background df is the index's term stats. The oracle
-    replays the whole computation in SQL."""
+    replays the whole computation in SQL.
+
+    Scale assumption (custom-op rule): at 10^12 docs a head term's
+    match set is most of the corpus and cannot broadcast; there the
+    computation moves shard-local — each (term shard x doc partition)
+    cell intersects its posting lists with the query's matched
+    ordinals (both index-resident) and partial (term, fg_df) counts
+    sum through a tiny groupby, exactly how ES computes the agg per
+    shard before the coordinating reduce."""
     from .pipelines.query import boolean_or
     from .tokenizer import tokenize_to_terms
 
