@@ -333,10 +333,10 @@ def first_hit_position(sf_dir: str) -> pa.Table:
         for d, _p in fetched[1:]:
             common = np.intersect1d(common, d, assume_unique=True)
         lookups = [dict(zip(d.tolist(), range(len(d)))) for d, _p in fetched]
-        for doc in common.tolist():
+        for doc in common.tolist():               # doc = ordinal
             first = min(int(p[lk[doc]][0]) for (_d, p), lk in zip(fetched, lookups))
             qids.append(qid)
-            docs.append(doc)
+            docs.append(int(r.doc_ids[doc]))      # map to external id
             hits.append(first)
     return pa.table({
         "qid": pa.array(qids, pa.int64()),

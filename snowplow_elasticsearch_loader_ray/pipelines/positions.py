@@ -50,13 +50,19 @@ from .build import _input_files
 
 POSITIONS_SCHEMA = pa.schema([
     ("term", pa.string()),
-    ("doc_id", pa.int64()),
+    ("ord", pa.int64()),
     ("positions", pa.list_(pa.int32())),
 ])
 
 
 class TokenizePositions:
-    """(doc_id, text) batches → (shard, term, doc_id, positions) rows.
+    """(ord, text) batches → (shard, term, ord, positions) rows.
+
+    Keys on the dense doc ORDINAL (same docBase scheme as the main
+    index, stages/postings.py): the per-term ord column is ascending
+    small integers, which parquet delta/dict encodes far better than
+    random 64-bit id hashes, and phrase results map back to external
+    ids through the positional index's own docmap.
 
     Vectorized: token stream → in-doc positions by one bincount/cumsum,
     (doc, term) grouping by one integer lexsort, position lists as a
@@ -67,7 +73,7 @@ class TokenizePositions:
         self.num_shards = cfg.num_term_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["ord"].to_numpy(zero_copy_only=False)
         flat, idx = tokenize_to_terms(batch["text"])
         idx_np = idx.to_numpy(zero_copy_only=False)
         n = len(idx_np)
@@ -75,7 +81,7 @@ class TokenizePositions:
             return pa.table({
                 "shard": pa.array([], pa.int32()),
                 "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
+                "ord": pa.array([], pa.int64()),
                 "positions": pa.array([], pa.list_(pa.int32())),
             })
         counts = np.bincount(idx_np, minlength=batch.num_rows)
@@ -107,7 +113,7 @@ class TokenizePositions:
             "shard": pa.array(g_shard),
             "term": pa.DictionaryArray.from_arrays(
                 pa.array(g_tid.astype(np.int32)), vocab),
-            "doc_id": pa.array(g_doc, type=pa.int64()),
+            "ord": pa.array(g_doc, type=pa.int64()),
             "positions": positions_col,
         })
         # shard-sorted rows → shard-clustered row groups in the run file
@@ -126,15 +132,15 @@ def _encode_pos_shard(pos_dir: str, shard: int) -> dict:
     if files:
         fmt = pads.ParquetFileFormat(read_options={"dictionary_columns": ["term"]})
         t = pads.dataset(files, format=fmt).to_table(
-            columns=["term", "doc_id", "positions"],
+            columns=["term", "ord", "positions"],
             filter=pads.field("shard") == shard)
         t = pa.table({
             "term": pc.cast(t["term"], pa.string()),
-            "doc_id": t["doc_id"],
+            "ord": t["ord"],
             "positions": t["positions"],
         })
         t = t.take(pc.sort_indices(t, sort_keys=[("term", "ascending"),
-                                                 ("doc_id", "ascending")]))
+                                                 ("ord", "ascending")]))
     else:
         t = POSITIONS_SCHEMA.empty_table()
     out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
@@ -151,6 +157,29 @@ def _encode_pos_shard(pos_dir: str, shard: int) -> dict:
     }
 
 
+class _TokenizePositionsFiles:
+    """(path, base) items → position run rows, one file per item,
+    streamed in row-chunks with ordinal assignment (same docBase scheme
+    and generator shape as ``stages.postings.TokenizeFilePostings``)."""
+
+    def __init__(self, cfg: IndexConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        self.inner = TokenizePositions(cfg)
+
+    def __call__(self, batch: pa.Table):
+        for path, base in zip(batch["path"].to_pylist(),
+                              batch["base"].to_pylist()):
+            pf = pq.ParquetFile(path)
+            off = 0
+            for chunk in pf.iter_batches(batch_size=self.cfg.batch_size,
+                                         columns=["doc_id", "text"]):
+                t = pa.Table.from_batches([chunk])
+                ords = base + off + np.arange(t.num_rows, dtype=np.int64)
+                off += t.num_rows
+                yield self.inner(pa.table({"ord": pa.array(ords),
+                                           "text": t["text"]}))
+
+
 def build_positions(docs: str | list[str], pos_dir: str,
                     cfg: IndexConfig = DEFAULT_CONFIG) -> None:
     """Build (or resume) the positional index over a document table."""
@@ -165,17 +194,33 @@ def build_positions(docs: str | list[str], pos_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(runs_dir, ignore_errors=True)
         t0 = time.time()
-        ds = ray.data.read_parquet(files, columns=["doc_id", "text"],
-                                   override_num_blocks=len(files))
-        ds = ds.map_batches(TokenizePositions(cfg), batch_format="pyarrow",
-                            batch_size=cfg.batch_size)
+        bases, at = [], 0
+        for f in files:
+            bases.append(at)
+            at += pq.ParquetFile(f).metadata.num_rows
+        items = [{"path": p, "base": b} for p, b in zip(files, bases)]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        ds = ds.map_batches(_TokenizePositionsFiles(cfg),
+                            batch_format="pyarrow", batch_size=None)
         ds.write_parquet(os.path.join(tmp, "part=all"),
                          row_group_size=cfg.run_row_group_size,
                          compression="zstd")
         mf.commit_dir_rename(tmp, runs_dir, durable=False)
+        # ord → doc_id map (the positional index's own docmap; one
+        # columnar 8 B/doc read of the input in sorted-file order)
+        dm_dir = os.path.join(pos_dir, "docmap")
+        os.makedirs(dm_dir, exist_ok=True)
+        ids = pq.read_table(files, columns=["doc_id"])["doc_id"]
+        dm_out = os.path.join(dm_dir, "part-0000.parquet")
+        pq.write_table(pa.table({
+            "ord": pa.array(np.arange(len(ids), dtype=np.int64)),
+            "doc_id": ids,
+        }), dm_out + ".tmp", compression="zstd")
+        os.replace(dm_out + ".tmp", dm_out)
         mf.commit(man_dir, "pos-runs", {
             "stage": "pos-runs", "durable": False,
             "input_files": [os.path.basename(f) for f in files],
+            "outputs": [os.path.relpath(dm_out, pos_dir)],
             "wall_s": round(time.time() - t0, 3),
         })
     missing = [s for s in range(cfg.num_term_shards)
@@ -194,12 +239,21 @@ def build_positions(docs: str | list[str], pos_dir: str,
 # --------------------------------------------------------------------------
 
 class PositionalReader:
-    """Per-term (doc_id, positions) fetch from the positional shards."""
+    """Per-term (ord, positions) fetch from the positional shards.
+
+    ``doc_ids[ord]`` maps ordinals back to external ids (the index's
+    own docmap); ``term_positions`` returns ordinals so intersection
+    stays on the compressed keys, and result surfaces map at the edge.
+    """
 
     def __init__(self, pos_dir: str):
         man = mf.load(os.path.join(pos_dir, "manifests"), "positions")
         self.pos_dir = pos_dir
         self.num_shards = int(man["num_term_shards"])
+        dm = pq.read_table(sorted(glob.glob(
+            os.path.join(pos_dir, "docmap", "part-*.parquet"))),
+            columns=["doc_id"])
+        self.doc_ids = dm["doc_id"].to_numpy()
         self._cache: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
 
     def term_positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -210,9 +264,9 @@ class PositionalReader:
 
         shard = term_shard_one(term, self.num_shards)
         f = os.path.join(self.pos_dir, "positions", f"shard-{shard:04d}.parquet")
-        t = pads.dataset(f).to_table(columns=["doc_id", "positions"],
+        t = pads.dataset(f).to_table(columns=["ord", "positions"],
                                      filter=pads.field("term") == term)
-        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        docs = t["ord"].to_numpy(zero_copy_only=False)
         plists = t["positions"]
         if isinstance(plists, pa.ChunkedArray):
             plists = plists.combine_chunks()
@@ -225,7 +279,7 @@ class PositionalReader:
 
 
 def phrase_search(reader: PositionalReader, phrase: str) -> np.ndarray:
-    """doc_ids (ascending) containing the exact token sequence.
+    """External doc_ids (ascending) containing the exact token sequence.
 
     Tokenization matches the engine rule; phrase order and duplicate
     terms are honored (each occurrence adds an offset constraint over
@@ -260,4 +314,5 @@ def phrase_search(reader: PositionalReader, phrase: str) -> np.ndarray:
                 break
         if starts is not None and len(starts):
             out.append(doc)
-    return np.array(sorted(out), dtype=np.int64)
+    return np.sort(reader.doc_ids[np.array(out, dtype=np.int64)]) \
+        if out else np.empty(0, dtype=np.int64)

@@ -32,7 +32,7 @@ def _build(tmp_path):
 
 def test_tokenize_positions_groups():
     out = TokenizePositions(IndexConfig(num_term_shards=4))(pa.table({
-        "doc_id": pa.array([7], pa.int64()),
+        "ord": pa.array([7], pa.int64()),
         "text": pa.array(["a b a c b a"], pa.string()),
     }))
     by_term = {t: p for t, p in zip(out["term"].to_pylist(),
