@@ -777,6 +777,87 @@ FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 1
 """
 
 
+def bm25_collapse_lang(sf_dir: str) -> pa.Table:
+    """ES field collapsing (``collapse: {field: lang}``): each query's
+    ranking keeps only the best-scoring document per lang group —
+    groups resolved by ordinal gather from the docmap ``lang``
+    doc-value, best-of-group and final order both by (rounded score
+    desc, doc_id asc). The oracle replays the collapse with a window
+    function."""
+    from .pipelines.query import _taat_scores_ords
+    from .pipelines.build import load_docvalues
+
+    r = _reader(sf_dir)
+    langs = getattr(r, "_dl_langs", None)
+    if langs is None:
+        langs = load_docvalues(r.index_dir, "lang")
+        r._dl_langs = langs
+    qids, ranks, ls, docs = [], [], [], []
+    for qid, q in DOC_QUERIES:
+        ords, scores = _taat_scores_ords(r, q)
+        if not len(ords):
+            continue
+        ext = r.dl_doc_ids[ords]
+        rs = np.round(scores, 7)
+        lang_of = langs[ords]
+        # best doc per lang: sort by (lang, -score, doc) and take firsts
+        order = np.lexsort((ext, -rs, lang_of))
+        sl = lang_of[order]
+        first = np.concatenate(([True], sl[1:] != sl[:-1]))
+        win_ext, win_rs, win_lang = ext[order][first], rs[order][first], sl[first]
+        final = np.lexsort((win_ext, -win_rs))[:TOPK]
+        for i, j in enumerate(final, start=1):
+            qids.append(qid)
+            ranks.append(i)
+            ls.append(str(win_lang[j]))
+            docs.append(int(win_ext[j]))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "lang": pa.array(ls, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _collapse_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {_query_term_values()}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 7) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+grouped AS (
+  SELECT sc.qid, sc.doc_id, sc.score, d.lang,
+         row_number() OVER (PARTITION BY sc.qid, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS gr
+  FROM scores sc JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT qid, doc_id, lang,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM grouped WHERE gr = 1
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, lang, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 SIG_MIN_FG_DF = 3
 SIG_TOP = 5
 
@@ -2115,6 +2196,7 @@ def registry() -> tuple[dict, dict]:
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
         "significant_terms": significant_terms,
+        "bm25_collapse_lang": bm25_collapse_lang,
         "ingest_summary": ingest_summary,
         "payload_json": payload_json,
         "payload_bad": payload_bad,
@@ -2173,6 +2255,7 @@ def registry() -> tuple[dict, dict]:
         "lang_facet": _lang_facet_sql(),
         "doclen_stats_facet": _doclen_stats_facet_sql(),
         "significant_terms": _significant_terms_sql(),
+        "bm25_collapse_lang": _collapse_sql(),
         "payload_json": _payload_json_sql(),
         "payload_bad": _payload_bad_sql(),
         "decompress_roundtrip": _decompress_sql(),

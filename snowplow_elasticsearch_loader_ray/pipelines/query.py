@@ -159,8 +159,15 @@ def score_taat(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray
 
 
 def _taat_scores(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
-    """All matching (doc_ids, raw scores) by TAAT accumulation — the
-    shared core of ``score_taat`` / ``score_taat_after``."""
+    """All matching (external doc_ids, raw scores) by TAAT accumulation
+    — the shared core of ``score_taat`` / ``score_taat_after``."""
+    ords, scores = _taat_scores_ords(reader, query)
+    return reader.dl_doc_ids[ords] if len(ords) else ords, scores
+
+
+def _taat_scores_ords(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
+    """All matching (ordinals, raw scores) — result surfaces that need
+    doc-values gather by ordinal consume this directly."""
     terms = tokenize_query(query)
     acc = reader.acc_buffer()
     matched = False
@@ -177,7 +184,7 @@ def _taat_scores(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarra
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     # BM25 partial scores are strictly positive, so nonzero == matched
     cand = np.nonzero(acc)[0]
-    return reader.dl_doc_ids[cand], acc[cand]
+    return cand, acc[cand]
 
 
 def score_taat_after(reader: IndexReader, query: str, k: int = 10,
