@@ -54,6 +54,13 @@ class IndexConfig:
     # streaming-ingest surface, sources/stream.py — bounded-corpus
     # pipelines flush by size/block boundaries alone)
     flush_max_delay_s: float = 1.0
+    # C1 checkpoint throttling: commit stream-ingest manifests at most
+    # this often (``debounceCheckpoints`` "10 seconds",
+    # config.aws.reference.hocon:55). Data parts always land; only the
+    # CHECKPOINT lags, so a crash replays the uncommitted tail from the
+    # source — the reference's at-least-once KCL semantics. 0 = commit
+    # every micro-batch.
+    checkpoint_debounce_s: float = 0.0
 
     # --- dead letter (D1 analogue) ---
     max_record_bytes: int = 1_000_000

@@ -49,7 +49,24 @@ def stream_ingest(payloads: Iterable[bytes], out_dir: str,
     os.makedirs(rec_dir, exist_ok=True)
     transform = PurposeTransform(purpose)
     batcher = BatchUp(cfg.flush_max_bytes, cfg.flush_max_delay_s, clock)
-    counters: dict[str, int] = {"batches": 0, "flush_size": 0, "flush_delay": 0}
+    counters: dict[str, int] = {"batches": 0, "flush_size": 0, "flush_delay": 0,
+                                "checkpoints": 0}
+
+    # checkpoint debounce (``debounceCheckpoints`` 10 s,
+    # config.aws.reference.hocon:55): parquet parts land per micro-batch
+    # (data is never withheld) but their MANIFESTS commit at most every
+    # ``checkpoint_debounce_s`` — a crash replays the uncommitted tail
+    # from the source cursor (the reference's at-least-once KCL grain).
+    pending: list[tuple[str, dict]] = []
+    last_ckpt = [-float("inf")]
+
+    def _flush_checkpoints() -> None:
+        for name, payload in pending:
+            mf.commit(man_dir, name, payload)
+        if pending:
+            counters["checkpoints"] += 1
+            pending.clear()
+        last_ckpt[0] = clock()
 
     for k, batch in enumerate(batcher.feed((p, len(p)) for p in payloads)):
         out = transform(pa.table({"payload": pa.array(batch.items, pa.binary())}))
@@ -62,14 +79,17 @@ def stream_ingest(payloads: Iterable[bytes], out_dir: str,
         counters["batches"] += 1
         if batch.reason in ("size", "delay"):
             counters[f"flush_{batch.reason}"] += 1
-        mf.commit(man_dir, f"batch-{k:06d}", {
+        pending.append((f"batch-{k:06d}", {
             "stage": "stream-ingest",
             "batch": k,
             "rows": out.num_rows,
             "n_bytes": batch.n_bytes,
             "flush_reason": batch.reason,
             "outputs": [os.path.relpath(part, out_dir)],
-        })
+        }))
+        if clock() - last_ckpt[0] >= cfg.checkpoint_debounce_s:
+            _flush_checkpoints()
+    _flush_checkpoints()                     # end of stream: commit the tail
     counters.setdefault("good", 0)
     mf.commit(man_dir, "stream", {"stage": "stream-ingest", "counters": counters})
     return counters

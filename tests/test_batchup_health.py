@@ -92,6 +92,35 @@ def test_stream_ingest_micro_batches(tmp_path):
     assert len(mans) == counters["batches"] + 1               # + stream rollup
 
 
+def test_stream_checkpoint_debounce(tmp_path):
+    """debounceCheckpoints (config.aws.reference.hocon:55): manifests
+    commit at most every debounce interval (data parts still land per
+    micro-batch); the end-of-stream flush commits the tail, so every
+    batch is checkpointed by close."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    clk = FakeClock()
+    sizes_times = [(b'{"n":%d}' % i, t)
+                   for i, t in enumerate([0, 1, 2, 11, 12, 23, 24, 25])]
+
+    def gen():
+        for p, t in sizes_times:
+            clk.t = float(t)
+            yield p
+
+    # every payload size-flushes its own batch (max_bytes tiny)
+    cfg = IndexConfig(flush_max_bytes=1, flush_max_delay_s=1000.0,
+                      checkpoint_debounce_s=10.0)
+    out = str(tmp_path / "debounce")
+    counters = stream_ingest(gen(), out, purpose="json", cfg=cfg, clock=clk)
+    assert counters["batches"] == 8
+    # flushes: first batch (t=0, since -inf), t=11, t=23, + close tail
+    assert counters["checkpoints"] == 4
+    mans = [m for m in os.listdir(os.path.join(out, "manifests"))
+            if m.startswith("batch-")]
+    assert len(mans) == 8                     # close flush checkpointed all
+
+
 def test_health_probe_failure_and_recovery():
     clk = FakeClock()
     h = HealthMonitor(unhealthy_latency_s=120.0, clock=clk)
