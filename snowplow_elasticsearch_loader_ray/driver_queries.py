@@ -742,6 +742,45 @@ FROM m GROUP BY 1
 """
 
 
+SUGGEST_N = 5
+
+
+def suggest_terms(sf_dir: str) -> pa.Table:
+    """ES completion suggester: for each prefix, the top-5 vocabulary
+    completions by collection frequency (cf desc, term asc) straight
+    off the index term dictionary — the suggester's weight-ordered
+    prefix lookup, no document access."""
+    from .pipelines.query import expand_prefix
+
+    r = _reader(sf_dir)
+    rows = []
+    for p in PREFIX_QUERIES:
+        scored = sorted(((-r.terms[t][1], t) for t in expand_prefix(r, p)))
+        for negcf, t in scored[:SUGGEST_N]:
+            rows.append((p, t, -negcf))
+    return pa.table({
+        "prefix": pa.array([r0[0] for r0 in rows], pa.string()),
+        "term": pa.array([r0[1] for r0 in rows], pa.string()),
+        "cf": pa.array([r0[2] for r0 in rows], pa.int64()),
+    })
+
+
+def _suggest_sql() -> str:
+    vals = ", ".join(f"({_sql_quote(p)})" for p in PREFIX_QUERIES)
+    return f"""
+WITH tok AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1),
+p(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, cf.term, cf.cf,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY cf.cf DESC, cf.term) AS rn
+  FROM p JOIN cf ON cf.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, cf FROM ranked WHERE rn <= {SUGGEST_N}
+"""
+
+
 def fuzzy_match(sf_dir: str) -> pa.Table:
     """ES ``fuzzy`` query expansion (edit distance <= 1): SymSpell
     delete-1 candidate generation over the index vocabulary + exact
@@ -2193,6 +2232,7 @@ def registry() -> tuple[dict, dict]:
         "more_like_this": more_like_this,
         "prefix_match": prefix_match,
         "fuzzy_match": fuzzy_match,
+        "suggest_terms": suggest_terms,
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
         "significant_terms": significant_terms,
@@ -2252,6 +2292,7 @@ def registry() -> tuple[dict, dict]:
         "more_like_this": _mlt_sql(),
         "prefix_match": _prefix_sql(),
         "fuzzy_match": _fuzzy_sql(),
+        "suggest_terms": _suggest_sql(),
         "lang_facet": _lang_facet_sql(),
         "doclen_stats_facet": _doclen_stats_facet_sql(),
         "significant_terms": _significant_terms_sql(),
