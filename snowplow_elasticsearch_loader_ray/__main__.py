@@ -44,6 +44,10 @@ def _parser() -> argparse.ArgumentParser:
     bld.add_argument("--shards", type=int, default=32, help="term shards")
     bld.add_argument("--parts", type=int, default=None,
                      help="resume partitions (default: one per input file)")
+    bld.add_argument("--gc-runs", action="store_true",
+                     help="delete the materialized exchange after the index "
+                          "commits (reclaims the dominant scratch footprint; "
+                          "re-encode resume then requires rerunning phase 1)")
 
     qry = sub.add_parser("query", help="BM25 top-k over a built index")
     qry.add_argument("--index", required=True)
@@ -84,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "build":
         cfg = IndexConfig(num_term_shards=args.shards)
         out = B.build_index(args.docs, args.out, cfg, num_parts=args.parts)
+        if args.gc_runs:
+            out = dict(out, runs_bytes_freed=B.gc_runs(args.out))
     elif args.cmd == "query":
         from .pipelines.query import QueryEngine
 

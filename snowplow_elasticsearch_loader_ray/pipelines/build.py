@@ -399,6 +399,15 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
     seg_dir = os.path.join(index_dir, "segments")
     os.makedirs(seg_dir, exist_ok=True)
     files = sorted(glob.glob(os.path.join(runs_dir, "part=*", "*.parquet")))
+    if not files and mf.load_all(os.path.join(index_dir, "manifests"),
+                                 prefix="runs-part-"):
+        # committed run parts but no run files: runs were GC'd after the
+        # index committed. Re-encoding would silently produce an empty
+        # segment — fail loudly with the recovery path instead.
+        raise RuntimeError(
+            "runs/ was garbage-collected; to re-encode this shard, rerun "
+            "phase 1 first (delete the runs-part-* manifests and call "
+            "build_index again)")
     if files:
         # row-group-pruned read: each run file is shard-sorted, so the
         # filter touches only the groups whose stats overlap this shard.
@@ -499,6 +508,27 @@ def build_index(docs: str | list[str], index_dir: str,
     build_runs(files, index_dir, cfg, num_parts)
     build_segments(index_dir, cfg)
     return finalize(index_dir, cfg, time.time() - t0)
+
+
+def gc_runs(index_dir: str) -> int:
+    """Reclaim the materialized exchange after the index commits.
+
+    ``runs/`` is a shuffle intermediate kept for per-shard re-encode
+    resume; once the ``index`` manifest is committed it is pure storage
+    overhead (~10-40× the compressed segments — at 100 TB input that is
+    the dominant scratch footprint). Returns bytes freed. After GC, a
+    deleted segment manifest can no longer re-encode from runs — the
+    recovery path is rerunning phase 1 (delete the ``runs-part-*``
+    manifests too; ``_encode_shard`` fails loudly on the half-state).
+    """
+    man_dir = os.path.join(index_dir, "manifests")
+    if not mf.is_committed(man_dir, "index"):
+        raise ValueError("refusing to GC runs: index manifest not committed")
+    runs_dir = os.path.join(index_dir, "runs")
+    freed = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(runs_dir) for f in fs)
+    shutil.rmtree(runs_dir, ignore_errors=True)
+    return freed
 
 
 def index_metrics(index_dir: str) -> dict:

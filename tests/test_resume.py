@@ -101,3 +101,29 @@ def test_transient_segment_failure_retried(docs_dir, tmp_path_factory):
     clean = str(out / "clean")
     stats2 = B.build_index(docs_dir, clean, CFG)
     assert stats == stats2
+
+
+def test_gc_runs_reclaims_exchange(ray_session, tmp_path):
+    """gc_runs deletes the materialized exchange after index commit;
+    queries still serve, premature GC refuses, and a post-GC re-encode
+    attempt fails loudly instead of writing an empty segment."""
+    import pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "gc_idx")
+    cfg = IndexConfig(num_term_shards=4)
+    with pytest.raises(ValueError):
+        B.build_runs([docs], idx, cfg), B.gc_runs(idx)   # not committed yet
+    import shutil as _sh
+    _sh.rmtree(idx, ignore_errors=True)
+    B.build_index(docs, idx, cfg)
+    freed = B.gc_runs(idx)
+    assert freed > 0 and not os.path.exists(os.path.join(idx, "runs"))
+    d, s = QueryEngine(idx).topk("data", 5)              # index still serves
+    assert len(d) > 0
+    os.remove(os.path.join(idx, "manifests", "segment-shard-0000.json"))
+    os.remove(os.path.join(idx, "manifests", "index.json"))
+    with pytest.raises(Exception, match="garbage-collected"):
+        B.build_index(docs, idx, cfg)
