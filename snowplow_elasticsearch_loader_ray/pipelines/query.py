@@ -484,7 +484,19 @@ _MAXDOC = np.iinfo(np.int64).max
 
 
 def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k via block-max WAND; rank-identical to score_taat by contract."""
+    """Top-k via block-max WAND; rank-identical to score_taat by contract.
+
+    Performance honesty (measured, BASELINE.md): this is the SKIPPING
+    ALGORITHM realized faithfully (pivoting, block-max refinement,
+    block-boundary jumps), but its per-document Python cursor loop
+    loses to the vectorized TAAT path by ~50× at 10^6 docs (p50 ~1 s vs
+    ~20 ms) — document-at-a-time traversal needs compiled code to win,
+    and this sandbox has no numba/C toolchain. It exists to pin WAND's
+    semantics (`test_bmw_matches_taat`) and to document where the
+    compiled kernel plugs in; the serving latency paths at scale are
+    vectorized TAAT with the accumulator divided across doc-partitioned
+    readers (grid), plus the BMW block-max metadata already in the
+    codec for when a compiled kernel lands."""
     terms = tokenize_query(query)
     cursors: list[_Cursor] = []
     for t in terms:
