@@ -1983,6 +1983,75 @@ def image_meta(sf_dir: str) -> pa.Table:
     })
 
 
+def image_pixels(sf_dir: str) -> pa.Table:
+    """REAL full-pixel decode (pure stdlib: 24-bit BMP via numpy, 8-bit
+    non-interlaced PNG via zlib + scanline unfiltering; GIF/JPEG
+    entropy coding stays fail-open): the image fixture flows through
+    the actor-pool ``DecodeImage`` stage; the oracle pins dimensions
+    and mean pixel value derived from the BUILDER parameters."""
+    from .pipelines.multimodal import DecodeImage
+    from .sources.images import write_image_fixture
+
+    src = write_image_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(DecodeImage, batch_format="pyarrow",
+                        batch_size=4, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("img_id").reset_index(drop=True)
+    return pa.table({
+        "img_id": pa.array(out["img_id"], pa.int64()),
+        "width": pa.array(out["width"].astype("int64")),
+        "height": pa.array(out["height"].astype("int64")),
+        "decode_ok": pa.array(out["decode_ok"].astype(bool)),
+        "mean_px": pa.array(out["mean_px"], pa.float64()),
+    })
+
+
+def _image_pixels_sql() -> str:
+    from .sources.images import expected_image_pixels
+
+    rows = ", ".join(f"({i}, {w}, {h}, {str(ok).upper()}, {m})"
+                     for i, w, h, ok, m in expected_image_pixels())
+    return (f"SELECT img_id::BIGINT AS img_id, width::BIGINT AS width, "
+            f"height::BIGINT AS height, decode_ok, mean_px::DOUBLE AS mean_px "
+            f"FROM (VALUES {rows}) t(img_id, width, height, decode_ok, mean_px)")
+
+
+def audio_samples(sf_dir: str) -> pa.Table:
+    """REAL PCM sample decode (8/16/24-bit WAV → int32 frames): the
+    audio fixture flows through ``DecodeAudioSamples``; the oracle pins
+    frame counts, RMS and peak derived from the fixture's data-byte
+    SPEC per PCM encoding rule — independent of the decoder."""
+    from .pipelines.multimodal import DecodeAudioSamples
+    from .sources.images import write_audio_fixture
+
+    src = write_audio_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(DecodeAudioSamples, batch_format="pyarrow",
+                        batch_size=4, concurrency=2)
+           .to_pandas())
+    out = out.sort_values("audio_id").reset_index(drop=True)
+    return pa.table({
+        "audio_id": pa.array(out["audio_id"], pa.int64()),
+        "n_frames": pa.array(out["n_frames"], pa.int64()),
+        "channels": pa.array(out["channels"].astype("int64")),
+        "rms": pa.array(out["rms"], pa.float64()),
+        "peak": pa.array(out["peak"], pa.int64()),
+        "decode_ok": pa.array(out["decode_ok"].astype(bool)),
+    })
+
+
+def _audio_samples_sql() -> str:
+    from .sources.images import expected_audio_samples
+
+    rows = ", ".join(f"({i}, {n}, {c}, {r}, {p}, {str(ok).upper()})"
+                     for i, n, c, r, p, ok in expected_audio_samples())
+    return (f"SELECT audio_id::BIGINT AS audio_id, n_frames::BIGINT AS n_frames, "
+            f"channels::BIGINT AS channels, rms::DOUBLE AS rms, "
+            f"peak::BIGINT AS peak, decode_ok FROM (VALUES {rows}) "
+            f"t(audio_id, n_frames, channels, rms, peak, decode_ok)")
+
+
 def _image_meta_sql() -> str:
     from .sources.images import IMAGE_CASES
 
@@ -2248,7 +2317,9 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": resume_stats,
         "build_metrics": build_metrics,
         "image_meta": image_meta,
+        "image_pixels": image_pixels,
         "audio_meta": audio_meta,
+        "audio_samples": audio_samples,
         "video_frames": video_frames,
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
@@ -2307,7 +2378,9 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": TERM_STATS_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
+        "image_pixels": _image_pixels_sql(),
         "audio_meta": _audio_meta_sql(),
+        "audio_samples": _audio_samples_sql(),
         "video_frames": _video_frames_sql(),
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # lsh_ann_topk / ingest_summary: engine-defined (sketches,

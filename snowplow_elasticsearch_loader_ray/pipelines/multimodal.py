@@ -11,9 +11,16 @@ What is REAL vs STUBBED in this container (no image/video codec libs):
 - ``DecodeImageHeaders`` — REAL container-header decode: format +
   pixel dimensions parsed straight from PNG/GIF/JPEG/BMP bytes (no
   codec library required; oracle-checked by the driver entry).
-- ``DecodeImage`` (full pixel decode) / ``FrameSample`` (video demux)
-  — declared stubs behind ``NotImplementedError`` with deterministic
-  fake modes; the Ray-side plumbing is real and tested.
+- ``DecodeImage`` — REAL full-pixel decode for the formats stdlib
+  compression covers: 24-bit BMP (numpy) and 8-bit non-interlaced PNG
+  (zlib inflate + all five scanline unfilters, round-trip pytested).
+  GIF/JPEG pixel data needs entropy decoders this container lacks —
+  those payloads fail open as bad rows (their HEADER decode is real).
+- ``decode_wav_samples`` / ``DecodeAudioSamples`` — REAL PCM sample
+  decode (8/16/24-bit WAV → int32 frame arrays; RMS/peak features).
+- ``SampleAviFrames`` — REAL AVI idx1 demux (frame offsets/sizes/
+  keyframes); decoding frame BYTES to pixels still needs a video
+  codec — the one remaining stubbed step, clearly marked.
 
 Batch-size note: for multi-MB payloads, call with a small
 ``batch_size`` (16-64) so batch × concurrency stays inside the worker
@@ -180,36 +187,215 @@ class DecodeAudioHeaders:
             "decode_ok", pa.array([m[0] != "unknown" for m in metas]))
 
 
-class DecodeImage:
-    """STUB full-pixel decode stage (no image libs in this container).
-    Header-only metadata has a REAL implementation: ``DecodeImageHeaders``.
+def decode_wav_samples(p: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL PCM WAV sample decode (pure numpy): RIFF chunk walk →
+    ``(frames, channels)`` int32 sample array + sample rate. Supports
+    8-bit (unsigned, centered to signed), 16-bit and 24-bit (3-byte LE
+    sign-extended) PCM; None for non-WAV / compressed formats."""
+    try:
+        if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(p):
+            tag = p[i:i + 4]
+            size = struct.unpack("<I", p[i + 4:i + 8])[0]
+            body = p[i + 8:i + 8 + size]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt is None or data is None or fmt[0] != 1:     # PCM only
+            return None
+        _a, channels, rate, _br, _ba, bits = fmt
+        if bits == 8:
+            s = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        elif bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.int32)
+        elif bits == 24:
+            b3 = np.frombuffer(data, dtype=np.uint8)
+            b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+            s = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            s -= (s & 0x800000) << 1                        # sign extend
+        else:
+            return None
+        n = len(s) - len(s) % channels
+        return s[:n].reshape(-1, channels), int(rate)
+    except Exception:
+        return None
 
-    ``fake=True`` produces a deterministic fake decode (dimensions from
-    a hash of the payload) so downstream plumbing is exercisable;
-    ``fake=False`` raises NotImplementedError, marking exactly where a
-    real ``PIL.Image.open`` call goes.
+
+class DecodeAudioSamples:
+    """REAL PCM sample decode stage: payload → (n_frames, channels,
+    rms, peak, decode_ok) — the feature-extraction step a training
+    pipeline runs after the header filter (actor-pool contract)."""
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch[self.col].to_pylist():
+            dec = decode_wav_samples(p or b"")
+            if dec is None:
+                rows.append((0, 0, 0.0, 0, False))
+            else:
+                s, _rate = dec
+                x = s.astype(np.float64)
+                rows.append((s.shape[0], s.shape[1],
+                             round(float(np.sqrt(np.mean(x * x))), 6) if s.size else 0.0,
+                             int(np.abs(s).max()) if s.size else 0, True))
+        out = batch.drop_columns([self.col])
+        out = out.append_column("n_frames", pa.array([r[0] for r in rows], pa.int64()))
+        out = out.append_column("channels", pa.array([r[1] for r in rows], pa.int32()))
+        out = out.append_column("rms", pa.array([r[2] for r in rows], pa.float64()))
+        out = out.append_column("peak", pa.array([r[3] for r in rows], pa.int64()))
+        return out.append_column("decode_ok", pa.array([r[4] for r in rows]))
+
+
+def decode_bmp_pixels(p: bytes) -> np.ndarray | None:
+    """REAL 24-bit uncompressed BMP pixel decode (pure numpy): header →
+    padded-row ``frombuffer`` reshape → BGR→RGB, bottom-up flip.
+    Returns (h, w, 3) uint8, or None for non-BMP / unsupported
+    variants (other bit depths, RLE compression)."""
+    try:
+        if p[:2] != b"BM":
+            return None
+        data_off = struct.unpack("<I", p[10:14])[0]
+        w, h_signed = struct.unpack("<ii", p[18:26])
+        bpp, comp = struct.unpack("<H", p[28:30])[0], struct.unpack("<I", p[30:34])[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+            return None
+        h = abs(h_signed)
+        row_bytes = (w * 3 + 3) & ~3
+        raw = np.frombuffer(p, dtype=np.uint8,
+                            count=row_bytes * h, offset=data_off)
+        rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        rgb = rows[:, :, ::-1]                      # BGR → RGB
+        return rgb[::-1] if h_signed > 0 else rgb   # bottom-up → top-down
+    except (ValueError, struct.error):
+        return None
+
+
+def decode_png_pixels(p: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode for the common case — 8-bit depth,
+    grayscale/RGB/RGBA, non-interlaced — using only stdlib zlib +
+    numpy. All five scanline filters are reversed: None/Up fully
+    vectorized, Sub via mod-256 cumsum over the pixel stride,
+    Average/Paeth with a per-row x-loop (their left-neighbor dependency
+    is inherently sequential without compiled code). Returns
+    (h, w, channels) uint8, or None for non-PNG / unsupported variants
+    (16-bit, palette, interlaced)."""
+    try:
+        if p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        import zlib
+
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(p):
+            ln = struct.unpack(">I", p[pos:pos + 4])[0]
+            tag = p[pos + 4:pos + 8]
+            data = p[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+                if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+                    return None
+                ch = {0: 1, 2: 3, 6: 4}[ctype]
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        stride = w * ch
+        raw = raw.reshape(h, 1 + stride)
+        filters, scan = raw[:, 0], raw[:, 1:]
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            f, row = int(filters[y]), scan[y]
+            up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                out[y] = row
+            elif f == 1:                     # Sub: mod-256 prefix sum per lane
+                lanes = row.reshape(w, ch).astype(np.uint64)
+                out[y] = (np.cumsum(lanes, axis=0) % 256).astype(
+                    np.uint8).reshape(stride)
+            elif f == 2:                     # Up
+                out[y] = row + up
+            elif f == 3:                     # Average (left dep → x-loop)
+                o = out[y]
+                for x in range(stride):
+                    left = o[x - ch] if x >= ch else 0
+                    o[x] = (int(row[x]) + ((int(left) + int(up[x])) >> 1)) & 0xFF
+            elif f == 4:                     # Paeth (left dep → x-loop)
+                o = out[y]
+                for x in range(stride):
+                    a = int(o[x - ch]) if x >= ch else 0
+                    b = int(up[x])
+                    c = int(out[y - 1][x - ch]) if (x >= ch and y) else 0
+                    pp = a + b - c
+                    pa_, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                    o[x] = (int(row[x]) + pred) & 0xFF
+            else:
+                return None
+        return out.reshape(h, w, ch)
+    except Exception:                         # corrupt stream → fail-open
+        return None
+
+
+class DecodeImage:
+    """Full pixel decode — REAL for the formats whose compression the
+    standard library covers (24-bit BMP; 8-bit non-interlaced PNG via
+    zlib + scanline unfiltering), fail-open metadata rows for the rest
+    (GIF/JPEG entropy coding needs a codec library this container lacks
+    — their header decode is REAL in ``DecodeImageHeaders``).
+
+    Output per row: (width, height, decode_ok, mean_px, reason).
+    ``fake=True`` keeps the deterministic fake mode for plumbing tests.
     """
 
     def __init__(self, col: str = "payload", fake: bool = False):
         self.col = col
         self.fake = fake
-        self._decoder = None  # real impl: lazy-import PIL here, once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "container; run with fake=True for plumbing tests"
-            )
         payloads = batch[self.col].to_pylist()
-        w = np.array([(len(p or b"") * 2654435761) % 1920 + 16 for p in payloads], dtype=np.int32)
-        h = np.array([(len(p or b"") * 40503) % 1080 + 16 for p in payloads], dtype=np.int32)
+        if self.fake:
+            w = np.array([(len(p or b"") * 2654435761) % 1920 + 16 for p in payloads], dtype=np.int32)
+            h = np.array([(len(p or b"") * 40503) % 1080 + 16 for p in payloads], dtype=np.int32)
+            out = batch.drop_columns([self.col])
+            out = out.append_column("width", pa.array(w))
+            out = out.append_column("height", pa.array(h))
+            return out.append_column(
+                "decode_ok", pa.array(np.ones(batch.num_rows, dtype=bool)))
+        ws, hs, oks, means, reasons = [], [], [], [], []
+        for p in payloads:
+            px = decode_png_pixels(p or b"")
+            if px is None:
+                px = decode_bmp_pixels(p or b"")
+            if px is not None:
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                oks.append(True)
+                means.append(round(float(px.mean()), 6))
+                reasons.append("")
+            else:
+                ws.append(0)
+                hs.append(0)
+                oks.append(False)
+                means.append(0.0)
+                reasons.append("no stdlib decoder for this format")
         out = batch.drop_columns([self.col])
-        out = out.append_column("width", pa.array(w))
-        out = out.append_column("height", pa.array(h))
-        return out.append_column(
-            "decode_ok", pa.array(np.ones(batch.num_rows, dtype=bool))
-        )
+        out = out.append_column("width", pa.array(ws, pa.int32()))
+        out = out.append_column("height", pa.array(hs, pa.int32()))
+        out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        out = out.append_column("mean_px", pa.array(means, pa.float64()))
+        return out.append_column("reason", pa.array(reasons, pa.string()))
 
 
 def avi_frame_index(p: bytes) -> list[tuple[int, int, bool]]:

@@ -200,3 +200,47 @@ def write_video_fixture(cache_root: str) -> tuple[str, dict[int, list[tuple[int,
         }), tmp)
         os.replace(tmp, path)
     return path, expected
+
+
+def expected_image_pixels() -> list[tuple[int, int, int, bool, float]]:
+    """Hand-derived (img_id, width, height, decode_ok, mean_px) truth
+    for the REAL pixel decoders, computed from the BUILDER parameters
+    (PNG solid color = ((w*7)%256, (h*13)%256, 40) → mean is their
+    average; BMP pixels are all zero; GIF/JPEG have no stdlib-decodable
+    pixel data) — independent of the decoder implementation."""
+    rows = []
+    for img_id, fmt, w, h in IMAGE_CASES:
+        if fmt == "png":
+            mean = round((((w * 7) % 256) + ((h * 13) % 256) + 40) / 3.0, 6)
+            rows.append((img_id, w, h, True, mean))
+        elif fmt == "bmp":
+            rows.append((img_id, w, h, True, 0.0))
+        else:                         # gif/jpeg/unknown → fail-open row
+            rows.append((img_id, 0, 0, False, 0.0))
+    return rows
+
+
+def expected_audio_samples() -> list[tuple[int, int, int, float, int, bool]]:
+    """Hand-derived (audio_id, n_frames, channels, rms, peak, decode_ok)
+    truth for PCM sample decode, computed from the data-byte SPEC
+    (``(i*31) % 256``) and the PCM encoding rules per bit depth."""
+    import numpy as np
+
+    rows = []
+    for audio_id, channels, _rate, bits, n_frames in AUDIO_CASES:
+        data_len = n_frames * channels * (bits // 8)
+        raw = np.array([(i * 31) % 256 for i in range(data_len)], dtype=np.uint8)
+        if bits == 8:
+            s = raw.astype(np.int32) - 128
+        elif bits == 16:
+            s = raw.view("<i2").astype(np.int32)
+        else:                          # 24-bit little-endian, sign-extended
+            b3 = raw.reshape(-1, 3).astype(np.int32)
+            s = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            s -= (s & 0x800000) << 1
+        x = s.astype(np.float64)
+        rows.append((audio_id, n_frames, channels,
+                     round(float(np.sqrt(np.mean(x * x))), 6),
+                     int(np.abs(s).max()), True))
+    rows.append((99, 0, 0, 0.0, 0, False))       # the junk payload
+    return rows

@@ -37,9 +37,13 @@ def test_byte_histogram_batched_actor_pool():
         np.array([sum(v) for v in out["features"]]), out["n_bytes"].to_numpy())
 
 
-def test_decode_image_stub_raises_without_fake():
-    with pytest.raises(Exception):  # ray wraps the NotImplementedError
-        _ds().map_batches(DecodeImage(), batch_format="pyarrow").take_all()
+def test_decode_image_real_fail_open_on_non_images():
+    """The real decoder never raises: undecodable payloads become
+    fail-open rows (decode_ok=False, reason set) — the bad-row
+    contract, not a task failure."""
+    out = _ds().map_batches(DecodeImage(), batch_format="pyarrow").to_pandas()
+    assert (~out["decode_ok"]).all()
+    assert (out["reason"] != "").all()
 
 
 def test_decode_image_fake_deterministic():
@@ -131,3 +135,70 @@ def test_avi_frame_index_real():
     assert list(out["frame_no"]) == [0, 2, 4]
     assert list(out["byte_offset"]) == [expected[0][0], expected[2][0], expected[4][0]]
     assert list(out["keyframe"]) == [True, False, False] or list(out["keyframe"]) == [expected[0][2], expected[2][2], expected[4][2]]
+
+
+def test_png_pixel_decode_all_filters_roundtrip():
+    """Encode a random image with every scanline filter type (0-4) and
+    decode it back exactly — the unfilter paths are all exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    rows = []
+    for y in range(h):
+        f = [0, 1, 2, 3, 4][y % 5]
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(stride, np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - up) % 256
+        elif f == 3:
+            enc = (cur - ((left + up) // 2)) % 256
+        else:
+            enc = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = up[x]
+                c = flat[y - 1][x - ch] if (x >= ch and y) else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                enc[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(rows))) + chunk(b"IEND", b""))
+    dec = decode_png_pixels(png)
+    assert dec is not None and (dec == img).all()
+
+
+def test_wav_sample_decode_bit_depths():
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import decode_wav_samples
+    from snowplow_elasticsearch_loader_ray.sources.images import AUDIO_CASES, make_wav
+
+    for _id, channels, rate, bits, n_frames in AUDIO_CASES:
+        s, r = decode_wav_samples(make_wav(channels, rate, bits, n_frames))
+        assert r == rate and s.shape == (n_frames, channels)
+        lo, hi = {8: (-128, 127), 16: (-(1 << 15), (1 << 15) - 1),
+                  24: (-(1 << 23), (1 << 23) - 1)}[bits]
+        assert s.min() >= lo and s.max() <= hi
+    assert decode_wav_samples(b"RIFFnot-really-a-wave-file") is None
