@@ -1014,6 +1014,46 @@ FROM ranked WHERE rn <= {SIG_TOP}
 N_MLT = 5
 
 
+def term_vectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors``: per requested document, its term vector —
+    (term, in-doc tf, corpus df). The doc re-analyzes with the engine
+    tokenizer (ES's path when vectors aren't stored) and df comes from
+    the index term dictionary."""
+    import collections
+    import re as _re
+
+    r = _reader(sf_dir)
+    src = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    order = pc.sort_indices(src["doc_id"])[:N_MLT]
+    docs, terms, tfs, dfs = [], [], [], []
+    for i in order.to_pylist():
+        sid = src["doc_id"][i].as_py()
+        tf = collections.Counter(
+            _re.findall(r"[a-z0-9]+", src["text"][i].as_py().lower()))
+        for t in sorted(tf):
+            docs.append(sid)
+            terms.append(t)
+            tfs.append(tf[t])
+            dfs.append(r.df(t))
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array(tfs, pa.int64()),
+        "df": pa.array(dfs, pa.int64()),
+    })
+
+
+def _term_vectors_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_MLT}),
+tv AS (SELECT s.doc_id, tok.term, count(*)::BIGINT AS tf
+       FROM src s JOIN tok ON tok.doc_id = s.doc_id GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+SELECT tv.doc_id, tv.term, tv.tf, df.df FROM tv JOIN df USING (term)
+"""
+
+
 def more_like_this(sf_dir: str) -> pa.Table:
     """ES ``more_like_this`` over the index: for each of the N_MLT
     smallest doc_ids, pick its top-10 terms by tf x idf (term-asc
@@ -2299,6 +2339,7 @@ def registry() -> tuple[dict, dict]:
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
+        "term_vectors": term_vectors,
         "prefix_match": prefix_match,
         "fuzzy_match": fuzzy_match,
         "suggest_terms": suggest_terms,
@@ -2361,6 +2402,7 @@ def registry() -> tuple[dict, dict]:
         "lang_counts": LANG_COUNTS_SQL,
         "bm25_search_after": _bm25_sql(page=2),
         "more_like_this": _mlt_sql(),
+        "term_vectors": _term_vectors_sql(),
         "prefix_match": _prefix_sql(),
         "fuzzy_match": _fuzzy_sql(),
         "suggest_terms": _suggest_sql(),
