@@ -231,6 +231,32 @@ class PostingList:
         """Index of the first block whose last_doc >= doc_id (n_blocks if none)."""
         return int(np.searchsorted(self.last_doc, doc_id, side="left"))
 
+    def decode_for(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(docs ∩ cand, their tfs) decoding ONLY the blocks that can
+        contain a candidate — the block-max skip metadata as a read
+        pruner. ``cand`` must be sorted ascending. A head term with 10^5
+        blocks decodes ≤ |cand| of them; the per-block loop is bounded
+        by the candidate count, not the posting count.
+        """
+        if self.n == 0 or not len(cand):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        bis = np.unique(np.searchsorted(self.last_doc, cand, side="left"))
+        bis = bis[bis < self.n_blocks]
+        docs_parts, tfs_parts = [], []
+        for bi in bis:
+            d, t = self.decode_block(int(bi))
+            pos = np.searchsorted(d, cand)
+            valid = pos < len(d)
+            exact = np.zeros(len(cand), dtype=bool)
+            exact[valid] = d[pos[valid]] == cand[valid]
+            sel = pos[exact]
+            if len(sel):
+                docs_parts.append(d[sel])
+                tfs_parts.append(t[sel])
+        if not docs_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        return np.concatenate(docs_parts), np.concatenate(tfs_parts)
+
 
 def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return PostingList(buf).decode_all()

@@ -187,6 +187,121 @@ def _taat_scores_ords(reader: IndexReader, query: str) -> tuple[np.ndarray, np.n
     return cand, acc[cand]
 
 
+#: safety margin over the 1e-7 score-rounding granularity: pruning only
+#: discards docs whose reachable score is below the kth lower bound by
+#: MORE than this, so rounding ties can never be lost
+_PRUNE_MARGIN = 1e-6
+
+
+def _term_upper_bound(reader: IndexReader, pl: PostingList, idf: float) -> float:
+    """Safe per-term max contribution: idf × tf_weight at the term's
+    global max tf (block-max metadata) and the corpus minimum doclen —
+    every actual contribution is ≤ this."""
+    if not pl.n_blocks:
+        return 0.0
+    max_tf = float(pl.max_tf.max())
+    dl_min = getattr(reader, "_dl_min", None)
+    if dl_min is None:
+        dl_min = reader._dl_min = float(reader.dl_lens.min()) if len(reader.dl_lens) else 1.0
+    return idf * float(bm25.tf_weight(np.float64(max_tf),
+                                      np.float64(dl_min), reader.avgdl))
+
+
+def score_maxscore(reader: IndexReader, query: str, k: int = 10,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k BM25 via vectorized MaxScore: bit-identical to
+    ``score_taat`` by construction, but head (low-idf) terms whose
+    summed upper bounds cannot disturb top-k membership are never fully
+    decoded.
+
+    Plan: (1) accumulate terms in upper-bound-descending order until
+    the remaining terms' UB sum drops below the current kth partial
+    score minus a rounding-safe margin — every doc outside the
+    accumulator is then provably outside the top-k; (2) shrink to the
+    candidate set (docs whose partial + remaining UB can still reach
+    the kth bound); (3) recompute the candidates' scores from scratch
+    in SORTED-TERM order — the same float summation order as
+    ``score_taat``, so scores are bit-identical — decoding only the
+    posting blocks that contain candidates (``PostingList.decode_for``,
+    block-max skip metadata as a read pruner). Skipped work is the full
+    decode + weight of every pruned head term: exactly the stopword
+    lists that dominate TAAT latency at 10^6+ docs.
+    """
+    terms = tokenize_query(query)
+    entries = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is not None and pl.n:
+            idf = bm25.idf(reader.n_docs, pl.n)
+            entries.append((t, pl, idf, _term_upper_bound(reader, pl, idf)))
+    if not entries:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if min(e[1].n for e in entries) > reader.n_docs // 4:
+        # every term is a head term: no selective term can bound the
+        # kth above the tail's reach, so pruning cannot pay — take the
+        # plain vectorized path with zero bookkeeping overhead
+        return score_taat(reader, query, k)
+    entries.sort(key=lambda e: (-e[3], e[0]))       # UB desc, term asc
+    ubs = np.array([e[3] for e in entries])
+    suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+
+    acc = reader.acc_buffer()
+    # kth lower bound, maintained cheaply: the kth largest of the
+    # partials at each processed term's OWN posting positions is the
+    # kth largest of a subset of all partials, hence ≤ the true kth —
+    # a valid (and O(df)-cheap) prune bound without scanning `acc`
+    kth_lb = 0.0
+    cand_cap = max(64, 8 * k)
+    pool: list[np.ndarray] = []
+    attempts = 2          # failed prune attempts allowed before giving up
+    cut, cand = len(entries), None
+    for i, (t, pl, idf, _ub) in enumerate(entries):
+        if (attempts and i >= 1 and kth_lb > 0.0
+                and suffix[i] < kth_lb - _PRUNE_MARGIN):
+            nz = np.nonzero(acc)[0]
+            maybe = nz[acc[nz] + suffix[i] >= kth_lb - _PRUNE_MARGIN]
+            if len(maybe) <= cand_cap:   # prune pays only when selective
+                cut, cand = i, maybe
+                break
+            # dense score boundary: many docs sit within the tail's
+            # reach of the kth — pruning cannot pay, stop trying soon
+            attempts -= 1
+        docs, tfs = pl.decode_all()
+        acc[docs] += idf * bm25.tf_weight(tfs, reader.dl_lens[docs],
+                                          reader.avgdl)
+        # tighten the bound only when it could still unlock a prune
+        # (there ARE cheaper terms left, and the current bound is too
+        # weak to prune them); partials are pooled across processed
+        # terms so even tiny-df terms contribute, and the pool is
+        # stride-capped — the kth of any subset of partials is a valid
+        # lower bound of the true kth
+        if (attempts and i + 1 < len(entries)
+                and kth_lb - _PRUNE_MARGIN < suffix[i + 1]):
+            pool.append(docs[:: max(1, len(docs) // 50_000)])
+            # dedupe: a doc pooled twice would repeat its partial and
+            # could inflate the kth above the true distinct-doc kth
+            pooled = np.unique(np.concatenate(pool)) if len(pool) > 1 else pool[0]
+            if len(pooled) >= k:
+                part = acc[pooled]
+                kth_lb = max(kth_lb, float(
+                    np.partition(part, len(part) - k)[len(part) - k]))
+    if cand is None:                                 # nothing pruned
+        cand = np.nonzero(acc)[0]
+        return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
+
+    # exact rescore in sorted-term order (score_taat's summation order)
+    cand_scores = np.zeros(len(cand), dtype=np.float64)
+    for t, pl, idf, _ub in sorted(entries, key=lambda e: e[0]):
+        docs, tfs = pl.decode_for(cand)
+        if not len(docs):
+            continue
+        j = np.searchsorted(cand, docs)
+        cand_scores[j] += idf * bm25.tf_weight(
+            tfs, reader.dl_lens[docs], reader.avgdl)
+    keep = cand_scores > 0.0
+    return bm25.rank_topk(reader.dl_doc_ids[cand[keep]], cand_scores[keep], k)
+
+
 def score_taat_after(reader: IndexReader, query: str, k: int = 10,
                      after: tuple[float, int] | None = None,
                      ) -> tuple[np.ndarray, np.ndarray]:
@@ -602,7 +717,8 @@ class QueryEngine:
         self.health = HealthMonitor()
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        fn = score_taat if self.strategy == "taat" else score_bmw
+        fn = {"taat": score_taat, "maxscore": score_maxscore}.get(
+            self.strategy, score_bmw)
         op = self.health.begin("query")
         try:
             out = fn(self.reader, query, k)

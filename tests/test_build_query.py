@@ -91,6 +91,25 @@ def test_bm25_rank_identity_vs_oracle(built, oracle):
         assert got == want, f"qid={qid} q={q!r}"
 
 
+def test_maxscore_matches_taat_bitwise(built):
+    """MaxScore must be BIT-identical to TAAT (same docs, same float
+    scores) — its candidate rescore replays the sorted-term summation
+    order. Mixed head+tail queries force the pruning path."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import score_maxscore
+
+    reader = IndexReader(built[1])
+    head = sorted(reader.terms, key=lambda t: -reader.terms[t][0])[:3]
+    tail = sorted(reader.terms, key=lambda t: reader.terms[t][0])[:3]
+    queries = [q for _qid, q, _k in synth.generate_queries()]
+    queries += [" ".join(head), " ".join(head + tail), " ".join(tail),
+                head[0], "nosuchterm", ""]
+    for q in queries:
+        d1, s1 = score_taat(reader, q, 10)
+        d2, s2 = score_maxscore(reader, q, 10)
+        assert d1.tolist() == d2.tolist(), q
+        assert s1.tolist() == s2.tolist(), q
+
+
 def test_bmw_matches_taat(built):
     reader = IndexReader(built[1])
     for qid, q, k in synth.generate_queries():
