@@ -1553,6 +1553,25 @@ def minhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def simhash_recall(sf_dir: str) -> pa.Table:
+    """SimHash near-dup mining graded quantitatively: of the exact
+    Jaccard pairs at the oracle threshold, how many does the Hamming-
+    bucketed SimHash plan surface (SimHash approximates cosine over the
+    term-frequency profile, so recall vs the Jaccard truth measures how
+    well the sketch transfers — the number, not just 'runs', is the
+    gate)."""
+    cfg = DedupConfig(jaccard_threshold=JACCARD_THRESHOLD)
+    exact = D.jaccard_dup_pairs(_docs_ds(sf_dir), cfg)
+    mined = D.simhash_pairs(_docs_ds(sf_dir))
+    e = set(zip(exact["doc_id_a"].to_pylist(), exact["doc_id_b"].to_pylist()))
+    m = set(zip(mined["doc_id_a"].to_pylist(), mined["doc_id_b"].to_pylist()))
+    return pa.table({
+        "n_exact": pa.array([len(e)], pa.int64()),
+        "n_mined": pa.array([len(m)], pa.int64()),
+        "n_common": pa.array([len(e & m)], pa.int64()),
+    })
+
+
 # --------------------------------------------------------------------------
 # streaming-counter / routing analogues over the events table
 # --------------------------------------------------------------------------
@@ -2373,6 +2392,7 @@ def registry() -> tuple[dict, dict]:
         "video_frames": video_frames,
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
+        "simhash_recall": simhash_recall,
     }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
