@@ -1572,6 +1572,75 @@ def simhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+SESSION_GAP_S = 1800
+
+
+def user_sessions(sf_dir: str) -> pa.Table:
+    """Sessionization — the windowed-aggregate custom operator: split
+    each user's event stream at inactivity gaps > 30 min and aggregate
+    per session (events, start, end). Ray shape: ``groupby(user_id)``
+    shuffles once, ``map_groups`` runs a fully vectorized split per
+    user (sort → diff → boundary cumsum → reduceat aggregates).
+
+    Partitioning assumption (custom-op rule): a user's events fit one
+    group — true for web sessions at any corpus scale (events/user is
+    bounded by human behavior, not corpus size); a pathological hot key
+    would salt by (user, day) first, since sessions never straddle the
+    gap anyway. Gap comparison is strict in microseconds, matching the
+    oracle's interval comparison exactly."""
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def _sessions(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)          # datetime64[us]
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
+        new = np.concatenate(([True], gaps > gap_us))
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate((starts[1:], [len(ts_s)]))
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()] * len(starts),
+                                pa.int64()),
+            "session_id": pa.array(np.arange(1, len(starts) + 1)),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "start_ts": pa.array(ts_s[starts]),
+            "end_ts": pa.array(ts_s[ends - 1]),
+        })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(_sessions, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+USER_SESSIONS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+marks AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL {SESSION_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM sess GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # streaming-counter / routing analogues over the events table
 # --------------------------------------------------------------------------
@@ -2364,6 +2433,7 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": events_date_histogram,
         "distinct_users": distinct_users,
         "hll_users": hll_users,
+        "user_sessions": user_sessions,
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
@@ -2427,6 +2497,7 @@ def registry() -> tuple[dict, dict]:
         "events_by_type": EVENTS_BY_TYPE_SQL,
         "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
         "distinct_users": DISTINCT_USERS_SQL,
+        "user_sessions": USER_SESSIONS_SQL,
         # hll_users: approximate sketch (engine-defined hash) → rows-only;
         # its error vs the exact count is pytest-bounded
         "lang_counts": LANG_COUNTS_SQL,
