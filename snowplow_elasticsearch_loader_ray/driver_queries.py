@@ -1641,6 +1641,59 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def asof_purchase_click(sf_dir: str) -> pa.Table:
+    """As-of join — the other named custom-join family: every
+    ``purchase`` event joined to the same user's most recent STRICTLY
+    earlier ``click`` (NULL when none). Ray shape: prune to the two
+    event types inside ``map_batches``, one ``groupby(user_id)``
+    shuffle, then a vectorized per-group as-of (sort the click
+    timestamps once, one ``searchsorted`` for all of the user's
+    purchases). Partitioning assumption: same as sessionization — a
+    user's events fit one group."""
+
+    def _prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["event_type"],
+                                 value_set=pa.array(["click", "purchase"])))
+
+    def _asof(g: pa.Table) -> pa.Table:
+        typ = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        p = typ == "purchase"
+        clicks = np.sort(ts[typ == "click"])
+        idx = np.searchsorted(clicks, ts[p], side="left") - 1
+        click_ts = np.full(int(p.sum()), np.datetime64("NaT", "us"))
+        hit = idx >= 0
+        click_ts[hit] = clicks[idx[hit]]
+        return pa.table({
+            "event_id": pa.array(eid[p]),
+            "user_id": pa.array([g["user_id"][0].as_py()] * int(p.sum()),
+                                pa.int64()),
+            "ts": pa.array(ts[p]),
+            "click_ts": pa.array(click_ts),
+        })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_id", "user_id", "ts", "event_type"])
+        .map_batches(_prune, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_asof, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # streaming-counter / routing analogues over the events table
 # --------------------------------------------------------------------------
@@ -2434,6 +2487,7 @@ def registry() -> tuple[dict, dict]:
         "distinct_users": distinct_users,
         "hll_users": hll_users,
         "user_sessions": user_sessions,
+        "asof_purchase_click": asof_purchase_click,
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
@@ -2498,6 +2552,7 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": EVENTS_DATE_HISTOGRAM_SQL,
         "distinct_users": DISTINCT_USERS_SQL,
         "user_sessions": USER_SESSIONS_SQL,
+        "asof_purchase_click": ASOF_SQL,
         # hll_users: approximate sketch (engine-defined hash) → rows-only;
         # its error vs the exact count is pytest-bounded
         "lang_counts": LANG_COUNTS_SQL,
