@@ -68,8 +68,6 @@ def run_once() -> dict:
              logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    import glob
-
     import numpy as np
 
     from snowplow_elasticsearch_loader_ray.config import IndexConfig

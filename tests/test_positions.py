@@ -1,6 +1,5 @@
 """Positional index: build + phrase adjacency semantics."""
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
