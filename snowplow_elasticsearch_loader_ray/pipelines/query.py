@@ -243,6 +243,10 @@ def score_maxscore(reader: IndexReader, query: str, k: int = 10,
         return score_taat(reader, query, k)
     entries.sort(key=lambda e: (-e[3], e[0]))       # UB desc, term asc
     ubs = np.array([e[3] for e in entries])
+    if len(ubs) > 1 and ubs[-1] > 0.25 * ubs[0]:
+        # all terms have comparable max impact: no term can bound the
+        # others out, pruning cannot pay — plain path, zero bookkeeping
+        return score_taat(reader, query, k)
     suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
 
     acc = reader.acc_buffer()
@@ -707,7 +711,7 @@ class QueryEngine:
     actor-pool analogue of ``uploadParallelism``).
     """
 
-    def __init__(self, index_dir: str, strategy: str = "taat"):
+    def __init__(self, index_dir: str, strategy: str = "maxscore"):
         from ..health import HealthMonitor
 
         self.reader = IndexReader(index_dir)
