@@ -1684,6 +1684,49 @@ def asof_purchase_click(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+WINDOW_RANGE_S = 3600
+
+
+def events_window_counts(sf_dir: str) -> pa.Table:
+    """Sliding-window range query — the range-join family: for every
+    event, how many of the same user's events fall in the preceding
+    hour (inclusive bounds, simultaneous peers included — the SQL RANGE
+    frame's tie semantics). Vectorized per group: two ``searchsorted``
+    calls over the user's sorted timestamps resolve every event's
+    window at once."""
+    gap = np.timedelta64(WINDOW_RANGE_S, "s")
+
+    def _win(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        lo = np.searchsorted(ts_s, ts_s - gap, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "n_prev_1h": pa.array((hi - lo - 1).astype(np.int64)),
+        })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(_win, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_id,
+       (count(*) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        - 1)::BIGINT AS n_prev_1h
+FROM events
+"""
+
+
 ASOF_SQL = """
 SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS click_ts
 FROM events p
@@ -2488,6 +2531,7 @@ def registry() -> tuple[dict, dict]:
         "hll_users": hll_users,
         "user_sessions": user_sessions,
         "asof_purchase_click": asof_purchase_click,
+        "events_window_counts": events_window_counts,
         "lang_counts": lang_counts,
         "bm25_search_after": bm25_search_after,
         "more_like_this": more_like_this,
@@ -2553,6 +2597,7 @@ def registry() -> tuple[dict, dict]:
         "distinct_users": DISTINCT_USERS_SQL,
         "user_sessions": USER_SESSIONS_SQL,
         "asof_purchase_click": ASOF_SQL,
+        "events_window_counts": EVENTS_WINDOW_SQL,
         # hll_users: approximate sketch (engine-defined hash) → rows-only;
         # its error vs the exact count is pytest-bounded
         "lang_counts": LANG_COUNTS_SQL,
