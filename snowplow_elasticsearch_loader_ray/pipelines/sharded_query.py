@@ -40,7 +40,12 @@ from .build import index_stats, load_docmap
 from .query import tokenize_query
 
 
-@ray.remote(num_cpus=1)
+# max_restarts/max_task_retries: a crashed reader actor restarts and
+# reloads its shard from the committed index, and the in-flight method
+# call re-executes transparently — the serving-layer analogue of the
+# reference's ES-client reconnect (readers are stateless views over
+# durable segments, so restart = reread).
+@ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
 class ShardReader:
     """One term shard's postings + ordinal-indexed doc lengths."""
 

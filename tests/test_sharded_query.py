@@ -50,3 +50,23 @@ def test_grid_engine_bit_identical(ray_session, tmp_path):
             np.testing.assert_array_equal(s1, s2, err_msg=q)
     finally:
         grid.shutdown()
+
+
+def test_sharded_reader_survives_actor_kill(ray_session, tmp_path):
+    """Serving-layer fault tolerance: kill a reader actor mid-service;
+    Ray restarts it (reloading its shard from the committed index) and
+    the next query returns identical results."""
+    import ray
+
+    cfg = IndexConfig(num_term_shards=8)
+    index_dir = str(tmp_path / "idx_kill")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", index_dir, cfg)
+    eng = ShardedQueryEngine(index_dir)
+    try:
+        before_d, before_s = eng.topk("the data", 10)
+        ray.kill(eng.readers[0], no_restart=False)
+        after_d, after_s = eng.topk("the data", 10)
+        assert before_d.tolist() == after_d.tolist()
+        assert before_s.tolist() == after_s.tolist()
+    finally:
+        eng.shutdown()
