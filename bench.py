@@ -146,6 +146,29 @@ def run_once() -> dict:
                 lat.append(time.time() - t0)
         rstages["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 3)
         rstages["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 3)
+
+        # selective-shape queries (rare/moderate term + stopwords — the
+        # realistic web-query mix): where the MaxScore default prunes
+        # the stopword decode; TAAT shown next to it for the delta
+        r_ = eng.reader
+        head = sorted(r_.terms, key=lambda t: -r_.terms[t][0])[:3]
+        midv = sorted(r_.terms, key=lambda t: -r_.terms[t][0])
+        mid = midv[min(2000, len(midv) - 1):min(2004, len(midv))]
+        sel_qs = [f"{m} {h}" for m, h in zip(mid, head)] + \
+                 [f"{mid[0]} {' '.join(head)}"] if mid else []
+        from snowplow_elasticsearch_loader_ray.pipelines.query import (
+            score_maxscore, score_taat,
+        )
+        for name, fn in (("maxscore", score_maxscore), ("taat", score_taat)):
+            sl = []
+            for _ in range(QUERY_REPEATS):
+                for q in sel_qs:
+                    t0 = time.time()
+                    fn(r_, q, 10)
+                    sl.append(time.time() - t0)
+            if sl:
+                rstages[f"selective_query_p50_ms_{name}"] = round(
+                    float(np.percentile(sl, 50)) * 1000, 3)
         rheadline = time.time() - t_head
         if best is None or rheadline < best[0]:
             if best is not None:
