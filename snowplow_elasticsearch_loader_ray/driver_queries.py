@@ -1810,13 +1810,15 @@ FROM events GROUP BY 1
 
 def distinct_users(sf_dir: str) -> pa.Table:
     """Exact count-distinct (the truth the HLL sketch approximates):
-    per-batch ``pc.unique`` pre-shrink, then one distributed dedup."""
+    per-batch ``pc.unique`` pre-shrink, then a distributed groupby
+    dedup — the count is the grouped dataset's row count (metadata),
+    so no distinct-value list ever lands on the driver."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
-    ds = ds.map_batches(
-        lambda b: pa.table({"user_id": pc.unique(b["user_id"])}),
-        batch_format="pyarrow")
-    n = len(ds.unique("user_id"))
+    n = (ds.map_batches(
+            lambda b: pa.table({"user_id": pc.unique(b["user_id"])}),
+            batch_format="pyarrow")
+         .groupby("user_id").count().count())
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
