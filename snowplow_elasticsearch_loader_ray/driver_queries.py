@@ -1553,6 +1553,27 @@ def minhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def snapshot_restore_terms(sf_dir: str) -> pa.Table:
+    """ES ``_snapshot`` analogue end-to-end: snapshot the committed
+    index (every segment verified against its manifest content hash
+    during the copy), restore into a fresh directory (hashes
+    re-verified), and serve term statistics from the RESTORED index —
+    which must match the corpus SQL exactly."""
+    import shutil
+
+    from .pipelines.snapshot import restore_index, snapshot_index
+
+    src = _ensure_index(sf_dir)
+    root = os.path.dirname(src)
+    snap, restored = os.path.join(root, "snap"), os.path.join(root, "restored")
+    if not os.path.exists(os.path.join(restored, "manifests", "index.json")):
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(restored, ignore_errors=True)
+        snapshot_index(src, snap)
+        restore_index(snap, restored)
+    return IndexReader(restored).term_stats_table()
+
+
 def simhash_recall(sf_dir: str) -> pa.Table:
     """SimHash near-dup mining graded quantitatively: of the exact
     Jaccard pairs at the oracle threshold, how many does the Hamming-
@@ -2563,6 +2584,7 @@ def registry() -> tuple[dict, dict]:
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
+        "snapshot_restore_terms": snapshot_restore_terms,
     }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
@@ -2621,6 +2643,7 @@ def registry() -> tuple[dict, dict]:
         "merge_upsert_terms": MERGE_UPSERT_SQL,
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
+        "snapshot_restore_terms": TERM_STATS_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
         "image_pixels": _image_pixels_sql(),
