@@ -78,6 +78,36 @@ class ShardReader:
             out[t] = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs], self.avgdl))
         return out
 
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, global max tf) for the driver's MaxScore upper
+        bounds — block-max metadata only, no posting decode."""
+        out: dict[str, tuple[int, int]] = {}
+        for t in terms:
+            buf = self.terms.get(t)
+            if buf is not None:
+                pl = PostingList(buf)
+                out[t] = (pl.n, int(pl.max_tf.max()) if pl.n_blocks else 0)
+        return out
+
+    def candidate_scores(self, terms: list[str], cand: np.ndarray,
+                         ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (candidate ordinals hit, partial scores), decoding
+        only the posting blocks that contain candidates
+        (``PostingList.decode_for``) — the distributed tail-term rescore
+        of the driver-side MaxScore plan. ``cand`` sorted ascending."""
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            buf = self.terms.get(t)
+            if buf is None:
+                continue
+            pl = PostingList(buf)
+            docs, tfs = pl.decode_for(cand)
+            if len(docs):
+                w = bm25.idf(self.n_docs, pl.n)
+                out[t] = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs],
+                                                   self.avgdl))
+        return out
+
 
 class ShardedQueryEngine:
     """Scatter-gather top-k over a pool of ShardReader actors."""
@@ -85,11 +115,15 @@ class ShardedQueryEngine:
     def __init__(self, index_dir: str, cpus_per_reader: float | None = None):
         st = index_stats(index_dir)
         self.num_shards = int(st["num_term_shards"])
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
         # ordinal → external id for the final (pre-cut, ~k-sized) rank;
         # held whole here (8 B/doc) — a 10^12-doc deployment keeps this
         # doc-partitioned and fetches survivors' ids from the owning
         # partition instead
         self._doc_ids, _lens = load_docmap(index_dir)
+        self._dl_min = float(_lens.min()) if len(_lens) else 1.0
+        self._meta_cache: dict[str, tuple[int, int] | None] = {}
         if cpus_per_reader is None:
             # fit the pool into the current cluster (a reader is mostly
             # waiting between queries; on a real cluster size this to
@@ -102,30 +136,112 @@ class ShardedQueryEngine:
             for s in range(self.num_shards)
         ]
 
-    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        terms = tokenize_query(query)         # sorted, deduped
+    def _scatter(self, method: str, terms: list[str], *args
+                 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)
-        refs = [self.readers[s].partial_scores.remote(ts)
+        refs = [getattr(self.readers[s], method).remote(ts, *args)
                 for s, ts in sorted(by_shard.items())]
-        by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for part in ray.get(refs):
-            by_term.update(part)
-        if not by_term:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        # combine partials per doc in GLOBAL sorted-term order — the
-        # same float-summation order as the single-process reader, so
-        # scores are bit-identical (not merely rank-identical)
+            out.update(part)
+        return out
+
+    def _metas(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(df, max_tf) per term, cached across queries (metadata-only
+        shard round for terms not yet seen)."""
+        unknown = [t for t in terms if t not in self._meta_cache]
+        if unknown:
+            fetched = self._scatter("term_meta", unknown)
+            for t in unknown:
+                self._meta_cache[t] = fetched.get(t)
+        return {t: m for t in terms if (m := self._meta_cache[t]) is not None}
+
+    @staticmethod
+    def _combine(terms: list[str],
+                 by_term: dict[str, tuple[np.ndarray, np.ndarray]],
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc sums in GLOBAL sorted-term order — the same float
+        summation order as the single-process reader, so scores are
+        bit-identical (not merely rank-identical)."""
         docs = np.concatenate([by_term[t][0] for t in terms if t in by_term])
         scores = np.concatenate([by_term[t][1] for t in terms if t in by_term])
-        order = np.argsort(docs, kind="stable")   # stable: keeps term order per doc
+        order = np.argsort(docs, kind="stable")   # stable: term order per doc
         docs_s, scores_s = docs[order], scores[order]
         boundaries = np.concatenate(
             ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        uniq = docs_s[boundaries]                 # ordinals
-        sums = np.add.reduceat(scores_s, boundaries)
-        return bm25.rank_topk(self._doc_ids[uniq], sums, k)
+        return docs_s[boundaries], np.add.reduceat(scores_s, boundaries)
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed MaxScore: the driver splits terms into essential
+        (high upper bound) and tail (head/stopword) sets using cached
+        per-term (df, max_tf) metadata; phase 1 scatters only the
+        essential terms, and if the tail's summed upper bound cannot
+        disturb the essential kth (rounding-safe margin), phase 2 asks
+        the tail terms' shards for CANDIDATE-ONLY contributions
+        (block-pruned decode) instead of full postings — the stopword
+        decode never happens. Falls back to the full one-phase scatter
+        whenever pruning cannot pay. Scores are bit-identical to the
+        single reader either way (same per-doc float summation order,
+        same margins as ``query.score_maxscore``)."""
+        terms = tokenize_query(query)         # sorted, deduped
+        metas = self._metas(terms)
+        live = [t for t in terms if t in metas]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ubs = {}
+        for t in live:
+            df, max_tf = metas[t]
+            idf = bm25.idf(self.n_docs, df)
+            ubs[t] = idf * float(bm25.tf_weight(
+                np.float64(max_tf), np.float64(self._dl_min), self.avgdl))
+        by_ub = sorted(live, key=lambda t: (-ubs[t], t))
+        max_ub = ubs[by_ub[0]]
+        essential = [t for t in by_ub if ubs[t] > 0.25 * max_ub]
+        tail = [t for t in by_ub if ubs[t] <= 0.25 * max_ub]
+
+        if not tail:                           # comparable impacts: full path
+            by_term = self._scatter("partial_scores", live)
+            uniq, sums = self._combine(live, by_term)
+            return bm25.rank_topk(self._doc_ids[uniq], sums, k)
+
+        ess_parts = self._scatter("partial_scores", essential)
+        uniq, sums = self._combine(essential, ess_parts)
+        tail_ub = float(sum(ubs[t] for t in tail))
+        margin = 1e-6
+        if len(uniq) >= k:
+            kth = float(np.partition(sums, len(sums) - k)[len(sums) - k])
+        else:
+            kth = 0.0
+        cand = uniq[sums + tail_ub >= kth - margin] if kth > 0.0 else uniq
+        if kth <= 0.0 or tail_ub >= kth - margin or len(cand) > max(64, 8 * k):
+            # pruning cannot pay (or isn't safe): fetch the tail fully
+            tail_parts = self._scatter("partial_scores", tail)
+            by_term = {**ess_parts, **tail_parts}
+            uniq, sums = self._combine(live, by_term)
+            return bm25.rank_topk(self._doc_ids[uniq], sums, k)
+
+        # phase 2: candidate-only tail contributions, block-pruned
+        tail_parts = self._scatter("candidate_scores", tail, cand)
+        # final rescore in sorted-term order over the candidate set:
+        # essential arrays filter to candidates, tails are already
+        # candidate-only — identical float order to the single reader
+        cand_scores = np.zeros(len(cand), dtype=np.float64)
+        for t in live:                         # sorted-term order
+            hit = ess_parts.get(t) if t in essential else tail_parts.get(t)
+            if hit is None:
+                continue
+            docs, scores = hit
+            if t in essential:
+                pos = np.searchsorted(cand, docs)
+                valid = pos < len(cand)
+                sel = np.zeros(len(docs), dtype=bool)
+                sel[valid] = cand[pos[valid]] == docs[valid]
+                docs, scores = docs[sel], scores[sel]
+            j = np.searchsorted(cand, docs)
+            cand_scores[j] += scores
+        return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
 
     def shutdown(self) -> None:
         for r in self.readers:
