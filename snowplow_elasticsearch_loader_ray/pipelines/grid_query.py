@@ -86,6 +86,39 @@ class GridCellReader:
             out[t] = (docs, w * bm25.tf_weight(tfs, dls, self.avgdl))
         return out
 
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (global df, CELL-local max tf); the driver maxes the
+        local maxima across a shard's cells into the global bound."""
+        out: dict[str, tuple[int, int]] = {}
+        for t in terms:
+            hit = self.terms.get(t)
+            if hit is not None:
+                df, _docs, tfs = hit
+                out[t] = (int(df), int(tfs.max()) if len(tfs) else 0)
+        return out
+
+    def candidate_scores(self, terms: list[str], cand: np.ndarray,
+                         ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (candidate ordinals hit, partials) for THIS cell's
+        slice — sorted-array intersection against the decoded postings
+        (cand sorted ascending)."""
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            hit = self.terms.get(t)
+            if hit is None:
+                continue
+            df, docs, tfs = hit
+            pos = np.searchsorted(docs, cand)
+            valid = pos < len(docs)
+            sel = np.zeros(len(cand), dtype=bool)
+            sel[valid] = docs[pos[valid]] == cand[valid]
+            j = pos[sel]
+            if len(j):
+                w = bm25.idf(self.n_docs, df)
+                dls = self.dl_lens[docs[j] // self.n_doc_parts]
+                out[t] = (docs[j], w * bm25.tf_weight(tfs[j], dls, self.avgdl))
+        return out
+
 
 class GridQueryEngine:
     """Scatter-gather top-k over the (shard × partition) cell grid."""
@@ -94,8 +127,12 @@ class GridQueryEngine:
                  cpus_per_reader: float | None = None):
         st = index_stats(index_dir)
         self.num_shards = int(st["num_term_shards"])
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) if st["avgdl"] else 1.0
         # ordinal → external id for the final rank (see ShardedQueryEngine)
         self._doc_ids, _lens = load_docmap(index_dir)
+        self._dl_min = float(_lens.min()) if len(_lens) else 1.0
+        self._meta_cache: dict[str, tuple[int, int] | None] = {}
         self.n_doc_parts = n_doc_parts
         n_cells = self.num_shards * n_doc_parts
         if cpus_per_reader is None:
@@ -107,33 +144,108 @@ class GridQueryEngine:
             for s in range(self.num_shards) for p in range(n_doc_parts)
         }
 
-    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        terms = tokenize_query(query)
+    def _scatter(self, method: str, terms: list[str], *args
+                 ) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)
-        refs = [self.cells[s, p].partial_scores.remote(ts)
+        refs = [getattr(self.cells[s, p], method).remote(ts, *args)
                 for s, ts in sorted(by_shard.items())
                 for p in range(self.n_doc_parts)]
-        # per term: concatenate partition slices (doc-disjoint)
-        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        out: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for part in ray.get(refs):
             for t, ds in part.items():
-                by_term.setdefault(t, []).append(ds)
-        if not by_term:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+                out.setdefault(t, []).append(ds)
+        return out
+
+    def _metas(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        unknown = [t for t in terms if t not in self._meta_cache]
+        if unknown:
+            fetched: dict[str, tuple[int, int]] = {}
+            by_shard: dict[int, list[str]] = {}
+            for t in unknown:
+                by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)
+            refs = [self.cells[s, p].term_meta.remote(ts)
+                    for s, ts in sorted(by_shard.items())
+                    for p in range(self.n_doc_parts)]
+            for part in ray.get(refs):
+                for t, (df, mtf) in part.items():
+                    prev = fetched.get(t)
+                    fetched[t] = (df, max(mtf, prev[1]) if prev else mtf)
+            for t in unknown:
+                self._meta_cache[t] = fetched.get(t)
+        return {t: m for t in terms if (m := self._meta_cache[t]) is not None}
+
+    def _combine(self, terms: list[str],
+                 by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]],
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        # identical combine to ShardedQueryEngine: stable doc sort keeps
+        # the term-major order per doc → bit-identical float summation
+        # (partition slices of one term are doc-disjoint, so slice
+        # concat order cannot change any doc's summation order)
         docs = np.concatenate([d for t in terms if t in by_term
                                for d, _s in by_term[t]])
         scores = np.concatenate([s for t in terms if t in by_term
                                  for _d, s in by_term[t]])
-        # identical combine to ShardedQueryEngine: stable doc sort keeps
-        # the term-major order per doc → bit-identical float summation
         order = np.argsort(docs, kind="stable")
         docs_s, scores_s = docs[order], scores[order]
         boundaries = np.concatenate(
             ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        return bm25.rank_topk(self._doc_ids[docs_s[boundaries]],
-                              np.add.reduceat(scores_s, boundaries), k)
+        return docs_s[boundaries], np.add.reduceat(scores_s, boundaries)
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed MaxScore over the cell grid — the same two-phase
+        plan as ``ShardedQueryEngine.topk`` (essential scatter →
+        candidate-only tail), with per-term bounds maxed across a
+        shard's cells. Bit-identical to the single reader on every
+        path."""
+        terms = tokenize_query(query)
+        metas = self._metas(terms)
+        live = [t for t in terms if t in metas]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ubs = {}
+        for t in live:
+            df, max_tf = metas[t]
+            idf = bm25.idf(self.n_docs, df)
+            ubs[t] = idf * float(bm25.tf_weight(
+                np.float64(max_tf), np.float64(self._dl_min), self.avgdl))
+        by_ub = sorted(live, key=lambda t: (-ubs[t], t))
+        essential = [t for t in by_ub if ubs[t] > 0.25 * ubs[by_ub[0]]]
+        tail = [t for t in by_ub if ubs[t] <= 0.25 * ubs[by_ub[0]]]
+
+        if not tail:
+            uniq, sums = self._combine(live, self._scatter("partial_scores", live))
+            return bm25.rank_topk(self._doc_ids[uniq], sums, k)
+
+        ess_parts = self._scatter("partial_scores", essential)
+        uniq, sums = self._combine(essential, ess_parts)
+        tail_ub = float(sum(ubs[t] for t in tail))
+        margin = 1e-6
+        kth = (float(np.partition(sums, len(sums) - k)[len(sums) - k])
+               if len(uniq) >= k else 0.0)
+        cand = uniq[sums + tail_ub >= kth - margin] if kth > 0.0 else uniq
+        if kth <= 0.0 or tail_ub >= kth - margin or len(cand) > max(64, 8 * k):
+            by_term = {**ess_parts, **self._scatter("partial_scores", tail)}
+            uniq, sums = self._combine(live, by_term)
+            return bm25.rank_topk(self._doc_ids[uniq], sums, k)
+
+        tail_parts = self._scatter("candidate_scores", tail, cand)
+        cand_scores = np.zeros(len(cand), dtype=np.float64)
+        for t in live:                          # sorted-term order
+            slices = ess_parts.get(t) if t in essential else tail_parts.get(t)
+            if not slices:
+                continue
+            for docs, scores in slices:         # doc-disjoint slices
+                if t in essential:
+                    pos = np.searchsorted(cand, docs)
+                    valid = pos < len(cand)
+                    sel = np.zeros(len(docs), dtype=bool)
+                    sel[valid] = cand[pos[valid]] == docs[valid]
+                    docs, scores = docs[sel], scores[sel]
+                j = np.searchsorted(cand, docs)
+                cand_scores[j] += scores
+        return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
 
     def shutdown(self) -> None:
         for c in self.cells.values():
