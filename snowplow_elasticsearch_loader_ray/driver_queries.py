@@ -1553,6 +1553,61 @@ def minhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+TOP_BIGRAMS = 20
+
+
+def top_bigrams(sf_dir: str) -> pa.Table:
+    """Corpus n-gram statistics: the TOP_BIGRAMS most frequent token
+    bigrams. Per-batch partial counts (vectorized: one dictionary
+    encode of the flattened "a b" pairs + bincount) collapse each block
+    to its distinct bigrams BEFORE the shuffle; the groupby exchanges
+    partial counts; ties break by bigram ascending."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(batch["text"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        rows = idx.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = rows[1:] == rows[:-1]
+        pairs = np.char.add(np.char.add(toks[:-1].astype(str), " "),
+                            toks[1:].astype(str))[same_doc]
+        u, c = np.unique(pairs, return_counts=True)
+        return pa.table({"bigram": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    out = (
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]) \
+        .head(TOP_BIGRAMS).reset_index(drop=True)
+    return pa.table({"bigram": pa.array(out["bigram"], pa.string()),
+                     "n": pa.array(out["n"], pa.int64())})
+
+
+TOP_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT {TOK_SQL} AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS}
+"""
+
+
 def snapshot_restore_terms(sf_dir: str) -> pa.Table:
     """ES ``_snapshot`` analogue end-to-end: snapshot the committed
     index (every segment verified against its manifest content hash
@@ -2585,7 +2640,8 @@ def registry() -> tuple[dict, dict]:
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
         "snapshot_restore_terms": snapshot_restore_terms,
-    }
+        "top_bigrams": top_bigrams,
+}
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
         "doc_lengths": DOC_LENGTHS_SQL,
@@ -2644,6 +2700,7 @@ def registry() -> tuple[dict, dict]:
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,
+        "top_bigrams": TOP_BIGRAMS_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
         "image_pixels": _image_pixels_sql(),
