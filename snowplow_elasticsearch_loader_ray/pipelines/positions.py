@@ -181,46 +181,60 @@ class _TokenizePositionsFiles:
 
 
 def build_positions(docs: str | list[str], pos_dir: str,
-                    cfg: IndexConfig = DEFAULT_CONFIG) -> None:
-    """Build (or resume) the positional index over a document table."""
+                    cfg: IndexConfig = DEFAULT_CONFIG,
+                    num_parts: int | None = None) -> None:
+    """Build (or resume) the positional index over a document table.
+
+    Same resume grain as the main build (SURVEY C1): input files group
+    into contiguous parts, each committing its shard-sorted run dir and
+    its ordinal-range docmap part before the part manifest — a killed
+    build reruns only uncommitted parts.
+    """
+    from .build import _plan_parts
+
     os.makedirs(pos_dir, exist_ok=True)
     man_dir = os.path.join(pos_dir, "manifests")
     if mf.is_committed(man_dir, "positions"):
         return
     files = _input_files(docs)
     runs_dir = os.path.join(pos_dir, "runs")
-    if not mf.is_committed(man_dir, "pos-runs"):
-        tmp = os.path.join(pos_dir, "_tmp_runs")
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(runs_dir, ignore_errors=True)
+    os.makedirs(runs_dir, exist_ok=True)
+    dm_dir = os.path.join(pos_dir, "docmap")
+    os.makedirs(dm_dir, exist_ok=True)
+    bases: dict[str, int] = {}
+    at = 0
+    for f in files:
+        bases[f] = at
+        at += pq.ParquetFile(f).metadata.num_rows
+    for kpart, files_k in enumerate(_plan_parts(files, num_parts)):
+        if mf.is_committed(man_dir, f"pos-runs-part-{kpart:04d}"):
+            continue
         t0 = time.time()
-        bases, at = [], 0
-        for f in files:
-            bases.append(at)
-            at += pq.ParquetFile(f).metadata.num_rows
-        items = [{"path": p, "base": b} for p, b in zip(files, bases)]
+        final = os.path.join(runs_dir, f"part={kpart:04d}")
+        tmp = os.path.join(runs_dir, f"_tmp_part={kpart:04d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        items = [{"path": p, "base": bases[p]} for p in files_k]
         ds = ray.data.from_items(items, override_num_blocks=len(items))
         ds = ds.map_batches(_TokenizePositionsFiles(cfg),
                             batch_format="pyarrow", batch_size=None)
-        ds.write_parquet(os.path.join(tmp, "part=all"),
-                         row_group_size=cfg.run_row_group_size,
+        ds.write_parquet(tmp, row_group_size=cfg.run_row_group_size,
                          compression="zstd")
-        mf.commit_dir_rename(tmp, runs_dir, durable=False)
-        # ord → doc_id map (the positional index's own docmap; one
-        # columnar 8 B/doc read of the input in sorted-file order)
-        dm_dir = os.path.join(pos_dir, "docmap")
-        os.makedirs(dm_dir, exist_ok=True)
-        ids = pq.read_table(files, columns=["doc_id"])["doc_id"]
-        dm_out = os.path.join(dm_dir, "part-0000.parquet")
+        mf.commit_dir_rename(tmp, final, durable=False)
+        # this part's ordinal-range docmap slice (8 B/doc columnar read)
+        ids = pq.read_table(files_k, columns=["doc_id"])["doc_id"]
+        base0 = bases[files_k[0]]
+        dm_out = os.path.join(dm_dir, f"part-{kpart:04d}.parquet")
         pq.write_table(pa.table({
-            "ord": pa.array(np.arange(len(ids), dtype=np.int64)),
+            "ord": pa.array(base0 + np.arange(len(ids), dtype=np.int64)),
             "doc_id": ids,
         }), dm_out + ".tmp", compression="zstd")
         os.replace(dm_out + ".tmp", dm_out)
-        mf.commit(man_dir, "pos-runs", {
-            "stage": "pos-runs", "durable": False,
-            "input_files": [os.path.basename(f) for f in files],
-            "outputs": [os.path.relpath(dm_out, pos_dir)],
+        mf.commit(man_dir, f"pos-runs-part-{kpart:04d}", {
+            "stage": "pos-runs", "part": kpart, "durable": False,
+            "input_files": [os.path.basename(f) for f in files_k],
+            "outputs": [os.path.relpath(final, pos_dir),
+                        os.path.relpath(dm_out, pos_dir)],
             "wall_s": round(time.time() - t0, 3),
         })
     missing = [s for s in range(cfg.num_term_shards)

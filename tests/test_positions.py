@@ -89,3 +89,39 @@ def test_positions_per_shard_reencode(tmp_path):
     assert os.path.getmtime(other) == m_other          # untouched
     r2 = PositionalReader(pos)
     assert phrase_search(r2, "quick brown").tolist() == [1, 2]
+
+
+def test_positions_part_resume(tmp_path):
+    """Multi-part positional build: delete one part manifest + the
+    positions manifest → rebuild recomputes only that part and phrase
+    results are unchanged."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader,
+    )
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    # split into 4 files so parts are meaningful
+    t = _pq.read_table(docs, columns=["doc_id", "text"])
+    srcs = str(tmp_path / "srcs")
+    os.makedirs(srcs)
+    q = t.num_rows // 4
+    for i in range(4):
+        _pq.write_table(t.slice(i * q, q if i < 3 else t.num_rows - 3 * q),
+                        os.path.join(srcs, f"d{i}.parquet"))
+    pos = str(tmp_path / "pos_parts")
+    cfg = IndexConfig(num_term_shards=4)
+    build_positions(srcs, pos, cfg, num_parts=2)
+    r = PositionalReader(pos)
+    before = phrase_search(r, "the data").tolist()
+    assert len(_glob.glob(os.path.join(pos, "docmap", "part-*.parquet"))) == 2
+
+    os.remove(os.path.join(pos, "manifests", "pos-runs-part-0001.json"))
+    os.remove(os.path.join(pos, "manifests", "positions.json"))
+    build_positions(srcs, pos, cfg, num_parts=2)
+    after = phrase_search(PositionalReader(pos), "the data").tolist()
+    assert before == after
