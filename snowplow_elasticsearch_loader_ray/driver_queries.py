@@ -1553,6 +1553,51 @@ def minhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def props_field_stats(sf_dir: str) -> pa.Table:
+    """Runtime-field extraction (the ES runtime-field / ingest-pipeline
+    analogue of the P3 JSON purpose): parse the ``props`` JSON column,
+    pull the ``k`` field, aggregate per event type. JSON parse is
+    per-row (inherent, same as the payload transforms); each batch
+    collapses to per-type partial (n, sum) before the shuffle."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ks = np.array([json.loads(p)["k"] for p in batch["props"].to_pylist()],
+                      dtype=np.int64)
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_k": pa.array(np.bincount(inv, weights=ks).astype(np.int64)),
+        })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_type", "props"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_k": pa.array(out["sum_k"], pa.int64()),
+        "avg_k": pa.array((out["sum_k"] / out["n"]).astype("float64")),
+    })
+
+
+PROPS_FIELD_SQL = """
+WITH e AS (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       sum(k)::DOUBLE / count(*)::DOUBLE AS avg_k
+FROM e GROUP BY 1
+"""
+
+
 TOP_BIGRAMS = 20
 
 
@@ -2641,6 +2686,7 @@ def registry() -> tuple[dict, dict]:
         "simhash_recall": simhash_recall,
         "snapshot_restore_terms": snapshot_restore_terms,
         "top_bigrams": top_bigrams,
+        "props_field_stats": props_field_stats,
 }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
@@ -2701,6 +2747,7 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
+        "props_field_stats": PROPS_FIELD_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
         "image_pixels": _image_pixels_sql(),
