@@ -1553,6 +1553,125 @@ def minhash_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary over lineitem (the relational
+    side of the table set): per-batch partial sums collapse each block
+    to at most |flag × status| rows before the tiny groupby exchange;
+    averages derive from the global sums so floats match the SQL
+    exactly."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = np.char.add(
+            np.asarray(b["l_returnflag"].to_pylist(), dtype=str),
+            np.asarray(b["l_linestatus"].to_pylist(), dtype=str))
+        u, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty)),
+            "sum_price": pa.array(np.bincount(inv, weights=price)),
+            "sum_disc_price": pa.array(
+                np.bincount(inv, weights=price * (1.0 - disc))),
+        })
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Sum("sum_disc_price", alias_name="sum_disc_price"))
+        .to_pandas()
+    )
+    return pa.table({
+        "l_returnflag": pa.array(out["key"].str[0], pa.string()),
+        "l_linestatus": pa.array(out["key"].str[1], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_qty": pa.array(np.round(out["sum_qty"], 2)),
+        "sum_price": pa.array(np.round(out["sum_price"], 2)),
+        "sum_disc_price": pa.array(np.round(out["sum_disc_price"], 2)),
+    })
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Broadcast join (the documented small-side pattern): orders join
+    customer join nation without a shuffle — the customer→nation lookup
+    (≤ a few MB at any realistic scale factor) ships once via
+    ``ray.put`` and each orders batch gathers through it; per-batch
+    partial revenue sums collapse to ≤25 nation rows before the tiny
+    final groupby."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    n_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)[
+        np.argsort(nat["n_nationkey"].to_numpy())]
+    ck = cust["c_custkey"].to_numpy()
+    order_ck = np.argsort(ck, kind="stable")
+    lookup_ref = ray.put((ck[order_ck],
+                          cust["c_nationkey"].to_numpy()[order_ck], n_names))
+
+    class _JoinRevenue:
+        def __init__(self):
+            self.ck, self.nk, self.names = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            custkey = b["o_custkey"].to_numpy(zero_copy_only=False)
+            price = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            pos = np.searchsorted(self.ck, custkey)
+            nk = self.nk[pos]                     # every order has a customer
+            u, inv = np.unique(nk, return_inverse=True)
+            return pa.table({
+                "n_name": pa.array(self.names[u].tolist(), pa.string()),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+                "revenue": pa.array(np.bincount(inv, weights=price)),
+            })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_totalprice"])
+        .map_batches(_JoinRevenue, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    return pa.table({
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+        "revenue": pa.array(np.round(out["revenue"], 2)),
+    })
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
 def props_field_stats(sf_dir: str) -> pa.Table:
     """Runtime-field extraction (the ES runtime-field / ingest-pipeline
     analogue of the P3 JSON purpose): parse the ``props`` JSON column,
@@ -2687,6 +2806,8 @@ def registry() -> tuple[dict, dict]:
         "snapshot_restore_terms": snapshot_restore_terms,
         "top_bigrams": top_bigrams,
         "props_field_stats": props_field_stats,
+        "pricing_summary": pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
 }
     oracles = {
         "corpus_stats": CORPUS_STATS_SQL,
@@ -2748,6 +2869,8 @@ def registry() -> tuple[dict, dict]:
         "snapshot_restore_terms": TERM_STATS_SQL,
         "top_bigrams": TOP_BIGRAMS_SQL,
         "props_field_stats": PROPS_FIELD_SQL,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "build_metrics": BUILD_METRICS_SQL,
         "image_meta": _image_meta_sql(),
         "image_pixels": _image_pixels_sql(),
