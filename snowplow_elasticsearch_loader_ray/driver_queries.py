@@ -433,19 +433,41 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     """Corpus doc-length distribution from the index docmap tables
     (written by the build's run parts — no corpus rescan): discrete
     percentiles defined as the value at index floor(q·(n−1)) of the
-    sorted lengths (DuckDB ``quantile_disc`` parity)."""
+    sorted lengths (DuckDB ``quantile_disc`` parity).
+
+    Distributed EXACT quantiles via per-part bounded histograms:
+    doclen is a small int (≤ max tokens per doc), so each docmap part
+    reduces to an ``np.bincount`` a few KiB long; the driver merges
+    histograms — O(max_doclen) memory — and reads the quantile off the
+    cumulative counts. Never pulls the doclen column to the driver
+    (at 10^12 docs that column is ~8 TB; the histograms are ~KiB)."""
     d = _ensure_index(sf_dir)
     files = sorted(glob.glob(os.path.join(d, "docmap", "part-*.parquet")))
-    lens = np.sort(pq.read_table(files, columns=["doclen"])["doclen"]
-                   .to_numpy(zero_copy_only=False))
-    n = len(lens)
-    qs = [0.5, 0.9, 0.99]
-    vals = [int(lens[int(np.floor(q * (n - 1)))]) for q in qs] if n else [0, 0, 0]
+
+    @ray.remote(num_cpus=1)
+    def part_hist(path: str) -> np.ndarray:
+        a = pq.read_table(path, columns=["doclen"])["doclen"] \
+            .to_numpy(zero_copy_only=False)
+        return np.bincount(a) if len(a) else np.zeros(0, np.int64)
+
+    hists = ray.get([part_hist.remote(f) for f in files])
+    size = max((len(h) for h in hists), default=0)
+    hist = np.zeros(size, np.int64)
+    for h in hists:
+        hist[:len(h)] += h
+    n = int(hist.sum())
+    if n:
+        cum = np.cumsum(hist)
+        vals = [int(np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1))
+                for q in (0.5, 0.9, 0.99)]
+        max_len = int(np.nonzero(hist)[0][-1])
+    else:
+        vals, max_len = [0, 0, 0], 0
     return pa.table({
         "p50": pa.array([vals[0]], pa.int64()),
         "p90": pa.array([vals[1]], pa.int64()),
         "p99": pa.array([vals[2]], pa.int64()),
-        "max_len": pa.array([int(lens[-1]) if n else 0], pa.int64()),
+        "max_len": pa.array([max_len], pa.int64()),
         "n_docs": pa.array([n], pa.int64()),
     })
 
@@ -523,10 +545,19 @@ def doc_fetch(sf_dir: str) -> pa.Table:
     """Source-document retrieval by id (the ``hits.hits[*]._source`` read
     of the reference IT harness, ``TestHelpers.scala:157-201``): the
     target ids are broadcast and applied as a vectorized semi-join
-    filter inside ``map_batches`` — a lookup, not a shuffle join."""
-    ids = pa.array(sorted(
-        pq.read_table(_docs_path(sf_dir), columns=["doc_id"])["doc_id"].to_pylist()
-    )[:N_FETCH], pa.int64())
+    filter inside ``map_batches`` — a lookup, not a shuffle join.
+    The fixture's "25 smallest ids" pick is itself a distributed
+    bottom-k: each block contributes its local bottom-25, the driver
+    reduces over ≤ 25×n_blocks candidate rows — never the full id
+    column."""
+    def bottom(b: pa.Table) -> pa.Table:
+        a = b["doc_id"].combine_chunks()
+        return pa.table({"doc_id": a.take(pc.sort_indices(a)[:N_FETCH])})
+
+    cand = (ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+            .map_batches(bottom, batch_format="pyarrow")
+            .to_pandas()["doc_id"].to_numpy())
+    ids = pa.array(np.sort(cand)[:N_FETCH], pa.int64())
 
     def pick(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["doc_id"], value_set=ids))
@@ -966,31 +997,73 @@ def significant_terms(sf_dir: str) -> pa.Table:
                              "term": pa.array(ts, pa.string()),
                              "fg_df": pa.array(ns, pa.int64())})
 
-    partial = (
+    # background dfs ride the index's (term-sorted) stats table — put
+    # ONCE, looked up by searchsorted inside workers. At web vocab this
+    # broadcast shards with the term dictionary (see docstring plan).
+    t = r.term_stats_table()
+    bg_ref = ray.put((np.asarray(t["term"].to_pylist(), dtype=object),
+                      t["df"].to_numpy(zero_copy_only=False).astype(np.int64)))
+    fg_ref = ray.put(fg_sizes)
+
+    class _ScoreLift:
+        """Joins bg_df onto the (qid, term, fg_df) aggregate and scores
+        lift — a broadcast lookup inside map_batches, not a shuffle."""
+
+        def __init__(self):
+            self.bg_terms, self.bg_dfs = ray.get(bg_ref)
+            self.fg_sizes = ray.get(fg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            fg_df = b["fg_df"].to_numpy(zero_copy_only=False)
+            keep = fg_df >= SIG_MIN_FG_DF
+            if not keep.any():
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "fg_df": pa.array([], pa.int64()),
+                                 "bg_df": pa.array([], pa.int64()),
+                                 "lift": pa.array([], pa.float64())})
+            qid = b["qid"].to_numpy(zero_copy_only=False)[keep]
+            term = np.asarray(b["term"].to_pylist(), dtype=object)[keep]
+            fg_df = fg_df[keep]
+            # every fg term came from a doc, so it exists in the vocab
+            bg_df = self.bg_dfs[np.searchsorted(self.bg_terms, term)]
+            n_fg = np.array([self.fg_sizes[int(q)] for q in qid], np.float64)
+            lift = np.round((fg_df / n_fg) / (bg_df / float(n_docs)), 6)
+            return pa.table({"qid": pa.array(qid, pa.int64()),
+                             "term": pa.array(term, pa.string()),
+                             "fg_df": pa.array(fg_df, pa.int64()),
+                             "bg_df": pa.array(bg_df, pa.int64()),
+                             "lift": pa.array(lift, pa.float64())})
+
+    import pandas as pd
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lift", "term"], ascending=[False, True])
+        return g.head(SIG_TOP)
+
+    # the whole reduce is distributed: partial fg counts sum through a
+    # Ray groupby, scoring is a broadcast map, top-k is per-qid
+    # map_groups; only ≤ SIG_TOP×n_queries rows land on the driver.
+    # Actor pools autoscale from 1 so the two pools never reserve every
+    # CPU and starve the groupby shuffle tasks (deadlocks a 4-CPU test
+    # cluster with two fixed concurrency=2 pools).
+    out = (
         ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-        .map_batches(_FgCounts, batch_format="pyarrow", concurrency=2)
+        .map_batches(_FgCounts, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["qid", "term"])
+        .aggregate(ray.data.aggregate.Sum("fg_df", alias_name="fg_df"))
+        .map_batches(_ScoreLift, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("qid")
+        .map_groups(_topk, batch_format="pandas")
         .to_pandas()
     )
-    fg = partial.groupby(["qid", "term"], as_index=False)["fg_df"].sum()
-    rows = []
-    for qid, grp in fg.groupby("qid"):
-        n_fg = fg_sizes[int(qid)]
-        scored = []
-        for term, fg_df in zip(grp["term"], grp["fg_df"]):
-            if fg_df < SIG_MIN_FG_DF:
-                continue
-            bg_df = r.df(term)
-            lift = round((fg_df / n_fg) / (bg_df / n_docs), 6)
-            scored.append((-lift, term, int(fg_df), int(bg_df), lift))
-        scored.sort()
-        for _neg, term, fg_df, bg_df, lift in scored[:SIG_TOP]:
-            rows.append((int(qid), term, fg_df, bg_df, lift))
+    out = out.sort_values(["qid", "term"]).reset_index(drop=True)
     return pa.table({
-        "qid": pa.array([r0[0] for r0 in rows], pa.int64()),
-        "term": pa.array([r0[1] for r0 in rows], pa.string()),
-        "fg_df": pa.array([r0[2] for r0 in rows], pa.int64()),
-        "bg_df": pa.array([r0[3] for r0 in rows], pa.int64()),
-        "lift": pa.array([r0[4] for r0 in rows], pa.float64()),
+        "qid": pa.array(out["qid"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "fg_df": pa.array(out["fg_df"], pa.int64()),
+        "bg_df": pa.array(out["bg_df"], pa.int64()),
+        "lift": pa.array(out["lift"], pa.float64()),
     })
 
 
@@ -1562,9 +1635,17 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def _partial(b: pa.Table) -> pa.Table:
+        # accumulate on scaled integers (prices/qty are 2-decimal,
+        # disc-price 4-decimal fixed point) so the sum is EXACT and
+        # independent of per-block accumulation order — float sums near
+        # a rounding boundary would otherwise flake against the oracle.
+        # floor(x*scale + 0.5) is mirrored verbatim in the SQL.
         qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
         disc = b["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty_c = np.floor(qty * 100.0 + 0.5)
+        price_c = np.floor(price * 100.0 + 0.5)
+        disc_c = np.floor(price * (1.0 - disc) * 10000.0 + 0.5)
         keys = np.char.add(
             np.asarray(b["l_returnflag"].to_pylist(), dtype=str),
             np.asarray(b["l_linestatus"].to_pylist(), dtype=str))
@@ -1572,10 +1653,10 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         return pa.table({
             "key": pa.array(u.tolist(), pa.string()),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "sum_qty": pa.array(np.bincount(inv, weights=qty)),
-            "sum_price": pa.array(np.bincount(inv, weights=price)),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty_c).astype(np.int64)),
+            "sum_price": pa.array(np.bincount(inv, weights=price_c).astype(np.int64)),
             "sum_disc_price": pa.array(
-                np.bincount(inv, weights=price * (1.0 - disc))),
+                np.bincount(inv, weights=disc_c).astype(np.int64)),
         })
 
     out = (
@@ -1595,17 +1676,22 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         "l_returnflag": pa.array(out["key"].str[0], pa.string()),
         "l_linestatus": pa.array(out["key"].str[1], pa.string()),
         "n": pa.array(out["n"], pa.int64()),
-        "sum_qty": pa.array(np.round(out["sum_qty"], 2)),
-        "sum_price": pa.array(np.round(out["sum_price"], 2)),
-        "sum_disc_price": pa.array(np.round(out["sum_disc_price"], 2)),
+        "sum_qty": pa.array(out["sum_qty"].to_numpy(np.float64) / 100.0),
+        "sum_price": pa.array(out["sum_price"].to_numpy(np.float64) / 100.0),
+        "sum_disc_price": pa.array(
+            out["sum_disc_price"].to_numpy(np.float64) / 10000.0),
     })
 
 
+# fixed-point sums: floor(x*scale + 0.5) casts each 2-/4-decimal value
+# to an exact integer, the BIGINT sum is order-independent, and the
+# final /scale division is the same IEEE op the engine performs
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+       sum(floor(l_quantity * 100 + 0.5)::BIGINT) / 100.0 AS sum_qty,
+       sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) / 100.0 AS sum_price,
+       sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)
+         / 10000.0 AS sum_disc_price
 FROM lineitem GROUP BY 1, 2
 """
 
@@ -1638,12 +1724,18 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             custkey = b["o_custkey"].to_numpy(zero_copy_only=False)
             price = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
             pos = np.searchsorted(self.ck, custkey)
-            nk = self.nk[pos]                     # every order has a customer
+            # validated lookup, inner-join semantics: out-of-range or
+            # absent custkeys are DROPPED (matching the oracle's JOIN)
+            # instead of raising or silently hitting a neighbor key
+            pos = np.minimum(pos, len(self.ck) - 1)
+            hit = self.ck[pos] == custkey
+            nk = self.nk[pos[hit]]
+            cents = np.floor(price[hit] * 100.0 + 0.5)  # exact 2-dp sums
             u, inv = np.unique(nk, return_inverse=True)
             return pa.table({
                 "n_name": pa.array(self.names[u].tolist(), pa.string()),
                 "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
-                "revenue": pa.array(np.bincount(inv, weights=price)),
+                "revenue": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
             })
 
     out = (
@@ -1658,13 +1750,13 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.table({
         "n_name": pa.array(out["n_name"], pa.string()),
         "n_orders": pa.array(out["n_orders"], pa.int64()),
-        "revenue": pa.array(np.round(out["revenue"], 2)),
+        "revenue": pa.array(out["revenue"].to_numpy(np.float64) / 100.0),
     })
 
 
 REVENUE_BY_NATION_SQL = """
 SELECT n.n_name, count(*)::BIGINT AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey

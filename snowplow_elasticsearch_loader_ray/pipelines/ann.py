@@ -160,18 +160,30 @@ def lsh_ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     # per-bucket exact search over the pruned (much smaller) candidate set
     qref = ray.put(queries)
 
+    # a probe set is exactly "signature hamming distance ≤ radius", so
+    # the pair filter is a vectorized XOR-popcount, not set membership
+    max_ham = 1 if multiprobe >= 1 else 0
+    popcnt = np.array([bin(i).count("1") for i in range(1 << n_planes)],
+                      dtype=np.int8)
+
     class _BucketTopK(_TopKPerBatch):
         def __init__(self):
             super().__init__(qref, k)
-            self.probe_sets = probe_sets
+            self.qbucket = qbucket
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = super().__call__(batch)
-            # keep only (query, vec) pairs within the query's probe set
-            vb = dict(zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist()))
-            keep = [vb[v] in self.probe_sets[q]
-                    for q, v in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist())]
-            return out.filter(pa.array(keep))
+            # keep only (query, vec) pairs within the query's probe
+            # radius — gather each pair's vec bucket via searchsorted,
+            # then one XOR + table-popcount over the whole batch
+            vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+            vbk = batch["bucket"].to_numpy(zero_copy_only=False)
+            order = np.argsort(vid, kind="stable")
+            o_vid = out["vec_id"].to_numpy(zero_copy_only=False)
+            o_qid = out["query_id"].to_numpy(zero_copy_only=False)
+            b = vbk[order[np.searchsorted(vid[order], o_vid)]]
+            ham = popcnt[np.bitwise_xor(b, self.qbucket[o_qid])]
+            return out.filter(pa.array(ham <= max_ham))
 
     cand = pruned.map_batches(_BucketTopK(), batch_format="pyarrow", batch_size=4096)
     tables = list(cand.iter_batches(batch_format="pyarrow", batch_size=None))

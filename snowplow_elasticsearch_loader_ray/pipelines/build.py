@@ -180,6 +180,14 @@ def good_docs_dir(ingest_out_dir: str) -> str:
 # phase 1: runs
 # --------------------------------------------------------------------------
 
+#: run-part on-disk format version. 2 = ordinal run rows + per-part
+#: docmap extraction + CONTIGUOUS _plan_parts grouping. Bump whenever
+#: the part layout or row schema changes: resume compares it (and the
+#: exact file grouping) against committed manifests and REFUSES a mixed
+#: index instead of silently skipping old-format parts.
+RUN_FORMAT = 2
+
+
 def _plan_parts(files: list[str], target_parts: int | None) -> list[list[str]]:
     """Group input files into resume partitions (file granularity).
 
@@ -272,6 +280,7 @@ def _build_one_part(k: int, files_k: list[str], bases_k: list[int],
     mf.commit(man_dir, f"runs-part-{k:04d}", {
         "part": k,
         "stage": "runs",
+        "format": RUN_FORMAT,
         "input_files": [os.path.basename(f) for f in files_k],
         "row_count": counters["docs"],
         "counters": counters,
@@ -302,6 +311,23 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
         bases[f] = at
         at += n
     parts = _plan_parts(doc_files, num_parts)
+    # resume safety: a committed part written under a different run
+    # format or file grouping must not be silently skipped — it would
+    # splice old-layout postings into a new build. Refuse loudly.
+    expected = {k: [os.path.basename(f) for f in files_k]
+                for k, files_k in enumerate(parts)}
+    for name, m in mf.load_all(man_dir, prefix="runs-part-").items():
+        if (m.get("format") != RUN_FORMAT
+                or m.get("input_files") != expected.get(m.get("part"))):
+            raise RuntimeError(
+                f"{name}: committed under run format "
+                f"{m.get('format')!r} / grouping {m.get('input_files')!r}, "
+                f"but this build uses format {RUN_FORMAT} / grouping "
+                f"{expected.get(m.get('part'))!r}. Resuming would mix "
+                "incompatible parts — delete the index dir's manifests/"
+                "runs-part-*.json, runs/ and docmap/ (and any segment "
+                "manifests) to rebuild, or rerun with the original "
+                "num_parts/input set.")
     todo = [(k, files_k) for k, files_k in enumerate(parts)
             if not mf.is_committed(man_dir, f"runs-part-{k:04d}")]
     if cfg.fail_after_parts is not None:

@@ -27,6 +27,7 @@ Partitioning assumptions (documented per SURVEY.md custom-op rule):
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -123,7 +124,11 @@ class ShardedQueryEngine:
         # partition instead
         self._doc_ids, _lens = load_docmap(index_dir)
         self._dl_min = float(_lens.min()) if len(_lens) else 1.0
-        self._meta_cache: dict[str, tuple[int, int] | None] = {}
+        # bounded term-meta cache (LRU): at web vocab an unbounded dict
+        # grows with every distinct query term ever seen
+        self._meta_cache: "OrderedDict[str, tuple[int, int] | None]" = \
+            OrderedDict()
+        self._meta_cache_cap = 200_000
         if cpus_per_reader is None:
             # fit the pool into the current cluster (a reader is mostly
             # waiting between queries; on a real cluster size this to
@@ -156,7 +161,14 @@ class ShardedQueryEngine:
             fetched = self._scatter("term_meta", unknown)
             for t in unknown:
                 self._meta_cache[t] = fetched.get(t)
-        return {t: m for t in terms if (m := self._meta_cache[t]) is not None}
+        out = {}
+        for t in terms:
+            self._meta_cache.move_to_end(t)          # LRU touch
+            if (m := self._meta_cache[t]) is not None:
+                out[t] = m
+        while len(self._meta_cache) > self._meta_cache_cap:
+            self._meta_cache.popitem(last=False)
+        return out
 
     @staticmethod
     def _combine(terms: list[str],

@@ -87,12 +87,23 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
 
 
 def restore_index(snap_dir: str, index_dir: str) -> dict:
-    """Restore a snapshot into ``index_dir`` (must not already hold a
-    committed index), re-verifying every segment hash after the copy."""
+    """Restore a snapshot into ``index_dir``, re-verifying every segment
+    hash after the copy. The target must be empty of index state: the
+    readers glob ``segments/*.parquet`` and ``docmap/*.parquet``, so
+    leftover files from an aborted build would be served alongside the
+    restored (verified) ones — refuse instead."""
     if not mf.is_committed(os.path.join(snap_dir, "manifests"), "snapshot"):
         raise ValueError("not a committed snapshot")
     if mf.is_committed(os.path.join(index_dir, "manifests"), "index"):
         raise ValueError("refusing to restore over a committed index")
+    leftovers = [p for sub in ("segments", "docmap", "manifests", "runs")
+                 for p in glob.glob(os.path.join(index_dir, sub, "*"))]
+    if leftovers:
+        raise ValueError(
+            f"refusing to restore into non-empty target {index_dir!r}: "
+            f"{len(leftovers)} leftover file(s) (e.g. {leftovers[0]!r}) "
+            "would be served next to the restored segments — clear the "
+            "directory first")
     total = sum(_copy_tree(snap_dir, index_dir, sub)
                 for sub in ("segments", "docmap", "manifests"))
     verified = _verify_segments(index_dir)
