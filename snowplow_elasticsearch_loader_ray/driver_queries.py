@@ -292,18 +292,23 @@ def phrase_positional(sf_dir: str) -> pa.Table:
     in-doc position lists, ``pipelines/positions.py``): phrases resolve
     inside the index by offset-shifted position intersection — no text
     re-read. Same oracle as the candidate-then-verify plan; the two
-    engines must agree exactly."""
-    from .pipelines.positions import (PositionalReader, build_positions,
-                                      phrase_search)
+    engines must agree exactly. Serves through the DISTRIBUTED path
+    (``ShardedPositionalEngine`` — scatter-gather over per-shard
+    actors, bit-identical to the single reader by shared decode)."""
+    from .pipelines.positions import (ShardedPositionalEngine,
+                                      build_positions, phrase_search)
 
     pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
     build_positions(_docs_path(sf_dir), pos_dir, CFG)
-    r = PositionalReader(pos_dir)
-    qids, docs = [], []
-    for qid, q in PHRASE_QUERIES:
-        for d in phrase_search(r, q):
-            qids.append(qid)
-            docs.append(int(d))
+    eng = ShardedPositionalEngine(pos_dir)
+    try:
+        qids, docs = [], []
+        for qid, q in PHRASE_QUERIES:
+            for d in phrase_search(eng, q):
+                qids.append(qid)
+                docs.append(int(d))
+    finally:
+        eng.shutdown()
     return pa.table({
         "qid": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs, pa.int64()),
@@ -315,29 +320,35 @@ def first_hit_position(sf_dir: str) -> pa.Table:
     the reference IT harness's search surface): for every conjunctive
     match of a multi-term query, the earliest token index at which any
     query term occurs — resolved entirely inside the POSITIONAL index
-    (first element of each term's position list), no text read."""
-    from .pipelines.positions import PositionalReader, build_positions
+    (first element of each term's position list), no text read. Serves
+    through the distributed scatter-gather path (one round per query,
+    all terms batched to their owning shard actors)."""
+    from .pipelines.positions import ShardedPositionalEngine, build_positions
 
     pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
     build_positions(_docs_path(sf_dir), pos_dir, CFG)
-    r = PositionalReader(pos_dir)
+    r = ShardedPositionalEngine(pos_dir)
     import re as _re
 
     qids, docs, hits = [], [], []
-    for qid, q in BOOL_QUERIES:
-        terms = sorted(set(_re.findall(r"[a-z0-9]+", q.lower())))
-        fetched = [r.term_positions(t) for t in terms]
-        if any(len(d) == 0 for d, _p in fetched):
-            continue
-        common = fetched[0][0]
-        for d, _p in fetched[1:]:
-            common = np.intersect1d(common, d, assume_unique=True)
-        lookups = [dict(zip(d.tolist(), range(len(d)))) for d, _p in fetched]
-        for doc in common.tolist():               # doc = ordinal
-            first = min(int(p[lk[doc]][0]) for (_d, p), lk in zip(fetched, lookups))
-            qids.append(qid)
-            docs.append(int(r.doc_ids[doc]))      # map to external id
-            hits.append(first)
+    try:
+        for qid, q in BOOL_QUERIES:
+            terms = sorted(set(_re.findall(r"[a-z0-9]+", q.lower())))
+            by_term = r.term_positions_many(terms)
+            fetched = [by_term[t] for t in terms]
+            if any(len(d) == 0 for d, _p in fetched):
+                continue
+            common = fetched[0][0]
+            for d, _p in fetched[1:]:
+                common = np.intersect1d(common, d, assume_unique=True)
+            lookups = [dict(zip(d.tolist(), range(len(d)))) for d, _p in fetched]
+            for doc in common.tolist():               # doc = ordinal
+                first = min(int(p[lk[doc]][0]) for (_d, p), lk in zip(fetched, lookups))
+                qids.append(qid)
+                docs.append(int(r.doc_ids[doc]))      # map to external id
+                hits.append(first)
+    finally:
+        r.shutdown()
     return pa.table({
         "qid": pa.array(qids, pa.int64()),
         "doc_id": pa.array(docs, pa.int64()),

@@ -252,6 +252,32 @@ def build_positions(docs: str | list[str], pos_dir: str,
 # query side
 # --------------------------------------------------------------------------
 
+def _read_term_rows(shard_path: str, term: str
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One term's rows from one shard file as compact flat arrays
+    ``(docs, offsets, flat_positions)`` — the parquet read is row-group
+    pruned by the file's term statistics (rows are term-sorted with
+    small row groups). Shared verbatim by the single-process reader and
+    the shard actors so both paths decode identically."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(shard_path).to_table(columns=["ord", "positions"],
+                                          filter=pads.field("term") == term)
+    docs = t["ord"].to_numpy(zero_copy_only=False)
+    plists = t["positions"]
+    if isinstance(plists, pa.ChunkedArray):
+        plists = plists.combine_chunks()
+    flat = plists.values.to_numpy(zero_copy_only=False)
+    offs = plists.offsets.to_numpy(zero_copy_only=False)
+    return docs, offs, flat
+
+
+def _split_lists(rows: tuple[np.ndarray, np.ndarray, np.ndarray]
+                 ) -> tuple[np.ndarray, list[np.ndarray]]:
+    docs, offs, flat = rows
+    return docs, [flat[offs[i]:offs[i + 1]] for i in range(len(docs))]
+
+
 class PositionalReader:
     """Per-term (ord, positions) fetch from the positional shards.
 
@@ -274,27 +300,98 @@ class PositionalReader:
         hit = self._cache.get(term)
         if hit is not None:
             return hit
-        import pyarrow.dataset as pads
-
         shard = term_shard_one(term, self.num_shards)
         f = os.path.join(self.pos_dir, "positions", f"shard-{shard:04d}.parquet")
-        t = pads.dataset(f).to_table(columns=["ord", "positions"],
-                                     filter=pads.field("term") == term)
-        docs = t["ord"].to_numpy(zero_copy_only=False)
-        plists = t["positions"]
-        if isinstance(plists, pa.ChunkedArray):
-            plists = plists.combine_chunks()
-        flat = plists.values.to_numpy(zero_copy_only=False)
-        offs = plists.offsets.to_numpy(zero_copy_only=False)
-        pos = [flat[offs[i]:offs[i + 1]] for i in range(len(docs))]
-        out = (docs, pos)
+        out = _split_lists(_read_term_rows(f, term))
         self._cache[term] = out
         return out
 
+    def term_positions_many(self, terms: list[str]
+                            ) -> dict[str, tuple[np.ndarray, list[np.ndarray]]]:
+        return {t: self.term_positions(t) for t in terms}
 
-def phrase_search(reader: PositionalReader, phrase: str) -> np.ndarray:
+
+# same restart story as the BM25 ShardReader (sharded_query.py): the
+# actor is a stateless view over the committed positional shard, so a
+# crash restarts it and the in-flight fetch re-executes.
+@ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
+class PosShardReader:
+    """One positional term shard; serves batched per-term position
+    fetches as compact flat arrays (docs, offsets, flat_positions) —
+    ~12 B/posting on the wire, no Python list-of-arrays pickling."""
+
+    def __init__(self, pos_dir: str, shard: int):
+        self.path = os.path.join(pos_dir, "positions",
+                                 f"shard-{shard:04d}.parquet")
+
+    def term_positions(self, terms: list[str]
+                       ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        return {t: _read_term_rows(self.path, t) for t in terms}
+
+
+class ShardedPositionalEngine:
+    """Scatter-gather positional serving: the distributed peer of
+    ``PositionalReader`` (same ``term_positions`` / ``doc_ids``
+    surface, so ``phrase_search`` runs unchanged on either).
+
+    A phrase query's distinct terms scatter in ONE round to the shard
+    actors that own them (``term_shard_one`` routing, identical to the
+    build); each shard returns its terms' (docs, offsets, flat) arrays;
+    intersection + adjacency run on the gathered arrays exactly as the
+    single reader would — results are bit-identical because the decode
+    helper (``_read_term_rows``) is the same code in both paths.
+
+    Partitioning assumptions (custom-op rule): a term's full position
+    postings live in one shard file; the driver holds the ordinal→id
+    docmap (8 B/doc — at 10^12 docs this is doc-partitioned and only
+    the ~result-sized survivor set maps through the owning partition).
+    """
+
+    def __init__(self, pos_dir: str, cpus_per_reader: float | None = None):
+        man = mf.load(os.path.join(pos_dir, "manifests"), "positions")
+        self.num_shards = int(man["num_term_shards"])
+        dm = pq.read_table(sorted(glob.glob(
+            os.path.join(pos_dir, "docmap", "part-*.parquet"))),
+            columns=["doc_id"])
+        self.doc_ids = dm["doc_id"].to_numpy()
+        if cpus_per_reader is None:
+            avail = max(1.0, ray.cluster_resources().get("CPU", 1.0))
+            cpus_per_reader = min(1.0, max(0.1, (avail * 0.8) / self.num_shards))
+        self.readers = [
+            PosShardReader.options(num_cpus=cpus_per_reader).remote(pos_dir, s)
+            for s in range(self.num_shards)
+        ]
+        self._cache: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+
+    def term_positions_many(self, terms: list[str]
+                            ) -> dict[str, tuple[np.ndarray, list[np.ndarray]]]:
+        unknown = [t for t in terms if t not in self._cache]
+        if unknown:
+            by_shard: dict[int, list[str]] = {}
+            for t in unknown:
+                by_shard.setdefault(term_shard_one(t, self.num_shards),
+                                    []).append(t)
+            refs = [self.readers[s].term_positions.remote(ts)
+                    for s, ts in sorted(by_shard.items())]
+            for part in ray.get(refs):
+                for t, rows in part.items():
+                    self._cache[t] = _split_lists(rows)
+        return {t: self._cache[t] for t in terms}
+
+    def term_positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
+        return self.term_positions_many([term])[term]
+
+    def shutdown(self) -> None:
+        for r in self.readers:
+            ray.kill(r)
+        self.readers = []
+
+
+def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 
+    ``reader`` is a ``PositionalReader`` or ``ShardedPositionalEngine``
+    (duck-typed on ``term_positions_many`` + ``doc_ids``).
     Tokenization matches the engine rule; phrase order and duplicate
     terms are honored (each occurrence adds an offset constraint over
     the SAME fetched position list).
@@ -304,7 +401,7 @@ def phrase_search(reader: PositionalReader, phrase: str) -> np.ndarray:
     terms = _re.findall(r"[a-z0-9]+", phrase.lower())
     if not terms:
         return np.empty(0, dtype=np.int64)
-    fetched = {t: reader.term_positions(t) for t in set(terms)}
+    fetched = reader.term_positions_many(sorted(set(terms)))
     # conjunctive doc intersection, smallest first
     doc_sets = [fetched[t][0] for t in set(terms)]
     cand = sorted(doc_sets, key=len)[0]

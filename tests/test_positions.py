@@ -125,3 +125,33 @@ def test_positions_part_resume(tmp_path):
     build_positions(srcs, pos, cfg, num_parts=2)
     after = phrase_search(PositionalReader(pos), "the data").tolist()
     assert before == after
+
+
+def test_sharded_positional_identity(tmp_path):
+    """Distributed scatter-gather phrase serving is bit-identical to the
+    single-process reader on every phrase shape (shared decode helper),
+    and first-position fetches agree element-for-element."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        ShardedPositionalEngine)
+
+    r = _build(tmp_path)
+    eng = ShardedPositionalEngine(r.pos_dir, cpus_per_reader=0.1)
+    try:
+        for q in ["quick brown", "brown fox", "the the", "the the the",
+                  "fox jumps over", "lazy fox", "absent tokens", "",
+                  "BROWN, fox!"]:
+            np.testing.assert_array_equal(phrase_search(eng, q),
+                                          phrase_search(r, q))
+        # raw per-term fetches agree (docs and each position list)
+        for t in ["brown", "fox", "the", "quick"]:
+            d1, p1 = r.term_positions(t)
+            d2, p2 = eng.term_positions(t)
+            np.testing.assert_array_equal(d1, d2)
+            assert [a.tolist() for a in p1] == [a.tolist() for a in p2]
+        # batched fetch round-trips the cache
+        many = eng.term_positions_many(["brown", "missingterm"])
+        assert len(many["missingterm"][0]) == 0
+    finally:
+        eng.shutdown()
