@@ -32,17 +32,46 @@ from ..stages.transforms import PurposeTransform
 from ..state import manifest as mf
 
 
-def stream_ingest(payloads: Iterable[bytes], out_dir: str,
+def _resume_cursor(man_dir: str) -> tuple[int, int]:
+    """(next batch index, last checkpointed sequence number) from the
+    committed batch manifests — the KCL lease-table read at startup."""
+    k0, last_seq = 0, -1
+    for name, m in mf.load_all(man_dir, prefix="batch-").items():
+        k0 = max(k0, int(m["batch"]) + 1)
+        last_seq = max(last_seq, int(m.get("last_seq", -1)))
+    return k0, last_seq
+
+
+def stream_ingest(payloads: Iterable, out_dir: str,
                   purpose: str = "json",
                   cfg: IndexConfig = DEFAULT_CONFIG,
-                  clock: Callable[[], float] = time.monotonic) -> dict:
+                  clock: Callable[[], float] = time.monotonic,
+                  initial_position: str | tuple[str, float] = "TRIM_HORIZON",
+                  ) -> dict:
     """Consume a payload iterator into micro-batch-committed records.
 
+    ``payloads`` yields raw ``bytes`` or ``(seq, ts, bytes)`` records
+    (a Kinesis shard's sequence number + approximateArrivalTimestamp);
+    bare bytes are auto-sequenced with ts 0.
+
+    ``initial_position`` mirrors ``input.initialPosition``
+    (``config.aws.reference.hocon:16-23``): where to start **the first
+    time the loader runs** —
+
+    - ``"TRIM_HORIZON"`` — oldest available record (default);
+    - ``"LATEST"`` — only records arriving from now on: records whose
+      arrival ts predates the subscription instant (``clock()`` at
+      startup) are skipped;
+    - ``("AT_TIMESTAMP", ts)`` — records with arrival ts >= ``ts``.
+
+    On SUBSEQUENT runs the loader always resumes from where it last
+    checkpointed (the hocon's documented rule): records at or before
+    the max committed sequence number are skipped regardless of
+    ``initial_position``, and uncommitted tail parts are overwritten —
+    the at-least-once KCL grain.
+
     Returns counters {good, <error statuses>, batches, flush_size,
-    flush_delay}. Resume note: each batch commits ``batch-K`` manifest
-    AFTER its parquet part is in place; a killed run restarts the
-    stream from the source's own checkpoint (Kinesis sequence number
-    analogue — out of scope here) and overwrites uncommitted parts.
+    flush_delay, checkpoints, skipped_resume, skipped_position}.
     """
     rec_dir = os.path.join(out_dir, "records")
     man_dir = os.path.join(out_dir, "manifests")
@@ -50,7 +79,37 @@ def stream_ingest(payloads: Iterable[bytes], out_dir: str,
     transform = PurposeTransform(purpose)
     batcher = BatchUp(cfg.flush_max_bytes, cfg.flush_max_delay_s, clock)
     counters: dict[str, int] = {"batches": 0, "flush_size": 0, "flush_delay": 0,
-                                "checkpoints": 0}
+                                "checkpoints": 0, "skipped_resume": 0,
+                                "skipped_position": 0}
+
+    k0, last_committed_seq = _resume_cursor(man_dir)
+    first_run = k0 == 0
+    if initial_position == "LATEST":
+        min_ts = clock()
+    elif (isinstance(initial_position, tuple)
+          and initial_position[0] == "AT_TIMESTAMP"):
+        min_ts = float(initial_position[1])
+    elif initial_position == "TRIM_HORIZON":
+        min_ts = -float("inf")
+    else:
+        raise ValueError(f"unknown initialPosition {initial_position!r}")
+
+    def _cursor_filter():
+        """Normalize records and apply cursor semantics: resume beats
+        initial position; initial position applies on first run only.
+        Yields ((seq, payload), n_bytes) so each flushed batch carries
+        its own exact last sequence — checkpointing a batch can never
+        cover a record that only sits in the batcher (at-least-once)."""
+        for i, item in enumerate(payloads):
+            seq, ts, payload = (i, 0.0, item) if isinstance(item, bytes) \
+                else (int(item[0]), float(item[1]), item[2])
+            if seq <= last_committed_seq:
+                counters["skipped_resume"] += 1
+                continue
+            if first_run and ts < min_ts:
+                counters["skipped_position"] += 1
+                continue
+            yield (seq, payload), len(payload)
 
     # checkpoint debounce (``debounceCheckpoints`` 10 s,
     # config.aws.reference.hocon:55): parquet parts land per micro-batch
@@ -68,8 +127,9 @@ def stream_ingest(payloads: Iterable[bytes], out_dir: str,
             pending.clear()
         last_ckpt[0] = clock()
 
-    for k, batch in enumerate(batcher.feed((p, len(p)) for p in payloads)):
-        out = transform(pa.table({"payload": pa.array(batch.items, pa.binary())}))
+    for k, batch in enumerate(batcher.feed(_cursor_filter()), start=k0):
+        out = transform(pa.table({
+            "payload": pa.array([p for _s, p in batch.items], pa.binary())}))
         part = os.path.join(rec_dir, f"batch-{k:06d}.parquet")
         tmp = part + ".tmp"
         pq.write_table(out, tmp)
@@ -85,6 +145,7 @@ def stream_ingest(payloads: Iterable[bytes], out_dir: str,
             "rows": out.num_rows,
             "n_bytes": batch.n_bytes,
             "flush_reason": batch.reason,
+            "last_seq": max(s for s, _p in batch.items),
             "outputs": [os.path.relpath(part, out_dir)],
         }))
         if clock() - last_ckpt[0] >= cfg.checkpoint_debounce_s:

@@ -160,3 +160,54 @@ def test_shard_suffix_config_whitelist():
     ShardSuffixConfig(field_name="warc_ts", date_format="-%Y-%m")
     with pytest.raises(ValueError):
         ShardSuffixConfig(field_name="url")
+
+
+def test_stream_initial_position(tmp_path):
+    """input.initialPosition parity (config.aws.reference.hocon:16-23):
+    LATEST skips the pre-subscription backlog, AT_TIMESTAMP starts at
+    the given arrival ts, TRIM_HORIZON takes everything."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    # (seq, arrival_ts, payload): seqs 0-9 arrive at ts 0,10,...,90
+    recs = [(i, 10.0 * i, b'{"n":%d}' % i) for i in range(10)]
+    cfg = IndexConfig(flush_max_bytes=1, flush_max_delay_s=1e9)
+
+    c = stream_ingest(iter(recs), str(tmp_path / "th"), cfg=cfg,
+                      clock=FakeClock(), initial_position="TRIM_HORIZON")
+    assert c["good"] == 10 and c["skipped_position"] == 0
+
+    clk = FakeClock(); clk.t = 45.0            # subscribe mid-stream
+    c = stream_ingest(iter(recs), str(tmp_path / "latest"), cfg=cfg,
+                      clock=clk, initial_position="LATEST")
+    assert c["good"] == 5 and c["skipped_position"] == 5   # ts 50..90
+
+    c = stream_ingest(iter(recs), str(tmp_path / "at"), cfg=cfg,
+                      clock=FakeClock(),
+                      initial_position=("AT_TIMESTAMP", 70.0))
+    assert c["good"] == 3 and c["skipped_position"] == 7   # ts 70,80,90
+
+
+def test_stream_resume_from_checkpoint(tmp_path):
+    """On subsequent runs the loader always resumes from the last
+    checkpointed sequence, regardless of initialPosition (the hocon's
+    documented rule); replayed records are skipped, new ones land in
+    fresh batch parts."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+    from snowplow_elasticsearch_loader_ray.state import manifest as mf
+
+    recs = [(i, 0.0, b'{"n":%d}' % i) for i in range(12)]
+    cfg = IndexConfig(flush_max_bytes=1, flush_max_delay_s=1e9)
+    out = str(tmp_path / "stream")
+
+    c1 = stream_ingest(iter(recs[:7]), out, cfg=cfg, clock=FakeClock())
+    assert c1["good"] == 7
+    # full replay + 5 new records: the 7 checkpointed seqs are skipped
+    # even under LATEST (resume beats initial position on rerun)
+    clk = FakeClock(); clk.t = 1e9
+    c2 = stream_ingest(iter(recs), out, cfg=cfg, clock=clk,
+                       initial_position="LATEST")
+    assert c2["skipped_resume"] == 7 and c2["good"] == 5
+    assert c2["skipped_position"] == 0
+    mans = mf.load_all(os.path.join(out, "manifests"), prefix="batch-")
+    assert len(mans) == 12                     # 7 + 5, no index collisions
+    assert max(m["last_seq"] for m in mans.values()) == 11
