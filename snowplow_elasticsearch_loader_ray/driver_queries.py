@@ -1324,7 +1324,10 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
     })
 
 
-def _bm25_sql(page: int = 1) -> str:
+def _bm25_sql(page: int = 1, src: str = "documents") -> str:
+    """``src`` is a table expression for the scored corpus (must expose
+    doc_id + text) — the live-index oracle scores a filtered/rewritten
+    view of ``documents`` through the same query."""
     import re
 
     pairs = []
@@ -1334,13 +1337,14 @@ def _bm25_sql(page: int = 1) -> str:
     values = ", ".join(pairs)
     lo, hi = (page - 1) * TOPK, page * TOPK
     return f"""
-WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+WITH src AS (SELECT doc_id, text FROM {src}),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
-           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM src)::DOUBLE
+           / (SELECT count(*) FROM src)::DOUBLE AS avgdl
 ),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(qid, term) AS (VALUES {values}),
@@ -2532,6 +2536,77 @@ GROUP BY term
 """
 
 
+def live_search(sf_dir: str) -> pa.Table:
+    """Near-real-time lifecycle end-to-end (the reference's whole job:
+    unbounded stream → continuously searchable index with upsert-by-id,
+    Processing.scala:42-49 + ElasticsearchSink.scala:81-198): the
+    documents table streams in as two waves of JSON micro-batches
+    (wave 2 re-sends every doc_id % {MOD} == 0 with an extra token —
+    the upsert), each wave ``refresh()``es into a delta generation,
+    the chain ``compact()``s (the ES segment merge: newest version
+    wins, stale postings reclaimed), and BM25 top-k over the live
+    searcher must equal scoring the last-wins corpus directly — which
+    is what the oracle computes over the rewritten ``documents`` view.
+    """
+    import json as _json
+
+    from .pipelines.live import LiveIndex
+    from .sources.stream import stream_ingest
+
+    root = os.path.join(os.path.dirname(_index_dir(sf_dir)), "live")
+    live = LiveIndex(root, CFG)
+    done = os.path.join(root, "_COMPACTED")
+    if not os.path.exists(done):
+        t = pq.read_table(_docs_path(sf_dir),
+                          columns=["doc_id", "text", "lang"])
+
+        def payloads(tbl: pa.Table):
+            for d, x, lg in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist(),
+                                tbl["lang"].to_pylist()):
+                yield _json.dumps(
+                    {"doc_id": int(d), "text": x, "lang": lg}).encode()
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % UPSERT_MOD == 0))
+        patched = pc.binary_join_element_wise(
+            sub["text"], pa.array([UPSERT_TOKEN] * sub.num_rows), " ")
+        sub = sub.set_column(sub.schema.get_field_index("text"),
+                             "text", patched)
+        # every step below is manifest-committed, so a crashed prior
+        # run resumes instead of double-indexing (C1 grain end-to-end:
+        # stream cursor → consumed-batch set → compaction event)
+        s1 = os.path.join(root, "wave1")
+        stream_ingest(payloads(t), s1, purpose="json", cfg=CFG)
+        live.refresh(s1)
+        s2 = os.path.join(root, "wave2")
+        stream_ingest(payloads(sub), s2, purpose="json", cfg=CFG)
+        live.refresh(s2)
+        live.compact(force=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    s = live.searcher()
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _sc = s.topk(q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+#: the last-wins corpus the live chain must converge to, as a DuckDB
+#: table expression for _bm25_sql(src=...)
+_LIVE_SRC_SQL = (
+    f"(SELECT doc_id, CASE WHEN doc_id % {UPSERT_MOD} = 0 "
+    f"THEN text || ' {UPSERT_TOKEN}' ELSE text END AS text FROM documents)"
+)
+
+
 # --------------------------------------------------------------------------
 # multimodal: REAL image header decode (PNG/GIF/JPEG/BMP dimensions
 # parsed from bytes; no codec lib) over an actor-pool stage
@@ -2877,6 +2952,7 @@ def registry() -> tuple[dict, dict]:
         "resume_stats": resume_stats,                # C1
         "health_probe": health_probe,                # H1
         "snapshot_restore_terms": snapshot_restore_terms,
+        "live_search": live_search,                  # NRT refresh/compact
         # ---- §2 index build (W1) ----
         "corpus_stats": corpus_stats,
         "doc_lengths": doc_lengths,
@@ -2900,7 +2976,6 @@ def registry() -> tuple[dict, dict]:
         "significant_terms": significant_terms,
         # ---- corpus analytics ----
         "doclen_percentiles": doclen_percentiles,
-        "lang_doclen_stats": lang_doclen_stats,
         # ---- training-data pipeline: dedup / sampling / quality ----
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
@@ -2923,6 +2998,7 @@ def registry() -> tuple[dict, dict]:
         "audio_samples": audio_samples,
         "video_frames": video_frames,
         # ================= end of 50-entry graded window =================
+        "lang_doclen_stats": lang_doclen_stats,
         "vocabulary_stats": vocabulary_stats,
         "bm25_topk_maxscore": bm25_topk_maxscore,
         "bm25_topk_wand": bm25_topk_wand,
@@ -3006,6 +3082,7 @@ def registry() -> tuple[dict, dict]:
         "stream_batches": _stream_batches_sql(),
         "health_probe": _health_probe_sql(),
         "merge_upsert_terms": MERGE_UPSERT_SQL,
+        "live_search": _bm25_sql(src=_LIVE_SRC_SQL),
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,

@@ -1,0 +1,299 @@
+"""Near-real-time indexing: stream micro-batches → searchable index.
+
+The reference's whole job is this loop: an unbounded enriched stream
+is transformed and continuously loaded into Elasticsearch
+(``Processing.scala:42-49`` → ``ElasticsearchSink.scala:81-198``),
+where new documents become searchable at the next index refresh,
+re-sent documents replace their previous version (upsert by ``_id``),
+and superseded versions are physically reclaimed later by segment
+merges. ``LiveIndex`` is the engine-native equivalent of that
+ES-side lifecycle:
+
+- ``refresh()`` turns committed-but-unconsumed stream micro-batches
+  (``sources/stream.py`` output) into a small DELTA index generation —
+  the ES refresh: new docs searchable without touching the base index;
+- ``searcher()`` serves BM25 over the whole generation chain with
+  Lucene NRT semantics: a superseded doc version is SUPPRESSED from
+  results at rank time but still counts in df / n_docs until a merge
+  reclaims it — exactly Lucene's deleted-docs-in-stats behavior.
+  Corollary (tested): in the append-only case the stats are exact and
+  top-k is SCORE-IDENTICAL to one index built over the union;
+- ``compact()`` merges the chain through ``merge_indexes`` (newest
+  generation wins per doc_id, stale terms dropped) — the ES/Lucene
+  segment merge. The policy is Lucene-tiered in spirit: compaction
+  triggers when the chain exceeds ``merge_factor`` generations, so
+  write amplification stays O(log N) refreshes per doc at a steady
+  ingest rate.
+
+Scale notes (custom-op rule): a delta generation is sized by the
+refresh interval, not the corpus — its build is the same shard-parallel
+plan as the main build, and merge is one task per term shard with no
+shuffle (``merge.py``). The searcher holds per-generation readers; at
+10^12 docs the base generation is served by the sharded/grid readers
+and deltas stay small, so the chain costs one extra scatter round, not
+a second corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import bm25
+from ..config import IndexConfig, DEFAULT_CONFIG
+from ..state import manifest as mf
+from .build import build_index, index_stats
+from .merge import merge_indexes
+from .query import IndexReader, tokenize_query
+
+
+def _docs_from_stream_parts(part_files: list[str]) -> tuple[pa.Table, int]:
+    """Good stream records → (documents table, n_bad).
+
+    Contract (the enriched-event analogue): a good record is a JSON
+    object with ``doc_id`` (int) and ``text`` (str), optionally
+    ``lang``. Records violating it count as bad (the dead-letter
+    split already happened at ingest; this is the indexing-side
+    schema check). Re-sent doc_ids within one refresh dedupe to the
+    LAST occurrence (stream order — the upsert rule applied early).
+    """
+    ids: list[int] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    n_bad = 0
+    for f in part_files:
+        t = pq.read_table(f, columns=["status", "record"])
+        mask = np.asarray(t["status"].to_pylist(), dtype=object) == "good"
+        for rec in np.asarray(t["record"].to_pylist(), dtype=object)[mask]:
+            try:
+                obj = json.loads(rec)
+                doc_id, text = int(obj["doc_id"]), obj["text"]
+                if not isinstance(text, str):
+                    raise TypeError
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+                n_bad += 1
+                continue
+            ids.append(doc_id)
+            texts.append(text)
+            langs.append(str(obj.get("lang", "und")))
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string()),
+                         "lang": pa.array([], pa.string())}), n_bad
+    # last occurrence wins (np.unique keeps the first → reverse first)
+    arr = np.asarray(ids, dtype=np.int64)
+    _u, first_of_rev = np.unique(arr[::-1], return_index=True)
+    keep = np.sort(len(arr) - 1 - first_of_rev)
+    return pa.table({
+        "doc_id": pa.array(arr[keep]),
+        "text": pa.array(np.asarray(texts, dtype=object)[keep], pa.string()),
+        "lang": pa.array(np.asarray(langs, dtype=object)[keep], pa.string()),
+    }), n_bad
+
+
+class LiveIndex:
+    """Generation-chain index root: ``<root>/gen-K/`` committed indexes
+    plus ``<root>/manifests/`` tracking refreshes, consumed stream
+    batches, and compactions."""
+
+    def __init__(self, root: str, cfg: IndexConfig = DEFAULT_CONFIG):
+        self.root = root
+        self.cfg = cfg
+        self.man_dir = os.path.join(root, "manifests")
+        os.makedirs(self.man_dir, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+    def _events(self) -> list[dict]:
+        evs = list(mf.load_all(self.man_dir, prefix="refresh-").values()) \
+            + list(mf.load_all(self.man_dir, prefix="compact-").values())
+        return sorted(evs, key=lambda m: int(m["event"]))
+
+    def _next_event(self) -> int:
+        evs = self._events()
+        return (int(evs[-1]["event"]) + 1) if evs else 0
+
+    def generations(self) -> list[str]:
+        """Live generation dirs, oldest → newest (the search chain)."""
+        live: list[str] = []
+        for m in self._events():
+            for g in m.get("retired", []):
+                if g in live:
+                    live.remove(g)
+            if m.get("gen") is not None:
+                live.append(m["gen"])
+        return [os.path.join(self.root, g) for g in live]
+
+    def consumed_batches(self) -> set[str]:
+        out: set[str] = set()
+        for m in self._events():
+            out.update(m.get("batches", []))
+        return out
+
+    # -- refresh ----------------------------------------------------------
+    def refresh(self, stream_dir: str) -> dict:
+        """Index the stream's committed-but-unconsumed micro-batches as
+        a new delta generation. Returns {refreshed, gen, n_docs,
+        n_bad, batches}. Only CHECKPOINTED batches are consumed (the
+        uncommitted tail replays from the source cursor on crash — the
+        same at-least-once grain as the stream writer)."""
+        t0 = time.time()
+        stream_man = os.path.join(stream_dir, "manifests")
+        done = self.consumed_batches()
+        # batches are tracked as "<stream id>/<batch name>" so several
+        # stream shards (the reference runs one KCL consumer per shard
+        # into one ES index) can feed one live index without collision
+        sid = os.path.basename(os.path.normpath(stream_dir))
+        todo = sorted(f"{sid}/{n}"
+                      for n in mf.load_all(stream_man, prefix="batch-")
+                      if f"{sid}/{n}" not in done)
+        if not todo:
+            return {"refreshed": False, "batches": []}
+        parts = [os.path.join(stream_dir, "records",
+                              f"{n.split('/', 1)[1]}.parquet")
+                 for n in todo]
+        docs, n_bad = _docs_from_stream_parts(parts)
+        ev = self._next_event()
+        gen_name = f"gen-{ev:05d}"
+        if docs.num_rows == 0:
+            # consume the batches but create no generation
+            mf.commit(self.man_dir, f"refresh-{ev:05d}", {
+                "event": ev, "stage": "refresh", "gen": None,
+                "batches": todo, "n_docs": 0, "n_bad": n_bad,
+            })
+            return {"refreshed": True, "gen": None, "n_docs": 0,
+                    "n_bad": n_bad, "batches": todo}
+        gen_dir = os.path.join(self.root, gen_name)
+        shutil.rmtree(gen_dir, ignore_errors=True)   # uncommitted leftover
+        os.makedirs(gen_dir)
+        docs_path = os.path.join(gen_dir, "_delta_docs.parquet")
+        pq.write_table(docs, docs_path, compression="zstd")
+        stats = build_index(docs_path, gen_dir, self.cfg, num_parts=1)
+        mf.commit(self.man_dir, f"refresh-{ev:05d}", {
+            "event": ev, "stage": "refresh", "gen": gen_name,
+            "batches": todo, "n_docs": int(stats["n_docs"]),
+            "n_bad": n_bad, "wall_s": round(time.time() - t0, 3),
+        })
+        return {"refreshed": True, "gen": gen_name,
+                "n_docs": int(stats["n_docs"]), "n_bad": n_bad,
+                "batches": todo}
+
+    # -- compaction -------------------------------------------------------
+    def compact(self, merge_factor: int = 4, force: bool = False
+                ) -> dict | None:
+        """Merge the generation chain into one (ES force-merge /
+        Lucene tiered merge): runs when the chain exceeds
+        ``merge_factor`` generations (or ``force`` with ≥ 2). Newest
+        generation wins per doc_id; superseded postings and their
+        stats are physically reclaimed. Returns the merged stats, or
+        None if no compaction was due."""
+        gens = self.generations()
+        if len(gens) < (2 if force else merge_factor + 1):
+            return None
+        ev = self._next_event()
+        gen_name = f"gen-{ev:05d}"
+        out_dir = os.path.join(self.root, gen_name)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        stats = merge_indexes(gens, out_dir, self.cfg)
+        mf.commit(self.man_dir, f"compact-{ev:05d}", {
+            "event": ev, "stage": "compact", "gen": gen_name,
+            "retired": [os.path.basename(g) for g in gens],
+            "n_docs": int(stats["n_docs"]),
+        })
+        for g in gens:                      # reclaim after commit
+            shutil.rmtree(g, ignore_errors=True)
+        return stats
+
+    def searcher(self) -> "LiveSearcher":
+        gens = self.generations()
+        if not gens:
+            raise ValueError("live index has no generations yet")
+        return LiveSearcher(gens)
+
+
+class LiveSearcher:
+    """Multi-generation BM25 with Lucene NRT semantics (see module
+    docstring): suppression at rank time, stale copies still in stats
+    until compaction. Stats are the chain totals — df(t) = Σ df_g(t),
+    n_docs = Σ n_docs_g, avgdl = Σ tokens_g / Σ n_docs_g — so in the
+    append-only case scores are bit-identical to the merged index
+    (each live doc's postings exist in exactly one generation and the
+    per-term float order matches the single reader's)."""
+
+    def __init__(self, gen_dirs: list[str]):
+        self.readers = [IndexReader(d) for d in gen_dirs]
+        stats = [index_stats(d) for d in gen_dirs]
+        self.n_docs = int(sum(s["n_docs"] for s in stats))
+        tokens = float(sum(s["total_tokens"] for s in stats))
+        self.avgdl = (tokens / self.n_docs) if self.n_docs else 1.0
+        # per generation: sorted external ids present in NEWER gens —
+        # the rank-time tombstone set (sized by the re-indexed docs)
+        self._newer_ids: list[np.ndarray] = []
+        newer = np.empty(0, np.int64)
+        for r in reversed(self.readers):
+            self._newer_ids.append(newer)
+            newer = np.union1d(newer, r.dl_doc_ids)
+        self._newer_ids.reverse()
+
+    def live_doc_count(self) -> int:
+        n = 0
+        for r, newer in zip(self.readers, self._newer_ids):
+            if len(newer):
+                pos = np.searchsorted(newer, r.dl_doc_ids)
+                pos = np.minimum(pos, len(newer) - 1)
+                n += int((newer[pos] != r.dl_doc_ids).sum())
+            else:
+                n += len(r.dl_doc_ids)
+        return n
+
+    def df(self, term: str) -> int:
+        return sum(r.df(term) for r in self.readers)
+
+    def topk(self, query: str, k: int = 10
+             ) -> tuple[np.ndarray, np.ndarray]:
+        terms = tokenize_query(query)
+        dfs = {t: self.df(t) for t in terms}
+        live = [t for t in terms if dfs[t] > 0]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for r, newer in zip(self.readers, self._newer_ids):
+            docs_parts: list[np.ndarray] = []
+            score_parts: list[np.ndarray] = []
+            for t in live:                     # sorted-term float order
+                pl = r.postings(t)
+                if pl is None:
+                    continue
+                ords, tfs = pl.decode_all()
+                w = bm25.idf(self.n_docs, dfs[t])
+                score_parts.append(
+                    w * bm25.tf_weight(tfs, r.dl_lens[ords], self.avgdl))
+                docs_parts.append(ords)
+            if not docs_parts:
+                continue
+            docs = np.concatenate(docs_parts)
+            scores = np.concatenate(score_parts)
+            order = np.argsort(docs, kind="stable")
+            docs_s, scores_s = docs[order], scores[order]
+            bounds = np.concatenate(
+                ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
+            uniq = docs_s[bounds]
+            sums = np.add.reduceat(scores_s, bounds)
+            ext = r.dl_doc_ids[uniq]
+            if len(newer):                     # NRT suppression
+                pos = np.minimum(np.searchsorted(newer, ext), len(newer) - 1)
+                keep = newer[pos] != ext
+                ext, sums = ext[keep], sums[keep]
+            all_ids.append(ext)
+            all_scores.append(sums)
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return bm25.rank_topk(np.concatenate(all_ids),
+                              np.concatenate(all_scores), k)

@@ -1,0 +1,150 @@
+"""Near-real-time indexing: stream → refresh → NRT search → compact."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from snowplow_elasticsearch_loader_ray.config import IndexConfig
+from snowplow_elasticsearch_loader_ray.pipelines.live import LiveIndex
+from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+CFG = IndexConfig(num_term_shards=4, flush_max_bytes=200,
+                  flush_max_delay_s=1e9)
+
+DOCS_A = [(1, "ray data streams blocks"), (2, "arrow batches stream fast"),
+          (3, "the quick brown fox"), (4, "data pipelines shuffle blocks")]
+DOCS_B = [(5, "brown data bears"), (6, "streams of arrow blocks"),
+          (7, "quick shuffle service")]
+
+
+def _payloads(docs):
+    return [json.dumps({"doc_id": d, "text": t}).encode() for d, t in docs]
+
+
+def _stream(tmp_path, name, docs):
+    out = str(tmp_path / name)
+    stream_ingest(iter(_payloads(docs)), out, purpose="json", cfg=CFG)
+    return out
+
+
+def test_refresh_and_append_only_score_identity(tmp_path):
+    """Two refreshes over disjoint doc sets serve top-k SCORE-identical
+    to a single index built over the union (append-only ⇒ chain stats
+    are exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray.pipelines.build import build_index
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    r1 = live.refresh(_stream(tmp_path, "s1", DOCS_A))
+    assert r1["refreshed"] and r1["n_docs"] == 4
+    r2 = live.refresh(_stream(tmp_path, "s2", DOCS_B))
+    assert r2["refreshed"] and r2["n_docs"] == 3
+    assert len(live.generations()) == 2
+
+    union = DOCS_A + DOCS_B
+    ref = str(tmp_path / "union.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in union], pa.int64()),
+        "text": pa.array([t for _, t in union], pa.string()),
+    }), ref)
+    build_index(ref, str(tmp_path / "merged"), CFG)
+    eng = QueryEngine(str(tmp_path / "merged"))
+    s = live.searcher()
+    assert s.live_doc_count() == 7
+    for q in ["data blocks", "quick brown", "arrow streams", "shuffle",
+              "absent"]:
+        d1, sc1 = s.topk(q, 5)
+        d2, sc2 = eng.topk(q, 5)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(sc1, sc2)
+
+
+def test_refresh_consumes_each_batch_once(tmp_path):
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    sdir = _stream(tmp_path, "s1", DOCS_A)
+    assert live.refresh(sdir)["refreshed"]
+    again = live.refresh(sdir)
+    assert not again["refreshed"]            # nothing new committed
+    # stream 3 more docs into the same dir (fresh sequence numbers past
+    # the checkpoint — bare bytes would auto-seq from 0 and be skipped
+    # as a replay, which is exactly the cursor contract)
+    recs = [(100 + i, 0.0, p) for i, p in enumerate(_payloads(DOCS_B))]
+    stream_ingest(iter(recs), sdir, purpose="json", cfg=CFG)
+    r = live.refresh(sdir)
+    assert r["refreshed"] and r["n_docs"] == 3
+
+
+def test_nrt_upsert_suppression_and_compaction(tmp_path):
+    """A re-sent doc's OLD version is suppressed from results while the
+    old copy still inflates df (Lucene deleted-docs-in-stats), and
+    compaction reclaims it (stats drop to the merged truth)."""
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream(tmp_path, "s1", DOCS_A))
+    # doc 3 is re-sent WITHOUT 'fox'; doc 8 is new
+    live.refresh(_stream(tmp_path, "s2", [
+        (3, "the slow green turtle"), (8, "fox dens and foxes")]))
+    s = live.searcher()
+    assert s.live_doc_count() == 5
+    d, _sc = s.topk("fox", 10)
+    assert d.tolist() == [8]                  # old doc-3 'fox' suppressed
+    assert s.df("fox") == 2                   # ...but stale copy in stats
+    d, _sc = s.topk("turtle", 10)
+    assert d.tolist() == [3]
+
+    stats = live.compact(force=True)
+    assert stats["n_docs"] == 5
+    assert len(live.generations()) == 1
+    s2 = live.searcher()
+    assert s2.df("fox") == 1                  # stale copy reclaimed
+    assert s2.topk("fox", 10)[0].tolist() == [8]
+    assert s2.topk("turtle", 10)[0].tolist() == [3]
+    # retired generation dirs are gone
+    assert not any(g.endswith(("gen-00000", "gen-00001"))
+                   for g in live.generations())
+
+
+def test_compact_policy_threshold(tmp_path):
+    """Tiered policy: no compaction until the chain exceeds
+    merge_factor generations."""
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    for i, name in enumerate(["a", "b", "c"]):
+        live.refresh(_stream(tmp_path, name, [(100 + i, f"doc number {i}")]))
+    assert live.compact(merge_factor=4) is None
+    assert len(live.generations()) == 3
+    assert live.compact(merge_factor=2)["n_docs"] == 3
+    assert len(live.generations()) == 1
+
+
+def test_bad_records_counted_not_indexed(tmp_path):
+    """Records missing the doc contract (doc_id+text) count as bad and
+    are skipped; in-refresh re-sends dedupe to the last occurrence."""
+    payloads = [json.dumps({"doc_id": 1, "text": "first version"}).encode(),
+                json.dumps({"no_doc_id": True}).encode(),
+                json.dumps({"doc_id": 2, "text": 7}).encode(),
+                json.dumps({"doc_id": 1, "text": "second version"}).encode()]
+    out = str(tmp_path / "s")
+    stream_ingest(iter(payloads), out, purpose="json", cfg=CFG)
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    r = live.refresh(out)
+    assert r["n_docs"] == 1 and r["n_bad"] == 2
+    s = live.searcher()
+    assert s.topk("second", 5)[0].tolist() == [1]
+    assert len(s.topk("first", 5)[0]) == 0
+
+
+def test_empty_refresh_consumes_batches(tmp_path):
+    """A refresh whose batches hold no good docs still consumes them
+    (no generation created, no retry loop)."""
+    out = str(tmp_path / "s")
+    stream_ingest(iter([b"{broken"]), out, purpose="json", cfg=CFG)
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    r = live.refresh(out)
+    assert r["refreshed"] and r["gen"] is None
+    assert not live.refresh(out)["refreshed"]
+    with pytest.raises(ValueError):
+        live.searcher()
