@@ -2716,6 +2716,65 @@ _LIVE_SRC_SQL = (
     f"THEN text || ' {UPSERT_TOKEN}' ELSE text END AS text FROM documents)"
 )
 
+DELETE_QUERY = "hash join"
+
+
+def delete_by_query_stats(sf_dir: str) -> pa.Table:
+    """ES ``_delete_by_query`` end-to-end: the documents table refreshes
+    into a live index, the conjunctive match set of ``{DELETE_QUERY}``
+    is tombstoned (manifest event + parquet id sidecar), and compaction
+    physically reclaims the deleted docs — after which term stats must
+    equal indexing the corpus WITHOUT the matching docs, which is what
+    the oracle computes. The tombstone set ships as ids only (never
+    text), and the reclaim rides the shard-parallel no-shuffle merge."""
+    import json as _json
+
+    from .pipelines.live import LiveIndex
+    from .sources.stream import stream_ingest
+
+    root = os.path.join(os.path.dirname(_index_dir(sf_dir)), "live_del")
+    live = LiveIndex(root, CFG)
+    done = os.path.join(root, "_COMPACTED")
+    if not os.path.exists(done):
+        t = pq.read_table(_docs_path(sf_dir),
+                          columns=["doc_id", "text", "lang"])
+
+        def payloads():
+            for d, x, lg in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                t["lang"].to_pylist()):
+                yield _json.dumps(
+                    {"doc_id": int(d), "text": x, "lang": lg}).encode()
+
+        s1 = os.path.join(root, "wave1")
+        stream_ingest(payloads(), s1, purpose="json", cfg=CFG)
+        live.refresh(s1)
+        live.delete_by_query(DELETE_QUERY)
+        live.compact(force=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    from .pipelines.query import IndexReader as _IR
+
+    return _IR(live.generations()[0]).term_stats_table()
+
+
+def _delete_by_query_sql() -> str:
+    cond = " AND ".join(f"list_contains({TOK_SQL}, '{t}')"
+                        for t in sorted(set(DELETE_QUERY.split())))
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents WHERE NOT ({cond})
+)
+SELECT term, count(*)::BIGINT AS df, sum(cnt)::BIGINT AS cf
+FROM (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term
+        FROM (SELECT doc_id, text FROM kept))
+  GROUP BY 1, 2
+)
+GROUP BY term
+"""
+
 
 # --------------------------------------------------------------------------
 # multimodal: REAL image header decode (PNG/GIF/JPEG/BMP dimensions
@@ -3109,6 +3168,7 @@ def registry() -> tuple[dict, dict]:
         "video_frames": video_frames,
         # ================= end of 50-entry graded window =================
         "highlight_snippets": highlight_snippets,
+        "delete_by_query_stats": delete_by_query_stats,
         "lang_doclen_stats": lang_doclen_stats,
         "vocabulary_stats": vocabulary_stats,
         "bm25_topk_maxscore": bm25_topk_maxscore,
@@ -3195,6 +3255,7 @@ def registry() -> tuple[dict, dict]:
         "health_probe": _health_probe_sql(),
         "merge_upsert_terms": MERGE_UPSERT_SQL,
         "live_search": _bm25_sql(src=_LIVE_SRC_SQL),
+        "delete_by_query_stats": _delete_by_query_sql(),
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,

@@ -23,7 +23,13 @@ ES-side lifecycle:
   segment merge. The policy is Lucene-tiered in spirit: compaction
   triggers when the chain exceeds ``merge_factor`` generations, so
   write amplification stays O(log N) refreshes per doc at a steady
-  ingest rate.
+  ingest rate;
+- ``delete_by_query()`` / ``delete()`` are the ES ``_delete_by_query``
+  analogue: a manifest-committed tombstone event (ids in a parquet
+  sidecar). Deleted docs vanish from results immediately but stay in
+  df / n_docs until compaction physically reclaims them — and a doc
+  re-indexed AFTER the delete is live again (tombstones only reach
+  backward in event time).
 
 Scale notes (custom-op rule): a delta generation is sized by the
 refresh interval, not the corpus — its build is the same shard-parallel
@@ -112,7 +118,8 @@ class LiveIndex:
     # -- state ------------------------------------------------------------
     def _events(self) -> list[dict]:
         evs = list(mf.load_all(self.man_dir, prefix="refresh-").values()) \
-            + list(mf.load_all(self.man_dir, prefix="compact-").values())
+            + list(mf.load_all(self.man_dir, prefix="compact-").values()) \
+            + list(mf.load_all(self.man_dir, prefix="delete-").values())
         return sorted(evs, key=lambda m: int(m["event"]))
 
     def _next_event(self) -> int:
@@ -184,23 +191,83 @@ class LiveIndex:
                 "n_docs": int(stats["n_docs"]), "n_bad": n_bad,
                 "batches": todo}
 
+    # -- deletes ----------------------------------------------------------
+    def _delete_events(self) -> list[tuple[int, np.ndarray]]:
+        """(event, sorted external doc_ids) per committed delete."""
+        out = []
+        for m in mf.load_all(self.man_dir, prefix="delete-").values():
+            t = pq.read_table(os.path.join(self.root, m["ids_file"]),
+                              columns=["doc_id"])
+            out.append((int(m["event"]),
+                        t["doc_id"].to_numpy(zero_copy_only=False)))
+        return out
+
+    def _deleted_after(self, gen_events: list[int]) -> list[np.ndarray]:
+        """Per generation: union of delete-event ids POSTDATING it (a
+        doc re-indexed after a delete lives in a later generation and
+        is untouched — tombstones only reach backward in time)."""
+        dels = self._delete_events()
+        out = []
+        for g in gen_events:
+            arrs = [ids for dev, ids in dels if dev > g]
+            out.append(np.unique(np.concatenate(arrs)) if arrs
+                       else np.empty(0, np.int64))
+        return out
+
+    def delete(self, doc_ids: np.ndarray) -> dict:
+        """ES ``_delete_by_query``'s commit half: tombstone the given
+        EXTERNAL doc_ids as a manifest event. Like Lucene deletes, the
+        docs vanish from results immediately (rank-time suppression)
+        but stay in df / n_docs until ``compact()`` reclaims them.
+        Ids land in a parquet sidecar (scale: the manifest stays a few
+        hundred bytes however large the delete set)."""
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        ev = self._next_event()
+        del_dir = os.path.join(self.root, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        rel = os.path.join("deletes", f"del-{ev:05d}.parquet")
+        path = os.path.join(self.root, rel)
+        pq.write_table(pa.table({"doc_id": pa.array(ids)}), path + ".tmp")
+        os.replace(path + ".tmp", path)
+        mf.commit(self.man_dir, f"delete-{ev:05d}", {
+            "event": ev, "stage": "delete", "ids_file": rel,
+            "n_ids": int(len(ids)),
+        })
+        return {"event": ev, "n_ids": int(len(ids))}
+
+    def delete_by_query(self, query: str) -> dict:
+        """Resolve the conjunctive match set of ``query`` against the
+        CURRENT live view (suppression rules applied — already-deleted
+        or superseded versions don't re-match) and tombstone it."""
+        ids = self.searcher().match_ids(query)
+        if not len(ids):
+            return {"event": None, "n_ids": 0}
+        return self.delete(ids)
+
     # -- compaction -------------------------------------------------------
     def compact(self, merge_factor: int = 4, force: bool = False
                 ) -> dict | None:
         """Merge the generation chain into one (ES force-merge /
         Lucene tiered merge): runs when the chain exceeds
         ``merge_factor`` generations (or ``force`` with ≥ 2). Newest
-        generation wins per doc_id; superseded postings and their
-        stats are physically reclaimed. Returns the merged stats, or
-        None if no compaction was due."""
+        generation wins per doc_id; superseded postings, their stats,
+        and delete-tombstoned docs are physically reclaimed. Returns
+        the merged stats, or None if no compaction was due."""
         gens = self.generations()
-        if len(gens) < (2 if force else merge_factor + 1):
+        gen_events = [int(os.path.basename(g)[4:]) for g in gens]
+        deleted = self._deleted_after(gen_events)
+        pending_deletes = any(len(d) for d in deleted)
+        # a single generation is still worth compacting when tombstones
+        # postdate it (the reclaim half of delete_by_query)
+        if len(gens) < (2 if force else merge_factor + 1) \
+                and not (force and gens and pending_deletes):
             return None
         ev = self._next_event()
         gen_name = f"gen-{ev:05d}"
         out_dir = os.path.join(self.root, gen_name)
         shutil.rmtree(out_dir, ignore_errors=True)
-        stats = merge_indexes(gens, out_dir, self.cfg)
+        stats = merge_indexes(gens, out_dir, self.cfg,
+                              deleted_per_input=deleted)
         mf.commit(self.man_dir, f"compact-{ev:05d}", {
             "event": ev, "stage": "compact", "gen": gen_name,
             "retired": [os.path.basename(g) for g in gens],
@@ -214,7 +281,8 @@ class LiveIndex:
         gens = self.generations()
         if not gens:
             raise ValueError("live index has no generations yet")
-        return LiveSearcher(gens)
+        gen_events = [int(os.path.basename(g)[4:]) for g in gens]
+        return LiveSearcher(gens, deleted=self._deleted_after(gen_events))
 
 
 class LiveSearcher:
@@ -226,19 +294,24 @@ class LiveSearcher:
     (each live doc's postings exist in exactly one generation and the
     per-term float order matches the single reader's)."""
 
-    def __init__(self, gen_dirs: list[str]):
+    def __init__(self, gen_dirs: list[str],
+                 deleted: list[np.ndarray] | None = None):
         self.readers = [IndexReader(d) for d in gen_dirs]
         stats = [index_stats(d) for d in gen_dirs]
         self.n_docs = int(sum(s["n_docs"] for s in stats))
         tokens = float(sum(s["total_tokens"] for s in stats))
         self.avgdl = (tokens / self.n_docs) if self.n_docs else 1.0
-        # per generation: sorted external ids present in NEWER gens —
-        # the rank-time tombstone set (sized by the re-indexed docs)
+        # per generation: sorted external ids present in NEWER gens,
+        # plus delete tombstones POSTDATING the generation — the
+        # rank-time suppression set (sized by re-indexed+deleted docs)
         self._newer_ids: list[np.ndarray] = []
         newer = np.empty(0, np.int64)
-        for r in reversed(self.readers):
-            self._newer_ids.append(newer)
-            newer = np.union1d(newer, r.dl_doc_ids)
+        for i in range(len(self.readers) - 1, -1, -1):
+            sup = newer
+            if deleted is not None and len(deleted[i]):
+                sup = np.union1d(sup, deleted[i])
+            self._newer_ids.append(sup)
+            newer = np.union1d(newer, self.readers[i].dl_doc_ids)
         self._newer_ids.reverse()
 
     def live_doc_count(self) -> int:
@@ -254,6 +327,36 @@ class LiveSearcher:
 
     def df(self, term: str) -> int:
         return sum(r.df(term) for r in self.readers)
+
+    def match_ids(self, query: str) -> np.ndarray:
+        """Conjunctive (bool-AND) match set over the live view —
+        external doc_ids, suppression applied. The resolve half of
+        ``delete_by_query``."""
+        terms = sorted(set(tokenize_query(query)))
+        if not terms:
+            return np.empty(0, np.int64)
+        parts: list[np.ndarray] = []
+        for r, sup in zip(self.readers, self._newer_ids):
+            common: np.ndarray | None = None
+            for t in terms:
+                pl = r.postings(t)
+                if pl is None:
+                    common = np.empty(0, np.int64)
+                    break
+                ords, _tfs = pl.decode_all()
+                common = ords if common is None else \
+                    np.intersect1d(common, ords, assume_unique=True)
+                if not len(common):
+                    break
+            if common is None or not len(common):
+                continue
+            ext = r.dl_doc_ids[common]
+            if len(sup):
+                pos = np.minimum(np.searchsorted(sup, ext), len(sup) - 1)
+                ext = ext[sup[pos] != ext]
+            parts.append(ext)
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64))
 
     def topk(self, query: str, k: int = 10
              ) -> tuple[np.ndarray, np.ndarray]:

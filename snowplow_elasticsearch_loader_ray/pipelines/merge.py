@@ -143,17 +143,26 @@ def _merge_shard(input_dirs: list[str], out_dir: str, shard: int,
 
 
 def merge_indexes(input_dirs: list[str], out_dir: str,
-                  cfg: IndexConfig = DEFAULT_CONFIG) -> dict:
+                  cfg: IndexConfig = DEFAULT_CONFIG,
+                  deleted_per_input: list[np.ndarray] | None = None) -> dict:
     """Merge committed indexes (oldest first) into ``out_dir``; returns stats.
 
     All inputs must have the same ``num_term_shards`` (same shard
     function — checked). Resumable per shard via the same manifest
-    machinery as the build. The per-input ordinal remap arrays are
-    computed once from the inputs' docmaps and broadcast via
-    ``ray.put`` — sized by each input's corpus, so the intended usage
-    is base-plus-deltas (re-crawl slices); merging many full-size
-    generations means corpus-sized broadcasts and deserves a rebuild
-    instead.
+    machinery as the build; the merge PLAN (input list + delete sets)
+    is fingerprinted into every part manifest, and resuming with a
+    different plan refuses instead of splicing stale shards. The
+    per-input ordinal remap arrays are computed once from the inputs'
+    docmaps and broadcast via ``ray.put`` — sized by each input's
+    corpus, so the intended usage is base-plus-deltas (re-crawl
+    slices); merging many full-size generations means corpus-sized
+    broadcasts and deserves a rebuild instead.
+
+    ``deleted_per_input[i]`` (optional) is an int64 array of EXTERNAL
+    doc_ids to drop from input ``i`` regardless of newer generations —
+    the delete-by-query reclamation path (a delete tombstone applies to
+    the generations it postdates; a doc re-indexed after the delete
+    lives in a later input and is NOT in its delete set).
     """
     t0 = time.time()
     shards = {index_stats(d)["num_term_shards"] for d in input_dirs}
@@ -164,6 +173,26 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     man_dir = os.path.join(out_dir, "manifests")
     if mf.is_committed(man_dir, "index"):
         return mf.load(man_dir, "stats")["stats"]
+
+    if deleted_per_input is not None:
+        if len(deleted_per_input) != len(input_dirs):
+            raise ValueError("deleted_per_input must align with input_dirs")
+        deleted_per_input = [np.unique(np.asarray(d, dtype=np.int64))
+                             for d in deleted_per_input]
+
+    # plan fingerprint: resuming a partial merge whose inputs or delete
+    # sets changed must refuse, not silently mix remap spaces
+    import hashlib as _hl
+    h = _hl.sha256("|".join(os.path.abspath(d) for d in input_dirs).encode())
+    for d in (deleted_per_input or []):
+        h.update(d.tobytes())
+    plan_key = h.hexdigest()[:16]
+    for name_, m in mf.load_all(man_dir, prefix="segment-shard-").items():
+        if m.get("plan") != plan_key:
+            raise ValueError(
+                f"merge resume refused: committed part {name_} was written "
+                f"under a different merge plan (inputs/deletes changed); "
+                f"use a fresh out_dir")
 
     # survivors per input (newest wins by external doc_id), merged
     # ordinal assignment in (input age, input ordinal) order
@@ -178,6 +207,11 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
             killed = (newer[pos] == ext) if len(newer) else np.zeros(len(ext), bool)
         else:
             killed = np.zeros(len(ext), bool)
+        dpi = deleted_per_input[i] if deleted_per_input else None
+        if dpi is not None and len(dpi):
+            pos = np.searchsorted(dpi, ext)
+            pos[pos == len(dpi)] = 0
+            killed |= dpi[pos] == ext
         live_masks[i] = ~killed
         if i:
             newer = np.union1d(newer, ext)
@@ -233,6 +267,7 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     refs = [_merge_shard.remote(input_dirs, out_dir, s, cfg.block_size, remap_ref)
             for s in missing]
     for s, payload in zip(missing, ray.get(refs)):
+        payload["plan"] = plan_key
         mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
     merged_cfg = IndexConfig(num_term_shards=n_shards, block_size=cfg.block_size,
                              k1=cfg.k1, b=cfg.b)

@@ -137,6 +137,41 @@ def test_bad_records_counted_not_indexed(tmp_path):
     assert len(s.topk("first", 5)[0]) == 0
 
 
+def test_delete_by_query_nrt_then_compaction_reclaims(tmp_path):
+    """delete_by_query tombstones the conjunctive match set: matches
+    vanish from results at once (df unchanged — Lucene deleted-docs),
+    a doc re-indexed AFTER the delete is live again, and compaction
+    physically reclaims the tombstoned postings."""
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream(tmp_path, "s1", DOCS_A))   # 'blocks' in docs 1, 4
+    r = live.delete_by_query("blocks")
+    assert r["n_ids"] == 2
+    s = live.searcher()
+    assert s.live_doc_count() == 2
+    assert s.topk("blocks", 10)[0].tolist() == []
+    assert s.topk("data", 10)[0].tolist() == []     # only docs 1,4 had it
+    assert s.df("blocks") == 2                      # stats until compact
+
+    # re-index doc 1 after the delete: tombstone must not reach forward
+    live.refresh(_stream(tmp_path, "s2", [(1, "ray data streams blocks")]))
+    d, _sc = live.searcher().topk("blocks", 10)
+    assert d.tolist() == [1]
+
+    stats = live.compact(force=True)
+    assert stats["n_docs"] == 3                     # 2, 3 + re-sent 1
+    s2 = live.searcher()
+    assert s2.df("blocks") == 1
+    assert s2.topk("blocks", 10)[0].tolist() == [1]
+    assert s2.topk("fox", 10)[0].tolist() == [3]
+
+
+def test_delete_by_query_no_match_is_noop(tmp_path):
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream(tmp_path, "s1", DOCS_A))
+    assert live.delete_by_query("absentterm")["n_ids"] == 0
+    assert live.searcher().live_doc_count() == 4
+
+
 def test_empty_refresh_consumes_batches(tmp_path):
     """A refresh whose batches hold no good docs still consumes them
     (no generation created, no retry loop)."""
