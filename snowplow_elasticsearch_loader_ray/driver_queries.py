@@ -2716,6 +2716,72 @@ _LIVE_SRC_SQL = (
     f"THEN text || ' {UPSERT_TOKEN}' ELSE text END AS text FROM documents)"
 )
 
+EXPORT_TERM = "customer"
+
+
+def scan_export(sf_dir: str) -> pa.Table:
+    """ES scroll-export parity (the `_search?scroll` bulk-read path):
+    the match set of ``{EXPORT_TERM}`` resolves in the inverted index
+    (postings → external ids, no corpus scan), is broadcast as a
+    semi-join filter over the stored fields, and the matching docs
+    stream to HIVE-PARTITIONED parquet (one directory per ``lang``) —
+    the resumable-output layout: a failed export re-runs per partition,
+    never one giant file. The entry verifies the EXPORTED BYTES by
+    reading them back and aggregating per partition."""
+    r = _reader(sf_dir)
+    pl = r.postings(EXPORT_TERM)
+    ids = (pa.array(np.sort(r.dl_doc_ids[pl.decode_all()[0]]), pa.int64())
+           if pl is not None else pa.array([], pa.int64()))
+
+    out_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "export")
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        import shutil as _sh
+        _sh.rmtree(out_dir, ignore_errors=True)
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["doc_id"], value_set=ids))
+
+        (ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text", "lang"])
+         .map_batches(pick, batch_format="pyarrow")
+         .write_parquet(out_dir, partition_cols=["lang"]))
+        with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+
+    # verify the export: read the partitioned layout back, aggregate
+    back = ray.data.read_parquet(out_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        toks = _tokenizer_counts(b["text"])
+        return (pa.table({"lang": b["lang"],
+                          "n": pa.array(np.ones(b.num_rows, np.int64)),
+                          "tokens": pa.array(toks.astype(np.int64))})
+                .group_by("lang").aggregate([("n", "sum"), ("tokens", "sum")]))
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("lang", as_index=False)[["n_sum", "tokens_sum"]]
+           .sum().sort_values("lang").reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_sum"], pa.int64()),
+        "total_tokens": pa.array(out["tokens_sum"], pa.int64()),
+    })
+
+
+def _tokenizer_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    from . import tokenizer as _tok  # engine tokenizer, oracle parity
+    return _tok.token_counts(texts)
+
+
+SCAN_EXPORT_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       coalesce(sum(len({TOK_SQL})), 0)::BIGINT AS total_tokens
+FROM documents
+WHERE list_contains({TOK_SQL}, '{EXPORT_TERM}')
+GROUP BY lang
+"""
+
+
 DELETE_QUERY = "hash join"
 
 
@@ -3169,6 +3235,7 @@ def registry() -> tuple[dict, dict]:
         # ================= end of 50-entry graded window =================
         "highlight_snippets": highlight_snippets,
         "delete_by_query_stats": delete_by_query_stats,
+        "scan_export": scan_export,
         "lang_doclen_stats": lang_doclen_stats,
         "vocabulary_stats": vocabulary_stats,
         "bm25_topk_maxscore": bm25_topk_maxscore,
@@ -3256,6 +3323,7 @@ def registry() -> tuple[dict, dict]:
         "merge_upsert_terms": MERGE_UPSERT_SQL,
         "live_search": _bm25_sql(src=_LIVE_SRC_SQL),
         "delete_by_query_stats": _delete_by_query_sql(),
+        "scan_export": SCAN_EXPORT_SQL,
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,
