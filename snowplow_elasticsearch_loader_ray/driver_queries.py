@@ -226,6 +226,122 @@ def boolean_or(sf_dir: str) -> pa.Table:
     })
 
 
+def boolean_not(sf_dir: str) -> pa.Table:
+    """ES bool ``must`` + ``must_not`` (non-scoring exclusion): reuses
+    the filtered-query fixture with the filter term as the EXCLUDED
+    term — docs containing every query term and not the excluded one."""
+    from .pipelines.query import boolean_and_not as _andnot
+
+    r = _reader(sf_dir)
+    qids, docs = [], []
+    for qid, q, fterm in FILTERED_QUERIES:
+        d = _andnot(r, q, fterm)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _boolean_not_sql() -> str:
+    import re
+
+    pairs, fpairs = [], []
+    for qid, q, fterm in FILTERED_QUERIES:
+        fpairs.append(f"({qid}, '{fterm}')")
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+fq(qid, fterm) AS (VALUES {", ".join(fpairs)}),
+qsize AS (SELECT qid, count(*) AS nt FROM q GROUP BY 1),
+conj AS (
+  SELECT q.qid, tok.doc_id
+  FROM q JOIN tok ON tok.term = q.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT nt FROM qsize s WHERE s.qid = q.qid)
+)
+SELECT c.qid::BIGINT AS qid, c.doc_id
+FROM conj c JOIN fq ON fq.qid = c.qid
+WHERE NOT EXISTS (
+  SELECT 1 FROM tok t WHERE t.doc_id = c.doc_id AND t.term = fq.fterm
+)
+"""
+
+
+#: ES numeric range filter bounds over the doclen doc-value
+RANGE_DL = (40, 60)
+
+
+def bm25_range(sf_dir: str) -> pa.Table:
+    """BM25 ``must`` + numeric ``range`` filter on the doclen doc-value
+    (ES bool filter with a range clause): candidates restricted to
+    doclen ∈ [{lo}, {hi}] before ranking; corpus stats unfiltered."""
+    from .pipelines.query import score_taat_range
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = score_taat_range(r, q, *RANGE_DL, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def sort_by_length(sf_dir: str) -> pa.Table:
+    """ES sort-by-field (no scoring): each conjunctive match set
+    ordered by the doclen doc-value desc (doc_id asc tiebreak), top-k
+    — postings intersect + doc-value gather + one partial sort."""
+    from .pipelines.query import sort_by_doclen as _sort
+
+    r = _reader(sf_dir)
+    qids, ranks, docs, lens = [], [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, dl = _sort(r, q, k=TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        lens.extend(dl.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "doclen": pa.array(lens, pa.int64()),
+    })
+
+
+def _sort_by_length_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+dtok AS (SELECT DISTINCT doc_id, term FROM tok),
+q(qid, term) AS (VALUES {_bool_values()}),
+qsize AS (SELECT qid, count(*) AS nt FROM q GROUP BY 1),
+conj AS (
+  SELECT q.qid, dtok.doc_id
+  FROM q JOIN dtok ON dtok.term = q.term
+  GROUP BY 1, 2
+  HAVING count(*) = (SELECT nt FROM qsize s WHERE s.qid = q.qid)
+),
+ranked AS (
+  SELECT c.qid, c.doc_id, dl.dl,
+         row_number() OVER (PARTITION BY c.qid
+                            ORDER BY dl.dl DESC, c.doc_id) AS rank
+  FROM conj c JOIN dl ON dl.doc_id = c.doc_id
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id,
+       dl::BIGINT AS doclen
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 #: phrase queries over the documents table (multi-term only)
 PHRASE_QUERIES: list[tuple[int, str]] = [
     (0, "the data"), (1, "merge sort"), (2, "hash join"),
@@ -1434,10 +1550,14 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
     })
 
 
-def _bm25_sql(page: int = 1, src: str = "documents") -> str:
+def _bm25_sql(page: int = 1, src: str = "documents",
+              dl_between: tuple[int, int] | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
-    view of ``documents`` through the same query."""
+    view of ``documents`` through the same query. ``dl_between``
+    restricts the CANDIDATE set to docs with doclen in [lo, hi] (the
+    ES numeric range filter) — corpus stats stay unfiltered, matching
+    the engine's non-scoring-filter semantics."""
     import re
 
     pairs = []
@@ -1446,6 +1566,8 @@ def _bm25_sql(page: int = 1, src: str = "documents") -> str:
             pairs.append(f"({qid}, '{term}')")
     values = ", ".join(pairs)
     lo, hi = (page - 1) * TOPK, page * TOPK
+    dl_where = (f"WHERE dl.dl BETWEEN {dl_between[0]} AND {dl_between[1]}"
+                if dl_between else "")
     return f"""
 WITH src AS (SELECT doc_id, text FROM {src}),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
@@ -1467,6 +1589,7 @@ scores AS (
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {dl_where}
   GROUP BY 1, 2
 ),
 ranked AS (
@@ -3236,6 +3359,9 @@ def registry() -> tuple[dict, dict]:
         "highlight_snippets": highlight_snippets,
         "delete_by_query_stats": delete_by_query_stats,
         "scan_export": scan_export,
+        "boolean_not": boolean_not,
+        "bm25_range": bm25_range,
+        "sort_by_length": sort_by_length,
         "lang_doclen_stats": lang_doclen_stats,
         "vocabulary_stats": vocabulary_stats,
         "bm25_topk_maxscore": bm25_topk_maxscore,
@@ -3324,6 +3450,9 @@ def registry() -> tuple[dict, dict]:
         "live_search": _bm25_sql(src=_LIVE_SRC_SQL),
         "delete_by_query_stats": _delete_by_query_sql(),
         "scan_export": SCAN_EXPORT_SQL,
+        "boolean_not": _boolean_not_sql(),
+        "bm25_range": _bm25_sql(dl_between=RANGE_DL),
+        "sort_by_length": _sort_by_length_sql(),
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,

@@ -558,6 +558,85 @@ def boolean_and(reader: IndexReader, query: str) -> np.ndarray:
     return reader.dl_doc_ids[cur].astype(np.int64)
 
 
+def boolean_and_not(reader: IndexReader, query: str,
+                    exclude_query: str) -> np.ndarray:
+    """ES bool ``must`` + ``must_not``: external doc_ids containing
+    EVERY ``query`` term and NONE of ``exclude_query``'s terms.
+
+    The exclusion is a sorted-array difference per excluded term
+    against the shrinking conjunctive set — the must_not postings are
+    decoded once and never scored (non-scoring clause, as in ES)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    pls = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            return np.empty(0, dtype=np.int64)
+        pls.append(pl)
+    lists = sorted((pl.decode_all()[0] for pl in pls), key=len)
+    cur = lists[0]
+    for d in lists[1:]:
+        cur = np.intersect1d(cur, d, assume_unique=True)
+        if not len(cur):
+            return np.empty(0, dtype=np.int64)
+    for t in sorted(set(tokenize_query(exclude_query))):
+        if not len(cur):
+            break
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        ex = pl.decode_all()[0]
+        if len(ex):
+            pos = np.minimum(np.searchsorted(ex, cur), len(ex) - 1)
+            cur = cur[ex[pos] != cur]
+    return reader.dl_doc_ids[cur].astype(np.int64)
+
+
+def score_taat_range(reader: IndexReader, query: str, dl_lo: int, dl_hi: int,
+                     k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k BM25 restricted to docs whose doclen doc-value lies in
+    [dl_lo, dl_hi] — the ES numeric ``range`` filter (non-scoring) +
+    ``must`` (scoring) bool shape. Accumulation is score_taat's exact
+    float order; the range applies to the full candidate set before
+    ranking (no scoring doc lost to top-k truncation), served from the
+    in-memory doclen doc-values by ordinal gather — no corpus read."""
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    dl = reader.dl_lens[ords]
+    keep = (dl >= dl_lo) & (dl <= dl_hi)
+    return bm25.rank_topk(reader.dl_doc_ids[ords[keep]], scores[keep], k)
+
+
+def sort_by_doclen(reader: IndexReader, query: str, k: int = 10
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """ES sort-by-field: the conjunctive match set ordered by the
+    doclen doc-value (desc, doc_id asc tiebreak — deterministic),
+    top-k. No scoring: postings intersect, doc-values gather, one
+    partial sort. Returns (external doc_ids, doclens)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    pls = []
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        pls.append(pl)
+    lists = sorted((pl.decode_all()[0] for pl in pls), key=len)
+    cur = lists[0]
+    for d in lists[1:]:
+        cur = np.intersect1d(cur, d, assume_unique=True)
+        if not len(cur):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.dl_doc_ids[cur].astype(np.int64)
+    dl = reader.dl_lens[cur].astype(np.int64)
+    order = np.lexsort((ext, -dl))[:k]
+    return ext[order], dl[order]
+
+
 def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
     """(external doc_ids in ordinal order, distinct query terms matched)."""
     terms = tokenize_query(query)
