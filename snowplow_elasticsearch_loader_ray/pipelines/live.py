@@ -32,9 +32,11 @@ ES-side lifecycle:
   backward in event time).
 
 Scale notes (custom-op rule): a delta generation is sized by the
-refresh interval, not the corpus — its build is the same shard-parallel
-plan as the main build, and merge is one task per term shard with no
-shuffle (``merge.py``). The searcher holds per-generation readers; at
+refresh interval, not the corpus — its parse is one Ray task per
+stream part with a doc_id-keyed groupby for the in-refresh last-wins
+dedupe (the driver sees two counters, never rows), its build is the
+same shard-parallel plan as the main build, and merge is one task per
+term shard with no shuffle (``merge.py``). The searcher holds per-generation readers; at
 10^12 docs the base generation is served by the sharded/grid readers
 and deltas stay small, so the chain costs one extra scatter round, not
 a second corpus.
@@ -50,6 +52,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .. import bm25
@@ -60,24 +63,28 @@ from .merge import merge_indexes
 from .query import IndexReader, tokenize_query
 
 
-def _docs_from_stream_parts(part_files: list[str]) -> tuple[pa.Table, int]:
-    """Good stream records → (documents table, n_bad).
-
-    Contract (the enriched-event analogue): a good record is a JSON
-    object with ``doc_id`` (int) and ``text`` (str), optionally
-    ``lang``. Records violating it count as bad (the dead-letter
-    split already happened at ingest; this is the indexing-side
-    schema check). Re-sent doc_ids within one refresh dedupe to the
-    LAST occurrence (stream order — the upsert rule applied early).
+def _parse_stream_parts(batch: pa.Table) -> pa.Table:
+    """One task per batch of (pk, path) stream-part items → parsed doc
+    rows. Contract (the enriched-event analogue): a good record is a
+    JSON object with ``doc_id`` (int) and ``text`` (str), optionally
+    ``lang``; violations count as bad (the dead-letter split already
+    happened at ingest — this is the indexing-side schema check).
+    ``ordkey`` = (part index << 32) | row index is the stream-order
+    key the last-wins dedupe reduces on; one summary row per part
+    (ordkey = -1) carries the bad count so it rides the same dataset.
     """
     ids: list[int] = []
     texts: list[str] = []
     langs: list[str] = []
-    n_bad = 0
-    for f in part_files:
-        t = pq.read_table(f, columns=["status", "record"])
-        mask = np.asarray(t["status"].to_pylist(), dtype=object) == "good"
-        for rec in np.asarray(t["record"].to_pylist(), dtype=object)[mask]:
+    keys: list[int] = []
+    bads: list[int] = []
+    for pk, path in zip(batch["pk"].to_pylist(), batch["path"].to_pylist()):
+        t = pq.read_table(path, columns=["status", "record"])
+        n_bad = 0
+        for ri, (st, rec) in enumerate(zip(t["status"].to_pylist(),
+                                           t["record"].to_pylist())):
+            if st != "good":
+                continue
             try:
                 obj = json.loads(rec)
                 doc_id, text = int(obj["doc_id"]), obj["text"]
@@ -89,19 +96,53 @@ def _docs_from_stream_parts(part_files: list[str]) -> tuple[pa.Table, int]:
             ids.append(doc_id)
             texts.append(text)
             langs.append(str(obj.get("lang", "und")))
-    if not ids:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "text": pa.array([], pa.string()),
-                         "lang": pa.array([], pa.string())}), n_bad
-    # last occurrence wins (np.unique keeps the first → reverse first)
-    arr = np.asarray(ids, dtype=np.int64)
-    _u, first_of_rev = np.unique(arr[::-1], return_index=True)
-    keep = np.sort(len(arr) - 1 - first_of_rev)
+            keys.append((int(pk) << 32) | ri)
+            bads.append(0)
+        ids.append(0)                          # per-part summary row
+        texts.append("")
+        langs.append("")
+        keys.append(-1)
+        bads.append(n_bad)
     return pa.table({
-        "doc_id": pa.array(arr[keep]),
-        "text": pa.array(np.asarray(texts, dtype=object)[keep], pa.string()),
-        "lang": pa.array(np.asarray(langs, dtype=object)[keep], pa.string()),
-    }), n_bad
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "ordkey": pa.array(keys, pa.int64()),
+        "bad": pa.array(bads, pa.int64()),
+    })
+
+
+def _last_wins(g):
+    """Upsert-by-id inside one refresh: keep the stream-latest row."""
+    return g.loc[[g["ordkey"].idxmax()]]
+
+
+def _extract_stream_docs(part_files: list[str], docs_dir: str
+                         ) -> tuple[int, int]:
+    """Distributed stream-parts → deduped documents parquet under
+    ``docs_dir``; returns (n_docs, n_bad). One parse task per part,
+    a doc_id-keyed groupby for the last-wins dedupe (delta-sized —
+    the refresh interval bounds it, never the corpus), partitioned
+    write. The driver sees only the two counters."""
+    import ray.data
+
+    items = [{"pk": i, "path": f} for i, f in enumerate(part_files)]
+    parsed = (ray.data.from_items(items)
+              .map_batches(_parse_stream_parts, batch_format="pyarrow")
+              .materialize())
+    n_bad = int(parsed.sum("bad") or 0)
+    docs = (parsed
+            .map_batches(lambda b: b.filter(
+                pc.greater_equal(b["ordkey"], 0)).drop_columns(["bad"]),
+                batch_format="pyarrow")
+            .groupby("doc_id").map_groups(_last_wins)
+            .map_batches(lambda b: b.drop_columns(["ordkey"]),
+                         batch_format="pyarrow")
+            .materialize())
+    n_docs = int(docs.count())
+    if n_docs:
+        docs.write_parquet(docs_dir)
+    return n_docs, n_bad
 
 
 class LiveIndex:
@@ -165,23 +206,22 @@ class LiveIndex:
         parts = [os.path.join(stream_dir, "records",
                               f"{n.split('/', 1)[1]}.parquet")
                  for n in todo]
-        docs, n_bad = _docs_from_stream_parts(parts)
         ev = self._next_event()
         gen_name = f"gen-{ev:05d}"
-        if docs.num_rows == 0:
+        gen_dir = os.path.join(self.root, gen_name)
+        shutil.rmtree(gen_dir, ignore_errors=True)   # uncommitted leftover
+        docs_dir = os.path.join(gen_dir, "_delta_docs")
+        n_docs, n_bad = _extract_stream_docs(parts, docs_dir)
+        if n_docs == 0:
             # consume the batches but create no generation
+            shutil.rmtree(gen_dir, ignore_errors=True)
             mf.commit(self.man_dir, f"refresh-{ev:05d}", {
                 "event": ev, "stage": "refresh", "gen": None,
                 "batches": todo, "n_docs": 0, "n_bad": n_bad,
             })
             return {"refreshed": True, "gen": None, "n_docs": 0,
                     "n_bad": n_bad, "batches": todo}
-        gen_dir = os.path.join(self.root, gen_name)
-        shutil.rmtree(gen_dir, ignore_errors=True)   # uncommitted leftover
-        os.makedirs(gen_dir)
-        docs_path = os.path.join(gen_dir, "_delta_docs.parquet")
-        pq.write_table(docs, docs_path, compression="zstd")
-        stats = build_index(docs_path, gen_dir, self.cfg, num_parts=1)
+        stats = build_index(docs_dir, gen_dir, self.cfg)
         mf.commit(self.man_dir, f"refresh-{ev:05d}", {
             "event": ev, "stage": "refresh", "gen": gen_name,
             "batches": todo, "n_docs": int(stats["n_docs"]),
