@@ -604,6 +604,90 @@ FROM m JOIN toks USING (doc_id)
 """
 
 
+TOP_HITS_K = 3
+
+
+def top_hits_by_lang(sf_dir: str) -> pa.Table:
+    """ES ``top_hits`` aggregation under a ``terms`` agg on lang: for
+    each query, the best {K} documents of EVERY lang bucket (rounded
+    score desc, doc_id asc). Buckets resolve by ordinal gather from
+    the docmap lang doc-value over the full match set — one lexsort
+    per query, no corpus read."""
+    from .pipelines.build import load_docvalues
+    from .pipelines.query import _taat_scores_ords
+
+    r = _reader(sf_dir)
+    langs = getattr(r, "_dl_langs", None)
+    if langs is None:
+        langs = load_docvalues(r.index_dir, "lang")
+        r._dl_langs = langs
+    qids, ls, ranks, docs = [], [], [], []
+    for qid, q in DOC_QUERIES:
+        ords, scores = _taat_scores_ords(r, q)
+        if not len(ords):
+            continue
+        ext = r.dl_doc_ids[ords]
+        rs = np.round(scores, 7)
+        lang_of = langs[ords]
+        order = np.lexsort((ext, -rs, lang_of))
+        sl = lang_of[order]
+        starts = np.concatenate(([True], sl[1:] != sl[:-1]))
+        run_id = np.cumsum(starts) - 1
+        pos_in_run = np.arange(len(sl)) - np.flatnonzero(starts)[run_id]
+        keep = pos_in_run < TOP_HITS_K
+        for j in np.flatnonzero(keep):
+            qids.append(qid)
+            ls.append(str(sl[j]))
+            ranks.append(int(pos_in_run[j]) + 1)
+            docs.append(int(ext[order][j]))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "lang": pa.array(ls, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _top_hits_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in DOC_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT sc.qid, d.lang, sc.doc_id,
+         row_number() OVER (PARTITION BY sc.qid, d.lang
+                            ORDER BY round(sc.score, 7) DESC, sc.doc_id) AS rank
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+)
+SELECT qid::BIGINT AS qid, lang, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOP_HITS_K}
+"""
+
+
 def _phrase_sql() -> str:
     cases = "\nUNION ALL\n".join(
         f"SELECT {qid} AS qid, doc_id FROM tok WHERE joined LIKE "
@@ -3362,6 +3446,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": boolean_not,
         "bm25_range": bm25_range,
         "sort_by_length": sort_by_length,
+        "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
         "vocabulary_stats": vocabulary_stats,
         "bm25_topk_maxscore": bm25_topk_maxscore,
@@ -3453,6 +3538,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": _boolean_not_sql(),
         "bm25_range": _bm25_sql(dl_between=RANGE_DL),
         "sort_by_length": _sort_by_length_sql(),
+        "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,
         "resume_stats": TERM_STATS_SQL,
         "snapshot_restore_terms": TERM_STATS_SQL,
