@@ -54,6 +54,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from .. import bm25
 from ..config import IndexConfig, DEFAULT_CONFIG
@@ -324,6 +325,17 @@ class LiveIndex:
         gen_events = [int(os.path.basename(g)[4:]) for g in gens]
         return LiveSearcher(gens, deleted=self._deleted_after(gen_events))
 
+    def sharded_searcher(self) -> "ShardedLiveSearcher":
+        """Distributed variant of :meth:`searcher` — one reader actor
+        per generation; bit-identical results (see
+        ``ShardedLiveSearcher``)."""
+        gens = self.generations()
+        if not gens:
+            raise ValueError("live index has no generations yet")
+        gen_events = [int(os.path.basename(g)[4:]) for g in gens]
+        return ShardedLiveSearcher(gens,
+                                   deleted=self._deleted_after(gen_events))
+
 
 class LiveSearcher:
     """Multi-generation BM25 with Lucene NRT semantics (see module
@@ -408,35 +420,149 @@ class LiveSearcher:
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
         for r, newer in zip(self.readers, self._newer_ids):
-            docs_parts: list[np.ndarray] = []
-            score_parts: list[np.ndarray] = []
-            for t in live:                     # sorted-term float order
-                pl = r.postings(t)
-                if pl is None:
-                    continue
-                ords, tfs = pl.decode_all()
-                w = bm25.idf(self.n_docs, dfs[t])
-                score_parts.append(
-                    w * bm25.tf_weight(tfs, r.dl_lens[ords], self.avgdl))
-                docs_parts.append(ords)
-            if not docs_parts:
-                continue
-            docs = np.concatenate(docs_parts)
-            scores = np.concatenate(score_parts)
-            order = np.argsort(docs, kind="stable")
-            docs_s, scores_s = docs[order], scores[order]
-            bounds = np.concatenate(
-                ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-            uniq = docs_s[bounds]
-            sums = np.add.reduceat(scores_s, bounds)
-            ext = r.dl_doc_ids[uniq]
-            if len(newer):                     # NRT suppression
-                pos = np.minimum(np.searchsorted(newer, ext), len(newer) - 1)
-                keep = newer[pos] != ext
-                ext, sums = ext[keep], sums[keep]
-            all_ids.append(ext)
-            all_scores.append(sums)
+            ext, sums = _score_generation(r, live, dfs, self.n_docs,
+                                          self.avgdl, newer)
+            if len(ext):
+                all_ids.append(ext)
+                all_scores.append(sums)
         if not all_ids:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return bm25.rank_topk(np.concatenate(all_ids),
                               np.concatenate(all_scores), k)
+
+
+def _score_generation(r: IndexReader, live: list[str], dfs: dict[str, int],
+                      n_docs: int, avgdl: float, sup: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """One generation's (suppressed external ids, summed BM25 scores)
+    under CHAIN stats — the shared scoring kernel of ``LiveSearcher``
+    and the per-generation actor (bit-identity by construction)."""
+    docs_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for t in live:                         # sorted-term float order
+        pl = r.postings(t)
+        if pl is None:
+            continue
+        ords, tfs = pl.decode_all()
+        w = bm25.idf(n_docs, dfs[t])
+        score_parts.append(w * bm25.tf_weight(tfs, r.dl_lens[ords], avgdl))
+        docs_parts.append(ords)
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.concatenate(docs_parts)
+    scores = np.concatenate(score_parts)
+    order = np.argsort(docs, kind="stable")
+    docs_s, scores_s = docs[order], scores[order]
+    bounds = np.concatenate(
+        ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
+    uniq = docs_s[bounds]
+    sums = np.add.reduceat(scores_s, bounds)
+    ext = r.dl_doc_ids[uniq]
+    if len(sup):                           # NRT suppression
+        pos = np.minimum(np.searchsorted(sup, ext), len(sup) - 1)
+        keep = sup[pos] != ext
+        ext, sums = ext[keep], sums[keep]
+    return ext, sums
+
+
+@ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
+class _GenReaderActor:
+    """One generation of the live chain, loaded once and served remote —
+    the distributed-NRT grain: generations (and their memory) spread
+    across the cluster; a crashed actor restarts and reloads its
+    generation from the committed index (same fault story as the
+    sharded BM25 readers)."""
+
+    def __init__(self, gen_dir: str):
+        from .query import IndexReader as _IR
+
+        self.r = _IR(gen_dir)
+
+    def doc_ids(self) -> np.ndarray:
+        return self.r.dl_doc_ids
+
+    def dfs(self, terms: list[str]) -> list[int]:
+        return [self.r.df(t) for t in terms]
+
+    def score(self, live: list[str], dfs: dict[str, int], n_docs: int,
+              avgdl: float, sup: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        return _score_generation(self.r, live, dfs, n_docs, avgdl, sup)
+
+    def live_count(self, sup: np.ndarray) -> int:
+        ids = self.r.dl_doc_ids
+        if not len(sup):
+            return len(ids)
+        pos = np.minimum(np.searchsorted(sup, ids), len(sup) - 1)
+        return int((sup[pos] != ids).sum())
+
+
+class ShardedLiveSearcher:
+    """Distributed NRT serving: ``LiveSearcher`` semantics with one
+    reader ACTOR per generation — scatter the chain-stats query, gather
+    per-generation suppressed candidates, rank on the coordinator.
+    Results are BIT-identical to ``LiveSearcher`` (same per-generation
+    kernel, same gather order).
+
+    Scale shape: the BASE generation is the big one, and its doc-id
+    array never leaves its actor — suppression sets contain only
+    NEWER-generation ids (delta-sized by the refresh interval) plus
+    delete tombstones, so the coordinator pulls O(delta) ids, never
+    O(corpus). Stats (n_docs, total tokens) come from the committed
+    manifests, not the actors. Call ``shutdown()`` when done."""
+
+    def __init__(self, gen_dirs: list[str],
+                 deleted: list[np.ndarray] | None = None):
+        self.actors = [_GenReaderActor.remote(d) for d in gen_dirs]
+        stats = [index_stats(d) for d in gen_dirs]
+        self.n_docs = int(sum(s["n_docs"] for s in stats))
+        tokens = float(sum(s["total_tokens"] for s in stats))
+        self.avgdl = (tokens / self.n_docs) if self.n_docs else 1.0
+        n = len(gen_dirs)
+        # ids pulled ONLY for non-oldest generations (the deltas): the
+        # base generation's ids never appear in any suppression set
+        delta_ids = ray.get([self.actors[i].doc_ids.remote()
+                             for i in range(1, n)])
+        self._sup: list[np.ndarray] = []
+        newer = np.empty(0, np.int64)
+        for i in range(n - 1, -1, -1):
+            sup = newer
+            if deleted is not None and len(deleted[i]):
+                sup = np.union1d(sup, deleted[i])
+            self._sup.append(sup)
+            if i:
+                newer = np.union1d(newer, delta_ids[i - 1])
+        self._sup.reverse()
+
+    def df(self, term: str) -> int:
+        per_gen = ray.get([a.dfs.remote([term]) for a in self.actors])
+        return sum(g[0] for g in per_gen)
+
+    def live_doc_count(self) -> int:
+        return sum(ray.get([a.live_count.remote(s)
+                            for a, s in zip(self.actors, self._sup)]))
+
+    def topk(self, query: str, k: int = 10
+             ) -> tuple[np.ndarray, np.ndarray]:
+        terms = tokenize_query(query)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        per_gen = ray.get([a.dfs.remote(uniq) for a in self.actors])
+        dfs = {t: sum(g[j] for g in per_gen) for j, t in enumerate(uniq)}
+        live = [t for t in terms if dfs[t] > 0]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = ray.get([a.score.remote(live, dfs, self.n_docs, self.avgdl, s)
+                         for a, s in zip(self.actors, self._sup)])
+        all_ids = [p[0] for p in parts if len(p[0])]
+        all_scores = [p[1] for p in parts if len(p[1])]
+        if not all_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return bm25.rank_topk(np.concatenate(all_ids),
+                              np.concatenate(all_scores), k)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -183,3 +183,30 @@ def test_empty_refresh_consumes_batches(tmp_path):
     assert not live.refresh(out)["refreshed"]
     with pytest.raises(ValueError):
         live.searcher()
+
+
+def test_sharded_live_searcher_bit_identity(tmp_path):
+    """ShardedLiveSearcher (one reader actor per generation) returns
+    BIT-identical topk/df/live_doc_count to the local LiveSearcher on
+    a chain with upserts AND delete tombstones."""
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream(tmp_path, "s1", DOCS_A))
+    live.refresh(_stream(tmp_path, "s2", [
+        (3, "the slow green turtle"), (8, "fox dens and foxes")] + DOCS_B))
+    live.delete_by_query("shuffle")           # tombstones docs 4, 7
+    live.refresh(_stream(tmp_path, "s3", [(4, "data pipelines reborn")]))
+
+    s = live.searcher()
+    sh = live.sharded_searcher()
+    try:
+        assert sh.live_doc_count() == s.live_doc_count()
+        for t in ["fox", "blocks", "shuffle", "turtle", "absent"]:
+            assert sh.df(t) == s.df(t)
+        for q in ["fox", "data blocks", "quick brown turtle", "shuffle",
+                  "arrow streams fast", "reborn pipelines", "absent"]:
+            d1, sc1 = s.topk(q, 5)
+            d2, sc2 = sh.topk(q, 5)
+            np.testing.assert_array_equal(d1, d2)
+            np.testing.assert_array_equal(sc1, sc2)
+    finally:
+        sh.shutdown()
