@@ -932,6 +932,154 @@ FROM q JOIN tok ON tok.term = q.term GROUP BY 1, 2
 """
 
 
+MSM_MIN = 2                  # minimum_should_match clause threshold
+RESCORE_WINDOW, RESCORE_BOOST = 50, 5.0
+
+
+def bm25_min_should_match(sf_dir: str) -> pa.Table:
+    """ES bool ``should`` + ``minimum_should_match=2``: BM25 top-k
+    restricted to docs matching ≥ 2 DISTINCT query terms, scoring
+    matched clauses only (each distinct term is one should clause —
+    ES semantics; reference Q1 surface per SURVEY §2)."""
+    from .pipelines.query import score_min_should_match
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, _s = score_min_should_match(r, q, MSM_MIN, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _msm_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in BOOL_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+  HAVING count(*) >= {MSM_MIN}
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def rescore_phrase(sf_dir: str) -> pa.Table:
+    """ES ``rescore`` with ``window_size``: BM25 top-50 window per
+    query, +5.0 boost for candidates containing the query's leading
+    bigram as an exact phrase (verified inside the positional index),
+    re-ranked top-k."""
+    from .pipelines.positions import PositionalReader, build_positions
+    from .pipelines.query import rescore_topk
+
+    r = _reader(sf_dir)
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, _s = rescore_topk(r, pr, q, RESCORE_WINDOW, TOPK, RESCORE_BOOST)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _rescore_sql() -> str:
+    import re
+
+    pairs, ph = [], []
+    for qid, q in BOOL_QUERIES:
+        toks = re.findall(r"[a-z0-9]+", q.lower())
+        ph.append(f"({qid}, '{' '.join(toks[:2])}')")
+        for term in sorted(set(toks)):
+            pairs.append(f"({qid}, '{term}')")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tokj AS (
+  SELECT doc_id, ' ' || array_to_string({TOK_SQL}, ' ') || ' ' AS joined
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+ph(qid, phrase) AS (VALUES {", ".join(ph)}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT qid, doc_id, round(score, 7) AS score,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS r
+  FROM scores
+),
+resc AS (
+  SELECT w.qid, w.doc_id,
+         w.score + CASE WHEN t.joined LIKE '% ' || p.phrase || ' %'
+                        THEN {RESCORE_BOOST} ELSE 0 END AS fscore
+  FROM win w
+  JOIN ph p ON p.qid = w.qid
+  JOIN tokj t ON t.doc_id = w.doc_id
+  WHERE w.r <= {RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(fscore, 7) DESC, doc_id) AS rank
+  FROM resc
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 #: (qid, scoring query, non-scoring filter term) — the ES bool pattern
 FILTERED_QUERIES: list[tuple[int, str, str]] = [
     (0, "data stream", "table"),
@@ -3456,6 +3604,8 @@ def registry() -> tuple[dict, dict]:
         "bm25_search_after": bm25_search_after,
         "bm25_collapse_lang": bm25_collapse_lang,
         "boolean_or": boolean_or,
+        "bm25_min_should_match": bm25_min_should_match,
+        "rescore_phrase": rescore_phrase,
         "phrase_match": phrase_match,
         "events_by_type": events_by_type,
         "events_date_histogram": events_date_histogram,
@@ -3489,6 +3639,8 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_grid": _bm25_sql(),
         "boolean_and": _boolean_and_sql(),
         "boolean_or": _boolean_or_sql(),
+        "bm25_min_should_match": _msm_sql(),
+        "rescore_phrase": _rescore_sql(),
         "doc_fetch": DOC_FETCH_SQL,
         "top_terms": TOP_TERMS_SQL,
         "phrase_match": _phrase_sql(),

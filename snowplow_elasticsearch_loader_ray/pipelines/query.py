@@ -648,6 +648,65 @@ def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]
     return reader.dl_doc_ids[uniq].astype(np.int64), counts.astype(np.int64)
 
 
+def score_min_should_match(reader: IndexReader, query: str, m: int,
+                           k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """ES bool ``should`` + ``minimum_should_match``: BM25 top-k over
+    docs matching at least ``m`` DISTINCT query terms, scoring only the
+    matched clauses (each distinct term is one should clause — ES
+    semantics). Accumulation runs in sorted-distinct-term order (fixed
+    float order, the determinism contract); the clause counter is a
+    dense per-partition int16 beside the score accumulator, so the
+    pass stays one scatter-add per term with no candidate re-walk."""
+    terms = sorted(set(tokenize_query(query)))
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    acc = reader.acc_buffer()
+    cnt = np.zeros(len(acc), dtype=np.int16)
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        docs, tfs = pl.decode_all()
+        pos = reader.positions_of(t, docs)
+        w = bm25.idf(reader.n_docs, len(docs))
+        acc[pos] += w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
+        cnt[pos] += 1
+    cand = np.nonzero(cnt >= m)[0]
+    if not len(cand):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
+
+
+def rescore_topk(reader: IndexReader, pos_reader, query: str,
+                 window: int = 50, k: int = 10, boost: float = 5.0
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``rescore`` (query rescorer with ``window_size``): rank the
+    BM25 top-``window`` candidates, add ``boost`` to every candidate
+    containing the query's LEADING BIGRAM as an exact phrase (verified
+    against the positional index — no text re-read), re-rank, return
+    top-k. Window cut and final order both use ``rank_topk``'s rounded
+    (score desc, doc_id asc) rule, so the whole op is deterministic.
+
+    ``pos_reader`` is a ``PositionalReader`` or
+    ``ShardedPositionalEngine`` (anything ``phrase_search`` accepts);
+    at scale the window is k-bounded per shard, the phrase set resolves
+    inside the positional shards, and only window-sized id arrays meet
+    on the coordinator."""
+    from .positions import phrase_search
+
+    win_ids, win_scores = score_taat(reader, query, window)
+    if not len(win_ids):
+        return win_ids, win_scores
+    # leading bigram in QUERY-TEXT order (tokenize_query sorts/dedupes,
+    # which would scramble the phrase)
+    terms = _TOKEN_RE.findall(query.lower())
+    phrase = " ".join(terms[:2]) if len(terms) >= 2 else (
+        terms[0] if terms else "")
+    phrase_ids = phrase_search(pos_reader, phrase)
+    final = win_scores + np.where(np.isin(win_ids, phrase_ids), boost, 0.0)
+    return bm25.rank_topk(win_ids, final, k)
+
+
 # --------------------------------------------------------------------------
 # block-max WAND (document-at-a-time with block skipping)
 # --------------------------------------------------------------------------

@@ -241,3 +241,52 @@ def test_term_shard_balance():
     counts = np.bincount(shards, minlength=16)
     fair = len(shards) / 16
     assert counts.max() < 1.5 * fair and counts.min() > 0.5 * fair
+
+
+def test_min_should_match_semantics(built):
+    """m=1 over distinct terms ≡ plain TAAT; each m+1 result set is a
+    subset of m's candidates; survivors all match ≥ m distinct terms
+    (verified against boolean_or's per-doc match counts)."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        boolean_or, score_min_should_match)
+
+    reader = IndexReader(built[1])
+    head = sorted(reader.terms, key=lambda t: -reader.terms[t][0])[:4]
+    q = " ".join(head)
+    d1, s1 = score_taat(reader, q, 10)
+    dm, sm = score_min_should_match(reader, q, 1, 10)
+    assert d1.tolist() == dm.tolist() and s1.tolist() == sm.tolist()
+    or_ids, or_counts = boolean_or(reader, q)
+    counts = dict(zip(or_ids.tolist(), or_counts.tolist()))
+    for m in (2, 3, 4):
+        dk, _sk = score_min_should_match(reader, q, m, 50)
+        assert all(counts[d] >= m for d in dk.tolist()), m
+    # m above the clause count matches nothing
+    d0, _ = score_min_should_match(reader, q, len(head) + 1, 10)
+    assert len(d0) == 0
+
+
+def test_rescore_phrase_boost(built, tmp_path_factory):
+    """boost=0 ≡ plain top-k; with a large boost every phrase-matching
+    window candidate outranks every non-matching one."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, phrase_search)
+    from snowplow_elasticsearch_loader_ray.pipelines.query import rescore_topk
+
+    reader = IndexReader(built[1])
+    pos_dir = str(tmp_path_factory.mktemp("pos_rescore") / "positions")
+    build_positions(B.good_docs_dir(built[0]), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    queries = [q for _qid, q, _k in synth.generate_queries() if " " in q][:4]
+    for q in queries:
+        d0, s0 = score_taat(reader, q, 10)
+        d1, s1 = rescore_topk(reader, pr, q, window=50, k=10, boost=0.0)
+        assert d0.tolist() == d1.tolist() and s0.tolist() == s1.tolist(), q
+        d2, s2 = rescore_topk(reader, pr, q, window=50, k=10, boost=1e6)
+        toks = q.lower().split()
+        pids = set(phrase_search(pr, " ".join(toks[:2])).tolist())
+        flags = [d in pids for d in d2.tolist()]
+        # all phrase hits first, then the rest — no interleaving
+        assert flags == sorted(flags, reverse=True), q
