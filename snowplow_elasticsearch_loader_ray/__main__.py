@@ -67,6 +67,21 @@ def _parser() -> argparse.ArgumentParser:
     stm.add_argument("--purpose", choices=["json", "bad"], default="json")
     stm.add_argument("--max-bytes", type=int, default=10_000_000)
     stm.add_argument("--max-delay-s", type=float, default=1.0)
+
+    lv = sub.add_parser(
+        "live", help="near-real-time index lifecycle (the reference's loop: "
+                     "stream micro-batches -> searchable generations)")
+    lv.add_argument("action", choices=["refresh", "compact",
+                                       "delete-by-query", "search", "status"])
+    lv.add_argument("--root", required=True, help="live index root dir")
+    lv.add_argument("--stream", help="stream dir (refresh)")
+    lv.add_argument("--query", help="query text (search / delete-by-query)")
+    lv.add_argument("-k", type=int, default=10)
+    lv.add_argument("--sharded", action="store_true",
+                    help="serve search through per-generation reader actors")
+    lv.add_argument("--merge-factor", type=int, default=4)
+    lv.add_argument("--force", action="store_true")
+    lv.add_argument("--shards", type=int, default=32)
     return p
 
 
@@ -111,6 +126,41 @@ def main(argv: list[str] | None = None) -> int:
                           flush_max_delay_s=args.max_delay_s)
         lines = (ln.rstrip("\n").encode() for ln in sys.stdin if ln.strip())
         out = stream_ingest(lines, args.out, purpose=args.purpose, cfg=cfg)
+    elif args.cmd == "live":
+        import os
+
+        from .pipelines.live import LiveIndex
+
+        live = LiveIndex(args.root, IndexConfig(num_term_shards=args.shards))
+        if args.action == "refresh":
+            if not args.stream:
+                raise SystemExit("live refresh requires --stream")
+            out = live.refresh(args.stream)
+        elif args.action == "compact":
+            out = live.compact(merge_factor=args.merge_factor,
+                               force=args.force) or {"compacted": False}
+        elif args.action == "delete-by-query":
+            if not args.query:
+                raise SystemExit("live delete-by-query requires --query")
+            out = live.delete_by_query(args.query)
+        elif args.action == "search":
+            if not args.query:
+                raise SystemExit("live search requires --query")
+            s = live.sharded_searcher() if args.sharded else live.searcher()
+            try:
+                docs, scores = s.topk(args.query, args.k)
+            finally:
+                if args.sharded:
+                    s.shutdown()
+            out = {"query": args.query,
+                   "hits": [{"rank": i + 1, "doc_id": int(d),
+                             "score": float(sc)}
+                            for i, (d, sc) in enumerate(zip(docs, scores))]}
+        else:  # status
+            gens = live.generations()
+            s = live.searcher() if gens else None
+            out = {"generations": [os.path.basename(g) for g in gens],
+                   "live_docs": s.live_doc_count() if s else 0}
     else:  # pragma: no cover - argparse enforces the choices
         raise SystemExit(2)
 

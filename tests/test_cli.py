@@ -47,3 +47,38 @@ def test_cli_stream(corpus, capsys, monkeypatch):
     assert out["good"] == 10
     assert out["parse_error"] == 1
     assert out["batches"] >= 2
+
+
+def test_cli_live_lifecycle(corpus, capsys, monkeypatch):
+    """stream → live refresh → search → delete-by-query → compact →
+    status, all through the job-submit surface."""
+    import io
+
+    docs = [(1, "ray data streams blocks"), (2, "arrow batches stream fast"),
+            (3, "the quick brown fox"), (4, "data pipelines shuffle blocks")]
+    nd = "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in docs)
+    monkeypatch.setattr("sys.stdin", io.StringIO(nd + "\n"))
+    _run(capsys, ["stream", "--out", str(corpus / "live-s1"),
+                  "--max-bytes", "200", "--max-delay-s", "1e9"])
+
+    root = str(corpus / "live-idx")
+    r = _run(capsys, ["live", "refresh", "--root", root,
+                      "--stream", str(corpus / "live-s1"), "--shards", "4"])
+    assert r["refreshed"] and r["n_docs"] == 4
+
+    hits = _run(capsys, ["live", "search", "--root", root,
+                         "--query", "data blocks", "-k", "3", "--shards", "4"])
+    assert {h["doc_id"] for h in hits["hits"]} == {1, 4}
+
+    d = _run(capsys, ["live", "delete-by-query", "--root", root,
+                      "--query", "fox", "--shards", "4"])
+    assert d["n_ids"] == 1
+
+    sh = _run(capsys, ["live", "search", "--root", root, "--query",
+                       "quick brown", "-k", "5", "--sharded", "--shards", "4"])
+    assert all(h["doc_id"] != 3 for h in sh["hits"])
+
+    _run(capsys, ["live", "compact", "--root", root, "--force",
+                  "--shards", "4"])
+    st = _run(capsys, ["live", "status", "--root", root, "--shards", "4"])
+    assert st["live_docs"] == 3 and len(st["generations"]) == 1
