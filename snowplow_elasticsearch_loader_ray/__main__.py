@@ -71,10 +71,11 @@ def _parser() -> argparse.ArgumentParser:
     lv = sub.add_parser(
         "live", help="near-real-time index lifecycle (the reference's loop: "
                      "stream micro-batches -> searchable generations)")
-    lv.add_argument("action", choices=["refresh", "compact",
+    lv.add_argument("action", choices=["bootstrap", "refresh", "compact",
                                        "delete-by-query", "search", "status"])
     lv.add_argument("--root", required=True, help="live index root dir")
     lv.add_argument("--stream", help="stream dir (refresh)")
+    lv.add_argument("--docs", help="bulk docs parquet dir (bootstrap)")
     lv.add_argument("--query", help="query text (search / delete-by-query)")
     lv.add_argument("-k", type=int, default=10)
     lv.add_argument("--sharded", action="store_true",
@@ -132,7 +133,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.live import LiveIndex
 
         live = LiveIndex(args.root, IndexConfig(num_term_shards=args.shards))
-        if args.action == "refresh":
+        if args.action == "bootstrap":
+            if not args.docs:
+                raise SystemExit("live bootstrap requires --docs")
+            out = live.bootstrap(args.docs)
+        elif args.action == "refresh":
             if not args.stream:
                 raise SystemExit("live refresh requires --stream")
             out = live.refresh(args.stream)

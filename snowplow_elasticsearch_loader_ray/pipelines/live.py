@@ -185,6 +185,34 @@ class LiveIndex:
             out.update(m.get("batches", []))
         return out
 
+    # -- bootstrap --------------------------------------------------------
+    def bootstrap(self, docs_dir: str, num_parts: int | None = None) -> dict:
+        """Build the BASE generation from a bulk docs corpus through the
+        full distributed build pipeline (the reference's initial bulk
+        load into ES before the stream attaches). Unlike ``refresh()``
+        — which discards an uncommitted delta and re-derives it from
+        the stream — bootstrap must survive a crash mid-build at
+        10^12-doc scale, so it leans on ``build_index``'s own per-part
+        resume: a re-run continues from the last committed partition
+        manifest, and a run that died between the index commit and the
+        live event commit just re-commits the event. Only valid on an
+        empty chain (it IS generation zero)."""
+        if self._events():
+            raise ValueError(
+                "bootstrap requires an empty live index — it creates the "
+                "base generation; use refresh()/compact() on a live chain")
+        t0 = time.time()
+        gen_dir = os.path.join(self.root, "gen-00000")
+        stats = build_index(docs_dir, gen_dir, self.cfg,
+                            num_parts=num_parts)
+        mf.commit(self.man_dir, "refresh-00000", {
+            "event": 0, "stage": "bootstrap", "gen": "gen-00000",
+            "batches": [], "n_docs": int(stats["n_docs"]), "n_bad": 0,
+            "wall_s": round(time.time() - t0, 3),
+        })
+        return {"refreshed": True, "gen": "gen-00000",
+                "n_docs": int(stats["n_docs"]), "n_bad": 0, "batches": []}
+
     # -- refresh ----------------------------------------------------------
     def refresh(self, stream_dir: str) -> dict:
         """Index the stream's committed-but-unconsumed micro-batches as

@@ -210,3 +210,54 @@ def test_sharded_live_searcher_bit_identity(tmp_path):
             np.testing.assert_array_equal(sc1, sc2)
     finally:
         sh.shutdown()
+
+
+def test_bootstrap_base_generation(tmp_path):
+    """bootstrap() bulk-builds gen-0 through the resumable build
+    pipeline; a stream refresh layers on top and the chain serves
+    score-identical to one union index. Re-running bootstrap on a live
+    chain refuses; a run that died between the index commit and the
+    live event commit re-commits without rebuilding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray.pipelines.build import build_index
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    bulk = str(tmp_path / "bulk.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS_A], pa.int64()),
+        "text": pa.array([t for _, t in DOCS_A], pa.string()),
+    }), bulk)
+
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    b = live.bootstrap(bulk)
+    assert b["gen"] == "gen-00000" and b["n_docs"] == 4
+    live.refresh(_stream(tmp_path, "s1", DOCS_B))
+    assert len(live.generations()) == 2
+
+    union = DOCS_A + DOCS_B
+    ref = str(tmp_path / "union.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in union], pa.int64()),
+        "text": pa.array([t for _, t in union], pa.string()),
+    }), ref)
+    build_index(ref, str(tmp_path / "merged"), CFG)
+    eng = QueryEngine(str(tmp_path / "merged"))
+    s = live.searcher()
+    assert s.live_doc_count() == 7
+    for q in ["data blocks", "quick brown", "arrow streams", "absent"]:
+        d1, sc1 = s.topk(q, 5)
+        d2, sc2 = eng.topk(q, 5)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(sc1, sc2)
+
+    with pytest.raises(ValueError, match="empty live index"):
+        live.bootstrap(bulk)
+
+    # crash between index commit and event commit: event manifest gone,
+    # committed gen-0 build present -> bootstrap re-commits, fast path
+    live2 = LiveIndex(str(tmp_path / "live2"), CFG)
+    build_index(bulk, str(tmp_path / "live2" / "gen-00000"), CFG)
+    b2 = live2.bootstrap(bulk)
+    assert b2["n_docs"] == 4 and len(live2.generations()) == 1
