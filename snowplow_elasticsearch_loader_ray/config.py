@@ -72,6 +72,18 @@ class IndexConfig:
     build_concurrency: int | None = None   # None → let Ray size the task pool
     query_concurrency: int = 2
 
+    # --- NRT / small-build fast path ---
+    # A corpus at or below this many docs (parquet footer count) builds
+    # inline in the calling process, emitting the exact same on-disk
+    # artifacts (run parts, docmap parts, segment shards, manifests —
+    # resume-compatible with the distributed path). A refresh-interval
+    # delta is sized by the stream rate, not the corpus, and the
+    # distributed build's per-stage Ray Data pipelines carry seconds of
+    # fixed overhead that would dominate the stream→searchable latency
+    # (the reference's actual SLO); Lucene flushes such segments
+    # in-process for the same reason. 0 disables the fast path.
+    inline_build_max_docs: int = 20_000
+
     # test hook: fail the build after N committed partitions (resume tests)
     fail_after_parts: int | None = None
 

@@ -291,6 +291,26 @@ def _build_one_part(k: int, files_k: list[str], bases_k: list[int],
     })
 
 
+def _check_resumable_parts(man_dir: str, parts: list[list[str]]) -> None:
+    """Resume safety: a committed part written under a different run
+    format or file grouping must not be silently skipped — it would
+    splice old-layout postings into a new build. Refuse loudly."""
+    expected = {k: [os.path.basename(f) for f in files_k]
+                for k, files_k in enumerate(parts)}
+    for name, m in mf.load_all(man_dir, prefix="runs-part-").items():
+        if (m.get("format") != RUN_FORMAT
+                or m.get("input_files") != expected.get(m.get("part"))):
+            raise RuntimeError(
+                f"{name}: committed under run format "
+                f"{m.get('format')!r} / grouping {m.get('input_files')!r}, "
+                f"but this build uses format {RUN_FORMAT} / grouping "
+                f"{expected.get(m.get('part'))!r}. Resuming would mix "
+                "incompatible parts — delete the index dir's manifests/"
+                "runs-part-*.json, runs/ and docmap/ (and any segment "
+                "manifests) to rebuild, or rerun with the original "
+                "num_parts/input set.")
+
+
 def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
                num_parts: int | None = None) -> None:
     """Phase 1. Parts are the RESUME granularity, not the parallelism
@@ -311,23 +331,7 @@ def build_runs(doc_files: list[str], index_dir: str, cfg: IndexConfig,
         bases[f] = at
         at += n
     parts = _plan_parts(doc_files, num_parts)
-    # resume safety: a committed part written under a different run
-    # format or file grouping must not be silently skipped — it would
-    # splice old-layout postings into a new build. Refuse loudly.
-    expected = {k: [os.path.basename(f) for f in files_k]
-                for k, files_k in enumerate(parts)}
-    for name, m in mf.load_all(man_dir, prefix="runs-part-").items():
-        if (m.get("format") != RUN_FORMAT
-                or m.get("input_files") != expected.get(m.get("part"))):
-            raise RuntimeError(
-                f"{name}: committed under run format "
-                f"{m.get('format')!r} / grouping {m.get('input_files')!r}, "
-                f"but this build uses format {RUN_FORMAT} / grouping "
-                f"{expected.get(m.get('part'))!r}. Resuming would mix "
-                "incompatible parts — delete the index dir's manifests/"
-                "runs-part-*.json, runs/ and docmap/ (and any segment "
-                "manifests) to rebuild, or rerun with the original "
-                "num_parts/input set.")
+    _check_resumable_parts(man_dir, parts)
     todo = [(k, files_k) for k, files_k in enumerate(parts)
             if not mf.is_committed(man_dir, f"runs-part-{k:04d}")]
     if cfg.fail_after_parts is not None:
@@ -483,6 +487,120 @@ def build_segments(index_dir: str, cfg: IndexConfig) -> None:
 
 
 # --------------------------------------------------------------------------
+# inline fast path (delta-sized corpora)
+# --------------------------------------------------------------------------
+
+def _build_index_inline(files: list[str], index_dir: str,
+                        cfg: IndexConfig) -> None:
+    """Both phases in the calling process, for corpora at or below
+    ``cfg.inline_build_max_docs`` (an NRT delta generation, a unit-test
+    fixture). Emits the EXACT artifacts of the distributed path — run
+    parts under the default per-file grouping, docmap parts, segment
+    shards, the same manifest payloads — so a build that crashes here
+    resumes under either path and vice versa. The point is latency:
+    a refresh-interval delta is a few thousand docs, and the
+    distributed build's per-stage Ray Data pipelines carry seconds of
+    fixed scheduling overhead that would dominate the
+    stream→searchable SLO (``ElasticsearchSink.scala:81-198`` loads a
+    micro-batch synchronously for the same reason; Lucene's refresh
+    flushes the in-memory segment in-process)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    man_dir = os.path.join(index_dir, "manifests")
+    runs_dir = os.path.join(index_dir, "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    bases: dict[str, int] = {}
+    at = 0
+    for f in files:
+        bases[f] = at
+        at += pq.ParquetFile(f).metadata.num_rows
+    parts = _plan_parts(files, None)       # per-file: the distributed default
+    _check_resumable_parts(man_dir, parts)
+
+    tok = TokenizeFilePostings(cfg)
+    part_tables: list[pa.Table | None] = []
+    for k, files_k in enumerate(parts):
+        final = os.path.join(runs_dir, f"part={k:04d}")
+        if mf.is_committed(man_dir, f"runs-part-{k:04d}"):
+            part_tables.append(None)       # committed by a prior run; read back
+            continue
+        t0 = time.time()
+        tmp = os.path.join(runs_dir, f"_tmp_part={k:04d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(tmp)
+        items = pa.table({"path": files_k,
+                          "base": [bases[f] for f in files_k]})
+        run = pa.concat_tables(list(tok(items)))
+        pq.write_table(run, os.path.join(tmp, "run-00000.parquet"),
+                       row_group_size=cfg.run_row_group_size,
+                       compression="zstd")
+        mf.commit_dir_rename(tmp, final, durable=False)
+        dm_out, counters = _write_part_docmap(final, index_dir, k)
+        counters["postings"] = int(run.num_rows - counters["docs"])
+        mf.commit(man_dir, f"runs-part-{k:04d}", {
+            "part": k,
+            "stage": "runs",
+            "format": RUN_FORMAT,
+            "input_files": [os.path.basename(f) for f in files_k],
+            "row_count": counters["docs"],
+            "counters": counters,
+            "outputs": [os.path.relpath(final, index_dir),
+                        os.path.relpath(dm_out, index_dir)],
+            "durable": False,
+            "wall_s": round(time.time() - t0, 3),
+        })
+        part_tables.append(run)
+
+    # phase 2 over the in-memory rows (resumed parts read back once —
+    # plain string terms so all parts concat under one schema; the
+    # encode dictionary-encodes per shard anyway)
+    for k, t in enumerate(part_tables):
+        if t is None:
+            fs = sorted(glob.glob(os.path.join(runs_dir, f"part={k:04d}",
+                                               "*.parquet")))
+            if not fs:
+                # same recovery contract as _encode_shard: committed part
+                # manifest but no run files means runs/ was reclaimed
+                raise RuntimeError(
+                    "runs/ was garbage-collected; to re-encode, rerun "
+                    "phase 1 first (delete the runs-part-* manifests and "
+                    "call build_index again)")
+            part_tables[k] = pads.dataset(fs).to_table(
+                columns=["shard", "term", "ord", "tf"])
+    full = pa.concat_tables(
+        [t.select(["shard", "term", "ord", "tf"]) for t in part_tables])
+    run_files = sorted(glob.glob(os.path.join(runs_dir, "part=*",
+                                              "*.parquet")))
+    seg_dir = os.path.join(index_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    shard_col = full["shard"]
+    for shard in range(cfg.num_term_shards):
+        if mf.is_committed(man_dir, f"segment-shard-{shard:04d}"):
+            continue
+        sub = full.filter(pc.equal(shard_col, shard)) \
+                  .select(["term", "ord", "tf"])
+        seg = encode_shard_table(sub, block_size=cfg.block_size)
+        out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+        pq.write_table(seg, out + ".tmp", compression="zstd")
+        os.replace(out + ".tmp", out)
+        mf.commit(man_dir, f"segment-shard-{shard:04d}", {
+            "part": shard,
+            "stage": "segments",
+            "input_files": [os.path.relpath(f, index_dir)
+                            for f in run_files],
+            "counters": {
+                "terms": int(seg.num_rows),
+                "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
+                "bytes_written": os.path.getsize(out),
+            },
+            "outputs": [os.path.relpath(out, index_dir)],
+            "content_hash": mf.content_hash([out]),
+        })
+
+
+# --------------------------------------------------------------------------
 # finalize + top-level driver
 # --------------------------------------------------------------------------
 
@@ -531,8 +649,17 @@ def build_index(docs: str | list[str], index_dir: str,
     if mf.is_committed(man_dir, "index"):
         return mf.load(man_dir, "stats")["stats"]
     files = _input_files(docs)
-    build_runs(files, index_dir, cfg, num_parts)
-    build_segments(index_dir, cfg)
+    # fault-injection hooks exercise Ray task retry / per-part resume —
+    # they only fire on the distributed path, so their presence opts out
+    # of the inline one
+    inline_ok = (num_parts is None and cfg.inline_build_max_docs
+                 and cfg.fail_after_parts is None
+                 and not os.path.isdir(os.path.join(index_dir, "_faults")))
+    if inline_ok and _footer_rows(files) <= cfg.inline_build_max_docs:
+        _build_index_inline(files, index_dir, cfg)
+    else:
+        build_runs(files, index_dir, cfg, num_parts)
+        build_segments(index_dir, cfg)
     return finalize(index_dir, cfg, time.time() - t0)
 
 

@@ -118,14 +118,58 @@ def _last_wins(g):
     return g.loc[[g["ordkey"].idxmax()]]
 
 
-def _extract_stream_docs(part_files: list[str], docs_dir: str
+@ray.remote
+def _parse_part_remote(pk: int, path: str) -> pa.Table:
+    return _parse_stream_parts(pa.table({"pk": [pk], "path": [path]}))
+
+
+def _extract_stream_docs_small(part_files: list[str], docs_dir: str
+                               ) -> tuple[int, int]:
+    """Fast path for a refresh-interval-sized delta: one plain Ray task
+    per stream part, then a vectorized driver-side last-wins dedupe
+    (lexsort by (doc_id, ordkey), keep each id's last) — semantically
+    identical to the Dataset groupby but without two materializations
+    and a shuffle of a few-thousand-row table, which otherwise dominate
+    the stream→searchable refresh latency. The concatenated delta is
+    bounded by ``inline_build_max_docs`` rows (the caller checked the
+    footers), so holding it in the refresh driver is the same memory
+    class as Lucene's in-memory segment buffer."""
+    tables = ray.get([_parse_part_remote.remote(i, f)
+                      for i, f in enumerate(part_files)])
+    t = pa.concat_tables(tables)
+    n_bad = int(pc.sum(t["bad"]).as_py() or 0)
+    t = t.filter(pc.greater_equal(t["ordkey"], 0))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    keys = t["ordkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys, ids))
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = ids[order[1:]] != ids[order[:-1]]
+    docs = t.select(["doc_id", "text", "lang"]).take(pa.array(order[last]))
+    if docs.num_rows:
+        os.makedirs(docs_dir, exist_ok=True)
+        tmp = os.path.join(docs_dir, "delta-00000.parquet.tmp")
+        pq.write_table(docs, tmp)
+        os.replace(tmp, os.path.join(docs_dir, "delta-00000.parquet"))
+    return int(docs.num_rows), n_bad
+
+
+def _extract_stream_docs(part_files: list[str], docs_dir: str,
+                         cfg: IndexConfig = DEFAULT_CONFIG
                          ) -> tuple[int, int]:
     """Distributed stream-parts → deduped documents parquet under
     ``docs_dir``; returns (n_docs, n_bad). One parse task per part,
     a doc_id-keyed groupby for the last-wins dedupe (delta-sized —
     the refresh interval bounds it, never the corpus), partitioned
-    write. The driver sees only the two counters."""
+    write. The driver sees only the two counters. Deltas under
+    ``cfg.inline_build_max_docs`` rows (parquet footer count — an
+    upper bound on docs) take the no-shuffle fast path above."""
     import ray.data
+
+    if cfg.inline_build_max_docs:
+        total = sum(pq.ParquetFile(f).metadata.num_rows
+                    for f in part_files)
+        if total <= cfg.inline_build_max_docs:
+            return _extract_stream_docs_small(part_files, docs_dir)
 
     items = [{"pk": i, "path": f} for i, f in enumerate(part_files)]
     parsed = (ray.data.from_items(items)
@@ -240,7 +284,7 @@ class LiveIndex:
         gen_dir = os.path.join(self.root, gen_name)
         shutil.rmtree(gen_dir, ignore_errors=True)   # uncommitted leftover
         docs_dir = os.path.join(gen_dir, "_delta_docs")
-        n_docs, n_bad = _extract_stream_docs(parts, docs_dir)
+        n_docs, n_bad = _extract_stream_docs(parts, docs_dir, self.cfg)
         if n_docs == 0:
             # consume the batches but create no generation
             shutil.rmtree(gen_dir, ignore_errors=True)
