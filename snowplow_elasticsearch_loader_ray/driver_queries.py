@@ -295,6 +295,37 @@ def bm25_range(sf_dir: str) -> pa.Table:
     })
 
 
+#: function_score gauss decay on the doclen doc-value: (origin, scale,
+#: decay) — a doc 30 tokens from the 50-token origin keeps half its
+#: BM25 relevance (sf0.01 doclen quartiles are 32/56/76, so the decay
+#: actually reorders ranks instead of being a no-op)
+GAUSS_DECAY = (50.0, 30.0, 0.5)
+
+
+def function_score_gauss(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` + ``gauss`` decay on the doclen doc-value
+    (``boost_mode: multiply``): the full BM25 match set is rescored by
+    exp(-(doclen-origin)²/2σ²) via ordinal doc-value gather, then
+    ranked (ElasticsearchSink.scala loads into an ES index where this
+    runs server-side; here the decay is one vectorized multiply)."""
+    from .pipelines.query import score_function_gauss
+
+    o, s, dec = GAUSS_DECAY
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = score_function_gauss(r, q, TOPK, origin=o, scale=s,
+                                     decay=dec)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def sort_by_length(sf_dir: str) -> pa.Table:
     """ES sort-by-field (no scoring): each conjunctive match set
     ordered by the doclen doc-value desc (doc_id asc tiebreak), top-k
@@ -1783,13 +1814,19 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
 
 
 def _bm25_sql(page: int = 1, src: str = "documents",
-              dl_between: tuple[int, int] | None = None) -> str:
+              dl_between: tuple[int, int] | None = None,
+              gauss: tuple[float, float, float] | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
     view of ``documents`` through the same query. ``dl_between``
     restricts the CANDIDATE set to docs with doclen in [lo, hi] (the
     ES numeric range filter) — corpus stats stay unfiltered, matching
-    the engine's non-scoring-filter semantics."""
+    the engine's non-scoring-filter semantics. ``gauss`` =
+    (origin, scale, decay) multiplies each doc's BM25 sum by the ES
+    gauss decay on doclen — the function_score oracle (the 2σ² literal
+    is precomputed in Python at full precision so the SQL replays the
+    engine's float64 arithmetic exactly)."""
+    import math
     import re
 
     pairs = []
@@ -1800,6 +1837,13 @@ def _bm25_sql(page: int = 1, src: str = "documents",
     lo, hi = (page - 1) * TOPK, page * TOPK
     dl_where = (f"WHERE dl.dl BETWEEN {dl_between[0]} AND {dl_between[1]}"
                 if dl_between else "")
+    mult = ""
+    if gauss is not None:
+        origin, scale, decay = gauss
+        two_sigma2 = 2.0 * (scale * scale) / (-2.0 * math.log(decay))
+        # (x*x, not pow(x,2)) — replays np.square bit-for-bit
+        mult = (f" * exp(-((max(dl.dl) - {origin!r}) *"
+                f" (max(dl.dl) - {origin!r})) / {two_sigma2!r})")
     return f"""
 WITH src AS (SELECT doc_id, text FROM {src}),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
@@ -1815,7 +1859,7 @@ q(qid, term) AS (VALUES {values}),
 scores AS (
   SELECT q.qid, tf.doc_id,
          sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ){mult} AS score
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -3593,6 +3637,7 @@ def registry() -> tuple[dict, dict]:
         "scan_export": scan_export,
         "boolean_not": boolean_not,
         "bm25_range": bm25_range,
+        "function_score_gauss": function_score_gauss,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -3689,6 +3734,7 @@ def registry() -> tuple[dict, dict]:
         "scan_export": SCAN_EXPORT_SQL,
         "boolean_not": _boolean_not_sql(),
         "bm25_range": _bm25_sql(dl_between=RANGE_DL),
+        "function_score_gauss": _bm25_sql(gauss=GAUSS_DECAY),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

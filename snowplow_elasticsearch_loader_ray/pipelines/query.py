@@ -610,6 +610,32 @@ def score_taat_range(reader: IndexReader, query: str, dl_lo: int, dl_hi: int,
     return bm25.rank_topk(reader.dl_doc_ids[ords[keep]], scores[keep], k)
 
 
+def score_function_gauss(reader: IndexReader, query: str, k: int = 10, *,
+                         origin: float, scale: float, decay: float = 0.5
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``function_score`` with a ``gauss`` decay on the doclen
+    doc-value, multiplied into the BM25 query score (the
+    ``boost_mode: multiply`` default): score(d) = bm25(q, d) ×
+    exp(-(doclen(d) − origin)² / 2σ²) with σ² = scale² / (−2 ln decay),
+    so a doc at distance ``scale`` from ``origin`` keeps ``decay`` of
+    its relevance — Elasticsearch's decay parameterization exactly.
+
+    The decay rescores the FULL match set (not a top-k reranking — a
+    decayed tail doc can still beat an off-origin head doc), served by
+    ordinal gather from the in-memory doclen doc-values; accumulation
+    keeps score_taat's float order, so results are deterministic and
+    oracle-replicable. Doc-value decays are the scale path ES itself
+    uses: no stored field, no corpus read, one multiply per candidate.
+    """
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    sigma2 = (scale * scale) / (-2.0 * np.log(decay))
+    dl = reader.dl_lens[ords].astype(np.float64)
+    mult = np.exp(-np.square(dl - origin) / (2.0 * sigma2))
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
+
+
 def sort_by_doclen(reader: IndexReader, query: str, k: int = 10
                    ) -> tuple[np.ndarray, np.ndarray]:
     """ES sort-by-field: the conjunctive match set ordered by the
