@@ -326,6 +326,35 @@ def function_score_gauss(sf_dir: str) -> pa.Table:
     })
 
 
+#: field_value_factor boost on the doclen doc-value (ln1p modifier):
+#: multiplier spans ~ln(1+0.05·10)≈0.4 to ~ln(1+0.05·200)≈2.4 over the
+#: corpus doclen range — a real reranking, not a monotone no-op,
+#: because it varies per doc while BM25's own length normalization
+#: pulls the other way
+FVF_FACTOR = 0.05
+
+
+def field_value_factor(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` ``field_value_factor`` (ln1p modifier) on
+    the doclen doc-value: BM25 × ln(1 + factor·doclen) over the full
+    match set — the boost-by-numeric-field primitive (popularity /
+    length / click count), served by ordinal doc-value gather."""
+    from .pipelines.query import score_field_value_factor
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = score_field_value_factor(r, q, TOPK, factor=FVF_FACTOR)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def sort_by_length(sf_dir: str) -> pa.Table:
     """ES sort-by-field (no scoring): each conjunctive match set
     ordered by the doclen doc-value desc (doc_id asc tiebreak), top-k
@@ -1815,7 +1844,8 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
 
 def _bm25_sql(page: int = 1, src: str = "documents",
               dl_between: tuple[int, int] | None = None,
-              gauss: tuple[float, float, float] | None = None) -> str:
+              gauss: tuple[float, float, float] | None = None,
+              fvf_factor: float | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
     view of ``documents`` through the same query. ``dl_between``
@@ -1844,6 +1874,9 @@ def _bm25_sql(page: int = 1, src: str = "documents",
         # (x*x, not pow(x,2)) — replays np.square bit-for-bit
         mult = (f" * exp(-((max(dl.dl) - {origin!r}) *"
                 f" (max(dl.dl) - {origin!r})) / {two_sigma2!r})")
+    if fvf_factor is not None:
+        # field_value_factor, ln1p modifier (engine mirrors ln(1+x))
+        mult = f" * ln(1 + {fvf_factor!r} * max(dl.dl))"
     return f"""
 WITH src AS (SELECT doc_id, text FROM {src}),
 tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
@@ -3638,6 +3671,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": boolean_not,
         "bm25_range": bm25_range,
         "function_score_gauss": function_score_gauss,
+        "field_value_factor": field_value_factor,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -3735,6 +3769,7 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": _boolean_not_sql(),
         "bm25_range": _bm25_sql(dl_between=RANGE_DL),
         "function_score_gauss": _bm25_sql(gauss=GAUSS_DECAY),
+        "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

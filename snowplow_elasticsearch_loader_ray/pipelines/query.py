@@ -636,6 +636,27 @@ def score_function_gauss(reader: IndexReader, query: str, k: int = 10, *,
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
 
 
+def score_field_value_factor(reader: IndexReader, query: str, k: int = 10,
+                             *, factor: float = 1.0
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``function_score`` ``field_value_factor`` on the doclen
+    doc-value with the ``ln1p`` modifier: score(d) = bm25(q, d) ×
+    ln(1 + factor · doclen(d)) — the "boost by a numeric field"
+    primitive (popularity, length, click count). Same full-match-set
+    rescore + doc-value-gather plan as ``score_function_gauss``.
+
+    Computed as np.log(1.0 + factor·dl), NOT np.log1p: the DuckDB
+    oracle only has ln(1 + x), and the two differ in the last ulp for
+    small x — the engine replays the oracle's exact float path.
+    """
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    dl = reader.dl_lens[ords].astype(np.float64)
+    mult = np.log(1.0 + factor * dl)
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
+
+
 def sort_by_doclen(reader: IndexReader, query: str, k: int = 10
                    ) -> tuple[np.ndarray, np.ndarray]:
     """ES sort-by-field: the conjunctive match set ordered by the
