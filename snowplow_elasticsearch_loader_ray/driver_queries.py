@@ -2031,6 +2031,24 @@ FROM (SELECT doc_id, {TOK_SQL} AS toks FROM documents)
 """
 
 
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    """LLM token-cost estimation: whitespace tokens and BPE-ish
+    pretokens (GPT-2 pretokenizer shape) per document — two vectorized
+    RE2 kernels per batch. The oracle runs the IDENTICAL regex through
+    DuckDB's RE2, so the counts are exact, not approximate."""
+    df = A.bpe_token_counts(_docs_ds(sf_dir)).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text,
+           '{A.BPE_PRETOKEN_RE.replace("'", "''")}'))::BIGINT AS n_tokens_bpe
+FROM documents
+"""
+
+
 def langid(sf_dir: str) -> pa.Table:
     df = A.lang_id(_docs_ds(sf_dir)).to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -3649,6 +3667,7 @@ def registry() -> tuple[dict, dict]:
         "dedup_survivors": dedup_survivors,
         "hash_sample": hash_sample,
         "quality_stats": quality,
+        "bpe_token_counts": bpe_token_counts,
         # ---- similarity search ----
         "ann_topk": ann_topk,
         "embedding_pairs": embedding_pairs,
@@ -3734,6 +3753,7 @@ def registry() -> tuple[dict, dict]:
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "quality_stats": QUALITY_SQL,
+        "bpe_token_counts": BPE_TOKEN_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_pairs": EMBEDDING_PAIRS_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,

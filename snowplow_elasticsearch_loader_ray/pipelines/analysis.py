@@ -174,6 +174,44 @@ def fingerprints(ds, concurrency=None):
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token counting (the "how many LLM tokens is this corpus"
+# estimator a training-data pipeline budgets with)
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pretokenizer shape, restricted to RE2 syntax (no
+#: lookahead) so the SAME pattern runs through Arrow's
+#: count_substring_regex kernel and DuckDB's regexp_extract_all (both
+#: RE2, both leftmost-first alternation) — counts match exactly.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"   # English contractions
+    r"| ?\pL+"                 # letter runs (optional leading space)
+    r"| ?\pN+"                 # digit runs
+    r"| ?[^\s\pL\pN]+"         # punctuation / symbol runs
+    r"|\s+"                    # residual whitespace
+)
+
+
+class BpeTokenCount:
+    """Per-doc token counts: whitespace tokens and BPE-ish pretokens.
+    Two vectorized RE2 kernels per batch — no Python loop, no token
+    materialization (counting only)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens_ws": pc.count_substring_regex(
+                txt, r"\S+").cast(pa.int64()),
+            "n_tokens_bpe": pc.count_substring_regex(
+                txt, BPE_PRETOKEN_RE).cast(pa.int64()),
+        })
+
+
+def bpe_token_counts(ds, concurrency=None):
+    return _apply(ds, BpeTokenCount, concurrency)
+
+
+# --------------------------------------------------------------------------
 # HyperLogLog cardinality (the ES `cardinality` aggregation's sketch;
 # the "novel sketch" custom-operator family)
 # --------------------------------------------------------------------------
