@@ -326,6 +326,76 @@ def function_score_gauss(sf_dir: str) -> pa.Table:
     })
 
 
+def explain_top3(sf_dir: str) -> pa.Table:
+    """ES ``_explain`` analogue: per-term BM25 breakdown for each
+    query's top-3 docs — (qid, doc_id, term, tf, contribution) with
+    sum(contribution) equal to the ranked score. The oracle recomputes
+    the same breakdown in SQL (the un-summed scores CTE joined to the
+    rank-≤3 set)."""
+    from .pipelines.query import explain_score, score_taat
+
+    r = _reader(sf_dir)
+    qids, docs, terms, tfs, contribs = [], [], [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = score_taat(r, q, 3)
+        for doc_id, term, tf, c in explain_score(r, q, d):
+            qids.append(qid)
+            docs.append(doc_id)
+            terms.append(term)
+            tfs.append(tf)
+            contribs.append(round(c, 7))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array(tfs, pa.int64()),
+        "contribution": pa.array(contribs, pa.float64()),
+    })
+
+
+def _explain_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in DOC_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, q.term, tf.tf AS tfc,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contribution
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (SELECT qid, doc_id, sum(contribution) AS score
+           FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT c.qid::BIGINT AS qid, c.doc_id, c.term, c.tfc::BIGINT AS tf,
+       round(c.contribution, 7) AS contribution
+FROM contrib c
+JOIN ranked r ON r.qid = c.qid AND r.doc_id = c.doc_id AND r.rank <= 3
+"""
+
+
 #: field_value_factor boost on the doclen doc-value (ln1p modifier):
 #: multiplier spans ~ln(1+0.05·10)≈0.4 to ~ln(1+0.05·200)≈2.4 over the
 #: corpus doclen range — a real reranking, not a monotone no-op,
@@ -3691,6 +3761,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_range": bm25_range,
         "function_score_gauss": function_score_gauss,
         "field_value_factor": field_value_factor,
+        "explain_top3": explain_top3,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -3790,6 +3861,7 @@ def registry() -> tuple[dict, dict]:
         "bm25_range": _bm25_sql(dl_between=RANGE_DL),
         "function_score_gauss": _bm25_sql(gauss=GAUSS_DECAY),
         "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
+        "explain_top3": _explain_sql(),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

@@ -657,6 +657,44 @@ def score_field_value_factor(reader: IndexReader, query: str, k: int = 10,
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
 
 
+def explain_score(reader: IndexReader, query: str, doc_ids: np.ndarray
+                  ) -> list[tuple[int, str, int, float]]:
+    """ES ``_explain`` analogue: the per-term BM25 breakdown for given
+    EXTERNAL doc_ids — rows (doc_id, term, tf, contribution) for each
+    query term present in the doc, contribution = idf(t) ×
+    tf_weight(tf, doclen, avgdl), exactly the summand ``score_taat``
+    accumulates (so sum(contribution) per doc == the ranked score).
+    Each term costs one posting decode + one searchsorted into the
+    requested ordinal set — no accumulator, no corpus read."""
+    targets = np.asarray(doc_ids, dtype=np.int64)
+    # ordinals of the requested docs (external ids are unique per index)
+    order = np.argsort(reader.dl_doc_ids, kind="stable")
+    pos = np.searchsorted(reader.dl_doc_ids[order], targets)
+    pos = np.minimum(pos, len(order) - 1)
+    ok = reader.dl_doc_ids[order[pos]] == targets
+    tgt_ords = order[pos[ok]]
+    tgt_sorted = np.sort(tgt_ords)
+    out: list[tuple[int, str, int, float]] = []
+    for t in sorted(set(tokenize_query(query))):
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        docs, tfs = pl.decode_all()
+        hit = np.searchsorted(docs, tgt_sorted)
+        hit = np.minimum(hit, len(docs) - 1)
+        m = docs[hit] == tgt_sorted
+        if not m.any():
+            continue
+        ords = tgt_sorted[m]
+        tf = tfs[hit[m]].astype(np.float64)
+        w = bm25.idf(reader.n_docs, len(docs))
+        contrib = w * bm25.tf_weight(tf, reader.dl_lens[ords], reader.avgdl)
+        ext = reader.dl_doc_ids[ords]
+        out.extend(zip(ext.tolist(), [t] * len(ext),
+                       tf.astype(np.int64).tolist(), contrib.tolist()))
+    return out
+
+
 def sort_by_doclen(reader: IndexReader, query: str, k: int = 10
                    ) -> tuple[np.ndarray, np.ndarray]:
     """ES sort-by-field: the conjunctive match set ordered by the
