@@ -83,6 +83,16 @@ def _parser() -> argparse.ArgumentParser:
     lv.add_argument("--merge-factor", type=int, default=4)
     lv.add_argument("--force", action="store_true")
     lv.add_argument("--shards", type=int, default=32)
+
+    sn = sub.add_parser(
+        "snapshot", help="incremental snapshot repository (content-"
+                         "addressed blobs shared across snapshots)")
+    sn.add_argument("action", choices=["create", "create-live", "restore",
+                                       "delete", "gc", "list"])
+    sn.add_argument("--repo", required=True, help="repository dir")
+    sn.add_argument("--name", help="snapshot name")
+    sn.add_argument("--index", help="index dir (create) / target (restore)")
+    sn.add_argument("--live-root", help="live chain root (create-live)")
     return p
 
 
@@ -166,6 +176,42 @@ def main(argv: list[str] | None = None) -> int:
             s = live.searcher() if gens else None
             out = {"generations": [os.path.basename(g) for g in gens],
                    "live_docs": s.live_doc_count() if s else 0}
+    elif args.cmd == "snapshot":
+        from .pipelines import snapshot as S
+        from .state import manifest as _mf
+
+        def _need(attr, flag):
+            v = getattr(args, attr)
+            if not v:
+                raise SystemExit(f"snapshot {args.action} requires {flag}")
+            return v
+
+        if args.action == "create":
+            out = S.snapshot_incremental(_need("index", "--index"),
+                                         args.repo, _need("name", "--name"))
+        elif args.action == "create-live":
+            out = S.snapshot_live_incremental(
+                _need("live_root", "--live-root"), args.repo,
+                _need("name", "--name"))
+        elif args.action == "restore":
+            out = S.restore_incremental(args.repo, _need("name", "--name"),
+                                        _need("index", "--index"))
+        elif args.action == "delete":
+            S.delete_snapshot(args.repo, _need("name", "--name"))
+            out = {"deleted": args.name}
+        elif args.action == "gc":
+            out = S.gc_repository(args.repo)
+        else:  # list
+            import os
+
+            snaps = _mf.load_all(os.path.join(args.repo, "snapshots"))
+            out = {"snapshots": [
+                {"name": n, "kind": m.get("kind"),
+                 "files": len(m.get("files", [])),
+                 "bytes_copied": m.get("bytes_copied"),
+                 "bytes_reused": m.get("bytes_reused"),
+                 "committed_at": m.get("committed_at")}
+                for n, m in snaps.items()]}
     else:  # pragma: no cover - argparse enforces the choices
         raise SystemExit(2)
 

@@ -108,3 +108,165 @@ def restore_index(snap_dir: str, index_dir: str) -> dict:
                 for sub in ("segments", "docmap", "manifests"))
     verified = _verify_segments(index_dir)
     return {"stage": "restore", "segments": verified, "bytes": total}
+
+
+# --------------------------------------------------------------------------
+# incremental snapshot repository (the ES snapshot-repository design:
+# content-addressed blobs shared across snapshots, so snapshotting an
+# index chain after a refresh copies ONLY the new generation's files)
+# --------------------------------------------------------------------------
+#
+# Layout:
+#   <repo>/blobs/<sha256>            content-addressed file store
+#   <repo>/snapshots/<name>.json     committed snapshot manifests
+#
+# A snapshot manifest records (relpath, blob, bytes) for every captured
+# file plus the per-index segment verifications that passed before
+# upload. Blob writes are tmp+rename (idempotent under concurrent
+# snapshots); a snapshot is visible only once its manifest commits, so
+# a crashed snapshot leaves at worst orphan blobs, reclaimable by
+# ``gc_repository``. On a real deployment ``blobs/`` is an object-store
+# prefix and the copy is an upload — the incremental logic (hash,
+# check-exists, upload-if-missing) is byte-for-byte the same.
+
+#: surfaces captured per index directory (runs/ intermediates excluded,
+#: same rationale as snapshot_index)
+_INDEX_SUBS = ("segments", "docmap", "manifests")
+
+
+def _index_files(index_dir: str, prefix: str = "") -> list[tuple[str, str]]:
+    """(relpath-under-snapshot, abspath) for one index's durable files."""
+    out = []
+    for sub in _INDEX_SUBS:
+        d = os.path.join(index_dir, sub)
+        for f in sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True)):
+            if os.path.isfile(f):
+                out.append((os.path.join(prefix, sub,
+                                         os.path.relpath(f, d)), f))
+    return out
+
+
+def _store_blobs(repo_dir: str, files: list[tuple[str, str]]) -> dict:
+    """Upload-if-missing every file into ``<repo>/blobs``; → stats +
+    the manifest file list."""
+    blob_dir = os.path.join(repo_dir, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    entries, copied, reused = [], 0, 0
+    for rel, src in files:
+        digest = mf.file_sha256(src)
+        blob = os.path.join(blob_dir, digest)
+        size = os.path.getsize(src)
+        if os.path.exists(blob):
+            reused += size
+        else:
+            shutil.copy2(src, blob + ".tmp")
+            os.replace(blob + ".tmp", blob)
+            copied += size
+        entries.append({"path": rel, "blob": digest, "bytes": size})
+    return {"files": entries, "bytes_copied": copied, "bytes_reused": reused}
+
+
+def snapshot_incremental(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Snapshot a committed index into a blob repository. Files whose
+    content already exists in the repo (from ANY earlier snapshot) are
+    reused, not copied — the second snapshot of an unchanged index
+    costs hashing only."""
+    man_dir = os.path.join(index_dir, "manifests")
+    if not mf.is_committed(man_dir, "index"):
+        raise ValueError("refusing to snapshot: index manifest not committed")
+    if mf.is_committed(os.path.join(repo_dir, "snapshots"), name):
+        raise ValueError(f"snapshot {name!r} already exists in {repo_dir!r}")
+    verified = _verify_segments(index_dir)
+    st = _store_blobs(repo_dir, _index_files(index_dir))
+    payload = {"stage": "snapshot", "kind": "index",
+               "source": os.path.abspath(index_dir),
+               "segments_verified": verified, **st}
+    return mf.commit(os.path.join(repo_dir, "snapshots"), name, payload)
+
+
+def snapshot_live_incremental(live_root: str, repo_dir: str,
+                              name: str) -> dict:
+    """Snapshot a LiveIndex generation chain (every live generation's
+    index files + the chain manifests + delete sidecars). This is where
+    incrementality pays: between two snapshots only the generations
+    created by refreshes/compactions since the last one ship new blobs
+    — the base generation (the bulk of a 10^12-doc deployment) is
+    hash-checked and reused."""
+    from .live import LiveIndex
+
+    live = LiveIndex(live_root)
+    gens = live.generations()
+    if not gens:
+        raise ValueError("live index has no generations to snapshot")
+    if mf.is_committed(os.path.join(repo_dir, "snapshots"), name):
+        raise ValueError(f"snapshot {name!r} already exists in {repo_dir!r}")
+    files: list[tuple[str, str]] = []
+    verified = 0
+    for g in gens:
+        verified += _verify_segments(g)
+        files.extend(_index_files(g, prefix=os.path.basename(g)))
+    for sub in ("manifests", "deletes"):
+        d = os.path.join(live_root, sub)
+        for f in sorted(glob.glob(os.path.join(d, "*"))):
+            if os.path.isfile(f):
+                files.append((os.path.join(sub, os.path.relpath(f, d)), f))
+    st = _store_blobs(repo_dir, files)
+    payload = {"stage": "snapshot", "kind": "live",
+               "source": os.path.abspath(live_root),
+               "generations": [os.path.basename(g) for g in gens],
+               "segments_verified": verified, **st}
+    return mf.commit(os.path.join(repo_dir, "snapshots"), name, payload)
+
+
+def restore_incremental(repo_dir: str, name: str, target_dir: str) -> dict:
+    """Materialize a repository snapshot into an empty ``target_dir``
+    and re-verify every restored index's segment hashes (single index
+    or live chain, per the snapshot's recorded kind)."""
+    snap = mf.load_all(os.path.join(repo_dir, "snapshots")).get(name)
+    if snap is None:
+        raise ValueError(f"no snapshot {name!r} in {repo_dir!r}")
+    if os.path.isdir(target_dir) and os.listdir(target_dir):
+        raise ValueError(
+            f"refusing to restore into non-empty target {target_dir!r} — "
+            "leftover files would be served next to the restored ones")
+    blob_dir = os.path.join(repo_dir, "blobs")
+    total = 0
+    for e in snap["files"]:
+        out = os.path.join(target_dir, e["path"])
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.copy2(os.path.join(blob_dir, e["blob"]), out + ".tmp")
+        os.replace(out + ".tmp", out)
+        total += e["bytes"]
+    if snap["kind"] == "live":
+        verified = sum(_verify_segments(os.path.join(target_dir, g))
+                       for g in snap["generations"])
+    else:
+        verified = _verify_segments(target_dir)
+    return {"stage": "restore", "kind": snap["kind"],
+            "segments": verified, "bytes": total}
+
+
+def delete_snapshot(repo_dir: str, name: str) -> None:
+    """Drop a snapshot manifest; its blobs stay until ``gc_repository``
+    (other snapshots may reference them — the ES delete semantics)."""
+    p = mf.manifest_path(os.path.join(repo_dir, "snapshots"), name)
+    if not os.path.exists(p):
+        raise ValueError(f"no snapshot {name!r} in {repo_dir!r}")
+    os.remove(p)
+
+
+def gc_repository(repo_dir: str) -> dict:
+    """Remove blobs referenced by no committed snapshot; → counts."""
+    live: set[str] = set()
+    for snap in mf.load_all(os.path.join(repo_dir, "snapshots")).values():
+        live.update(e["blob"] for e in snap.get("files", []))
+    removed, kept, freed = 0, 0, 0
+    for f in glob.glob(os.path.join(repo_dir, "blobs", "*")):
+        if os.path.basename(f) in live or f.endswith(".tmp"):
+            kept += 1
+        else:
+            freed += os.path.getsize(f)
+            os.remove(f)
+            removed += 1
+    return {"blobs_removed": removed, "blobs_kept": kept,
+            "bytes_freed": freed}

@@ -55,3 +55,115 @@ def test_snapshot_refuses_uncommitted_and_detects_corruption(ray_session, tmp_pa
     snapshot_index(idx, snap3)
     with pytest.raises(ValueError, match="over a committed index"):
         restore_index(snap3, idx)
+
+
+# --------------------------------------------------------------------------
+# incremental repository (content-addressed blobs shared across snapshots)
+# --------------------------------------------------------------------------
+
+def test_incremental_snapshot_reuses_blobs(ray_session, tmp_path):
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        gc_repository, delete_snapshot, restore_incremental,
+        snapshot_incremental,
+    )
+
+    idx = str(tmp_path / "idx")
+    B.build_index(DOCS, idx, CFG)
+    repo = str(tmp_path / "repo")
+
+    a = snapshot_incremental(idx, repo, "snap-a")
+    assert a["bytes_copied"] > 0 and a["bytes_reused"] == 0
+    # unchanged index: second snapshot ships zero bytes
+    b = snapshot_incremental(idx, repo, "snap-b")
+    assert b["bytes_copied"] == 0 and b["bytes_reused"] == a["bytes_copied"]
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_incremental(idx, repo, "snap-a")
+
+    restored = str(tmp_path / "restored")
+    r = restore_incremental(repo, "snap-b", restored)
+    assert r["segments"] == 4
+    d1, s1 = QueryEngine(idx).topk("the data", 10)
+    d2, s2 = QueryEngine(restored).topk("the data", 10)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    with pytest.raises(ValueError, match="non-empty"):
+        restore_incremental(repo, "snap-a", restored)
+
+    # delete one snapshot: blobs stay (snap-b still references them);
+    # delete both: gc reclaims everything
+    delete_snapshot(repo, "snap-a")
+    assert gc_repository(repo)["blobs_removed"] == 0
+    delete_snapshot(repo, "snap-b")
+    g = gc_repository(repo)
+    assert g["blobs_removed"] > 0 and g["blobs_kept"] == 0
+
+
+def test_live_incremental_ships_only_the_delta(ray_session, tmp_path):
+    """Snapshotting a live chain after one more refresh reuses every
+    blob of the earlier generations — only the new delta (plus the
+    small chain manifests) is copied."""
+    import json
+
+    from snowplow_elasticsearch_loader_ray.pipelines.live import LiveIndex
+    from snowplow_elasticsearch_loader_ray.pipelines.query import IndexReader
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        restore_incremental, snapshot_live_incremental,
+    )
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    def _stream(name, docs):
+        out = str(tmp_path / name)
+        stream_ingest(
+            iter(json.dumps({"doc_id": i, "text": t}).encode()
+                 for i, t in docs),
+            out, purpose="json", cfg=CFG)
+        return out
+
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream("s1", [(1, "ray data streams blocks"),
+                                (2, "arrow tables all the way down")]))
+    repo = str(tmp_path / "repo")
+    a = snapshot_live_incremental(str(tmp_path / "live"), repo, "day-1")
+    assert a["bytes_copied"] > 0
+
+    live.refresh(_stream("s2", [(3, "a fresh delta generation")]))
+    b = snapshot_live_incremental(str(tmp_path / "live"), repo, "day-2")
+    # gen-00000 blobs are all reused; only gen-00001 + manifests ship
+    gen0_b = {e["blob"] for e in b["files"]
+              if e["path"].startswith("gen-00000/")}
+    gen0_a = {e["blob"] for e in a["files"]
+              if e["path"].startswith("gen-00000/")}
+    assert gen0_b == gen0_a
+    assert 0 < b["bytes_copied"] < b["bytes_reused"] + b["bytes_copied"]
+    assert b["bytes_reused"] >= sum(e["bytes"] for e in b["files"]
+                                    if e["path"].startswith("gen-00000/"))
+
+    # restore the chain and serve it: same results as the source chain
+    restored = str(tmp_path / "restored_live")
+    r = restore_incremental(repo, "day-2", restored)
+    assert r["kind"] == "live" and r["segments"] > 0
+    s_src = LiveIndex(str(tmp_path / "live"), CFG).searcher()
+    s_res = LiveIndex(restored, CFG).searcher()
+    d1, sc1 = s_src.topk("data delta generation", 5)
+    d2, sc2 = s_res.topk("data delta generation", 5)
+    assert d1.tolist() == d2.tolist() and sc1.tolist() == sc2.tolist()
+
+
+def test_incremental_restore_detects_tampered_blob(ray_session, tmp_path):
+    import glob as _glob
+
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        restore_incremental, snapshot_incremental,
+    )
+
+    idx = str(tmp_path / "idx")
+    B.build_index(DOCS, idx, CFG)
+    repo = str(tmp_path / "repo")
+    snapshot_incremental(idx, repo, "snap")
+    # corrupt the largest blob (a segment file, not a tiny manifest)
+    blobs = sorted(_glob.glob(os.path.join(repo, "blobs", "*")),
+                   key=os.path.getsize)
+    with open(blobs[-1], "r+b") as f:
+        f.seek(50)
+        f.write(b"\xde\xad\xbe\xef")
+    with pytest.raises(ValueError, match="hash mismatch"):
+        restore_incremental(repo, "snap", str(tmp_path / "restored"))
