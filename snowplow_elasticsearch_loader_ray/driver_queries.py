@@ -1888,6 +1888,62 @@ GROUP BY 1
 """
 
 
+def extended_stats_facet(sf_dir: str) -> pa.Table:
+    """ES ``extended_stats`` aggregation over each query's full match
+    set: stats plus sum_of_squares / variance (population, the ES
+    sos/n − mean² formula) / std_deviation — all derived from exact
+    int64 sums so the floats are accumulation-order independent and
+    the oracle recomputes them identically."""
+    from .pipelines.query import facet_doclen_extended_stats
+
+    r = _reader(sf_dir)
+    cols = {k: [] for k in ("qid", "n_docs", "min_dl", "max_dl", "sum_dl",
+                            "sum_squares", "avg_dl", "variance", "std_dev")}
+    for qid, q in DOC_QUERIES:
+        st = facet_doclen_extended_stats(r, q)
+        if st["n_docs"]:
+            cols["qid"].append(qid)
+            for k in list(cols)[1:]:
+                cols[k].append(st[k])
+    return pa.table({
+        "qid": pa.array(cols["qid"], pa.int64()),
+        "n_docs": pa.array(cols["n_docs"], pa.int64()),
+        "min_dl": pa.array(cols["min_dl"], pa.int64()),
+        "max_dl": pa.array(cols["max_dl"], pa.int64()),
+        "sum_dl": pa.array(cols["sum_dl"], pa.int64()),
+        "sum_squares": pa.array(cols["sum_squares"], pa.int64()),
+        "avg_dl": pa.array(cols["avg_dl"], pa.float64()),
+        "variance": pa.array(cols["variance"], pa.float64()),
+        "std_dev": pa.array(cols["std_dev"], pa.float64()),
+    })
+
+
+def _extended_stats_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+q(qid, term) AS (VALUES {_query_term_values()}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+agg AS (
+  SELECT m.qid::BIGINT AS qid, count(*)::BIGINT AS n_docs,
+         min(dl.dl) AS min_dl, max(dl.dl) AS max_dl,
+         sum(dl.dl)::BIGINT AS sum_dl,
+         sum(dl.dl * dl.dl)::BIGINT AS sum_squares
+  FROM m JOIN dl USING (doc_id)
+  GROUP BY 1
+)
+SELECT qid, n_docs, min_dl, max_dl, sum_dl, sum_squares,
+       sum_dl::DOUBLE / n_docs::DOUBLE AS avg_dl,
+       greatest(sum_squares::DOUBLE / n_docs::DOUBLE
+                - (sum_dl::DOUBLE / n_docs::DOUBLE)
+                  * (sum_dl::DOUBLE / n_docs::DOUBLE), 0.0) AS variance,
+       sqrt(greatest(sum_squares::DOUBLE / n_docs::DOUBLE
+                     - (sum_dl::DOUBLE / n_docs::DOUBLE)
+                       * (sum_dl::DOUBLE / n_docs::DOUBLE), 0.0)) AS std_dev
+FROM agg
+"""
+
+
 def bm25_topk_distributed(sf_dir: str) -> pa.Table:
     """The query-side actor-pool path: the query set as a Dataset,
     served by ``map_batches(QueryEngine, concurrency=2)`` — each actor
@@ -3762,6 +3818,7 @@ def registry() -> tuple[dict, dict]:
         "function_score_gauss": function_score_gauss,
         "field_value_factor": field_value_factor,
         "explain_top3": explain_top3,
+        "extended_stats_facet": extended_stats_facet,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -3862,6 +3919,7 @@ def registry() -> tuple[dict, dict]:
         "function_score_gauss": _bm25_sql(gauss=GAUSS_DECAY),
         "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "explain_top3": _explain_sql(),
+        "extended_stats_facet": _extended_stats_sql(),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

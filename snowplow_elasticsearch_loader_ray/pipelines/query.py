@@ -494,6 +494,38 @@ def facet_doclen_stats(reader: IndexReader, query: str) -> dict:
     }
 
 
+def facet_doclen_extended_stats(reader: IndexReader, query: str) -> dict:
+    """ES ``extended_stats`` aggregation over the full match set: the
+    ``stats`` fields plus sum_of_squares, variance (population —
+    sos/n − mean², the ES formula) and std_deviation. Both sums are
+    exact int64, so the derived floats are identical regardless of
+    accumulation order — the oracle recomputes them from the same
+    integer sums."""
+    import math
+
+    docs, _cnt = boolean_or(reader, query)
+    if not len(docs):
+        return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,
+                "sum_squares": 0, "avg_dl": 0.0, "variance": 0.0,
+                "std_dev": 0.0}
+    dl = reader.doclen_of(docs).astype(np.int64)
+    n = len(docs)
+    s = int(dl.sum())
+    sos = int((dl * dl).sum())
+    avg = float(s) / float(n)
+    var = max(float(sos) / float(n) - avg * avg, 0.0)
+    return {
+        "n_docs": int(n),
+        "min_dl": int(dl.min()),
+        "max_dl": int(dl.max()),
+        "sum_dl": s,
+        "sum_squares": sos,
+        "avg_dl": avg,
+        "variance": var,
+        "std_dev": math.sqrt(var),
+    }
+
+
 def score_taat_filtered(reader: IndexReader, query: str, filter_term: str,
                         k: int = 10) -> tuple[np.ndarray, np.ndarray]:
     """Top-k BM25 restricted to docs containing ``filter_term`` — the ES
