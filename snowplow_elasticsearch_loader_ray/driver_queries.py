@@ -1126,6 +1126,69 @@ SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <
 """
 
 
+#: span_near window: up to this many intervening tokens between the pair
+SPAN_SLOP = 4
+
+
+def _span_pairs() -> list[tuple[int, str, str]]:
+    """(qid, term_a, term_b): the first two distinct tokens of each
+    multi-term fixture query."""
+    import re
+
+    out = []
+    for qid, q in BOOL_QUERIES:
+        toks = re.findall(r"[a-z0-9]+", q.lower())
+        if len(toks) >= 2 and toks[0] != toks[1]:
+            out.append((qid, toks[0], toks[1]))
+    return out
+
+
+def span_near(sf_dir: str) -> pa.Table:
+    """ES ``span_near`` (unordered, slop={SPAN_SLOP}) for query term
+    pairs, resolved inside the positional index: each matching doc's
+    minimal intervening-token gap, via one merge scan per candidate —
+    the oracle does the quadratic position cross join instead."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      proximity_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, gaps = [], [], []
+    for qid, ta, tb in _span_pairs():
+        d, g = proximity_search(pr, ta, tb, SPAN_SLOP, ordered=False)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        gaps.extend(g.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "min_gap": pa.array(gaps, pa.int64()),
+    })
+
+
+def _span_near_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}')"
+                       for qid, a, b in _span_pairs())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+q(qid, ta, tb) AS (VALUES {values}),
+pa_ AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.ta),
+pb AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.tb),
+gaps AS (
+  SELECT a.qid, a.doc_id, min(abs(a.pos - b.pos)) - 1 AS min_gap
+  FROM pa_ a JOIN pb b ON b.qid = a.qid AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS qid, doc_id, min_gap::BIGINT AS min_gap
+FROM gaps WHERE min_gap <= {SPAN_SLOP}
+"""
+
+
 def rescore_phrase(sf_dir: str) -> pa.Table:
     """ES ``rescore`` with ``window_size``: BM25 top-50 window per
     query, +5.0 boost for candidates containing the query's leading
@@ -3819,6 +3882,7 @@ def registry() -> tuple[dict, dict]:
         "field_value_factor": field_value_factor,
         "explain_top3": explain_top3,
         "extended_stats_facet": extended_stats_facet,
+        "span_near": span_near,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -3920,6 +3984,7 @@ def registry() -> tuple[dict, dict]:
         "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "explain_top3": _explain_sql(),
         "extended_stats_facet": _extended_stats_sql(),
+        "span_near": _span_near_sql(),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

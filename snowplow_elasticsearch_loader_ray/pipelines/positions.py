@@ -387,6 +387,56 @@ class ShardedPositionalEngine:
         self.readers = []
 
 
+def proximity_search(reader, term_a: str, term_b: str, slop: int,
+                     ordered: bool = False
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_near`` for a DISTINCT term pair: docs where some
+    occurrence pair sits within ``slop`` intervening tokens — gap =
+    pos_b − pos_a − 1 with a before b when ``ordered`` (``in_order:
+    true``), min(|Δpos|) − 1 otherwise. Returns (external doc_ids
+    ascending, min_gap per doc).
+
+    Per candidate doc the min gap is one merge scan: each b-position
+    searchsorted against a's sorted positions and compared to its two
+    neighbors — O((n_a+n_b) log n_a), no quadratic pair enumeration
+    (the SQL oracle does the quadratic cross join; the engine must not).
+    ``reader`` is a ``PositionalReader`` or ``ShardedPositionalEngine``.
+    """
+    if term_a == term_b:
+        raise ValueError("span_near pair must be two distinct terms")
+    fetched = reader.term_positions_many(sorted({term_a, term_b}))
+    docs_a, pos_a = fetched[term_a]
+    docs_b, pos_b = fetched[term_b]
+    cand, ia, ib = np.intersect1d(docs_a, docs_b, assume_unique=True,
+                                  return_indices=True)
+    big = np.iinfo(np.int64).max
+    out_docs: list[int] = []
+    out_gaps: list[int] = []
+    for j in range(len(cand)):
+        a = pos_a[ia[j]].astype(np.int64)
+        b = pos_b[ib[j]].astype(np.int64)
+        k = np.searchsorted(a, b)
+        if ordered:
+            m = k > 0                       # an a strictly before this b
+            if not m.any():
+                continue
+            gap = int((b[m] - a[k[m] - 1] - 1).min())
+        else:
+            left = np.where(k > 0, b - a[np.maximum(k - 1, 0)], big)
+            right = np.where(k < len(a), a[np.minimum(k, len(a) - 1)] - b,
+                             big)
+            gap = int(np.minimum(left, right).min()) - 1
+        if gap <= slop:
+            out_docs.append(int(cand[j]))
+            out_gaps.append(gap)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    gaps = np.array(out_gaps, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], gaps[order]
+
+
 def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 

@@ -155,3 +155,38 @@ def test_sharded_positional_identity(tmp_path):
         assert len(many["missingterm"][0]) == 0
     finally:
         eng.shutdown()
+
+
+def test_proximity_search_span_near(ray_session, tmp_path):
+    """span_near semantics: unordered min-gap window, ordered requires
+    a before b, gaps count intervening tokens."""
+    import numpy as np
+    import pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        proximity_search)
+
+    r = _build(tmp_path)
+    # doc 1: "the quick brown fox jumps over the lazy dog"
+    #   quick(1) .. fox(3): one intervening token
+    # doc 2: "quick brown foxes ..." — no 'fox'
+    # doc 4/6: brown fox adjacent (gap 0)
+    d, g = proximity_search(r, "quick", "fox", slop=1)
+    assert d.tolist() == [1] and g.tolist() == [1]
+    d, g = proximity_search(r, "quick", "fox", slop=0)
+    assert d.tolist() == []
+    d, g = proximity_search(r, "brown", "fox", slop=0)
+    assert d.tolist() == [1, 4, 6] and g.tolist() == [0, 0, 0]
+
+    # ordered: 'fox' before 'quick' never happens in doc 1
+    d, _g = proximity_search(r, "fox", "quick", slop=9, ordered=True)
+    assert d.tolist() == []
+    d, g = proximity_search(r, "quick", "fox", slop=9, ordered=True)
+    assert d.tolist() == [1] and g.tolist() == [1]
+    # unordered is symmetric
+    d1, g1 = proximity_search(r, "fox", "quick", slop=9)
+    d2, g2 = proximity_search(r, "quick", "fox", slop=9)
+    assert d1.tolist() == d2.tolist() and g1.tolist() == g2.tolist()
+
+    with pytest.raises(ValueError, match="distinct"):
+        proximity_search(r, "fox", "fox", slop=1)
