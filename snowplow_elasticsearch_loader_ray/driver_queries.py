@@ -834,6 +834,41 @@ WITH tok AS (
 SAMPLE_MOD, SAMPLE_KEEP = 97, 10
 
 
+def corpus_clean_summary(sf_dir: str) -> pa.Table:
+    """The composed training-data prep pipeline as ONE streaming chain:
+    quality gate (≥{MIN_TOKENS} tokens, stopword ratio ≥ ratio floor —
+    both clauses drop real docs in this corpus) → exact dedup
+    (first-doc-wins, survivor lang attribution packed into the hash
+    groupby's integer min) → per-language doc/token accounting. Text
+    never leaves the quality stage; the dedup shuffle moves 32 B rows;
+    the driver sees n_langs summary rows."""
+    from .pipelines.clean import corpus_clean_summary as _clean
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text", "lang"])
+    out, _langs = _clean(ds)
+    return out
+
+
+def _corpus_clean_sql() -> str:
+    from .pipelines.clean import MIN_STOPWORD_RATIO, MIN_TOKENS
+
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {TOK_SQL} AS toks FROM documents),
+q AS (SELECT doc_id, lang, text, len(toks)::BIGINT AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks)
+        END AS ratio
+      FROM t),
+kept AS (SELECT * FROM q
+         WHERE n_tokens >= {MIN_TOKENS} AND ratio >= {MIN_STOPWORD_RATIO!r}),
+ded AS (SELECT arg_min(lang, doc_id) AS lang, min(n_tokens) AS n_tokens
+        FROM kept GROUP BY text)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM ded GROUP BY lang
+"""
+
+
 def hash_sample(sf_dir: str) -> pa.Table:
     """Deterministic ~10% corpus sample: doc_id is already a uniform
     64-bit hash of the url, so ``doc_id % 97 < 10`` is a reproducible
@@ -3854,6 +3889,7 @@ def registry() -> tuple[dict, dict]:
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "dedup_survivors": dedup_survivors,
+        "corpus_clean_summary": corpus_clean_summary,
         "hash_sample": hash_sample,
         "quality_stats": quality,
         "bpe_token_counts": bpe_token_counts,
@@ -3944,6 +3980,7 @@ def registry() -> tuple[dict, dict]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
+        "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,
         "bpe_token_counts": BPE_TOKEN_SQL,
         "ann_topk": ANN_TOPK_SQL,
