@@ -891,6 +891,59 @@ HASH_SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM documents WHERE doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
 """
 
+#: benchmark-decontamination gram size (13 in GPT-3's protocol; 5 here so
+#: the 31-word fixture vocabulary yields overlaps only for genuine
+#: near-copies) and the hash-mod held-out eval split
+CONTAM_K = 5
+CONTAM_EVAL_MIN = 90  # doc_id % 97 >= 90 → "benchmark" docs
+
+
+def benchmark_contamination(sf_dir: str) -> pa.Table:
+    """Training docs sharing ≥1 distinct 5-gram with the held-out eval
+    split (GPT-3-style benchmark decontamination): the eval gram set is
+    built distributed and broadcast once; training docs stream through
+    a shuffle-free vectorized membership probe
+    (pipelines/contamination.py)."""
+    from .pipelines import contamination as CONTAM
+
+    def _mod_filter(lo: int | None, hi: int | None):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % SAMPLE_MOD
+            keep = (m >= lo) if lo is not None else (m < hi)
+            return b.filter(pa.array(keep))
+        return f
+
+    docs = _docs_ds(sf_dir)
+    eval_ds = docs.map_batches(_mod_filter(CONTAM_EVAL_MIN, None),
+                               batch_format="pyarrow")
+    train_ds = docs.map_batches(_mod_filter(None, CONTAM_EVAL_MIN),
+                                batch_format="pyarrow")
+    out = (CONTAM.contamination_flags(train_ds, eval_ds, k=CONTAM_K)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_grams": pa.array(out["n_grams"], pa.int64()),
+        "n_overlap": pa.array(out["n_overlap"], pa.int64()),
+    })
+
+
+CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks)-{CONTAM_K - 1}),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+           toks[i+3] || ' ' || toks[i+4]))) AS gram
+  FROM t WHERE len(toks) >= {CONTAM_K}
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {SAMPLE_MOD} >= {CONTAM_EVAL_MIN})
+SELECT g.doc_id, sz.n::BIGINT AS n_grams, count(*)::BIGINT AS n_overlap
+FROM g JOIN ev USING (gram) JOIN sz ON sz.doc_id = g.doc_id
+WHERE g.doc_id % {SAMPLE_MOD} < {CONTAM_EVAL_MIN}
+GROUP BY 1, 2
+"""
+
 N_TOP_TERMS = 20
 
 
@@ -3937,6 +3990,7 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": events_date_histogram,
         "lang_counts": lang_counts,
         "top_bigrams": top_bigrams,
+        "benchmark_contamination": benchmark_contamination,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -3979,6 +4033,7 @@ def registry() -> tuple[dict, dict]:
         "hash_sample": HASH_SAMPLE_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
+        "benchmark_contamination": CONTAMINATION_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,

@@ -93,7 +93,17 @@ def distinct_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.nda
     if len(h) < k:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
                 np.zeros(n, dtype=np.int64))
-    parts = [h[i : len(h) - (k - 1) + i] * np.uint64([_P1, _P2, _P3][i % 3]) for i in range(k)]
+    # one DISTINCT multiplier per gram position (cycling a short list
+    # would make grams that permute same-multiplier positions collide —
+    # e.g. with [i % 3] and k=5, swapping tokens 0 and 3 preserves the
+    # XOR). Positions 0-2 keep the original constants so k=3 hashes
+    # (jaccard/minhash/simhash) are unchanged; positions ≥3 get mixed
+    # per-position odd multipliers.
+    base = [_P1, _P2, _P3]
+    muls = [base[i] if i < 3 else
+            np.uint64(_mix(np.array([i + 1], dtype=np.uint64) * _P3)[0] | np.uint64(1))
+            for i in range(k)]
+    parts = [h[i : len(h) - (k - 1) + i] * muls[i] for i in range(k)]
     sh = _mix(np.bitwise_xor.reduce(parts))
     same_doc = idx[: len(h) - (k - 1)] == idx[k - 1 :]
     sh = sh[same_doc]
