@@ -944,6 +944,46 @@ WHERE g.doc_id % {SAMPLE_MOD} < {CONTAM_EVAL_MIN}
 GROUP BY 1, 2
 """
 
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Gopher-rule repetition metrics (dup-trigram / top-bigram
+    fractions + flag) — stateless vectorized map_batches, all-integer
+    per-doc gram statistics (pipelines/analysis.py::RepetitionStats)."""
+    out = (A.repetition_stats(_docs_ds(sf_dir)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_bigrams": pa.array(out["n_bigrams"], pa.int64()),
+        "top_bigram_n": pa.array(out["top_bigram_n"], pa.int64()),
+        "n_trigrams": pa.array(out["n_trigrams"], pa.int64()),
+        "dup_trigram_n": pa.array(out["dup_trigram_n"], pa.int64()),
+        "flagged": pa.array(out["flagged"], pa.bool_()),
+    })
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+g AS (SELECT doc_id,
+        list_transform(generate_series(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bg,
+        list_transform(generate_series(1, len(toks)-2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+      FROM t WHERE len(toks) >= 3),
+bgc AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram_n
+        FROM (SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(bg) AS x FROM g) GROUP BY doc_id, x)
+        GROUP BY doc_id),
+tgc AS (SELECT doc_id, sum(c)::BIGINT AS n_trigrams,
+               (sum(c) - count(*))::BIGINT AS dup_trigram_n
+        FROM (SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(tg) AS x FROM g) GROUP BY doc_id, x)
+        GROUP BY doc_id)
+SELECT b.doc_id, b.n_bigrams, b.top_bigram_n, t.n_trigrams, t.dup_trigram_n,
+       ((b.top_bigram_n >= 2 AND b.top_bigram_n / b.n_bigrams > {A.TOP_BIGRAM_FRAC!r})
+        OR t.dup_trigram_n / t.n_trigrams > {A.DUP_TRIGRAM_FRAC!r}) AS flagged
+FROM bgc b JOIN tgc t USING (doc_id)
+"""
+
 N_TOP_TERMS = 20
 
 
@@ -3991,6 +4031,7 @@ def registry() -> tuple[dict, dict]:
         "lang_counts": lang_counts,
         "top_bigrams": top_bigrams,
         "benchmark_contamination": benchmark_contamination,
+        "repetition_stats": repetition_stats,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4034,6 +4075,7 @@ def registry() -> tuple[dict, dict]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "benchmark_contamination": CONTAMINATION_SQL,
+        "repetition_stats": REPETITION_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,

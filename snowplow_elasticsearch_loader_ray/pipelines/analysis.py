@@ -152,6 +152,89 @@ class Fingerprint:
         })
 
 
+#: Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: tokenizer): docs whose most frequent bigram exceeds this fraction of
+#: all bigrams, or whose duplicate-trigram fraction exceeds the second
+#: threshold, are repetition-flagged. Both ratios are exact int/int
+#: divisions so the DuckDB oracle evaluates identical doubles.
+TOP_BIGRAM_FRAC = 0.08
+DUP_TRIGRAM_FRAC = 0.01
+
+_RP1 = np.uint64(0x9E3779B97F4A7C15)
+_RP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_RP3 = np.uint64(0x165667B19E3779F9)
+
+
+def _gram_counts(h: np.ndarray, idx: np.ndarray, n_docs: int, k: int):
+    """(total grams, distinct grams, max gram count) per doc, vectorized.
+
+    All-integer: k-gram hashes (distinct multiplier per position) →
+    one lexsort by (doc, hash) → run-length boundaries give distinct
+    and top counts with bincount / maximum.at — no per-doc Python loop.
+    """
+    tot = np.zeros(n_docs, np.int64)
+    dis = np.zeros(n_docs, np.int64)
+    top = np.zeros(n_docs, np.int64)
+    if len(h) < k:
+        return tot, dis, top
+    muls = [_RP1, _RP2, _RP3][:k]
+    parts = [h[i: len(h) - (k - 1) + i] * muls[i] for i in range(k)]
+    g = np.bitwise_xor.reduce(parts)
+    g ^= g >> np.uint64(33)
+    g *= np.uint64(0xFF51AFD7ED558CCD)
+    same = idx[: len(h) - (k - 1)] == idx[k - 1:]
+    g, gdoc = g[same], idx[: len(h) - (k - 1)][same]
+    if not len(g):
+        return tot, dis, top
+    order = np.lexsort((g, gdoc))
+    g, gdoc = g[order], gdoc[order]
+    tot = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+    new_run = np.concatenate(([True], (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])))
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate((starts, [len(g)])))
+    run_doc = gdoc[starts]
+    dis = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+    np.maximum.at(top, run_doc, run_len)
+    return tot, dis, top
+
+
+class RepetitionStats:
+    """Gopher-style repetition metrics per doc (the web-corpus cleaning
+    rules of Rae et al. 2021): most-frequent-bigram fraction and
+    duplicate-trigram fraction, plus the combined flag.
+
+    Docs with fewer than 3 tokens carry no trigram and are excluded
+    (the oracle's ``WHERE len(toks) >= 3``).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        h = _hash_tokens(flat) if len(flat) else np.empty(0, np.uint64)
+        n_tok = np.bincount(idx, minlength=n).astype(np.int64)
+        bg_tot, _, bg_top = _gram_counts(h, idx, n, 2)
+        tg_tot, tg_dis, _ = _gram_counts(h, idx, n, 3)
+        keep = n_tok >= 3
+        dup_tg = tg_tot - tg_dis
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # a bigram seen once is not repetition, whatever its
+            # fraction of a short doc — the top-bigram rule needs an
+            # actual repeat (Gopher applies it to long web docs only)
+            flagged = (((bg_top >= 2) & (bg_top / bg_tot > TOP_BIGRAM_FRAC))
+                       | (dup_tg / tg_tot > DUP_TRIGRAM_FRAC))
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "n_bigrams": pa.array(bg_tot[keep]),
+            "top_bigram_n": pa.array(bg_top[keep]),
+            "n_trigrams": pa.array(tg_tot[keep]),
+            "dup_trigram_n": pa.array(dup_tg[keep]),
+            "flagged": pa.array(flagged[keep]),
+        })
+
+
+def repetition_stats(ds, concurrency=None):
+    return _apply(ds, RepetitionStats, concurrency)
+
+
 def _apply(ds, cls, concurrency):
     # concurrency=None → stateless tasks over a prebuilt instance (state
     # serialized once into the task closure); concurrency=N → actor pool

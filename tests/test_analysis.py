@@ -116,3 +116,28 @@ def test_hll_dataset_matches_exact(ray_session):
     est = hll_cardinality(ds, "v")
     exact = len(np.unique(vals))
     assert abs(est - exact) / exact < 0.03, (est, exact)
+
+
+def test_repetition_stats_planted():
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import RepetitionStats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "spam ham spam ham spam ham spam ham spam ham",  # one dominant bigram
+            "one two three four five six seven eight nine ten",  # clean
+            "x y z x y z x y z",                              # repeated trigram
+            "a b",                                            # <3 tokens: dropped
+        ]),
+    })
+    out = RepetitionStats()(t).to_pandas().set_index("doc_id")
+    assert 4 not in out.index
+    # doc 1: 9 bigrams, "spam ham" occurs 5 times -> flagged via top-bigram
+    assert out.loc[1, "n_bigrams"] == 9 and out.loc[1, "top_bigram_n"] == 5
+    assert bool(out.loc[1, "flagged"])
+    # doc 2: all bigrams distinct, no dup trigrams -> clean
+    assert out.loc[2, "top_bigram_n"] == 1 and out.loc[2, "dup_trigram_n"] == 0
+    assert not bool(out.loc[2, "flagged"])
+    # doc 3: 7 trigrams, 3 distinct -> 4 duplicates -> flagged
+    assert out.loc[3, "n_trigrams"] == 7 and out.loc[3, "dup_trigram_n"] == 4
+    assert bool(out.loc[3, "flagged"])
