@@ -945,6 +945,37 @@ GROUP BY 1, 2
 """
 
 
+def percolate_matches(sf_dir: str) -> pa.Table:
+    """ES percolator (reverse search): the DOC_QUERIES set is compiled
+    into an inverted term→query table, broadcast once, and every doc
+    streams through a shuffle-free counting matcher
+    (pipelines/percolate.py) — conjunctive semantics per query."""
+    from .pipelines import percolate as PERC
+
+    qset = [(qid, sorted(set(q.split()))) for qid, q in DOC_QUERIES]
+    out = (PERC.percolate(_docs_ds(sf_dir), qset).to_pandas()
+           .sort_values(["qid", "doc_id"]).reset_index(drop=True))
+    return pa.table({
+        "qid": pa.array(out["qid"], pa.int64()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+    })
+
+
+def _percolate_sql() -> str:
+    vals = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, q in DOC_QUERIES for t in sorted(set(q.split()))
+    )
+    return f"""
+WITH qt(qid, term) AS (VALUES {vals}),
+qn AS (SELECT qid, count(*) AS n FROM qt GROUP BY 1),
+dt AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term FROM documents),
+m AS (SELECT qt.qid, dt.doc_id, count(*) AS c FROM qt JOIN dt USING (term)
+      GROUP BY 1, 2)
+SELECT m.qid, m.doc_id FROM m JOIN qn USING (qid) WHERE m.c = qn.n
+"""
+
+
 def repetition_stats(sf_dir: str) -> pa.Table:
     """Gopher-rule repetition metrics (dup-trigram / top-bigram
     fractions + flag) — stateless vectorized map_batches, all-integer
@@ -4032,6 +4063,7 @@ def registry() -> tuple[dict, dict]:
         "top_bigrams": top_bigrams,
         "benchmark_contamination": benchmark_contamination,
         "repetition_stats": repetition_stats,
+        "percolate_matches": percolate_matches,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4076,6 +4108,7 @@ def registry() -> tuple[dict, dict]:
         "jaccard_pairs": JACCARD_PAIRS_SQL,
         "benchmark_contamination": CONTAMINATION_SQL,
         "repetition_stats": REPETITION_SQL,
+        "percolate_matches": _percolate_sql(),
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,
