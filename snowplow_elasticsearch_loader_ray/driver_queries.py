@@ -945,6 +945,39 @@ GROUP BY 1, 2
 """
 
 
+#: ES regexp-query pattern (whole-term match) and a wildcard pattern,
+#: expanded over the term dictionary through the SAME RE2 engine the
+#: DuckDB oracle uses
+REGEXP_PATTERN = "s.*|.*ow"
+WILDCARD_PATTERN = "b*h"
+
+
+def regexp_search(sf_dir: str) -> pa.Table:
+    """ES `regexp` query: RE2 dictionary expansion + postings union,
+    one bincount over ordinals (query.py::regexp_search)."""
+    from .pipelines.query import regexp_search as _rx
+
+    t = _rx(_reader(sf_dir), REGEXP_PATTERN)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def wildcard_search(sf_dir: str) -> pa.Table:
+    """ES `wildcard` query via the wildcard→regexp translation."""
+    from .pipelines.query import regexp_search as _rx, wildcard_to_regexp
+
+    t = _rx(_reader(sf_dir), wildcard_to_regexp(WILDCARD_PATTERN))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def _regexp_sql(pattern: str) -> str:
+    return f"""
+WITH dt AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_matched_terms
+FROM dt WHERE regexp_matches(term, '^(?:{pattern})$')
+GROUP BY 1
+"""
+
+
 def percolate_matches(sf_dir: str) -> pa.Table:
     """ES percolator (reverse search): the DOC_QUERIES set is compiled
     into an inverted term→query table, broadcast once, and every doc
@@ -4064,6 +4097,8 @@ def registry() -> tuple[dict, dict]:
         "benchmark_contamination": benchmark_contamination,
         "repetition_stats": repetition_stats,
         "percolate_matches": percolate_matches,
+        "regexp_search": regexp_search,
+        "wildcard_search": wildcard_search,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4109,6 +4144,8 @@ def registry() -> tuple[dict, dict]:
         "benchmark_contamination": CONTAMINATION_SQL,
         "repetition_stats": REPETITION_SQL,
         "percolate_matches": _percolate_sql(),
+        "regexp_search": _regexp_sql(REGEXP_PATTERN),
+        "wildcard_search": _regexp_sql("b.*h"),
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,

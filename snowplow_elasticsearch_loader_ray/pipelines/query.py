@@ -346,6 +346,56 @@ def prefix_match(reader: IndexReader, prefix: str) -> tuple[int, np.ndarray]:
     return len(terms), reader.dl_doc_ids[uniq].astype(np.int64)
 
 
+def expand_regexp(reader: IndexReader, pattern: str) -> list[str]:
+    """ES ``regexp`` query expansion: vocabulary terms whose WHOLE text
+    matches ``pattern`` (Lucene regexps are implicitly anchored).
+
+    The scan runs through pyarrow's RE2 kernel — the same regex engine
+    DuckDB uses — so the oracle's ``regexp_matches(term, '^(?:p)$')``
+    agrees exactly. Shards scan their own dictionary slice at web
+    vocab, same shape as ``expand_prefix``."""
+    import pyarrow.compute as pc
+
+    terms = sorted(reader.terms)
+    m = pc.match_substring_regex(pa.array(terms, pa.string()),
+                                 f"^(?:{pattern})$")
+    return [t for t, ok in zip(terms, m.to_pylist()) if ok]
+
+
+def wildcard_to_regexp(pattern: str) -> str:
+    """ES ``wildcard`` → regexp: ``*`` = any run, ``?`` = any char,
+    everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def regexp_search(reader: IndexReader, pattern: str) -> pa.Table:
+    """ES ``regexp`` query (constant-score rewrite): docs containing
+    ANY matching term, with the count of distinct matching terms each
+    doc contains. One postings decode per expanded term, one bincount
+    over ordinals — no corpus scan."""
+    terms = expand_regexp(reader, pattern)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_matched_terms": pa.array([], pa.int64())})
+    ords = np.concatenate(hits)
+    cnt = np.bincount(ords, minlength=len(reader.dl_doc_ids))
+    nz = np.flatnonzero(cnt)
+    return pa.table({
+        "doc_id": pa.array(reader.dl_doc_ids[nz].astype(np.int64)),
+        "n_matched_terms": pa.array(cnt[nz].astype(np.int64)),
+    })
+
+
 def _deletes1(term: str) -> set[str]:
     return {term[:i] + term[i + 1:] for i in range(len(term))}
 

@@ -290,3 +290,25 @@ def test_rescore_phrase_boost(built, tmp_path_factory):
         flags = [d in pids for d in d2.tolist()]
         # all phrase hits first, then the rest — no interleaving
         assert flags == sorted(flags, reverse=True), q
+
+
+def test_wildcard_to_regexp_translation():
+    from snowplow_elasticsearch_loader_ray.pipelines.query import wildcard_to_regexp
+
+    assert wildcard_to_regexp("b*h") == "b.*h"
+    assert wildcard_to_regexp("sc?n") == "sc.n"
+    assert wildcard_to_regexp("a.b") == "a\\.b"   # dot is literal in wildcards
+
+
+def test_regexp_search_counts_distinct_terms(built):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, expand_regexp, regexp_search)
+
+    r = IndexReader(built[1])
+    terms = expand_regexp(r, "s.*")
+    assert terms and all(t.startswith("s") for t in terms)
+    t = regexp_search(r, "s.*")
+    assert t.num_rows > 0
+    assert t["n_matched_terms"].to_numpy().max() <= len(terms)
+    # no-match pattern -> empty, not error
+    assert regexp_search(r, "zzzqqq.*").num_rows == 0
