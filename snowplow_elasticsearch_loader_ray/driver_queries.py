@@ -945,6 +945,38 @@ GROUP BY 1, 2
 """
 
 
+#: per-domain document cap (the C4/RefinedWeb anti-domination rule)
+DOMAIN_CAP = 12
+
+
+def domain_cap_sample(sf_dir: str) -> pa.Table:
+    """Per-domain cap: keep the first `DOMAIN_CAP` docs (doc_id order)
+    of every `source` domain — the web-corpus anti-domination rule.
+    A hash-shuffle groupby on the domain key + per-group vectorized
+    head; only (doc_id, source) rows move, never text. Skewed domains
+    at web scale: the groupby's hash partitioning spreads domains
+    across tasks; a single mega-domain still fits because only its
+    32-byte key rows shuffle."""
+    def head_k(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:DOMAIN_CAP]
+        return g.take(np.sort(keep))
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "source"])
+    out = (ds.groupby("source").map_groups(head_k, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "source": pa.array(out["source"], pa.string()),
+    })
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {DOMAIN_CAP}
+"""
+
+
 #: ES regexp-query pattern (whole-term match) and a wildcard pattern,
 #: expanded over the term dictionary through the SAME RE2 engine the
 #: DuckDB oracle uses
@@ -4099,6 +4131,7 @@ def registry() -> tuple[dict, dict]:
         "percolate_matches": percolate_matches,
         "regexp_search": regexp_search,
         "wildcard_search": wildcard_search,
+        "domain_cap_sample": domain_cap_sample,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4146,6 +4179,7 @@ def registry() -> tuple[dict, dict]:
         "percolate_matches": _percolate_sql(),
         "regexp_search": _regexp_sql(REGEXP_PATTERN),
         "wildcard_search": _regexp_sql("b.*h"),
+        "domain_cap_sample": DOMAIN_CAP_SQL,
         "dedup_survivors": DEDUP_SURVIVORS_SQL,
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,
