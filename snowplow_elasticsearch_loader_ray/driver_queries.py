@@ -2532,6 +2532,26 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {C
 """
 
 
+def semdedup_survivors(sf_dir: str) -> pa.Table:
+    """SemDeDup: embedding-space semantic dedup, greedy-by-id rule
+    (survivor iff no smaller-id vector within cosine threshold) —
+    pipelines/ann.py::semdedup_survivors."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ANN.semdedup_survivors(ds, threshold=COSINE_THRESHOLD)
+
+
+SEMDEDUP_SQL = f"""
+SELECT a.vec_id FROM embeddings a
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {COSINE_THRESHOLD}
+)
+"""
+
+
 def ivf_ann(sf_dir: str) -> pa.Table:
     qids, qmat = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -4132,6 +4152,7 @@ def registry() -> tuple[dict, dict]:
         "regexp_search": regexp_search,
         "wildcard_search": wildcard_search,
         "domain_cap_sample": domain_cap_sample,
+        "semdedup_survivors": semdedup_survivors,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4186,6 +4207,7 @@ def registry() -> tuple[dict, dict]:
         "bpe_token_counts": BPE_TOKEN_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "embedding_pairs": EMBEDDING_PAIRS_SQL,
+        "semdedup_survivors": SEMDEDUP_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,

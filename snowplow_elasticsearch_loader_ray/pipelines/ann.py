@@ -379,6 +379,36 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     return out.take(pa.array(idx))
 
 
+def semdedup_survivors(ds: ray.data.Dataset, threshold: float = 0.5,
+                       exact: bool = True) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space.
+
+    Greedy-by-id rule (deterministic + SQL-expressible): a vector
+    survives iff NO smaller-id vector lies within cosine ``threshold``
+    of it. The eliminated set is therefore exactly the distinct b-side
+    of the (a < b) dup-pair relation — no union-find closure needed —
+    so survivors fall out of the pair sweep with one np.isin.
+
+    ``exact=True`` uses the block-pair sweep (every pair examined once);
+    ``exact=False`` is the SemDeDup-at-scale protocol — LSH-bucketed
+    candidates (recall measured in tests), same elimination rule. The
+    eliminated-id set is near-dup-sized (small by construction in a
+    deduplicated corpus) and is the only thing the driver holds.
+    """
+    pairs = (embedding_dup_pairs(ds, threshold=threshold) if exact
+             else embedding_dup_pairs_lsh(ds, threshold=threshold))
+    eliminated = np.unique(pairs["vec_id_b"].to_numpy(zero_copy_only=False))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, eliminated)))
+
+    out = (ds.select_columns(["vec_id"])
+           .map_batches(keep, batch_format="pyarrow").to_pandas())
+    return pa.table({"vec_id": pa.array(
+        np.sort(out["vec_id"].to_numpy(np.int64)))})
+
+
 def embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
                             n_planes: int = 8, n_tables: int = 4,
                             seed: int = 42) -> pa.Table:

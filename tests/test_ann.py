@@ -164,3 +164,40 @@ def test_embedding_dup_pairs_lsh_subset_and_planted(emb_np):
     for x, y in [(1, 5), (2, 9)]:
         pair = (min(ids[x], ids[y]), max(ids[x], ids[y]))
         assert pair in a
+
+
+def test_semdedup_greedy_rule_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(5)
+    n, d = 80, 16
+    mat = rng.normal(size=(n, d))
+    mat[7] = mat[3] * 2.0 + rng.normal(scale=1e-3, size=d)   # near-dup of 3
+    mat[20] = mat[7] * 0.5                                    # chain: 3~7~20
+    mat[50] = -mat[4]                                         # anti-correlated: kept
+    import pyarrow as pa
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(r) for r in mat])}))
+    thr = 0.9
+    got = ANN.semdedup_survivors(ds, threshold=thr)["vec_id"].to_pylist()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = [int(ids[i]) for i in range(n)
+            if not any(cos[i, j] >= thr for j in range(i))]
+    assert got == want
+    assert int(ids[7]) not in got and int(ids[20]) not in got
+    assert int(ids[50]) in got
+
+
+def test_semdedup_lsh_eliminates_subset_of_exact(ray_session):
+    import pyarrow as pa
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(60, 16))
+    mat[11] = mat[2] * 1.5
+    ids = np.arange(60, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(r) for r in mat])}))
+    exact = set(ANN.semdedup_survivors(ds, threshold=0.9)["vec_id"].to_pylist())
+    lsh = set(ANN.semdedup_survivors(ds, threshold=0.9, exact=False)["vec_id"].to_pylist())
+    assert exact <= lsh   # LSH can only miss pairs -> eliminates fewer
