@@ -945,6 +945,149 @@ GROUP BY 1, 2
 """
 
 
+#: phrase-suggester input (ES `phrase` suggester / did-you-mean): two
+#: misspelled tokens + one exact token over the fixture vocabulary
+SUGGEST_PHRASE_Q = "slo quary data"
+
+
+def suggest_phrase(sf_dir: str) -> pa.Table:
+    """ES `phrase` suggester: per-token fuzzy candidates (edit
+    distance ≤ 1 via the delete-1 index) scored as a bigram language
+    model over the corpus. Candidate bigrams are a tiny broadcast set;
+    their corpus counts come from the same partial-count + groupby
+    plan as `top_bigrams` but FILTERED per batch to the candidate set,
+    so the shuffle carries only candidate rows. One row per adjacent
+    query position: the best (count desc, words asc) correction."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+    from .pipelines.query import fuzzy_expand
+
+    toks = SUGGEST_PHRASE_Q.split()
+    cands = [fuzzy_expand(_reader(sf_dir), t) for t in toks]
+    pos_pairs = [[(a, b) for a in cands[i] for b in cands[i + 1]]
+                 for i in range(len(toks) - 1)]
+    union = sorted({f"{a} {b}" for pp in pos_pairs for a, b in pp})
+    union_arr = pa.array(union, pa.string())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(batch["text"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        t = np.asarray(flat.to_pylist(), dtype=object)
+        rows = idx.to_numpy(zero_copy_only=False)
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(t) < 2:
+            return empty
+        same = rows[1:] == rows[:-1]
+        pairs = np.char.add(np.char.add(t[:-1].astype(str), " "),
+                            t[1:].astype(str))[same]
+        keep = pc.is_in(pa.array(pairs.tolist(), pa.string()),
+                        value_set=union_arr).to_numpy(zero_copy_only=False)
+        u, c = np.unique(pairs[keep], return_counts=True)
+        return pa.table({"bigram": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    counted = (
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lut = dict(zip(counted["bigram"], counted["n"]))
+    out = {"pos": [], "w1": [], "w2": [], "n": []}
+    for i, pp in enumerate(pos_pairs):
+        scored = sorted(((-(lut.get(f"{a} {b}", 0)), a, b) for a, b in pp))
+        if not scored:
+            continue
+        neg_n, a, b = scored[0]
+        out["pos"].append(i)
+        out["w1"].append(a)
+        out["w2"].append(b)
+        out["n"].append(-neg_n)
+    return pa.table({
+        "pos": pa.array(out["pos"], pa.int64()),
+        "w1": pa.array(out["w1"], pa.string()),
+        "w2": pa.array(out["w2"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+def _suggest_phrase_sql() -> str:
+    toks = SUGGEST_PHRASE_Q.split()
+    pos_sql = []
+    for i in range(len(toks) - 1):
+        pos_sql.append(f"""
+(SELECT {i} AS pos, c1.term AS w1, c2.term AS w2, coalesce(bg.n, 0) AS n
+ FROM (SELECT term FROM vocab WHERE levenshtein(term, '{toks[i]}') <= 1) c1
+ CROSS JOIN (SELECT term FROM vocab WHERE levenshtein(term, '{toks[i + 1]}') <= 1) c2
+ LEFT JOIN bg ON bg.b = c1.term || ' ' || c2.term
+ ORDER BY n DESC, w1, w2 LIMIT 1)""")
+    return f"""
+WITH toks AS (SELECT {TOK_SQL} AS t FROM documents),
+bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS b, count(*)::BIGINT AS n
+  FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS g(i)
+  GROUP BY 1
+),
+vocab AS (SELECT DISTINCT unnest(t) AS term FROM toks)
+{" UNION ALL ".join(pos_sql)}
+"""
+
+
+#: composite-aggregation page size (ES `composite` agg `size`)
+COMPOSITE_SIZE = 8
+
+
+def composite_agg_page(sf_dir: str) -> pa.Table:
+    """ES `composite` aggregation with `after`-key paging over the
+    (lang, source) key tuple: page 1 establishes the after-key, page 2
+    re-runs with the key predicate PUSHED BELOW the groupby (rows
+    outside the page's key range never enter the shuffle — the reason
+    composite paging scales where deep terms-agg paging doesn't).
+    Returns page 2."""
+    from ray.data.aggregate import Count, Sum
+
+    def buckets(ds) -> pa.Table:
+        t = (ds.groupby(["lang", "source"])
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_chars", alias_name="sum_chars"))
+             .to_pandas())
+        t = t.sort_values(["lang", "source"]).reset_index(drop=True)
+        return pa.table({
+            "lang": pa.array(t["lang"], pa.string()),
+            "source": pa.array(t["source"], pa.string()),
+            "n_docs": pa.array(t["n_docs"], pa.int64()),
+            "sum_chars": pa.array(t["sum_chars"], pa.int64()),
+        })
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=cols)
+    page1 = buckets(ds).slice(0, COMPOSITE_SIZE)
+    a_lang = page1["lang"][-1].as_py()
+    a_src = page1["source"][-1].as_py()
+
+    def after_filter(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((lang > a_lang) | ((lang == a_lang) & (src > a_src))))
+
+    ds2 = ray.data.read_parquet(_docs_path(sf_dir), columns=cols) \
+        .map_batches(after_filter, batch_format="pyarrow")
+    return buckets(ds2).slice(0, COMPOSITE_SIZE)
+
+
+COMPOSITE_AGG_SQL = f"""
+WITH b AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+                  sum(n_chars)::BIGINT AS sum_chars
+           FROM documents GROUP BY 1, 2),
+o AS (SELECT *, row_number() OVER (ORDER BY lang, source) AS rn FROM b)
+SELECT lang, source, n_docs, sum_chars FROM o
+WHERE rn > {COMPOSITE_SIZE} AND rn <= {2 * COMPOSITE_SIZE}
+"""
+
+
 #: per-domain document cap (the C4/RefinedWeb anti-domination rule)
 DOMAIN_CAP = 12
 
@@ -4153,6 +4296,8 @@ def registry() -> tuple[dict, dict]:
         "wildcard_search": wildcard_search,
         "domain_cap_sample": domain_cap_sample,
         "semdedup_survivors": semdedup_survivors,
+        "composite_agg_page": composite_agg_page,
+        "suggest_phrase": suggest_phrase,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4208,6 +4353,8 @@ def registry() -> tuple[dict, dict]:
         "ann_topk": ANN_TOPK_SQL,
         "embedding_pairs": EMBEDDING_PAIRS_SQL,
         "semdedup_survivors": SEMDEDUP_SQL,
+        "composite_agg_page": COMPOSITE_AGG_SQL,
+        "suggest_phrase": _suggest_phrase_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
