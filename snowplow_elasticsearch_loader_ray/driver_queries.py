@@ -2661,6 +2661,60 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: reciprocal-rank-fusion constant (ES 8 `rrf` retriever default)
+RRF_K = 60
+
+
+def hybrid_rrf_topk(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (ES 8 `rrf` retriever): the BM25 lexical leg
+    (DOC_QUERIES[qid]) and the vector leg (cosine top-k for the
+    embedding of vec_id == qid; vec_id ≡ doc_id in the fixtures) fuse
+    by reciprocal rank: score = Σ 1/(RRF_K + rank_leg), absent leg
+    contributes 0. Both legs are the existing distributed pipelines —
+    fusion itself is rank-list-sized (k × queries rows) and runs on
+    the driver, as rank fusion always does."""
+    qn = N_ANN_QUERIES
+    lex = bm25_topk(sf_dir).to_pandas()
+    lex = lex[lex["qid"] < qn].rename(columns={"rank": "r_lex"})
+    vec = ann_topk(sf_dir).to_pandas().rename(
+        columns={"query_id": "qid", "vec_id": "doc_id", "rank": "r_vec"})
+    m = lex.merge(vec, on=["qid", "doc_id"], how="outer")
+    r_lex = m["r_lex"].to_numpy(np.float64)
+    r_vec = m["r_vec"].to_numpy(np.float64)
+    # fixed operand order (lex + vec) so the oracle's coalesce(..) +
+    # coalesce(..) evaluates the identical double
+    rrf = (np.where(np.isnan(r_lex), 0.0, 1.0 / (RRF_K + r_lex))
+           + np.where(np.isnan(r_vec), 0.0, 1.0 / (RRF_K + r_vec)))
+    m = m.assign(rrf=rrf).sort_values(
+        ["qid", "rrf", "doc_id"], ascending=[True, False, True])
+    m["rank"] = m.groupby("qid").cumcount() + 1
+    m = m[m["rank"] <= TOPK]
+    return pa.table({
+        "qid": pa.array(m["qid"].to_numpy(np.int64)),
+        "rank": pa.array(m["rank"].to_numpy(np.int64)),
+        "doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+    })
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+WITH lex AS (SELECT qid, rank, doc_id FROM ({_bm25_sql()}) WHERE qid < {N_ANN_QUERIES}),
+vec AS (SELECT query_id AS qid, rank, vec_id AS doc_id FROM ({ANN_TOPK_SQL})),
+u AS (SELECT qid, doc_id FROM lex UNION SELECT qid, doc_id FROM vec),
+sc AS (
+  SELECT u.qid, u.doc_id,
+         coalesce(1.0 / ({RRF_K} + l.rank), 0) + coalesce(1.0 / ({RRF_K} + v.rank), 0) AS rrf
+  FROM u
+  LEFT JOIN lex l ON l.qid = u.qid AND l.doc_id = u.doc_id
+  LEFT JOIN vec v ON v.qid = u.qid AND v.doc_id = u.doc_id
+),
+r AS (SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+      FROM sc)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM r WHERE rank <= {TOPK}
+"""
+
+
 def embedding_pairs(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
@@ -4298,6 +4352,7 @@ def registry() -> tuple[dict, dict]:
         "semdedup_survivors": semdedup_survivors,
         "composite_agg_page": composite_agg_page,
         "suggest_phrase": suggest_phrase,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4355,6 +4410,7 @@ def registry() -> tuple[dict, dict]:
         "semdedup_survivors": SEMDEDUP_SQL,
         "composite_agg_page": COMPOSITE_AGG_SQL,
         "suggest_phrase": _suggest_phrase_sql(),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
