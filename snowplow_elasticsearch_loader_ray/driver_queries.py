@@ -2661,8 +2661,58 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def heavy_hitter_terms(sf_dir: str) -> pa.Table:
+    """Approximate top terms via the mergeable Misra-Gries sketch
+    (analysis.py::heavy_hitters) — the index-free scale path beside the
+    exact `top_terms`. Engine-defined estimates → rows-only here; the
+    N/(k+1) error bound and heavy-term completeness are pytest-pinned
+    against exact counts (test_analysis.py)."""
+    t, _bound = A.heavy_hitters(
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["text"]))
+    return t
+
+
 #: reciprocal-rank-fusion constant (ES 8 `rrf` retriever default)
 RRF_K = 60
+
+#: filtered-kNN predicate (ES `knn` + `filter`): embeddings.label value
+KNN_FILTER_LABEL = 3
+
+
+def ann_topk_filtered(sf_dir: str) -> pa.Table:
+    """ES `knn` with metadata filter: cosine top-k among vectors with
+    label == KNN_FILTER_LABEL only (pre-filter semantics — failing
+    candidates are never scored; ann.py::ann_topk_filtered)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding", "label"])
+    out = ANN.ann_topk_filtered(ds, qmat, "label", KNN_FILTER_LABEL, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)], pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 9) AS sim
+  FROM embeddings e, q
+  WHERE e.label = {KNN_FILTER_LABEL}
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def hybrid_rrf_topk(sf_dir: str) -> pa.Table:
@@ -4353,6 +4403,7 @@ def registry() -> tuple[dict, dict]:
         "composite_agg_page": composite_agg_page,
         "suggest_phrase": suggest_phrase,
         "hybrid_rrf_topk": hybrid_rrf_topk,
+        "ann_topk_filtered": ann_topk_filtered,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4363,6 +4414,7 @@ def registry() -> tuple[dict, dict]:
         "lsh_ann_topk": lsh_ann,
         "ivf_ann_topk": ivf_ann,
         "hll_users": hll_users,
+        "heavy_hitter_terms": heavy_hitter_terms,
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
@@ -4411,6 +4463,7 @@ def registry() -> tuple[dict, dict]:
         "composite_agg_page": COMPOSITE_AGG_SQL,
         "suggest_phrase": _suggest_phrase_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "ann_topk_filtered": ANN_FILTERED_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,

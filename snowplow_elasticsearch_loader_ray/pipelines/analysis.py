@@ -235,6 +235,87 @@ def repetition_stats(ds, concurrency=None):
     return _apply(ds, RepetitionStats, concurrency)
 
 
+#: Misra-Gries counter budget (heavy-hitters sketch width)
+MG_K = 64
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Compress exact (term, count) pairs to ≤ k Misra-Gries counters:
+    subtract the (k+1)-th largest count from every counter and drop the
+    non-positive — the summary underestimates each kept term by at most
+    the subtracted total and never overestimates."""
+    if len(terms) <= k:
+        return terms, counts
+    thr = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    est = counts - thr
+    keep = est > 0
+    return terms[keep], est[keep]
+
+
+class _MGBlock:
+    """One block → its ≤ MG_K-counter summary + the block token total
+    (the error-budget numerator rides with every summary row)."""
+
+    def __init__(self, k: int = MG_K):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, _idx, _n = _flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64()),
+                             "block_tokens": pa.array([], pa.int64())})
+        t = np.asarray(flat.to_pylist(), dtype=object)
+        u, c = np.unique(t, return_counts=True)
+        u, c = _mg_compress(u, c.astype(np.int64), self.k)
+        if len(u) == 0:
+            # compress can zero out a block of all-equal counts; its
+            # token total must still reach the error budget — ship an
+            # est=0 sentinel (dropped by the final compress)
+            return pa.table({"term": pa.array([""], pa.string()),
+                             "est": pa.array([0], pa.int64()),
+                             "block_tokens": pa.array([t.size], pa.int64())})
+        # the block token total rides on the FIRST summary row only
+        # (zeros elsewhere), so the driver's n_total is a plain sum
+        bt = np.zeros(len(u), dtype=np.int64)
+        bt[0] = t.size
+        return pa.table({
+            "term": pa.array(u.tolist(), pa.string()),
+            "est": pa.array(c, pa.int64()),
+            "block_tokens": pa.array(bt),
+        })
+
+
+def heavy_hitters(ds, k: int = MG_K, top: int = 15) -> tuple[pa.Table, int]:
+    """Distributed heavy hitters (Misra-Gries / space-saving):
+    per-block summaries (≤ k counters each — the only thing that
+    leaves a task), merged by summing matching counters and
+    re-compressing, giving the classic mergeable guarantee: every term
+    with true count > N/(k+1) survives, with underestimate ≤ N/(k+1)
+    and NO overestimate. Returns (top rows sorted est desc / term asc,
+    error_bound = N // (k+1)).
+
+    The merge input is blocks × k rows regardless of corpus size —
+    the sketch is what makes "top terms over 100 TB" a driver-sized
+    reduction instead of a vocabulary-wide shuffle (the exact
+    `top_terms` groupby is the other path when the index exists).
+    """
+    import pandas as pd
+
+    parts = ds.map_batches(_MGBlock(k), batch_format="pyarrow").to_pandas()
+    n_total = int(parts["block_tokens"].sum()) if len(parts) else 0
+    merged = parts.groupby("term", as_index=False)["est"].sum()
+    u, c = _mg_compress(merged["term"].to_numpy(object),
+                        merged["est"].to_numpy(np.int64), k)
+    out = (pd.DataFrame({"term": u, "est": c})
+           .query("est > 0")
+           .sort_values(["est", "term"], ascending=[False, True])
+           .head(top).reset_index(drop=True))
+    bound = n_total // (k + 1)
+    return pa.table({"term": pa.array(out["term"], pa.string()),
+                     "est": pa.array(out["est"], pa.int64())}), bound
+
+
 def _apply(ds, cls, concurrency):
     # concurrency=None → stateless tasks over a prebuilt instance (state
     # serialized once into the task closure); concurrency=N → actor pool

@@ -104,6 +104,23 @@ def ann_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10) -> pa.Table
     ), k)
 
 
+def ann_topk_filtered(ds: ray.data.Dataset, queries: np.ndarray,
+                      filter_col: str, filter_value, k: int = 10) -> pa.Table:
+    """ES ``knn`` with ``filter``: exact cosine top-k restricted to the
+    vectors whose ``filter_col`` equals ``filter_value`` — PRE-filter
+    semantics (candidates that fail the predicate are never scored),
+    matching ES's filtered-kNN contract. The predicate applies inside
+    each batch before the matmul, so non-matching vectors don't even
+    normalize; everything else is the broadcast-query top-k plan."""
+    import pyarrow.compute as pc
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b[filter_col], filter_value)) \
+                .select(["vec_id", "embedding"])
+
+    return ann_topk(ds.map_batches(pre, batch_format="pyarrow"), queries, k)
+
+
 # --------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # --------------------------------------------------------------------------

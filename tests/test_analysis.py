@@ -141,3 +141,39 @@ def test_repetition_stats_planted():
     # doc 3: 7 trigrams, 3 distinct -> 4 duplicates -> flagged
     assert out.loc[3, "n_trigrams"] == 7 and out.loc[3, "dup_trigram_n"] == 4
     assert bool(out.loc[3, "flagged"])
+
+
+def test_misra_gries_guarantees(ray_session):
+    import ray
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import heavy_hitters
+
+    docs = pa.table({"text": pa.array(
+        ["alpha beta " * 30 + "tail%d tail%d " % (i, i + 1) for i in range(50)])})
+    ds = ray.data.from_arrow(docs).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=7)
+    k = 8
+    got, bound = heavy_hitters(ds, k=k, top=10)
+    est = dict(zip(got["term"].to_pylist(), got["est"].to_pylist()))
+    # exact truth
+    toks = " ".join(docs["text"].to_pylist()).split()
+    import collections
+    true = collections.Counter(toks)
+    n = len(toks)
+    assert bound == n // (k + 1)
+    for term, e in est.items():
+        assert e <= true[term]                       # never overestimates
+        assert true[term] - e <= bound               # bounded underestimate
+    # every true heavy hitter (> bound) is present
+    for term, c in true.items():
+        if c > bound:
+            assert term in est, term
+
+
+def test_heavy_hitters_on_driver_docs(ray_session):
+    import ray
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import heavy_hitters
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["text"])
+    got, bound = heavy_hitters(ds, k=64, top=15)
+    assert got.num_rows == 15 and bound >= 0
