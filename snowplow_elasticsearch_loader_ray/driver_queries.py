@@ -2661,6 +2661,56 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: reindex-with-transform parameters (ES `_reindex` + query + script)
+REINDEX_MIN_TOKENS = 30
+REINDEX_TRUNCATE = 20
+
+
+def reindex_transformed_terms(sf_dir: str) -> pa.Table:
+    """ES `_reindex` with a query filter and a script transform: docs
+    with ≥ REINDEX_MIN_TOKENS tokens are re-indexed with their text
+    truncated to the first REINDEX_TRUNCATE tokens (the script), into a
+    NEW index through the normal build pipeline (source → map_batches
+    transform → parquet → build_index, resumable like any build).
+    Returns the new index's term statistics."""
+    from .tokenizer import tokenize_to_terms
+
+    def transform(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        rows = idx.to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        counts = np.bincount(rows, minlength=n)
+        keep = counts >= REINDEX_MIN_TOKENS
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        texts = [" ".join(toks[starts[i]: starts[i] + REINDEX_TRUNCATE])
+                 for i in np.flatnonzero(keep)]
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    base = _index_dir(sf_dir)
+    src_dir = os.path.join(os.path.dirname(base), "reindex_src")
+    out_dir = os.path.join(os.path.dirname(base), "reindex_index")
+    if not os.path.exists(os.path.join(src_dir, "_done")):
+        (_docs_ds(sf_dir).map_batches(transform, batch_format="pyarrow")
+         .write_parquet(src_dir))
+        open(os.path.join(src_dir, "_done"), "w").close()
+    B.build_index(src_dir, out_dir, CFG)
+    return IndexReader(out_dir).term_stats_table()
+
+
+REINDEX_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+f AS (SELECT doc_id, toks[1:{REINDEX_TRUNCATE}] AS tt FROM t
+      WHERE len(toks) >= {REINDEX_MIN_TOKENS}),
+tok AS (SELECT doc_id, unnest(tt) AS term FROM f)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok GROUP BY term ORDER BY term
+"""
+
+
 def heavy_hitter_terms(sf_dir: str) -> pa.Table:
     """Approximate top terms via the mergeable Misra-Gries sketch
     (analysis.py::heavy_hitters) — the index-free scale path beside the
@@ -4404,6 +4454,7 @@ def registry() -> tuple[dict, dict]:
         "suggest_phrase": suggest_phrase,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_topk_filtered": ann_topk_filtered,
+        "reindex_transformed_terms": reindex_transformed_terms,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4464,6 +4515,7 @@ def registry() -> tuple[dict, dict]:
         "suggest_phrase": _suggest_phrase_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "ann_topk_filtered": ANN_FILTERED_SQL,
+        "reindex_transformed_terms": REINDEX_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
