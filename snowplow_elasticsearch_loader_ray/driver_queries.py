@@ -971,23 +971,26 @@ def suggest_phrase(sf_dir: str) -> pa.Table:
     union_arr = pa.array(union, pa.string())
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # all-Arrow hot path: bigram strings via binary_join, candidate
+        # filter via is_in, counts via value_counts — no Python-object
+        # token materialization
         flat, idx = tokenize_to_terms(batch["text"])
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        t = np.asarray(flat.to_pylist(), dtype=object)
         rows = idx.to_numpy(zero_copy_only=False)
         empty = pa.table({"bigram": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
-        if len(t) < 2:
+        if len(flat) < 2:
             return empty
-        same = rows[1:] == rows[:-1]
-        pairs = np.char.add(np.char.add(t[:-1].astype(str), " "),
-                            t[1:].astype(str))[same]
-        keep = pc.is_in(pa.array(pairs.tolist(), pa.string()),
-                        value_set=union_arr).to_numpy(zero_copy_only=False)
-        u, c = np.unique(pairs[keep], return_counts=True)
-        return pa.table({"bigram": pa.array(u.tolist(), pa.string()),
-                         "n": pa.array(c, pa.int64())})
+        same = pa.array(rows[1:] == rows[:-1])
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        keep = pc.and_(same, pc.is_in(pairs, value_set=union_arr))
+        vc = pc.value_counts(pairs.filter(keep))
+        return pa.table({
+            "bigram": pc.cast(vc.field("values"), pa.string()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
 
     counted = (
         ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])

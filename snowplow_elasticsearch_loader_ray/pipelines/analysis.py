@@ -261,24 +261,36 @@ class _MGBlock:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, _idx, _n = _flat_tokens(batch["text"])
-        if len(flat) == 0:
+        n_tokens = len(flat)
+        if n_tokens == 0:
             return pa.table({"term": pa.array([], pa.string()),
                              "est": pa.array([], pa.int64()),
                              "block_tokens": pa.array([], pa.int64())})
-        t = np.asarray(flat.to_pylist(), dtype=object)
-        u, c = np.unique(t, return_counts=True)
-        u, c = _mg_compress(u, c.astype(np.int64), self.k)
+        # exact block counts via the Arrow kernel — no Python-object
+        # token materialization; only the <= k KEPT terms cross to
+        # Python (compress runs on the counts array alone)
+        vc = pc.value_counts(flat)
+        c_all = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c_all) > self.k:
+            thr = np.partition(c_all, len(c_all) - self.k - 1)[len(c_all) - self.k - 1]
+            keep_idx = np.flatnonzero(c_all - thr > 0)
+            c = c_all[keep_idx] - thr
+        else:
+            keep_idx = np.arange(len(c_all))
+            c = c_all
+        u = np.asarray(vc.field("values").take(pa.array(keep_idx)).to_pylist(),
+                       dtype=object)
         if len(u) == 0:
             # compress can zero out a block of all-equal counts; its
             # token total must still reach the error budget — ship an
             # est=0 sentinel (dropped by the final compress)
             return pa.table({"term": pa.array([""], pa.string()),
                              "est": pa.array([0], pa.int64()),
-                             "block_tokens": pa.array([t.size], pa.int64())})
+                             "block_tokens": pa.array([n_tokens], pa.int64())})
         # the block token total rides on the FIRST summary row only
         # (zeros elsewhere), so the driver's n_total is a plain sum
         bt = np.zeros(len(u), dtype=np.int64)
-        bt[0] = t.size
+        bt[0] = n_tokens
         return pa.table({
             "term": pa.array(u.tolist(), pa.string()),
             "est": pa.array(c, pa.int64()),
