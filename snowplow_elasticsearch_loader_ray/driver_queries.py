@@ -3522,6 +3522,116 @@ FROM events GROUP BY 1, 2
 """
 
 
+def unigram_lm_scores(sf_dir: str) -> pa.Table:
+    """CCNet-style language-model quality score: per doc, the summed
+    log unigram probability of its tokens under the corpus unigram LM.
+
+    Exactness: each token contributes floor(1e6·(ln cf − ln N)) —
+    an INTEGER micro-nat — so the per-doc sum is order-free and the
+    oracle replays it bit-for-bit (ln parity engine↔DuckDB is already
+    load-bearing in the BM25 oracle). The LM table comes straight from
+    the index's term statistics (cf column) — no corpus rescan; it is
+    broadcast once and each batch scores via one `index_in` gather +
+    one weighted bincount (at web vocab the LM table shards with the
+    term dictionary and the gather runs per shard)."""
+    ts = _reader(sf_dir).term_stats_table()
+    st = B.index_stats(_ensure_index(sf_dir))
+    n_total = float(st["total_tokens"])
+    micro = np.floor(
+        1e6 * (np.log(ts["cf"].to_numpy(zero_copy_only=False).astype(np.float64))
+               - np.log(n_total))).astype(np.int64)
+    lm_ref = ray.put((ts["term"].combine_chunks(), micro))
+
+    from .tokenizer import tokenize_to_terms
+
+    class _Score:
+        def __init__(self):
+            self.terms, self.micro = ray.get(lm_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, idx_arr = tokenize_to_terms(b["text"])
+            n = b.num_rows
+            idx = idx_arr.to_numpy(zero_copy_only=False)
+            code = pc.index_in(flat, value_set=self.terms) \
+                .to_numpy(zero_copy_only=False)
+            m = self.micro[code]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(np.bincount(idx, minlength=n).astype(np.int64)),
+                "lm_micro": pa.array(
+                    np.bincount(idx, weights=m, minlength=n).astype(np.int64)),
+            })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(_Score, batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    nt = out["n_tokens"].to_numpy(np.int64)
+    lm = out["lm_micro"].to_numpy(np.int64)
+    avg = np.divide(lm.astype(np.float64), nt.astype(np.float64),
+                    out=np.zeros(len(out)), where=nt > 0)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_tokens": pa.array(nt),
+        "lm_micro": pa.array(lm),
+        "avg_micro": pa.array(avg, pa.float64()),
+    })
+
+
+UNIGRAM_LM_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nt FROM tok),
+per AS (SELECT t.doc_id,
+               floor(1e6 * (ln(cf.c) - ln(n.nt)))::BIGINT AS m
+        FROM tok t JOIN cf USING (term) CROSS JOIN n),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(m)::BIGINT AS lm_micro
+        FROM per GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.lm_micro, 0) AS lm_micro,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN a.lm_micro / a.n_tokens ELSE 0.0 END AS avg_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def histogram_pipeline_aggs(sf_dir: str) -> pa.Table:
+    """ES pipeline aggregations over the date histogram:
+    `cumulative_sum`, `derivative` (first bucket derives against 0 —
+    documented deviation from ES's null), and `moving_fn` 3-bucket
+    trailing sum. The histogram itself is the distributed partial-count
+    plan; the pipeline pass runs over the bucket table on the driver —
+    exactly where ES's coordinating node computes pipeline aggs
+    (bucket-sized input by construction). All integer arithmetic."""
+    h = events_date_histogram(sf_dir).to_pandas() \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    g = h.groupby("event_type")["n"]
+    h["cum_n"] = g.cumsum()
+    h["delta"] = h["n"] - g.shift(1, fill_value=0)
+    h["mov3_sum"] = g.rolling(3, min_periods=1).sum() \
+        .reset_index(level=0, drop=True).astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(h["event_type"], pa.string()),
+        "day": pa.array(h["day"], pa.string()),
+        "n": pa.array(h["n"], pa.int64()),
+        "cum_n": pa.array(h["cum_n"], pa.int64()),
+        "delta": pa.array(h["delta"], pa.int64()),
+        "mov3_sum": pa.array(h["mov3_sum"], pa.int64()),
+    })
+
+
+HISTOGRAM_PIPELINE_SQL = """
+WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day, n,
+       (sum(n) OVER (PARTITION BY event_type ORDER BY day))::BIGINT AS cum_n,
+       (n - lag(n, 1, 0) OVER (PARTITION BY event_type ORDER BY day))::BIGINT AS delta,
+       (sum(n) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS mov3_sum
+FROM h
+"""
+
+
 def lang_counts(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["lang"])
     out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
@@ -4458,6 +4568,8 @@ def registry() -> tuple[dict, dict]:
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_topk_filtered": ann_topk_filtered,
         "reindex_transformed_terms": reindex_transformed_terms,
+        "histogram_pipeline_aggs": histogram_pipeline_aggs,
+        "unigram_lm_scores": unigram_lm_scores,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4519,6 +4631,8 @@ def registry() -> tuple[dict, dict]:
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "ann_topk_filtered": ANN_FILTERED_SQL,
         "reindex_transformed_terms": REINDEX_SQL,
+        "histogram_pipeline_aggs": HISTOGRAM_PIPELINE_SQL,
+        "unigram_lm_scores": UNIGRAM_LM_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
