@@ -3522,6 +3522,116 @@ FROM events GROUP BY 1, 2
 """
 
 
+def collapse_repeats_stats(sf_dir: str) -> pa.Table:
+    """Web-text normalization: collapse runs of the SAME adjacent token
+    ("buy buy buy" → "buy", the boilerplate-stutter cleanup). Stats per
+    doc: token count, adjacent-duplicate pairs collapsed, resulting
+    count. One Arrow equality over shifted slices + two bincounts per
+    batch — no regex (backreferences don't exist in RE2), no Python
+    loop."""
+    from .tokenizer import tokenize_to_terms
+
+    def stats(b: pa.Table) -> pa.Table:
+        flat, idx_arr = tokenize_to_terms(b["text"])
+        n = b.num_rows
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(idx, minlength=n).astype(np.int64)
+        if len(flat) > 1:
+            eq = pc.equal(flat.slice(0, len(flat) - 1), flat.slice(1)) \
+                .to_numpy(zero_copy_only=False)
+            same = idx[1:] == idx[:-1]
+            dup = np.bincount(idx[1:][eq & same], minlength=n).astype(np.int64)
+        else:
+            dup = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_collapsed": pa.array(dup),
+            "n_after": pa.array(n_tok - dup),
+        })
+
+    out = (_docs_ds(sf_dir).map_batches(stats, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        "n_collapsed": pa.array(out["n_collapsed"], pa.int64()),
+        "n_after": pa.array(out["n_after"], pa.int64()),
+    })
+
+
+COLLAPSE_REPEATS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+p AS (SELECT doc_id, len(toks) AS n,
+             len(list_filter(generate_series(2, len(toks)),
+                             i -> toks[i] = toks[i-1])) AS dups
+      FROM t)
+SELECT doc_id, n::BIGINT AS n_tokens, dups::BIGINT AS n_collapsed,
+       (n - dups)::BIGINT AS n_after
+FROM p
+"""
+
+
+#: named filters for the filters / adjacency_matrix aggregations —
+#: each is a conjunctive term filter resolved from the postings
+ADJ_FILTERS: list[tuple[str, str]] = [
+    ("hot", "fast"), ("cold", "slow"), ("tabular", "table"),
+    ("keyed", "hash key"), ("stream", "stream"),
+]
+
+
+def adjacency_matrix_agg(sf_dir: str) -> pa.Table:
+    """ES `adjacency_matrix` aggregation (and its `filters` diagonal):
+    each named filter resolves to a match-set of ordinals straight from
+    the postings (one decode per term — no corpus scan), and every
+    filter pair intersects via one sorted `np.intersect1d`. Emits the
+    n_filters + C(n,2) buckets with nonzero counts, ES's key format
+    (`a`, `a&b`). Match sets stay ordinal arrays; nothing is
+    re-tokenized."""
+    from .pipelines.query import boolean_and as _and
+
+    r = _reader(sf_dir)
+    sets = [(name, _and(r, q)) for name, q in ADJ_FILTERS]
+    # boolean_and returns external doc ids (sorted); intersections work
+    # on them directly
+    keys, counts = [], []
+    for i, (na, da) in enumerate(sets):
+        if len(da):
+            keys.append(na)
+            counts.append(len(da))
+        for nb, db in sets[i + 1:]:
+            inter = np.intersect1d(da, db, assume_unique=True)
+            if len(inter):
+                keys.append(f"{na}&{nb}")
+                counts.append(len(inter))
+    return pa.table({
+        "key": pa.array(keys, pa.string()),
+        "n_docs": pa.array(counts, pa.int64()),
+    })
+
+
+def _adjacency_sql() -> str:
+    sets = []
+    for name, q in ADJ_FILTERS:
+        terms = sorted(set(q.split()))
+        conds = " AND ".join(
+            f"list_contains({TOK_SQL}, '{t}')" for t in terms)
+        sets.append((name, f"SELECT doc_id FROM documents WHERE {conds}"))
+    singles = [
+        f"SELECT '{n}' AS key, count(*)::BIGINT AS n_docs FROM ({s})"
+        for n, s in sets
+    ]
+    pairs = [
+        f"SELECT '{na}&{nb}' AS key, count(*)::BIGINT AS n_docs "
+        f"FROM ({sa}) x JOIN ({sb}) y USING (doc_id)"
+        for i, (na, sa) in enumerate(sets)
+        for nb, sb in [(n, s) for n, s in sets[i + 1:]]
+    ]
+    return ("SELECT key, n_docs FROM (" +
+            " UNION ALL ".join(singles + pairs) +
+            ") WHERE n_docs > 0")
+
+
 def unigram_lm_scores(sf_dir: str) -> pa.Table:
     """CCNet-style language-model quality score: per doc, the summed
     log unigram probability of its tokens under the corpus unigram LM.
@@ -4570,6 +4680,8 @@ def registry() -> tuple[dict, dict]:
         "reindex_transformed_terms": reindex_transformed_terms,
         "histogram_pipeline_aggs": histogram_pipeline_aggs,
         "unigram_lm_scores": unigram_lm_scores,
+        "adjacency_matrix_agg": adjacency_matrix_agg,
+        "collapse_repeats_stats": collapse_repeats_stats,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4633,6 +4745,8 @@ def registry() -> tuple[dict, dict]:
         "reindex_transformed_terms": REINDEX_SQL,
         "histogram_pipeline_aggs": HISTOGRAM_PIPELINE_SQL,
         "unigram_lm_scores": UNIGRAM_LM_SQL,
+        "adjacency_matrix_agg": _adjacency_sql(),
+        "collapse_repeats_stats": COLLAPSE_REPEATS_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
