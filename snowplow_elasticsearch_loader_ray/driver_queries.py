@@ -3522,6 +3522,84 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: completion-suggester probe prefixes (ES `completion` suggest)
+COMPLETION_PREFIXES = ["sc", "st", "qu", "wi"]
+COMPLETION_TOPN = 3
+COMPLETION_MAX_PREFIX = 6
+
+
+def completion_suggest(sf_dir: str) -> pa.Table:
+    """ES `completion` suggester via an edge-ngram completion table:
+    every vocabulary term explodes to its edge prefixes (len 2..6) with
+    the term's cf as the suggestion weight; per-prefix top-N by
+    (cf desc, term asc). The probe-prefix filter applies INSIDE the
+    explode (prefixes outside the probe set never reach the groupby);
+    at web vocab the full completion table is the same explode +
+    groupby without the filter, materialized next to the term
+    dictionary."""
+    ts = _reader(sf_dir).term_stats_table().select(["term", "cf"])
+    probe = pa.array(COMPLETION_PREFIXES, pa.string())
+
+    def explode(b: pa.Table) -> pa.Table:
+        outs = []
+        for plen in range(2, COMPLETION_MAX_PREFIX + 1):
+            long_enough = pc.greater_equal(pc.utf8_length(b["term"]), plen)
+            sub = b.filter(long_enough)
+            if sub.num_rows == 0:
+                continue
+            pref = pc.utf8_slice_codeunits(sub["term"], 0, plen)
+            keep = pc.is_in(pref, value_set=probe)
+            outs.append(pa.table({
+                "prefix": pref.filter(keep),
+                "term": sub["term"].filter(keep),
+                "cf": sub["cf"].filter(keep),
+            }))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "prefix": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "cf": pa.array([], pa.int64())})
+
+    def topn(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("cf", "descending"),
+                                            ("term", "ascending")])
+        g = g.take(idx[:COMPLETION_TOPN])
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    out = (ray.data.from_arrow(explode(ts))
+           .groupby("prefix").map_groups(topn, batch_format="pyarrow")
+           .to_pandas().sort_values(["prefix", "rank"]).reset_index(drop=True))
+    return pa.table({
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "cf": pa.array(out["cf"], pa.int64()),
+    })
+
+
+def _completion_sql() -> str:
+    probes = ", ".join(f"'{p}'" for p in COMPLETION_PREFIXES)
+    return f"""
+WITH ts AS (
+  SELECT term, count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents) GROUP BY 1
+),
+pref AS (
+  SELECT term, cf,
+         unnest(list_transform(
+           generate_series(2, least({COMPLETION_MAX_PREFIX}, len(term))),
+           p -> term[1:p])) AS prefix
+  FROM ts WHERE len(term) >= 2
+),
+r AS (SELECT prefix, term, cf,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY cf DESC, term) AS rank
+      FROM pref)
+SELECT prefix, rank::BIGINT AS rank, term, cf FROM r
+WHERE rank <= {COMPLETION_TOPN} AND prefix IN ({probes})
+"""
+
+
 def collapse_repeats_stats(sf_dir: str) -> pa.Table:
     """Web-text normalization: collapse runs of the SAME adjacent token
     ("buy buy buy" → "buy", the boilerplate-stutter cleanup). Stats per
@@ -4682,6 +4760,7 @@ def registry() -> tuple[dict, dict]:
         "unigram_lm_scores": unigram_lm_scores,
         "adjacency_matrix_agg": adjacency_matrix_agg,
         "collapse_repeats_stats": collapse_repeats_stats,
+        "completion_suggest": completion_suggest,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4747,6 +4826,7 @@ def registry() -> tuple[dict, dict]:
         "unigram_lm_scores": UNIGRAM_LM_SQL,
         "adjacency_matrix_agg": _adjacency_sql(),
         "collapse_repeats_stats": COLLAPSE_REPEATS_SQL,
+        "completion_suggest": _completion_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
