@@ -4683,10 +4683,14 @@ def registry() -> tuple[dict, dict]:
         "phrase_positional": phrase_positional,
         "first_hit_position": first_hit_position,
         "more_like_this": more_like_this,
-        "term_vectors": term_vectors,
-        "prefix_match": prefix_match,
-        "fuzzy_match": fuzzy_match,
-        "suggest_terms": suggest_terms,
+        # (term_vectors / prefix_match / fuzzy_match / suggest_terms
+        # moved past the window in round 3 — all still oracle-green via
+        # tests/test_entry.py — to put the round-3 LLM-training-data
+        # flagships inside the graded 50)
+        "benchmark_contamination": benchmark_contamination,
+        "repetition_stats": repetition_stats,
+        "semdedup_survivors": semdedup_survivors,
+        "unigram_lm_scores": unigram_lm_scores,
         "lang_facet": lang_facet,
         "doclen_stats_facet": doclen_stats_facet,
         "significant_terms": significant_terms,
@@ -4744,20 +4748,20 @@ def registry() -> tuple[dict, dict]:
         "events_date_histogram": events_date_histogram,
         "lang_counts": lang_counts,
         "top_bigrams": top_bigrams,
-        "benchmark_contamination": benchmark_contamination,
-        "repetition_stats": repetition_stats,
+        "term_vectors": term_vectors,
+        "prefix_match": prefix_match,
+        "fuzzy_match": fuzzy_match,
+        "suggest_terms": suggest_terms,
         "percolate_matches": percolate_matches,
         "regexp_search": regexp_search,
         "wildcard_search": wildcard_search,
         "domain_cap_sample": domain_cap_sample,
-        "semdedup_survivors": semdedup_survivors,
         "composite_agg_page": composite_agg_page,
         "suggest_phrase": suggest_phrase,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_topk_filtered": ann_topk_filtered,
         "reindex_transformed_terms": reindex_transformed_terms,
         "histogram_pipeline_aggs": histogram_pipeline_aggs,
-        "unigram_lm_scores": unigram_lm_scores,
         "adjacency_matrix_agg": adjacency_matrix_agg,
         "collapse_repeats_stats": collapse_repeats_stats,
         "completion_suggest": completion_suggest,
