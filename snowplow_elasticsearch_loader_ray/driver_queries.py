@@ -3522,6 +3522,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: tf-idf doc-vector export: top terms kept per document
+TFIDF_TOP = 5
+
+
+def tfidf_doc_vectors(sf_dir: str) -> pa.Table:
+    """TF-IDF document vectors (the classic sparse feature extraction
+    for downstream ML): per doc, the top TFIDF_TOP terms by
+    tf · ln(N/df), emitted as integer micro-weights
+    (floor(1e6 · tf · (ln N − ln df))) so ranking and values are
+    order-free and oracle-exact. df/N come from the index's term
+    statistics (broadcast once — no second corpus aggregation); per
+    batch the scoring is one `index_in` gather + one lexsort."""
+    ts = _reader(sf_dir).term_stats_table()
+    st = B.index_stats(_ensure_index(sf_dir))
+    ln_n = np.log(float(st["n_docs"]))
+    idf = ln_n - np.log(ts["df"].to_numpy(zero_copy_only=False).astype(np.float64))
+    lm_ref = ray.put((ts["term"].combine_chunks(), idf))
+
+    from .tokenizer import tokenize_to_terms
+
+    class _Vec:
+        def __init__(self):
+            self.terms, self.idf = ray.get(lm_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, idx_arr = tokenize_to_terms(b["text"])
+            if len(flat) == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "w_micro": pa.array([], pa.int64())})
+            idx = idx_arr.to_numpy(zero_copy_only=False)
+            code = pc.index_in(flat, value_set=self.terms) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # tf per (doc, code): composite-key unique
+            key = idx.astype(np.int64) * len(self.terms) + code
+            uk, tf = np.unique(key, return_counts=True)
+            d = uk // len(self.terms)
+            c = uk % len(self.terms)
+            w = np.floor(1e6 * tf * self.idf[c]).astype(np.int64)
+            # per-doc top-N by (w desc, term asc): terms dictionary is
+            # sorted, so code asc == term asc
+            order = np.lexsort((c, -w, d))
+            d, c, w = d[order], c[order], w[order]
+            pos = np.arange(len(d)) - np.searchsorted(d, d)  # rank within doc
+            keep = pos < TFIDF_TOP
+            doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(doc_ids[d[keep]]),
+                "term": self.terms.take(pa.array(c[keep])),
+                "w_micro": pa.array(w[keep]),
+            })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(_Vec, batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values(["doc_id", "w_micro", "term"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "w_micro": pa.array(out["w_micro"], pa.int64()),
+    })
+
+
+TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+             floor(1e6 * tf.tf * (ln(n.nd) - ln(df.df)))::BIGINT AS w_micro
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, w_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w_micro DESC, term) AS rk
+      FROM w)
+SELECT doc_id, term, w_micro FROM r WHERE rk <= {TFIDF_TOP}
+"""
+
+
 #: completion-suggester probe prefixes (ES `completion` suggest)
 COMPLETION_PREFIXES = ["sc", "st", "qu", "wi"]
 COMPLETION_TOPN = 3
@@ -4765,6 +4845,7 @@ def registry() -> tuple[dict, dict]:
         "adjacency_matrix_agg": adjacency_matrix_agg,
         "collapse_repeats_stats": collapse_repeats_stats,
         "completion_suggest": completion_suggest,
+        "tfidf_doc_vectors": tfidf_doc_vectors,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4831,6 +4912,7 @@ def registry() -> tuple[dict, dict]:
         "adjacency_matrix_agg": _adjacency_sql(),
         "collapse_repeats_stats": COLLAPSE_REPEATS_SQL,
         "completion_suggest": _completion_sql(),
+        "tfidf_doc_vectors": TFIDF_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
