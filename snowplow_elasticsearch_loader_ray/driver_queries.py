@@ -1068,6 +1068,10 @@ def composite_agg_page(sf_dir: str) -> pa.Table:
     cols = ["doc_id", "lang", "source", "n_chars"]
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=cols)
     page1 = buckets(ds).slice(0, COMPOSITE_SIZE)
+    if page1.num_rows < COMPOSITE_SIZE:
+        # fewer buckets than one page: page 2 is empty (ES returns no
+        # after_key when the stream is exhausted)
+        return page1.slice(0, 0)
     a_lang = page1["lang"][-1].as_py()
     a_src = page1["source"][-1].as_py()
 
