@@ -313,10 +313,19 @@ def heavy_hitters(ds, k: int = MG_K, top: int = 15) -> tuple[pa.Table, int]:
     `top_terms` groupby is the other path when the index exists).
     """
     import pandas as pd
+    from ray.data.aggregate import Sum
 
-    parts = ds.map_batches(_MGBlock(k), batch_format="pyarrow").to_pandas()
-    n_total = int(parts["block_tokens"].sum()) if len(parts) else 0
-    merged = parts.groupby("term", as_index=False)["est"].sum()
+    # the counter merge is a Ray groupby over blocks × k summary rows;
+    # the driver lands only the pre-summed distinct-term partials. At
+    # extreme block counts (blocks × k beyond one reduce), MG merges
+    # are associative — chain pairwise merges as a tree; the bound
+    # still telescopes to N/(k+1).
+    merged = (ds.map_batches(_MGBlock(k), batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("est", alias_name="est"),
+                         Sum("block_tokens", alias_name="bt"))
+              .to_pandas())
+    n_total = int(merged["bt"].sum()) if len(merged) else 0
     u, c = _mg_compress(merged["term"].to_numpy(object),
                         merged["est"].to_numpy(np.int64), k)
     out = (pd.DataFrame({"term": u, "est": c})
