@@ -2701,6 +2701,10 @@ def reindex_transformed_terms(sf_dir: str) -> pa.Table:
     src_dir = os.path.join(os.path.dirname(base), "reindex_src")
     out_dir = os.path.join(os.path.dirname(base), "reindex_index")
     if not os.path.exists(os.path.join(src_dir, "_done")):
+        # a crash between write and marker must not leave partials that
+        # a rerun would append to — rebuild the source dir atomically
+        import shutil
+        shutil.rmtree(src_dir, ignore_errors=True)
         (_docs_ds(sf_dir).map_batches(transform, batch_format="pyarrow")
          .write_parquet(src_dir))
         open(os.path.join(src_dir, "_done"), "w").close()
