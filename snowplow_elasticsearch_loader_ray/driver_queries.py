@@ -3530,6 +3530,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: stratified sample: docs kept per language stratum, hash-ordered
+STRATUM_K = 40
+STRATUM_PRIME = 10_007
+
+
+def stratified_sample(sf_dir: str) -> pa.Table:
+    """Stratified sampling: exactly min(K, |stratum|) docs per language,
+    chosen by hash order (doc_id % P asc, doc_id asc) — deterministic,
+    uniform within stratum, reproducible at any cluster size. The
+    groupby shuffles only (doc_id, lang) key rows; the per-group head
+    is vectorized (cf. the per-domain cap, same shape with a hash sort
+    key instead of insertion order)."""
+    def head_k(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ids % STRATUM_PRIME))[:STRATUM_K]
+        return g.take(np.sort(order))
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    out = (ds.groupby("lang").map_groups(head_k, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "lang": pa.array(out["lang"], pa.string()),
+    })
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY doc_id % {STRATUM_PRIME}, doc_id)
+        <= {STRATUM_K}
+"""
+
+
 #: tf-idf doc-vector export: top terms kept per document
 TFIDF_TOP = 5
 
@@ -4854,6 +4888,7 @@ def registry() -> tuple[dict, dict]:
         "collapse_repeats_stats": collapse_repeats_stats,
         "completion_suggest": completion_suggest,
         "tfidf_doc_vectors": tfidf_doc_vectors,
+        "stratified_sample": stratified_sample,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4921,6 +4956,7 @@ def registry() -> tuple[dict, dict]:
         "collapse_repeats_stats": COLLAPSE_REPEATS_SQL,
         "completion_suggest": _completion_sql(),
         "tfidf_doc_vectors": TFIDF_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
