@@ -3139,20 +3139,25 @@ def top_bigrams(sf_dir: str) -> pa.Table:
     from .tokenizer import tokenize_to_terms
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # all-Arrow: bigram strings via binary_join over shifted slices,
+        # counts via value_counts — no Python-object token arrays
         flat, idx = tokenize_to_terms(batch["text"])
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        toks = np.asarray(flat.to_pylist(), dtype=object)
         rows = idx.to_numpy(zero_copy_only=False)
-        if len(toks) < 2:
+        if len(flat) < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        same_doc = rows[1:] == rows[:-1]
-        pairs = np.char.add(np.char.add(toks[:-1].astype(str), " "),
-                            toks[1:].astype(str))[same_doc]
-        u, c = np.unique(pairs, return_counts=True)
-        return pa.table({"bigram": pa.array(u.tolist(), pa.string()),
-                         "n": pa.array(c, pa.int64())})
+        import pyarrow.compute as pc
+
+        same_doc = pa.array(rows[1:] == rows[:-1])
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        vc = pc.value_counts(pairs.filter(same_doc))
+        return pa.table({
+            "bigram": pc.cast(vc.field("values"), pa.string()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
 
     out = (
         ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
