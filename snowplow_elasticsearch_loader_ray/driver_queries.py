@@ -2683,18 +2683,28 @@ def reindex_transformed_terms(sf_dir: str) -> pa.Table:
     from .tokenizer import tokenize_to_terms
 
     def transform(b: pa.Table) -> pa.Table:
+        # all-Arrow script: CSR-gather each kept doc's first K tokens,
+        # rebuild text with one list binary_join — no per-doc loop
         flat, idx = tokenize_to_terms(b["text"])
-        toks = np.asarray(flat.to_pylist(), dtype=object)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         rows = idx.to_numpy(zero_copy_only=False)
         n = b.num_rows
         counts = np.bincount(rows, minlength=n)
         keep = counts >= REINDEX_MIN_TOKENS
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        texts = [" ".join(toks[starts[i]: starts[i] + REINDEX_TRUNCATE])
-                 for i in np.flatnonzero(keep)]
+        kept = np.flatnonzero(keep)
+        li = np.minimum(counts[kept], REINDEX_TRUNCATE)
+        total = int(li.sum())
+        take_idx = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(li) - li, li)
+                    + np.repeat(starts[kept], li))
+        offsets = np.concatenate(([0], np.cumsum(li))).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets),
+                                              flat.take(pa.array(take_idx)))
         return pa.table({
             "doc_id": b["doc_id"].filter(pa.array(keep)),
-            "text": pa.array(texts, pa.string()),
+            "text": pc.cast(pc.binary_join(lists, " "), pa.string()),
         })
 
     base = _index_dir(sf_dir)
