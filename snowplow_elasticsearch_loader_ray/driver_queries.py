@@ -3545,6 +3545,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+def crossdoc_trigram_novelty(sf_dir: str) -> pa.Table:
+    """Cross-document n-gram novelty (the Gopher duplicate-n-grams-
+    ACROSS-documents rule): per doc, the fraction of its distinct
+    trigrams that occur in NO other document. Pure shuffle plan — no
+    broadcast side at all: distinct (trigram-hash, doc) rows →
+    groupby(hash) marks df==1 singletons inside `map_groups` →
+    groupby(doc) counts ride back. Exact integer counts + one exact
+    division."""
+    from ray.data.aggregate import Count, Sum
+    from .pipelines.dedup import distinct_shingles
+
+    def rows(b: pa.Table) -> pa.Table:
+        sh, sdoc, _counts = distinct_shingles(b["text"], 3)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(sh.view(np.int64)),
+                         "doc_id": pa.array(ids[sdoc])})
+
+    def mark_singleton(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "uniq": pa.array(np.full(g.num_rows, 1 if g.num_rows == 1 else 0,
+                                     dtype=np.int64)),
+        })
+
+    per_doc = (
+        _docs_ds(sf_dir)
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("g").map_groups(mark_singleton, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_trigrams"),
+                   Sum("uniq", alias_name="n_unique"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    nt = per_doc["n_trigrams"].to_numpy(np.int64)
+    nu = per_doc["n_unique"].to_numpy(np.int64)
+    return pa.table({
+        "doc_id": pa.array(per_doc["doc_id"], pa.int64()),
+        "n_trigrams": pa.array(nt),
+        "n_unique": pa.array(nu),
+        "novelty": pa.array(nu.astype(np.float64) / nt.astype(np.float64)),
+    })
+
+
+NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(toks)-2),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3),
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+per AS (SELECT g.doc_id, count(*)::BIGINT AS n_trigrams,
+               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+        FROM g JOIN df USING (gram) GROUP BY 1)
+SELECT doc_id, n_trigrams, n_unique,
+       n_unique / n_trigrams AS novelty
+FROM per
+"""
+
+
 #: stratified sample: docs kept per language stratum, hash-ordered
 STRATUM_K = 40
 STRATUM_PRIME = 10_007
@@ -4904,6 +4963,7 @@ def registry() -> tuple[dict, dict]:
         "completion_suggest": completion_suggest,
         "tfidf_doc_vectors": tfidf_doc_vectors,
         "stratified_sample": stratified_sample,
+        "crossdoc_trigram_novelty": crossdoc_trigram_novelty,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -4972,6 +5032,7 @@ def registry() -> tuple[dict, dict]:
         "completion_suggest": _completion_sql(),
         "tfidf_doc_vectors": TFIDF_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "crossdoc_trigram_novelty": NOVELTY_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
