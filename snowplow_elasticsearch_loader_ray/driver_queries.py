@@ -3545,6 +3545,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: rare_terms max_doc_count (ES `rare_terms` aggregation)
+RARE_MAX_DF = 3
+
+
+def rare_terms(sf_dir: str) -> pa.Table:
+    """ES `rare_terms` aggregation: vocabulary terms with df ≤
+    max_doc_count, straight off the index's merged term statistics
+    (the long-tail mirror of `top_terms` — same zero-rescan source)."""
+    t = _reader(sf_dir).term_stats_table()
+    keep = pc.less_equal(t["df"], RARE_MAX_DF)
+    t = t.filter(keep)
+    return t.take(pc.sort_indices(t, sort_keys=[("df", "ascending"),
+                                                ("term", "ascending")]))
+
+
+RARE_TERMS_SQL = f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+GROUP BY term HAVING count(DISTINCT doc_id) <= {RARE_MAX_DF}
+"""
+
+
 def crossdoc_trigram_novelty(sf_dir: str) -> pa.Table:
     """Cross-document n-gram novelty (the Gopher duplicate-n-grams-
     ACROSS-documents rule): per doc, the fraction of its distinct
@@ -4964,6 +4986,7 @@ def registry() -> tuple[dict, dict]:
         "tfidf_doc_vectors": tfidf_doc_vectors,
         "stratified_sample": stratified_sample,
         "crossdoc_trigram_novelty": crossdoc_trigram_novelty,
+        "rare_terms": rare_terms,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5033,6 +5056,7 @@ def registry() -> tuple[dict, dict]:
         "tfidf_doc_vectors": TFIDF_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "crossdoc_trigram_novelty": NOVELTY_SQL,
+        "rare_terms": RARE_TERMS_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
