@@ -3545,6 +3545,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+def weighted_avg_value(sf_dir: str) -> pa.Table:
+    """ES `weighted_avg` aggregation: mean of events.value weighted by
+    the JSON runtime field props.k, per event type. Per-batch partials
+    (Σ w·v, Σ w as exact integers — value is int, k is int) collapse
+    before the shuffle; the division happens once per bucket."""
+    import json
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter((json.loads(p)["k"] for p in batch["props"].to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        # value is a float — accumulate scaled fixed-point ints so the
+        # per-block partial sums are order-free (the revenue pattern)
+        vs = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0 + 0.5).astype(np.int64)
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "wv": pa.array(np.bincount(inv, weights=ks * vs).astype(np.int64)),
+            "w": pa.array(np.bincount(inv, weights=ks).astype(np.int64)),
+        })
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_type", "value", "props"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("wv", alias_name="wv"), Sum("w", alias_name="w"))
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    wv = out["wv"].to_numpy(np.int64)
+    w = out["w"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "weighted_avg": pa.array(
+            wv.astype(np.float64) / w.astype(np.float64) / 100.0),
+    })
+
+
+WEIGHTED_AVG_SQL = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT
+           * floor(value * 100 + 0.5)::BIGINT)::BIGINT
+         / sum(json_extract(props, '$.k')::BIGINT)::BIGINT / 100.0 AS weighted_avg
+FROM events GROUP BY 1
+"""
+
+
 #: rare_terms max_doc_count (ES `rare_terms` aggregation)
 RARE_MAX_DF = 3
 
@@ -4987,6 +5036,7 @@ def registry() -> tuple[dict, dict]:
         "stratified_sample": stratified_sample,
         "crossdoc_trigram_novelty": crossdoc_trigram_novelty,
         "rare_terms": rare_terms,
+        "weighted_avg_value": weighted_avg_value,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5057,6 +5107,7 @@ def registry() -> tuple[dict, dict]:
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "crossdoc_trigram_novelty": NOVELTY_SQL,
         "rare_terms": RARE_TERMS_SQL,
+        "weighted_avg_value": WEIGHTED_AVG_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
