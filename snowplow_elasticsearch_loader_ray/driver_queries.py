@@ -3616,6 +3616,57 @@ GROUP BY term HAVING count(DISTINCT doc_id) <= {RARE_MAX_DF}
 """
 
 
+def top_metrics_latest(sf_dir: str) -> pa.Table:
+    """ES `top_metrics` (size=1, sort by ts desc): per event type, the
+    event_id and value of the LATEST event. Associative arg-max: each
+    batch reduces to one (max_ts, id, value) row per type — ties break
+    on event_id desc to stay deterministic — and the same fold merges
+    partials, so the shuffle carries types × blocks rows."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        vs = batch["value"].to_numpy(zero_copy_only=False)
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        # arg-max by (ts, event_id) per type
+        order = np.lexsort((ids, ts, inv))
+        last = np.concatenate((order[np.flatnonzero(np.diff(inv[order]))],
+                               [order[-1]]))
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "ts_us": pa.array(ts[last]),
+            "event_id": pa.array(ids[last]),
+            "value": pa.array(vs[last]),
+        })
+
+    def _merge(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((ids, ts))[-1]
+        return g.take([best])
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_type", "ts", "event_id", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("event_type").map_groups(_merge, batch_format="pyarrow")
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "event_id": pa.array(out["event_id"], pa.int64()),
+        "value": pa.array(out["value"], pa.float64()),
+    })
+
+
+TOP_METRICS_SQL = """
+SELECT event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def crossdoc_trigram_novelty(sf_dir: str) -> pa.Table:
     """Cross-document n-gram novelty (the Gopher duplicate-n-grams-
     ACROSS-documents rule): per doc, the fraction of its distinct
@@ -5037,6 +5088,7 @@ def registry() -> tuple[dict, dict]:
         "crossdoc_trigram_novelty": crossdoc_trigram_novelty,
         "rare_terms": rare_terms,
         "weighted_avg_value": weighted_avg_value,
+        "top_metrics_latest": top_metrics_latest,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5108,6 +5160,7 @@ def registry() -> tuple[dict, dict]:
         "crossdoc_trigram_novelty": NOVELTY_SQL,
         "rare_terms": RARE_TERMS_SQL,
         "weighted_avg_value": WEIGHTED_AVG_SQL,
+        "top_metrics_latest": TOP_METRICS_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
