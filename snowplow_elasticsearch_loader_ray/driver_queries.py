@@ -3545,6 +3545,70 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: dis_max tie_breaker (ES `dis_max` query)
+DISMAX_TB = 0.3
+
+
+def dismax_topk(sf_dir: str) -> pa.Table:
+    """ES `dis_max`: best-field disjunction — max of per-term BM25
+    partials + tie_breaker × remainder (query.py::score_dismax)."""
+    from .pipelines.query import score_dismax
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, _s = score_dismax(r, q, TOPK, tie_breaker=DISMAX_TB)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _dismax_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in BOOL_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    part = ("ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))"
+            " * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))")
+    return f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM src)::DOUBLE
+           / (SELECT count(*) FROM src)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         max({part}) + {DISMAX_TB!r} * (sum({part}) - max({part})) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def weighted_avg_value(sf_dir: str) -> pa.Table:
     """ES `weighted_avg` aggregation: mean of events.value weighted by
     the JSON runtime field props.k, per event type. Per-batch partials
@@ -5089,6 +5153,7 @@ def registry() -> tuple[dict, dict]:
         "rare_terms": rare_terms,
         "weighted_avg_value": weighted_avg_value,
         "top_metrics_latest": top_metrics_latest,
+        "dismax_topk": dismax_topk,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5161,6 +5226,7 @@ def registry() -> tuple[dict, dict]:
         "rare_terms": RARE_TERMS_SQL,
         "weighted_avg_value": WEIGHTED_AVG_SQL,
         "top_metrics_latest": TOP_METRICS_SQL,
+        "dismax_topk": _dismax_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,

@@ -187,6 +187,36 @@ def _taat_scores_ords(reader: IndexReader, query: str) -> tuple[np.ndarray, np.n
     return cand, acc[cand]
 
 
+def score_dismax(reader: IndexReader, query: str, k: int,
+                 tie_breaker: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``dis_max`` over the query's terms: a doc scores
+    max(term BM25 partials) + tie_breaker × (sum − max) — the
+    best-field disjunction shape, degenerating to plain TAAT at
+    tie_breaker=1. Two dense accumulators (sum via scatter-add, max via
+    ``np.maximum.at``) in one postings pass; ranking/tie rules are the
+    BM25 contract (round 7, doc_id asc)."""
+    terms = tokenize_query(query)
+    acc_sum = reader.acc_buffer()
+    acc_max = np.zeros_like(acc_sum)
+    matched = False
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        matched = True
+        docs, tfs = pl.decode_all()
+        pos = reader.positions_of(t, docs)
+        w = bm25.idf(reader.n_docs, len(docs))
+        s = w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
+        acc_sum[pos] += s
+        np.maximum.at(acc_max, pos, s)
+    if not matched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand = np.nonzero(acc_sum)[0]
+    score = acc_max[cand] + tie_breaker * (acc_sum[cand] - acc_max[cand])
+    return bm25.rank_topk(reader.dl_doc_ids[cand], score, k)
+
+
 #: safety margin over the 1e-7 score-rounding granularity: pruning only
 #: discards docs whose reachable score is below the kth lower bound by
 #: MORE than this, so rounding ties can never be lost

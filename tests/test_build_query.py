@@ -312,3 +312,25 @@ def test_regexp_search_counts_distinct_terms(built):
     assert t["n_matched_terms"].to_numpy().max() <= len(terms)
     # no-match pattern -> empty, not error
     assert regexp_search(r, "zzzqqq.*").num_rows == 0
+
+
+def test_dismax_tiebreaker_one_equals_taat(built):
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, score_dismax, score_taat)
+
+    r = IndexReader(built[1])
+    vocab = sorted(r.terms)
+    queries = [f"{vocab[1]} {vocab[7]}", f"{vocab[3]} nosuchterm",
+               " ".join(vocab[10:13]), "nosuchterm"]
+    for q in queries:
+        d1, s1 = score_dismax(r, q, 10, tie_breaker=1.0)
+        d2, s2 = score_taat(r, q, 10)
+        assert np.array_equal(d1, d2) and np.allclose(s1, s2), q
+        # tb=0 scores are the max partial: never above the sum
+        d0, s0 = score_dismax(r, q, 10, tie_breaker=0.0)
+        if len(s2):
+            assert (s0 <= s2.max() + 1e-9).all(), q
+        else:
+            assert len(s0) == 0, q
