@@ -561,6 +561,59 @@ def phrase_positional(sf_dir: str) -> pa.Table:
     })
 
 
+#: match_phrase_prefix probes: leading exact terms + a trailing prefix
+PHRASE_PREFIX_QUERIES = [(0, "slow qu"), (1, "hash jo"), (2, "data strea"),
+                         (3, "merge zz")]
+
+
+def phrase_prefix_match(sf_dir: str) -> pa.Table:
+    """ES `match_phrase_prefix`: the trailing term is a PREFIX —
+    expanded over the term dictionary (`expand_prefix`), each
+    completion phrase-resolves inside the positional index, matches
+    union. ES caps the expansion at `max_expansions` (50 here, same
+    default); the oracle's LIKE '% lead pre%' is equivalent because a
+    prefix continuation is always a token continuation in normalized
+    text."""
+    from .pipelines.positions import (ShardedPositionalEngine,
+                                      build_positions, phrase_search)
+    from .pipelines.query import expand_prefix
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    r = _reader(sf_dir)
+    eng = ShardedPositionalEngine(pos_dir)
+    try:
+        qids, docs = [], []
+        for qid, q in PHRASE_PREFIX_QUERIES:
+            *lead, pre = q.split()
+            hits = set()
+            for term in expand_prefix(r, pre)[:50]:
+                hits.update(int(d) for d in
+                            phrase_search(eng, " ".join(lead + [term])))
+            for d in sorted(hits):
+                qids.append(qid)
+                docs.append(d)
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _phrase_prefix_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id FROM tok WHERE joined LIKE "
+        f"'% {q}%'" for qid, q in PHRASE_PREFIX_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ' ' || array_to_string({TOK_SQL}, ' ') || ' ' AS joined
+  FROM documents
+)
+{cases}
+"""
+
+
 def first_hit_position(sf_dir: str) -> pa.Table:
     """Highlight-offset computation (the ES ``highlight`` analogue of
     the reference IT harness's search surface): for every conjunctive
@@ -5154,6 +5207,7 @@ def registry() -> tuple[dict, dict]:
         "weighted_avg_value": weighted_avg_value,
         "top_metrics_latest": top_metrics_latest,
         "dismax_topk": dismax_topk,
+        "phrase_prefix_match": phrase_prefix_match,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5227,6 +5281,7 @@ def registry() -> tuple[dict, dict]:
         "weighted_avg_value": WEIGHTED_AVG_SQL,
         "top_metrics_latest": TOP_METRICS_SQL,
         "dismax_topk": _dismax_sql(),
+        "phrase_prefix_match": _phrase_prefix_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
