@@ -1350,6 +1350,53 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def doclen_mad(sf_dir: str) -> pa.Table:
+    """Robust doc-length statistics (ES `median_absolute_deviation`
+    aggregation — exact, not the t-digest approximation): continuous
+    median + MAD from the SAME per-part bounded histograms as
+    `doclen_percentiles` — the deviation histogram folds the length
+    histogram around the median in half-units (2v − 2·med is always an
+    integer), so both statistics are exact with O(max_doclen) driver
+    memory and no doclen column pull."""
+    d = _ensure_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(d, "docmap", "part-*.parquet")))
+
+    @ray.remote(num_cpus=1)
+    def part_hist(path: str) -> np.ndarray:
+        a = pq.read_table(path, columns=["doclen"])["doclen"] \
+            .to_numpy(zero_copy_only=False)
+        return np.bincount(a) if len(a) else np.zeros(0, np.int64)
+
+    hists = ray.get([part_hist.remote(f) for f in files])
+    size = max((len(h) for h in hists), default=0)
+    hist = np.zeros(size, np.int64)
+    for h in hists:
+        hist[:len(h)] += h
+
+    def cont_median(h: np.ndarray) -> float:
+        n = int(h.sum())
+        cum = np.cumsum(h)
+        lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        hi = int(np.searchsorted(cum, n // 2 + 1))
+        return (lo + hi) / 2.0
+
+    med = cont_median(hist)
+    med2 = int(round(2 * med))
+    dev2 = np.abs(2 * np.arange(len(hist), dtype=np.int64) - med2)
+    dev_hist = np.bincount(dev2, weights=hist).astype(np.int64)
+    mad = cont_median(dev_hist) / 2.0
+    return pa.table({
+        "median_len": pa.array([med], pa.float64()),
+        "mad_len": pa.array([mad], pa.float64()),
+    })
+
+
+DOCLEN_MAD_SQL = f"""
+SELECT median(dl)::DOUBLE AS median_len, mad(dl)::DOUBLE AS mad_len
+FROM (SELECT len({TOK_SQL}) AS dl FROM documents)
+"""
+
+
 DOCLEN_PERCENTILES_SQL = f"""
 WITH dl AS (SELECT len({TOK_SQL})::BIGINT AS doclen FROM documents)
 SELECT quantile_disc(doclen, 0.5)::BIGINT AS p50,
@@ -5208,6 +5255,7 @@ def registry() -> tuple[dict, dict]:
         "top_metrics_latest": top_metrics_latest,
         "dismax_topk": dismax_topk,
         "phrase_prefix_match": phrase_prefix_match,
+        "doclen_mad": doclen_mad,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5282,6 +5330,7 @@ def registry() -> tuple[dict, dict]:
         "top_metrics_latest": TOP_METRICS_SQL,
         "dismax_topk": _dismax_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
+        "doclen_mad": DOCLEN_MAD_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
