@@ -4867,6 +4867,43 @@ def _image_pixels_sql() -> str:
             f"FROM (VALUES {rows}) t(img_id, width, height, decode_ok, mean_px)")
 
 
+#: thumbnail size for the resize stage (ES ingest-pipeline analogue)
+THUMB_W = THUMB_H = 8
+
+
+def image_thumbnails(sf_dir: str) -> pa.Table:
+    """REAL resize: gradient PNGs decode (stdlib) and downsample by
+    nearest-neighbor integer-grid gather inside the actor-pool
+    ``ResizeImages`` stage; the oracle pins each thumbnail's exact mean
+    from the gradient SPEC sampled at the same floor grid — decoder-
+    and resizer-independent truth."""
+    from .pipelines.multimodal import ResizeImages
+    from .sources.images import write_gradient_fixture
+
+    src = write_gradient_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(ResizeImages, fn_constructor_kwargs={
+               "tw": THUMB_W, "th": THUMB_H},
+               batch_format="pyarrow", batch_size=4, concurrency=2)
+           .to_pandas().sort_values("img_id").reset_index(drop=True))
+    return pa.table({
+        "img_id": pa.array(out["img_id"], pa.int64()),
+        "width": pa.array(out["width"].astype("int64")),
+        "height": pa.array(out["height"].astype("int64")),
+        "thumb_mean": pa.array(out["thumb_mean"], pa.float64()),
+    })
+
+
+def _image_thumbnails_sql() -> str:
+    from .sources.images import expected_thumbnails
+
+    rows = ", ".join(f"({i}, {w}, {h}, {m!r})"
+                     for i, w, h, m in expected_thumbnails(THUMB_W, THUMB_H))
+    return (f"SELECT img_id::BIGINT AS img_id, width::BIGINT AS width, "
+            f"height::BIGINT AS height, thumb_mean::DOUBLE AS thumb_mean "
+            f"FROM (VALUES {rows}) t(img_id, width, height, thumb_mean)")
+
+
 def audio_samples(sf_dir: str) -> pa.Table:
     """REAL PCM sample decode (8/16/24-bit WAV → int32 frames): the
     audio fixture flows through ``DecodeAudioSamples``; the oracle pins
@@ -5256,6 +5293,7 @@ def registry() -> tuple[dict, dict]:
         "dismax_topk": dismax_topk,
         "phrase_prefix_match": phrase_prefix_match,
         "doclen_mad": doclen_mad,
+        "image_thumbnails": image_thumbnails,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5331,6 +5369,7 @@ def registry() -> tuple[dict, dict]:
         "dismax_topk": _dismax_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
         "doclen_mad": DOCLEN_MAD_SQL,
+        "image_thumbnails": _image_thumbnails_sql(),
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,

@@ -398,6 +398,45 @@ class DecodeImage:
         return out.append_column("reason", pa.array(reasons, pa.string()))
 
 
+class ResizeImages:
+    """REAL thumbnail stage: decode (stdlib BMP/PNG pixel decoders) →
+    nearest-neighbor resize to (tw, th) via one integer-grid gather
+    (``row = y·h // th``, ``col = x·w // tw`` — the floor-sampling
+    rule the fixture truth replicates independently). Output per row:
+    source dims, decode_ok, and the thumbnail's exact mean pixel value
+    (summed as int64 before one float division, so the truth's integer
+    arithmetic reproduces it bit-for-bit). Undecodable formats fail
+    open, same contract as ``DecodeImage``."""
+
+    def __init__(self, col: str = "payload", tw: int = 8, th: int = 8):
+        self.col = col
+        self.tw, self.th = tw, th
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, oks, means = [], [], [], []
+        for p in batch[self.col].to_pylist():
+            px = decode_png_pixels(p or b"")
+            if px is None:
+                px = decode_bmp_pixels(p or b"")
+            if px is None:
+                ws.append(0), hs.append(0), oks.append(False), means.append(0.0)
+                continue
+            h, w = px.shape[:2]
+            rows = (np.arange(self.th, dtype=np.int64) * h) // self.th
+            cols = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+            thumb = px[rows][:, cols]
+            ws.append(w)
+            hs.append(h)
+            oks.append(True)
+            means.append(int(thumb.sum(dtype=np.int64))
+                         / (self.tw * self.th * px.shape[2] * 1.0))
+        out = batch.drop_columns([self.col])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return out.append_column("thumb_mean", pa.array(means, pa.float64()))
+
+
 def avi_frame_index(p: bytes) -> list[tuple[int, int, bool]]:
     """REAL AVI container demux (no codec lib): the idx1 frame index →
     [(absolute byte offset of frame chunk data, size, is_keyframe)].

@@ -32,6 +32,63 @@ def make_png(w: int, h: int) -> bytes:
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
+def gradient_pixel(x: int, y: int) -> tuple[int, int, int]:
+    """The gradient-fixture pixel SPEC — shared by the builder and the
+    hand-derived thumbnail truth (so the truth is independent of the
+    decoder/resizer implementation)."""
+    return ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+
+
+def make_png_gradient(w: int, h: int) -> bytes:
+    """Fully valid 8-bit RGB PNG whose pixels follow ``gradient_pixel``
+    — patterned content so a resize test can't pass vacuously."""
+    rows = bytearray()
+    for y in range(h):
+        rows += b"\x00"
+        for x in range(w):
+            rows += bytes(gradient_pixel(x, y))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(rows))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+#: gradient-image cases for the resize/thumbnail stage
+GRADIENT_CASES: list[tuple[int, int, int]] = [
+    (0, 33, 21), (1, 64, 64), (2, 7, 5), (3, 128, 40), (4, 8, 8),
+]
+
+
+def write_gradient_fixture(cache_root: str) -> str:
+    """→ parquet path with (img_id, payload) gradient PNGs, cached."""
+    key = hashlib.sha256(repr(GRADIENT_CASES).encode()).hexdigest()[:12]
+    d = os.path.join(cache_root, f"gradients-{key}")
+    path = os.path.join(d, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "img_id": pa.array([c[0] for c in GRADIENT_CASES], pa.int64()),
+            "payload": pa.array([make_png_gradient(c[1], c[2])
+                                 for c in GRADIENT_CASES], pa.binary()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def expected_thumbnails(tw: int, th: int) -> list[tuple[int, int, int, float]]:
+    """Hand-derived (img_id, width, height, thumb_mean) truth for
+    nearest-neighbor resize to (tw, th): sample ``gradient_pixel`` at
+    the floor(i·src/dst) grid and average — no decoder, no resizer."""
+    rows = []
+    for img_id, w, h in GRADIENT_CASES:
+        xs = [x * w // tw for x in range(tw)]
+        ys = [y * h // th for y in range(th)]
+        total = sum(sum(gradient_pixel(x, y)) for y in ys for x in xs)
+        rows.append((img_id, w, h, total / (tw * th * 3.0)))
+    return rows
+
+
 def make_gif(w: int, h: int) -> bytes:
     """GIF89a with logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"

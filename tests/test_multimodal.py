@@ -202,3 +202,38 @@ def test_wav_sample_decode_bit_depths():
                   24: (-(1 << 23), (1 << 23) - 1)}[bits]
         assert s.min() >= lo and s.max() <= hi
     assert decode_wav_samples(b"RIFFnot-really-a-wave-file") is None
+
+
+def test_resize_images_identity_and_failopen():
+    import numpy as np
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import (
+        ResizeImages, decode_png_pixels)
+    from snowplow_elasticsearch_loader_ray.sources.images import make_png_gradient
+
+    p = make_png_gradient(8, 8)
+    t = pa.table({"img_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([p, b"not an image"], pa.binary())})
+    out = ResizeImages(tw=8, th=8)(t).to_pandas().set_index("img_id")
+    # 8x8 -> 8x8 nearest-neighbor is the identity: mean == source mean
+    px = decode_png_pixels(p)
+    want = int(px.sum(dtype=np.int64)) / (8 * 8 * 3 * 1.0)
+    assert out.loc[1, "thumb_mean"] == want and bool(out.loc[1, "decode_ok"])
+    assert not bool(out.loc[2, "decode_ok"]) and out.loc[2, "thumb_mean"] == 0.0
+
+
+def test_resize_downsample_picks_floor_grid():
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import ResizeImages
+    from snowplow_elasticsearch_loader_ray.sources.images import (
+        gradient_pixel, make_png_gradient)
+
+    w, h, tw, th = 10, 6, 4, 3
+    t = pa.table({"img_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([make_png_gradient(w, h)], pa.binary())})
+    out = ResizeImages(tw=tw, th=th)(t).to_pandas()
+    total = sum(sum(gradient_pixel(x * w // tw, y * h // th))
+                for y in range(th) for x in range(tw))
+    assert out["thumb_mean"][0] == total / (tw * th * 3.0)
