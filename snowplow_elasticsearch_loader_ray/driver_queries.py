@@ -4904,6 +4904,28 @@ def _image_thumbnails_sql() -> str:
             f"FROM (VALUES {rows}) t(img_id, width, height, thumb_mean)")
 
 
+def audio_spectral(sf_dir: str) -> pa.Table:
+    """REAL spectral features (numpy rFFT over decoded PCM): dominant
+    frequency + spectral centroid per sine-tone payload. FFT floats
+    aren't SQL-expressible → rows-only here; the physics pin (pure
+    sine ⇒ dominant bin == its frequency, within one bin width) lives
+    in test_multimodal.py."""
+    from .pipelines.multimodal import AudioSpectral
+    from .sources.images import write_sine_fixture
+
+    src = write_sine_fixture(CACHE_ROOT)
+    out = (ray.data.read_parquet(src)
+           .map_batches(AudioSpectral, batch_format="pyarrow",
+                        batch_size=4, concurrency=2)
+           .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    return pa.table({
+        "audio_id": pa.array(out["audio_id"], pa.int64()),
+        "dominant_hz": pa.array(out["dominant_hz"], pa.float64()),
+        "centroid_hz": pa.array(out["centroid_hz"], pa.float64()),
+        "decode_ok": pa.array(out["decode_ok"].astype(bool)),
+    })
+
+
 def audio_samples(sf_dir: str) -> pa.Table:
     """REAL PCM sample decode (8/16/24-bit WAV → int32 frames): the
     audio fixture flows through ``DecodeAudioSamples``; the oracle pins
@@ -5294,6 +5316,7 @@ def registry() -> tuple[dict, dict]:
         "phrase_prefix_match": phrase_prefix_match,
         "doclen_mad": doclen_mad,
         "image_thumbnails": image_thumbnails,
+        "audio_spectral": audio_spectral,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,

@@ -253,6 +253,41 @@ class DecodeAudioSamples:
         return out.append_column("decode_ok", pa.array([r[4] for r in rows]))
 
 
+class AudioSpectral:
+    """REAL spectral featurizer over decoded PCM: per payload, the
+    dominant frequency (argmax |rFFT| over the first channel, DC
+    excluded) and the spectral centroid in Hz. Correctness is pinned
+    by PHYSICS, not by replaying the implementation: a pure sine
+    fixture must yield its own frequency as the dominant bin
+    (test_multimodal). Fail-open contract as the other decoders."""
+
+    def __init__(self, col: str = "payload"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doms, cents, oks = [], [], []
+        for p in batch[self.col].to_pylist():
+            dec = decode_wav_samples(p or b"")
+            if dec is None or dec[0].size == 0 or dec[0].shape[0] < 4:
+                doms.append(0.0), cents.append(0.0), oks.append(False)
+                continue
+            s, rate = dec
+            x = s[:, 0].astype(np.float64)
+            x -= x.mean()                       # drop DC before the FFT
+            mag = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+            mag[0] = 0.0
+            power = mag * mag        # power-weighted centroid: rect-window
+            total = power.sum()      # leakage tails barely move it
+            doms.append(float(freqs[int(np.argmax(mag))]))
+            cents.append(float((freqs * power).sum() / total) if total > 0 else 0.0)
+            oks.append(True)
+        out = batch.drop_columns([self.col])
+        out = out.append_column("dominant_hz", pa.array(doms, pa.float64()))
+        out = out.append_column("centroid_hz", pa.array(cents, pa.float64()))
+        return out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+
+
 def decode_bmp_pixels(p: bytes) -> np.ndarray | None:
     """REAL 24-bit uncompressed BMP pixel decode (pure numpy): header →
     padded-row ``frombuffer`` reshape → BGR→RGB, bottom-up flip.

@@ -178,6 +178,45 @@ AUDIO_CASES: list[tuple[int, int, int, int, int]] = [
 ]
 
 
+#: sine-tone cases for the spectral featurizer: (audio_id, freq_hz)
+SINE_CASES: list[tuple[int, int]] = [(0, 440), (1, 1000), (2, 3200), (3, 125)]
+SINE_RATE, SINE_FRAMES = 16_000, 4096
+
+
+def make_sine_wav(freq: int, rate: int = SINE_RATE,
+                  n_frames: int = SINE_FRAMES) -> bytes:
+    """16-bit mono WAV of a pure sine — ground truth by construction
+    for spectral features (dominant bin == the tone's frequency)."""
+    import math
+
+    data = bytearray()
+    for i in range(n_frames):
+        v = int(20000 * math.sin(2 * math.pi * freq * i / rate))
+        data += struct.pack("<h", v)
+    byte_rate = rate * 2
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+
+
+def write_sine_fixture(cache_root: str) -> str:
+    """→ parquet path with (audio_id, payload) sine WAVs, cached."""
+    key = hashlib.sha256(repr((SINE_CASES, SINE_RATE, SINE_FRAMES))
+                         .encode()).hexdigest()[:12]
+    d = os.path.join(cache_root, f"sines-{key}")
+    path = os.path.join(d, "audio.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "audio_id": pa.array([c[0] for c in SINE_CASES], pa.int64()),
+            "payload": pa.array([make_sine_wav(c[1]) for c in SINE_CASES],
+                                pa.binary()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def write_audio_fixture(cache_root: str) -> str:
     """→ parquet path (audio_id: int64, payload: binary): WAV cases plus
     one junk payload (audio_id = 99)."""

@@ -237,3 +237,38 @@ def test_resize_downsample_picks_floor_grid():
     total = sum(sum(gradient_pixel(x * w // tw, y * h // th))
                 for y in range(th) for x in range(tw))
     assert out["thumb_mean"][0] == total / (tw * th * 3.0)
+
+
+def test_audio_spectral_sine_physics():
+    """A pure sine's dominant FFT bin must be its own frequency —
+    implementation-independent ground truth."""
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import AudioSpectral
+    from snowplow_elasticsearch_loader_ray.sources.images import (
+        SINE_CASES, SINE_FRAMES, SINE_RATE, make_sine_wav)
+
+    t = pa.table({
+        "audio_id": pa.array([c[0] for c in SINE_CASES], pa.int64()),
+        "payload": pa.array([make_sine_wav(c[1]) for c in SINE_CASES]
+                            + [], pa.binary()),
+    })
+    out = AudioSpectral()(t).to_pandas().set_index("audio_id")
+    bin_hz = SINE_RATE / SINE_FRAMES
+    for aid, freq in SINE_CASES:
+        assert bool(out.loc[aid, "decode_ok"])
+        assert abs(out.loc[aid, "dominant_hz"] - freq) <= bin_hz, (aid, freq)
+        # a pure tone's centroid sits near the tone (spectral leakage
+        # pulls it slightly; within 15% is far tighter than noise)
+        assert abs(out.loc[aid, "centroid_hz"] - freq) <= 0.15 * freq + bin_hz
+
+
+def test_audio_spectral_failopen():
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multimodal import AudioSpectral
+
+    t = pa.table({"audio_id": pa.array([9], pa.int64()),
+                  "payload": pa.array([b"junk"], pa.binary())})
+    out = AudioSpectral()(t).to_pandas()
+    assert not bool(out["decode_ok"][0]) and out["dominant_hz"][0] == 0.0
