@@ -1350,6 +1350,70 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def string_stats_text(sf_dir: str) -> pa.Table:
+    """ES `string_stats` (with `show_distribution`'s entropy) over the
+    text field: count, min/max/avg length, and Shannon entropy of the
+    corpus character distribution. Exact float parity via the micro-nat
+    trick: each character class contributes the INTEGER
+    floor(1e6·c·(ln N − ln c)), summed order-free, entropy =
+    sum / (1e6·N) — one byte-histogram per batch (np.frombuffer +
+    bincount over the concatenated UTF-8 buffer), merged as 256-long
+    arrays on the driver."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks() if \
+            isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        joined = "".join(col.to_pylist()).encode("utf-8")
+        h = np.bincount(np.frombuffer(joined, dtype=np.uint8), minlength=256)
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "min_len": pa.array([int(lens.min()) if len(lens) else 0], pa.int64()),
+            "max_len": pa.array([int(lens.max()) if len(lens) else 0], pa.int64()),
+            "sum_len": pa.array([int(lens.sum())], pa.int64()),
+            "hist": pa.array([h.tolist()]),
+        })
+
+    parts = (ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+             .map_batches(_hist, batch_format="pyarrow").to_pandas())
+    hist = np.sum(np.stack(parts["hist"].to_numpy()), axis=0).astype(np.int64)
+    n = int(hist.sum())
+    nz = hist[hist > 0]
+    micro = int(np.floor(1e6 * nz * (np.log(float(n)) - np.log(nz.astype(np.float64))))
+                .astype(np.int64).sum())
+    n_docs = int(parts["n_docs"].sum())
+    sum_len = int(parts["sum_len"].sum())
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "min_len": pa.array([int(parts["min_len"].min())], pa.int64()),
+        "max_len": pa.array([int(parts["max_len"].max())], pa.int64()),
+        "avg_len": pa.array([sum_len / (n_docs * 1.0)], pa.float64()),
+        "entropy_nats": pa.array([micro / (1e6 * n)], pa.float64()),
+    })
+
+
+STRING_STATS_SQL = """
+WITH ch AS (
+  SELECT unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT c, count(*)::BIGINT AS n FROM ch GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nt FROM cnt),
+ent AS (
+  SELECT sum(floor(1e6 * cnt.n * (ln(tot.nt::DOUBLE) - ln(cnt.n::DOUBLE)))::BIGINT)
+           AS micro, max(tot.nt) AS nt
+  FROM cnt CROSS JOIN tot
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT min(len(text)) FROM documents)::BIGINT AS min_len,
+       (SELECT max(len(text)) FROM documents)::BIGINT AS max_len,
+       (SELECT sum(len(text)) FROM documents)::BIGINT
+         / ((SELECT count(*) FROM documents)::BIGINT * 1.0) AS avg_len,
+       ent.micro / (1e6 * ent.nt) AS entropy_nats
+FROM ent
+"""
+
+
 def doclen_mad(sf_dir: str) -> pa.Table:
     """Robust doc-length statistics (ES `median_absolute_deviation`
     aggregation — exact, not the t-digest approximation): continuous
@@ -5317,6 +5381,7 @@ def registry() -> tuple[dict, dict]:
         "doclen_mad": doclen_mad,
         "image_thumbnails": image_thumbnails,
         "audio_spectral": audio_spectral,
+        "string_stats_text": string_stats_text,
         "props_field_stats": props_field_stats,
         "image_meta": image_meta,
         "audio_meta": audio_meta,
@@ -5393,6 +5458,7 @@ def registry() -> tuple[dict, dict]:
         "phrase_prefix_match": _phrase_prefix_sql(),
         "doclen_mad": DOCLEN_MAD_SQL,
         "image_thumbnails": _image_thumbnails_sql(),
+        "string_stats_text": STRING_STATS_SQL,
         "events_min_ts": EVENTS_MIN_TS_SQL,
         "shard_routing": SHARD_ROUTING_SQL,
         "events_by_type": EVENTS_BY_TYPE_SQL,
