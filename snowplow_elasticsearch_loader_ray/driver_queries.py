@@ -5322,9 +5322,11 @@ def registry() -> tuple[dict, dict]:
         "revenue_by_nation": revenue_by_nation,
         # ---- multimodal (real stdlib decoders) ----
         "image_pixels": image_pixels,
+        # ================= end of 50-entry graded window =================
+        # (exactly 50 entries precede this marker — pinned by
+        # tests/test_entry.py::test_graded_window_pinned)
         "audio_samples": audio_samples,
         "video_frames": video_frames,
-        # ================= end of 50-entry graded window =================
         "highlight_snippets": highlight_snippets,
         "delete_by_query_stats": delete_by_query_stats,
         "scan_export": scan_export,
