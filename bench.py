@@ -112,14 +112,16 @@ def run_once() -> dict:
     QueryEngine(f"{warm_dir}/index")
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    # best-of-N timed passes (default 3): the sandbox is a shared VM
+    # best-of-N timed passes (default 5): the sandbox is a shared VM
     # with bursty neighbor load — identical passes vary up to 3x — and
     # the min is the engine's cost, the rest is the neighbors'. The
-    # scaling driver does its own per-level repeats, so it sets
-    # GRAFT_BENCH_REPEATS=1.
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    # median is reported alongside so a single lucky window is visible
+    # as such. The scaling driver does its own per-level repeats, so it
+    # sets GRAFT_BENCH_REPEATS=1.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "5"))
     qs = generate_queries()
     best = None
+    headlines = []
     for rep in range(repeats):
         work = f"/tmp/bench_work_{os.getpid()}_{rep}"
         shutil.rmtree(work, ignore_errors=True)
@@ -170,6 +172,7 @@ def run_once() -> dict:
                 rstages[f"selective_query_p50_ms_{name}"] = round(
                     float(np.percentile(sl, 50)) * 1000, 3)
         rheadline = time.time() - t_head
+        headlines.append((rheadline, rstages["ingest_s"] + rstages["index_build_s"]))
         if best is None or rheadline < best[0]:
             if best is not None:
                 shutil.rmtree(best[4], ignore_errors=True)
@@ -180,9 +183,12 @@ def run_once() -> dict:
     headline, rstages, counters, stats, work = best
     stages.update(rstages)
     stages["timed_repeats"] = repeats
+    stages["e2e_median_s"] = round(float(np.median([h for h, _ in headlines])), 3)
 
     stages["docs_per_sec"] = round(
         stats["n_docs"] / (stages["ingest_s"] + stages["index_build_s"]), 1)
+    stages["docs_per_sec_median"] = round(
+        stats["n_docs"] / float(np.median([b for _, b in headlines])), 1)
     stages["n_docs"] = stats["n_docs"]
     stages["n_tokens"] = stats["total_tokens"]
     stages["bad_rows"] = sum(v for k, v in counters.items() if k != "good")
@@ -190,6 +196,9 @@ def run_once() -> dict:
     stages["index_bytes"] = m["bytes_written"]
     stages["n_postings"] = m["postings"]
     stages["bytes_per_posting"] = round(m["bytes_written"] / max(1, m["postings"]), 3)
+    for pk in ("phase1_runs_s", "phase2_segments_s"):
+        if pk in m:
+            stages[pk] = m[pk]
 
     # driver-table index build (sf documents.parquet — small)
     t0 = time.time()
@@ -215,6 +224,21 @@ def run_once() -> dict:
     t = t.slice(0, min(nrt_n, t.num_rows))
     payloads = [_json.dumps({"doc_id": int(d), "text": x}).encode()
                 for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    # pre-warm the refresh code path with a throwaway delta first: the
+    # first refresh() in a fresh process pays one-time costs (module
+    # bytecode, first Ray task round-trip in the stream extractor,
+    # first parquet writer init) that a long-lived serving process —
+    # the thing this SLO models — paid long ago. Observed 0.3 s warm vs
+    # 1.4 s cold in the round-3 driver window.
+    warm_root = f"{work}/live_warm"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    lw = LiveIndex(warm_root, cfg)
+    stream_ingest(iter(payloads[:64]), f"{warm_root}/stream", purpose="json",
+                  cfg=cfg)
+    lw.refresh(f"{warm_root}/stream")
+    lw.searcher().topk("data stream", 10)
+    shutil.rmtree(warm_root, ignore_errors=True)
+
     live_root = f"{work}/live"
     shutil.rmtree(live_root, ignore_errors=True)
     live = LiveIndex(live_root, cfg)
@@ -227,6 +251,18 @@ def run_once() -> dict:
     stages["nrt_refresh_s"] = round(nrt_s, 3)
     stages["nrt_docs_per_sec"] = round(r["n_docs"] / nrt_s, 1)
 
+    # query latency AT SCALE (the BASELINE.json metric is docs/s + BM25
+    # p99; 59k docs is not where p99 matters): a ~1M-doc index served
+    # through the distributed planes — ShardedQueryEngine (term-sharded
+    # scatter/gather) and the 2x-doc-partitioned grid — 50-query set,
+    # p50/p99 per plane. The index is built once and cached in /tmp
+    # across bench runs (manifest-committed resume), so only the first
+    # run pays the build. GRAFT_BENCH_LARGE=0 skips (the scaling legs
+    # do: their job IS the build).
+    if os.environ.get("GRAFT_BENCH_LARGE", "1") == "1":
+        large_rows = int(os.environ.get("GRAFT_BENCH_LARGE_ROWS", "960000"))
+        stages.update(_large_query_bench(large_rows, cfg, qs))
+
     shutil.rmtree(work, ignore_errors=True)
     ray.shutdown()
     return {
@@ -237,6 +273,57 @@ def run_once() -> dict:
         "sf": sf,
         "num_cpus": NCPU,
     }
+
+
+def _large_query_bench(n_rows: int, cfg, qs) -> dict:
+    """Serve the 50-query set from a ~1M-doc index through the two
+    distributed planes; → p50/p99 stage entries."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines import build as B
+    from snowplow_elasticsearch_loader_ray.pipelines.grid_query import (
+        GridQueryEngine,
+    )
+    from snowplow_elasticsearch_loader_ray.pipelines.sharded_query import (
+        ShardedQueryEngine,
+    )
+    from snowplow_elasticsearch_loader_ray.sources.synth import generate_pages
+
+    pages_dir = f"/tmp/bench_pages_{n_rows}"
+    index_root = f"/tmp/bench_large_{n_rows}"
+    paths = generate_pages(pages_dir, n_rows=n_rows, n_parts=N_PARTS_FILES)
+    _warm(paths)
+    try:
+        B.ingest_pages(pages_dir, f"{index_root}/ingest", cfg)
+        stats = B.build_index(B.good_docs_dir(f"{index_root}/ingest"),
+                              f"{index_root}/index", cfg, num_parts=RUN_PARTS)
+    except RuntimeError:
+        # stale cache from an older run format: rebuild from scratch
+        shutil.rmtree(index_root, ignore_errors=True)
+        B.ingest_pages(pages_dir, f"{index_root}/ingest", cfg)
+        stats = B.build_index(B.good_docs_dir(f"{index_root}/ingest"),
+                              f"{index_root}/index", cfg, num_parts=RUN_PARTS)
+
+    out: dict = {"large_n_docs": stats["n_docs"]}
+    planes = [
+        ("", ShardedQueryEngine(f"{index_root}/index")),
+        ("_grid", GridQueryEngine(f"{index_root}/index", n_doc_parts=2)),
+    ]
+    for suffix, eng in planes:
+        for _qid, q, k in qs[:5]:
+            eng.topk(q, k)                     # actor/model warm-up
+        lat = []
+        for _ in range(QUERY_REPEATS):
+            for _qid, q, k in qs:
+                t0 = time.time()
+                eng.topk(q, k)
+                lat.append(time.time() - t0)
+        out[f"query_p50_ms_large{suffix}"] = round(
+            float(np.percentile(lat, 50)) * 1000, 3)
+        out[f"query_p99_ms_large{suffix}"] = round(
+            float(np.percentile(lat, 99)) * 1000, 3)
+        eng.shutdown()
+    return out
 
 
 def run_scaling() -> dict:
@@ -253,45 +340,62 @@ def run_scaling() -> dict:
     # itself stops scaling past ~8-10 busy cores for mixed workloads
     # (BASELINE.md "noise" analysis), so 8→32 measures the neighbor
     # contention, not the engine. Override with GRAFT_SCALING_CPUS=8,32.
+    import statistics
+
     rows = os.environ.get("GRAFT_BENCH_ROWS", "960000")
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
     lo_cpus, hi_cpus = (int(x) for x in
                         os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
-    def at(ncpu: int) -> dict:
+    def leg(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows,
-                   GRAFT_BENCH_REPEATS="1")
-        best = None
-        for _ in range(repeats):
-            out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                                 env=env, capture_output=True, text=True)
-            if out.returncode != 0:
-                sys.stderr.write(out.stderr[-4000:])
-                raise RuntimeError(f"bench subprocess failed (rc={out.returncode})")
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["queries"]["docs_per_sec"] > best["queries"]["docs_per_sec"]:
-                best = r
-        return best
+                   GRAFT_BENCH_REPEATS="1", GRAFT_BENCH_LARGE="0")
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"bench subprocess failed (rc={out.returncode})")
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = at(lo_cpus), at(hi_cpus)
-    tput_lo = lo["queries"]["docs_per_sec"]
-    tput_hi = hi["queries"]["docs_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
-    return {
-        "metric": f"indexing_scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
-        "value": round(eff, 3),
-        "unit": "efficiency",
-        "queries": {
+    # INTERLEAVED legs — lo,hi per rep back-to-back — so a neighbor-load
+    # burst on this shared VM hits both levels of a rep roughly equally
+    # instead of poisoning one side of the ratio; the median efficiency
+    # across reps is the reported statistic (single-rep swings on
+    # identical work reach 35%, see BASELINE.md noise analysis).
+    effs, reps = [], []
+    for _ in range(repeats):
+        lo, hi = leg(lo_cpus), leg(hi_cpus)
+        tput_lo = lo["queries"]["docs_per_sec"]
+        tput_hi = hi["queries"]["docs_per_sec"]
+        e = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+        effs.append(e)
+        reps.append({
             f"docs_per_sec_{lo_cpus}": tput_lo,
             f"docs_per_sec_{hi_cpus}": tput_hi,
-            f"e2e_sec_{lo_cpus}": lo["value"],
-            f"e2e_sec_{hi_cpus}": hi["value"],
-            f"ingest_sec_{lo_cpus}": lo["queries"]["ingest_s"],
-            f"ingest_sec_{hi_cpus}": hi["queries"]["ingest_s"],
             f"build_sec_{lo_cpus}": lo["queries"]["index_build_s"],
             f"build_sec_{hi_cpus}": hi["queries"]["index_build_s"],
-        },
-        "sf": lo["sf"],
+            f"ingest_sec_{lo_cpus}": lo["queries"]["ingest_s"],
+            f"ingest_sec_{hi_cpus}": hi["queries"]["ingest_s"],
+            "efficiency": round(e, 3),
+        })
+    med = statistics.median(effs)
+    queries = {
+        "efficiency_median": round(med, 3),
+        "efficiency_reps": [round(e, 3) for e in effs],
+        f"docs_per_sec_{lo_cpus}_best": max(r[f"docs_per_sec_{lo_cpus}"] for r in reps),
+        f"docs_per_sec_{hi_cpus}_best": max(r[f"docs_per_sec_{hi_cpus}"] for r in reps),
+        f"docs_per_sec_{lo_cpus}_median": statistics.median(
+            r[f"docs_per_sec_{lo_cpus}"] for r in reps),
+        f"docs_per_sec_{hi_cpus}_median": statistics.median(
+            r[f"docs_per_sec_{hi_cpus}"] for r in reps),
+        "reps": reps,
+    }
+    return {
+        "metric": f"indexing_scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
+        "value": round(med, 3),
+        "unit": "efficiency",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
         "num_cpus": hi_cpus,
     }
 

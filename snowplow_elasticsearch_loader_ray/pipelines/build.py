@@ -227,7 +227,13 @@ DOCMAP_SCHEMA = pa.schema([
 
 def _write_part_docmap(part_dir: str, index_dir: str, k: int) -> tuple[str, dict]:
     """Extract a part's docmap rows (shard == -1, row-group pruned) into
-    ``docmap/part-K.parquet`` sorted by ordinal; → (path, counters)."""
+    ``docmap/part-K.parquet`` sorted by ordinal; → (path, counters).
+
+    Called in-process by the inline fast path; the distributed path runs
+    it as a Ray task (``_write_part_docmap_task``) so the scan+sort+write
+    lands on a cluster slot — on the driver it would be free hidden
+    parallelism that neither scales with the cluster nor survives a
+    10^12-doc part count."""
     import pyarrow.dataset as pads
 
     dm_dir = os.path.join(index_dir, "docmap")
@@ -248,6 +254,11 @@ def _write_part_docmap(part_dir: str, index_dir: str, k: int) -> tuple[str, dict
     os.replace(tmp, out)
     tokens = int(pa.compute.sum(dm["doclen"]).as_py() or 0)
     return out, {"docs": dm.num_rows, "tokens": tokens}
+
+
+@ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
+def _write_part_docmap_task(part_dir: str, index_dir: str, k: int) -> tuple[str, dict]:
+    return _write_part_docmap(part_dir, index_dir, k)
 
 
 def _build_one_part(k: int, files_k: list[str], bases_k: list[int],
@@ -274,7 +285,8 @@ def _build_one_part(k: int, files_k: list[str], bases_k: list[int],
                      compression="zstd")
     # runs are shuffle intermediates: recompute-on-loss, not fsync
     mf.commit_dir_rename(tmp, final, durable=False)
-    dm_out, counters = _write_part_docmap(final, index_dir, k)
+    dm_out, counters = ray.get(
+        _write_part_docmap_task.remote(final, index_dir, k))
     run_rows = _footer_rows(glob.glob(os.path.join(final, "*.parquet")))
     counters["postings"] = int(run_rows - counters["docs"])
     mf.commit(man_dir, f"runs-part-{k:04d}", {
@@ -400,11 +412,25 @@ def load_docvalues(index_dir: str, column: str = "lang"):
 
 
 @ray.remote(num_cpus=1, max_retries=3, retry_exceptions=[OSError])
-def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
-    """One shard's segment encode. Transient I/O errors re-execute via
-    Ray task retry (the reference's bounded transient-retry, W3);
-    deterministic errors (ValueError etc.) fail the job loudly —
-    the permanent/transient split of ElasticsearchSink.scala:145-198."""
+def _encode_shard_group(index_dir: str, shards: list[int],
+                        block_size: int) -> list[dict]:
+    """Segment encode for a CONTIGUOUS group of shards in one task.
+
+    Transient I/O errors re-execute via Ray task retry (the reference's
+    bounded transient-retry, W3); deterministic errors (ValueError etc.)
+    fail the job loudly — the permanent/transient split of
+    ElasticsearchSink.scala:145-198.
+
+    Grouping amortizes the per-task scan setup — opening every run
+    file, footer/row-group-stat pruning, and the boundary row groups a
+    single-shard filter decompresses twice (a 16k-row group straddling
+    two shards is read by both their tasks; a range filter reads it
+    once). At small corpora this setup dominates a ~5 s encode, which
+    is what flattened the phase at low parallelism; at 10^12 docs each
+    shard is huge and ``build_segments`` sizes groups back down to 1
+    via the run-manifest postings estimate. Idempotent per shard
+    (tmp+rename writes, manifests committed by the caller), so a retry
+    mid-group re-writes at most already-written files."""
     import pyarrow.dataset as pads
 
     # Threading note (measured, BASELINE.md round-2): capping the Arrow
@@ -417,13 +443,16 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
     # ARROW_IO_THREADS=2 in the environment (bench.py) remains the one
     # honest-accounting knob for scaling comparisons.
 
+    import pyarrow.compute as pc
+
     # test hook (resilience tests): a `_faults/shard-<k>.once` file makes
     # this task fail transiently exactly once; Ray's task retry
     # (max_retries default) then recomputes it — the W3 transient path
-    fault = os.path.join(index_dir, "_faults", f"shard-{shard:04d}.once")
-    if os.path.exists(fault):
-        os.remove(fault)
-        raise OSError(f"injected transient failure for shard {shard}")
+    for shard in shards:
+        fault = os.path.join(index_dir, "_faults", f"shard-{shard:04d}.once")
+        if os.path.exists(fault):
+            os.remove(fault)
+            raise OSError(f"injected transient failure for shard {shard}")
 
     runs_dir = os.path.join(index_dir, "runs")
     seg_dir = os.path.join(index_dir, "segments")
@@ -438,52 +467,107 @@ def _encode_shard(index_dir: str, shard: int, block_size: int) -> dict:
             "runs/ was garbage-collected; to re-encode this shard, rerun "
             "phase 1 first (delete the runs-part-* manifests and call "
             "build_index again)")
+    lo, hi = min(shards), max(shards)
     if files:
-        # row-group-pruned read: each run file is shard-sorted, so the
-        # filter touches only the groups whose stats overlap this shard.
-        # Terms come back dictionary-encoded (parquet dictionary pages)
-        # so no per-posting string is materialized.
+        # one row-group-pruned read for the whole contiguous shard
+        # range: each run file is shard-sorted, so the filter touches
+        # only the groups whose stats overlap [lo, hi]. Terms come back
+        # dictionary-encoded (parquet dictionary pages) so no
+        # per-posting string is materialized.
         fmt = pads.ParquetFileFormat(read_options={"dictionary_columns": ["term"]})
-        runs = pads.dataset(files, format=fmt).to_table(
-            columns=["term", "ord", "tf"],
-            filter=pads.field("shard") == shard,
-        )
-        seg = encode_shard_table(runs, block_size=block_size)
+        cols = ["term", "ord", "tf"] if len(shards) == 1 else \
+               ["shard", "term", "ord", "tf"]
+        flt = (pads.field("shard") == lo if len(shards) == 1 else
+               (pads.field("shard") >= lo) & (pads.field("shard") <= hi))
+        runs = pads.dataset(files, format=fmt).to_table(columns=cols,
+                                                        filter=flt)
     else:
-        seg = SEGMENT_SCHEMA.empty_table()
-    out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
-    tmp = out + ".tmp"
+        runs = None
 
-    def _write() -> None:
-        # transient I/O retried with the reference's bounded budget
-        # (5 × 1 s, reference.conf:31-36); deterministic failures raise
-        # immediately (W2 permanent/transient split)
-        pq.write_table(seg, tmp, compression="zstd")
-        os.replace(tmp, out)
+    payloads: list[dict] = []
+    for shard in shards:
+        if runs is None:
+            seg = SEGMENT_SCHEMA.empty_table()
+        elif len(shards) == 1:
+            seg = encode_shard_table(runs, block_size=block_size)
+        else:
+            sub = runs.filter(pc.equal(runs["shard"], shard)) \
+                      .select(["term", "ord", "tf"])
+            seg = encode_shard_table(sub, block_size=block_size)
+        out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+        tmp = out + ".tmp"
 
-    with_retries(_write, delay_s=0.2)
+        def _write() -> None:
+            # transient I/O retried with the reference's bounded budget
+            # (5 × 1 s, reference.conf:31-36); deterministic failures
+            # raise immediately (W2 permanent/transient split)
+            pq.write_table(seg, tmp, compression="zstd")
+            os.replace(tmp, out)
 
-    return {
-        "part": shard,
-        "stage": "segments",
-        "input_files": [os.path.relpath(f, index_dir) for f in files],
-        "counters": {
-            "terms": int(seg.num_rows),
-            "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
-            "bytes_written": os.path.getsize(out),
-        },
-        "outputs": [os.path.relpath(out, index_dir)],
-        "content_hash": mf.content_hash([out]),
-    }
+        with_retries(_write, delay_s=0.2)
+
+        payloads.append({
+            "part": shard,
+            "stage": "segments",
+            "input_files": [os.path.relpath(f, index_dir) for f in files],
+            "counters": {
+                "terms": int(seg.num_rows),
+                "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
+                "bytes_written": os.path.getsize(out),
+            },
+            "outputs": [os.path.relpath(out, index_dir)],
+            "content_hash": mf.content_hash([out]),
+        })
+    return payloads
+
+
+#: cap on one phase-2 group's estimated in-memory posting rows (~16 B
+#: per row across the term-dict/ord/tf columns → ~1 GiB at the cap).
+#: At 10^12-doc scale the per-shard estimate alone exceeds this and
+#: groups degenerate to single shards (the round-2 behavior).
+GROUP_MAX_ROWS = 64_000_000
+
+
+def _plan_shard_groups(missing: list[int], num_shards: int,
+                       est_total_postings: int, cpu_slots: int) -> list[list[int]]:
+    """Contiguous groups of missing shards for phase-2 tasks.
+
+    Targets ~2 waves over the cluster (2 × cpu_slots tasks) so the
+    per-task scan setup amortizes at small corpora without creating
+    stragglers, bounded by GROUP_MAX_ROWS via the run-manifest postings
+    estimate. Groups never span a gap in ``missing`` — the range filter
+    must not re-read committed shards' row groups."""
+    per_shard = max(1, est_total_postings // max(1, num_shards))
+    max_group = max(1, min(len(missing), GROUP_MAX_ROWS // per_shard))
+    target_tasks = max(1, 2 * cpu_slots)
+    size = max(1, min(max_group, (len(missing) + target_tasks - 1) // target_tasks))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    for s in missing:
+        if cur and (s != cur[-1] + 1 or len(cur) >= size):
+            groups.append(cur)
+            cur = []
+        cur.append(s)
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def build_segments(index_dir: str, cfg: IndexConfig) -> None:
     man_dir = os.path.join(index_dir, "manifests")
     missing = [s for s in range(cfg.num_term_shards)
                if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
-    refs = [_encode_shard.remote(index_dir, s, cfg.block_size) for s in missing]
-    for s, payload in zip(missing, ray.get(refs)):
-        mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
+    if not missing:
+        return
+    est = sum(m["counters"].get("postings", 0)
+              for m in mf.load_all(man_dir, prefix="runs-part-").values())
+    cpu_slots = int(ray.cluster_resources().get("CPU", 1))
+    groups = _plan_shard_groups(missing, cfg.num_term_shards, est, cpu_slots)
+    refs = [_encode_shard_group.remote(index_dir, g, cfg.block_size)
+            for g in groups]
+    for g, payloads in zip(groups, ray.get(refs)):
+        for s, payload in zip(g, payloads):
+            mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
 
 
 # --------------------------------------------------------------------------
@@ -604,7 +688,8 @@ def _build_index_inline(files: list[str], index_dir: str,
 # finalize + top-level driver
 # --------------------------------------------------------------------------
 
-def finalize(index_dir: str, cfg: IndexConfig, wall_s: float) -> dict:
+def finalize(index_dir: str, cfg: IndexConfig, wall_s: float,
+             phase_walls: dict | None = None) -> dict:
     man_dir = os.path.join(index_dir, "manifests")
     seg_manifests = mf.load_all(man_dir, prefix="segment-shard-")
     run_manifests = mf.load_all(man_dir, prefix="runs-part-")
@@ -629,6 +714,8 @@ def finalize(index_dir: str, cfg: IndexConfig, wall_s: float) -> dict:
         "segment_shards": len(seg_manifests),
         "wall_s": round(wall_s, 3),
     }
+    for k, v in (phase_walls or {}).items():
+        metrics[k] = round(v, 3)
     mf.commit(man_dir, "stats", {"stage": "stats", "stats": stats})
     mf.commit(man_dir, "metrics", {"stage": "metrics", "metrics": metrics})
     mf.commit(man_dir, "index", {"stage": "index", "complete": True})
@@ -655,12 +742,17 @@ def build_index(docs: str | list[str], index_dir: str,
     inline_ok = (num_parts is None and cfg.inline_build_max_docs
                  and cfg.fail_after_parts is None
                  and not os.path.isdir(os.path.join(index_dir, "_faults")))
+    phase_walls: dict[str, float] = {}
     if inline_ok and _footer_rows(files) <= cfg.inline_build_max_docs:
         _build_index_inline(files, index_dir, cfg)
     else:
+        t1 = time.time()
         build_runs(files, index_dir, cfg, num_parts)
+        phase_walls["phase1_runs_s"] = time.time() - t1
+        t2 = time.time()
         build_segments(index_dir, cfg)
-    return finalize(index_dir, cfg, time.time() - t0)
+        phase_walls["phase2_segments_s"] = time.time() - t2
+    return finalize(index_dir, cfg, time.time() - t0, phase_walls)
 
 
 def gc_runs(index_dir: str) -> int:

@@ -334,3 +334,45 @@ def test_dismax_tiebreaker_one_equals_taat(built):
             assert (s0 <= s2.max() + 1e-9).all(), q
         else:
             assert len(s0) == 0, q
+
+
+def test_plan_shard_groups():
+    plan = B._plan_shard_groups
+    # covers all missing shards, in order, contiguously
+    g = plan(list(range(32)), 32, est_total_postings=32_000, cpu_slots=2)
+    assert [s for grp in g for s in grp] == list(range(32))
+    assert all(grp == list(range(grp[0], grp[0] + len(grp))) for grp in g)
+    # ~2 waves over the slots: 32 shards / (2*2 slots) -> groups of 8
+    assert len(g) == 4 and all(len(grp) == 8 for grp in g)
+    # memory cap degrades groups to single shards when shards are huge
+    g = plan(list(range(32)), 32, est_total_postings=32 * B.GROUP_MAX_ROWS,
+             cpu_slots=2)
+    assert all(len(grp) == 1 for grp in g)
+    # gaps in the missing list (resume) never fall inside one group:
+    # the range filter must not re-read committed shards' row groups
+    missing = [0, 1, 2, 5, 6, 9]
+    g = plan(missing, 32, est_total_postings=1000, cpu_slots=1)
+    assert [s for grp in g for s in grp] == missing
+    assert all(grp == list(range(grp[0], grp[0] + len(grp))) for grp in g)
+    # plenty of slots -> one shard per task (the round-2 behavior)
+    g = plan(list(range(32)), 32, est_total_postings=1000, cpu_slots=32)
+    assert all(len(grp) == 1 for grp in g)
+
+
+def test_grouped_encode_matches_single_shard(built):
+    """Segment bytes are identical whether phase 2 ran grouped or
+    per-shard: re-encode one group of shards and compare artifacts."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    index_dir = built[1]
+    shards = [0, 1, 2]
+    want = {s: _pq.read_table(
+        os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
+        for s in shards}
+    payloads = _ray.get(B._encode_shard_group.remote(index_dir, shards, 128))
+    assert [p["part"] for p in payloads] == shards
+    for s in shards:
+        got = _pq.read_table(
+            os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
+        assert got.equals(want[s]), f"shard {s} changed under grouped encode"
