@@ -93,6 +93,9 @@ def _parser() -> argparse.ArgumentParser:
     sn.add_argument("--name", help="snapshot name")
     sn.add_argument("--index", help="index dir (create) / target (restore)")
     sn.add_argument("--live-root", help="live chain root (create-live)")
+    sn.add_argument("--grace-s", type=float, default=15 * 60,
+                    help="gc: keep unreferenced blobs younger than this "
+                         "(protects in-flight snapshots); 0 = reclaim all")
     return p
 
 
@@ -200,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
             S.delete_snapshot(args.repo, _need("name", "--name"))
             out = {"deleted": args.name}
         elif args.action == "gc":
-            out = S.gc_repository(args.repo)
+            out = S.gc_repository(args.repo, grace_s=args.grace_s)
         else:  # list
             import os
 

@@ -1353,31 +1353,35 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
 def string_stats_text(sf_dir: str) -> pa.Table:
     """ES `string_stats` (with `show_distribution`'s entropy) over the
     text field: count, min/max/avg length, and Shannon entropy of the
-    corpus character distribution. Exact float parity via the micro-nat
-    trick: each character class contributes the INTEGER
+    corpus character distribution. Characters are Unicode CODE POINTS
+    (matching the oracle's per-character string_split and ES's
+    character semantics), not UTF-8 bytes — one sparse code-point
+    histogram per batch (np.unique over the batch's UTF-32 buffer),
+    merged on the driver. Exact float parity via the micro-nat trick:
+    each character class contributes the INTEGER
     floor(1e6·c·(ln N − ln c)), summed order-free, entropy =
-    sum / (1e6·N) — one byte-histogram per batch (np.frombuffer +
-    bincount over the concatenated UTF-8 buffer), merged as 256-long
-    arrays on the driver."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    sum / (1e6·N)."""
     def _hist(batch: pa.Table) -> pa.Table:
         col = batch["text"].combine_chunks() if \
             isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
         lens = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        joined = "".join(col.to_pylist()).encode("utf-8")
-        h = np.bincount(np.frombuffer(joined, dtype=np.uint8), minlength=256)
+        cps = np.frombuffer("".join(col.to_pylist()).encode("utf-32-le"),
+                            dtype=np.uint32)
+        u, c = np.unique(cps, return_counts=True)
         return pa.table({
             "n_docs": pa.array([batch.num_rows], pa.int64()),
             "min_len": pa.array([int(lens.min()) if len(lens) else 0], pa.int64()),
             "max_len": pa.array([int(lens.max()) if len(lens) else 0], pa.int64()),
             "sum_len": pa.array([int(lens.sum())], pa.int64()),
-            "hist": pa.array([h.tolist()]),
+            "cp": pa.array([u.astype(np.int64).tolist()]),
+            "cnt": pa.array([c.astype(np.int64).tolist()]),
         })
 
     parts = (ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
              .map_batches(_hist, batch_format="pyarrow").to_pandas())
-    hist = np.sum(np.stack(parts["hist"].to_numpy()), axis=0).astype(np.int64)
+    hist = np.zeros(0x110000, dtype=np.int64)
+    for u, c in zip(parts["cp"], parts["cnt"]):
+        np.add.at(hist, np.asarray(u, np.int64), np.asarray(c, np.int64))
     n = int(hist.sum())
     nz = hist[hist > 0]
     micro = int(np.floor(1e6 * nz * (np.log(float(n)) - np.log(nz.astype(np.float64))))
@@ -1397,7 +1401,9 @@ STRING_STATS_SQL = """
 WITH ch AS (
   SELECT unnest(string_split(text, '')) AS c FROM documents
 ),
-cnt AS (SELECT c, count(*)::BIGINT AS n FROM ch GROUP BY 1),
+-- string_split('', '') yields one empty-string element per EMPTY
+-- document; an empty text contributes no characters (ES semantics)
+cnt AS (SELECT c, count(*)::BIGINT AS n FROM ch WHERE c <> '' GROUP BY 1),
 tot AS (SELECT sum(n)::BIGINT AS nt FROM cnt),
 ent AS (
   SELECT sum(floor(1e6 * cnt.n * (ln(tot.nt::DOUBLE) - ln(cnt.n::DOUBLE)))::BIGINT)

@@ -269,8 +269,13 @@ class LiveIndex:
         done = self.consumed_batches()
         # batches are tracked as "<stream id>/<batch name>" so several
         # stream shards (the reference runs one KCL consumer per shard
-        # into one ES index) can feed one live index without collision
-        sid = os.path.basename(os.path.normpath(stream_dir))
+        # into one ES index) can feed one live index without collision;
+        # the id comes from the stream's own manifests (abspath-hashed
+        # at creation), so two dirs sharing a BASENAME under different
+        # parents cannot collide and silently drop batches
+        from ..sources.stream import stream_identity
+
+        sid = stream_identity(stream_dir)
         todo = sorted(f"{sid}/{n}"
                       for n in mf.load_all(stream_man, prefix="batch-")
                       if f"{sid}/{n}" not in done)

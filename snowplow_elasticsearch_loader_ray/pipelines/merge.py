@@ -171,8 +171,6 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     n_shards = shards.pop()
     os.makedirs(out_dir, exist_ok=True)
     man_dir = os.path.join(out_dir, "manifests")
-    if mf.is_committed(man_dir, "index"):
-        return mf.load(man_dir, "stats")["stats"]
 
     if deleted_per_input is not None:
         if len(deleted_per_input) != len(input_dirs):
@@ -180,13 +178,27 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
         deleted_per_input = [np.unique(np.asarray(d, dtype=np.int64))
                              for d in deleted_per_input]
 
-    # plan fingerprint: resuming a partial merge whose inputs or delete
-    # sets changed must refuse, not silently mix remap spaces
+    # plan fingerprint: re-invoking on an out_dir whose committed
+    # contents came from a DIFFERENT plan (inputs/deletes changed) must
+    # refuse, not silently mix remap spaces — and on a FULLY committed
+    # out_dir it must refuse rather than hand back the stale cached
+    # stats as if they were this plan's result
     import hashlib as _hl
     h = _hl.sha256("|".join(os.path.abspath(d) for d in input_dirs).encode())
     for d in (deleted_per_input or []):
         h.update(d.tobytes())
     plan_key = h.hexdigest()[:16]
+
+    if mf.is_committed(man_dir, "index"):
+        committed_plans = {m.get("plan") for m in
+                           mf.load_all(man_dir, prefix="segment-shard-").values()}
+        if committed_plans - {plan_key}:
+            raise ValueError(
+                "merge refused: out_dir holds a COMMITTED merge of a "
+                "different plan (inputs/deletes changed); use a fresh "
+                "out_dir instead of reusing its cached stats")
+        return mf.load(man_dir, "stats")["stats"]
+
     for name_, m in mf.load_all(man_dir, prefix="segment-shard-").items():
         if m.get("plan") != plan_key:
             raise ValueError(

@@ -447,13 +447,27 @@ def _lev_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def _str_hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (blake2b tag) — stable across
-    processes/restarts, unlike ``hash()`` under PYTHONHASHSEED."""
-    import hashlib
+#: del-1 variant hash width: tokens are [a-z0-9] (tokenizer.py), so a
+#: zero-padded 32-byte prefix uniquely encodes every variant <= 32 chars;
+#: longer variants sharing a prefix merely collide, which only ADDS
+#: candidates that exact Levenshtein verification removes.
+_DEL1_HASH_BYTES = 32
 
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                          "little", signed=True)
+
+def _hash_prefix64(strs: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of ASCII strings: a
+    polynomial (mod 2^64) over the zero-padded first 32 bytes. One
+    numpy matmul-shaped pass instead of a per-string digest call —
+    both the index build and the probe use this same function, so
+    candidate generation is exact up to collisions (verified away)."""
+    b = np.asarray(strs, dtype=f"S{_DEL1_HASH_BYTES}")
+    m = b.view(np.uint8).reshape(len(b), _DEL1_HASH_BYTES).astype(np.uint64)
+    mult = np.empty(_DEL1_HASH_BYTES, np.uint64)
+    acc = 1
+    for i in range(_DEL1_HASH_BYTES):             # Python ints: mod 2^64
+        mult[i] = acc
+        acc = (acc * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return (m * mult).sum(axis=1, dtype=np.uint64).view(np.int64)
 
 
 def fuzzy_expand(reader: IndexReader, query_term: str) -> list[str]:
@@ -472,24 +486,35 @@ def fuzzy_expand(reader: IndexReader, query_term: str) -> list[str]:
     results are identical to the dict formulation. At 10^9-term vocab
     this index shards with the term dictionary (same routing), each
     shard answering its own candidates."""
+    import pyarrow.compute as pc
+
     idx = getattr(reader, "_del1_index", None)
     if idx is None:
+        # vectorized variant explode (the completion_suggest pattern):
+        # one Arrow slice+join kernel pass per DELETE POSITION — a loop
+        # over max term length, not over the vocabulary — then one
+        # vectorized hash of every variant. No per-term Python.
         vocab = np.asarray(sorted(reader.terms), dtype=object)
-        hashes, owners = [], []
-        for i, t in enumerate(vocab):
-            variants = _deletes1(t)
-            variants.add(t)
-            for v in variants:
-                hashes.append(_str_hash64(v))
-                owners.append(i)
-        h = np.asarray(hashes, np.int64)
-        o = np.asarray(owners, np.int64)
+        va = pa.array(vocab, type=pa.string())
+        lens = pc.utf8_length(va).to_numpy()
+        ids = np.arange(len(vocab), dtype=np.int64)
+        var_chunks, owner_chunks = [vocab], [ids]      # the term itself
+        for p in range(int(lens.max()) if len(lens) else 0):
+            mask = lens > p
+            sub = va.filter(pa.array(mask)) if not mask.all() else va
+            pre = pc.utf8_slice_codeunits(sub, 0, p)
+            post = pc.utf8_slice_codeunits(sub, p + 1, 1 << 30)
+            var = pc.binary_join_element_wise(pre, post, "")
+            var_chunks.append(var.to_numpy(zero_copy_only=False))
+            owner_chunks.append(ids[mask])
+        h = _hash_prefix64(np.concatenate(var_chunks))
+        o = np.concatenate(owner_chunks)
         order = np.argsort(h, kind="stable")
         reader._del1_index = idx = (h[order], o[order], vocab)
     hs, owners, vocab = idx
     probe = _deletes1(query_term)
     probe.add(query_term)
-    ph = np.asarray([_str_hash64(v) for v in probe], np.int64)
+    ph = _hash_prefix64(np.asarray(sorted(probe), dtype=object))
     lo = np.searchsorted(hs, ph, "left")
     hi = np.searchsorted(hs, ph, "right")
     spans = [owners[a:b] for a, b in zip(lo, hi) if b > a]

@@ -255,14 +255,26 @@ def delete_snapshot(repo_dir: str, name: str) -> None:
     os.remove(p)
 
 
-def gc_repository(repo_dir: str) -> dict:
-    """Remove blobs referenced by no committed snapshot; → counts."""
+def gc_repository(repo_dir: str, grace_s: float = 15 * 60) -> dict:
+    """Remove blobs referenced by no committed snapshot; → counts.
+
+    ``grace_s``: blobs younger than this are kept even when
+    unreferenced. A snapshot in flight has uploaded its blobs but not
+    yet committed its manifest — a gc racing it would delete blobs the
+    about-to-commit snapshot references, leaving a committed snapshot
+    that fails restore. The grace window (ES repository gc uses the
+    same idea) makes unreferenced-AND-old the reclaim condition; pass
+    ``grace_s=0`` only when no snapshot can be concurrently running."""
+    import time as _time
+
     live: set[str] = set()
     for snap in mf.load_all(os.path.join(repo_dir, "snapshots")).values():
         live.update(e["blob"] for e in snap.get("files", []))
+    now = _time.time()
     removed, kept, freed = 0, 0, 0
     for f in glob.glob(os.path.join(repo_dir, "blobs", "*")):
-        if os.path.basename(f) in live or f.endswith(".tmp"):
+        if (os.path.basename(f) in live or f.endswith(".tmp")
+                or now - os.path.getmtime(f) < grace_s):
             kept += 1
         else:
             freed += os.path.getsize(f)

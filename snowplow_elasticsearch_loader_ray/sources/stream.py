@@ -42,6 +42,32 @@ def _resume_cursor(man_dir: str) -> tuple[int, int]:
     return k0, last_seq
 
 
+def stream_identity(stream_dir: str) -> str:
+    """Stable identity of a stream directory (the KCL stream-name
+    analogue). Consumers key checkpoint state by it, so it must be
+    unique across streams feeding one index: basename alone collides
+    for same-named dirs under different parents, so the identity is
+    ``<basename>-<hash of the creation-time abspath>``, recorded in the
+    stream's manifests on first ingest — a recorded id survives the
+    directory being moved; unrecorded (pre-upgrade) streams fall back
+    to computing it from the current abspath."""
+    import hashlib
+
+    man_dir = os.path.join(stream_dir, "manifests")
+    if mf.is_committed(man_dir, "stream-id"):
+        return mf.load(man_dir, "stream-id")["id"]
+    ap = os.path.abspath(os.path.normpath(stream_dir))
+    tag = hashlib.blake2b(ap.encode(), digest_size=4).hexdigest()
+    return f"{os.path.basename(ap)}-{tag}"
+
+
+def _ensure_stream_id(out_dir: str) -> None:
+    man_dir = os.path.join(out_dir, "manifests")
+    if not mf.is_committed(man_dir, "stream-id"):
+        mf.commit(man_dir, "stream-id",
+                  {"stage": "stream-id", "id": stream_identity(out_dir)})
+
+
 def stream_ingest(payloads: Iterable, out_dir: str,
                   purpose: str = "json",
                   cfg: IndexConfig = DEFAULT_CONFIG,
@@ -76,6 +102,7 @@ def stream_ingest(payloads: Iterable, out_dir: str,
     rec_dir = os.path.join(out_dir, "records")
     man_dir = os.path.join(out_dir, "manifests")
     os.makedirs(rec_dir, exist_ok=True)
+    _ensure_stream_id(out_dir)
     transform = PurposeTransform(purpose)
     batcher = BatchUp(cfg.flush_max_bytes, cfg.flush_max_delay_s, clock)
     counters: dict[str, int] = {"batches": 0, "flush_size": 0, "flush_delay": 0,

@@ -177,3 +177,29 @@ def test_heavy_hitters_on_driver_docs(ray_session):
                                columns=["text"])
     got, bound = heavy_hitters(ds, k=64, top=15)
     assert got.num_rows == 15 and bound >= 0
+
+
+def test_string_stats_entropy_counts_codepoints(ray_session, tmp_path):
+    """string_stats must histogram Unicode CODE POINTS, not UTF-8
+    bytes: on a non-ASCII corpus the two diverge (a 2-byte char would
+    split into two byte classes). Parity vs the same DuckDB oracle the
+    driver runs, on an accented/CJK corpus."""
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        STRING_STATS_SQL, string_stats_text)
+
+    texts = ["héllo wörld", "日本語のテキスト", "plain ascii", "émoji 🎉 mix",
+             "ßtraße", ""]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+    got = string_stats_text(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(STRING_STATS_SQL).df()
+    con.close()
+    for c in want.columns:
+        assert got[c].iloc[0] == want[c].iloc[0], c

@@ -261,3 +261,35 @@ def test_bootstrap_base_generation(tmp_path):
     build_index(bulk, str(tmp_path / "live2" / "gen-00000"), CFG)
     b2 = live2.bootstrap(bulk)
     assert b2["n_docs"] == 4 and len(live2.generations()) == 1
+
+
+def test_same_basename_streams_do_not_collide(tmp_path):
+    """Two stream dirs sharing a BASENAME under different parents must
+    both feed one live index — the consumed-batch key is the recorded
+    stream identity (abspath-hashed), not the basename."""
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    s1 = _stream(tmp_path / "a", "shard", DOCS_A)
+    s2 = _stream(tmp_path / "b", "shard", DOCS_B)
+    r1 = live.refresh(s1)
+    assert r1["refreshed"] and r1["n_docs"] == len(DOCS_A)
+    r2 = live.refresh(s2)
+    assert r2["refreshed"] and r2["n_docs"] == len(DOCS_B), \
+        "second stream's batches were skipped (basename collision)"
+    assert live.searcher().live_doc_count() == len(DOCS_A) + len(DOCS_B)
+
+
+def test_stream_identity_stable_and_recorded(tmp_path):
+    from snowplow_elasticsearch_loader_ray.sources.stream import (
+        stream_identity)
+
+    s1 = _stream(tmp_path, "s1", DOCS_A)
+    sid = stream_identity(s1)
+    assert sid == stream_identity(s1)          # stable across calls
+    # recorded in the stream's manifests at first ingest
+    assert os.path.exists(os.path.join(s1, "manifests", "stream-id.json"))
+    # distinct dirs -> distinct identities even with equal basenames
+    (tmp_path / "x").mkdir()
+    s2 = _stream(tmp_path / "x", "s1", DOCS_B)
+    assert stream_identity(s2) != sid

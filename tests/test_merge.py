@@ -121,3 +121,27 @@ def test_three_generation_merge(ray_session, split_docs, tmp_path):
     assert target in docs
     one = up.postings("one")
     assert one is None or target not in up.dl_doc_ids[one.decode_all()[0]]
+
+
+def test_committed_merge_refuses_different_plan(ray_session, split_docs, tmp_path):
+    """Re-invoking merge_indexes on a fully COMMITTED out_dir with a
+    different input set must refuse, not return the stale cached
+    stats (the refusal previously only covered partial merges)."""
+    import pytest as _pytest
+
+    root, _t = split_docs
+    idx_a, idx_b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    B.build_index(str(root / "even.parquet"), idx_a, CFG)
+    B.build_index(str(root / "odd.parquet"), idx_b, CFG)
+    out = str(tmp_path / "merged")
+    stats = merge_indexes([idx_a, idx_b], out, CFG)
+    # same plan on the committed dir -> cached stats, no error
+    assert merge_indexes([idx_a, idx_b], out, CFG) == stats
+    # different plan (inputs changed) -> refuse loudly
+    with _pytest.raises(ValueError, match="COMMITTED merge of a different"):
+        merge_indexes([idx_b], out, CFG)
+    # different plan via delete sets -> refuse too
+    import numpy as _np
+    with _pytest.raises(ValueError, match="COMMITTED merge of a different"):
+        merge_indexes([idx_a, idx_b], out, CFG,
+                      deleted_per_input=[_np.array([1]), _np.array([], _np.int64)])

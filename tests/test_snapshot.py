@@ -91,9 +91,12 @@ def test_incremental_snapshot_reuses_blobs(ray_session, tmp_path):
     # delete one snapshot: blobs stay (snap-b still references them);
     # delete both: gc reclaims everything
     delete_snapshot(repo, "snap-a")
-    assert gc_repository(repo)["blobs_removed"] == 0
+    assert gc_repository(repo, grace_s=0)["blobs_removed"] == 0
     delete_snapshot(repo, "snap-b")
+    # default grace window protects fresh (possibly in-flight) blobs
     g = gc_repository(repo)
+    assert g["blobs_removed"] == 0 and g["blobs_kept"] > 0
+    g = gc_repository(repo, grace_s=0)
     assert g["blobs_removed"] > 0 and g["blobs_kept"] == 0
 
 
