@@ -2783,13 +2783,105 @@ FROM documents
 
 
 def langid(sf_dir: str) -> pa.Table:
+    """Marker-token language ID (analysis.py::LangId): per doc, count
+    marker hits per language profile, argmax with first-profile-order
+    tie-break, 'und' when no markers hit. Deterministic → value-oracled
+    (the SQL replays the same marker join + argmax)."""
     df = A.lang_id(_docs_ds(sf_dir)).to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _lang_id_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', {ordv}, '{tok}')"
+        for ordv, (lang, toks) in enumerate(A.LANG_PROFILES.items())
+        for tok in toks)
+    return f"""
+WITH markers(lang, ord, tok) AS (VALUES {rows}),
+toks AS (SELECT doc_id, unnest({TOK_SQL}) AS tok FROM documents),
+scored AS (
+  SELECT t.doc_id, m.lang, m.ord, count(*)::BIGINT AS n
+  FROM toks t JOIN markers m ON m.tok = t.tok
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, n FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, ord ASC) = 1
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.n, 0)::BIGINT AS marker_hits
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
 def fingerprints(sf_dir: str) -> pa.Table:
+    """Order-sensitive rolling-hash document fingerprints
+    (analysis.py::Fingerprint). All-integer mod-2^64 arithmetic →
+    value-oracled: the SQL replays the polynomial token hash, the
+    position mix and the XOR-reduce in HUGEINT."""
     df = A.fingerprints(_docs_ds(sf_dir)).to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _fingerprints_sql() -> str:
+    """DuckDB replay of the fingerprint pipeline. Unsigned-64 wrapping
+    arithmetic is emulated with HUGEINT ``% 2^64``; XOR runs in the
+    signed-BIGINT bit domain (the ``_sb``/``_ub`` conversions), and
+    ``x >> 33`` is nonneg-HUGEINT floor division. Constants come from
+    analysis.py (FP_*)."""
+    M = "18446744073709551616"           # 2^64
+    HALF = "9223372036854775808"         # 2^63
+    SH33 = "8589934592"                  # 2^33
+
+    def sb(u: str) -> str:               # unsigned HUGEINT -> signed BIGINT bits
+        return (f"(CASE WHEN {u} >= {HALF} THEN ({u} - {M})::BIGINT "
+                f"ELSE ({u})::BIGINT END)")
+
+    def ub(b: str) -> str:               # signed BIGINT bits -> unsigned HUGEINT
+        return (f"(CASE WHEN {b} < 0 THEN ({b})::HUGEINT + {M} "
+                f"ELSE ({b})::HUGEINT END)")
+
+    def mulmod(a: str, b: int) -> str:
+        # (a * b) mod 2^64 without INT128 overflow: split a at 2^32 —
+        # every sub-product stays under 2^97
+        return (f"((((({a} // 4294967296) * {b}) % {M}) * 4294967296"
+                f" + ({a} % 4294967296) * {b}) % {M})")
+
+    pow_rows = ", ".join(
+        f"({j}, {int(p)}::HUGEINT)"
+        for j, p in enumerate(A._fp_poly_pows(A.FP_MAX_TOKEN_BYTES).tolist()))
+    return f"""
+WITH pows(j, p) AS (VALUES {pow_rows}),
+docarr AS (SELECT doc_id, {TOK_SQL} AS arr FROM documents),
+doctoks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+         unnest(arr) AS tok
+  FROM docarr
+),
+toktab AS (SELECT DISTINCT tok FROM doctoks),
+tokh AS (
+  SELECT t.tok,
+         (sum((ascii(substr(t.tok, p.j + 1, 1))::HUGEINT * p.p) % {M}) % {M}) AS h
+  FROM toktab t JOIN pows p ON p.j < least(length(t.tok), {A.FP_MAX_TOKEN_BYTES})
+  GROUP BY t.tok
+),
+m0 AS (
+  SELECT d.doc_id, th.h,
+         ((d.pos::HUGEINT * {A.FP_POS_MUL} + {A.FP_POS_ADD}) % {M}) AS w
+  FROM doctoks d JOIN tokh th ON th.tok = d.tok
+),
+m1 AS (SELECT doc_id, {ub(f"xor({sb('h')}, {sb('w')})")} AS x0 FROM m0),
+m2 AS (SELECT doc_id,
+              {ub(f"xor({sb('x0')}, (x0 // {SH33})::BIGINT)")} AS x1 FROM m1),
+m3 AS (SELECT doc_id, {mulmod('x1', A.FP_MIX_MUL)} AS x2 FROM m2),
+m4 AS (SELECT doc_id,
+              xor({sb('x2')}, (x2 // {SH33})::BIGINT) AS x3 FROM m3),
+fp AS (SELECT doc_id, bit_xor(x3) AS fingerprint, count(*)::BIGINT AS n_tokens
+       FROM m4 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.fingerprint, 0)::BIGINT AS fingerprint,
+       coalesce(fp.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2903,14 +2995,25 @@ FROM tok GROUP BY term ORDER BY term
 
 
 def heavy_hitter_terms(sf_dir: str) -> pa.Table:
-    """Approximate top terms via the mergeable Misra-Gries sketch
-    (analysis.py::heavy_hitters) — the index-free scale path beside the
-    exact `top_terms`. Engine-defined estimates → rows-only here; the
-    N/(k+1) error bound and heavy-term completeness are pytest-pinned
-    against exact counts (test_analysis.py)."""
-    t, _bound = A.heavy_hitters(
+    """EXACT heavy hitters, two-phase: Misra-Gries sketch proposes ≤ k
+    candidates (no vocabulary-wide shuffle), a second streaming pass
+    counts only those exactly, filtered at the N/(k+1) guarantee
+    threshold (analysis.py::heavy_hitters_verified) — the index-free
+    scale path beside `top_terms`. The MG completeness guarantee makes
+    the result IDENTICAL to a full groupby at that threshold, so this
+    is value-oracled; the raw sketch's error bound stays pytest-pinned
+    (test_analysis.py)."""
+    return A.heavy_hitters_verified(
         ray.data.read_parquet(_docs_path(sf_dir), columns=["text"]))
-    return t
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+cnt AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+SELECT cnt.term, cnt.n FROM cnt, tot WHERE cnt.n > tot.n // {A.MG_K + 1}
+ORDER BY cnt.n DESC, cnt.term
+"""
 
 
 #: reciprocal-rank-fusion constant (ES 8 `rrf` retriever default)
@@ -3260,19 +3363,29 @@ GROUP BY 1
 """
 
 
+def _props_k(col) -> np.ndarray:
+    """Vectorized runtime-field extraction: the events table's
+    ``props`` JSON is the fixed shape ``{"k": <int>}``, so one Arrow
+    RE2 kernel (the same regex engine DuckDB uses) pulls the field —
+    no per-row json.loads in the batch path. A row without a numeric
+    ``k`` fails loudly (the KeyError the parse would have raised)."""
+    m = pc.extract_regex(col, r'"k"\s*:\s*(?P<k>-?\d+)')
+    if m.null_count:
+        raise ValueError("props rows without a numeric k field")
+    ks = pc.struct_field(m, "k").cast(pa.int64())
+    return ks.to_numpy(zero_copy_only=False)
+
+
 def props_field_stats(sf_dir: str) -> pa.Table:
     """Runtime-field extraction (the ES runtime-field / ingest-pipeline
-    analogue of the P3 JSON purpose): parse the ``props`` JSON column,
-    pull the ``k`` field, aggregate per event type. JSON parse is
-    per-row (inherent, same as the payload transforms); each batch
-    collapses to per-type partial (n, sum) before the shuffle."""
-    import json
-
+    analogue of the P3 JSON purpose): extract the ``k`` field from the
+    ``props`` JSON column (vectorized, ``_props_k``), aggregate per
+    event type. Each batch collapses to per-type partial (n, sum)
+    before the shuffle."""
     from ray.data.aggregate import Sum
 
     def _partial(batch: pa.Table) -> pa.Table:
-        ks = np.array([json.loads(p)["k"] for p in batch["props"].to_pylist()],
-                      dtype=np.int64)
+        ks = _props_k(batch["props"])
         types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         u, inv = np.unique(types, return_inverse=True)
         return pa.table({
@@ -3784,12 +3897,10 @@ def weighted_avg_value(sf_dir: str) -> pa.Table:
     the JSON runtime field props.k, per event type. Per-batch partials
     (Σ w·v, Σ w as exact integers — value is int, k is int) collapse
     before the shuffle; the division happens once per bucket."""
-    import json
     from ray.data.aggregate import Sum
 
     def _partial(batch: pa.Table) -> pa.Table:
-        ks = np.fromiter((json.loads(p)["k"] for p in batch["props"].to_pylist()),
-                         dtype=np.int64, count=batch.num_rows)
+        ks = _props_k(batch["props"])
         # value is a float — accumulate scaled fixed-point ints so the
         # per-block partial sums are order-free (the revenue pattern)
         vs = np.floor(batch["value"].to_numpy(zero_copy_only=False)
@@ -4976,10 +5087,12 @@ def _image_thumbnails_sql() -> str:
 
 def audio_spectral(sf_dir: str) -> pa.Table:
     """REAL spectral features (numpy rFFT over decoded PCM): dominant
-    frequency + spectral centroid per sine-tone payload. FFT floats
-    aren't SQL-expressible → rows-only here; the physics pin (pure
-    sine ⇒ dominant bin == its frequency, within one bin width) lives
-    in test_multimodal.py."""
+    frequency per sine-tone payload, as the peak rFFT bin plus integer
+    micro-Hz (round(1e6·bin·rate/n) — exact for the fixture's
+    rate/frame parameters). Value-oracled against the fixture SPEC
+    (sources/images.py::expected_audio_spectral — the physics, not a
+    replay of the FFT); the float centroid stays pinned by the physics
+    tests in test_multimodal.py."""
     from .pipelines.multimodal import AudioSpectral
     from .sources.images import write_sine_fixture
 
@@ -4988,12 +5101,25 @@ def audio_spectral(sf_dir: str) -> pa.Table:
            .map_batches(AudioSpectral, batch_format="pyarrow",
                         batch_size=4, concurrency=2)
            .to_pandas().sort_values("audio_id").reset_index(drop=True))
+    micro = np.rint(out["dominant_hz"].to_numpy() * 1e6).astype(np.int64)
     return pa.table({
         "audio_id": pa.array(out["audio_id"], pa.int64()),
-        "dominant_hz": pa.array(out["dominant_hz"], pa.float64()),
-        "centroid_hz": pa.array(out["centroid_hz"], pa.float64()),
+        "dominant_bin": pa.array(out["dominant_bin"], pa.int64()),
+        "dominant_microhz": pa.array(micro),
         "decode_ok": pa.array(out["decode_ok"].astype(bool)),
     })
+
+
+def _audio_spectral_sql() -> str:
+    from .sources.images import expected_audio_spectral
+
+    rows = ", ".join(f"({i}, {b}, {m}, {str(ok).upper()})"
+                     for i, b, m, ok in expected_audio_spectral())
+    return (f"SELECT audio_id::BIGINT AS audio_id, "
+            f"dominant_bin::BIGINT AS dominant_bin, "
+            f"dominant_microhz::BIGINT AS dominant_microhz, decode_ok "
+            f"FROM (VALUES {rows}) "
+            f"t(audio_id, dominant_bin, dominant_microhz, decode_ok)")
 
 
 def audio_samples(sf_dir: str) -> pa.Table:
@@ -5519,8 +5645,13 @@ def registry() -> tuple[dict, dict]:
         "audio_meta": _audio_meta_sql(),
         "audio_samples": _audio_samples_sql(),
         "video_frames": _video_frames_sql(),
-        # minhash_pairs / simhash_pairs / lang_id / fingerprints /
-        # lsh_ann_topk / ingest_summary: engine-defined (sketches,
-        # heuristics, approximate search, own corpus) → rows-only checks
+        "audio_spectral": _audio_spectral_sql(),
+        "lang_id": _lang_id_sql(),
+        "fingerprints": _fingerprints_sql(),
+        "heavy_hitter_terms": HEAVY_HITTERS_SQL,
+        # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
+        # seed-dependent sketches / approximate search → rows-only, with
+        # measured-recall graders (ann_recall, minhash_recall,
+        # simhash_recall) and pytest-pinned guarantees instead
     }
     return queries, oracles

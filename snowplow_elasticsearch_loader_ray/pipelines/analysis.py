@@ -121,17 +121,57 @@ def _hash_tokens(flat: pa.Array) -> np.ndarray:
     return lut[d.indices.to_numpy(zero_copy_only=False)]
 
 
+#: Fingerprint token-hash parameters — shared verbatim by the DuckDB
+#: oracle (driver_queries._fingerprints_sql), which replays the whole
+#: fingerprint in HUGEINT mod-2^64 arithmetic. The token hash is a
+#: byte polynomial h = Σ byte_j·P^j (mod 2^64) over the first
+#: FP_MAX_TOKEN_BYTES bytes — SQL-expressible, unlike a digest — and
+#: tokens are [a-z0-9] so zero-padding is unambiguous.
+FP_POLY_P = 0x00000100000001B3          # FNV-1a 64 prime
+FP_MAX_TOKEN_BYTES = 64
+FP_POS_MUL = 0x9E3779B97F4A7C15
+FP_POS_ADD = 0x2545F4914F6CDD1D
+FP_MIX_MUL = 0xFF51AFD7ED558CCD
+_M64 = (1 << 64) - 1
+
+
+def _fp_poly_pows(n: int) -> np.ndarray:
+    pows = np.empty(n, np.uint64)
+    acc = 1
+    for j in range(n):
+        pows[j] = acc
+        acc = (acc * FP_POLY_P) & _M64
+    return pows
+
+
+def _poly_hash_tokens(flat: pa.Array) -> np.ndarray:
+    """Per-token polynomial byte hash via dictionary encode + one
+    padded-byte-matrix multiply over the (small) vocabulary."""
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    vocab = d.dictionary
+    maxlen = min(FP_MAX_TOKEN_BYTES,
+                 int(pc.max(pc.binary_length(vocab)).as_py() or 1))
+    b = np.asarray(vocab.to_pylist(), dtype=f"S{maxlen}")
+    m = b.view(np.uint8).reshape(len(b), maxlen).astype(np.uint64)
+    lut = (m * _fp_poly_pows(maxlen)).sum(axis=1, dtype=np.uint64)
+    return lut[d.indices.to_numpy(zero_copy_only=False)]
+
+
 class Fingerprint:
     """Order-sensitive 64-bit document fingerprint (rolling-hash family).
 
     fp(doc) = XOR over tokens of mix(h(token) ^ rot(position)) — position
     is mixed in so permuted documents fingerprint differently; XOR-reduce
-    makes it one vectorized ``bitwise_xor.reduceat`` per batch.
+    makes it one vectorized ``bitwise_xor.reduceat`` per batch. Every
+    step is mod-2^64 integer arithmetic on a polynomial token hash, so
+    the DuckDB oracle replays it exactly in HUGEINT (value-oracled).
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, idx, n = _flat_tokens(batch["text"])
-        h = _hash_tokens(flat)
+        h = _poly_hash_tokens(flat) if len(flat) else np.empty(0, np.uint64)
         # position within doc
         counts = np.bincount(idx, minlength=n)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -335,6 +375,50 @@ def heavy_hitters(ds, k: int = MG_K, top: int = 15) -> tuple[pa.Table, int]:
     bound = n_total // (k + 1)
     return pa.table({"term": pa.array(out["term"], pa.string()),
                      "est": pa.array(out["est"], pa.int64())}), bound
+
+
+def heavy_hitters_verified(ds, k: int = MG_K) -> pa.Table:
+    """EXACT heavy hitters via the classic two-phase plan: the
+    Misra-Gries sketch proposes candidates (phase 1 — bounded memory,
+    no vocabulary-wide shuffle), then one more streaming pass counts
+    ONLY those ≤ k candidates exactly (phase 2 — the candidate set is
+    broadcast, each batch emits ≤ k partial rows). Every term with
+    true count > N/(k+1) is guaranteed to be in the sketch, so
+    filtering the exact counts at that threshold yields exactly the
+    terms a full groupby would — deterministic, value-oracle-checkable
+    — while the data moved stays blocks × k rows at any corpus size.
+
+    → (term, n) rows with EXACT counts, n > N // (k+1), sorted
+    n desc / term asc.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    sketch, bound = heavy_hitters(ds, k=k, top=k)
+    cands = sketch["term"].to_pylist()
+    if not cands:
+        return empty
+    vs = pa.array(cands, pa.string())
+
+    def _count_candidates(batch: pa.Table) -> pa.Table:
+        flat, _idx, _n = _flat_tokens(batch["text"])
+        sub = flat.filter(pc.is_in(flat, value_set=vs))
+        if len(sub) == 0:
+            return empty
+        vc = pc.value_counts(sub)
+        return pa.table({"term": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    merged = (ds.map_batches(_count_candidates, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    keep = (merged[merged["n"] > bound]
+            .sort_values(["n", "term"], ascending=[False, True])
+            .reset_index(drop=True))
+    return pa.table({"term": pa.array(keep["term"], pa.string()),
+                     "n": pa.array(keep["n"], pa.int64())})
 
 
 def _apply(ds, cls, concurrency):

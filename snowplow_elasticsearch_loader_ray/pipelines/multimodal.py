@@ -265,11 +265,12 @@ class AudioSpectral:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doms, cents, oks = [], [], []
+        doms, cents, oks, bins, rates = [], [], [], [], []
         for p in batch[self.col].to_pylist():
             dec = decode_wav_samples(p or b"")
             if dec is None or dec[0].size == 0 or dec[0].shape[0] < 4:
                 doms.append(0.0), cents.append(0.0), oks.append(False)
+                bins.append(-1), rates.append(0)
                 continue
             s, rate = dec
             x = s[:, 0].astype(np.float64)
@@ -279,11 +280,16 @@ class AudioSpectral:
             mag[0] = 0.0
             power = mag * mag        # power-weighted centroid: rect-window
             total = power.sum()      # leakage tails barely move it
-            doms.append(float(freqs[int(np.argmax(mag))]))
+            peak = int(np.argmax(mag))
+            doms.append(float(freqs[peak]))
             cents.append(float((freqs * power).sum() / total) if total > 0 else 0.0)
             oks.append(True)
+            bins.append(peak)
+            rates.append(int(rate))
         out = batch.drop_columns([self.col])
         out = out.append_column("dominant_hz", pa.array(doms, pa.float64()))
+        out = out.append_column("dominant_bin", pa.array(bins, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
         out = out.append_column("centroid_hz", pa.array(cents, pa.float64()))
         return out.append_column("decode_ok", pa.array(oks, pa.bool_()))
 

@@ -217,6 +217,27 @@ def write_sine_fixture(cache_root: str) -> str:
     return path
 
 
+def expected_audio_spectral() -> list[tuple[int, int, int, bool]]:
+    """SPEC-derived truth for the sine fixture's spectral features,
+    independent of the FFT implementation: a pure sine at ``f`` Hz over
+    ``n`` rect-windowed samples peaks at the NEAREST rFFT bin
+    round(f·n/rate) (leakage is symmetric around the true frequency;
+    no fixture tone sits exactly between bins), and that bin's
+    frequency is the exact rational bin·rate/n — emitted as integer
+    micro-Hz, round(1e6·bin·rate/n), which is exact for these fixture
+    parameters (16000·10^6/4096 divides evenly).
+
+    → rows (audio_id, dominant_bin, dominant_microhz, decode_ok).
+    """
+    out = []
+    for aid, f in SINE_CASES:
+        b = round(f * SINE_FRAMES / SINE_RATE)
+        assert abs(f * SINE_FRAMES / SINE_RATE - b) != 0.5, "tone between bins"
+        micro = round(1_000_000 * b * SINE_RATE / SINE_FRAMES)
+        out.append((aid, b, micro, True))
+    return out
+
+
 def write_audio_fixture(cache_root: str) -> str:
     """→ parquet path (audio_id: int64, payload: binary): WAV cases plus
     one junk payload (audio_id = 99)."""
