@@ -89,7 +89,8 @@ def test_stream_ingest_micro_batches(tmp_path):
     parts = sorted(os.listdir(os.path.join(out, "records")))
     assert len(parts) == counters["batches"]
     mans = os.listdir(os.path.join(out, "manifests"))
-    assert len(mans) == counters["batches"] + 1               # + stream rollup
+    # + stream rollup + the recorded stream identity
+    assert len(mans) == counters["batches"] + 2
 
 
 def test_stream_checkpoint_debounce(tmp_path):
