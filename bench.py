@@ -369,7 +369,7 @@ def run_scaling() -> dict:
         tput_hi = hi["queries"]["docs_per_sec"]
         e = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
         effs.append(e)
-        reps.append({
+        rep = {
             f"docs_per_sec_{lo_cpus}": tput_lo,
             f"docs_per_sec_{hi_cpus}": tput_hi,
             f"build_sec_{lo_cpus}": lo["queries"]["index_build_s"],
@@ -377,7 +377,12 @@ def run_scaling() -> dict:
             f"ingest_sec_{lo_cpus}": lo["queries"]["ingest_s"],
             f"ingest_sec_{hi_cpus}": hi["queries"]["ingest_s"],
             "efficiency": round(e, 3),
-        })
+        }
+        for pk, short in (("phase1_runs_s", "p1"), ("phase2_segments_s", "p2")):
+            for tag, leg_ in ((lo_cpus, lo), (hi_cpus, hi)):
+                if pk in leg_["queries"]:
+                    rep[f"{short}_sec_{tag}"] = leg_["queries"][pk]
+        reps.append(rep)
     med = statistics.median(effs)
     queries = {
         "efficiency_median": round(med, 3),

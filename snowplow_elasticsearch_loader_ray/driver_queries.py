@@ -5337,6 +5337,264 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS docs,
 # page-corpus ingest summary (engine's own corpus; rows-only check)
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# PII scrubbing / matrix stats / sequence packing (training-data ops)
+# --------------------------------------------------------------------------
+
+#: RE2 patterns shared verbatim by the Arrow kernels and the DuckDB
+#: oracle (both RE2 — counts and replacement spans match exactly)
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE_RE = r"\b555-[0-9][0-9][0-9][0-9]\b"
+PII_IPV4_RE = r"\b10\.[0-9]+\.[0-9]+\.[0-9]+\b"
+PII_ALL_RE = f"({PII_EMAIL_RE})|({PII_PHONE_RE})|({PII_IPV4_RE})"
+
+
+def _pii_plant_sql() -> str:
+    """SQL expression for the deterministically planted PII text —
+    identical, character for character, to ``_pii_plant_arrow``."""
+    return (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id::VARCHAR,"
+        "   '@mail', (doc_id % 7)::VARCHAR, '.example.com now') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-',"
+        "   (1000 + doc_id % 9000)::VARCHAR, ' soon') ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' node 10.', (doc_id % 256)::VARCHAR,"
+        "   '.', ((doc_id // 7) % 256)::VARCHAR, '.', (doc_id % 100)::VARCHAR,"
+        "   ' up') ELSE '' END)")
+
+
+def _pii_plant_arrow(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """text + planted PII segments derived from doc_id (all Arrow
+    kernels: casts, joins, if_else — no per-row Python)."""
+    did = batch["doc_id"]
+    s = lambda x: pc.cast(x, pa.string())
+    empty = pa.nulls(batch.num_rows, pa.string()).fill_null("")
+    email = pc.if_else(
+        pc.equal(_mod(did, 3), 0),
+        pc.binary_join_element_wise(
+            " contact user", s(did), "@mail", s(_mod(did, 7)),
+            ".example.com now", ""),
+        empty)
+    phone = pc.if_else(
+        pc.equal(_mod(did, 5), 0),
+        pc.binary_join_element_wise(
+            " call 555-", s(pc.add(_mod(did, 9000), 1000)), " soon", ""),
+        empty)
+    ip = pc.if_else(
+        pc.equal(_mod(did, 7), 0),
+        pc.binary_join_element_wise(
+            " node 10.", s(_mod(did, 256)), ".",
+            s(_mod(pc.divide(did, 7), 256)), ".", s(_mod(did, 100)), " up", ""),
+        empty)
+    return pc.binary_join_element_wise(batch["text"], email, phone, ip, "")
+
+
+def _mod(arr, m: int):
+    # arrow has no modulo kernel: a - (a // m) * m for non-negative ids
+    d = pc.divide(arr, m)
+    return pc.subtract(arr, pc.multiply(d, m))
+
+
+def pii_scrub_stats(sf_dir: str) -> pa.Table:
+    """PII scrubbing over the corpus (training-data privacy pass):
+    deterministic pseudo-PII (emails / phone / IPv4, derived from
+    doc_id) is planted into the text, then vectorized RE2 kernels
+    count matches per class and measure the redaction (chars removed
+    by scrubbing all classes), aggregated per source domain. The
+    oracle replants and recounts with DuckDB's RE2 — exact."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        txt = _pii_plant_arrow(batch)
+        emails = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+        phones = pc.count_substring_regex(txt, PII_PHONE_RE).cast(pa.int64())
+        ips = pc.count_substring_regex(txt, PII_IPV4_RE).cast(pa.int64())
+        scrubbed = pc.replace_substring_regex(txt, PII_ALL_RE, "")
+        red = pc.subtract(pc.utf8_length(txt).cast(pa.int64()),
+                          pc.utf8_length(scrubbed).cast(pa.int64()))
+        e = emails.to_numpy(zero_copy_only=False)
+        p = phones.to_numpy(zero_copy_only=False)
+        i = ips.to_numpy(zero_copy_only=False)
+        r = red.to_numpy(zero_copy_only=False)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        u, inv = np.unique(src, return_inverse=True)
+        bc = lambda w: np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({
+            "source": pa.array(u.tolist(), pa.string()),
+            "docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "pii_docs": pa.array(bc((e + p + i > 0).astype(np.int64))),
+            "emails": pa.array(bc(e)), "phones": pa.array(bc(p)),
+            "ips": pa.array(bc(i)), "redacted_chars": pa.array(bc(r)),
+        })
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "text", "source"])
+           .map_batches(_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("pii_docs", alias_name="pii_docs"),
+                      Sum("emails", alias_name="emails"),
+                      Sum("phones", alias_name="phones"),
+                      Sum("ips", alias_name="ips"),
+                      Sum("redacted_chars", alias_name="redacted_chars"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _pii_scrub_sql() -> str:
+    esc = lambda p: p.replace("'", "''")
+    return f"""
+WITH planted AS (SELECT source, {_pii_plant_sql()} AS txt FROM documents)
+SELECT source,
+       count(*)::BIGINT AS docs,
+       sum(CASE WHEN len(regexp_extract_all(txt, '{esc(PII_EMAIL_RE)}'))
+                   + len(regexp_extract_all(txt, '{esc(PII_PHONE_RE)}'))
+                   + len(regexp_extract_all(txt, '{esc(PII_IPV4_RE)}')) > 0
+                THEN 1 ELSE 0 END)::BIGINT AS pii_docs,
+       sum(len(regexp_extract_all(txt, '{esc(PII_EMAIL_RE)}')))::BIGINT AS emails,
+       sum(len(regexp_extract_all(txt, '{esc(PII_PHONE_RE)}')))::BIGINT AS phones,
+       sum(len(regexp_extract_all(txt, '{esc(PII_IPV4_RE)}')))::BIGINT AS ips,
+       sum(len(txt) - len(regexp_replace(txt, '{esc(PII_ALL_RE)}', '', 'g')))::BIGINT
+         AS redacted_chars
+FROM planted GROUP BY source
+"""
+
+
+def events_matrix_stats(sf_dir: str) -> pa.Table:
+    """ES `matrix_stats` aggregation over (value, props.k) per event
+    type: count, means and Pearson correlation. All moments accumulate
+    as EXACT integers (value in fixed-point cents, k via the vectorized
+    runtime-field extract), so the only floats are the final divisions
+    — mirrored expression-for-expression by the oracle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = _props_k(batch["props"])
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        types = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        bc = lambda w: np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sv": pa.array(bc(v)), "sk": pa.array(bc(k)),
+            "svv": pa.array(bc(v * v)), "skk": pa.array(bc(k * k)),
+            "svk": pa.array(bc(v * k)),
+        })
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_type", "value", "props"])
+           .map_batches(_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"),
+                      Sum("sk", alias_name="sk"), Sum("svv", alias_name="svv"),
+                      Sum("skk", alias_name="skk"), Sum("svk", alias_name="svk"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    corr, mv, mk = [], [], []
+    for _, r in out.iterrows():
+        # Python ints: the cross products exceed int64 (HUGEINT in SQL)
+        n, sv, sk = int(r["n"]), int(r["sv"]), int(r["sk"])
+        svv, skk, svk = int(r["svv"]), int(r["skk"]), int(r["svk"])
+        mv.append(float(sv) / (100.0 * float(n)))
+        mk.append(float(sk) / float(n))
+        num, d1, d2 = n * svk - sv * sk, n * svv - sv * sv, n * skk - sk * sk
+        corr.append(float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                    if d1 > 0 and d2 > 0 else 0.0)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "mean_value": pa.array(mv, pa.float64()),
+        "mean_k": pa.array(mk, pa.float64()),
+        "corr_vk": pa.array(corr, pa.float64()),
+    })
+
+
+MATRIX_STATS_SQL = """
+WITH m AS (
+  SELECT event_type,
+         count(*)::HUGEINT AS n,
+         sum(floor(value * 100 + 0.5)::BIGINT)::HUGEINT AS sv,
+         sum(json_extract(props, '$.k')::BIGINT)::HUGEINT AS sk,
+         sum(floor(value * 100 + 0.5)::BIGINT * floor(value * 100 + 0.5)::BIGINT)::HUGEINT AS svv,
+         sum(json_extract(props, '$.k')::BIGINT * json_extract(props, '$.k')::BIGINT)::HUGEINT AS skk,
+         sum(floor(value * 100 + 0.5)::BIGINT * json_extract(props, '$.k')::BIGINT)::HUGEINT AS svk
+  FROM events GROUP BY 1
+)
+SELECT event_type, n::BIGINT AS n,
+       sv::DOUBLE / (100.0 * n::DOUBLE) AS mean_value,
+       sk::DOUBLE / n::DOUBLE AS mean_k,
+       CASE WHEN (n * svv - sv * sv) > 0 AND (n * skk - sk * sk) > 0
+            THEN (n * svk - sv * sk)::DOUBLE
+                 / (sqrt((n * svv - sv * sv)::DOUBLE)
+                    * sqrt((n * skk - sk * sk)::DOUBLE))
+            ELSE 0.0 END AS corr_vk
+FROM m
+"""
+
+
+#: training-window length for packing-efficiency accounting
+PACK_SEQ_LEN = 2048
+
+
+def packing_efficiency(sf_dir: str) -> pa.Table:
+    """Sequence-packing accounting for LLM training (per source
+    domain): BPE-ish token counts per doc (the RE2-parity pretokenizer)
+    rolled up into the three packing regimes — docs over the window,
+    truncation waste, one-doc-per-window padding waste, and the window
+    count under concat-and-split packing. All integers → exact SQL."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch["text"], A.BPE_PRETOKEN_RE).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        types = np.asarray(batch["source"].to_pylist(), dtype=object)
+        u, inv = np.unique(types, return_inverse=True)
+        bc = lambda w: np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({
+            "source": pa.array(u.tolist(), pa.string()),
+            "docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "tokens": pa.array(bc(n)),
+            "docs_over": pa.array(bc((n > PACK_SEQ_LEN).astype(np.int64))),
+            "trunc_waste": pa.array(bc(np.maximum(n - PACK_SEQ_LEN, 0))),
+            "pad_waste": pa.array(bc(PACK_SEQ_LEN - np.minimum(n, PACK_SEQ_LEN))),
+        })
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["text", "source"])
+           .map_batches(_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("tokens", alias_name="tokens"),
+                      Sum("docs_over", alias_name="docs_over"),
+                      Sum("trunc_waste", alias_name="trunc_waste"),
+                      Sum("pad_waste", alias_name="pad_waste"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    windows = ((out["tokens"] + PACK_SEQ_LEN - 1) // PACK_SEQ_LEN).astype("int64")
+    out["windows_concat"] = windows
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _packing_sql() -> str:
+    esc = A.BPE_PRETOKEN_RE.replace("'", "''")
+    L = PACK_SEQ_LEN
+    return f"""
+WITH per AS (
+  SELECT source, len(regexp_extract_all(text, '{esc}'))::BIGINT AS n
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS docs, sum(n)::BIGINT AS tokens,
+       sum(CASE WHEN n > {L} THEN 1 ELSE 0 END)::BIGINT AS docs_over,
+       sum(CASE WHEN n > {L} THEN n - {L} ELSE 0 END)::BIGINT AS trunc_waste,
+       sum({L} - least(n, {L}))::BIGINT AS pad_waste,
+       ((sum(n) + {L} - 1) // {L})::BIGINT AS windows_concat
+FROM per GROUP BY source
+"""
+
+
 def ingest_summary(sf_dir: str) -> pa.Table:
     """S1+P2+D1 end-to-end: source read, enriched extraction and the
     dead-letter split over the synthetic page corpus, with exact
@@ -5530,6 +5788,10 @@ def registry() -> tuple[dict, dict]:
         "ann_recall": ann_recall,
         "minhash_recall": minhash_recall,
         "simhash_recall": simhash_recall,
+        # ---- round-4 training-data ops (all oracle-backed) ----
+        "pii_scrub_stats": pii_scrub_stats,
+        "events_matrix_stats": events_matrix_stats,
+        "packing_efficiency": packing_efficiency,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -5649,6 +5911,9 @@ def registry() -> tuple[dict, dict]:
         "lang_id": _lang_id_sql(),
         "fingerprints": _fingerprints_sql(),
         "heavy_hitter_terms": HEAVY_HITTERS_SQL,
+        "pii_scrub_stats": _pii_scrub_sql(),
+        "events_matrix_stats": MATRIX_STATS_SQL,
+        "packing_efficiency": _packing_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

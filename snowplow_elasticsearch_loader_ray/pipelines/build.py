@@ -527,19 +527,30 @@ def _encode_shard_group(index_dir: str, shards: list[int],
 #: groups degenerate to single shards (the round-2 behavior).
 GROUP_MAX_ROWS = 64_000_000
 
+#: floor on the phase-2 task count. Below this many CPU slots the task
+#: layout is CLUSTER-SIZE-INDEPENDENT: the N-vs-4N scaling comparison
+#: must run the IDENTICAL job at both parallelism levels, and a
+#: slot-derived group size would hand the narrow leg a cheaper job
+#: (more setup amortization per task) and corrupt the measured
+#: efficiency — observed as a systematic ~0.74 ratio when the 2-CPU
+#: leg ran 4 tasks against the 8-CPU leg's 16. It also keeps resume
+#: granularity and straggler balance reasonable on small clusters.
+MIN_PHASE2_TASKS = 16
+
 
 def _plan_shard_groups(missing: list[int], num_shards: int,
                        est_total_postings: int, cpu_slots: int) -> list[list[int]]:
     """Contiguous groups of missing shards for phase-2 tasks.
 
-    Targets ~2 waves over the cluster (2 × cpu_slots tasks) so the
-    per-task scan setup amortizes at small corpora without creating
-    stragglers, bounded by GROUP_MAX_ROWS via the run-manifest postings
-    estimate. Groups never span a gap in ``missing`` — the range filter
-    must not re-read committed shards' row groups."""
+    Targets max(MIN_PHASE2_TASKS, 2 × cpu_slots) tasks so the per-task
+    scan setup amortizes at small corpora without creating stragglers
+    (and without depending on cluster size below 8 slots — see
+    MIN_PHASE2_TASKS), bounded by GROUP_MAX_ROWS via the run-manifest
+    postings estimate. Groups never span a gap in ``missing`` — the
+    range filter must not re-read committed shards' row groups."""
     per_shard = max(1, est_total_postings // max(1, num_shards))
     max_group = max(1, min(len(missing), GROUP_MAX_ROWS // per_shard))
-    target_tasks = max(1, 2 * cpu_slots)
+    target_tasks = max(MIN_PHASE2_TASKS, 2 * cpu_slots)
     size = max(1, min(max_group, (len(missing) + target_tasks - 1) // target_tasks))
     groups: list[list[int]] = []
     cur: list[int] = []

@@ -342,8 +342,13 @@ def test_plan_shard_groups():
     g = plan(list(range(32)), 32, est_total_postings=32_000, cpu_slots=2)
     assert [s for grp in g for s in grp] == list(range(32))
     assert all(grp == list(range(grp[0], grp[0] + len(grp))) for grp in g)
-    # ~2 waves over the slots: 32 shards / (2*2 slots) -> groups of 8
-    assert len(g) == 4 and all(len(grp) == 8 for grp in g)
+    # small clusters get the CLUSTER-SIZE-INDEPENDENT layout: 16 tasks
+    # of 2 shards, identical at 2 and 8 slots (scaling A/B fairness)
+    assert len(g) == 16 and all(len(grp) == 2 for grp in g)
+    assert plan(list(range(32)), 32, 32_000, cpu_slots=8) == g
+    # big clusters scale the task count up: 2 waves over 32 slots
+    g32 = plan(list(range(32)), 32, 32_000, cpu_slots=32)
+    assert all(len(grp) == 1 for grp in g32)
     # memory cap degrades groups to single shards when shards are huge
     g = plan(list(range(32)), 32, est_total_postings=32 * B.GROUP_MAX_ROWS,
              cpu_slots=2)
@@ -354,9 +359,6 @@ def test_plan_shard_groups():
     g = plan(missing, 32, est_total_postings=1000, cpu_slots=1)
     assert [s for grp in g for s in grp] == missing
     assert all(grp == list(range(grp[0], grp[0] + len(grp))) for grp in g)
-    # plenty of slots -> one shard per task (the round-2 behavior)
-    g = plan(list(range(32)), 32, est_total_postings=1000, cpu_slots=32)
-    assert all(len(grp) == 1 for grp in g)
 
 
 def test_grouped_encode_matches_single_shard(built):
