@@ -310,8 +310,9 @@ def _large_query_bench(n_rows: int, cfg, qs) -> dict:
         ("_grid", GridQueryEngine(f"{index_root}/index", n_doc_parts=2)),
     ]
     for suffix, eng in planes:
-        for _qid, q, k in qs[:5]:
-            eng.topk(q, k)                     # actor/model warm-up
+        for _qid, q, k in qs:
+            eng.topk(q, k)       # steady-state warm-up: full set once
+                                 # (measures serving, not actor cold start)
         lat = []
         for _ in range(QUERY_REPEATS):
             for _qid, q, k in qs:

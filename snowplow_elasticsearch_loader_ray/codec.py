@@ -231,6 +231,64 @@ class PostingList:
         """Index of the first block whose last_doc >= doc_id (n_blocks if none)."""
         return int(np.searchsorted(self.last_doc, doc_id, side="left"))
 
+    def decode_blocks(self, bidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode an arbitrary SUBSET of blocks → the union of their
+        postings in DOCUMENT order (blocks are doc-ordered, so sorted
+        block order IS doc order).
+
+        Full blocks sharing a width byte have identical byte size, so
+        each width class decodes as one fancy u8 gather → dtype views →
+        one 2-D cumsum, mirroring ``decode_all``'s run decode but
+        gathering non-contiguous records — no per-block Python loop
+        (the candidate-rescore hot spot: a head term probed for 500
+        candidates decodes ≤500 of its 10^6 blocks). The (at most one)
+        short tail block falls back to ``decode_block``.
+        """
+        bidx = np.unique(np.asarray(bidx, dtype=np.int64))
+        bidx = bidx[(bidx >= 0) & (bidx < self.n_blocks)]
+        if self.n == 0 or not len(bidx):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        B = self.block_size
+        n_full_total = self.n // B
+        full_sel = bidx[bidx < n_full_total]
+        has_tail = n_full_total < self.n_blocks and bidx[-1] == self.n_blocks - 1
+        nf = len(full_sel)
+        tail_len = (self.n - n_full_total * B) if has_tail else 0
+        docs = np.empty(nf * B + tail_len, dtype=np.int64)
+        tfs = np.empty(nf * B + tail_len, dtype=np.int32)
+        if nf:
+            buf8 = np.frombuffer(self.buf, dtype=np.uint8)
+            w = self.widths[full_sel]
+            d_full = docs[: nf * B].reshape(nf, B)
+            t_full = tfs[: nf * B].reshape(nf, B)
+            for wv in np.unique(w):
+                rows = np.nonzero(w == wv)[0]     # ranks in sorted bidx
+                blk = full_sel[rows]
+                wd, wt = int(wv) & 0xF, int(wv) >> 4
+                nbytes = 8 + wd * (B - 1) + wt * B
+                base = self.payload_start + self.offsets[blk].astype(np.int64)
+                mat = buf8[base[:, None] + np.arange(nbytes)]
+                first = mat[:, :8].copy().view("<i8").reshape(-1)
+                gaps = (
+                    mat[:, 8 : 8 + wd * (B - 1)].copy().view(_DTYPES[wd])
+                    .reshape(len(blk), B - 1)
+                )
+                t = (
+                    mat[:, 8 + wd * (B - 1) :].copy().view(_DTYPES[wt])
+                    .reshape(len(blk), B)
+                )
+                d = np.empty((len(blk), B), dtype=np.int64)
+                d[:, 0] = first
+                np.cumsum(gaps, axis=1, dtype=np.int64, out=d[:, 1:])
+                d[:, 1:] += first[:, None] + np.arange(1, B, dtype=np.int64)
+                d_full[rows] = d
+                t_full[rows] = t
+        if has_tail:
+            d, t = self.decode_block(self.n_blocks - 1)
+            docs[nf * B :] = d
+            tfs[nf * B :] = t
+        return docs, tfs
+
     def decode_for(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(docs ∩ cand, their tfs) decoding ONLY the blocks that can
         contain a candidate — the block-max skip metadata as a read
@@ -242,20 +300,11 @@ class PostingList:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
         bis = np.unique(np.searchsorted(self.last_doc, cand, side="left"))
         bis = bis[bis < self.n_blocks]
-        docs_parts, tfs_parts = [], []
-        for bi in bis:
-            d, t = self.decode_block(int(bi))
-            pos = np.searchsorted(d, cand)
-            valid = pos < len(d)
-            exact = np.zeros(len(cand), dtype=bool)
-            exact[valid] = d[pos[valid]] == cand[valid]
-            sel = pos[exact]
-            if len(sel):
-                docs_parts.append(d[sel])
-                tfs_parts.append(t[sel])
-        if not docs_parts:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
-        return np.concatenate(docs_parts), np.concatenate(tfs_parts)
+        d, t = self.decode_blocks(bis)           # doc-ordered union
+        pos = np.searchsorted(cand, d)
+        sel = pos < len(cand)
+        sel[sel] = cand[pos[sel]] == d[sel]
+        return d[sel], t[sel]
 
 
 def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:

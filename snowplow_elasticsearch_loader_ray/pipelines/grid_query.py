@@ -73,6 +73,22 @@ class GridCellReader:
         _doc_ids, lens = load_docmap(index_dir)
         # own stripe only: ordinal p, p+P, p+2P, ... → dense local index
         self.dl_lens = lens[doc_part::n_doc_parts].astype(np.float64)
+        self.doc_ids = _doc_ids[doc_part::n_doc_parts]
+
+    def topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Single-term top-k over THIS cell's doc stripe, ranked in the
+        cell — per-doc scores are independent, so the global top-k is
+        contained in the union of the stripes' top-ks and the driver
+        merges P×k rows instead of a full head-term partial."""
+        hit = self.terms.get(term)
+        if hit is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        df, docs, tfs = hit
+        w = bm25.idf(self.n_docs, df)
+        local = docs // self.n_doc_parts
+        return bm25.rank_topk(
+            self.doc_ids[local],
+            w * bm25.tf_weight(tfs, self.dl_lens[local], self.avgdl), k)
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -179,19 +195,28 @@ class GridQueryEngine:
     def _combine(self, terms: list[str],
                  by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]],
                  ) -> tuple[np.ndarray, np.ndarray]:
-        # identical combine to ShardedQueryEngine: stable doc sort keeps
-        # the term-major order per doc → bit-identical float summation
-        # (partition slices of one term are doc-disjoint, so slice
-        # concat order cannot change any doc's summation order)
-        docs = np.concatenate([d for t in terms if t in by_term
-                               for d, _s in by_term[t]])
-        scores = np.concatenate([s for t in terms if t in by_term
-                                 for _d, s in by_term[t]])
-        order = np.argsort(docs, kind="stable")
-        docs_s, scores_s = docs[order], scores[order]
-        boundaries = np.concatenate(
-            ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        return docs_s[boundaries], np.add.reduceat(scores_s, boundaries)
+        # identical combine to ShardedQueryEngine: dense ordinal
+        # accumulator, one scatter-add per (term, stripe slice). A doc
+        # appears in exactly one stripe per term, so the per-doc
+        # addition order IS term order — the single reader's float
+        # summation order, bit-identical scores (and no argsort over
+        # the concatenated partials, the former multi-head-term
+        # latency driver at 10^6 docs).
+        acc = getattr(self, "_acc", None)
+        if acc is None or len(acc) != self.n_docs:
+            acc = self._acc = np.zeros(self.n_docs, dtype=np.float64)
+        hit = False
+        for t in terms:
+            for docs, scores in by_term.get(t, ()):
+                acc[docs] += scores
+                hit = True
+        if not hit:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # partials are strictly positive → touched slots == nonzero slots
+        uniq = np.nonzero(acc)[0]
+        sums = acc[uniq].copy()
+        acc[uniq] = 0.0
+        return uniq, sums
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Distributed MaxScore over the cell grid — the same two-phase
@@ -204,6 +229,17 @@ class GridQueryEngine:
         live = [t for t in terms if t in metas]
         if not live:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(live) == 1:
+            # one term → each stripe ranks locally, the driver merges
+            # P×k pre-ranked rows (re-ranking rounded scores is
+            # idempotent, so the merge is exact)
+            t = live[0]
+            s = term_shard_one(t, self.num_shards)
+            parts = ray.get([self.cells[s, p].topk_single.remote(t, k)
+                             for p in range(self.n_doc_parts)])
+            ids = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+            return bm25.rank_topk(ids, scores, k)
         ubs = {}
         for t in live:
             df, max_tf = metas[t]

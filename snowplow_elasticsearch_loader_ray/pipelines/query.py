@@ -266,6 +266,15 @@ def score_maxscore(reader: IndexReader, query: str, k: int = 10,
             entries.append((t, pl, idf, _term_upper_bound(reader, pl, idf)))
     if not entries:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(entries) == 1:
+        # one term: no accumulator, no nonzero scan — decode, weight,
+        # rank. Identical floats to score_taat (the accumulator would
+        # hold exactly these products at exactly these docs).
+        _t, pl, idf, _ub = entries[0]
+        docs, tfs = pl.decode_all()
+        return bm25.rank_topk(
+            reader.dl_doc_ids[docs],
+            idf * bm25.tf_weight(tfs, reader.dl_lens[docs], reader.avgdl), k)
     if min(e[1].n for e in entries) > reader.n_docs // 4:
         # every term is a head term: no selective term can bound the
         # kth above the tail's reach, so pruning cannot pay — take the

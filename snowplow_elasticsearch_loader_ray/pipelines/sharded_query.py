@@ -64,19 +64,59 @@ class ShardReader:
         for term, buf in zip(t["term"].to_pylist(), binary_views(t["postings"])):
             if term != DOCLEN_TERM:
                 self.terms[term] = buf
-        _doc_ids, lens = load_docmap(index_dir)
+        self.doc_ids, lens = load_docmap(index_dir)
         self.dl_lens = lens.astype(np.float64)
+        # hot-list cache: term → (doc ordinals, BM25 partials), both
+        # deterministic per (term, corpus) so caching cannot change a
+        # score bit. LRU capped by total decoded postings (16 B each):
+        # a Zipf head term costs its df every query otherwise — decode
+        # + weigh 10^6 postings was the sharded plane's p99 at 1M docs.
+        # The serving-cache role of the reference's ES node (filesystem
+        # + query cache) — here explicit and bounded.
+        self._hot: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" = \
+            OrderedDict()
+        self._hot_postings = 0
+        self._hot_cap = int(os.environ.get(
+            "GRAFT_SHARD_HOT_POSTINGS", 8_000_000))   # ≈128 MB per actor
+
+    def _scored(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self._hot.get(term)
+        if hit is not None:
+            self._hot.move_to_end(term)
+            return hit
+        buf = self.terms.get(term)
+        if buf is None:
+            return None
+        docs, tfs = PostingList(buf).decode_all()
+        w = bm25.idf(self.n_docs, len(docs))
+        scored = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs],
+                                           self.avgdl))
+        self._hot[term] = scored
+        self._hot_postings += len(docs)
+        while self._hot_postings > self._hot_cap and len(self._hot) > 1:
+            _, (d, _s) = self._hot.popitem(last=False)
+            self._hot_postings -= len(d)
+        return scored
+
+    def topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Single-term top-k ranked ON the shard — ships k rows instead
+        of a full head-term partial (df×16 B; the p99 driver at 10^6+
+        docs was exactly this ship + driver-side combine). Identical
+        floats and rank rule to the driver path: the combine of one
+        term is the identity."""
+        scored = self._scored(term)
+        if scored is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, scores = scored
+        return bm25.rank_topk(self.doc_ids[docs], scores, k)
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """term → (doc ordinals, per-doc partial scores) for this shard."""
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in terms:
-            buf = self.terms.get(t)
-            if buf is None:
-                continue
-            docs, tfs = PostingList(buf).decode_all()
-            w = bm25.idf(self.n_docs, len(docs))
-            out[t] = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs], self.avgdl))
+            scored = self._scored(t)
+            if scored is not None:
+                out[t] = scored
         return out
 
     def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -98,6 +138,17 @@ class ShardReader:
         of the driver-side MaxScore plan. ``cand`` sorted ascending."""
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in terms:
+            hot = self._hot.get(t)
+            if hot is not None:                  # already decoded+scored:
+                self._hot.move_to_end(t)         # intersect beats re-decode
+                docs, scores = hot
+                pos = np.searchsorted(docs, cand)
+                sel = pos < len(docs)
+                sel[sel] = docs[pos[sel]] == cand[sel]
+                j = pos[sel]
+                if len(j):
+                    out[t] = (docs[j], scores[j])
+                continue
             buf = self.terms.get(t)
             if buf is None:
                 continue
@@ -170,20 +221,36 @@ class ShardedQueryEngine:
             self._meta_cache.popitem(last=False)
         return out
 
-    @staticmethod
-    def _combine(terms: list[str],
+    def _combine(self, terms: list[str],
                  by_term: dict[str, tuple[np.ndarray, np.ndarray]],
                  ) -> tuple[np.ndarray, np.ndarray]:
         """Per-doc sums in GLOBAL sorted-term order — the same float
         summation order as the single-process reader, so scores are
-        bit-identical (not merely rank-identical)."""
-        docs = np.concatenate([by_term[t][0] for t in terms if t in by_term])
-        scores = np.concatenate([by_term[t][1] for t in terms if t in by_term])
-        order = np.argsort(docs, kind="stable")   # stable: term order per doc
-        docs_s, scores_s = docs[order], scores[order]
-        boundaries = np.concatenate(
-            ([0], np.nonzero(docs_s[1:] != docs_s[:-1])[0] + 1))
-        return docs_s[boundaries], np.add.reduceat(scores_s, boundaries)
+        bit-identical (not merely rank-identical). Sums land in a dense
+        ordinal-indexed accumulator (docs are ordinals, reused across
+        queries): one scatter-add per term replaces the former
+        argsort+reduceat over the concatenated partials, which
+        dominated multi-head-term latency at 10^6 docs (sorting 2M
+        rows per query). A doc appears at most once per term, so the
+        per-doc addition order IS term order."""
+        acc = getattr(self, "_acc", None)
+        if acc is None or len(acc) != self.n_docs:
+            acc = self._acc = np.zeros(self.n_docs, dtype=np.float64)
+        hit = False
+        for t in terms:
+            if t in by_term:
+                docs, scores = by_term[t]
+                acc[docs] += scores
+                hit = True
+        if not hit:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # partials are strictly positive (idf>0, tf_weight>0), so the
+        # touched slots are exactly the nonzero slots — no sort, no
+        # concat, one linear scan
+        uniq = np.nonzero(acc)[0]
+        sums = acc[uniq].copy()
+        acc[uniq] = 0.0                     # cheap reset: only touched slots
+        return uniq, sums
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Distributed MaxScore: the driver splits terms into essential
@@ -202,6 +269,11 @@ class ShardedQueryEngine:
         live = [t for t in terms if t in metas]
         if not live:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(live) == 1:
+            # one term → rank on its owning shard, ship only k rows
+            t = live[0]
+            return ray.get(self.readers[
+                term_shard_one(t, self.num_shards)].topk_single.remote(t, k))
         ubs = {}
         for t in live:
             df, max_tf = metas[t]

@@ -89,3 +89,46 @@ def test_binary_views_zero_copy_roundtrip():
     # sliced arrays (nonzero offset) must still map correctly
     sliced = pa.array(bufs, pa.binary()).slice(1, 2)
     assert [bytes(v) for v in binary_views(sliced)] == bufs[1:3]
+
+
+def test_decode_blocks_subsets():
+    rng = np.random.default_rng(11)
+    n = 10_000                                   # short tail block (10000 % 128 != 0)
+    docs = np.cumsum(rng.integers(1, 9, size=n))
+    tfs = rng.integers(1, 2**20, size=n)         # mixed tf widths across blocks
+    buf = encode_postings(np.asarray(docs), np.asarray(tfs), block_size=128)
+    pl = PostingList(buf)
+    all_d, all_t = pl.decode_all()
+    B = pl.block_size
+    for bidx in (
+        np.array([0]),                           # first
+        np.array([pl.n_blocks - 1]),             # tail only
+        np.array([3, 1, 1, 60]),                 # unsorted + duplicate
+        np.arange(pl.n_blocks),                  # everything == decode_all
+        rng.permutation(pl.n_blocks)[:17],       # random subset
+    ):
+        d, t = pl.decode_blocks(bidx)
+        want = np.unique(np.asarray(bidx))
+        exp_d = np.concatenate([all_d[b * B:(b + 1) * B] for b in want])
+        exp_t = np.concatenate([all_t[b * B:(b + 1) * B] for b in want])
+        np.testing.assert_array_equal(d, exp_d)
+        np.testing.assert_array_equal(t, exp_t)
+    # empty selection
+    d, t = pl.decode_blocks(np.empty(0, dtype=np.int64))
+    assert len(d) == 0 and len(t) == 0
+
+
+def test_decode_for_matches_bruteforce():
+    rng = np.random.default_rng(13)
+    docs = np.cumsum(rng.integers(1, 50, size=5_000))
+    tfs = rng.integers(1, 9, size=5_000)
+    buf = encode_postings(np.asarray(docs), np.asarray(tfs), block_size=64)
+    pl = PostingList(buf)
+    cand = np.unique(np.concatenate([
+        docs[rng.permutation(len(docs))[:200]],      # 200 real hits
+        rng.integers(0, docs[-1] + 100, size=200),   # mostly misses
+    ]))
+    d, t = pl.decode_for(cand)
+    mask = np.isin(docs, cand)
+    np.testing.assert_array_equal(d, docs[mask])
+    np.testing.assert_array_equal(t, tfs[mask])
