@@ -51,11 +51,20 @@ def rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int,
     """Top-k by (round(score) desc, doc_id asc); returns (doc_ids, rounded scores)."""
     r = np.round(scores, score_round)
     if len(r) > 4 * k + 64:
-        # pre-cut with a selection: keep every candidate at or above the
-        # k-th largest ROUNDED score (ties included), then sort only
-        # those — identical result to the full lexsort
+        # pre-cut with selections, never a sort over the tie class:
+        # everything STRICTLY above the k-th rounded score survives
+        # (< k rows by construction), and the k-th-score boundary class
+        # — which can hold 10^5+ docs when a saturating head term
+        # rounds to few distinct values — contributes only its m
+        # smallest doc_ids via argpartition. Identical result to
+        # lexsorting all candidates.
         kth = np.partition(r, len(r) - k)[len(r) - k]
-        sel = np.nonzero(r >= kth)[0]
+        above = np.nonzero(r > kth)[0]
+        bnd = np.nonzero(r == kth)[0]
+        m = k - len(above)
+        if m > 0 and len(bnd) > m:
+            bnd = bnd[np.argpartition(doc_ids[bnd], m - 1)[:m]]
+        sel = np.concatenate((above, bnd))
         doc_ids, r = doc_ids[sel], r[sel]
     order = np.lexsort((doc_ids, -r))
     top = order[:k]

@@ -74,32 +74,49 @@ class GridCellReader:
         # own stripe only: ordinal p, p+P, p+2P, ... → dense local index
         self.dl_lens = lens[doc_part::n_doc_parts].astype(np.float64)
         self.doc_ids = _doc_ids[doc_part::n_doc_parts]
+        # per-term stripe scores cache (deterministic per corpus; see
+        # ShardReader._scored) — skips the per-query tf_weight over a
+        # head term's stripe. LRU capped by cached score count.
+        self._scores: "dict[str, np.ndarray]" = {}
+        self._scores_n = 0
+        self._scores_cap = int(os.environ.get(
+            "GRAFT_CELL_HOT_SCORES", 8_000_000))      # ≈64 MB per cell
+
+    def _scored(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self.terms.get(term)
+        if hit is None:
+            return None
+        df, docs, tfs = hit
+        scores = self._scores.get(term)
+        if scores is None:
+            w = bm25.idf(self.n_docs, df)
+            dls = self.dl_lens[docs // self.n_doc_parts]
+            scores = w * bm25.tf_weight(tfs, dls, self.avgdl)
+            self._scores[term] = scores
+            self._scores_n += len(scores)
+            while self._scores_n > self._scores_cap and len(self._scores) > 1:
+                t0 = next(iter(self._scores))         # FIFO eviction
+                self._scores_n -= len(self._scores.pop(t0))
+        return docs, scores
 
     def topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Single-term top-k over THIS cell's doc stripe, ranked in the
         cell — per-doc scores are independent, so the global top-k is
         contained in the union of the stripes' top-ks and the driver
         merges P×k rows instead of a full head-term partial."""
-        hit = self.terms.get(term)
-        if hit is None:
+        scored = self._scored(term)
+        if scored is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        df, docs, tfs = hit
-        w = bm25.idf(self.n_docs, df)
-        local = docs // self.n_doc_parts
-        return bm25.rank_topk(
-            self.doc_ids[local],
-            w * bm25.tf_weight(tfs, self.dl_lens[local], self.avgdl), k)
+        docs, scores = scored
+        return bm25.rank_topk(self.doc_ids[docs // self.n_doc_parts],
+                              scores, k)
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in terms:
-            hit = self.terms.get(t)
-            if hit is None:
-                continue
-            df, docs, tfs = hit
-            w = bm25.idf(self.n_docs, df)
-            dls = self.dl_lens[docs // self.n_doc_parts]
-            out[t] = (docs, w * bm25.tf_weight(tfs, dls, self.avgdl))
+            scored = self._scored(t)
+            if scored is not None:
+                out[t] = scored
         return out
 
     def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -149,6 +166,12 @@ class GridQueryEngine:
         self._doc_ids, _lens = load_docmap(index_dir)
         self._dl_min = float(_lens.min()) if len(_lens) else 1.0
         self._meta_cache: dict[str, tuple[int, int] | None] = {}
+        from collections import OrderedDict
+        self._partials: "OrderedDict[str, list[tuple[np.ndarray, np.ndarray]]]" \
+            = OrderedDict()
+        self._partials_postings = 0
+        self._partials_cap = int(os.environ.get(
+            "GRAFT_COORD_HOT_POSTINGS", 16_000_000))  # ≈256 MB
         self.n_doc_parts = n_doc_parts
         n_cells = self.num_shards * n_doc_parts
         if cpus_per_reader is None:
@@ -162,6 +185,32 @@ class GridQueryEngine:
 
     def _scatter(self, method: str, terms: list[str], *args
                  ) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
+        if method == "partial_scores":
+            # coordinator-side hot-partial cache (see ShardedQueryEngine
+            # ._scatter): deterministic per corpus, LRU postings-capped
+            out: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            missing = []
+            for t in terms:
+                hit = self._partials.get(t)
+                if hit is not None:
+                    self._partials.move_to_end(t)
+                    out[t] = hit
+                else:
+                    missing.append(t)
+            if missing:
+                for t, slices in self._scatter_raw(method, missing,
+                                                   *args).items():
+                    out[t] = self._partials[t] = slices
+                    self._partials_postings += sum(len(d) for d, _s in slices)
+                while (self._partials_postings > self._partials_cap
+                       and len(self._partials) > 1):
+                    _, slices = self._partials.popitem(last=False)
+                    self._partials_postings -= sum(len(d) for d, _s in slices)
+            return out
+        return self._scatter_raw(method, terms, *args)
+
+    def _scatter_raw(self, method: str, terms: list[str], *args
+                     ) -> dict[str, list[tuple[np.ndarray, np.ndarray]]]:
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)

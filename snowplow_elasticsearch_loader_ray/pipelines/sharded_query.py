@@ -180,6 +180,13 @@ class ShardedQueryEngine:
         self._meta_cache: "OrderedDict[str, tuple[int, int] | None]" = \
             OrderedDict()
         self._meta_cache_cap = 200_000
+        # hot-partial cache (see _scatter): zero-copy plasma-backed
+        # arrays, postings-capped
+        self._partials: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" \
+            = OrderedDict()
+        self._partials_postings = 0
+        self._partials_cap = int(os.environ.get(
+            "GRAFT_COORD_HOT_POSTINGS", 16_000_000))  # ≈256 MB
         if cpus_per_reader is None:
             # fit the pool into the current cluster (a reader is mostly
             # waiting between queries; on a real cluster size this to
@@ -194,6 +201,36 @@ class ShardedQueryEngine:
 
     def _scatter(self, method: str, terms: list[str], *args
                  ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        if method == "partial_scores":
+            # coordinator-side hot-partial cache: a term's (ordinals,
+            # partial scores) is deterministic per corpus, so re-fetching
+            # a head term's df-sized partial every query only re-ships
+            # the same 16 B/posting over the object store. LRU capped by
+            # postings, same policy as the shard-side cache — the ES
+            # query-node cache role.
+            out = {}
+            missing = []
+            for t in terms:
+                hit = self._partials.get(t)
+                if hit is not None:
+                    self._partials.move_to_end(t)
+                    out[t] = hit
+                else:
+                    missing.append(t)
+            if missing:
+                fetched = self._scatter_raw(method, missing, *args)
+                for t, ds in fetched.items():
+                    out[t] = self._partials[t] = ds
+                    self._partials_postings += len(ds[0])
+                while (self._partials_postings > self._partials_cap
+                       and len(self._partials) > 1):
+                    _, (d, _s) = self._partials.popitem(last=False)
+                    self._partials_postings -= len(d)
+            return out
+        return self._scatter_raw(method, terms, *args)
+
+    def _scatter_raw(self, method: str, terms: list[str], *args
+                     ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(term_shard_one(t, self.num_shards), []).append(t)
