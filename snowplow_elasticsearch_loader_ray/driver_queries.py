@@ -2740,6 +2740,60 @@ FROM reach GROUP BY id
 """
 
 
+def dup_components(sf_dir: str) -> pa.Table:
+    """Near-dup cluster sizes via DISTRIBUTED connected components —
+    alternating large-star/small-star rounds of ``groupby(u)``
+    shuffles over the pair graph (``dedup.connected_components``), the
+    10^12-doc upgrade of ``dedup_survivors``' documented driver-side
+    union-find (only a convergence scalar reaches the driver during
+    iteration). Pairs are the exact n-gram Jaccard set, so the oracle
+    is the same reachability closure the survivors entry uses."""
+    pairs = D.jaccard_dup_pairs(_docs_ds(sf_dir), threshold=JACCARD_THRESHOLD)
+    comp = D.connected_components(
+        pa.table({"a": pairs["doc_id_a"], "b": pairs["doc_id_b"]}))
+    lbl = comp["component"].to_numpy(zero_copy_only=False)
+    roots, counts = np.unique(lbl, return_counts=True)
+    return pa.table({
+        "component": pa.array(roots, pa.int64()),
+        "n_docs": pa.array(counts.astype(np.int64)),
+    })
+
+
+DUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM (SELECT doc_id, {{TOK_SQL}} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE i / (sa.n + sb.n - i) >= {{JACCARD_THRESHOLD}}
+),
+nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+lbl AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT component::BIGINT AS component, count(*)::BIGINT AS n_docs
+FROM lbl GROUP BY component
+""".replace("{TOK_SQL}", TOK_SQL).replace("{JACCARD_THRESHOLD}",
+                                          repr(JACCARD_THRESHOLD))
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -5792,6 +5846,7 @@ def registry() -> tuple[dict, dict]:
         "pii_scrub_stats": pii_scrub_stats,
         "events_matrix_stats": events_matrix_stats,
         "packing_efficiency": packing_efficiency,
+        "dup_components": dup_components,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -5914,6 +5969,7 @@ def registry() -> tuple[dict, dict]:
         "pii_scrub_stats": _pii_scrub_sql(),
         "events_matrix_stats": MATRIX_STATS_SQL,
         "packing_efficiency": _packing_sql(),
+        "dup_components": DUP_COMPONENTS_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

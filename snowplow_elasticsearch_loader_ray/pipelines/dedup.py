@@ -366,6 +366,128 @@ def dedup_survivors(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> p
     })
 
 
+def _canon_edges(t: pa.Table) -> pa.Table:
+    """Orient u > v, drop self-loops, dedupe — the star algorithm's
+    canonical edge form."""
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    hi, lo = np.maximum(u, v), np.minimum(u, v)
+    keep = hi != lo
+    key = np.stack([hi[keep], lo[keep]], axis=1)
+    key = np.unique(key, axis=0)
+    return pa.table({"u": pa.array(key[:, 0]), "v": pa.array(key[:, 1])})
+
+
+def _large_star(g: pa.Table) -> pa.Table:
+    """Γ(u) → edges (v, m) for v > u, m = min(Γ(u) ∪ {u})."""
+    u = int(g["u"][0].as_py())
+    nbr = np.unique(g["v"].to_numpy(zero_copy_only=False))
+    m = min(u, int(nbr[0]))
+    big = nbr[nbr > u]
+    return pa.table({"u": pa.array(big, pa.int64()),
+                     "v": pa.array(np.full(len(big), m, dtype=np.int64))})
+
+
+def _small_star(g: pa.Table) -> pa.Table:
+    """Edges oriented u > v, grouped by u: connect u and every smaller
+    neighbor to m = min(Γ(u))."""
+    u = int(g["u"][0].as_py())
+    nbr = np.unique(g["v"].to_numpy(zero_copy_only=False))
+    m = int(nbr[0])
+    out_u = np.concatenate([nbr[nbr != m], [u]]).astype(np.int64)
+    return pa.table({"u": pa.array(out_u),
+                     "v": pa.array(np.full(len(out_u), m, dtype=np.int64))})
+
+
+def _edge_fingerprint(ds: ray.data.Dataset) -> tuple[int, int]:
+    """(count, order-free hash) of the canonical edge set — the star
+    iteration's convergence scalar, computed distributed (one partial
+    per block, summed; nothing but two ints reaches the driver)."""
+    def part(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # exact mod-2^64 sum per block (uint64 wrap), shipped as two
+        # 32-bit halves so the cross-block int64 Sum cannot overflow;
+        # the reconstruction below re-mods 2^64, so the fingerprint is
+        # independent of how rows split into blocks
+        hsum = int(_mix(u * _P1 ^ _mix(v * _P2)).sum())
+        return pa.table({"n": pa.array([len(u)], pa.int64()),
+                         "hlo": pa.array([hsum & 0xFFFFFFFF], pa.int64()),
+                         "hhi": pa.array([hsum >> 32], pa.int64())})
+
+    agg = ds.map_batches(part, batch_format="pyarrow") \
+            .sum(["n", "hlo", "hhi"], ignore_nulls=True)
+    h = (int(agg["sum(hlo)"]) + (int(agg["sum(hhi)"]) << 32)) % 2**64
+    return int(agg["sum(n)"]), h
+
+
+def connected_components(pairs: pa.Table, max_iters: int = 32) -> pa.Table:
+    """Distributed connected components over an undirected pair table →
+    ``(doc_id, component)`` with component = min doc_id reachable.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): every round is two
+    ``groupby(u).map_groups`` shuffles over the EDGE set (never the doc
+    universe), converging in O(log n) rounds on adversarial chains and
+    1–2 rounds on the near-clique clusters near-dup graphs actually
+    produce. This is the scale path for ``dedup_survivors``'s
+    driver-side union-find: at 10^12 docs the pair set may itself
+    exceed one machine, and here the ITERATION ships only a
+    (count, hash) convergence scalar to the driver; the final
+    (node, component) table is materialized to match the pa.Table
+    API — keep it a Dataset when the node universe is huge.
+
+    Partitioning assumption: edges hash-partition by ``u`` each round;
+    a pathological star center (one doc near-duplicated 10^9 times)
+    lands one group on one worker — salt such keys upstream by capping
+    group size in the pair generator (the LSH banders already cap df).
+    """
+    a = pairs.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if not len(nodes):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    edges = ray.data.from_arrow(_canon_edges(pa.table({"u": a, "v": b})))
+    prev = None
+    for _ in range(max_iters):
+        # large-star input: both orientations of every edge
+        def both(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            return pa.table({"u": np.concatenate([u, v]),
+                             "v": np.concatenate([v, u])})
+
+        ls = edges.map_batches(both, batch_format="pyarrow") \
+                  .groupby("u").map_groups(_large_star, batch_format="pyarrow")
+        ss_in = edges.union(ls).map_batches(_canon_edges,
+                                            batch_format="pyarrow")
+        # the trailing 2-key groupby dedupes GLOBALLY (not just within
+        # a block), so the convergence fingerprint sees the distinct
+        # edge SET — independent of how rows land in blocks
+        edges = ss_in.groupby("u").map_groups(_small_star,
+                                              batch_format="pyarrow") \
+                     .map_batches(_canon_edges, batch_format="pyarrow") \
+                     .groupby(["u", "v"]).count() \
+                     .select_columns(["u", "v"]) \
+                     .materialize()
+        fp = _edge_fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components: no convergence in "
+                           f"{max_iters} rounds")
+    # converged: every edge is (node, its component root); roots and
+    # singletons label themselves
+    star = edges.groupby("u").min("v").to_pandas()
+    label = dict(zip(star["u"].astype(np.int64),
+                     star["min(v)"].astype(np.int64)))
+    comp = np.array([label.get(int(n), int(n)) for n in nodes],
+                    dtype=np.int64)
+    return pa.table({"doc_id": pa.array(nodes), "component": pa.array(comp)})
+
+
 # --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------

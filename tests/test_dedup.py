@@ -146,3 +146,55 @@ def test_dedup_survivors_clusters():
     assert set(out["doc_id"]) == {10, 20, 30}
     assert (out["cluster_root"] == 10).all()
     assert out["is_survivor"].tolist() == [True, False, False]
+
+
+def _uf_components(a, b):
+    import numpy as np
+    ids = np.unique(np.concatenate([a, b]))
+    parent = dict(zip(ids.tolist(), ids.tolist()))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {int(i): find(int(i)) for i in ids}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(3)
+    # chain (stresses iteration count), clique, singletons-via-pair, random
+    chain = [(i, i + 1) for i in range(100, 140)]
+    clique = [(a, b) for a in range(200, 210) for b in range(200, 210) if a < b]
+    rand_nodes = rng.integers(0, 2**62, size=60)
+    rand = [(int(rand_nodes[i]), int(rand_nodes[rng.integers(0, 60)]))
+            for i in range(60)]
+    edges = chain + clique + [(7, 9)] + [(x, y) for x, y in rand if x != y]
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    got = connected_components(pa.table({"doc_id_a": a, "doc_id_b": b}))
+    want = _uf_components(a, b)
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["component"].to_pylist()))
+    assert got_map == want
+
+
+def test_connected_components_empty_and_single(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.pipelines.dedup import connected_components
+
+    e = connected_components(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    assert e.num_rows == 0
+    one = connected_components(pa.table({"a": [5], "b": [3]}))
+    assert dict(zip(one["doc_id"].to_pylist(),
+                    one["component"].to_pylist())) == {3: 3, 5: 3}
