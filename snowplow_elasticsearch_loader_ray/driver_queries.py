@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -1177,6 +1178,74 @@ def domain_cap_sample(sf_dir: str) -> pa.Table:
 DOMAIN_CAP_SQL = f"""
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {DOMAIN_CAP}
+"""
+
+
+#: temperature-mixing sampler: sampled counts ∝ n_s^alpha with
+#: alpha = 1/2, anchored so the LARGEST source keeps MIX_BASE_RATE.
+#: Per-source keep rate r_s = MIX_BASE_RATE * sqrt(n_max / n_s), capped
+#: at 1 — every arithmetic step (integer counts, one division, sqrt,
+#: a power-of-two multiply, truncation) is exactly rounded in IEEE754,
+#: so the integer thresholds are bit-reproducible in DuckDB.
+MIX_BASE_RATE = 0.25         # power of two: exact float multiply
+MIX_MOD = 10_000
+#: Knuth multiplicative scramble (doc_ids here are SEQUENTIAL, unlike
+#: hash_sample's assumption): 32-bit modular product, exactly
+#: replayable in BIGINT SQL because the reduced operand keeps the
+#: product under 2^63
+MIX_HASH_MUL = 2654435761
+MIX_HASH_MOD = 2**32
+
+
+def mixture_sample(sf_dir: str) -> pa.Table:
+    """Temperature-based source mixing (pretraining data-mixing op:
+    sampled counts ∝ n_s^alpha flattens the source distribution).
+    Plan: one groupby for per-source counts (few rows), thresholds
+    derived on the driver from exact integer counts, broadcast into a
+    vectorized hash filter — only (doc_id, source) rows ever move, and
+    the sample is deterministic across runs and cluster sizes (same
+    `doc_id % MIX_MOD` rule as `hash_sample`). Returns per-source
+    n_docs / threshold / n_sampled."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "source"])
+    counts = {r["source"]: int(r["count()"])
+              for r in ds.groupby("source").count().take_all()}
+    n_max = max(counts.values())
+    thr = {s: min(MIX_MOD, int(MIX_BASE_RATE * math.sqrt(n_max / n)
+                               * MIX_MOD))
+           for s, n in counts.items()}
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (ids % MIX_HASH_MOD * MIX_HASH_MUL) % MIX_HASH_MOD % MIX_MOD
+        t = np.array([thr[s] for s in b["source"].to_pylist()],
+                     dtype=np.uint64)
+        return b.filter(pa.array(key < t))
+
+    sampled = {r["source"]: int(r["count()"])
+               for r in ds.map_batches(pick, batch_format="pyarrow")
+                          .groupby("source").count().take_all()}
+    srcs = sorted(counts)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array([counts[s] for s in srcs], pa.int64()),
+        "threshold": pa.array([thr[s] for s in srcs], pa.int64()),
+        "n_sampled": pa.array([sampled.get(s, 0) for s in srcs], pa.int64()),
+    })
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT source, n_docs,
+        least({MIX_MOD}, CAST({MIX_BASE_RATE} * sqrt((SELECT max(n_docs) FROM c) / (n_docs * 1.0))
+                              * {MIX_MOD} AS BIGINT)) AS threshold
+      FROM c)
+SELECT t.source, t.n_docs, t.threshold,
+       (SELECT count(*) FROM documents d
+        WHERE d.source = t.source
+          AND (d.doc_id % {MIX_HASH_MOD}) * {MIX_HASH_MUL}
+              % {MIX_HASH_MOD} % {MIX_MOD} < t.threshold
+       )::BIGINT AS n_sampled
+FROM t
 """
 
 
@@ -5847,6 +5916,7 @@ def registry() -> tuple[dict, dict]:
         "events_matrix_stats": events_matrix_stats,
         "packing_efficiency": packing_efficiency,
         "dup_components": dup_components,
+        "mixture_sample": mixture_sample,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -5970,6 +6040,7 @@ def registry() -> tuple[dict, dict]:
         "events_matrix_stats": MATRIX_STATS_SQL,
         "packing_efficiency": _packing_sql(),
         "dup_components": DUP_COMPONENTS_SQL,
+        "mixture_sample": MIXTURE_SAMPLE_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
