@@ -310,9 +310,19 @@ def _large_query_bench(n_rows: int, cfg, qs) -> dict:
         ("_grid", GridQueryEngine(f"{index_root}/index", n_doc_parts=2)),
     ]
     for suffix, eng in planes:
+        # first pass doubles as COLD-path probe (decode + score + ship,
+        # caches empty) and steady-state warm-up: the hot caches hold
+        # the whole 50-query working set afterwards, so the timed
+        # section below measures cache-hit serving — keep the cold p50
+        # in the artifact so a decode/ship regression stays visible
+        eng.topk(qs[0][1], qs[0][2])   # absorb actor start-up / segment load
+        cold = []
         for _qid, q, k in qs:
-            eng.topk(q, k)       # steady-state warm-up: full set once
-                                 # (measures serving, not actor cold start)
+            t0 = time.time()
+            eng.topk(q, k)
+            cold.append(time.time() - t0)
+        out[f"query_p50_ms_large_cold{suffix}"] = round(
+            float(np.percentile(cold, 50)) * 1000, 3)
         lat = []
         for _ in range(QUERY_REPEATS):
             for _qid, q, k in qs:

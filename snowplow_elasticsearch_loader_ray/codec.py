@@ -298,6 +298,11 @@ class PostingList:
         """
         if self.n == 0 or not len(cand):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+        if len(cand) > 1 and not (cand[1:] >= cand[:-1]).all():
+            # the sorted-ascending contract is load-bearing for the
+            # searchsorted intersection below; normalize rather than
+            # silently drop hits (cand is candidate-set-sized: cheap)
+            cand = np.unique(cand)
         bis = np.unique(np.searchsorted(self.last_doc, cand, side="left"))
         bis = bis[bis < self.n_blocks]
         d, t = self.decode_blocks(bis)           # doc-ordered union

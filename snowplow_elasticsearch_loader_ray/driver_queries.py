@@ -1190,10 +1190,12 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {DOMAIN_CAP}
 MIX_BASE_RATE = 0.25         # power of two: exact float multiply
 MIX_MOD = 10_000
 #: Knuth multiplicative scramble (doc_ids here are SEQUENTIAL, unlike
-#: hash_sample's assumption): 32-bit modular product, exactly
-#: replayable in BIGINT SQL because the reduced operand keeps the
-#: product under 2^63
+#: hash_sample's assumption). The residue is reduced mod 2^31 BEFORE
+#: the multiply so the product (< 2^31 × 2.66e9 ≈ 5.7e18) stays inside
+#: BIGINT at any doc_id — the SQL side would overflow INT64 on a
+#: 2^32-sized residue.
 MIX_HASH_MUL = 2654435761
+MIX_RES_MOD = 2**31
 MIX_HASH_MOD = 2**32
 
 
@@ -1216,7 +1218,7 @@ def mixture_sample(sf_dir: str) -> pa.Table:
 
     def pick(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = (ids % MIX_HASH_MOD * MIX_HASH_MUL) % MIX_HASH_MOD % MIX_MOD
+        key = (ids % MIX_RES_MOD * MIX_HASH_MUL) % MIX_HASH_MOD % MIX_MOD
         t = np.array([thr[s] for s in b["source"].to_pylist()],
                      dtype=np.uint64)
         return b.filter(pa.array(key < t))
@@ -1236,13 +1238,14 @@ def mixture_sample(sf_dir: str) -> pa.Table:
 MIXTURE_SAMPLE_SQL = f"""
 WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
 t AS (SELECT source, n_docs,
-        least({MIX_MOD}, CAST({MIX_BASE_RATE} * sqrt((SELECT max(n_docs) FROM c) / (n_docs * 1.0))
-                              * {MIX_MOD} AS BIGINT)) AS threshold
+        least({MIX_MOD}, CAST(floor({MIX_BASE_RATE}
+                 * sqrt((SELECT max(n_docs) FROM c) / (n_docs * 1.0))
+                 * {MIX_MOD}) AS BIGINT)) AS threshold
       FROM c)
 SELECT t.source, t.n_docs, t.threshold,
        (SELECT count(*) FROM documents d
         WHERE d.source = t.source
-          AND (d.doc_id % {MIX_HASH_MOD}) * {MIX_HASH_MUL}
+          AND (d.doc_id % {MIX_RES_MOD}) * {MIX_HASH_MUL}
               % {MIX_HASH_MOD} % {MIX_MOD} < t.threshold
        )::BIGINT AS n_sampled
 FROM t

@@ -445,10 +445,12 @@ def connected_components(pairs: pa.Table, max_iters: int = 32) -> pa.Table:
     a = pairs.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
     b = pairs.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
     nodes = np.unique(np.concatenate([a, b]))
-    if not len(nodes):
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "component": pa.array([], pa.int64())})
-    edges = ray.data.from_arrow(_canon_edges(pa.table({"u": a, "v": b})))
+    canon = _canon_edges(pa.table({"u": a, "v": b}))
+    if not len(nodes) or canon.num_rows == 0:
+        # no edges (or self-loops only): every node is its own component
+        return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                         "component": pa.array(nodes, pa.int64())})
+    edges = ray.data.from_arrow(canon)
     prev = None
     for _ in range(max_iters):
         # large-star input: both orientations of every edge

@@ -39,6 +39,7 @@ from ..codec import PostingList, binary_views
 from ..config import DOCLEN_TERM
 from ..tokenizer import term_shard_one
 from .build import index_stats, load_docmap
+from .servecache import CappedLRU, dense_combine, env_cap
 from .query import tokenize_query
 
 
@@ -77,10 +78,9 @@ class GridCellReader:
         # per-term stripe scores cache (deterministic per corpus; see
         # ShardReader._scored) — skips the per-query tf_weight over a
         # head term's stripe. LRU capped by cached score count.
-        self._scores: "dict[str, np.ndarray]" = {}
-        self._scores_n = 0
-        self._scores_cap = int(os.environ.get(
-            "GRAFT_CELL_HOT_SCORES", 8_000_000))      # ≈64 MB per cell
+        self._scores: CappedLRU = CappedLRU(
+            env_cap("GRAFT_CELL_HOT_SCORES", 8_000_000),  # ≈64 MB per cell
+            size_of=len)
 
     def _scored(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         hit = self.terms.get(term)
@@ -91,12 +91,8 @@ class GridCellReader:
         if scores is None:
             w = bm25.idf(self.n_docs, df)
             dls = self.dl_lens[docs // self.n_doc_parts]
-            scores = w * bm25.tf_weight(tfs, dls, self.avgdl)
-            self._scores[term] = scores
-            self._scores_n += len(scores)
-            while self._scores_n > self._scores_cap and len(self._scores) > 1:
-                t0 = next(iter(self._scores))         # FIFO eviction
-                self._scores_n -= len(self._scores.pop(t0))
+            scores = self._scores.put(
+                term, w * bm25.tf_weight(tfs, dls, self.avgdl))
         return docs, scores
 
     def topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -166,12 +162,9 @@ class GridQueryEngine:
         self._doc_ids, _lens = load_docmap(index_dir)
         self._dl_min = float(_lens.min()) if len(_lens) else 1.0
         self._meta_cache: dict[str, tuple[int, int] | None] = {}
-        from collections import OrderedDict
-        self._partials: "OrderedDict[str, list[tuple[np.ndarray, np.ndarray]]]" \
-            = OrderedDict()
-        self._partials_postings = 0
-        self._partials_cap = int(os.environ.get(
-            "GRAFT_COORD_HOT_POSTINGS", 16_000_000))  # ≈256 MB
+        self._partials: CappedLRU = CappedLRU(
+            env_cap("GRAFT_COORD_HOT_POSTINGS", 16_000_000),  # ≈256 MB
+            size_of=lambda v: sum(len(d) for d, _s in v))
         self.n_doc_parts = n_doc_parts
         n_cells = self.num_shards * n_doc_parts
         if cpus_per_reader is None:
@@ -193,19 +186,13 @@ class GridQueryEngine:
             for t in terms:
                 hit = self._partials.get(t)
                 if hit is not None:
-                    self._partials.move_to_end(t)
                     out[t] = hit
                 else:
                     missing.append(t)
             if missing:
                 for t, slices in self._scatter_raw(method, missing,
                                                    *args).items():
-                    out[t] = self._partials[t] = slices
-                    self._partials_postings += sum(len(d) for d, _s in slices)
-                while (self._partials_postings > self._partials_cap
-                       and len(self._partials) > 1):
-                    _, slices = self._partials.popitem(last=False)
-                    self._partials_postings -= sum(len(d) for d, _s in slices)
+                    out[t] = self._partials.put(t, slices)
             return out
         return self._scatter_raw(method, terms, *args)
 
@@ -244,28 +231,11 @@ class GridQueryEngine:
     def _combine(self, terms: list[str],
                  by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]],
                  ) -> tuple[np.ndarray, np.ndarray]:
-        # identical combine to ShardedQueryEngine: dense ordinal
-        # accumulator, one scatter-add per (term, stripe slice). A doc
-        # appears in exactly one stripe per term, so the per-doc
-        # addition order IS term order — the single reader's float
-        # summation order, bit-identical scores (and no argsort over
-        # the concatenated partials, the former multi-head-term
-        # latency driver at 10^6 docs).
-        acc = getattr(self, "_acc", None)
-        if acc is None or len(acc) != self.n_docs:
-            acc = self._acc = np.zeros(self.n_docs, dtype=np.float64)
-        hit = False
-        for t in terms:
-            for docs, scores in by_term.get(t, ()):
-                acc[docs] += scores
-                hit = True
-        if not hit:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        # partials are strictly positive → touched slots == nonzero slots
-        uniq = np.nonzero(acc)[0]
-        sums = acc[uniq].copy()
-        acc[uniq] = 0.0
-        return uniq, sums
+        # identical combine to ShardedQueryEngine, via the shared dense
+        # kernel: a doc appears in exactly one stripe per term, so the
+        # per-doc addition order IS term order — bit-identical scores
+        return dense_combine(self, self.n_docs, terms,
+                             lambda t: by_term.get(t, ()))
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Distributed MaxScore over the cell grid — the same two-phase

@@ -1,0 +1,83 @@
+"""Bounded serving-side caches shared by the query planes.
+
+A term's decoded postings / partial scores are deterministic per
+(term, corpus), so caching them can never change a score bit — the
+only question is the memory bound. ``CappedLRU`` caps by a caller-
+supplied SIZE of each value (postings count here: decoded docs +
+float64 partials cost 16 B/posting) and evicts least-recently-USED,
+not first-inserted: under a Zipf query mix the hot head term must
+survive a stream of cold one-off terms.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Callable, Generic, TypeVar
+
+V = TypeVar("V")
+
+
+class CappedLRU(Generic[V]):
+    """LRU keyed by term, capped by the SUM of per-value sizes."""
+
+    def __init__(self, cap: int, size_of: Callable[[V], int]):
+        self._d: "OrderedDict[str, V]" = OrderedDict()
+        self._cap = cap
+        self._size_of = size_of
+        self._total = 0
+
+    def get(self, key: str) -> V | None:
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def put(self, key: str, value: V) -> V:
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._total -= self._size_of(old)
+        self._d[key] = value
+        self._total += self._size_of(value)
+        while self._total > self._cap and len(self._d) > 1:
+            _, v = self._d.popitem(last=False)
+            self._total -= self._size_of(v)
+        return value
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def env_cap(var: str, default: int) -> int:
+    return int(os.environ.get(var, default))
+
+
+def dense_combine(owner, n_docs: int, terms, slices_by_term):
+    """Per-doc partial sums through a dense ordinal accumulator cached
+    on ``owner`` — shared by the sharded and grid coordinators.
+
+    One scatter-add per (term, doc-disjoint slice), in sorted-term
+    order; a doc appears at most once per term, so the per-doc addition
+    order IS term order — the single reader's float summation order,
+    bit-identical scores. Partials are strictly positive (idf > 0,
+    tf_weight > 0), so the touched slots are exactly the nonzero slots:
+    no argsort over concatenated partials (the former multi-head-term
+    latency driver at 10^6 docs), one linear scan, and a slot-wise
+    reset that leaves the buffer zeroed for the next query.
+    """
+    import numpy as np
+
+    acc = getattr(owner, "_acc", None)
+    if acc is None or len(acc) != n_docs:
+        acc = owner._acc = np.zeros(n_docs, dtype=np.float64)
+    hit = False
+    for t in terms:
+        for docs, scores in slices_by_term(t):
+            acc[docs] += scores
+            hit = True
+    if not hit:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    uniq = np.nonzero(acc)[0]
+    sums = acc[uniq].copy()
+    acc[uniq] = 0.0
+    return uniq, sums

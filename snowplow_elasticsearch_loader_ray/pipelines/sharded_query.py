@@ -39,6 +39,7 @@ from ..config import DOCLEN_TERM
 from ..tokenizer import term_shard_one
 from .build import index_stats, load_docmap
 from .query import tokenize_query
+from .servecache import CappedLRU, dense_combine, env_cap
 
 
 # max_restarts/max_task_retries: a crashed reader actor restarts and
@@ -73,30 +74,21 @@ class ShardReader:
         # + weigh 10^6 postings was the sharded plane's p99 at 1M docs.
         # The serving-cache role of the reference's ES node (filesystem
         # + query cache) — here explicit and bounded.
-        self._hot: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" = \
-            OrderedDict()
-        self._hot_postings = 0
-        self._hot_cap = int(os.environ.get(
-            "GRAFT_SHARD_HOT_POSTINGS", 8_000_000))   # ≈128 MB per actor
+        self._hot: CappedLRU = CappedLRU(
+            env_cap("GRAFT_SHARD_HOT_POSTINGS", 8_000_000),  # ≈128 MB/actor
+            size_of=lambda v: len(v[0]))
 
     def _scored(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         hit = self._hot.get(term)
         if hit is not None:
-            self._hot.move_to_end(term)
             return hit
         buf = self.terms.get(term)
         if buf is None:
             return None
         docs, tfs = PostingList(buf).decode_all()
         w = bm25.idf(self.n_docs, len(docs))
-        scored = (docs, w * bm25.tf_weight(tfs, self.dl_lens[docs],
-                                           self.avgdl))
-        self._hot[term] = scored
-        self._hot_postings += len(docs)
-        while self._hot_postings > self._hot_cap and len(self._hot) > 1:
-            _, (d, _s) = self._hot.popitem(last=False)
-            self._hot_postings -= len(d)
-        return scored
+        return self._hot.put(term, (docs, w * bm25.tf_weight(
+            tfs, self.dl_lens[docs], self.avgdl)))
 
     def topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Single-term top-k ranked ON the shard — ships k rows instead
@@ -140,8 +132,7 @@ class ShardReader:
         for t in terms:
             hot = self._hot.get(t)
             if hot is not None:                  # already decoded+scored:
-                self._hot.move_to_end(t)         # intersect beats re-decode
-                docs, scores = hot
+                docs, scores = hot               # intersect beats re-decode
                 pos = np.searchsorted(docs, cand)
                 sel = pos < len(docs)
                 sel[sel] = docs[pos[sel]] == cand[sel]
@@ -182,11 +173,9 @@ class ShardedQueryEngine:
         self._meta_cache_cap = 200_000
         # hot-partial cache (see _scatter): zero-copy plasma-backed
         # arrays, postings-capped
-        self._partials: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" \
-            = OrderedDict()
-        self._partials_postings = 0
-        self._partials_cap = int(os.environ.get(
-            "GRAFT_COORD_HOT_POSTINGS", 16_000_000))  # ≈256 MB
+        self._partials: CappedLRU = CappedLRU(
+            env_cap("GRAFT_COORD_HOT_POSTINGS", 16_000_000),  # ≈256 MB
+            size_of=lambda v: len(v[0]))
         if cpus_per_reader is None:
             # fit the pool into the current cluster (a reader is mostly
             # waiting between queries; on a real cluster size this to
@@ -213,19 +202,12 @@ class ShardedQueryEngine:
             for t in terms:
                 hit = self._partials.get(t)
                 if hit is not None:
-                    self._partials.move_to_end(t)
                     out[t] = hit
                 else:
                     missing.append(t)
             if missing:
-                fetched = self._scatter_raw(method, missing, *args)
-                for t, ds in fetched.items():
-                    out[t] = self._partials[t] = ds
-                    self._partials_postings += len(ds[0])
-                while (self._partials_postings > self._partials_cap
-                       and len(self._partials) > 1):
-                    _, (d, _s) = self._partials.popitem(last=False)
-                    self._partials_postings -= len(d)
+                for t, ds in self._scatter_raw(method, missing, *args).items():
+                    out[t] = self._partials.put(t, ds)
             return out
         return self._scatter_raw(method, terms, *args)
 
@@ -261,33 +243,12 @@ class ShardedQueryEngine:
     def _combine(self, terms: list[str],
                  by_term: dict[str, tuple[np.ndarray, np.ndarray]],
                  ) -> tuple[np.ndarray, np.ndarray]:
-        """Per-doc sums in GLOBAL sorted-term order — the same float
-        summation order as the single-process reader, so scores are
-        bit-identical (not merely rank-identical). Sums land in a dense
-        ordinal-indexed accumulator (docs are ordinals, reused across
-        queries): one scatter-add per term replaces the former
-        argsort+reduceat over the concatenated partials, which
-        dominated multi-head-term latency at 10^6 docs (sorting 2M
-        rows per query). A doc appears at most once per term, so the
-        per-doc addition order IS term order."""
-        acc = getattr(self, "_acc", None)
-        if acc is None or len(acc) != self.n_docs:
-            acc = self._acc = np.zeros(self.n_docs, dtype=np.float64)
-        hit = False
-        for t in terms:
-            if t in by_term:
-                docs, scores = by_term[t]
-                acc[docs] += scores
-                hit = True
-        if not hit:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        # partials are strictly positive (idf>0, tf_weight>0), so the
-        # touched slots are exactly the nonzero slots — no sort, no
-        # concat, one linear scan
-        uniq = np.nonzero(acc)[0]
-        sums = acc[uniq].copy()
-        acc[uniq] = 0.0                     # cheap reset: only touched slots
-        return uniq, sums
+        """Per-doc sums in GLOBAL sorted-term order via the shared
+        dense-accumulator kernel (``servecache.dense_combine``) —
+        bit-identical float summation order to the single reader."""
+        return dense_combine(
+            self, self.n_docs, terms,
+            lambda t: ([by_term[t]] if t in by_term else ()))
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Distributed MaxScore: the driver splits terms into essential

@@ -198,3 +198,28 @@ def test_connected_components_empty_and_single(ray_session):
     one = connected_components(pa.table({"a": [5], "b": [3]}))
     assert dict(zip(one["doc_id"].to_pylist(),
                     one["component"].to_pylist())) == {3: 3, 5: 3}
+
+
+def test_connected_components_self_loops_only(ray_session):
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.pipelines.dedup import connected_components
+
+    out = connected_components(pa.table({"a": [5, 9], "b": [5, 9]}))
+    assert dict(zip(out["doc_id"].to_pylist(),
+                    out["component"].to_pylist())) == {5: 5, 9: 9}
+
+
+def test_capped_lru_evicts_least_recently_used():
+    from snowplow_elasticsearch_loader_ray.pipelines.servecache import CappedLRU
+
+    c = CappedLRU(cap=10, size_of=len)
+    c.put("hot", [0] * 6)
+    c.put("a", [0] * 3)
+    assert c.get("hot") is not None          # refresh recency
+    c.put("b", [0] * 4)                      # over cap: evicts "a", not "hot"
+    assert c.get("hot") is not None
+    assert c.get("a") is None
+    # re-putting an existing key replaces, not double-counts
+    c.put("hot", [0] * 2)
+    c.put("c", [0] * 4)
+    assert c.get("hot") is not None and c.get("c") is not None

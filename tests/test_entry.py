@@ -109,3 +109,39 @@ def test_window_marker_position():
     import re
     n = len(re.findall(r'^\s+"[a-z0-9_]+": ', before, flags=re.M))
     assert n == 50, f"marker sits after {n} entries, expected 50"
+
+
+def test_mixture_sample_skewed_sources_match_oracle(ray_session, tmp_path):
+    """The sf fixtures have uniform sources (threshold lands exactly on
+    2500); a skewed corpus exercises the fractional thresholds where
+    truncate-vs-round and the modular-hash parity actually bite."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __ray_entry__ import oracle_sql, queries
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for s, n in (("big", 701), ("mid", 149), ("tiny", 31)):
+        for i in range(n):
+            rows.append((int(rng.integers(0, 2**62)), "w x y z", "en", s, 7))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    got = queries()["mixture_sample"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.execute(oracle_sql()["mixture_sample"]).df()
+    got = got.sort_values("source").reset_index(drop=True)
+    want = want.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    thr = dict(zip(got["source"], got["threshold"]))
+    assert thr["tiny"] > thr["mid"] > thr["big"]      # flattening direction
+    assert any(v % 10 for v in thr.values())          # fractional path hit
