@@ -333,6 +333,14 @@ def _large_query_bench(n_rows: int, cfg, qs) -> dict:
             float(np.percentile(lat, 50)) * 1000, 3)
         out[f"query_p99_ms_large{suffix}"] = round(
             float(np.percentile(lat, 99)) * 1000, 3)
+        # fused-throughput: _msearch ships the whole set through one
+        # scatter per round — the batch-serving QPS the per-query
+        # latency numbers above cannot show
+        t0 = time.time()
+        for _ in range(QUERY_REPEATS):
+            eng.msearch([q for _qid, q, _k in qs], 10)
+        out[f"msearch_qps_large{suffix}"] = round(
+            QUERY_REPEATS * len(qs) / (time.time() - t0), 1)
         eng.shutdown()
     return out
 

@@ -1900,6 +1900,30 @@ FILTERED_QUERIES: list[tuple[int, str, str]] = [
 ]
 
 
+def msearch_topk(sf_dir: str) -> pa.Table:
+    """ES ``_msearch``: all DOC_QUERIES through ONE fused partial
+    scatter (round trips no longer scale with query count;
+    ``ShardedQueryEngine.msearch``) — bit-identical per-query results
+    to ``bm25_topk_sharded``, same oracle."""
+    from .pipelines.sharded_query import ShardedQueryEngine
+
+    eng = ShardedQueryEngine(_ensure_index(sf_dir))
+    try:
+        results = eng.msearch([q for _qid, q in DOC_QUERIES], TOPK)
+    finally:
+        eng.shutdown()
+    qids, ranks, docs = [], [], []
+    for (qid, _q), (d, _s) in zip(DOC_QUERIES, results):
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 def bm25_topk_grid(sf_dir: str) -> pa.Table:
     """The (term shard × doc partition) grid serving path — per-cell
     memory independent of corpus size; scores bit-identical to the
@@ -5920,6 +5944,7 @@ def registry() -> tuple[dict, dict]:
         "packing_efficiency": packing_efficiency,
         "dup_components": dup_components,
         "mixture_sample": mixture_sample,
+        "msearch_topk": msearch_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6044,6 +6069,7 @@ def registry() -> tuple[dict, dict]:
         "packing_efficiency": _packing_sql(),
         "dup_components": DUP_COMPONENTS_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
+        "msearch_topk": _bm25_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

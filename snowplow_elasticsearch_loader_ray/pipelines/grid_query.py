@@ -302,6 +302,26 @@ class GridQueryEngine:
                 cand_scores[j] += scores
         return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
 
+    def msearch(self, queries: list[str], k: int = 10,
+                ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """ES ``_msearch`` over the cell grid — one fused partial
+        scatter for the union of terms, per-query combine + rank; see
+        ``ShardedQueryEngine.msearch`` for the bit-identity argument."""
+        toks = [tokenize_query(q) for q in queries]
+        all_terms = sorted({t for ts in toks for t in ts})
+        metas = self._metas(all_terms)
+        live_all = [t for t in all_terms if t in metas]
+        by_term = self._scatter("partial_scores", live_all) if live_all else {}
+        out = []
+        for ts in toks:
+            live = [t for t in ts if t in by_term]
+            if not live:
+                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                continue
+            uniq, sums = self._combine(live, by_term)
+            out.append(bm25.rank_topk(self._doc_ids[uniq], sums, k))
+        return out
+
     def shutdown(self) -> None:
         for c in self.cells.values():
             ray.kill(c)

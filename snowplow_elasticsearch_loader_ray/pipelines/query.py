@@ -1128,6 +1128,13 @@ class QueryEngine:
         self.health.end(op, ok=True)
         return out
 
+    def msearch(self, queries: list[str], k: int = 10,
+                ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """ES ``_msearch`` — in-process there is no round trip to fuse,
+        so this is the API-parity loop (the distributed planes fuse the
+        scatter; see ``ShardedQueryEngine.msearch``)."""
+        return [self.topk(q, k) for q in queries]
+
     def healthy(self) -> bool:
         return self.health.healthy()
 

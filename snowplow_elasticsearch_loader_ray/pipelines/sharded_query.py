@@ -325,6 +325,30 @@ class ShardedQueryEngine:
             cand_scores[j] += scores
         return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
 
+    def msearch(self, queries: list[str], k: int = 10,
+                ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """ES ``_msearch``: N queries through ONE metadata round and
+        ONE partial scatter for the union of their (uncached) terms,
+        then per-query combine + rank on the coordinator — the
+        round-trip count no longer scales with the query count.
+        Results are bit-identical to per-query ``topk``: same partials,
+        same sorted-term summation order (and topk's two-phase plan is
+        itself pinned bit-identical to this full path)."""
+        toks = [tokenize_query(q) for q in queries]
+        all_terms = sorted({t for ts in toks for t in ts})
+        metas = self._metas(all_terms)
+        live_all = [t for t in all_terms if t in metas]
+        by_term = self._scatter("partial_scores", live_all) if live_all else {}
+        out = []
+        for ts in toks:
+            live = [t for t in ts if t in by_term]
+            if not live:
+                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                continue
+            uniq, sums = self._combine(live, by_term)
+            out.append(bm25.rank_topk(self._doc_ids[uniq], sums, k))
+        return out
+
     def shutdown(self) -> None:
         for r in self.readers:
             ray.kill(r)

@@ -70,3 +70,32 @@ def test_sharded_reader_survives_actor_kill(ray_session, tmp_path):
         assert before_s.tolist() == after_s.tolist()
     finally:
         eng.shutdown()
+
+
+def test_msearch_bit_identical_to_per_query_topk(ray_session, tmp_path):
+    """_msearch fuses the scatter; results must equal per-query topk
+    bit-for-bit on both distributed planes and in-process."""
+    from snowplow_elasticsearch_loader_ray.pipelines.grid_query import (
+        GridQueryEngine)
+
+    cfg = IndexConfig(num_term_shards=8)
+    idx = str(tmp_path / "midx")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx, cfg)
+    single = QueryEngine(idx)
+    want = [single.topk(q, 10) for q in QUERIES]
+    assert [w[0].tolist() for w in single.msearch(QUERIES, 10)] == \
+        [w[0].tolist() for w in want]
+    for mk in (lambda: ShardedQueryEngine(idx),
+               lambda: GridQueryEngine(idx, n_doc_parts=3)):
+        eng = mk()
+        try:
+            got = eng.msearch(QUERIES, 10)
+            for q, (d1, s1), (d2, s2) in zip(QUERIES, want, got):
+                np.testing.assert_array_equal(d1, d2, err_msg=q)
+                np.testing.assert_array_equal(s1, s2, err_msg=q)
+            # repeat: fused path must also serve from warm caches
+            got2 = eng.msearch(QUERIES, 10)
+            for (d1, _), (d2, _) in zip(got, got2):
+                np.testing.assert_array_equal(d1, d2)
+        finally:
+            eng.shutdown()
