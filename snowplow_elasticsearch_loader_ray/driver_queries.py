@@ -1924,6 +1924,69 @@ def msearch_topk(sf_dir: str) -> pa.Table:
     })
 
 
+#: update_by_query scenario: docs conjunctively matching both terms get
+#: a marker token appended, then the chain compacts and is re-scored
+UBQ_QUERY = "data table"
+UBQ_TOKEN = "zzupdated"
+
+
+def update_by_query_topk(sf_dir: str) -> pa.Table:
+    """ES ``_update_by_query`` end-to-end (resolve match set → fetch
+    stored source → transform → supersede as a new generation →
+    compact; ``pipelines/live.py::update_by_query``): BM25 top-k over
+    the post-update compacted chain must equal scoring the rewritten
+    corpus directly, which is what the oracle computes over a CASE
+    rewrite of the ``documents`` view."""
+    import json as _json
+
+    from .pipelines.live import LiveIndex
+    from .sources.stream import stream_ingest
+
+    root = os.path.join(os.path.dirname(_index_dir(sf_dir)), "live_ubq")
+    live = LiveIndex(root, CFG)
+    done = os.path.join(root, "_UPDATED")
+    if not os.path.exists(done):
+        t = pq.read_table(_docs_path(sf_dir),
+                          columns=["doc_id", "text", "lang"])
+
+        def payloads():
+            for d, x, lg in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                t["lang"].to_pylist()):
+                yield _json.dumps(
+                    {"doc_id": int(d), "text": x, "lang": lg}).encode()
+
+        s1 = os.path.join(root, "wave1")
+        stream_ingest(payloads(), s1, purpose="json", cfg=CFG)
+        live.refresh(s1)
+        live.update_by_query(UBQ_QUERY, lambda x: f"{x} {UBQ_TOKEN}")
+        live.compact(force=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    s = live.searcher()
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _sc = s.topk(q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _update_by_query_sql() -> str:
+    terms = sorted(set(UBQ_QUERY.split()))
+    match = " AND ".join(
+        f"list_contains({TOK_SQL}, '{t}')" for t in terms)
+    src = (f"(SELECT doc_id, CASE WHEN {match} "
+           f"THEN text || ' {UBQ_TOKEN}' ELSE text END AS text "
+           f"FROM documents)")
+    return _bm25_sql(src=src)
+
+
 def bm25_topk_grid(sf_dir: str) -> pa.Table:
     """The (term shard × doc partition) grid serving path — per-cell
     memory independent of corpus size; scores bit-identical to the
@@ -5945,6 +6008,7 @@ def registry() -> tuple[dict, dict]:
         "dup_components": dup_components,
         "mixture_sample": mixture_sample,
         "msearch_topk": msearch_topk,
+        "update_by_query_topk": update_by_query_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6070,6 +6134,7 @@ def registry() -> tuple[dict, dict]:
         "dup_components": DUP_COMPONENTS_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "msearch_topk": _bm25_sql(),
+        "update_by_query_topk": _update_by_query_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

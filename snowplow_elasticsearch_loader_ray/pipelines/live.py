@@ -252,6 +252,10 @@ class LiveIndex:
         mf.commit(self.man_dir, "refresh-00000", {
             "event": 0, "stage": "bootstrap", "gen": "gen-00000",
             "batches": [], "n_docs": int(stats["n_docs"]), "n_bad": 0,
+            # stored-source pointer (ES keeps _source IN the segment;
+            # for the bulk base we record the immutable corpus path
+            # instead of copying ~everything into the generation)
+            "doc_ptrs": [os.path.abspath(docs_dir)],
             "wall_s": round(time.time() - t0, 3),
         })
         return {"refreshed": True, "gen": "gen-00000",
@@ -332,6 +336,100 @@ class LiveIndex:
                        else np.empty(0, np.int64))
         return out
 
+    # -- stored source (the ES _source role) -------------------------------
+    def _gen_doc_sources(self, gen_basename: str) -> list[str]:
+        """Ordered (newest precedence first) document sources for one
+        generation: its materialized ``_delta_docs`` (refresh/update/
+        compact-merged deltas) followed by any recorded external
+        pointers (the immutable bulk corpus of ``bootstrap``)."""
+        out: list[str] = []
+        dd = os.path.join(self.root, gen_basename, "_delta_docs")
+        if os.path.isdir(dd):
+            out.append(dd)
+        for m in self._events():
+            if m.get("gen") == gen_basename:
+                out.extend(m.get("doc_ptrs", []))
+        return out
+
+    def _fetch_docs(self, doc_ids: np.ndarray) -> pa.Table:
+        """(doc_id, text, lang) for the given LIVE external ids, read
+        from the chain's stored sources newest generation first (the
+        first source that holds an id owns its current text). Reads are
+        the ``doc_fetch`` pattern — broadcast id set, vectorized
+        semi-join filter inside ``map_batches`` — so the immutable base
+        corpus is scanned once, column-pruned, never shuffled."""
+        want = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        pieces: list[pa.Table] = []
+        for gen in reversed(self.generations()):          # newest first
+            if not len(want):
+                break
+            for src in self._gen_doc_sources(os.path.basename(gen)):
+                if not len(want):
+                    break
+                want_arr = want                            # bind for task
+
+                def pick(b: pa.Table) -> pa.Table:
+                    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                    return b.filter(pa.array(
+                        np.isin(ids, want_arr)))
+
+                schema = pa.schema([("doc_id", pa.int64()),
+                                    ("text", pa.string()),
+                                    ("lang", pa.string())])
+                blocks = [b.select(["doc_id", "text", "lang"]).cast(schema)
+                          for b in ray.get(
+                              ray.data.read_parquet(
+                                  src, columns=["doc_id", "text", "lang"])
+                              .map_batches(pick, batch_format="pyarrow")
+                              .to_arrow_refs())
+                          if b.num_rows]
+                hit = (pa.concat_tables(blocks) if blocks
+                       else schema.empty_table())
+                if hit.num_rows:
+                    # a source may itself hold several versions (the
+                    # bulk corpus is last-wins-deduped already; delta
+                    # dirs are deduped at write) — keep first per id
+                    pieces.append(hit)
+                    found = hit["doc_id"].to_numpy(zero_copy_only=False)
+                    want = want[~np.isin(want, found)]
+        if not pieces:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string())})
+        return pa.concat_tables(pieces)
+
+    def update_by_query(self, query: str, transform) -> dict:
+        """ES ``_update_by_query``: resolve the conjunctive match set
+        against the current live view, fetch those docs' stored source,
+        apply ``transform(text) -> text``, and index the rewritten docs
+        as a new generation — the chain's newest-wins upsert rule makes
+        them supersede, exactly like ES's reindex-in-place. Returns
+        {event, gen, n_docs}."""
+        ids = self.searcher().match_ids(query)
+        if not len(ids):
+            return {"event": None, "gen": None, "n_docs": 0}
+        docs = self._fetch_docs(ids)
+        new_text = pa.array([transform(t) for t in docs["text"].to_pylist()],
+                            pa.string())
+        docs = docs.set_column(docs.schema.get_field_index("text"),
+                               "text", new_text)
+        ev = self._next_event()
+        gen_name = f"gen-{ev:05d}"
+        gen_dir = os.path.join(self.root, gen_name)
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        docs_dir = os.path.join(gen_dir, "_delta_docs")
+        os.makedirs(docs_dir)
+        tmp = os.path.join(docs_dir, "delta-00000.parquet.tmp")
+        pq.write_table(docs, tmp)
+        os.replace(tmp, os.path.join(docs_dir, "delta-00000.parquet"))
+        stats = build_index(docs_dir, gen_dir, self.cfg)
+        mf.commit(self.man_dir, f"refresh-{ev:05d}", {
+            "event": ev, "stage": "update", "gen": gen_name,
+            "batches": [], "query": query,
+            "n_docs": int(stats["n_docs"]), "n_bad": 0,
+        })
+        return {"event": ev, "gen": gen_name, "n_docs": int(stats["n_docs"])}
+
     def delete(self, doc_ids: np.ndarray) -> dict:
         """ES ``_delete_by_query``'s commit half: tombstone the given
         EXTERNAL doc_ids as a manifest event. Like Lucene deletes, the
@@ -386,9 +484,44 @@ class LiveIndex:
         shutil.rmtree(out_dir, ignore_errors=True)
         stats = merge_indexes(gens, out_dir, self.cfg,
                               deleted_per_input=deleted)
+        # stored-source merge (the Lucene stored-fields half of a
+        # segment merge): the retired generations' materialized delta
+        # docs collapse last-wins (minus each generation's later
+        # tombstones) into the new generation's _delta_docs — they are
+        # about to be rmtree'd with their gen dirs — while immutable
+        # external pointers (the bootstrap corpus) are carried forward
+        # as pointers. Delta docs are refresh-interval-sized; a full
+        # stored-field rewrite of the base corpus would be a Dataset
+        # groupby, deliberately avoided for an immutable bulk source.
+        ptrs: list[str] = []
+        merged_docs: list[pa.Table] = []
+        seen = np.empty(0, dtype=np.int64)
+        for g, dead in zip(reversed(gens), reversed(deleted)):
+            for src in self._gen_doc_sources(os.path.basename(g)):
+                if not src.startswith(self.root):
+                    if src not in ptrs:
+                        ptrs.append(src)
+                    continue
+                t = pq.read_table(src, columns=["doc_id", "text", "lang"])
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                keep = ~np.isin(ids, seen)
+                if len(dead):
+                    keep &= ~np.isin(ids, dead)
+                t = t.filter(pa.array(keep))
+                if t.num_rows:
+                    merged_docs.append(t)
+                    seen = np.concatenate(
+                        [seen, t["doc_id"].to_numpy(zero_copy_only=False)])
+        if merged_docs:
+            dd = os.path.join(out_dir, "_delta_docs")
+            os.makedirs(dd, exist_ok=True)
+            tmp = os.path.join(dd, "delta-00000.parquet.tmp")
+            pq.write_table(pa.concat_tables(merged_docs), tmp)
+            os.replace(tmp, os.path.join(dd, "delta-00000.parquet"))
         mf.commit(self.man_dir, f"compact-{ev:05d}", {
             "event": ev, "stage": "compact", "gen": gen_name,
             "retired": [os.path.basename(g) for g in gens],
+            "doc_ptrs": ptrs,
             "n_docs": int(stats["n_docs"]),
         })
         for g in gens:                      # reclaim after commit
