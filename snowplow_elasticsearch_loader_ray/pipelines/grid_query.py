@@ -318,6 +318,12 @@ class GridQueryEngine:
             if not live:
                 out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
                 continue
+            if len(live) == 1:                 # stripes are doc-disjoint:
+                slices = by_term[live[0]]      # concat IS the combine
+                docs = np.concatenate([d for d, _s in slices])
+                scores = np.concatenate([s for _d, s in slices])
+                out.append(bm25.rank_topk(self._doc_ids[docs], scores, k))
+                continue
             uniq, sums = self._combine(live, by_term)
             out.append(bm25.rank_topk(self._doc_ids[uniq], sums, k))
         return out

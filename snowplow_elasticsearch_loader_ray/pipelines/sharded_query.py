@@ -345,6 +345,10 @@ class ShardedQueryEngine:
             if not live:
                 out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
                 continue
+            if len(live) == 1:                 # combine of one term = identity
+                docs, scores = by_term[live[0]]
+                out.append(bm25.rank_topk(self._doc_ids[docs], scores, k))
+                continue
             uniq, sums = self._combine(live, by_term)
             out.append(bm25.rank_topk(self._doc_ids[uniq], sums, k))
         return out
