@@ -29,6 +29,8 @@ N_WAVES = int(os.environ.get("N_WAVES", "6"))
 UPSERT_WAVES = {2, 4}          # these waves also re-send 20% of prior ids
 DELETE_AFTER_WAVE = 3          # then delete this conjunctive query's matches
 DELETE_QUERY = "badiba bafuba"     # zipf ranks 80 & 120: ~5-8% of docs
+UPDATE_AFTER_WAVE = 4          # then _update_by_query this match set
+UPDATE_QUERY = "bacosel bacovex"   # real mid-rank vocab pair, a few % of docs
 MERGE_FACTOR = 3
 WORK = "/tmp/live_stress"
 
@@ -72,6 +74,7 @@ def main() -> None:
     expected: dict[int, tuple[str, str]] = {}
     all_deleted: set[int] = set()
     n_deleted = 0
+    n_updated = 0
     t_all0 = time.time()
     refresh_s, compactions = [], 0
     for w in range(N_WAVES):
@@ -130,6 +133,19 @@ def main() -> None:
                 expected.pop(i, None)
             all_deleted |= deleted_ids
             n_deleted = dq["n_ids"]
+        if w == UPDATE_AFTER_WAVE:
+            # _update_by_query through the stored-source lifecycle:
+            # fetched text must equal the expected corpus's (else the
+            # appended-token mirror below diverges and the convergence
+            # check fails), and the rewritten docs supersede in place
+            uq_ids = live.searcher().match_ids(UPDATE_QUERY)
+            r = live.update_by_query(UPDATE_QUERY,
+                                     lambda x: x + " updtok")
+            assert r["n_docs"] == len(uq_ids), (r, len(uq_ids))
+            n_updated = r["n_docs"]
+            for i in uq_ids.tolist():
+                x, lg = expected[i]
+                expected[i] = (x + " updtok", lg)
     live.compact(force=True)
     wall = time.time() - t_all0
 
@@ -176,6 +192,7 @@ def main() -> None:
         "n_waves": N_WAVES,
         "upsert_waves": sorted(UPSERT_WAVES),
         "n_deleted": int(n_deleted),
+        "n_updated": int(n_updated),
         "auto_compactions": compactions,
         "final_live_docs": int(len(expected)),
         "refresh_s_per_wave": refresh_s,
