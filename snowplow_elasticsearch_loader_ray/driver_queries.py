@@ -1924,6 +1924,36 @@ def msearch_topk(sf_dir: str) -> pa.Table:
     })
 
 
+#: ES ``_analyze`` fixture: punctuation, casing, digits, apostrophes —
+#: the analyzer surface a user probes before indexing
+ANALYZE_TEXT = "The Quick-Brown fox's 2nd run: 42 FOXES ran fast, fast!"
+
+
+def analyze_text(sf_dir: str) -> pa.Table:
+    """ES ``_analyze`` API: the index-time analyzer applied to a probe
+    string, returning (position, token) — the same vectorized Arrow
+    tokenizer every indexing path uses (``tokenizer.tokenize_to_terms``),
+    so what this returns IS what gets indexed. The oracle replays the
+    identical RE2 split in SQL."""
+    from .tokenizer import tokenize_to_terms
+
+    flat, _idx = tokenize_to_terms(pa.array([ANALYZE_TEXT]))
+    toks = flat.to_pylist()
+    return pa.table({
+        "position": pa.array(range(1, len(toks) + 1), pa.int64()),
+        "token": pa.array(toks, pa.string()),
+    })
+
+
+ANALYZE_SQL = f"""
+WITH s AS (SELECT {TOK_SQL} AS toks
+           FROM (VALUES ('{ANALYZE_TEXT.replace("'", "''")}')) t(text))
+SELECT unnest(generate_series(1, len(toks)))::BIGINT AS position,
+       unnest(toks) AS token
+FROM s
+"""
+
+
 #: update_by_query scenario: docs conjunctively matching both terms get
 #: a marker token appended, then the chain compacts and is re-scored
 UBQ_QUERY = "data table"
@@ -6009,6 +6039,7 @@ def registry() -> tuple[dict, dict]:
         "mixture_sample": mixture_sample,
         "msearch_topk": msearch_topk,
         "update_by_query_topk": update_by_query_topk,
+        "analyze_text": analyze_text,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6135,6 +6166,7 @@ def registry() -> tuple[dict, dict]:
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "msearch_topk": _bm25_sql(),
         "update_by_query_topk": _update_by_query_sql(),
+        "analyze_text": ANALYZE_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

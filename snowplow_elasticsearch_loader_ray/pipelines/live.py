@@ -404,7 +404,14 @@ class LiveIndex:
         apply ``transform(text) -> text``, and index the rewritten docs
         as a new generation — the chain's newest-wins upsert rule makes
         them supersede, exactly like ES's reindex-in-place. Returns
-        {event, gen, n_docs}."""
+        {event, gen, n_docs}.
+
+        Scale note: the match set is materialized on the driver and the
+        transform runs row-at-a-time, sized for query-selective updates
+        (ES's own _update_by_query is a scrolled batch loop). A
+        corpus-scale rewrite should go through the bulk path instead:
+        transform the source with ``map_batches`` and rebuild
+        (``reindex_transformed_terms`` is that pipeline)."""
         ids = self.searcher().match_ids(query)
         if not len(ids):
             return {"event": None, "gen": None, "n_docs": 0}
