@@ -118,6 +118,20 @@ def _last_wins(g):
     return g.loc[[g["ordkey"].idxmax()]]
 
 
+_DOCS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                          ("lang", pa.string())])
+
+
+def _normalize_docs(b: pa.Table) -> pa.Table:
+    """Project a stored-source batch to (doc_id, text, lang), filling
+    ``lang`` when the source corpus lacks it (bootstrap accepts plain
+    (doc_id, text) parquet)."""
+    lang = (b["lang"] if "lang" in b.column_names
+            else pa.array(["und"] * b.num_rows, pa.string()))
+    return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                     "lang": lang}).cast(_DOCS_SCHEMA)
+
+
 @ray.remote
 def _parse_part_remote(pk: int, path: str) -> pa.Table:
     return _parse_stream_parts(pa.table({"pk": [pk], "path": [path]}))
@@ -369,22 +383,17 @@ class LiveIndex:
                 want_arr = want                            # bind for task
 
                 def pick(b: pa.Table) -> pa.Table:
-                    ids = b["doc_id"].to_numpy(zero_copy_only=False)
-                    return b.filter(pa.array(
-                        np.isin(ids, want_arr)))
+                    t = _normalize_docs(b)
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    return t.filter(pa.array(np.isin(ids, want_arr)))
 
-                schema = pa.schema([("doc_id", pa.int64()),
-                                    ("text", pa.string()),
-                                    ("lang", pa.string())])
-                blocks = [b.select(["doc_id", "text", "lang"]).cast(schema)
-                          for b in ray.get(
-                              ray.data.read_parquet(
-                                  src, columns=["doc_id", "text", "lang"])
+                blocks = [b for b in ray.get(
+                              ray.data.read_parquet(src)
                               .map_batches(pick, batch_format="pyarrow")
                               .to_arrow_refs())
                           if b.num_rows]
                 hit = (pa.concat_tables(blocks) if blocks
-                       else schema.empty_table())
+                       else _DOCS_SCHEMA.empty_table())
                 if hit.num_rows:
                     # a source may itself hold several versions (the
                     # bulk corpus is last-wins-deduped already; delta
@@ -416,6 +425,14 @@ class LiveIndex:
         if not len(ids):
             return {"event": None, "gen": None, "n_docs": 0}
         docs = self._fetch_docs(ids)
+        if docs.num_rows != len(np.unique(ids)):
+            # a stored-source gap (moved bootstrap corpus, restore
+            # missing _delta_docs) must fail loudly — a partial rewrite
+            # committed as done would silently leave stale text behind
+            raise RuntimeError(
+                f"update_by_query: stored source holds {docs.num_rows} of "
+                f"{len(np.unique(ids))} matched docs — a generation's "
+                "_delta_docs or a bootstrap corpus pointer is missing")
         new_text = pa.array([transform(t) for t in docs["text"].to_pylist()],
                             pa.string())
         docs = docs.set_column(docs.schema.get_field_index("text"),
@@ -497,34 +514,46 @@ class LiveIndex:
         # tombstones) into the new generation's _delta_docs — they are
         # about to be rmtree'd with their gen dirs — while immutable
         # external pointers (the bootstrap corpus) are carried forward
-        # as pointers. Delta docs are refresh-interval-sized; a full
-        # stored-field rewrite of the base corpus would be a Dataset
-        # groupby, deliberately avoided for an immutable bulk source.
+        # as pointers. The merge is the same distributed last-wins
+        # groupby the refresh dedupe uses (precedence = generation
+        # order): text rides the shuffle because stored-fields merge IS
+        # corpus IO, and the driver sees only a row count — the
+        # accumulated stored source grows with the stream, never the
+        # driver's memory.
+        root_abs = os.path.abspath(self.root) + os.sep
         ptrs: list[str] = []
-        merged_docs: list[pa.Table] = []
-        seen = np.empty(0, dtype=np.int64)
-        for g, dead in zip(reversed(gens), reversed(deleted)):
+        internal: list[tuple[str, np.ndarray, int]] = []
+        for prec, (g, dead) in enumerate(zip(gens, deleted)):
             for src in self._gen_doc_sources(os.path.basename(g)):
-                if not src.startswith(self.root):
+                if not (os.path.abspath(src) + os.sep).startswith(root_abs):
                     if src not in ptrs:
                         ptrs.append(src)
-                    continue
-                t = pq.read_table(src, columns=["doc_id", "text", "lang"])
-                ids = t["doc_id"].to_numpy(zero_copy_only=False)
-                keep = ~np.isin(ids, seen)
-                if len(dead):
-                    keep &= ~np.isin(ids, dead)
-                t = t.filter(pa.array(keep))
-                if t.num_rows:
-                    merged_docs.append(t)
-                    seen = np.concatenate(
-                        [seen, t["doc_id"].to_numpy(zero_copy_only=False)])
-        if merged_docs:
-            dd = os.path.join(out_dir, "_delta_docs")
-            os.makedirs(dd, exist_ok=True)
-            tmp = os.path.join(dd, "delta-00000.parquet.tmp")
-            pq.write_table(pa.concat_tables(merged_docs), tmp)
-            os.replace(tmp, os.path.join(dd, "delta-00000.parquet"))
+                elif os.path.isdir(src):
+                    internal.append((src, dead, prec))
+        if internal:
+            import ray.data
+
+            parts = []
+            for src, dead, prec in internal:
+                def norm(b: pa.Table, dead=dead, prec=prec) -> pa.Table:
+                    t = _normalize_docs(b)
+                    if len(dead):
+                        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                        t = t.filter(pa.array(~np.isin(ids, dead)))
+                    return t.append_column("ordkey", pa.array(
+                        np.full(t.num_rows, prec, dtype=np.int64)))
+
+                parts.append(ray.data.read_parquet(src)
+                             .map_batches(norm, batch_format="pyarrow"))
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.union(p)
+            merged = (ds.groupby("doc_id").map_groups(_last_wins)
+                      .map_batches(lambda b: b.drop_columns(["ordkey"]),
+                                   batch_format="pyarrow")
+                      .materialize())
+            if merged.count():
+                merged.write_parquet(os.path.join(out_dir, "_delta_docs"))
         mf.commit(self.man_dir, f"compact-{ev:05d}", {
             "event": ev, "stage": "compact", "gen": gen_name,
             "retired": [os.path.basename(g) for g in gens],

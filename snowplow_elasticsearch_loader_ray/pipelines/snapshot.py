@@ -205,6 +205,13 @@ def snapshot_live_incremental(live_root: str, repo_dir: str,
     for g in gens:
         verified += _verify_segments(g)
         files.extend(_index_files(g, prefix=os.path.basename(g)))
+        # stored source (_delta_docs) is load-bearing chain state:
+        # update_by_query and the compaction stored-source merge read
+        # it, so a restore without it silently loses text
+        dd = os.path.join(g, "_delta_docs")
+        for f in sorted(glob.glob(os.path.join(dd, "*.parquet"))):
+            files.append((os.path.join(os.path.basename(g), "_delta_docs",
+                                       os.path.basename(f)), f))
     for sub in ("manifests", "deletes"):
         d = os.path.join(live_root, sub)
         for f in sorted(glob.glob(os.path.join(d, "*"))):

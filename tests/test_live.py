@@ -305,8 +305,7 @@ def test_update_by_query_rewrites_and_supersedes(ray_session, tmp_path):
     s = live.searcher()
     assert sorted(s.topk("zzupdated", 10)[0].tolist()) == [1, 4]
     # the rewritten docs keep their other terms (supersede, not append)
-    assert sorted(s.topk("blocks", 10)[0].tolist()) == [1, 4, 6] \
-        if False else True
+    assert sorted(s.topk("blocks", 10)[0].tolist()) == [1, 4]
     d, _sc = s.topk("ray", 10)
     assert d.tolist() == [1]
     assert s.live_doc_count() == 4                     # no new identities
@@ -366,3 +365,33 @@ def test_bootstrap_then_update_by_query(ray_session, tmp_path):
     s = live.searcher()
     assert sorted(s.topk("delta", 10)[0].tolist()) == [11, 12]
     assert s.topk("beta", 10)[0].tolist() == []        # superseded away
+
+
+def test_update_by_query_missing_stored_source_fails_loudly(ray_session, tmp_path):
+    import shutil as _sh
+
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(_stream(tmp_path, "s1", DOCS_A))
+    gen = live.generations()[0]
+    _sh.rmtree(os.path.join(gen, "_delta_docs"))
+    with pytest.raises(RuntimeError, match="stored source"):
+        live.update_by_query("blocks", lambda t: t)
+
+
+def test_bootstrap_without_lang_column_update_ok(ray_session, tmp_path):
+    """bootstrap accepts (doc_id, text)-only corpora; the stored-source
+    reads must fill lang instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([21, 22], pa.int64()),
+        "text": ["red green", "green blue"],
+    }), str(d / "part-0.parquet"))
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.bootstrap(str(d))
+    r = live.update_by_query("green", lambda t: t + " teal")
+    assert r["n_docs"] == 2
+    assert sorted(live.searcher().topk("teal", 10)[0].tolist()) == [21, 22]

@@ -170,3 +170,33 @@ def test_incremental_restore_detects_tampered_blob(ray_session, tmp_path):
         f.write(b"\xde\xad\xbe\xef")
     with pytest.raises(ValueError, match="hash mismatch"):
         restore_incremental(repo, "snap", str(tmp_path / "restored"))
+
+
+def test_restored_live_chain_keeps_stored_source(ray_session, tmp_path):
+    """_delta_docs (the stored source update_by_query reads) must
+    survive snapshot/restore — a restore that lost it would silently
+    drop updates."""
+    import json
+
+    from snowplow_elasticsearch_loader_ray.pipelines.live import LiveIndex
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        restore_incremental, snapshot_live_incremental,
+    )
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    out = str(tmp_path / "s1")
+    stream_ingest(
+        iter(json.dumps({"doc_id": i, "text": t}).encode()
+             for i, t in [(1, "ray data blocks"), (2, "arrow blocks")]),
+        out, purpose="json", cfg=CFG)
+    live = LiveIndex(str(tmp_path / "live"), CFG)
+    live.refresh(out)
+    repo = str(tmp_path / "repo")
+    snapshot_live_incremental(str(tmp_path / "live"), repo, "s")
+    restored = str(tmp_path / "restored")
+    restore_incremental(repo, "s", restored)
+    r = LiveIndex(restored, CFG).update_by_query(
+        "blocks", lambda t: t + " zznew")
+    assert r["n_docs"] == 2
+    s = LiveIndex(restored, CFG).searcher()
+    assert sorted(s.topk("zznew", 10)[0].tolist()) == [1, 2]
