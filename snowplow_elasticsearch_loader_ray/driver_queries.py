@@ -999,6 +999,51 @@ GROUP BY 1, 2
 """
 
 
+#: exact-substring dedup window length (Lee et al. use 50 BPE tokens;
+#: 8 here so the ~55-token fixture docs overlap only on genuine copies)
+SUBSTR_W = 8
+
+
+def substring_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact substring-duplicate spans (Lee et al. 2021 ExactSubstr):
+    per affected doc, the duplicated w-token window positions and the
+    token length of their interval union. Windows explode to 32-byte
+    rows in map_batches; groupby(win) keeps multi-occurrence groups;
+    groupby(doc_id) unions the intervals — text never shuffles
+    (pipelines/dedup.py::substring_dup_spans)."""
+    from .pipelines import dedup as D
+
+    return D.substring_dup_spans(_docs_ds(sf_dir), w=SUBSTR_W)
+
+
+SUBSTRING_DUP_SQL = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks)-{SUBSTR_W - 1})) AS pos,
+         unnest(list_transform(generate_series(1, len(toks)-{SUBSTR_W - 1}),
+             i -> list_aggregate(toks[i:i+{SUBSTR_W - 1}], 'string_agg', ' '))) AS gram
+  FROM t WHERE len(toks) >= {SUBSTR_W}),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+iv AS (SELECT doc_id, pos AS s, pos + {SUBSTR_W} AS e,
+              max(pos + {SUBSTR_W}) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       FROM d),
+u AS (SELECT doc_id, count(*)::BIGINT AS dup_windows,
+             sum(greatest(0, e - greatest(s, coalesce(prev_e, s))))::BIGINT
+               AS dup_span_tokens
+      FROM iv GROUP BY 1),
+ln AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+SELECT u.doc_id, ln.n_tokens,
+       (ln.n_tokens - {SUBSTR_W - 1})::BIGINT AS n_windows,
+       u.dup_windows, u.dup_span_tokens,
+       (ln.n_tokens - u.dup_span_tokens)::BIGINT AS retained_tokens
+FROM u JOIN ln USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 #: phrase-suggester input (ES `phrase` suggester / did-you-mean): two
 #: misspelled tokens + one exact token over the fixture vocabulary
 SUGGEST_PHRASE_Q = "slo quary data"
@@ -6040,6 +6085,7 @@ def registry() -> tuple[dict, dict]:
         "msearch_topk": msearch_topk,
         "update_by_query_topk": update_by_query_topk,
         "analyze_text": analyze_text,
+        "substring_dup_spans": substring_dup_spans,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6167,6 +6213,7 @@ def registry() -> tuple[dict, dict]:
         "msearch_topk": _bm25_sql(),
         "update_by_query_topk": _update_by_query_sql(),
         "analyze_text": ANALYZE_SQL,
+        "substring_dup_spans": SUBSTRING_DUP_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

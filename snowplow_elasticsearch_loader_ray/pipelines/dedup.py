@@ -79,6 +79,19 @@ def _mix(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _gram_muls(k: int) -> list[np.uint64]:
+    """One DISTINCT multiplier per gram position (cycling a short list
+    would make grams that permute same-multiplier positions collide —
+    e.g. with [i % 3] and k=5, swapping tokens 0 and 3 preserves the
+    XOR). Positions 0-2 keep the original constants so k=3 hashes
+    (jaccard/minhash/simhash) are unchanged; positions ≥3 get mixed
+    per-position odd multipliers."""
+    base = [_P1, _P2, _P3]
+    return [base[i] if i < 3 else
+            np.uint64(_mix(np.array([i + 1], dtype=np.uint64) * _P3)[0] | np.uint64(1))
+            for i in range(k)]
+
+
 def distinct_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch texts → (flat distinct shingle hashes, doc row index, per-row counts).
 
@@ -93,16 +106,7 @@ def distinct_shingles(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray, np.nda
     if len(h) < k:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
                 np.zeros(n, dtype=np.int64))
-    # one DISTINCT multiplier per gram position (cycling a short list
-    # would make grams that permute same-multiplier positions collide —
-    # e.g. with [i % 3] and k=5, swapping tokens 0 and 3 preserves the
-    # XOR). Positions 0-2 keep the original constants so k=3 hashes
-    # (jaccard/minhash/simhash) are unchanged; positions ≥3 get mixed
-    # per-position odd multipliers.
-    base = [_P1, _P2, _P3]
-    muls = [base[i] if i < 3 else
-            np.uint64(_mix(np.array([i + 1], dtype=np.uint64) * _P3)[0] | np.uint64(1))
-            for i in range(k)]
+    muls = _gram_muls(k)
     parts = [h[i : len(h) - (k - 1) + i] * muls[i] for i in range(k)]
     sh = _mix(np.bitwise_xor.reduce(parts))
     same_doc = idx[: len(h) - (k - 1)] == idx[k - 1 :]
@@ -607,3 +611,121 @@ def simhash_pairs(ds: ray.data.Dataset, cfg: DedupConfig = DEFAULT_DEDUP) -> pa.
         "doc_id_b": pa.array(b[order], type=pa.int64()),
         "hamming": pa.array(h[order].astype(np.int32)),
     })
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr operator)
+# --------------------------------------------------------------------------
+
+class WindowRows:
+    """docs → one exploded row per w-token window POSITION:
+    ``(win, doc_id, pos, n_tokens)``.
+
+    Unlike ``ShingleRows`` the windows are NOT distinct-per-doc — span
+    accounting needs every position — and each row carries its 0-based
+    token offset so the duplicated-span union can be reconstructed
+    after the shuffle. Fully vectorized: one tokenize + one rolling
+    polynomial hash per batch; no per-doc Python loop. Shuffle rows
+    are 32 bytes regardless of document size (text never leaves this
+    stage), so at 100 TB the exchange carries ≈ token-count × 32 B —
+    the same asymptotics as the suffix-array pass of Lee et al., with
+    the fixed window length w standing in for "duplicate span ≥ w".
+    """
+
+    def __init__(self, w: int):
+        if w < 2:
+            raise ValueError("window size must be ≥ 2")
+        self.w = w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.w
+        flat, idx_arr = tokenize_to_terms(batch["text"])
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tok_counts = np.bincount(idx, minlength=n).astype(np.int64)
+        empty = pa.table({
+            "win": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+        })
+        h = _hash_tokens(flat) if len(flat) else np.empty(0, dtype=np.uint64)
+        if len(h) < w:
+            return empty
+        muls = _gram_muls(w)
+        parts = [h[i: len(h) - (w - 1) + i] * muls[i] for i in range(w)]
+        wh = _mix(np.bitwise_xor.reduce(parts))
+        same_doc = idx[: len(h) - (w - 1)] == idx[w - 1:]
+        wh = wh[same_doc]
+        gpos = np.nonzero(same_doc)[0]          # global flat index of window start
+        wdoc = idx[gpos]
+        doc_start = np.concatenate(([0], np.cumsum(tok_counts)))[:-1]
+        pos = gpos - doc_start[wdoc]            # 0-based offset within the doc
+        return pa.table({
+            "win": pa.array(wh.view(np.int64)),
+            "doc_id": pa.array(doc_ids[wdoc], type=pa.int64()),
+            "pos": pa.array(pos.astype(np.int64)),
+            "n_tokens": pa.array(tok_counts[wdoc], type=pa.int64()),
+        })
+
+
+def _dup_window_members(g: pa.Table) -> pa.Table:
+    """Keep a window-hash group only if it occurs more than once in the
+    corpus (including repeats inside one document — Lee et al.'s
+    'occurs more than once' rule)."""
+    if g.num_rows > 1:
+        return g.select(["doc_id", "pos", "n_tokens"])
+    return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                     "pos": pa.array([], type=pa.int64()),
+                     "n_tokens": pa.array([], type=pa.int64())})
+
+
+def _make_span_union(w: int):
+    def _span_union(g: pa.Table) -> pa.Table:
+        """One doc's duplicated window positions → interval-union span
+        stats (vectorized: sort + running max of interval ends)."""
+        pos = np.sort(g["pos"].to_numpy(zero_copy_only=False))
+        ends = pos + w
+        prev_end = np.concatenate(([pos[0]], np.maximum.accumulate(ends)[:-1]))
+        covered = np.maximum(0, ends - np.maximum(pos, prev_end)).sum()
+        n_tokens = int(g["n_tokens"][0].as_py())
+        return pa.table({
+            "doc_id": pa.array([int(g["doc_id"][0].as_py())], type=pa.int64()),
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "n_windows": pa.array([n_tokens - w + 1], type=pa.int64()),
+            "dup_windows": pa.array([g.num_rows], type=pa.int64()),
+            "dup_span_tokens": pa.array([int(covered)], type=pa.int64()),
+            "retained_tokens": pa.array([n_tokens - int(covered)], type=pa.int64()),
+        })
+
+    return _span_union
+
+
+def substring_dup_spans(ds: ray.data.Dataset, w: int = 8) -> pa.Table:
+    """Exact substring-duplicate spans: for every document that shares a
+    w-token window with ANY other occurrence in the corpus, the number
+    of duplicated window positions and the token length of their
+    interval union (= tokens ExactSubstr dedup would cut).
+
+    Plan: windows explode in ``map_batches`` (32-byte rows), a
+    ``groupby(win)`` keeps only multi-occurrence groups, and a second
+    ``groupby(doc_id)`` unions each survivor doc's intervals — both
+    exchanges carry window rows, never text. Lee et al. build a corpus
+    suffix array; the fixed-w window-hash formulation finds exactly
+    the duplicate spans of length ≥ w with one groupby, which is the
+    Ray-Data-native decomposition (SURVEY.md training-data family).
+
+    Returns one row per affected doc, sorted by doc_id.
+    """
+    per_doc = (
+        ds.map_batches(WindowRows(w), batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(_dup_window_members, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(_make_span_union(w), batch_format="pyarrow")
+        .to_pandas()
+    )
+    per_doc = per_doc.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(per_doc, preserve_index=False)

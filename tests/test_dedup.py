@@ -223,3 +223,60 @@ def test_capped_lru_evicts_least_recently_used():
     c.put("hot", [0] * 2)
     c.put("c", [0] * 4)
     assert c.get("hot") is not None and c.get("c") is not None
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. ExactSubstr)
+# --------------------------------------------------------------------------
+
+def test_substring_dup_spans_planted(ray_session):
+    from snowplow_elasticsearch_loader_ray.pipelines.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta"          # 4 tokens, w=4 → 1 window
+    texts = [
+        # doc 0: shared block at offsets 2..5 and again 8..11 (within-doc
+        # repeat counts as duplication even with no other doc)
+        f"x0 x1 {shared} x6 x7 {shared} x12",
+        # doc 1: shares the block once, with a 1-token overlap extension:
+        # 'beta gamma delta epsi' does NOT duplicate, only the exact window
+        f"y0 {shared} epsi y6 y7 y8 y9 y10",
+        # doc 2: too short for any window
+        "z0 z1 z2",
+        # doc 3: no duplicated windows
+        "q0 q1 q2 q3 q4 q5 q6 q7",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = substring_dup_spans(ds, w=4).to_pandas().set_index("doc_id")
+    # doc 0: 13 tokens; dup windows at pos 2 and 8, union = 8 tokens
+    assert out.loc[0, "n_tokens"] == 13
+    assert out.loc[0, "n_windows"] == 10
+    assert out.loc[0, "dup_windows"] == 2
+    assert out.loc[0, "dup_span_tokens"] == 8
+    assert out.loc[0, "retained_tokens"] == 5
+    # doc 1: one dup window at pos 1, span 4 of its 11 tokens
+    assert out.loc[1, "n_tokens"] == 11
+    assert out.loc[1, "dup_windows"] == 1
+    assert out.loc[1, "dup_span_tokens"] == 4
+    assert out.loc[1, "retained_tokens"] == 11 - 4
+    # docs 2 and 3 are absent (no duplicated window)
+    assert set(out.index) == {0, 1}
+
+
+def test_substring_dup_spans_overlapping_union(ray_session):
+    from snowplow_elasticsearch_loader_ray.pipelines.dedup import substring_dup_spans
+
+    # two docs share a 5-token run; with w=4 each has 2 OVERLAPPING dup
+    # windows (pos p and p+1) whose union is 5 tokens, not 8
+    run = "a b c d e"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array([f"u1 u2 {run} u3", f"v1 {run} v2 v3 v4"]),
+    }))
+    out = substring_dup_spans(ds, w=4).to_pandas().set_index("doc_id")
+    assert out.loc[10, "dup_windows"] == 2
+    assert out.loc[10, "dup_span_tokens"] == 5
+    assert out.loc[11, "dup_windows"] == 2
+    assert out.loc[11, "dup_span_tokens"] == 5
