@@ -4716,6 +4716,117 @@ def unigram_lm_scores(sf_dir: str) -> pa.Table:
     })
 
 
+#: DSIR target split: the importance-resampling "high-quality" slice
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_scores(sf_dir: str) -> pa.Table:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per doc, the
+    summed log-likelihood ratio of its unigram features under the
+    TARGET distribution (docs with lang = 'en') vs the RAW corpus,
+    add-1 smoothed over the raw vocabulary.
+
+    Exactness: each token contributes
+    floor(1e6·(ln(ct+1) − ln(Nt+V) − ln(cr+1) + ln(Nr+V))) — an
+    INTEGER micro-nat (the `unigram_lm_scores` trick) so per-doc sums
+    are order-free and the oracle replays them bit-for-bit.
+
+    Plan: both feature tables come from per-batch partial counts
+    (np.unique) reduced through one `groupby(term).aggregate(Sum)` —
+    vocab-sized rows only; the ratio table broadcasts once via
+    ``ray.put`` and every batch scores with one `index_in` gather +
+    one weighted bincount. At web scale the unigram feature space is
+    hashed to 2^20 buckets (DSIR's hashed n-gram features), which
+    caps the broadcast at a fixed 8 MiB — the term-keyed formulation
+    here is the same plan with the bucket count equal to the vocab.
+    """
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    def _partial_counts(b: pa.Table) -> pa.Table:
+        flat, _ = tokenize_to_terms(b["text"])
+        terms, counts = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    def _cf(ds) -> "pd.DataFrame":
+        return (ds.map_batches(_partial_counts, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+
+    docs = ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "text", "lang"])
+    raw_cf = _cf(docs)
+    tgt_cf = _cf(docs.filter(
+        expr=f"lang == '{DSIR_TARGET_LANG}'").select_columns(["text"]))
+    nr = float(raw_cf["c"].sum())
+    nt = float(tgt_cf["c"].sum())
+    v = float(len(raw_cf))
+    merged = raw_cf.merge(tgt_cf, on="term", how="left",
+                          suffixes=("_r", "_t")).fillna({"c_t": 0})
+    micro = np.floor(1e6 * (
+        np.log(merged["c_t"].to_numpy(np.float64) + 1.0)
+        - np.log(nt + v)
+        - np.log(merged["c_r"].to_numpy(np.float64) + 1.0)
+        + np.log(nr + v))).astype(np.int64)
+    ratio_ref = ray.put((pa.array(merged["term"], pa.string()), micro))
+
+    class _Score:
+        def __init__(self):
+            self.terms, self.micro = ray.get(ratio_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, idx_arr = tokenize_to_terms(b["text"])
+            n = b.num_rows
+            idx = idx_arr.to_numpy(zero_copy_only=False)
+            code = pc.index_in(flat, value_set=self.terms) \
+                .to_numpy(zero_copy_only=False)
+            m = self.micro[code]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(
+                    np.bincount(idx, minlength=n).astype(np.int64)),
+                "dsir_micro": pa.array(
+                    np.bincount(idx, weights=m, minlength=n).astype(np.int64)),
+            })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(_Score, batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        "dsir_micro": pa.array(out["dsir_micro"], pa.int64()),
+    })
+
+
+DSIR_SQL = f"""
+WITH rawt AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tgtt AS (SELECT unnest({TOK_SQL}) AS term FROM documents
+         WHERE lang = '{DSIR_TARGET_LANG}'),
+cr AS (SELECT term, count(*)::BIGINT AS c FROM rawt GROUP BY 1),
+ct AS (SELECT term, count(*)::BIGINT AS c FROM tgtt GROUP BY 1),
+nv AS (SELECT (SELECT count(*) FROM rawt)::DOUBLE AS nr,
+              (SELECT count(*) FROM tgtt)::DOUBLE AS nt,
+              (SELECT count(*) FROM cr)::DOUBLE AS v),
+m AS (SELECT cr.term,
+             floor(1e6 * (ln(coalesce(ct.c, 0) + 1) - ln(nv.nt + nv.v)
+                          - ln(cr.c + 1) + ln(nv.nr + nv.v)))::BIGINT AS micro
+      FROM cr LEFT JOIN ct USING (term) CROSS JOIN nv),
+per AS (SELECT r.doc_id, m.micro FROM rawt r JOIN m USING (term)),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(micro)::BIGINT AS dsir_micro
+        FROM per GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.dsir_micro, 0) AS dsir_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 UNIGRAM_LM_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
 cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
@@ -6086,6 +6197,7 @@ def registry() -> tuple[dict, dict]:
         "update_by_query_topk": update_by_query_topk,
         "analyze_text": analyze_text,
         "substring_dup_spans": substring_dup_spans,
+        "dsir_scores": dsir_scores,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6214,6 +6326,7 @@ def registry() -> tuple[dict, dict]:
         "update_by_query_topk": _update_by_query_sql(),
         "analyze_text": ANALYZE_SQL,
         "substring_dup_spans": SUBSTRING_DUP_SQL,
+        "dsir_scores": DSIR_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -203,3 +203,21 @@ def test_string_stats_entropy_counts_codepoints(ray_session, tmp_path):
     con.close()
     for c in want.columns:
         assert got[c].iloc[0] == want[c].iloc[0], c
+
+
+def test_dsir_scores_favor_target_language(ray_session):
+    """DSIR importance weights must rank target-language (en) docs above
+    the other languages on average — the resampling direction."""
+    import duckdb
+    from snowplow_elasticsearch_loader_ray.driver_queries import dsir_scores
+
+    sf = "/root/testdata/sf0.001"
+    out = dsir_scores(sf).to_pandas()
+    lang = duckdb.sql(
+        f"select doc_id, lang from read_parquet('{sf}/documents.parquet')").df()
+    j = out.merge(lang, on="doc_id")
+    j = j[j["n_tokens"] > 0]
+    avg = j["dsir_micro"] / j["n_tokens"]
+    en = avg[j["lang"] == "en"].mean()
+    rest = avg[j["lang"] != "en"].mean()
+    assert en > rest
