@@ -4716,6 +4716,104 @@ def unigram_lm_scores(sf_dir: str) -> pa.Table:
     })
 
 
+#: per-rank DCG gains floor(1e6 / log2(rank+1)), precomputed in Python
+#: at full precision and INLINED in the SQL oracle (the gauss-literal
+#: trick) so rank-eval metrics are pure-integer on both sides
+_DCG_MICRO = [int(np.floor(1e6 / np.log2(r + 1))) for r in range(1, TOPK + 1)]
+
+
+def rank_eval_metrics(sf_dir: str) -> pa.Table:
+    """ES ``_rank_eval``: per query, precision@k, recall@k, MRR and
+    NDCG@k of the BM25 top-k against derived relevance judgments
+    (relevant = doc contains EVERY query term — the boolean-AND truth,
+    so judgments are SQL-replayable instead of hand-rated).
+
+    All metrics are INTEGER micro-units: hits·1e6//k, 1e6//first_rank,
+    precomputed per-rank DCG gains summed as integers, ndcg =
+    1e6·dcg//idcg — no float parity risk. Rankings come from the
+    engine's own top-k (rank-identity to the SQL oracle is already
+    load-bearing in `bm25_topk`); relevance sets are posting-list
+    intersections (`query.py::boolean_and`), never a corpus scan."""
+    from .pipelines.query import boolean_and as _and
+
+    r = _reader(sf_dir)
+    eng = QueryEngine(_ensure_index(sf_dir), strategy="taat")
+    gains = np.array(_DCG_MICRO, dtype=np.int64)
+    rows = []
+    for qid, q in DOC_QUERIES:
+        d, _s = eng.topk(q, TOPK)
+        rel = _and(r, q)
+        n_rel = len(rel)
+        hit = np.isin(d, rel)
+        hits = int(hit.sum())
+        ranks = np.nonzero(hit)[0] + 1
+        prec = hits * 1_000_000 // TOPK
+        recall = (1_000_000 * hits) // n_rel if n_rel else 0
+        rr = 1_000_000 // int(ranks[0]) if hits else 0
+        dcg = int(gains[ranks - 1].sum()) if hits else 0
+        idcg = int(gains[: min(n_rel, TOPK)].sum())
+        ndcg = (1_000_000 * dcg) // idcg if idcg else 0
+        rows.append((qid, n_rel, hits, prec, recall, rr, dcg, ndcg))
+    cols = list(zip(*rows))
+    names = ["qid", "n_rel", "hits", "prec_micro", "recall_micro",
+             "rr_micro", "dcg_micro", "ndcg_micro"]
+    return pa.table({n: pa.array(list(c), pa.int64())
+                     for n, c in zip(names, cols)})
+
+
+def _rank_eval_sql() -> str:
+    base = _bm25_sql()
+    ranked_topk = base[base.index("WITH"):base.index("SELECT qid::BIGINT")]
+    gains = ", ".join(f"({r + 1}, {g})" for r, g in enumerate(_DCG_MICRO))
+    qids = ", ".join(f"({qid})" for qid, _ in DOC_QUERIES)
+    return f"""
+{ranked_topk},
+topk AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {TOPK}),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
+rel AS (
+  SELECT q.qid, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term
+  GROUP BY q.qid, tf.doc_id
+  HAVING count(*) = (SELECT n_terms FROM nq WHERE nq.qid = q.qid)
+),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+g(rank, gain) AS (VALUES {gains}),
+hits AS (
+  SELECT t.qid, t.rank, g.gain
+  FROM topk t JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+  JOIN g USING (rank)
+),
+per AS (SELECT qid, count(*)::BIGINT AS hits, min(rank) AS first_rank,
+               sum(gain)::BIGINT AS dcg
+        FROM hits GROUP BY 1),
+idcg AS (
+  SELECT n.qid,
+         (SELECT sum(gain) FROM g
+          WHERE g.rank <= least(n.n_rel, {TOPK}))::BIGINT AS idcg
+  FROM nrel n
+),
+allq(qid) AS (VALUES {qids})
+SELECT a.qid::BIGINT AS qid,
+       coalesce(n.n_rel, 0) AS n_rel,
+       coalesce(p.hits, 0) AS hits,
+       coalesce(p.hits, 0) * 1000000 // {TOPK} AS prec_micro,
+       CASE WHEN coalesce(n.n_rel, 0) > 0
+            THEN (1000000 * coalesce(p.hits, 0)) // n.n_rel ELSE 0 END
+         AS recall_micro,
+       CASE WHEN p.first_rank IS NOT NULL
+            THEN 1000000 // p.first_rank ELSE 0 END AS rr_micro,
+       coalesce(p.dcg, 0) AS dcg_micro,
+       CASE WHEN coalesce(i.idcg, 0) > 0
+            THEN (1000000 * coalesce(p.dcg, 0)) // i.idcg ELSE 0 END
+         AS ndcg_micro
+FROM allq a
+LEFT JOIN nrel n USING (qid)
+LEFT JOIN per p USING (qid)
+LEFT JOIN idcg i USING (qid)
+ORDER BY a.qid
+"""
+
+
 #: DSIR target split: the importance-resampling "high-quality" slice
 DSIR_TARGET_LANG = "en"
 
@@ -6198,6 +6296,7 @@ def registry() -> tuple[dict, dict]:
         "analyze_text": analyze_text,
         "substring_dup_spans": substring_dup_spans,
         "dsir_scores": dsir_scores,
+        "rank_eval_metrics": rank_eval_metrics,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6327,6 +6426,7 @@ def registry() -> tuple[dict, dict]:
         "analyze_text": ANALYZE_SQL,
         "substring_dup_spans": SUBSTRING_DUP_SQL,
         "dsir_scores": DSIR_SQL,
+        "rank_eval_metrics": _rank_eval_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -378,3 +378,21 @@ def test_grouped_encode_matches_single_shard(built):
         got = _pq.read_table(
             os.path.join(index_dir, "segments", f"shard-{s:04d}.parquet"))
         assert got.equals(want[s]), f"shard {s} changed under grouped encode"
+
+
+def test_rank_eval_single_term_queries_perfect(ray_session):
+    """For single-term queries every BM25 hit contains the term, so
+    hits == min(n_rel, k), precision is hits/k and NDCG is perfect."""
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        DOC_QUERIES, TOPK, rank_eval_metrics)
+
+    out = rank_eval_metrics("/root/testdata/sf0.001").to_pandas() \
+        .set_index("qid")
+    single = [qid for qid, q in DOC_QUERIES if " " not in q]
+    for qid in single:
+        row = out.loc[qid]
+        assert row["hits"] == min(row["n_rel"], TOPK)
+        assert row["prec_micro"] == row["hits"] * 1_000_000 // TOPK
+        if row["hits"]:
+            assert row["ndcg_micro"] == 1_000_000
+            assert row["rr_micro"] == 1_000_000
