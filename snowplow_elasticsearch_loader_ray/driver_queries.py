@@ -1467,6 +1467,52 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+#: ES percentile_ranks input values over the doclen field
+PCT_RANK_VALUES = [20, 40, 60, 80]
+
+
+def doclen_percentile_ranks(sf_dir: str) -> pa.Table:
+    """ES ``percentile_ranks`` agg over doclen: for each input value v,
+    the fraction of docs with doclen ≤ v, as integer micro-units
+    (1e6·n_le//n — exact, unlike ES's t-digest estimate). Rides the
+    same per-part bounded-histogram reduce as `doclen_percentiles`
+    (KiB per docmap part; the doclen column never reaches the driver)."""
+    d = _ensure_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(d, "docmap", "part-*.parquet")))
+
+    @ray.remote(num_cpus=1)
+    def part_hist(path: str) -> np.ndarray:
+        a = pq.read_table(path, columns=["doclen"])["doclen"] \
+            .to_numpy(zero_copy_only=False)
+        return np.bincount(a) if len(a) else np.zeros(0, np.int64)
+
+    hists = ray.get([part_hist.remote(f) for f in files])
+    size = max((len(h) for h in hists), default=0)
+    hist = np.zeros(size, np.int64)
+    for h in hists:
+        hist[:len(h)] += h
+    n = int(hist.sum())
+    cum = np.cumsum(hist) if size else np.zeros(0, np.int64)
+    n_le = [int(cum[min(v, size - 1)]) if size else 0 for v in PCT_RANK_VALUES]
+    return pa.table({
+        "value": pa.array(PCT_RANK_VALUES, pa.int64()),
+        "n_le": pa.array(n_le, pa.int64()),
+        "rank_micro": pa.array(
+            [(1_000_000 * c) // n if n else 0 for c in n_le], pa.int64()),
+    })
+
+
+PCT_RANKS_SQL = f"""
+WITH dl AS (SELECT len({TOK_SQL})::BIGINT AS dl FROM documents),
+v(value) AS (VALUES {", ".join(f"({v})" for v in PCT_RANK_VALUES)})
+SELECT v.value::BIGINT AS value,
+       count(*) FILTER (dl.dl <= v.value)::BIGINT AS n_le,
+       (1000000 * count(*) FILTER (dl.dl <= v.value))
+         // (SELECT count(*) FROM dl) AS rank_micro
+FROM v CROSS JOIN dl GROUP BY 1 ORDER BY 1
+"""
+
+
 def string_stats_text(sf_dir: str) -> pa.Table:
     """ES `string_stats` (with `show_distribution`'s entropy) over the
     text field: count, min/max/avg length, and Shannon entropy of the
@@ -6297,6 +6343,7 @@ def registry() -> tuple[dict, dict]:
         "substring_dup_spans": substring_dup_spans,
         "dsir_scores": dsir_scores,
         "rank_eval_metrics": rank_eval_metrics,
+        "doclen_percentile_ranks": doclen_percentile_ranks,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6427,6 +6474,7 @@ def registry() -> tuple[dict, dict]:
         "substring_dup_spans": SUBSTRING_DUP_SQL,
         "dsir_scores": DSIR_SQL,
         "rank_eval_metrics": _rank_eval_sql(),
+        "doclen_percentile_ranks": PCT_RANKS_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
