@@ -3351,6 +3351,70 @@ ORDER BY cnt.n DESC, cnt.term
 
 
 #: reciprocal-rank-fusion constant (ES 8 `rrf` retriever default)
+#: hybrid linear fusion weight on the (rounded) cosine leg
+HYBRID_ALPHA = 2.0
+
+
+def hybrid_linear_topk(sf_dir: str) -> pa.Table:
+    """Hybrid SCORE fusion (ES `knn` + lexical `query` additive
+    combination / script_score): rank the vector corpus by
+    round(bm25 + α·round(cos, 9), 7), doc-id tie-break — the
+    score-fusion sibling of `hybrid_rrf_topk` (rank fusion). The BM25
+    leg is the index TAAT match set per query (never a corpus scan),
+    broadcast as sorted (doc_id, score) arrays; the vector leg is the
+    `ann_topk` broadcast-matmul plan with a per-batch searchsorted
+    lexical lookup folded in (pipelines/ann.py::hybrid_linear_topk)."""
+    from .pipelines.query import _taat_scores
+
+    qids, qmat = _query_vectors(sf_dir)
+    r = _reader(sf_dir)
+    lex = []
+    for qid in qids:
+        ids, sc = _taat_scores(r, DOC_QUERIES[int(qid)][1])
+        order = np.argsort(ids)
+        lex.append((ids[order], sc[order]))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = ANN.hybrid_linear_topk(ds, qmat, lex, HYBRID_ALPHA, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "qid": qmap,
+        "rank": out["rank"],
+        "doc_id": out["vec_id"],
+    })
+
+
+def _hybrid_linear_sql() -> str:
+    base = _bm25_sql()
+    cte = base[base.index("WITH"):base.index("ranked AS")]
+    return f"""
+{cte}qv AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+sims AS (
+  SELECT qv.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qe::DOUBLE[]), 9) AS sim
+  FROM embeddings e, qv
+),
+comb AS (
+  SELECT s.qid, s.vec_id,
+         coalesce(sc.score, 0) + {HYBRID_ALPHA!r} * s.sim AS c
+  FROM sims s
+  LEFT JOIN scores sc ON sc.qid = s.qid AND sc.doc_id = s.vec_id
+),
+hranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(c, 7) DESC, vec_id) AS rank
+  FROM comb
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, vec_id AS doc_id
+FROM hranked WHERE rank <= {TOPK}
+"""
+
+
 RRF_K = 60
 
 #: filtered-kNN predicate (ES `knn` + `filter`): embeddings.label value
@@ -6344,6 +6408,7 @@ def registry() -> tuple[dict, dict]:
         "dsir_scores": dsir_scores,
         "rank_eval_metrics": rank_eval_metrics,
         "doclen_percentile_ranks": doclen_percentile_ranks,
+        "hybrid_linear_topk": hybrid_linear_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6475,6 +6540,7 @@ def registry() -> tuple[dict, dict]:
         "dsir_scores": DSIR_SQL,
         "rank_eval_metrics": _rank_eval_sql(),
         "doclen_percentile_ranks": PCT_RANKS_SQL,
+        "hybrid_linear_topk": _hybrid_linear_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -504,3 +504,82 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
         "vec_id_b": pa.array(b[order], type=pa.int64()),
         "cosine": pa.array(c[order], type=pa.float64()),
     })
+
+
+# --------------------------------------------------------------------------
+# hybrid linear score fusion (ES knn + query script_score combination)
+# --------------------------------------------------------------------------
+
+class _HybridTopKPerBatch:
+    """Local top-k of combined = bm25(doc) + alpha·round(cos, 9).
+
+    The lexical score table broadcasts once per actor/task as
+    per-query (sorted doc_ids, raw scores) arrays — the BM25 match
+    set, index-derived, never a corpus scan — and each batch resolves
+    its docs' lexical scores with one ``searchsorted`` per query.
+    """
+
+    def __init__(self, queries_ref, lex_ref, alpha: float, k: int):
+        self.q = _normalize(ray.get(queries_ref))
+        self.lex = ray.get(lex_ref)          # [(ids_sorted, scores), ...]
+        self.alpha = alpha
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        sims = np.round(m @ self.q.T, SIM_ROUND)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            li, ls = self.lex[qi]
+            pos = np.searchsorted(li, ids)
+            pos_c = np.minimum(pos, max(len(li) - 1, 0))
+            hit = (len(li) > 0) & (li[pos_c] == ids)
+            b = np.where(hit, ls[pos_c] if len(li) else 0.0, 0.0)
+            # fixed operand order (lex + alpha*sim): the oracle's
+            # coalesce(score,0) + alpha*sim evaluates the same double
+            c = b + self.alpha * sims[:, qi]
+            part = np.argpartition(-c, k - 1)[:k] if len(c) > k else np.arange(len(c))
+            out_q.append(np.full(len(part), qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_s.append(c[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            "comb": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def hybrid_linear_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                       lex: list[tuple[np.ndarray, np.ndarray]],
+                       alpha: float, k: int = 10) -> pa.Table:
+    """Exact linear hybrid retrieval over the vector corpus: rank by
+    round(bm25 + alpha·round(cos, 9), 7) with doc-id tie-break —
+    ES's `knn` + lexical `query` additive combination (score fusion;
+    `hybrid_rrf_topk` is the rank-fusion sibling). Same broadcast +
+    per-block top-k + driver reduce plan as ``ann_topk``."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    lex_ref = ray.put([(np.asarray(i, dtype=np.int64),
+                        np.asarray(s, dtype=np.float64)) for i, s in lex])
+    cand = ds.map_batches(
+        _HybridTopKPerBatch(qref, lex_ref, alpha, k),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    t = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None)))
+    q = t["query_id"].to_numpy(zero_copy_only=False)
+    v = t["vec_id"].to_numpy(zero_copy_only=False)
+    s = np.round(t["comb"].to_numpy(zero_copy_only=False), 7)
+    out_q, out_r, out_v = [], [], []
+    for qi in np.unique(q):
+        m = q == qi
+        order = np.lexsort((v[m], -s[m]))[:k]
+        out_q.extend([int(qi)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_v.extend(v[m][order].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+    })

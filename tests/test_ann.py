@@ -201,3 +201,24 @@ def test_semdedup_lsh_eliminates_subset_of_exact(ray_session):
     exact = set(ANN.semdedup_survivors(ds, threshold=0.9)["vec_id"].to_pylist())
     lsh = set(ANN.semdedup_survivors(ds, threshold=0.9, exact=False)["vec_id"].to_pylist())
     assert exact <= lsh   # LSH can only miss pairs -> eliminates fewer
+
+
+def test_hybrid_linear_fuses_both_legs(ray_session):
+    """Score fusion must differ from BOTH pure legs for at least one
+    query (otherwise one leg dominates and the op is a no-op)."""
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        ann_topk, bm25_topk, hybrid_linear_topk, N_ANN_QUERIES)
+
+    sf = "/root/testdata/sf0.001"
+    hy = hybrid_linear_topk(sf).to_pandas()
+    lex = bm25_topk(sf).to_pandas()
+    vec = ann_topk(sf).to_pandas().rename(
+        columns={"query_id": "qid", "vec_id": "doc_id"})
+
+    def ranking(df):
+        return {qid: tuple(g.sort_values("rank")["doc_id"])
+                for qid, g in df.groupby("qid") if qid < N_ANN_QUERIES}
+
+    h, l, v = ranking(hy), ranking(lex), ranking(vec)
+    assert any(h[q] != l.get(q) for q in h)
+    assert any(h[q] != v.get(q) for q in h)
