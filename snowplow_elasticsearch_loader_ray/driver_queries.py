@@ -3351,6 +3351,105 @@ ORDER BY cnt.n DESC, cnt.term
 
 
 #: reciprocal-rank-fusion constant (ES 8 `rrf` retriever default)
+#: fixed ES `_search` request bodies exercising the DSL planner's
+#: composable shapes (combinations no single direct-op entry covers)
+DSL_BODIES: list[tuple[int, dict]] = [
+    (0, {"query": {"bool": {
+            "must": [{"match": {"text": "data stream"}}],
+            "filter": [{"range": {"doclen": {"gte": 30, "lte": 80}}}],
+            "must_not": [{"match": {"text": "spark"}}]}},
+         "size": 10}),
+    (1, {"query": {"bool": {
+            "must": [{"match": {"text": "merge sort"}}],
+            "filter": [{"term": {"text": "table"}}],
+            "must_not": [{"match": {"text": "slow"}}]}},
+         "size": 10}),
+    (2, {"query": {"match": {"text": "slow query"}}, "size": 5, "from": 5}),
+]
+
+
+def search_dsl_topk(sf_dir: str) -> pa.Table:
+    """ES ``_search`` request bodies executed through the query-DSL
+    planner (pipelines/query_dsl.py) — bool must + range/term filter +
+    must_not composition and from/size pagination, shapes no single
+    direct-op entry covers. Every DSL shape is bit-identical to its
+    direct-call sibling (tests/test_query_dsl.py); ranks are GLOBAL
+    (from-offset + page position), matching the SQL window."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, body in DSL_BODIES:
+        d, _s = DSL.execute(r, body)
+        off = body.get("from", 0)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(off + 1, off + len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _search_dsl_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, body in DSL_BODIES:
+        node = body["query"]
+        q = (node["bool"]["must"][0]["match"]["text"]
+             if "bool" in node else node["match"]["text"])
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT sc.qid, sc.doc_id, sc.score
+  FROM scores sc JOIN dl ON dl.doc_id = sc.doc_id
+  WHERE (sc.qid = 0 AND dl.dl BETWEEN 30 AND 80
+         AND NOT EXISTS (SELECT 1 FROM tok
+                         WHERE tok.doc_id = sc.doc_id AND tok.term = 'spark'))
+     OR (sc.qid = 1
+         AND EXISTS (SELECT 1 FROM tok
+                     WHERE tok.doc_id = sc.doc_id AND tok.term = 'table')
+         AND NOT EXISTS (SELECT 1 FROM tok
+                         WHERE tok.doc_id = sc.doc_id AND tok.term = 'slow'))
+     OR (sc.qid = 2)
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM flt
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked
+WHERE (qid IN (0, 1) AND rank <= {TOPK})
+   OR (qid = 2 AND rank > 5 AND rank <= {TOPK})
+"""
+
+
 #: hybrid linear fusion weight on the (rounded) cosine leg
 HYBRID_ALPHA = 2.0
 
@@ -6409,6 +6508,7 @@ def registry() -> tuple[dict, dict]:
         "rank_eval_metrics": rank_eval_metrics,
         "doclen_percentile_ranks": doclen_percentile_ranks,
         "hybrid_linear_topk": hybrid_linear_topk,
+        "search_dsl_topk": search_dsl_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6541,6 +6641,7 @@ def registry() -> tuple[dict, dict]:
         "rank_eval_metrics": _rank_eval_sql(),
         "doclen_percentile_ranks": PCT_RANKS_SQL,
         "hybrid_linear_topk": _hybrid_linear_sql(),
+        "search_dsl_topk": _search_dsl_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -1,0 +1,224 @@
+"""ES ``_search`` request-body planner: execute a (subset of the) ES
+query DSL against the engine's index reader, dispatching to the
+existing scoring/boolean primitives so every DSL shape is BIT-identical
+to its direct-call sibling (pinned in tests/test_query_dsl.py).
+
+Reference context: the loader's consumers query the indexed documents
+through ES's ``_search`` JSON API (SURVEY.md Q1); this module is the
+"switch from the reference" surface — an ES user's request body runs
+unchanged. Supported grammar (the subset the engine serves):
+
+    {"query": <q>, "size": k, "from": o}
+    <q> := {"match": {"text": "w1 w2"}}
+         | {"match": {"text": {"query": "...",
+                               "minimum_should_match": m}}}
+         | {"bool": {"must": [<match>],
+                     "filter": [{"term": {"text": t}}
+                                | {"range": {"doclen": {"gte": lo,
+                                                        "lte": hi}}}
+                                | {"match_phrase": {"text": "a b"}}],
+                     "must_not": [<match>]}}
+         | {"dis_max": {"queries": [<match>...],
+                        "tie_breaker": tb}}
+         | {"function_score": {"query": <match>,
+                               "gauss": {"doclen": {...}}
+                               | "field_value_factor": {...}}}
+
+Pagination is the ES coordinator rule: rank (from+size), return the
+[from:] slice. Unsupported constructs raise ``UnsupportedDSL`` loudly
+(never a silent wrong answer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import bm25
+from .query import (
+    IndexReader,
+    _taat_scores_ords,
+    score_dismax,
+    score_field_value_factor,
+    score_function_gauss,
+    score_min_should_match,
+    tokenize_query,
+)
+
+
+class UnsupportedDSL(ValueError):
+    pass
+
+
+def _match_text(q: dict) -> tuple[str, int | None]:
+    """Pull (query string, minimum_should_match|None) from a match node."""
+    if set(q) != {"match"} or set(q["match"]) != {"text"}:
+        raise UnsupportedDSL(f"expected a match-on-text clause, got {q!r}")
+    v = q["match"]["text"]
+    if isinstance(v, str):
+        return v, None
+    if isinstance(v, dict):
+        extra = set(v) - {"query", "minimum_should_match"}
+        if extra or "query" not in v:
+            raise UnsupportedDSL(f"unsupported match options {extra or v!r}")
+        return v["query"], v.get("minimum_should_match")
+    raise UnsupportedDSL(f"bad match value {v!r}")
+
+
+def _term_ords(reader: IndexReader, term: str) -> np.ndarray:
+    """Sorted ordinal positions of docs containing ``term``."""
+    pl = reader.postings(term)
+    if pl is None:
+        return np.empty(0, dtype=np.int64)
+    docs = pl.decode_all()[0]
+    return np.sort(reader.positions_of(term, docs))
+
+
+def _exec_bool(reader: IndexReader, node: dict, k: int,
+               pos_reader=None) -> tuple[np.ndarray, np.ndarray]:
+    extra = set(node) - {"must", "filter", "must_not"}
+    if extra:
+        raise UnsupportedDSL(f"unsupported bool clauses {extra}")
+    must = node.get("must", [])
+    if isinstance(must, dict):
+        must = [must]
+    if len(must) != 1:
+        raise UnsupportedDSL("bool.must needs exactly one scoring match")
+    q, msm = _match_text(must[0])
+    if msm is not None:
+        raise UnsupportedDSL("minimum_should_match inside bool is unsupported")
+
+    filters = node.get("filter", [])
+    if isinstance(filters, dict):
+        filters = [filters]
+    # validate every clause shape BEFORE scoring, so an unsupported
+    # filter raises even when the match clause hits zero docs
+    for f in filters:
+        if set(f) not in ({"term"}, {"match_phrase"}, {"range"}):
+            raise UnsupportedDSL(f"unsupported filter {f!r}")
+    for mn in node.get("must_not", []):
+        _match_text(mn)
+
+    ords, scores = _taat_scores_ords(reader, q)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    for f in filters:
+        if set(f) == {"term"}:
+            if set(f["term"]) != {"text"}:
+                raise UnsupportedDSL(f"term filter on {set(f['term'])}")
+            fp = _term_ords(reader, f["term"]["text"])
+            if not len(fp):
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64))
+            pos = np.minimum(np.searchsorted(fp, ords), len(fp) - 1)
+            keep = fp[pos] == ords
+        elif set(f) == {"match_phrase"}:
+            if set(f["match_phrase"]) != {"text"}:
+                raise UnsupportedDSL(
+                    f"match_phrase on {set(f['match_phrase'])}")
+            if pos_reader is None:
+                raise UnsupportedDSL(
+                    "match_phrase filter needs a positional index "
+                    "(pass pos_reader)")
+            from .positions import phrase_search
+
+            # phrase_search returns EXTERNAL doc ids; map candidates'
+            # ords to external ids for the membership test
+            ph = np.sort(np.asarray(
+                phrase_search(pos_reader, f["match_phrase"]["text"]),
+                dtype=np.int64))
+            if not len(ph):
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64))
+            ext = reader.dl_doc_ids[ords]
+            pos = np.minimum(np.searchsorted(ph, ext), len(ph) - 1)
+            keep = ph[pos] == ext
+        elif set(f) == {"range"}:
+            if set(f["range"]) != {"doclen"}:
+                raise UnsupportedDSL(f"range filter on {set(f['range'])}")
+            r = f["range"]["doclen"]
+            extra = set(r) - {"gte", "lte"}
+            if extra:
+                raise UnsupportedDSL(f"range bounds {extra}")
+            dl = reader.dl_lens[ords]
+            keep = np.ones(len(ords), dtype=bool)
+            if "gte" in r:
+                keep &= dl >= r["gte"]
+            if "lte" in r:
+                keep &= dl <= r["lte"]
+        ords, scores = ords[keep], scores[keep]
+        if not len(ords):
+            break
+
+    for mn in node.get("must_not", []):
+        if not len(ords):
+            break
+        nq, _ = _match_text(mn)
+        for t in sorted(set(tokenize_query(nq))):
+            ex = _term_ords(reader, t)
+            if not len(ex) or not len(ords):
+                continue
+            pos = np.minimum(np.searchsorted(ex, ords), len(ex) - 1)
+            keep = ex[pos] != ords
+            ords, scores = ords[keep], scores[keep]
+
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
+
+
+def execute(reader: IndexReader, body: dict, pos_reader=None
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """Run one ES ``_search`` request body; returns (doc_ids, scores)
+    of the requested page, ranked by the engine's BM25 contract."""
+    extra = set(body) - {"query", "size", "from"}
+    if extra:
+        raise UnsupportedDSL(f"unsupported top-level keys {extra}")
+    size = body.get("size", 10)
+    offset = body.get("from", 0)
+    if size < 0 or offset < 0:
+        raise UnsupportedDSL("size/from must be non-negative")
+    k = size + offset
+    node = body.get("query")
+    if not isinstance(node, dict) or len(node) != 1:
+        raise UnsupportedDSL(f"bad query node {node!r}")
+    kind = next(iter(node))
+    if kind == "match":
+        q, msm = _match_text(node)
+        if msm is not None:
+            d, s = score_min_should_match(reader, q, msm, k)
+        else:
+            ords, scores = _taat_scores_ords(reader, q)
+            d, s = bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
+    elif kind == "bool":
+        d, s = _exec_bool(reader, node["bool"], k, pos_reader=pos_reader)
+    elif kind == "dis_max":
+        dm = node["dis_max"]
+        extra = set(dm) - {"queries", "tie_breaker"}
+        if extra:
+            raise UnsupportedDSL(f"unsupported dis_max keys {extra}")
+        terms = " ".join(_match_text(sq)[0] for sq in dm["queries"])
+        d, s = score_dismax(reader, terms, k,
+                            tie_breaker=dm.get("tie_breaker", 0.0))
+    elif kind == "function_score":
+        fs = node["function_score"]
+        q, _ = _match_text(fs["query"])
+        if "gauss" in fs:
+            g = fs["gauss"]
+            if set(g) != {"doclen"}:
+                raise UnsupportedDSL(f"gauss on {set(g)}")
+            p = g["doclen"]
+            d, s = score_function_gauss(
+                reader, q, k, origin=p["origin"], scale=p["scale"],
+                decay=p.get("decay", 0.5))
+        elif "field_value_factor" in fs:
+            p = fs["field_value_factor"]
+            if p.get("field", "doclen") != "doclen" or \
+                    p.get("modifier", "ln1p") != "ln1p":
+                raise UnsupportedDSL(f"field_value_factor {p!r}")
+            d, s = score_field_value_factor(reader, q, k,
+                                            factor=p["factor"])
+        else:
+            raise UnsupportedDSL(f"function_score needs gauss or "
+                                 f"field_value_factor, got {set(fs)}")
+    else:
+        raise UnsupportedDSL(f"unsupported query kind {kind!r}")
+    return d[offset:], s[offset:]

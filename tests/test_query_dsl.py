@@ -1,0 +1,141 @@
+"""The ES _search DSL planner must be BIT-identical to the direct-call
+primitives for every supported shape, and refuse everything else."""
+
+import numpy as np
+import pytest
+
+from snowplow_elasticsearch_loader_ray.driver_queries import _reader
+from snowplow_elasticsearch_loader_ray.pipelines import query_dsl as DSL
+from snowplow_elasticsearch_loader_ray.pipelines.query import (
+    score_dismax,
+    score_function_gauss,
+    score_min_should_match,
+    score_taat,
+    score_taat_filtered,
+    score_taat_range,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reader(ray_session):
+    return _reader(SF)
+
+
+def _same(a, b):
+    (da, sa), (db, sb) = a, b
+    assert np.array_equal(da, db)
+    assert np.array_equal(sa, sb)
+
+
+def test_match_is_score_taat(reader):
+    _same(DSL.execute(reader, {"query": {"match": {"text": "data stream"}}}),
+          score_taat(reader, "data stream", 10))
+
+
+def test_match_minimum_should_match(reader):
+    body = {"query": {"match": {"text": {
+        "query": "merge sort join", "minimum_should_match": 2}}}, "size": 7}
+    _same(DSL.execute(reader, body),
+          score_min_should_match(reader, "merge sort join", 2, 7))
+
+
+def test_bool_term_filter(reader):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"text": "table"}}]}}}
+    _same(DSL.execute(reader, body),
+          score_taat_filtered(reader, "data stream", "table", 10))
+
+
+def test_bool_range_filter(reader):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "slow query"}}],
+        "filter": [{"range": {"doclen": {"gte": 30, "lte": 80}}}]}}}
+    _same(DSL.execute(reader, body),
+          score_taat_range(reader, "slow query", 30, 80, 10))
+
+
+def test_bool_must_not_excludes(reader):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "must_not": [{"match": {"text": "spark"}}]}}, "size": 200}
+    d, _s = DSL.execute(reader, body)
+    from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_and
+    spark_docs = set(boolean_and(reader, "spark").tolist())
+    assert len(d) and not (set(d.tolist()) & spark_docs)
+
+
+def test_dis_max(reader):
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"text": "merge"}}, {"match": {"text": "sort"}}],
+        "tie_breaker": 0.3}}}
+    _same(DSL.execute(reader, body),
+          score_dismax(reader, "merge sort", 10, tie_breaker=0.3))
+
+
+def test_function_score_gauss(reader):
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "data"}},
+        "gauss": {"doclen": {"origin": 50.0, "scale": 20.0, "decay": 0.5}}}}}
+    _same(DSL.execute(reader, body),
+          score_function_gauss(reader, "data", 10,
+                               origin=50.0, scale=20.0, decay=0.5))
+
+
+def test_from_size_pagination(reader):
+    full_d, full_s = score_taat(reader, "the data", 12)
+    d, s = DSL.execute(reader, {"query": {"match": {"text": "the data"}},
+                                "size": 7, "from": 5})
+    assert np.array_equal(d, full_d[5:12])
+    assert np.array_equal(s, full_s[5:12])
+
+
+@pytest.mark.parametrize("body", [
+    {"query": {"match_all": {}}},
+    {"query": {"match": {"title": "x"}}},
+    {"query": {"bool": {"should": [{"match": {"text": "x"}}]}}},
+    {"query": {"match": {"text": "x"}}, "aggs": {}},
+    {"query": {"bool": {"must": [{"match": {"text": "x"}}],
+                        "filter": [{"geo_distance": {}}]}}},
+])
+def test_unsupported_shapes_raise(reader, body):
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)
+
+
+def test_bool_phrase_filter(reader):
+    """match_phrase in filter context: BM25 scoring restricted to exact
+    phrase matches from the positional index."""
+    import os
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, phrase_search)
+    from snowplow_elasticsearch_loader_ray.pipelines.query import score_taat
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(SF)), "positions")
+    build_positions(os.path.join(SF, "documents.parquet"), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    phrase = "data stream"
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "slow query"}}],
+        "filter": [{"match_phrase": {"text": phrase}}]}}, "size": 50}
+    d, s = DSL.execute(reader, body, pos_reader=pr)
+    ph = set(int(x) for x in phrase_search(pr, phrase))
+    assert set(d.tolist()) <= ph
+    # survivors keep their unfiltered scores (non-scoring filter)
+    full_d, full_s = score_taat(reader, "slow query", 10_000)
+    full = dict(zip(full_d.tolist(), full_s.tolist()))
+    assert all(full[int(x)] == s[i] for i, x in enumerate(d))
+    # and every scoring phrase match survives
+    assert set(d.tolist()) == ph & set(full_d.tolist())
+
+
+def test_phrase_filter_without_pos_reader_raises(reader):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"match_phrase": {"text": "data stream"}}]}}}
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)
