@@ -3514,6 +3514,80 @@ FROM hranked WHERE rank <= {TOPK}
 """
 
 
+#: k-means over the embedding table: cluster count / Lloyd's rounds.
+#: Small fixed k keeps the oracle's cross join n*k; the engine side is
+#: one streaming pass per round at any k.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Distributed k-means assignment over the embedding table
+    (training-data curation: cluster-conditioned sampling / corpus
+    maps). All arithmetic is exact int64 on micro-quantized vectors
+    (pipelines/cluster.py) — centroids are integer floor-averages, so
+    the DuckDB oracle replays the iterations bit-identically as
+    chained CTEs. Each Lloyd's round is one shuffle-free map_batches
+    pass; only the k x dim centroid matrix and tiny per-block partial
+    sums ever leave the workers."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out, _cent = KM.kmeans(ds, KMEANS_K, KMEANS_ITERS)
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
+def _kmeans_sql() -> str:
+    from .pipelines.cluster import (KM_HASH_MOD, KM_HASH_MUL, KM_OFFSET,
+                                    KM_RES_MOD, KM_SCALE)
+
+    skey = f"(vec_id % {KM_RES_MOD}) * {KM_HASH_MUL} % {KM_HASH_MOD}"
+    dist = ("list_sum(list_transform(range(1, len(v.q)+1), "
+            "i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))")
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY {skey}, vec_id) - 1 AS j,
+         q::BIGINT[] AS c
+  FROM qv
+  QUALIFY row_number() OVER (ORDER BY {skey}, vec_id) <= {KMEANS_K}
+)"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+asg{t} AS (
+  SELECT v.vec_id, v.q, c.j, {dist} AS d
+  FROM qv v CROSS JOIN cent{t - 1} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY d, c.j) = 1
+)""")
+        if t < KMEANS_ITERS:
+            parts.append(f""",
+sums{t} AS (
+  SELECT j, i, sum(v) AS sv, count(*) AS n
+  FROM (SELECT j, unnest(q) AS v, generate_subscripts(q, 1) AS i
+        FROM asg{t})
+  GROUP BY 1, 2
+),
+cent{t} AS (
+  SELECT p.j, coalesce(u.c, p.c) AS c
+  FROM cent{t - 1} p
+  LEFT JOIN (SELECT j, list((sv // n)::BIGINT ORDER BY i) AS c
+             FROM sums{t} GROUP BY j) u ON u.j = p.j
+)""")
+    parts.append(f"""
+SELECT vec_id, j::BIGINT AS cluster, d::BIGINT AS dist_sq
+FROM asg{KMEANS_ITERS}
+""")
+    return "".join(parts)
+
+
 RRF_K = 60
 
 #: filtered-kNN predicate (ES `knn` + `filter`): embeddings.label value
@@ -6509,6 +6583,7 @@ def registry() -> tuple[dict, dict]:
         "doclen_percentile_ranks": doclen_percentile_ranks,
         "hybrid_linear_topk": hybrid_linear_topk,
         "search_dsl_topk": search_dsl_topk,
+        "kmeans_clusters": kmeans_clusters,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6642,6 +6717,7 @@ def registry() -> tuple[dict, dict]:
         "doclen_percentile_ranks": PCT_RANKS_SQL,
         "hybrid_linear_topk": _hybrid_linear_sql(),
         "search_dsl_topk": _search_dsl_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -1,0 +1,96 @@
+"""Distributed k-means (pipelines/cluster.py): exactness and
+partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from snowplow_elasticsearch_loader_ray.pipelines import cluster as KM
+
+SF = "/root/testdata/sf0.01"
+
+
+def _local_kmeans(ids, emb, k, iters):
+    """Single-process replay of the exact integer algorithm."""
+    q = KM.quantize(emb)
+    key = (ids.astype(np.uint64) % KM.KM_RES_MOD * KM.KM_HASH_MUL) \
+        % KM.KM_HASH_MOD
+    order = np.lexsort((ids, key))
+    cent = q[order[:k]].copy()
+    for t in range(iters):
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        j = d.argmin(axis=1)
+        if t == iters - 1:
+            return j, d[np.arange(len(q)), j], cent
+        nxt = cent.copy()
+        for c in range(k):
+            m = j == c
+            if m.any():
+                nxt[c] = q[m].sum(axis=0) // m.sum()
+        cent = nxt
+
+
+@pytest.fixture(scope="module")
+def emb():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    return ids, mat
+
+
+def _run(ids, mat, k, iters, batch_size, parallelism):
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(parallelism)
+    out, cent = KM.kmeans(ds, k, iters, batch_size=batch_size)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return df, cent
+
+
+def test_matches_local_reference(emb):
+    ids, mat = emb
+    df, cent = _run(ids, mat, 8, 3, batch_size=128, parallelism=7)
+    j, d, cent_ref = _local_kmeans(ids, mat, 8, 3)
+    order = np.argsort(ids)
+    np.testing.assert_array_equal(cent, cent_ref)
+    np.testing.assert_array_equal(df["cluster"].to_numpy(), j[order])
+    np.testing.assert_array_equal(df["dist_sq"].to_numpy(), d[order])
+
+
+def test_partitioning_invariance(emb):
+    ids, mat = emb
+    a, ca = _run(ids, mat, 5, 2, batch_size=64, parallelism=11)
+    b, cb = _run(ids, mat, 5, 2, batch_size=500, parallelism=1)
+    np.testing.assert_array_equal(ca, cb)
+    assert a.equals(b)
+
+
+def test_clusters_nontrivial_and_improving(emb):
+    ids, mat = emb
+    df1, _ = _run(ids, mat, 8, 1, batch_size=256, parallelism=4)
+    df3, _ = _run(ids, mat, 8, 3, batch_size=256, parallelism=4)
+    # all k clusters in use on the fixture, and Lloyd's rounds reduce
+    # total inertia (guaranteed for exact means; floor-averaging can
+    # only add a vanishing constant per dim)
+    assert df3["cluster"].nunique() == 8
+    assert df3["dist_sq"].sum() < df1["dist_sq"].sum()
+
+
+def test_empty_cluster_keeps_previous_centroid():
+    # 4 identical points, k=2: the far seed's cluster goes empty and
+    # must keep its previous centroid instead of dividing by zero
+    ids = np.arange(4, dtype=np.int64)
+    mat = np.zeros((4, 3), dtype=np.float32)
+    mat[3] = 0.4  # one outlier seeds the second centroid
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    out, cent = KM.kmeans(ds, 2, 3, batch_size=2)
+    df = out.to_pandas()
+    assert set(df["cluster"]) <= {0, 1}
+    assert cent.shape == (2, 3)
