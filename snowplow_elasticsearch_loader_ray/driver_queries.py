@@ -3450,6 +3450,198 @@ WHERE (qid IN (0, 1) AND rank <= {TOPK})
 """
 
 
+#: ES `boosting` query fixtures: (qid, positive, negative,
+#: negative_boost). Boost factors are powers of two so the demotion
+#: multiply is exact in both float paths.
+BOOST_QUERIES: list[tuple[int, str, str, float]] = [
+    (0, "data stream", "slow", 0.5),
+    (1, "merge table", "error", 0.25),
+    (2, "query index fast", "spark flink", 0.5),
+]
+
+
+def boosting_topk(sf_dir: str) -> pa.Table:
+    """ES ``boosting`` query (positive scored, negative DEMOTED by
+    negative_boost — not excluded; query.py::score_boosting) routed
+    through the `_search` DSL planner."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, pos, neg, nb in BOOST_QUERIES:
+        body = {"query": {"boosting": {
+            "positive": {"match": {"text": pos}},
+            "negative": {"match": {"text": neg}},
+            "negative_boost": nb}}, "size": TOPK}
+        d, _s = DSL.execute(r, body)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _boosting_sql() -> str:
+    import re
+
+    pairs, demote = [], []
+    for qid, pos, neg, nb in BOOST_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", pos.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+        negs = sorted(set(re.findall(r"[a-z0-9]+", neg.lower())))
+        in_list = ", ".join(f"'{t}'" for t in negs)
+        demote.append(
+            f"WHEN sc.qid = {qid} AND EXISTS (SELECT 1 FROM tok "
+            f"WHERE tok.doc_id = sc.doc_id AND tok.term IN ({in_list})) "
+            f"THEN sc.score * {nb!r}")
+    values = ", ".join(pairs)
+    case = "\n         ".join(demote)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT sc.qid, sc.doc_id,
+         CASE {case}
+         ELSE sc.score END AS score
+  FROM scores sc
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+#: ES `simple_query_string` expressions: bare terms score, `+` also
+#: requires membership, `-` excludes, quotes require the exact phrase
+QS_QUERIES: list[tuple[int, str]] = [
+    (0, "+table data stream -slow"),
+    (1, '"data stream" query fast'),
+    (2, "merge sort -join"),
+]
+
+
+def query_string_topk(sf_dir: str) -> pa.Table:
+    """ES ``simple_query_string`` through the `_search` DSL planner:
+    the mini-grammar parses to the same bool plan a hand-built body
+    runs (pipelines/query_dsl.py::simple_query_string), so scores stay
+    bit-identical to the TAAT + filter primitives. Phrases resolve in
+    the positional index."""
+    from .pipelines import query_dsl as DSL
+    from .pipelines.positions import PositionalReader, build_positions
+
+    r = _reader(sf_dir)
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, ranks, docs = [], [], []
+    for qid, expr in QS_QUERIES:
+        body = {"query": {"simple_query_string": {
+            "query": expr, "fields": ["text"]}}, "size": TOPK}
+        d, _s = DSL.execute(r, body, pos_reader=pr)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _query_string_sql() -> str:
+    import re
+
+    from .pipelines.query_dsl import parse_simple_query_string
+
+    pairs, conds = [], []
+    for qid, expr in QS_QUERIES:
+        phrases, plus, minus = parse_simple_query_string(expr)
+        scoring = sorted(set(
+            t for t in re.findall(r"[a-z0-9]+", expr.lower())
+            if t not in set(minus)))
+        for term in scoring:
+            pairs.append(f"({qid}, '{term}')")
+        c = [f"sc.qid = {qid}"]
+        for t in plus:
+            c.append(f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = "
+                     f"sc.doc_id AND tok.term = '{t}')")
+        for t in minus:
+            c.append(f"NOT EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = "
+                     f"sc.doc_id AND tok.term = '{t}')")
+        for p in phrases:
+            c.append(f"jt.joined LIKE '% {p} %'")
+        conds.append("(" + " AND ".join(c) + ")")
+    values = ", ".join(pairs)
+    where = "\n     OR ".join(conds)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+jt AS (
+  SELECT doc_id, ' ' || array_to_string({TOK_SQL}, ' ') || ' ' AS joined
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT sc.qid, sc.doc_id, sc.score
+  FROM scores sc JOIN jt ON jt.doc_id = sc.doc_id
+  WHERE {where}
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM flt
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 #: hybrid linear fusion weight on the (rounded) cosine leg
 HYBRID_ALPHA = 2.0
 
@@ -6584,6 +6776,8 @@ def registry() -> tuple[dict, dict]:
         "hybrid_linear_topk": hybrid_linear_topk,
         "search_dsl_topk": search_dsl_topk,
         "kmeans_clusters": kmeans_clusters,
+        "boosting_topk": boosting_topk,
+        "query_string_topk": query_string_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6718,6 +6912,8 @@ def registry() -> tuple[dict, dict]:
         "hybrid_linear_topk": _hybrid_linear_sql(),
         "search_dsl_topk": _search_dsl_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "boosting_topk": _boosting_sql(),
+        "query_string_topk": _query_string_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -217,6 +217,29 @@ def score_dismax(reader: IndexReader, query: str, k: int,
     return bm25.rank_topk(reader.dl_doc_ids[cand], score, k)
 
 
+def score_boosting(reader: IndexReader, positive: str, negative: str,
+                   k: int, negative_boost: float = 0.5
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``boosting`` query: rank by the positive query's BM25, but
+    multiply the score by ``negative_boost`` for any doc matching ANY
+    of the negative query's terms (demotion, not exclusion — the
+    Lucene BoostingQuery contract). One TAAT pass for the positive
+    side plus one sorted-membership probe per negative term."""
+    ords, scores = _taat_scores_ords(reader, positive)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    demoted = np.zeros(len(ords), dtype=bool)
+    for t in sorted(set(tokenize_query(negative))):
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        neg = np.sort(reader.positions_of(t, pl.decode_all()[0]))
+        pos = np.minimum(np.searchsorted(neg, ords), len(neg) - 1)
+        demoted |= neg[pos] == ords
+    scores = np.where(demoted, scores * negative_boost, scores)
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
+
+
 #: safety margin over the 1e-7 score-rounding granularity: pruning only
 #: discards docs whose reachable score is below the kth lower bound by
 #: MORE than this, so rounding ties can never be lost

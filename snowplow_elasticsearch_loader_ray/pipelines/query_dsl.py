@@ -20,6 +20,10 @@ unchanged. Supported grammar (the subset the engine serves):
                      "must_not": [<match>]}}
          | {"dis_max": {"queries": [<match>...],
                         "tie_breaker": tb}}
+         | {"boosting": {"positive": <match>, "negative": <match>,
+                         "negative_boost": nb}}
+         | {"simple_query_string": {"query": 'a +b -c "d e"',
+                                    "fields": ["text"]}}
          | {"function_score": {"query": <match>,
                                "gauss": {"doclen": {...}}
                                | "field_value_factor": {...}}}
@@ -31,12 +35,15 @@ Pagination is the ES coordinator rule: rank (from+size), return the
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .. import bm25
 from .query import (
     IndexReader,
     _taat_scores_ords,
+    score_boosting,
     score_dismax,
     score_field_value_factor,
     score_function_gauss,
@@ -165,6 +172,51 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
 
 
+#: simple_query_string lexemes: quoted phrase | signed bare term
+_QS_TOKEN = re.compile(r'"([^"]*)"|([+-]?)([A-Za-z0-9]+)')
+
+
+def parse_simple_query_string(s: str
+                              ) -> tuple[list[str], list[str], list[str]]:
+    """ES ``simple_query_string`` mini-grammar -> (phrases, required,
+    prohibited). Bare terms and ``+terms`` both score; ``+`` adds a
+    membership requirement, ``-`` excludes, ``"..."`` requires the
+    exact phrase (whose terms also score — the Lucene behavior)."""
+    phrases, plus, minus = [], [], []
+    for m in _QS_TOKEN.finditer(s):
+        if m.group(1) is not None:
+            p = m.group(1).lower().strip()
+            if p:
+                phrases.append(p)
+        elif m.group(2) == "-":
+            minus.append(m.group(3).lower())
+        elif m.group(2) == "+":
+            plus.append(m.group(3).lower())
+    return phrases, plus, minus
+
+
+def simple_query_string(reader: IndexReader, s: str, k: int,
+                        pos_reader=None) -> tuple[np.ndarray, np.ndarray]:
+    """Execute one ``simple_query_string`` expression: BM25 over the
+    unique positive terms (bare + ``+`` + phrase terms), then the
+    ``+``/phrase membership filters and ``-`` exclusions — the same
+    plan ``_exec_bool`` runs for the equivalent hand-built bool body."""
+    phrases, plus, minus = parse_simple_query_string(s)
+    scoring = sorted(set(
+        t for t in re.findall(r"[a-z0-9]+", s.lower())
+        if t not in set(minus)))
+    if not scoring:
+        raise UnsupportedDSL(f"no positive terms in {s!r}")
+    bool_node = {"must": [{"match": {"text": " ".join(scoring)}}]}
+    filters = [{"term": {"text": t}} for t in plus]
+    filters += [{"match_phrase": {"text": p}} for p in phrases]
+    if filters:
+        bool_node["filter"] = filters
+    if minus:
+        bool_node["must_not"] = [{"match": {"text": t}} for t in minus]
+    return _exec_bool(reader, bool_node, k, pos_reader=pos_reader)
+
+
 def execute(reader: IndexReader, body: dict, pos_reader=None
             ) -> tuple[np.ndarray, np.ndarray]:
     """Run one ES ``_search`` request body; returns (doc_ids, scores)
@@ -198,6 +250,24 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
         terms = " ".join(_match_text(sq)[0] for sq in dm["queries"])
         d, s = score_dismax(reader, terms, k,
                             tie_breaker=dm.get("tie_breaker", 0.0))
+    elif kind == "simple_query_string":
+        sq = node["simple_query_string"]
+        extra = set(sq) - {"query", "fields"}
+        if extra or "query" not in sq:
+            raise UnsupportedDSL(f"unsupported simple_query_string {sq!r}")
+        if sq.get("fields", ["text"]) != ["text"]:
+            raise UnsupportedDSL(f"fields {sq.get('fields')!r} != ['text']")
+        d, s = simple_query_string(reader, sq["query"], k,
+                                   pos_reader=pos_reader)
+    elif kind == "boosting":
+        bq = node["boosting"]
+        extra = set(bq) - {"positive", "negative", "negative_boost"}
+        if extra or "positive" not in bq or "negative" not in bq:
+            raise UnsupportedDSL(f"unsupported boosting keys {bq!r}")
+        pos_q, _ = _match_text(bq["positive"])
+        neg_q, _ = _match_text(bq["negative"])
+        d, s = score_boosting(reader, pos_q, neg_q, k,
+                              negative_boost=bq.get("negative_boost", 0.5))
     elif kind == "function_score":
         fs = node["function_score"]
         q, _ = _match_text(fs["query"])

@@ -92,6 +92,59 @@ def test_from_size_pagination(reader):
     assert np.array_equal(s, full_s[5:12])
 
 
+def test_boosting_demotes_not_excludes(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        boolean_and, score_boosting)
+
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": "data stream"}},
+        "negative": {"match": {"text": "slow"}},
+        "negative_boost": 0.5}}, "size": 200}
+    _same(DSL.execute(reader, body),
+          score_boosting(reader, "data stream", "slow", 200,
+                         negative_boost=0.5))
+    # demotion, not exclusion: negative-matching docs stay in the list
+    d, s = DSL.execute(reader, body)
+    slow_docs = set(boolean_and(reader, "slow").tolist())
+    assert set(d.tolist()) & slow_docs
+    # and nb=1.0 degenerates to the plain match ranking
+    plain = DSL.execute(reader,
+                        {"query": {"match": {"text": "data stream"}},
+                         "size": 200})
+    body1 = {"query": {"boosting": {
+        "positive": {"match": {"text": "data stream"}},
+        "negative": {"match": {"text": "slow"}},
+        "negative_boost": 1.0}}, "size": 200}
+    _same(DSL.execute(reader, body1), plain)
+
+
+def test_simple_query_string_parse():
+    assert DSL.parse_simple_query_string('a +b -c "d e" +f') == \
+        (["d e"], ["b", "f"], ["c"])
+    assert DSL.parse_simple_query_string('""  plain') == ([], [], [])
+
+
+def test_simple_query_string_equals_hand_built_bool(reader):
+    body = {"query": {"simple_query_string": {
+        "query": "+table data stream -slow"}}, "size": 25}
+    hand = {"query": {"bool": {
+        "must": [{"match": {"text": "data slow stream table"}}],
+        "filter": [{"term": {"text": "table"}}],
+        "must_not": [{"match": {"text": "slow"}}]}}, "size": 25}
+    # scoring set excludes the prohibited term, so rebuild without it
+    hand["query"]["bool"]["must"] = [{"match": {"text": "data stream table"}}]
+    _same(DSL.execute(reader, body), DSL.execute(reader, hand))
+
+
+def test_simple_query_string_bad_fields_raise(reader):
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"simple_query_string": {
+            "query": "data", "fields": ["title"]}}})
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"simple_query_string": {
+            "query": "-only -negatives"}}})
+
+
 @pytest.mark.parametrize("body", [
     {"query": {"match_all": {}}},
     {"query": {"match": {"title": "x"}}},
@@ -99,6 +152,7 @@ def test_from_size_pagination(reader):
     {"query": {"match": {"text": "x"}}, "aggs": {}},
     {"query": {"bool": {"must": [{"match": {"text": "x"}}],
                         "filter": [{"geo_distance": {}}]}}},
+    {"query": {"boosting": {"positive": {"match": {"text": "x"}}}}},
 ])
 def test_unsupported_shapes_raise(reader, body):
     with pytest.raises(DSL.UnsupportedDSL):
