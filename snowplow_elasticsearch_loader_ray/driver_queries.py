@@ -3450,6 +3450,62 @@ WHERE (qid IN (0, 1) AND rank <= {TOPK})
 """
 
 
+#: per-cluster survivor cap for cluster-balanced sampling (binds on
+#: the larger k-means clusters at sf0.01: ~62 docs/cluster average)
+CLUSTER_CAP = 40
+
+
+def cluster_balanced_sample(sf_dir: str) -> pa.Table:
+    """Cluster-conditioned sampling (DCLM-style curation: flatten the
+    corpus across embedding-space regions): k-means assignments
+    (pipelines/cluster.py — exact integer contract) then keep the
+    CLUSTER_CAP smallest Knuth-scrambled vec_ids per cluster. The cap
+    pick is a per-block bottom-cap inside map_batches followed by one
+    k-row-group groupby — only (vec_id, cluster, key) rows shuffle."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    asg, _cent = KM.kmeans(ds, KMEANS_K, KMEANS_ITERS)
+
+    def local_cap(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        key = (ids.astype(np.uint64) % KM.KM_RES_MOD * KM.KM_HASH_MUL) \
+            % KM.KM_HASH_MOD
+        keep = np.zeros(len(ids), dtype=bool)
+        for c in np.unique(cl):
+            m = np.nonzero(cl == c)[0]
+            best = m[np.lexsort((ids[m], key[m]))[:CLUSTER_CAP]]
+            keep[best] = True
+        return pa.table({
+            "vec_id": pa.array(ids[keep]),
+            "cluster": pa.array(cl[keep]),
+            "skey": pa.array(key[keep].astype(np.int64)),
+        })
+
+    def global_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "vec_id"]).head(CLUSTER_CAP)
+        return g[["vec_id", "cluster"]]
+
+    out = (asg.map_batches(local_cap, batch_format="pyarrow")
+              .groupby("cluster").map_groups(global_cap))
+    return pa.concat_tables(ray.get(out.to_arrow_refs())) \
+        .cast(pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())]))
+
+
+def _cluster_sample_sql() -> str:
+    from .pipelines.cluster import KM_HASH_MOD, KM_HASH_MUL, KM_RES_MOD
+
+    skey = f"(vec_id % {KM_RES_MOD}) * {KM_HASH_MUL} % {KM_HASH_MOD}"
+    return f"""
+SELECT vec_id, cluster
+FROM ({_kmeans_sql()}) asg
+QUALIFY row_number() OVER (PARTITION BY cluster
+                           ORDER BY {skey}, vec_id) <= {CLUSTER_CAP}
+"""
+
+
 #: ES `boosting` query fixtures: (qid, positive, negative,
 #: negative_boost). Boost factors are powers of two so the demotion
 #: multiply is exact in both float paths.
@@ -6778,6 +6834,7 @@ def registry() -> tuple[dict, dict]:
         "kmeans_clusters": kmeans_clusters,
         "boosting_topk": boosting_topk,
         "query_string_topk": query_string_topk,
+        "cluster_balanced_sample": cluster_balanced_sample,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6914,6 +6971,7 @@ def registry() -> tuple[dict, dict]:
         "kmeans_clusters": _kmeans_sql(),
         "boosting_topk": _boosting_sql(),
         "query_string_topk": _query_string_sql(),
+        "cluster_balanced_sample": _cluster_sample_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
