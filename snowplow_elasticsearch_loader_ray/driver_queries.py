@@ -3506,6 +3506,103 @@ QUALIFY row_number() OVER (PARTITION BY cluster
 """
 
 
+#: constant_score fixtures: (qid, filter term, boost — powers of two)
+CS_QUERIES: list[tuple[int, str, float]] = [
+    (0, "table", 2.0), (1, "stream", 0.5), (2, "zzznoterm", 1.0),
+]
+
+
+def constant_score_topk(sf_dir: str) -> pa.Table:
+    """ES ``constant_score``: filter-context term match, every hit
+    scored at ``boost`` (no BM25), ranked by the all-ties rule
+    (doc_id asc) — through the `_search` DSL planner."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, term, boost in CS_QUERIES:
+        body = {"query": {"constant_score": {
+            "filter": {"term": {"text": term}}, "boost": boost}},
+            "size": TOPK}
+        d, s = DSL.execute(r, body)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(s.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+    })
+
+
+def _constant_score_sql() -> str:
+    cases = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id, {boost!r} AS score FROM tok "
+        f"WHERE term = '{t}'"
+        for qid, t, boost in CS_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents
+),
+hits AS ({cases}),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY doc_id) AS rank
+  FROM hits
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+#: multi_terms agg: top composite (lang, source) buckets
+MULTI_TERMS_TOP = 12
+
+
+def multi_terms_agg(sf_dir: str) -> pa.Table:
+    """ES ``multi_terms`` aggregation: top composite (lang, source)
+    buckets by doc count (tie: lexicographic), each with its summed
+    n_chars sub-aggregation. Per-block partial (count, sum) pairs ride
+    a tiny pair-keyed combine — the pair cardinality (langs x sources)
+    is what moves, never rows."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return df.rename_columns(["lang", "source", "chars", "n"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["lang", "source"]) \
+             .aggregate(Sum("n", alias_name="n_docs"),
+                        Sum("chars", alias_name="sum_chars")) \
+             .to_pandas()
+    rows = rows.sort_values(["n_docs", "lang", "source"],
+                            ascending=[False, True, True]) \
+               .head(MULTI_TERMS_TOP).reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "source": pa.array(rows["source"], pa.string()),
+        "n_docs": pa.array(rows["n_docs"], pa.int64()),
+        "sum_chars": pa.array(rows["sum_chars"], pa.int64()),
+    })
+
+
+MULTI_TERMS_SQL = f"""
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY n_docs DESC, lang, source
+LIMIT {MULTI_TERMS_TOP}
+"""
+
+
 #: ES `boosting` query fixtures: (qid, positive, negative,
 #: negative_boost). Boost factors are powers of two so the demotion
 #: multiply is exact in both float paths.
@@ -5192,6 +5289,37 @@ def _adjacency_sql() -> str:
             ") WHERE n_docs > 0")
 
 
+class _LmScore:
+    """Actor-pool unigram-LM scorer: the (term -> integer micro-nat)
+    table is fetched ONCE per actor from the object store; each batch
+    scores via one `index_in` gather + two bincounts. ``keep`` columns
+    pass through for downstream grouping."""
+
+    def __init__(self, lm_ref, keep: tuple[str, ...] = ()):
+        self.terms, self.micro = ray.get(lm_ref)
+        self.keep = keep
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from .tokenizer import tokenize_to_terms
+
+        flat, idx_arr = tokenize_to_terms(b["text"])
+        n = b.num_rows
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        code = pc.index_in(flat, value_set=self.terms) \
+            .to_numpy(zero_copy_only=False)
+        m = self.micro[code]
+        cols = {
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(np.bincount(idx, minlength=n)
+                                 .astype(np.int64)),
+            "lm_micro": pa.array(np.bincount(idx, weights=m, minlength=n)
+                                 .astype(np.int64)),
+        }
+        for c in self.keep:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+
 def unigram_lm_scores(sf_dir: str) -> pa.Table:
     """CCNet-style language-model quality score: per doc, the summed
     log unigram probability of its tokens under the corpus unigram LM.
@@ -5212,28 +5340,9 @@ def unigram_lm_scores(sf_dir: str) -> pa.Table:
                - np.log(n_total))).astype(np.int64)
     lm_ref = ray.put((ts["term"].combine_chunks(), micro))
 
-    from .tokenizer import tokenize_to_terms
-
-    class _Score:
-        def __init__(self):
-            self.terms, self.micro = ray.get(lm_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            flat, idx_arr = tokenize_to_terms(b["text"])
-            n = b.num_rows
-            idx = idx_arr.to_numpy(zero_copy_only=False)
-            code = pc.index_in(flat, value_set=self.terms) \
-                .to_numpy(zero_copy_only=False)
-            m = self.micro[code]
-            return pa.table({
-                "doc_id": b["doc_id"],
-                "n_tokens": pa.array(np.bincount(idx, minlength=n).astype(np.int64)),
-                "lm_micro": pa.array(
-                    np.bincount(idx, weights=m, minlength=n).astype(np.int64)),
-            })
-
     out = (_docs_ds(sf_dir)
-           .map_batches(_Score, batch_format="pyarrow", concurrency=2)
+           .map_batches(_LmScore, batch_format="pyarrow", concurrency=2,
+                        fn_constructor_kwargs={"lm_ref": lm_ref})
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     nt = out["n_tokens"].to_numpy(np.int64)
     lm = out["lm_micro"].to_numpy(np.int64)
@@ -5453,6 +5562,72 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
        coalesce(a.dsir_micro, 0) AS dsir_micro
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+#: LM-bucket width (1 nat in integer micro-nats) and bucket count cap
+LM_BUCKET_MICRO = 1_000_000
+LM_N_BUCKETS = 16
+
+
+def lm_bucket_counts(sf_dir: str) -> pa.Table:
+    """CCNet-style quality bucketing, streaming formulation: per-doc
+    per-token LM cost (integer micro-nats, NEGATED so floor division
+    agrees between numpy and DuckDB's truncating ``//``) drops into
+    fixed 1-nat buckets; output is (lang, bucket) doc counts. Unlike
+    percentile head/middle/tail cuts this needs NO per-lang sort —
+    one scoring pass + a tiny (n_langs x n_buckets) groupby, so the
+    plan is shuffle-light at any corpus size."""
+    ts = _reader(sf_dir).term_stats_table()
+    st = B.index_stats(_ensure_index(sf_dir))
+    n_total = float(st["total_tokens"])
+    micro = np.floor(
+        1e6 * (np.log(ts["cf"].to_numpy(zero_copy_only=False).astype(np.float64))
+               - np.log(n_total))).astype(np.int64)
+    lm_ref = ray.put((ts["term"].combine_chunks(), micro))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        lm = b["lm_micro"].to_numpy(zero_copy_only=False)
+        cost = np.where(nt > 0, -lm // np.maximum(nt, 1), 0)
+        bucket = np.minimum(cost // LM_BUCKET_MICRO, LM_N_BUCKETS - 1)
+        return pa.table({"lang": b["lang"],
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text", "lang"])
+    out = (ds.map_batches(_LmScore, batch_format="pyarrow", concurrency=2,
+                          fn_constructor_kwargs={"lm_ref": lm_ref,
+                                                 "keep": ("lang",)})
+             .map_batches(bucketize, batch_format="pyarrow")
+             .groupby(["lang", "bucket"]).count()
+             .to_pandas().sort_values(["lang", "bucket"])
+             .reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "bucket": pa.array(out["bucket"], pa.int64()),
+        "n_docs": pa.array(out["count()"], pa.int64()),
+    })
+
+
+LM_BUCKETS_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nt FROM tok),
+per AS (SELECT t.doc_id,
+               floor(1e6 * (ln(cf.c) - ln(n.nt)))::BIGINT AS m
+        FROM tok t JOIN cf USING (term) CROSS JOIN n),
+agg AS (SELECT doc_id, count(*)::BIGINT AS ntok, sum(m)::BIGINT AS lm
+        FROM per GROUP BY 1),
+bkt AS (
+  SELECT d.lang,
+         CASE WHEN a.doc_id IS NULL THEN 0
+              ELSE least(((-a.lm) // a.ntok) // {LM_BUCKET_MICRO},
+                         {LM_N_BUCKETS - 1}) END AS bucket
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs
+FROM bkt GROUP BY 1, 2
 """
 
 
@@ -6835,6 +7010,9 @@ def registry() -> tuple[dict, dict]:
         "boosting_topk": boosting_topk,
         "query_string_topk": query_string_topk,
         "cluster_balanced_sample": cluster_balanced_sample,
+        "constant_score_topk": constant_score_topk,
+        "multi_terms_agg": multi_terms_agg,
+        "lm_bucket_counts": lm_bucket_counts,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -6972,6 +7150,9 @@ def registry() -> tuple[dict, dict]:
         "boosting_topk": _boosting_sql(),
         "query_string_topk": _query_string_sql(),
         "cluster_balanced_sample": _cluster_sample_sql(),
+        "constant_score_topk": _constant_score_sql(),
+        "multi_terms_agg": MULTI_TERMS_SQL,
+        "lm_bucket_counts": LM_BUCKETS_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -24,6 +24,8 @@ unchanged. Supported grammar (the subset the engine serves):
                          "negative_boost": nb}}
          | {"simple_query_string": {"query": 'a +b -c "d e"',
                                     "fields": ["text"]}}
+         | {"constant_score": {"filter": {"term": {"text": t}},
+                               "boost": b}}
          | {"function_score": {"query": <match>,
                                "gauss": {"doclen": {...}}
                                | "field_value_factor": {...}}}
@@ -250,6 +252,18 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
         terms = " ".join(_match_text(sq)[0] for sq in dm["queries"])
         d, s = score_dismax(reader, terms, k,
                             tie_breaker=dm.get("tie_breaker", 0.0))
+    elif kind == "constant_score":
+        cs = node["constant_score"]
+        extra = set(cs) - {"filter", "boost"}
+        if extra or "filter" not in cs:
+            raise UnsupportedDSL(f"unsupported constant_score keys {cs!r}")
+        f = cs["filter"]
+        if set(f) != {"term"} or set(f["term"]) != {"text"}:
+            raise UnsupportedDSL(f"constant_score filter {f!r}")
+        boost = float(cs.get("boost", 1.0))
+        ords = _term_ords(reader, f["term"]["text"])
+        d, s = bm25.rank_topk(reader.dl_doc_ids[ords],
+                              np.full(len(ords), boost), k)
     elif kind == "simple_query_string":
         sq = node["simple_query_string"]
         extra = set(sq) - {"query", "fields"}

@@ -118,6 +118,20 @@ def test_boosting_demotes_not_excludes(reader):
     _same(DSL.execute(reader, body1), plain)
 
 
+def test_constant_score(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_and
+
+    body = {"query": {"constant_score": {
+        "filter": {"term": {"text": "table"}}, "boost": 2.0}}, "size": 500}
+    d, s = DSL.execute(reader, body)
+    want = np.sort(boolean_and(reader, "table"))[:500]
+    np.testing.assert_array_equal(d, want)   # all-ties rank = doc_id asc
+    assert (s == 2.0).all()
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"constant_score": {
+            "filter": {"range": {"doclen": {"gte": 1}}}}}})
+
+
 def test_simple_query_string_parse():
     assert DSL.parse_simple_query_string('a +b -c "d e" +f') == \
         (["d e"], ["b", "f"], ["c"])
