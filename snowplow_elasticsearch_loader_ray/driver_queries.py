@@ -3883,17 +3883,26 @@ def kmeans_clusters(sf_dir: str) -> pa.Table:
     return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 
-def _kmeans_sql() -> str:
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                dim_slice: tuple[int, int] | None = None,
+                emit: str = "assign") -> str:
+    """DuckDB replay of pipelines/cluster.py::kmeans — iterations
+    unrolled as chained CTEs; ``dim_slice=(lo, hi)`` trains on the
+    0-based [lo, hi) subvector (the PQ per-subspace oracle).
+    ``emit='codes_cent'`` returns each vector's code joined with its
+    centroid list (the ADC oracle's input) instead of assignments."""
     from .pipelines.cluster import (KM_HASH_MOD, KM_HASH_MUL, KM_OFFSET,
                                     KM_RES_MOD, KM_SCALE)
 
+    emb = ("embedding" if dim_slice is None
+           else f"embedding[{dim_slice[0] + 1}:{dim_slice[1]}]")
     skey = f"(vec_id % {KM_RES_MOD}) * {KM_HASH_MUL} % {KM_HASH_MOD}"
     dist = ("list_sum(list_transform(range(1, len(v.q)+1), "
             "i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))")
     parts = [f"""
 WITH qv AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform({emb},
            e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
                 + {KM_OFFSET}) AS q
   FROM embeddings
@@ -3902,9 +3911,9 @@ cent0 AS (
   SELECT row_number() OVER (ORDER BY {skey}, vec_id) - 1 AS j,
          q::BIGINT[] AS c
   FROM qv
-  QUALIFY row_number() OVER (ORDER BY {skey}, vec_id) <= {KMEANS_K}
+  QUALIFY row_number() OVER (ORDER BY {skey}, vec_id) <= {k}
 )"""]
-    for t in range(1, KMEANS_ITERS + 1):
+    for t in range(1, iters + 1):
         parts.append(f""",
 asg{t} AS (
   SELECT v.vec_id, v.q, c.j, {dist} AS d
@@ -3912,7 +3921,7 @@ asg{t} AS (
   QUALIFY row_number() OVER (PARTITION BY v.vec_id
                              ORDER BY d, c.j) = 1
 )""")
-        if t < KMEANS_ITERS:
+        if t < iters:
             parts.append(f""",
 sums{t} AS (
   SELECT j, i, sum(v) AS sv, count(*) AS n
@@ -3926,11 +3935,130 @@ cent{t} AS (
   LEFT JOIN (SELECT j, list((sv // n)::BIGINT ORDER BY i) AS c
              FROM sums{t} GROUP BY j) u ON u.j = p.j
 )""")
-    parts.append(f"""
+    if emit == "codes_cent":
+        parts.append(f"""
+SELECT a.vec_id, a.j::BIGINT AS code, c.c AS cent
+FROM asg{iters} a JOIN cent{iters - 1} c ON c.j = a.j
+""")
+    else:
+        parts.append(f"""
 SELECT vec_id, j::BIGINT AS cluster, d::BIGINT AS dist_sq
-FROM asg{KMEANS_ITERS}
+FROM asg{iters}
 """)
     return "".join(parts)
+
+
+#: product quantization: M subspaces x K-entry codebooks, Lloyd rounds
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+#: embedding dimensionality of the fixture tables
+EMB_DIM = 64
+
+
+def pq_codes(sf_dir: str) -> pa.Table:
+    """Product-quantization codes (the IVF-PQ scale path: at 10^12
+    vectors the m-byte codes replace raw embeddings in candidate
+    scans): an independent exact-integer k-means codebook per
+    contiguous subspace (pipelines/cluster.py::pq_codes), emitted in
+    long form (vec_id, sub, code, dist_sq). Training and assignment
+    are the same shuffle-free passes as `kmeans_clusters`, once per
+    subspace."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    outs, _books = KM.pq_codes(ds, EMB_DIM, PQ_M, PQ_K, PQ_ITERS)
+    tables = []
+    for sub, out in enumerate(outs):
+        t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        tables.append(pa.table({
+            "vec_id": t["vec_id"],
+            "sub": pa.array(np.full(t.num_rows, sub, dtype=np.int64)),
+            "code": t["cluster"],
+            "dist_sq": t["dist_sq"],
+        }))
+    return pa.concat_tables(tables)
+
+
+def _pq_codes_sql() -> str:
+    w = EMB_DIM // PQ_M
+    legs = []
+    for sub in range(PQ_M):
+        km = _kmeans_sql(k=PQ_K, iters=PQ_ITERS,
+                         dim_slice=(sub * w, (sub + 1) * w))
+        legs.append(f"SELECT vec_id, {sub} AS sub, cluster AS code, "
+                    f"dist_sq FROM ({km}) s{sub}")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+SELECT vec_id, sub::BIGINT AS sub, code::BIGINT AS code, dist_sq
+FROM ({union})
+"""
+
+
+def pq_ann_topk(sf_dir: str) -> pa.Table:
+    """PQ asymmetric-distance search (pipelines/cluster.py::
+    pq_adc_topk): the first N_ANN_QUERIES vectors query the corpus
+    represented ONLY by its PQ codes — per-query (M, K) integer
+    distance tables, M-way gather-sum per candidate, rank by
+    (adc_dist asc, vec_id asc). Exact int64 end to end, so this
+    approximate-search path carries a full value oracle; recall vs
+    the exact kNN is pinned in tests/test_cluster.py."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    _outs, books = KM.pq_codes(ds, EMB_DIM, PQ_M, PQ_K, PQ_ITERS)
+    qids, qmat = _query_vectors(sf_dir)
+    qq = KM.quantize(np.asarray(qmat, dtype=np.float32))
+    out = KM.pq_adc_topk(ds, books, qq, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "qid": qmap,
+        "rank": out["rank"],
+        "vec_id": out["vec_id"],
+        "adc_dist": out["adc_dist"],
+    })
+
+
+def _pq_adc_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    w = EMB_DIM // PQ_M
+    legs = []
+    for sub in range(PQ_M):
+        lo, hi = sub * w, (sub + 1) * w
+        km = _kmeans_sql(k=PQ_K, iters=PQ_ITERS, dim_slice=(lo, hi),
+                         emit="codes_cent")
+        legs.append(f"""
+SELECT qq.qid, s.vec_id,
+       list_sum(list_transform(range(1, len(qq.q)+1),
+         t -> (qq.q[t]-s.cent[t])*(qq.q[t]-s.cent[t]))) AS d
+FROM ({km}) s
+CROSS JOIN (
+  SELECT vec_id AS qid,
+         list_transform(embedding[{lo + 1}:{hi}],
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+) qq""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH perdim AS ({union}),
+total AS (
+  SELECT qid, vec_id, sum(d)::BIGINT AS adc_dist
+  FROM perdim GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM total
+)
+SELECT qid, rank::BIGINT AS rank, vec_id, adc_dist
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 RRF_K = 60
@@ -7013,6 +7141,8 @@ def registry() -> tuple[dict, dict]:
         "constant_score_topk": constant_score_topk,
         "multi_terms_agg": multi_terms_agg,
         "lm_bucket_counts": lm_bucket_counts,
+        "pq_codes": pq_codes,
+        "pq_ann_topk": pq_ann_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7153,6 +7283,8 @@ def registry() -> tuple[dict, dict]:
         "constant_score_topk": _constant_score_sql(),
         "multi_terms_agg": MULTI_TERMS_SQL,
         "lm_bucket_counts": LM_BUCKETS_SQL,
+        "pq_codes": _pq_codes_sql(),
+        "pq_ann_topk": _pq_adc_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

@@ -53,14 +53,18 @@ def quantize(emb: np.ndarray) -> np.ndarray:
         + KM_OFFSET
 
 
-def _batch_q(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def _batch_q(batch: pa.Table, dim_slice: tuple[int, int] | None = None
+             ) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
     col = batch["embedding"].combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = np.asarray(col.values)
     dim = len(col[0])
-    return ids, quantize(flat.reshape(len(ids), dim))
+    q = quantize(flat.reshape(len(ids), dim))
+    if dim_slice is not None:
+        q = q[:, dim_slice[0]:dim_slice[1]]
+    return ids, q
 
 
 def _assign(q: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -72,7 +76,8 @@ def _assign(q: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return j, d[np.arange(len(q)), j]
 
 
-def seed_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
+def seed_centroids(ds: ray.data.Dataset, k: int,
+                   dim_slice: tuple[int, int] | None = None) -> np.ndarray:
     """Distributed bottom-k by scrambled vec_id -> (k, dim) int64.
 
     Each block emits its own k best candidates (a per-block
@@ -81,7 +86,7 @@ def seed_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
     """
 
     def candidates(batch: pa.Table) -> pa.Table:
-        ids, q = _batch_q(batch)
+        ids, q = _batch_q(batch, dim_slice)
         key = (ids.astype(np.uint64) % KM_RES_MOD * KM_HASH_MUL) \
             % KM_HASH_MOD
         take = min(k, len(ids))
@@ -98,7 +103,9 @@ def seed_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
 
 
 def kmeans(ds: ray.data.Dataset, k: int, iters: int,
-           batch_size: int = 4096) -> tuple[ray.data.Dataset, np.ndarray]:
+           batch_size: int = 4096,
+           dim_slice: tuple[int, int] | None = None
+           ) -> tuple[ray.data.Dataset, np.ndarray]:
     """Lloyd's iterations over a {vec_id, embedding} Dataset.
 
     Runs ``iters`` assignment rounds, updating centroids after every
@@ -106,13 +113,13 @@ def kmeans(ds: ray.data.Dataset, k: int, iters: int,
     vec_id/cluster/dist_sq, final int64 centroid matrix). Empty
     clusters keep their previous centroid.
     """
-    cent = seed_centroids(ds, k)
+    cent = seed_centroids(ds, k, dim_slice)
     dim = cent.shape[1]
 
     for _ in range(iters - 1):
 
         def partials(batch: pa.Table, cent_=cent) -> pa.Table:
-            _ids, q = _batch_q(batch)
+            _ids, q = _batch_q(batch, dim_slice)
             j, _d = _assign(q, cent_)
             sums = np.zeros((k, dim), dtype=np.int64)
             np.add.at(sums, j, q)
@@ -139,7 +146,7 @@ def kmeans(ds: ray.data.Dataset, k: int, iters: int,
     final = cent
 
     def assign_out(batch: pa.Table) -> pa.Table:
-        ids, q = _batch_q(batch)
+        ids, q = _batch_q(batch, dim_slice)
         j, d = _assign(q, final)
         return pa.table({
             "vec_id": pa.array(ids),
@@ -150,3 +157,98 @@ def kmeans(ds: ray.data.Dataset, k: int, iters: int,
     out = ds.map_batches(assign_out, batch_format="pyarrow",
                          batch_size=batch_size)
     return out, final
+
+
+def pq_codes(ds: ray.data.Dataset, dim: int, m: int, k: int, iters: int,
+             batch_size: int = 4096
+             ) -> tuple[list[ray.data.Dataset], list[np.ndarray]]:
+    """Product-quantization training: split the ``dim`` dimensions into
+    ``m`` contiguous subspaces, train an independent exact-integer
+    k-means codebook per subspace, and emit per-vector codes.
+
+    Returns (per-subspace assignment Datasets with columns
+    vec_id/cluster/dist_sq, per-subspace (k, dim/m) codebooks). The
+    asymmetric-distance (ADC) approximation of ||a - b||^2 is then
+    ``sum_m ||a_m - c_{m,code_m(b)}||^2`` — still EXACT integer
+    arithmetic given the quantized inputs, which is what lets the PQ
+    path carry a value oracle instead of a recall grader. This is the
+    IVF-PQ scale path: at 10^12 vectors the codes (m bytes/vector at
+    k<=256) replace the raw embeddings in the candidate scan.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    outs, books = [], []
+    for i in range(m):
+        out, cent = kmeans(ds, k, iters, batch_size=batch_size,
+                           dim_slice=(i * w, (i + 1) * w))
+        outs.append(out)
+        books.append(cent)
+    return outs, books
+
+
+def pq_adc_topk(ds: ray.data.Dataset, books: list[np.ndarray],
+                queries_q: np.ndarray, k: int,
+                batch_size: int = 4096) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k: corpus vectors are represented
+    ONLY by their PQ codes; each query precomputes an (M, K) integer
+    distance table against the codebooks and a vector's approximate
+    squared distance is the M-way table-gather sum. Exact int64
+    arithmetic end to end, so ranks (dist asc, vec_id asc) carry a
+    value oracle. Per batch: one code assignment + one fancy-indexed
+    gather; per-block bottom-k candidates reduce to a tiny
+    n_blocks x n_queries x k table."""
+    m = len(books)
+    w = books[0].shape[1]
+    nq = len(queries_q)
+    # (nq, M, K) int64 table: ||q_sub - c_{sub,j}||^2
+    dtab = np.stack([
+        ((queries_q[:, None, i * w:(i + 1) * w]
+          - books[i][None, :, :]) ** 2).sum(axis=2)
+        for i in range(m)], axis=1)
+    bref = ray.put((np.stack(books), dtab))
+
+    class _Cand:
+        def __init__(self):
+            self.books, self.dtab = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, q = _batch_q(batch)
+            n = len(ids)
+            dist = np.zeros((nq, n), dtype=np.int64)
+            for i in range(m):
+                j, _ = _assign(q[:, i * w:(i + 1) * w], self.books[i])
+                dist += self.dtab[:, i, j]
+            take = min(k, n)
+            qid_c, id_c, d_c = [], [], []
+            for qi in range(nq):
+                best = np.lexsort((ids, dist[qi]))[:take]
+                qid_c.append(np.full(take, qi, dtype=np.int64))
+                id_c.append(ids[best])
+                d_c.append(dist[qi][best])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(qid_c)),
+                "vec_id": pa.array(np.concatenate(id_c)),
+                "adc_dist": pa.array(np.concatenate(d_c)),
+            })
+
+    cand = pa.concat_tables(list(
+        ds.map_batches(_Cand, batch_format="pyarrow",
+                       batch_size=batch_size, concurrency=2)
+          .iter_batches(batch_format="pyarrow", batch_size=None)))
+    qid = cand["query_id"].to_numpy(zero_copy_only=False)
+    ids = cand["vec_id"].to_numpy(zero_copy_only=False)
+    d = cand["adc_dist"].to_numpy(zero_copy_only=False)
+    rows = []
+    for qi in range(nq):
+        msk = np.nonzero(qid == qi)[0]
+        best = msk[np.lexsort((ids[msk], d[msk]))[:k]]
+        for r, b in enumerate(best, 1):
+            rows.append((qi, r, ids[b], d[b]))
+    c = list(zip(*rows))
+    return pa.table({
+        "query_id": pa.array(c[0], pa.int64()),
+        "rank": pa.array(c[1], pa.int64()),
+        "vec_id": pa.array(c[2], pa.int64()),
+        "adc_dist": pa.array(c[3], pa.int64()),
+    })

@@ -80,6 +80,37 @@ def test_clusters_nontrivial_and_improving(emb):
     assert df3["dist_sq"].sum() < df1["dist_sq"].sum()
 
 
+def test_pq_adc_recall_and_invariance(emb):
+    """PQ codes are a lossy representation: pin that ADC search (a)
+    always finds the query vector itself, (b) keeps measurable recall
+    vs exact quantized-L2 top-k, and (c) is partition-invariant."""
+    ids, mat = emb
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    q = KM.quantize(mat)
+    order = np.argsort(ids)
+    qq = q[order][:10]
+
+    def run(parallelism):
+        ds = ray.data.from_arrow(tbl).repartition(parallelism)
+        _outs, books = KM.pq_codes(ds, mat.shape[1], 4, 16, 2)
+        return KM.pq_adc_topk(ds, books, qq, k=10).to_pandas()
+
+    a = run(9)
+    b = run(2)
+    assert a.equals(b)
+    rec, selfhit = [], 0
+    for qi in range(10):
+        d = ((q - qq[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:10]])
+        got = set(a[a.query_id == qi].vec_id)
+        rec.append(len(exact & got) / 10)
+        selfhit += int(ids[order[qi]] in got)
+    assert selfhit == 10
+    assert np.mean(rec) >= 0.2   # measured 0.30 with 4x16 codebooks
+
+
 def test_empty_cluster_keeps_previous_centroid():
     # 4 identical points, k=2: the far seed's cluster goes empty and
     # must keep its previous centroid instead of dividing by zero
