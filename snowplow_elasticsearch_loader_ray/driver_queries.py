@@ -3940,6 +3940,10 @@ cent{t} AS (
 SELECT a.vec_id, a.j::BIGINT AS code, c.c AS cent
 FROM asg{iters} a JOIN cent{iters - 1} c ON c.j = a.j
 """)
+    elif emit == "centroids":
+        parts.append(f"""
+SELECT j::BIGINT AS j, c AS cent FROM cent{iters - 1}
+""")
     else:
         parts.append(f"""
 SELECT vec_id, j::BIGINT AS cluster, d::BIGINT AS dist_sq
@@ -4059,6 +4063,73 @@ ranked AS (
 SELECT qid, rank::BIGINT AS rank, vec_id, adc_dist
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+#: IVF coarse-cell count and probe width
+IVF_C = 8
+IVF_NPROBE = 2
+
+
+def ivf_pq_ann_topk(sf_dir: str) -> pa.Table:
+    """Full IVF-PQ (pipelines/cluster.py::ivf_pq_topk): a coarse
+    integer k-means partitions the corpus into IVF_C cells; each query
+    probes the IVF_NPROBE nearest cells and ranks their members by the
+    PQ ADC distance. Everything stays exact int64, so even this
+    doubly-approximate plan carries a full value oracle."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    _o, coarse = KM.kmeans(ds, IVF_C, PQ_ITERS)
+    _outs, books = KM.pq_codes(ds, EMB_DIM, PQ_M, PQ_K, PQ_ITERS)
+    qids, qmat = _query_vectors(sf_dir)
+    qq = KM.quantize(np.asarray(qmat, dtype=np.float32))
+    out = KM.ivf_pq_topk(ds, coarse, books, qq, IVF_NPROBE, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "qid": qmap,
+        "rank": out["rank"],
+        "vec_id": out["vec_id"],
+        "adc_dist": out["adc_dist"],
+    })
+
+
+def _ivf_pq_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    adc = _pq_adc_sql()
+    # splice the ADC ranking through the coarse-probe candidate filter
+    total_to_end = adc[adc.index("total AS"):]
+    perdim = adc[adc.index("WITH perdim"):adc.index("total AS")]
+    coarse_asg = _kmeans_sql(k=IVF_C, iters=PQ_ITERS)
+    coarse_cent = _kmeans_sql(k=IVF_C, iters=PQ_ITERS, emit="centroids")
+    quant = (f"e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT) "
+             f"+ {KM_OFFSET}")
+    total_to_end = total_to_end.replace(
+        "  FROM perdim GROUP BY 1, 2",
+        "  FROM perdim JOIN cand USING (qid, vec_id) GROUP BY 1, 2")
+    return f"""{perdim}
+vcell AS (SELECT vec_id, cluster AS cell FROM ({coarse_asg}) vc),
+ccent AS (SELECT j, cent FROM ({coarse_cent}) cc),
+qfull AS (
+  SELECT vec_id AS qid, list_transform(embedding, {quant}) AS q
+  FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+qcells AS (
+  SELECT qid, j FROM (
+    SELECT qq.qid, cc.j,
+           row_number() OVER (PARTITION BY qq.qid ORDER BY
+             list_sum(list_transform(range(1, len(qq.q)+1),
+               t -> (qq.q[t]-cc.cent[t])*(qq.q[t]-cc.cent[t]))), cc.j
+           ) AS r
+    FROM ccent cc CROSS JOIN qfull qq) WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT qc.qid, v.vec_id
+  FROM vcell v JOIN qcells qc ON qc.j = v.cell
+),
+{total_to_end}"""
 
 
 RRF_K = 60
@@ -7143,6 +7214,7 @@ def registry() -> tuple[dict, dict]:
         "lm_bucket_counts": lm_bucket_counts,
         "pq_codes": pq_codes,
         "pq_ann_topk": pq_ann_topk,
+        "ivf_pq_ann_topk": ivf_pq_ann_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7285,6 +7357,7 @@ def registry() -> tuple[dict, dict]:
         "lm_bucket_counts": LM_BUCKETS_SQL,
         "pq_codes": _pq_codes_sql(),
         "pq_ann_topk": _pq_adc_sql(),
+        "ivf_pq_ann_topk": _ivf_pq_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

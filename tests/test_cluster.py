@@ -111,6 +111,33 @@ def test_pq_adc_recall_and_invariance(emb):
     assert np.mean(rec) >= 0.2   # measured 0.30 with 4x16 codebooks
 
 
+def test_ivf_pq_full_probe_equals_adc(emb):
+    """Probing every coarse cell degenerates IVF-PQ to plain ADC; a
+    narrow probe returns a subset of candidates (recall <= 1) but
+    never a doc outside the probed cells."""
+    ids, mat = emb
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    q = KM.quantize(mat)
+    qq = q[np.argsort(ids)][:6]
+    _o, coarse = KM.kmeans(ds, 8, 2)
+    _outs, books = KM.pq_codes(ds, mat.shape[1], 4, 16, 2)
+    full = KM.ivf_pq_topk(ds, coarse, books, qq, nprobe=8, k=10).to_pandas()
+    adc = KM.pq_adc_topk(ds, books, qq, k=10).to_pandas()
+    assert full.equals(adc)
+    narrow = KM.ivf_pq_topk(ds, coarse, books, qq, nprobe=1,
+                            k=10).to_pandas()
+    # narrow-probe hits are a subset of each query's probed cell
+    cell_of = dict(zip(ids, KM._assign(q, coarse)[0]))
+    for qi in range(6):
+        cd = ((qq[qi][None, :] - coarse) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(8), cd))[0]
+        got = narrow[narrow.query_id == qi].vec_id
+        assert all(cell_of[v] == probe for v in got)
+
+
 def test_empty_cluster_keeps_previous_centroid():
     # 4 identical points, k=2: the far seed's cluster goes empty and
     # must keep its previous centroid instead of dividing by zero
