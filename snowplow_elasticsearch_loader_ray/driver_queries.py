@@ -4065,6 +4065,120 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def field_caps(sf_dir: str) -> pa.Table:
+    """ES ``_field_caps``: per-field type + min/max/null capabilities
+    for the documents index — computed from PARQUET FOOTERS only (one
+    Ray task per file reads row-group statistics; no data pages are
+    touched, the same pruning metadata the scan planner uses). At
+    100 TB this is a map over file paths returning 5 rows each."""
+    import pyarrow.parquet as _pq
+
+    paths = sorted(
+        os.path.join(_docs_path(sf_dir), f)
+        for f in os.listdir(_docs_path(sf_dir)) if f.endswith(".parquet")
+    ) if os.path.isdir(_docs_path(sf_dir)) else [_docs_path(sf_dir)]
+
+    @ray.remote
+    def footer_caps(path: str) -> list[dict]:
+        md = _pq.ParquetFile(path).metadata
+        rows = []
+        for ci in range(md.num_columns):
+            mins, maxs, nulls = [], [], 0
+            name = dtype = None
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(ci)
+                name, dtype = col.path_in_schema, col.physical_type
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(f"no stats for {name} in {path}")
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count or 0
+            rows.append({"field": name, "dtype": dtype,
+                         "min_val": min(mins), "max_val": max(maxs),
+                         "n_nulls": nulls})
+        return rows
+
+    parts = ray.get([footer_caps.remote(p) for p in paths])
+    agg: dict[str, dict] = {}
+    for rows in parts:
+        for r in rows:
+            a = agg.setdefault(r["field"], dict(r))
+            a["min_val"] = min(a["min_val"], r["min_val"])
+            a["max_val"] = max(a["max_val"], r["max_val"])
+            if a is not r:
+                a["n_nulls"] += r["n_nulls"]
+    out = sorted(agg.values(), key=lambda r: r["field"])
+    return pa.table({
+        "field": pa.array([r["field"] for r in out], pa.string()),
+        "dtype": pa.array([r["dtype"] for r in out], pa.string()),
+        "min_val": pa.array([str(r["min_val"]) for r in out], pa.string()),
+        "max_val": pa.array([str(r["max_val"]) for r in out], pa.string()),
+        "n_nulls": pa.array([r["n_nulls"] for r in out], pa.int64()),
+    })
+
+
+def match_counts(sf_dir: str) -> pa.Table:
+    """ES ``_count``: number of docs matching each query, resolved as
+    posting-list intersections (conjunctive) and unions (disjunctive)
+    — never a corpus scan."""
+    from .pipelines.query import boolean_and, boolean_or
+
+    r = _reader(sf_dir)
+    rows = [(qid, q, len(boolean_and(r, q)), len(boolean_or(r, q)[0]))
+            for qid, q in DOC_QUERIES]
+    c = list(zip(*rows))
+    return pa.table({
+        "qid": pa.array(c[0], pa.int64()),
+        "n_and": pa.array(c[2], pa.int64()),
+        "n_or": pa.array(c[3], pa.int64()),
+    })
+
+
+def _match_counts_sql() -> str:
+    import re
+
+    legs = []
+    for qid, q in DOC_QUERIES:
+        terms = sorted(set(re.findall(r"[a-z0-9]+", q.lower())))
+        ands = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id "
+            f"AND tok.term = '{t}')" for t in terms)
+        ors = " OR ".join(
+            f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id "
+            f"AND tok.term = '{t}')" for t in terms)
+        legs.append(
+            f"SELECT {qid} AS qid, "
+            f"count(*) FILTER ({ands})::BIGINT AS n_and, "
+            f"count(*) FILTER ({ors})::BIGINT AS n_or FROM documents d")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+{u}
+"""
+
+
+FIELD_CAPS_SQL = """
+SELECT field, dtype, min_val, max_val, n_nulls FROM (
+  SELECT 'doc_id' AS field, 'INT64' AS dtype,
+         min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val,
+         (count(*) - count(doc_id))::BIGINT AS n_nulls FROM documents
+  UNION ALL
+  SELECT 'lang', 'BYTE_ARRAY', min(lang), max(lang),
+         count(*) - count(lang) FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'INT64', min(n_chars)::VARCHAR, max(n_chars)::VARCHAR,
+         count(*) - count(n_chars) FROM documents
+  UNION ALL
+  SELECT 'source', 'BYTE_ARRAY', min(source), max(source),
+         count(*) - count(source) FROM documents
+  UNION ALL
+  SELECT 'text', 'BYTE_ARRAY', min(text), max(text),
+         count(*) - count(text) FROM documents
+)
+"""
+
+
 #: IVF coarse-cell count and probe width
 IVF_C = 8
 IVF_NPROBE = 2
@@ -7215,6 +7329,8 @@ def registry() -> tuple[dict, dict]:
         "pq_codes": pq_codes,
         "pq_ann_topk": pq_ann_topk,
         "ivf_pq_ann_topk": ivf_pq_ann_topk,
+        "field_caps": field_caps,
+        "match_counts": match_counts,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7358,6 +7474,8 @@ def registry() -> tuple[dict, dict]:
         "pq_codes": _pq_codes_sql(),
         "pq_ann_topk": _pq_adc_sql(),
         "ivf_pq_ann_topk": _ivf_pq_sql(),
+        "field_caps": FIELD_CAPS_SQL,
+        "match_counts": _match_counts_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
