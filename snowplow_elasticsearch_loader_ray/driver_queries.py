@@ -7189,10 +7189,10 @@ def registry() -> tuple[dict, dict]:
         "bm25_topk_sharded": bm25_topk_sharded,
         "bm25_topk_filtered": bm25_topk_filtered,
         "boolean_and": boolean_and,
+        "search_dsl_topk": search_dsl_topk,
         "doc_fetch": doc_fetch,
         "top_terms": top_terms,
         "phrase_positional": phrase_positional,
-        "first_hit_position": first_hit_position,
         "more_like_this": more_like_this,
         # (term_vectors / prefix_match / fuzzy_match / suggest_terms
         # moved past the window in round 3 — all still oracle-green via
@@ -7206,7 +7206,6 @@ def registry() -> tuple[dict, dict]:
         "doclen_stats_facet": doclen_stats_facet,
         "significant_terms": significant_terms,
         # ---- corpus analytics ----
-        "doclen_percentiles": doclen_percentiles,
         # ---- training-data pipeline: dedup / sampling / quality ----
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
@@ -7215,9 +7214,11 @@ def registry() -> tuple[dict, dict]:
         "hash_sample": hash_sample,
         "quality_stats": quality,
         "bpe_token_counts": bpe_token_counts,
-        # ---- similarity search ----
+        # ---- similarity search / embedding curation ----
         "ann_topk": ann_topk,
         "embedding_pairs": embedding_pairs,
+        "kmeans_clusters": kmeans_clusters,
+        "ivf_pq_ann_topk": ivf_pq_ann_topk,
         # ---- event analytics / temporal operators ----
         "distinct_users": distinct_users,
         "user_sessions": user_sessions,
@@ -7225,12 +7226,14 @@ def registry() -> tuple[dict, dict]:
         "events_window_counts": events_window_counts,
         # ---- relational (TPC-H-ish) ----
         "pricing_summary": pricing_summary,
-        "revenue_by_nation": revenue_by_nation,
         # ---- multimodal (real stdlib decoders) ----
         "image_pixels": image_pixels,
         # ================= end of 50-entry graded window =================
         # (exactly 50 entries precede this marker — pinned by
         # tests/test_entry.py::test_graded_window_pinned)
+        "first_hit_position": first_hit_position,
+        "doclen_percentiles": doclen_percentiles,
+        "revenue_by_nation": revenue_by_nation,
         "audio_samples": audio_samples,
         "video_frames": video_frames,
         "highlight_snippets": highlight_snippets,
@@ -7318,8 +7321,6 @@ def registry() -> tuple[dict, dict]:
         "rank_eval_metrics": rank_eval_metrics,
         "doclen_percentile_ranks": doclen_percentile_ranks,
         "hybrid_linear_topk": hybrid_linear_topk,
-        "search_dsl_topk": search_dsl_topk,
-        "kmeans_clusters": kmeans_clusters,
         "boosting_topk": boosting_topk,
         "query_string_topk": query_string_topk,
         "cluster_balanced_sample": cluster_balanced_sample,
@@ -7328,7 +7329,6 @@ def registry() -> tuple[dict, dict]:
         "lm_bucket_counts": lm_bucket_counts,
         "pq_codes": pq_codes,
         "pq_ann_topk": pq_ann_topk,
-        "ivf_pq_ann_topk": ivf_pq_ann_topk,
         "field_caps": field_caps,
         "match_counts": match_counts,
 }

@@ -70,23 +70,27 @@ def test_entry_smoke():
 
 # The grading driver checks the FIRST 50 registry entries only.  Pin the
 # curated window so a future append can't silently push a SURVEY §2
-# operator out of it (the round-2 failure mode).  This list must equal
-# CORRECTNESS_r03.json's key set, in order.
+# operator out of it (the round-2 failure mode).  Round-4 curation:
+# search_dsl_topk / kmeans_clusters / ivf_pq_ann_topk promoted in;
+# first_hit_position / doclen_percentiles / revenue_by_nation moved
+# just past the marker (all still oracle-green via this file) — each
+# §2 area keeps at least one in-window row.
 GRADED_WINDOW = [
     "ingest_summary", "decompress_roundtrip", "payload_json", "payload_bad",
     "shard_routing", "stream_batches", "events_min_ts", "build_metrics",
     "fault_retry_stats", "merge_upsert_terms", "resume_stats", "health_probe",
     "snapshot_restore_terms", "live_search", "corpus_stats", "doc_lengths",
     "term_stats", "bm25_topk", "bm25_topk_sharded", "bm25_topk_filtered",
-    "boolean_and", "doc_fetch", "top_terms", "phrase_positional",
-    "first_hit_position", "more_like_this", "benchmark_contamination",
+    "boolean_and", "search_dsl_topk", "doc_fetch", "top_terms",
+    "phrase_positional", "more_like_this", "benchmark_contamination",
     "repetition_stats", "semdedup_survivors", "unigram_lm_scores",
     "lang_facet", "doclen_stats_facet", "significant_terms",
-    "doclen_percentiles", "dedup_exact", "jaccard_pairs", "dedup_survivors",
+    "dedup_exact", "jaccard_pairs", "dedup_survivors",
     "corpus_clean_summary", "hash_sample", "quality_stats",
-    "bpe_token_counts", "ann_topk", "embedding_pairs", "distinct_users",
-    "user_sessions", "asof_purchase_click", "events_window_counts",
-    "pricing_summary", "revenue_by_nation", "image_pixels",
+    "bpe_token_counts", "ann_topk", "embedding_pairs", "kmeans_clusters",
+    "ivf_pq_ann_topk", "distinct_users", "user_sessions",
+    "asof_purchase_click", "events_window_counts", "pricing_summary",
+    "image_pixels",
 ]
 
 
