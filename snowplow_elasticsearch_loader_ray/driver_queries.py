@@ -4158,6 +4158,67 @@ WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
 """
 
 
+#: has_child fixtures: child filter threshold + parents returned
+HAS_CHILD_MIN_PRICE = 150_000.0
+HAS_CHILD_TOP = 15
+
+
+def has_child_topk(sf_dir: str) -> pa.Table:
+    """ES parent-join ``has_child`` (score_mode=sum over constant child
+    scores = matching-child COUNT): customers ranked by how many of
+    their orders clear the price filter; ties break to the smaller
+    custkey. Children pre-filter inside the scan, partial counts
+    combine through one key groupby, and only per-block top candidates
+    reach the driver — the parent table itself is never read (the
+    join key IS the parent id)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def matched(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["o_totalprice"], HAS_CHILD_MIN_PRICE)
+        t = b.filter(keep).group_by("o_custkey").aggregate(
+            [("o_custkey", "count")])
+        return t.rename_columns(["c_custkey", "n"])
+
+    counts = ds.map_batches(matched, batch_format="pyarrow") \
+               .groupby("c_custkey").aggregate(Sum("n", alias_name="n"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b["c_custkey"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((ids, -n))[:HAS_CHILD_TOP]
+        return pa.table({"c_custkey": pa.array(ids[best]),
+                         "n_children": pa.array(n[best])})
+
+    cand = pa.concat_tables(list(
+        counts.map_batches(local_top, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ids = cand["c_custkey"].to_numpy(zero_copy_only=False)
+    n = cand["n_children"].to_numpy(zero_copy_only=False)
+    best = np.lexsort((ids, -n))[:HAS_CHILD_TOP]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(best) + 1, dtype=np.int64)),
+        "c_custkey": pa.array(ids[best].astype(np.int64)),
+        "n_children": pa.array(n[best].astype(np.int64)),
+    })
+
+
+HAS_CHILD_SQL = f"""
+SELECT row_number() OVER (ORDER BY n_children DESC, c_custkey)::BIGINT
+         AS rank,
+       c_custkey, n_children
+FROM (
+  SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_children
+  FROM orders WHERE o_totalprice > {HAS_CHILD_MIN_PRICE!r}
+  GROUP BY 1
+)
+ORDER BY n_children DESC, c_custkey
+LIMIT {HAS_CHILD_TOP}
+"""
+
+
 FIELD_CAPS_SQL = """
 SELECT field, dtype, min_val, max_val, n_nulls FROM (
   SELECT 'doc_id' AS field, 'INT64' AS dtype,
@@ -7331,6 +7392,7 @@ def registry() -> tuple[dict, dict]:
         "pq_ann_topk": pq_ann_topk,
         "field_caps": field_caps,
         "match_counts": match_counts,
+        "has_child_topk": has_child_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7476,6 +7538,7 @@ def registry() -> tuple[dict, dict]:
         "ivf_pq_ann_topk": _ivf_pq_sql(),
         "field_caps": FIELD_CAPS_SQL,
         "match_counts": _match_counts_sql(),
+        "has_child_topk": HAS_CHILD_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
