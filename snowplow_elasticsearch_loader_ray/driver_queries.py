@@ -3573,8 +3573,10 @@ def multi_terms_agg(sf_dir: str) -> pa.Table:
                                columns=["lang", "source", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # count_all, not count(n_chars): bucket doc counts must include
+        # null-valued rows to match the oracle's count(*)
         df = b.group_by(["lang", "source"]).aggregate(
-            [("n_chars", "sum"), ("n_chars", "count")])
+            [("n_chars", "sum"), ([], "count_all")])
         return df.rename_columns(["lang", "source", "chars", "n"])
 
     rows = ds.map_batches(partial, batch_format="pyarrow") \
@@ -4103,10 +4105,12 @@ def field_caps(sf_dir: str) -> pa.Table:
     agg: dict[str, dict] = {}
     for rows in parts:
         for r in rows:
-            a = agg.setdefault(r["field"], dict(r))
-            a["min_val"] = min(a["min_val"], r["min_val"])
-            a["max_val"] = max(a["max_val"], r["max_val"])
-            if a is not r:
+            a = agg.get(r["field"])
+            if a is None:
+                agg[r["field"]] = dict(r)
+            else:
+                a["min_val"] = min(a["min_val"], r["min_val"])
+                a["max_val"] = max(a["max_val"], r["max_val"])
                 a["n_nulls"] += r["n_nulls"]
     out = sorted(agg.values(), key=lambda r: r["field"])
     return pa.table({
@@ -4179,7 +4183,7 @@ def has_child_topk(sf_dir: str) -> pa.Table:
     def matched(b: pa.Table) -> pa.Table:
         keep = pc.greater(b["o_totalprice"], HAS_CHILD_MIN_PRICE)
         t = b.filter(keep).group_by("o_custkey").aggregate(
-            [("o_custkey", "count")])
+            [([], "count_all")])
         return t.rename_columns(["c_custkey", "n"])
 
     counts = ds.map_batches(matched, batch_format="pyarrow") \
@@ -5663,6 +5667,21 @@ def _adjacency_sql() -> str:
             ") WHERE n_docs > 0")
 
 
+def _lm_micro_ref(sf_dir: str):
+    """Broadcast (term array, integer micro-nat log-prob) LM table
+    built from the index's term statistics — the ORACLE-PARITY-
+    critical floor(1e6·(ln cf − ln N)) rounding lives here ONCE for
+    every unigram-LM entry."""
+    ts = _reader(sf_dir).term_stats_table()
+    st = B.index_stats(_ensure_index(sf_dir))
+    n_total = float(st["total_tokens"])
+    micro = np.floor(
+        1e6 * (np.log(ts["cf"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64)) - np.log(n_total))
+    ).astype(np.int64)
+    return ray.put((ts["term"].combine_chunks(), micro))
+
+
 class _LmScore:
     """Actor-pool unigram-LM scorer: the (term -> integer micro-nat)
     table is fetched ONCE per actor from the object store; each batch
@@ -5706,13 +5725,7 @@ def unigram_lm_scores(sf_dir: str) -> pa.Table:
     broadcast once and each batch scores via one `index_in` gather +
     one weighted bincount (at web vocab the LM table shards with the
     term dictionary and the gather runs per shard)."""
-    ts = _reader(sf_dir).term_stats_table()
-    st = B.index_stats(_ensure_index(sf_dir))
-    n_total = float(st["total_tokens"])
-    micro = np.floor(
-        1e6 * (np.log(ts["cf"].to_numpy(zero_copy_only=False).astype(np.float64))
-               - np.log(n_total))).astype(np.int64)
-    lm_ref = ray.put((ts["term"].combine_chunks(), micro))
+    lm_ref = _lm_micro_ref(sf_dir)
 
     out = (_docs_ds(sf_dir)
            .map_batches(_LmScore, batch_format="pyarrow", concurrency=2,
@@ -5952,13 +5965,7 @@ def lm_bucket_counts(sf_dir: str) -> pa.Table:
     percentile head/middle/tail cuts this needs NO per-lang sort —
     one scoring pass + a tiny (n_langs x n_buckets) groupby, so the
     plan is shuffle-light at any corpus size."""
-    ts = _reader(sf_dir).term_stats_table()
-    st = B.index_stats(_ensure_index(sf_dir))
-    n_total = float(st["total_tokens"])
-    micro = np.floor(
-        1e6 * (np.log(ts["cf"].to_numpy(zero_copy_only=False).astype(np.float64))
-               - np.log(n_total))).astype(np.int64)
-    lm_ref = ray.put((ts["term"].combine_chunks(), micro))
+    lm_ref = _lm_micro_ref(sf_dir)
 
     def bucketize(b: pa.Table) -> pa.Table:
         nt = b["n_tokens"].to_numpy(zero_copy_only=False)

@@ -48,9 +48,20 @@ KM_HASH_MOD = 2**32
 
 
 def quantize(emb: np.ndarray) -> np.ndarray:
-    """float32 (n, dim) -> strictly-positive int64 (n, dim)."""
-    return np.floor(emb.astype(np.float64) * KM_SCALE).astype(np.int64) \
+    """float32 (n, dim) -> strictly-positive int64 (n, dim).
+
+    The positivity invariant (|e| < 2^20 / 1e6 = 1.048576) is what
+    makes numpy's FLOOR division agree with DuckDB's TRUNCATING ``//``
+    throughout the oracle replay — enforce it loudly rather than let
+    one out-of-range component silently break engine/oracle parity."""
+    q = np.floor(emb.astype(np.float64) * KM_SCALE).astype(np.int64) \
         + KM_OFFSET
+    if len(q) and q.min() < 0:
+        raise ValueError(
+            f"embedding component below -{KM_OFFSET / KM_SCALE}: "
+            f"min quantized value {q.min() - KM_OFFSET} breaks the "
+            "positive-domain floor-division contract")
+    return q
 
 
 def _batch_q(batch: pa.Table, dim_slice: tuple[int, int] | None = None
@@ -245,7 +256,7 @@ def pq_adc_topk(ds: ray.data.Dataset, books: list[np.ndarray],
         best = msk[np.lexsort((ids[msk], d[msk]))[:k]]
         for r, b in enumerate(best, 1):
             rows.append((qi, r, ids[b], d[b]))
-    c = list(zip(*rows))
+    c = list(zip(*rows)) if rows else [[], [], [], []]
     return pa.table({
         "query_id": pa.array(c[0], pa.int64()),
         "rank": pa.array(c[1], pa.int64()),

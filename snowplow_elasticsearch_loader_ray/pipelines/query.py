@@ -234,10 +234,20 @@ def score_boosting(reader: IndexReader, positive: str, negative: str,
         if pl is None:
             continue
         neg = np.sort(reader.positions_of(t, pl.decode_all()[0]))
-        pos = np.minimum(np.searchsorted(neg, ords), len(neg) - 1)
-        demoted |= neg[pos] == ords
+        demoted |= isin_sorted(neg, ords)
     scores = np.where(demoted, scores * negative_boost, scores)
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
+
+
+def isin_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in an ascending ``sorted_arr`` via one
+    searchsorted probe (the clip keeps past-the-end probes in bounds);
+    empty haystack -> all False."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, values),
+                     len(sorted_arr) - 1)
+    return sorted_arr[pos] == values
 
 
 #: safety margin over the 1e-7 score-rounding granularity: pruning only

@@ -45,8 +45,8 @@ from .. import bm25
 from .query import (
     IndexReader,
     _taat_scores_ords,
+    isin_sorted,
     score_boosting,
-    score_dismax,
     score_field_value_factor,
     score_function_gauss,
     score_min_should_match,
@@ -99,28 +99,14 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
     filters = node.get("filter", [])
     if isinstance(filters, dict):
         filters = [filters]
-    # validate every clause shape BEFORE scoring, so an unsupported
-    # filter raises even when the match clause hits zero docs
-    for f in filters:
-        if set(f) not in ({"term"}, {"match_phrase"}, {"range"}):
-            raise UnsupportedDSL(f"unsupported filter {f!r}")
-    for mn in node.get("must_not", []):
-        _match_text(mn)
-
-    ords, scores = _taat_scores_ords(reader, q)
-    if not len(ords):
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-
+    # validate EVERY clause fully (outer kind, inner field, option
+    # keys, positional-index availability) BEFORE scoring, so an
+    # unsupported shape raises even when the match clause hits zero
+    # docs or an earlier filter empties the candidate set
     for f in filters:
         if set(f) == {"term"}:
             if set(f["term"]) != {"text"}:
                 raise UnsupportedDSL(f"term filter on {set(f['term'])}")
-            fp = _term_ords(reader, f["term"]["text"])
-            if not len(fp):
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64))
-            pos = np.minimum(np.searchsorted(fp, ords), len(fp) - 1)
-            keep = fp[pos] == ords
         elif set(f) == {"match_phrase"}:
             if set(f["match_phrase"]) != {"text"}:
                 raise UnsupportedDSL(
@@ -129,6 +115,28 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
                 raise UnsupportedDSL(
                     "match_phrase filter needs a positional index "
                     "(pass pos_reader)")
+        elif set(f) == {"range"}:
+            if set(f["range"]) != {"doclen"}:
+                raise UnsupportedDSL(f"range filter on {set(f['range'])}")
+            bad = set(f["range"]["doclen"]) - {"gte", "lte"}
+            if bad:
+                raise UnsupportedDSL(f"range bounds {bad}")
+        else:
+            raise UnsupportedDSL(f"unsupported filter {f!r}")
+    for mn in node.get("must_not", []):
+        if _match_text(mn)[1] is not None:
+            raise UnsupportedDSL(
+                "minimum_should_match inside must_not is unsupported")
+
+    ords, scores = _taat_scores_ords(reader, q)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    for f in filters:
+        if set(f) == {"term"}:
+            fp = _term_ords(reader, f["term"]["text"])
+            keep = isin_sorted(fp, ords)
+        elif set(f) == {"match_phrase"}:
             from .positions import phrase_search
 
             # phrase_search returns EXTERNAL doc ids; map candidates'
@@ -136,19 +144,9 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
             ph = np.sort(np.asarray(
                 phrase_search(pos_reader, f["match_phrase"]["text"]),
                 dtype=np.int64))
-            if not len(ph):
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64))
-            ext = reader.dl_doc_ids[ords]
-            pos = np.minimum(np.searchsorted(ph, ext), len(ph) - 1)
-            keep = ph[pos] == ext
-        elif set(f) == {"range"}:
-            if set(f["range"]) != {"doclen"}:
-                raise UnsupportedDSL(f"range filter on {set(f['range'])}")
+            keep = isin_sorted(ph, reader.dl_doc_ids[ords])
+        else:
             r = f["range"]["doclen"]
-            extra = set(r) - {"gte", "lte"}
-            if extra:
-                raise UnsupportedDSL(f"range bounds {extra}")
             dl = reader.dl_lens[ords]
             keep = np.ones(len(ords), dtype=bool)
             if "gte" in r:
@@ -165,10 +163,9 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
         nq, _ = _match_text(mn)
         for t in sorted(set(tokenize_query(nq))):
             ex = _term_ords(reader, t)
-            if not len(ex) or not len(ords):
-                continue
-            pos = np.minimum(np.searchsorted(ex, ords), len(ex) - 1)
-            keep = ex[pos] != ords
+            if not len(ords):
+                break
+            keep = ~isin_sorted(ex, ords)
             ords, scores = ords[keep], scores[keep]
 
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores, k)
@@ -247,11 +244,39 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
     elif kind == "dis_max":
         dm = node["dis_max"]
         extra = set(dm) - {"queries", "tie_breaker"}
-        if extra:
-            raise UnsupportedDSL(f"unsupported dis_max keys {extra}")
-        terms = " ".join(_match_text(sq)[0] for sq in dm["queries"])
-        d, s = score_dismax(reader, terms, k,
-                            tie_breaker=dm.get("tie_breaker", 0.0))
+        if extra or not dm.get("queries"):
+            raise UnsupportedDSL(f"unsupported dis_max keys {dm!r}")
+        # per-CLAUSE max (the ES contract): each clause scores as its
+        # own BM25 sum; a doc's dis_max is max over clause sums plus
+        # tie_breaker x (total - max). Degenerates bit-identically to
+        # the per-term score_dismax when every clause is single-term.
+        clauses = []
+        for sq in dm["queries"]:
+            cq, msm = _match_text(sq)
+            if msm is not None:
+                raise UnsupportedDSL(
+                    "minimum_should_match inside dis_max is unsupported")
+            clauses.append(cq)
+        tb = dm.get("tie_breaker", 0.0)
+        # own allocations: reader.acc_buffer() is the SHARED scratch
+        # that _taat_scores_ords zero-fills per clause call
+        acc_sum = np.zeros(len(reader.dl_doc_ids), dtype=np.float64)
+        acc_max = np.zeros_like(acc_sum)
+        matched = False
+        for cq in clauses:
+            ords, scores = _taat_scores_ords(reader, cq)
+            if not len(ords):
+                continue
+            matched = True
+            acc_sum[ords] += scores
+            np.maximum.at(acc_max, ords, scores)
+        if not matched:
+            d = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float64)
+        else:
+            cand = np.nonzero(acc_sum)[0]
+            sc = acc_max[cand] + tb * (acc_sum[cand] - acc_max[cand])
+            d, s = bm25.rank_topk(reader.dl_doc_ids[cand], sc, k)
     elif kind == "constant_score":
         cs = node["constant_score"]
         extra = set(cs) - {"filter", "boost"}
@@ -278,24 +303,38 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
         extra = set(bq) - {"positive", "negative", "negative_boost"}
         if extra or "positive" not in bq or "negative" not in bq:
             raise UnsupportedDSL(f"unsupported boosting keys {bq!r}")
-        pos_q, _ = _match_text(bq["positive"])
-        neg_q, _ = _match_text(bq["negative"])
+        pos_q, pos_msm = _match_text(bq["positive"])
+        neg_q, neg_msm = _match_text(bq["negative"])
+        if pos_msm is not None or neg_msm is not None:
+            raise UnsupportedDSL(
+                "minimum_should_match inside boosting is unsupported")
         d, s = score_boosting(reader, pos_q, neg_q, k,
                               negative_boost=bq.get("negative_boost", 0.5))
     elif kind == "function_score":
         fs = node["function_score"]
-        q, _ = _match_text(fs["query"])
+        extra = set(fs) - {"query", "gauss", "field_value_factor"}
+        if extra or "query" not in fs:
+            raise UnsupportedDSL(f"unsupported function_score keys {fs!r}")
+        q, q_msm = _match_text(fs["query"])
+        if q_msm is not None:
+            raise UnsupportedDSL(
+                "minimum_should_match inside function_score is unsupported")
         if "gauss" in fs:
             g = fs["gauss"]
             if set(g) != {"doclen"}:
                 raise UnsupportedDSL(f"gauss on {set(g)}")
             p = g["doclen"]
+            bad = set(p) - {"origin", "scale", "decay"}
+            if bad or "origin" not in p or "scale" not in p:
+                raise UnsupportedDSL(f"gauss params {p!r}")
             d, s = score_function_gauss(
                 reader, q, k, origin=p["origin"], scale=p["scale"],
                 decay=p.get("decay", 0.5))
         elif "field_value_factor" in fs:
             p = fs["field_value_factor"]
-            if p.get("field", "doclen") != "doclen" or \
+            bad = set(p) - {"field", "modifier", "factor"}
+            if bad or "factor" not in p or \
+                    p.get("field", "doclen") != "doclen" or \
                     p.get("modifier", "ln1p") != "ln1p":
                 raise UnsupportedDSL(f"field_value_factor {p!r}")
             d, s = score_field_value_factor(reader, q, k,

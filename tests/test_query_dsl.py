@@ -118,6 +118,59 @@ def test_boosting_demotes_not_excludes(reader):
     _same(DSL.execute(reader, body1), plain)
 
 
+def test_dis_max_multiword_clause_is_per_clause_max(reader):
+    """ES dis_max takes the max over CLAUSE scores — a multi-word match
+    clause is one clause (a BM25 sum), not a bag of per-term partials."""
+    import numpy as np
+    from snowplow_elasticsearch_loader_ray.pipelines.query import score_taat
+
+    body = {"query": {"dis_max": {"queries": [
+        {"match": {"text": "data stream"}},
+        {"match": {"text": "slow"}}]}}, "size": 300}
+    d, s = DSL.execute(reader, body)
+    a_d, a_s = score_taat(reader, "data stream", 10_000)
+    b_d, b_s = score_taat(reader, "slow", 10_000)
+    a = dict(zip(a_d.tolist(), a_s.tolist()))
+    b = dict(zip(b_d.tolist(), b_s.tolist()))
+    for doc, sc in zip(d.tolist(), s.tolist()):
+        assert sc == max(a.get(doc, 0.0), b.get(doc, 0.0))
+    # there must exist a doc where per-clause max != per-term max
+    # (i.e. the two-term clause sum wins over any single term partial)
+    assert any(a.get(doc, 0.0) > b.get(doc, 0.0) and doc in a
+               for doc in d.tolist())
+
+
+@pytest.mark.parametrize("body", [
+    # unsupported range FIELD must raise even when the match is empty
+    {"query": {"bool": {"must": [{"match": {"text": "zzznoterm"}}],
+                        "filter": [{"range": {"timestamp": {"gte": 1}}}]}}},
+    # minimum_should_match is rejected in every non-must position
+    {"query": {"boosting": {
+        "positive": {"match": {"text": {"query": "a b",
+                                        "minimum_should_match": 2}}},
+        "negative": {"match": {"text": "x"}}}}},
+    {"query": {"dis_max": {"queries": [
+        {"match": {"text": {"query": "a b", "minimum_should_match": 2}}}]}}},
+    {"query": {"bool": {"must": [{"match": {"text": "data"}}],
+                        "must_not": [{"match": {"text": {
+                            "query": "x", "minimum_should_match": 1}}}]}}},
+    # function_score validates its option surface
+    {"query": {"function_score": {"query": {"match": {"text": "data"}},
+                                  "gauss": {"doclen": {"origin": 1,
+                                                       "scale": 2,
+                                                       "offset": 3}}}}},
+    {"query": {"function_score": {"query": {"match": {"text": "data"}},
+                                  "boost_mode": "sum",
+                                  "gauss": {"doclen": {"origin": 1,
+                                                       "scale": 2}}}}},
+    {"query": {"function_score": {"gauss": {"doclen": {"origin": 1,
+                                                       "scale": 2}}}}},
+])
+def test_silent_divergence_shapes_refuse(reader, body):
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)
+
+
 def test_constant_score(reader):
     from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_and
 
