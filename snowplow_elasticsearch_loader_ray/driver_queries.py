@@ -4028,7 +4028,7 @@ def pq_ann_topk(sf_dir: str) -> pa.Table:
     })
 
 
-def _pq_adc_sql() -> str:
+def _pq_adc_sql(topk: int = TOPK) -> str:
     from .pipelines.cluster import KM_OFFSET, KM_SCALE
 
     w = EMB_DIM // PQ_M
@@ -4063,6 +4063,70 @@ ranked AS (
   FROM total
 )
 SELECT qid, rank::BIGINT AS rank, vec_id, adc_dist
+FROM ranked WHERE rank <= {topk}
+"""
+
+
+#: ADC shortlist width multiplier for the exact refine stage
+PQ_EXPAND = 4
+
+
+def pq_refine_topk(sf_dir: str) -> pa.Table:
+    """Two-stage PQ serving (pipelines/cluster.py::pq_refine_topk):
+    ADC shortlists PQ_EXPAND x k candidates from codes alone; only the
+    shortlist's true quantized vectors are touched for the exact
+    re-rank (a per-query semi-join read at scale). Exact int64, full
+    value oracle; refine recall vs exact quantized-L2 is pinned in
+    tests/test_cluster.py and must dominate raw ADC recall."""
+    from .pipelines import cluster as KM
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    _outs, books = KM.pq_codes(ds, EMB_DIM, PQ_M, PQ_K, PQ_ITERS)
+    qids, qmat = _query_vectors(sf_dir)
+    qq = KM.quantize(np.asarray(qmat, dtype=np.float32))
+    out = KM.pq_refine_topk(ds, books, qq, k=TOPK, expand=PQ_EXPAND)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "qid": qmap,
+        "rank": out["rank"],
+        "vec_id": out["vec_id"],
+        "dist_sq": out["dist_sq"],
+    })
+
+
+def _pq_refine_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    adc = _pq_adc_sql(topk=PQ_EXPAND * TOPK)
+    quant = (f"e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT) "
+             f"+ {KM_OFFSET}")
+    return f"""
+WITH cand AS (SELECT qid, vec_id FROM ({adc}) c),
+qv AS (
+  SELECT vec_id, list_transform(embedding, {quant}) AS q
+  FROM embeddings
+),
+qfull AS (
+  SELECT vec_id AS qid, list_transform(embedding, {quant}) AS q
+  FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+exact AS (
+  SELECT c.qid, c.vec_id,
+         list_sum(list_transform(range(1, len(v.q)+1),
+           t -> (v.q[t]-qq.q[t])*(v.q[t]-qq.q[t])))::BIGINT AS dist_sq
+  FROM cand c
+  JOIN qv v ON v.vec_id = c.vec_id
+  JOIN qfull qq ON qq.qid = c.qid
+),
+ranked AS (
+  SELECT qid, vec_id, dist_sq,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist_sq, vec_id) AS rank
+  FROM exact
+)
+SELECT qid, rank::BIGINT AS rank, vec_id, dist_sq
 FROM ranked WHERE rank <= {TOPK}
 """
 
@@ -7400,6 +7464,7 @@ def registry() -> tuple[dict, dict]:
         "field_caps": field_caps,
         "match_counts": match_counts,
         "has_child_topk": has_child_topk,
+        "pq_refine_topk": pq_refine_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7546,6 +7611,7 @@ def registry() -> tuple[dict, dict]:
         "field_caps": FIELD_CAPS_SQL,
         "match_counts": _match_counts_sql(),
         "has_child_topk": HAS_CHILD_SQL,
+        "pq_refine_topk": _pq_refine_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

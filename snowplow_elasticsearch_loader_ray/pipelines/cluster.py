@@ -265,6 +265,75 @@ def pq_adc_topk(ds: ray.data.Dataset, books: list[np.ndarray],
     })
 
 
+def pq_refine_topk(ds: ray.data.Dataset, books: list[np.ndarray],
+                   queries_q: np.ndarray, k: int, expand: int = 4,
+                   batch_size: int = 4096) -> pa.Table:
+    """Two-stage ANN serving (the production PQ pattern): the ADC scan
+    shortlists ``expand * k`` candidates per query from codes alone,
+    then ONLY those candidates' true (quantized) vectors are touched
+    for an exact re-rank. The refine pass streams the corpus once with
+    the tiny (query -> candidate-id set) broadcast — at scale it is a
+    semi-join read of k' rows per query, not a second full scan of
+    raw vectors. Exact int64 end to end (full value oracle)."""
+    cand = pq_adc_topk(ds, books, queries_q, k=expand * k,
+                       batch_size=batch_size)
+    nq = len(queries_q)
+    cq = cand["query_id"].to_numpy(zero_copy_only=False)
+    cv = cand["vec_id"].to_numpy(zero_copy_only=False)
+    cand_sets = [np.sort(cv[cq == qi]) for qi in range(nq)]
+    ref = ray.put((queries_q, cand_sets))
+
+    class _Refine:
+        def __init__(self):
+            self.qq, self.cands = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, q = _batch_q(batch)
+            qid_c, id_c, d_c = [], [], []
+            for qi, cset in enumerate(self.cands):
+                if not len(cset):
+                    continue
+                pos = np.minimum(np.searchsorted(cset, ids),
+                                 len(cset) - 1)
+                m = np.nonzero(cset[pos] == ids)[0]
+                if not len(m):
+                    continue
+                d = ((q[m] - self.qq[qi][None, :]) ** 2).sum(axis=1)
+                qid_c.append(np.full(len(m), qi, dtype=np.int64))
+                id_c.append(ids[m])
+                d_c.append(d)
+            if not qid_c:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "dist_sq": pa.array([], pa.int64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(qid_c)),
+                "vec_id": pa.array(np.concatenate(id_c)),
+                "dist_sq": pa.array(np.concatenate(d_c)),
+            })
+
+    exact = pa.concat_tables(list(
+        ds.map_batches(_Refine, batch_format="pyarrow",
+                       batch_size=batch_size, concurrency=2)
+          .iter_batches(batch_format="pyarrow", batch_size=None)))
+    qid = exact["query_id"].to_numpy(zero_copy_only=False)
+    ids = exact["vec_id"].to_numpy(zero_copy_only=False)
+    d = exact["dist_sq"].to_numpy(zero_copy_only=False)
+    rows = []
+    for qi in range(nq):
+        msk = np.nonzero(qid == qi)[0]
+        best = msk[np.lexsort((ids[msk], d[msk]))[:k]]
+        for r, b in enumerate(best, 1):
+            rows.append((qi, r, ids[b], d[b]))
+    c = list(zip(*rows)) if rows else [[], [], [], []]
+    return pa.table({
+        "query_id": pa.array(c[0], pa.int64()),
+        "rank": pa.array(c[1], pa.int64()),
+        "vec_id": pa.array(c[2], pa.int64()),
+        "dist_sq": pa.array(c[3], pa.int64()),
+    })
+
+
 def ivf_pq_topk(ds: ray.data.Dataset, coarse: np.ndarray,
                 books: list[np.ndarray], queries_q: np.ndarray,
                 nprobe: int, k: int,

@@ -111,6 +111,39 @@ def test_pq_adc_recall_and_invariance(emb):
     assert np.mean(rec) >= 0.2   # measured 0.30 with 4x16 codebooks
 
 
+def test_pq_refine_beats_raw_adc(emb):
+    """The exact re-rank over the ADC shortlist must dominate raw ADC
+    recall (deterministic on the fixture: 0.46 vs 0.30 @10)."""
+    ids, mat = emb
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    q = KM.quantize(mat)
+    qq = q[np.argsort(ids)][:10]
+    _outs, books = KM.pq_codes(ds, mat.shape[1], 4, 16, 2)
+    adc = KM.pq_adc_topk(ds, books, qq, k=10).to_pandas()
+    ref = KM.pq_refine_topk(ds, books, qq, k=10, expand=4).to_pandas()
+
+    def recall(df):
+        rs = []
+        for qi in range(10):
+            d = ((q - qq[qi]) ** 2).sum(axis=1)
+            exact = set(ids[np.lexsort((ids, d))[:10]])
+            rs.append(len(exact & set(df[df.query_id == qi].vec_id)) / 10)
+        return float(np.mean(rs))
+
+    r_adc, r_ref = recall(adc), recall(ref)
+    assert r_ref >= r_adc
+    assert r_ref >= 0.4
+    # refine distances are TRUE quantized-L2 (self-query at distance 0)
+    order = np.argsort(ids)
+    for qi in range(10):
+        self_row = ref[(ref.query_id == qi)
+                       & (ref.vec_id == ids[order[qi]])]
+        assert len(self_row) == 1 and int(self_row.dist_sq.iloc[0]) == 0
+
+
 def test_ivf_pq_full_probe_equals_adc(emb):
     """Probing every coarse cell degenerates IVF-PQ to plain ADC; a
     narrow probe returns a subset of candidates (recall <= 1) but
