@@ -216,6 +216,41 @@ def simple_query_string(reader: IndexReader, s: str, k: int,
     return _exec_bool(reader, bool_node, k, pos_reader=pos_reader)
 
 
+def execute_with_aggs(reader: IndexReader, body: dict, pos_reader=None
+                      ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """``execute`` plus the request's ``aggs`` section: aggregations
+    run over the FULL match set of the query (every hit, not the
+    returned page — the ES contract), served from the doc-value
+    columns. Supported: ``{"terms": {"field": "lang"}}`` and
+    ``{"stats": {"field": "doclen"}}``."""
+    from .query import facet_doclen_stats, facet_lang_counts
+
+    aggs = body.get("aggs", {})
+    node = body.get("query", {})
+    if aggs and set(node) != {"match"}:
+        raise UnsupportedDSL("aggs are supported on match queries only")
+    for name, spec in aggs.items():
+        if set(spec) == {"terms"}:
+            if spec["terms"].get("field") != "lang":
+                raise UnsupportedDSL(f"terms agg on {spec['terms']!r}")
+        elif set(spec) == {"stats"}:
+            if spec["stats"].get("field") != "doclen":
+                raise UnsupportedDSL(f"stats agg on {spec['stats']!r}")
+        else:
+            raise UnsupportedDSL(f"unsupported agg {name}: {spec!r}")
+    inner = {k: v for k, v in body.items() if k != "aggs"}
+    d, s = execute(reader, inner, pos_reader=pos_reader)
+    out: dict = {}
+    if aggs:
+        q, _msm = _match_text(node)
+        for name, spec in aggs.items():
+            if "terms" in spec:
+                out[name] = facet_lang_counts(reader, q)
+            else:
+                out[name] = facet_doclen_stats(reader, q)
+    return d, s, out
+
+
 def execute(reader: IndexReader, body: dict, pos_reader=None
             ) -> tuple[np.ndarray, np.ndarray]:
     """Run one ES ``_search`` request body; returns (doc_ids, scores)

@@ -171,6 +171,33 @@ def test_silent_divergence_shapes_refuse(reader, body):
         DSL.execute(reader, body)
 
 
+def test_aggs_in_request_body(reader):
+    """aggs run over the FULL match set (ES contract) and equal the
+    direct facet calls; unsupported agg shapes refuse."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        facet_doclen_stats, facet_lang_counts)
+
+    body = {"query": {"match": {"text": "data stream"}}, "size": 3,
+            "aggs": {"langs": {"terms": {"field": "lang"}},
+                     "dl": {"stats": {"field": "doclen"}}}}
+    d, s, aggs = DSL.execute_with_aggs(reader, body)
+    assert len(d) == 3
+    assert aggs["langs"] == facet_lang_counts(reader, "data stream")
+    assert aggs["dl"] == facet_doclen_stats(reader, "data stream")
+    # without aggs the triple degenerates to execute()
+    d2, s2 = DSL.execute(reader, {"query": {"match": {"text": "data stream"}},
+                                  "size": 3})
+    _same((d, s), (d2, s2))
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute_with_aggs(reader, {
+            "query": {"match": {"text": "x"}},
+            "aggs": {"h": {"histogram": {"field": "doclen"}}}})
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute_with_aggs(reader, {
+            "query": {"bool": {"must": [{"match": {"text": "x"}}]}},
+            "aggs": {"langs": {"terms": {"field": "lang"}}}})
+
+
 def test_constant_score(reader):
     from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_and
 
