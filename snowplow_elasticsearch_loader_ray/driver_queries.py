@@ -4067,6 +4067,128 @@ FROM ranked WHERE rank <= {topk}
 """
 
 
+#: planted geo-point derivation (the pii_scrub_stats pattern: the
+#: fixture has no geo column, so a deterministic field is derived from
+#: doc_id identically in engine and SQL). Micro-degree integers; the
+#: second multiplier is the public xxhash32 prime.
+GEO_MUL_LAT = 2654435761
+GEO_MUL_LON = 2246822519
+GEO_RES_MOD = 2**31
+GEO_HASH_MOD = 2**32
+GEO_LAT_SPAN = 180_000_001   # lat_micro in [-90e6, +90e6]
+GEO_LON_SPAN = 360_000_001   # lon_micro in [-180e6, +180e6]
+#: geo_distance fixtures: (qid, lat_micro, lon_micro, radius_micro) —
+#: PLANAR metric on micro-degrees (documented approximation: exact
+#: integer parity beats haversine float drift for the oracle)
+GEO_QUERIES: list[tuple[int, int, int, int]] = [
+    (0, 0, 0, 40_000_000),
+    (1, 45_000_000, -120_000_000, 60_000_000),
+    (2, -60_000_000, 150_000_000, 25_000_000),
+]
+#: geotile-ish grid cell size (micro-degrees) and bucket count cap
+GEO_CELL = 30_000_000
+GEO_GRID_TOP = 12
+
+
+def _geo_micro(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = ids.astype(np.uint64)
+    lat = (u % GEO_RES_MOD * GEO_MUL_LAT % GEO_HASH_MOD
+           % GEO_LAT_SPAN).astype(np.int64) - 90_000_000
+    lon = (u % GEO_RES_MOD * GEO_MUL_LON % GEO_HASH_MOD
+           % GEO_LON_SPAN).astype(np.int64) - 180_000_000
+    return lat, lon
+
+
+def geo_distance_counts(sf_dir: str) -> pa.Table:
+    """ES ``geo_distance`` filter: per query point, how many documents
+    fall inside the radius — planar squared distance on integer
+    micro-degrees (exact in int64: diffs < 2^29, squares sum < 2^59).
+    One vectorized derive+filter pass per batch; per-block partial
+    counts reduce through a tiny groupby."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def count(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_micro(ids)
+        rows = []
+        for qid, qlat, qlon, r in GEO_QUERIES:
+            inside = ((lat - qlat) ** 2 + (lon - qlon) ** 2
+                      <= np.int64(r) ** 2)
+            rows.append((qid, int(inside.sum())))
+        c = list(zip(*rows))
+        return pa.table({"qid": pa.array(c[0], pa.int64()),
+                         "n": pa.array(c[1], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(count, batch_format="pyarrow") \
+            .groupby("qid").aggregate(Sum("n", alias_name="n_inside")) \
+            .to_pandas().sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(out["qid"], pa.int64()),
+                     "n_inside": pa.array(out["n_inside"], pa.int64())})
+
+
+def _geo_sql_point() -> tuple[str, str]:
+    lat = (f"((doc_id % {GEO_RES_MOD}) * {GEO_MUL_LAT} % {GEO_HASH_MOD} "
+           f"% {GEO_LAT_SPAN} - 90000000)")
+    lon = (f"((doc_id % {GEO_RES_MOD}) * {GEO_MUL_LON} % {GEO_HASH_MOD} "
+           f"% {GEO_LON_SPAN} - 180000000)")
+    return lat, lon
+
+
+def _geo_distance_sql() -> str:
+    lat, lon = _geo_sql_point()
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, count(*) FILTER ("
+        f"(lat-({qlat}))*(lat-({qlat})) + (lon-({qlon}))*(lon-({qlon}))"
+        f" <= {r}::BIGINT*{r}::BIGINT)::BIGINT AS n_inside FROM pts"
+        for qid, qlat, qlon, r in GEO_QUERIES)
+    return f"""
+WITH pts AS (SELECT {lat}::BIGINT AS lat, {lon}::BIGINT AS lon
+             FROM documents)
+{legs}
+"""
+
+
+def geo_grid_agg(sf_dir: str) -> pa.Table:
+    """ES ``geotile_grid``-style aggregation: documents bucketed into
+    fixed micro-degree cells (coordinates shifted non-negative before
+    the floor division so numpy floor == DuckDB trunc), top cells by
+    count with lexicographic ties."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_micro(ids)
+        cy = (lat + 90_000_000) // GEO_CELL
+        cx = (lon + 180_000_000) // GEO_CELL
+        return pa.table({"cell_y": pa.array(cy), "cell_x": pa.array(cx)})
+
+    out = ds.map_batches(cells, batch_format="pyarrow") \
+            .groupby(["cell_y", "cell_x"]).count() \
+            .to_pandas()
+    out = out.sort_values(["count()", "cell_y", "cell_x"],
+                          ascending=[False, True, True]) \
+             .head(GEO_GRID_TOP).reset_index(drop=True)
+    return pa.table({
+        "cell_y": pa.array(out["cell_y"], pa.int64()),
+        "cell_x": pa.array(out["cell_x"], pa.int64()),
+        "n_docs": pa.array(out["count()"], pa.int64()),
+    })
+
+
+def _geo_grid_sql() -> str:
+    lat, lon = _geo_sql_point()
+    return f"""
+SELECT (({lat}) + 90000000) // {GEO_CELL} AS cell_y,
+       (({lon}) + 180000000) // {GEO_CELL} AS cell_x,
+       count(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY n_docs DESC, cell_y, cell_x
+LIMIT {GEO_GRID_TOP}
+"""
+
+
 #: ADC shortlist width multiplier for the exact refine stage
 PQ_EXPAND = 4
 
@@ -7465,6 +7587,8 @@ def registry() -> tuple[dict, dict]:
         "match_counts": match_counts,
         "has_child_topk": has_child_topk,
         "pq_refine_topk": pq_refine_topk,
+        "geo_distance_counts": geo_distance_counts,
+        "geo_grid_agg": geo_grid_agg,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7612,6 +7736,8 @@ def registry() -> tuple[dict, dict]:
         "match_counts": _match_counts_sql(),
         "has_child_topk": HAS_CHILD_SQL,
         "pq_refine_topk": _pq_refine_sql(),
+        "geo_distance_counts": _geo_distance_sql(),
+        "geo_grid_agg": _geo_grid_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
