@@ -4067,6 +4067,68 @@ FROM ranked WHERE rank <= {topk}
 """
 
 
+#: RAG chunking: window length and stride in TOKENS
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_spans(sf_dir: str) -> pa.Table:
+    """RAG-prep document chunking: overlapping token windows of
+    CHUNK_LEN every CHUNK_STRIDE (last window clipped to the doc end,
+    every doc emits >= 1 chunk — the retrieval-corpus convention).
+    One vectorized pass: token counts per doc, then a repeat/arange
+    explode into (doc_id, chunk_idx, start_tok, end_tok) rows — pure
+    integer arithmetic, no text leaves the stage."""
+    from .tokenizer import tokenize_to_terms
+
+    def spans(b: pa.Table) -> pa.Table:
+        _flat, idx = tokenize_to_terms(b["text"])
+        n = b.num_rows
+        ntok = np.bincount(idx.to_numpy(zero_copy_only=False),
+                           minlength=n).astype(np.int64)
+        n_chunks = np.where(
+            ntok <= CHUNK_LEN, 1,
+            (ntok - CHUNK_LEN + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1)
+        doc = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False),
+                        n_chunks)
+        tot = np.repeat(ntok, n_chunks)
+        off = np.arange(int(n_chunks.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        start = off * CHUNK_STRIDE
+        end = np.minimum(start + CHUNK_LEN, tot)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "chunk_idx": pa.array(off),
+            "start_tok": pa.array(start),
+            "end_tok": pa.array(end),
+        })
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    t = pa.concat_tables(ray.get(
+        ds.map_batches(spans, batch_format="pyarrow").to_arrow_refs()))
+    return t
+
+
+CHUNK_SPANS_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, len({TOK_SQL})::BIGINT AS n FROM documents
+),
+cnt AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {CHUNK_LEN} THEN 1
+              ELSE (n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} + 1 END AS n_chunks
+  FROM nt
+)
+SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx,
+       unnest(range(0, n_chunks)) * {CHUNK_STRIDE} AS start_tok,
+       least(unnest(range(0, n_chunks)) * {CHUNK_STRIDE} + {CHUNK_LEN},
+             n) AS end_tok
+FROM cnt
+"""
+
+
 #: planted geo-point derivation (the pii_scrub_stats pattern: the
 #: fixture has no geo column, so a deterministic field is derived from
 #: doc_id identically in engine and SQL). Micro-degree integers; the
@@ -7589,6 +7651,7 @@ def registry() -> tuple[dict, dict]:
         "pq_refine_topk": pq_refine_topk,
         "geo_distance_counts": geo_distance_counts,
         "geo_grid_agg": geo_grid_agg,
+        "chunk_spans": chunk_spans,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7738,6 +7801,7 @@ def registry() -> tuple[dict, dict]:
         "pq_refine_topk": _pq_refine_sql(),
         "geo_distance_counts": _geo_distance_sql(),
         "geo_grid_agg": _geo_grid_sql(),
+        "chunk_spans": CHUNK_SPANS_SQL,
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

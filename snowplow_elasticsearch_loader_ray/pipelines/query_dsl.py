@@ -255,9 +255,27 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
             ) -> tuple[np.ndarray, np.ndarray]:
     """Run one ES ``_search`` request body; returns (doc_ids, scores)
     of the requested page, ranked by the engine's BM25 contract."""
-    extra = set(body) - {"query", "size", "from"}
+    extra = set(body) - {"query", "size", "from", "search_after"}
     if extra:
         raise UnsupportedDSL(f"unsupported top-level keys {extra}")
+    if "search_after" in body:
+        from .query import score_taat_after
+
+        if "from" in body:
+            raise UnsupportedDSL("search_after and from are exclusive")
+        node = body.get("query")
+        if not isinstance(node, dict) or set(node) != {"match"}:
+            raise UnsupportedDSL(
+                "search_after is supported on match queries only")
+        cur = body["search_after"]
+        if not (isinstance(cur, (list, tuple)) and len(cur) == 2):
+            raise UnsupportedDSL(f"bad search_after cursor {cur!r}")
+        q, msm = _match_text(node)
+        if msm is not None:
+            raise UnsupportedDSL(
+                "minimum_should_match with search_after is unsupported")
+        return score_taat_after(reader, q, body.get("size", 10),
+                                after=(float(cur[0]), int(cur[1])))
     size = body.get("size", 10)
     offset = body.get("from", 0)
     if size < 0 or offset < 0:

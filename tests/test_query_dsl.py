@@ -171,6 +171,28 @@ def test_silent_divergence_shapes_refuse(reader, body):
         DSL.execute(reader, body)
 
 
+def test_search_after_pages_through(reader):
+    """search_after with the previous page's (rounded score, doc_id)
+    cursor returns exactly the next page of the full ranking."""
+    from snowplow_elasticsearch_loader_ray import bm25
+
+    full_d, full_s = DSL.execute(
+        reader, {"query": {"match": {"text": "data stream"}}, "size": 10})
+    p1_d, p1_s = DSL.execute(
+        reader, {"query": {"match": {"text": "data stream"}}, "size": 5})
+    cursor = [float(np.round(p1_s[-1], bm25.SCORE_ROUND)), int(p1_d[-1])]
+    p2_d, p2_s = DSL.execute(
+        reader, {"query": {"match": {"text": "data stream"}}, "size": 5,
+                 "search_after": cursor})
+    np.testing.assert_array_equal(np.concatenate([p1_d, p2_d]), full_d)
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"match": {"text": "x"}},
+                             "search_after": cursor, "from": 3})
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"bool": {"must": [
+            {"match": {"text": "x"}}]}}, "search_after": cursor})
+
+
 def test_aggs_in_request_body(reader):
     """aggs run over the FULL match set (ES contract) and equal the
     direct facet calls; unsupported agg shapes refuse."""
