@@ -4067,6 +4067,62 @@ FROM ranked WHERE rank <= {topk}
 """
 
 
+def winnow_fps(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS scheme; analysis.py::winnow_fingerprints): k-gram hashes over
+    the SQL-replayable polynomial token hash, rightmost-min selection
+    per w-window — any >= k+w-1-token match between docs shares a
+    fingerprint. All mod-2^64 integer arithmetic -> full value
+    oracle."""
+    return A.winnow_fingerprints(_docs_ds(sf_dir))
+
+
+def _winnow_sql() -> str:
+    base = _fingerprints_sql()
+    prefix = base[: base.index("m0 AS (")]
+    M = "18446744073709551616"
+    HALF = "9223372036854775808"
+
+    def mulmod(a: str, b: int) -> str:
+        return (f"((((({a} // 4294967296) * {b}) % {M}) * 4294967296"
+                f" + ({a} % 4294967296) * {b}) % {M})")
+
+    k, w = A.WIN_K, A.WIN_W
+    r1, r2, r3 = A.WIN_MULS
+    return f"""{prefix}th AS (
+  SELECT d.doc_id, d.pos, tokh.h
+  FROM doctoks d JOIN tokh ON tokh.tok = d.tok
+),
+grams AS (
+  SELECT a.doc_id, a.pos AS gpos,
+         (({mulmod('a.h', r1)} + {mulmod('b.h', r2)}
+           + {mulmod('c.h', r3)}) % {M}) AS g
+  FROM th a
+  JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+ng AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY 1),
+wins AS (
+  SELECT doc_id, unnest(range(0, greatest(n - {w} + 1, 1))) AS j
+  FROM ng
+),
+cover AS (
+  SELECT wn.doc_id, wn.j, gr.gpos, gr.g
+  FROM wins wn JOIN grams gr ON gr.doc_id = wn.doc_id
+       AND gr.gpos BETWEEN wn.j AND wn.j + {w} - 1
+),
+sel AS (
+  SELECT doc_id, gpos, g FROM cover
+  QUALIFY row_number() OVER (PARTITION BY doc_id, j
+                             ORDER BY g ASC, gpos DESC) = 1
+)
+SELECT DISTINCT doc_id, gpos::BIGINT AS gram_pos,
+       (CASE WHEN g >= {HALF} THEN (g - {M})::BIGINT
+             ELSE g::BIGINT END) AS fp
+FROM sel
+"""
+
+
 #: RAG chunking: window length and stride in TOKENS
 CHUNK_LEN = 64
 CHUNK_STRIDE = 48
@@ -7652,6 +7708,7 @@ def registry() -> tuple[dict, dict]:
         "geo_distance_counts": geo_distance_counts,
         "geo_grid_agg": geo_grid_agg,
         "chunk_spans": chunk_spans,
+        "winnow_fps": winnow_fps,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7802,6 +7859,7 @@ def registry() -> tuple[dict, dict]:
         "geo_distance_counts": _geo_distance_sql(),
         "geo_grid_agg": _geo_grid_sql(),
         "chunk_spans": CHUNK_SPANS_SQL,
+        "winnow_fps": _winnow_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

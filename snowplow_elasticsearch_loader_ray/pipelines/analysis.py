@@ -553,3 +553,95 @@ def hll_cardinality(ds, column: str, p: int = HLL_P) -> float:
     for row in parts:
         regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document fingerprinting scheme)
+# ---------------------------------------------------------------------------
+
+#: winnowing parameters: k-token grams, windows of WIN_W consecutive
+#: gram hashes; guarantee: any match of >= k + WIN_W - 1 tokens shares
+#: at least one selected fingerprint
+WIN_K = 3
+WIN_W = 4
+#: per-gram-slot multipliers (public golden-ratio / xxhash constants,
+#: the same family the repetition-rule gram hash uses)
+WIN_MULS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _winnow_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, gram_pos, fp) rows of the selected fingerprints.
+
+    Fully vectorized across the batch: gram hashes combine the
+    SQL-replayable polynomial token hashes with per-slot multipliers
+    (uint64 wrap); full windows take the RIGHTMOST minimal gram
+    (reversed-argmin); docs with fewer grams than a window contribute
+    their single whole-doc rightmost min. Distinct (doc, pos) selections
+    dedupe before emit."""
+    flat, idx, n = _flat_tokens(batch["text"])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(flat):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "gram_pos": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    h = _poly_hash_tokens(flat)
+    counts = np.bincount(idx, minlength=n)
+    # gram g[p] spans tokens p..p+K-1 WITHIN a doc: global positions
+    # whose K-1 successors stay in the same doc
+    k, w = WIN_K, WIN_W
+    valid = np.ones(len(h) - (k - 1), dtype=bool) if len(h) >= k \
+        else np.zeros(0, dtype=bool)
+    gdoc = idx[: len(valid)]
+    if len(valid):
+        valid &= idx[k - 1:] == gdoc
+    g = np.zeros(len(valid), dtype=np.uint64)
+    for j, m in enumerate(WIN_MULS[:k]):
+        g += h[j: j + len(valid)] * np.uint64(m)
+    g, gdoc = g[valid], gdoc[valid]
+    gpos_in_doc = (np.arange(len(idx))[: len(valid)][valid]
+                   - (np.cumsum(counts) - counts)[gdoc])
+    if not len(g):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "gram_pos": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+
+    sel = np.zeros(len(g), dtype=bool)
+    # full windows: start s valid iff gram s+w-1 exists in same doc
+    if len(g) >= w:
+        from numpy.lib.stride_tricks import sliding_window_view
+        W = sliding_window_view(g, w)
+        full = gdoc[: len(W)] == gdoc[w - 1: w - 1 + len(W)]
+        rarg = w - 1 - np.argmin(W[:, ::-1], axis=1)
+        starts = np.nonzero(full)[0]
+        sel[starts + rarg[starts]] = True
+    # short docs (< w grams): whole doc is one window
+    gcounts = np.bincount(gdoc, minlength=n)
+    short = np.nonzero((gcounts > 0) & (gcounts < w))[0]
+    if len(short):
+        gstarts = np.cumsum(gcounts) - gcounts
+        for d in short:
+            s, e = gstarts[d], gstarts[d] + gcounts[d]
+            seg = g[s:e]
+            sel[s + (len(seg) - 1 - np.argmin(seg[::-1]))] = True
+    pick = np.nonzero(sel)[0]
+    out_doc = doc_ids[gdoc[pick]]
+    out_pos = gpos_in_doc[pick]
+    out_fp = g[pick].view(np.int64)
+    return pa.table({
+        "doc_id": pa.array(out_doc.astype(np.int64)),
+        "gram_pos": pa.array(out_pos.astype(np.int64)),
+        "fp": pa.array(out_fp),
+    })
+
+
+def winnow_fingerprints(ds) -> pa.Table:
+    """Distributed winnowing: one streaming map_batches pass; selected
+    fingerprints are already per-doc-local so no shuffle is needed
+    (a dedup consumer would groupby fp — tiny rows)."""
+    import ray as _ray
+
+    parts = _ray.get(
+        ds.map_batches(_winnow_batch,
+                       batch_format="pyarrow").to_arrow_refs())
+    return pa.concat_tables(parts)

@@ -221,3 +221,42 @@ def test_dsir_scores_favor_target_language(ray_session):
     en = avg[j["lang"] == "en"].mean()
     rest = avg[j["lang"] != "en"].mean()
     assert en > rest
+
+
+def test_winnowing_guarantee_and_locality(ray_session):
+    """The MOSS guarantee: two docs sharing >= WIN_K + WIN_W - 1
+    consecutive tokens share at least one selected fingerprint; and
+    selection is local (a doc's fingerprints don't change when other
+    docs change)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from snowplow_elasticsearch_loader_ray.pipelines import analysis as A
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    shared = [vocab[i] for i in rng.integers(0, 50, A.WIN_K + A.WIN_W - 1)]
+
+    def doc(words):
+        return " ".join(words)
+
+    d0 = doc([vocab[i] for i in rng.integers(0, 50, 30)] + shared
+             + [vocab[i] for i in rng.integers(0, 50, 30)])
+    d1 = doc([vocab[i] for i in rng.integers(0, 50, 25)] + shared
+             + [vocab[i] for i in rng.integers(0, 50, 20)])
+    d2 = doc([vocab[i] for i in rng.integers(0, 50, 40)])
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([d0, d1, d2])})
+    out = A.winnow_fingerprints(ray.data.from_arrow(t)).to_pandas()
+    fps = {d: set(out[out.doc_id == d].fp) for d in (0, 1, 2)}
+    assert fps[0] & fps[1], "shared window must share a fingerprint"
+    # locality: re-running doc 0 alone yields the same selections
+    solo = A.winnow_fingerprints(
+        ray.data.from_arrow(t.slice(0, 1))).to_pandas()
+    assert set(solo.fp) == fps[0]
+    # short doc (< w grams) still yields exactly one fingerprint
+    tiny = pa.table({"doc_id": pa.array([9], pa.int64()),
+                     "text": pa.array(["alpha beta gamma delta"])})
+    one = A.winnow_fingerprints(ray.data.from_arrow(tiny)).to_pandas()
+    assert len(one) == 1
