@@ -84,6 +84,15 @@ def _parser() -> argparse.ArgumentParser:
     lv.add_argument("--force", action="store_true")
     lv.add_argument("--shards", type=int, default=32)
 
+    al = sub.add_parser(
+        "alias", help="index aliases (the ES reindex-then-swap deploy "
+                      "pattern: atomic re-point, one-level rollback)")
+    al.add_argument("action", choices=["set", "swap", "resolve",
+                                       "rollback", "list"])
+    al.add_argument("--root", required=True, help="alias registry root")
+    al.add_argument("--name", help="alias name")
+    al.add_argument("--index", help="target index dir (set / swap)")
+
     sn = sub.add_parser(
         "snapshot", help="incremental snapshot repository (content-"
                          "addressed blobs shared across snapshots)")
@@ -123,7 +132,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from .pipelines.query import QueryEngine
 
-        eng = QueryEngine(args.index, strategy=args.strategy)
+        index = args.index
+        if index.startswith("alias://"):
+            from .pipelines import alias as AL
+
+            root, _, name = index[len("alias://"):].rpartition("/")
+            index = AL.resolve(root, name)
+        eng = QueryEngine(index, strategy=args.strategy)
         docs, scores = eng.topk(args.query, args.k)
         out = {"query": args.query,
                "hits": [{"rank": i + 1, "doc_id": int(d), "score": float(s)}
@@ -179,6 +194,20 @@ def main(argv: list[str] | None = None) -> int:
             s = live.searcher() if gens else None
             out = {"generations": [os.path.basename(g) for g in gens],
                    "live_docs": s.live_doc_count() if s else 0}
+    elif args.cmd == "alias":
+        from .pipelines import alias as AL
+
+        if args.action == "set":
+            out = AL.set_alias(args.root, args.name, args.index)
+        elif args.action == "swap":
+            out = AL.swap(args.root, args.name, args.index)
+        elif args.action == "resolve":
+            out = {"name": args.name,
+                   "target": AL.resolve(args.root, args.name)}
+        elif args.action == "rollback":
+            out = AL.rollback(args.root, args.name)
+        else:
+            out = {"aliases": AL.list_aliases(args.root)}
     elif args.cmd == "snapshot":
         from .pipelines import snapshot as S
         from .state import manifest as _mf

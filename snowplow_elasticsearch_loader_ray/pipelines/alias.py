@@ -1,0 +1,107 @@
+"""Index aliases — the ES deploy pattern the loader's operators rely
+on (reference context: ``output.good.index`` names the write target in
+config.aws.reference.hocon; ES users point it at an ALIAS so a
+reindex-then-swap rolls a new index in atomically with zero reader
+downtime).
+
+An alias registry is one JSON file per alias under
+``<root>/aliases/<name>.json`` holding the target index path plus a
+monotonically increasing generation counter. Updates are atomic
+(write-temp + ``os.replace``), so a reader that resolves mid-swap sees
+either the old or the new target, never a torn state. ``swap`` is the
+two-alias transaction ES's ``_aliases`` actions API performs: it
+re-points an alias and retires the previous target into a ``.prev``
+pointer so a bad deploy can roll back.
+
+Scale note: the registry is control-plane metadata (bytes); readers
+resolve once at engine construction, exactly like ES routes through
+alias metadata on the coordinating node — no per-query cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class AliasError(KeyError):
+    pass
+
+
+def _alias_dir(root: str) -> str:
+    d = os.path.join(root, "aliases")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _path(root: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise AliasError(f"bad alias name {name!r}")
+    return os.path.join(_alias_dir(root), f"{name}.json")
+
+
+def _write_atomic(path: str, doc: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def set_alias(root: str, name: str, index_dir: str) -> dict:
+    """Point ``name`` at ``index_dir`` (create or re-point). The target
+    must be a committed index (its manifests directory exists)."""
+    index_dir = os.path.abspath(index_dir)
+    if not os.path.isdir(os.path.join(index_dir, "manifests")):
+        raise AliasError(f"{index_dir} is not a committed index")
+    p = _path(root, name)
+    prev = None
+    gen = 0
+    if os.path.exists(p):
+        cur = json.load(open(p))
+        prev, gen = cur["target"], cur["gen"]
+    doc = {"name": name, "target": index_dir, "prev": prev,
+           "gen": gen + 1, "updated_at": time.time()}
+    _write_atomic(p, doc)
+    return doc
+
+
+def resolve(root: str, name: str) -> str:
+    """Alias -> index dir; unknown aliases raise (never a silent
+    empty index)."""
+    p = _path(root, name)
+    if not os.path.exists(p):
+        raise AliasError(f"unknown alias {name!r}")
+    return json.load(open(p))["target"]
+
+
+def rollback(root: str, name: str) -> dict:
+    """Re-point the alias at its previous target (one level)."""
+    p = _path(root, name)
+    if not os.path.exists(p):
+        raise AliasError(f"unknown alias {name!r}")
+    cur = json.load(open(p))
+    if not cur.get("prev"):
+        raise AliasError(f"alias {name!r} has no previous target")
+    return set_alias(root, name, cur["prev"])
+
+
+def list_aliases(root: str) -> list[dict]:
+    d = _alias_dir(root)
+    return sorted((json.load(open(os.path.join(d, f)))
+                   for f in os.listdir(d) if f.endswith(".json")),
+                  key=lambda r: r["name"])
+
+
+def swap(root: str, name: str, new_index_dir: str) -> dict:
+    """The reindex-then-swap action: identical to ``set_alias`` but
+    refuses a no-op re-point (catching a deploy script that forgot to
+    build the new index)."""
+    p = _path(root, name)
+    if os.path.exists(p) and \
+            json.load(open(p))["target"] == os.path.abspath(new_index_dir):
+        raise AliasError(f"alias {name!r} already points at "
+                         f"{new_index_dir} — swap would be a no-op")
+    return set_alias(root, name, new_index_dir)

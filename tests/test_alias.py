@@ -1,0 +1,88 @@
+"""Index aliases: atomic re-point, swap refusal, rollback, and the
+alias:// query path through the CLI surface."""
+
+import json
+import os
+
+import pytest
+
+from snowplow_elasticsearch_loader_ray.pipelines import alias as AL
+
+
+def _fake_index(tmp_path, name):
+    d = tmp_path / name
+    os.makedirs(d / "manifests")
+    return str(d)
+
+
+def test_set_resolve_swap_rollback(tmp_path):
+    root = str(tmp_path / "reg")
+    a = _fake_index(tmp_path, "index-v1")
+    b = _fake_index(tmp_path, "index-v2")
+    doc = AL.set_alias(root, "docs-write", a)
+    assert doc["gen"] == 1 and doc["prev"] is None
+    assert AL.resolve(root, "docs-write") == a
+    # swap to v2 keeps v1 as rollback target
+    doc = AL.swap(root, "docs-write", b)
+    assert doc["gen"] == 2 and doc["prev"] == a
+    assert AL.resolve(root, "docs-write") == b
+    # no-op swap refuses (deploy-script guard)
+    with pytest.raises(AL.AliasError):
+        AL.swap(root, "docs-write", b)
+    # rollback returns to v1
+    AL.rollback(root, "docs-write")
+    assert AL.resolve(root, "docs-write") == a
+    assert [r["name"] for r in AL.list_aliases(root)] == ["docs-write"]
+
+
+def test_guards(tmp_path):
+    root = str(tmp_path / "reg")
+    with pytest.raises(AL.AliasError):
+        AL.resolve(root, "nope")
+    with pytest.raises(AL.AliasError):
+        AL.set_alias(root, "x", str(tmp_path / "not-an-index"))
+    with pytest.raises(AL.AliasError):
+        AL.set_alias(root, "../evil", _fake_index(tmp_path, "i"))
+    a = _fake_index(tmp_path, "only")
+    AL.set_alias(root, "one", a)
+    with pytest.raises(AL.AliasError):
+        AL.rollback(root, "one")   # no previous target yet
+
+
+def test_atomic_file_state(tmp_path):
+    """The registry file is valid JSON at every step (atomic replace,
+    no torn state on disk)."""
+    root = str(tmp_path / "reg")
+    a = _fake_index(tmp_path, "v1")
+    b = _fake_index(tmp_path, "v2")
+    AL.set_alias(root, "w", a)
+    AL.swap(root, "w", b)
+    p = os.path.join(root, "aliases", "w.json")
+    doc = json.load(open(p))
+    assert doc["target"] == b and doc["prev"] == a
+    assert not [f for f in os.listdir(os.path.dirname(p)) if ".tmp." in f]
+
+
+def test_query_through_alias_cli(ray_session, tmp_path):
+    """End to end: build a tiny index, alias it, query via alias://."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray import __main__ as CLI
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import build as B
+
+    docs = tmp_path / "docs"
+    os.makedirs(docs)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["data stream fast", "slow table scan",
+                          "data table merge"]),
+    }), docs / "part-0.parquet")
+    idx = str(tmp_path / "index")
+    B.build_index(str(docs), idx, IndexConfig(num_term_shards=4))
+    root = str(tmp_path / "reg")
+    AL.set_alias(root, "docs-read", idx)
+    rc = CLI.main(["query", "--index", f"alias://{root}/docs-read",
+                   "--query", "data", "-k", "2"])
+    assert rc == 0
