@@ -164,6 +164,7 @@ class ShardedQueryEngine:
         # held whole here (8 B/doc) — a 10^12-doc deployment keeps this
         # doc-partitioned and fetches survivors' ids from the owning
         # partition instead
+        self.index_dir = index_dir
         self._doc_ids, _lens = load_docmap(index_dir)
         self._dl_min = float(_lens.min()) if len(_lens) else 1.0
         # bounded term-meta cache (LRU): at web vocab an unbounded dict
@@ -324,6 +325,58 @@ class ShardedQueryEngine:
             j = np.searchsorted(cand, docs)
             cand_scores[j] += scores
         return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
+
+    def _match_ords(self, query: str) -> np.ndarray:
+        """Full match-set ordinals (postings union across the owning
+        shards) — the aggregation input. Rides the coordinator's hot
+        partial cache, so a facet after a topk on the same terms ships
+        nothing."""
+        terms = sorted(set(tokenize_query(query)))
+        by_term = self._scatter("partial_scores", terms)
+        hits = [v[0] for v in by_term.values() if len(v[0])]
+        if not hits:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(hits))
+
+    def facet_lang_counts(self, query: str) -> dict[str, int]:
+        """Distributed ES ``terms`` aggregation on the ``lang``
+        doc-value: matched ordinals scatter-gathered from the term
+        shards, lang keys by coordinator-side ordinal gather —
+        bit-identical to the single reader's facet (pinned in
+        tests/test_sharded_query.py)."""
+        langs = getattr(self, "_dl_langs", None)
+        if langs is None:
+            from .build import load_docvalues
+
+            langs = load_docvalues(self.index_dir, "lang")
+            if langs is None:
+                raise ValueError("index has no 'lang' doc-value")
+            self._dl_langs = langs
+        ords = self._match_ords(query)
+        if not len(ords):
+            return {}
+        u, c = np.unique(langs[ords], return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    def facet_doclen_stats(self, query: str) -> dict:
+        """Distributed ES ``stats`` aggregation on doclen over the full
+        match set — same contract as the single reader's."""
+        lens = getattr(self, "_dl_lens", None)
+        if lens is None:
+            _ids, lens = load_docmap(self.index_dir)
+            self._dl_lens = lens
+        ords = self._match_ords(query)
+        if not len(ords):
+            return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,
+                    "avg_dl": 0.0}
+        dl = lens[ords].astype(np.int64)
+        return {
+            "n_docs": int(len(ords)),
+            "min_dl": int(dl.min()),
+            "max_dl": int(dl.max()),
+            "sum_dl": int(dl.sum()),
+            "avg_dl": float(dl.sum()) / float(len(ords)),
+        }
 
     def msearch(self, queries: list[str], k: int = 10,
                 ) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -99,3 +99,26 @@ def test_msearch_bit_identical_to_per_query_topk(ray_session, tmp_path):
                 np.testing.assert_array_equal(d1, d2)
         finally:
             eng.shutdown()
+
+
+def test_sharded_facets_bit_identical_to_single_reader(ray_session, tmp_path):
+    """Distributed aggregations: the sharded plane's lang terms facet
+    and doclen stats facet equal the single reader's exactly, and the
+    facet after a topk rides the coordinator's partial cache."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, facet_doclen_stats, facet_lang_counts)
+
+    cfg = IndexConfig(num_term_shards=8)
+    index_dir = str(tmp_path / "idx_facet")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", index_dir, cfg)
+    r = IndexReader(index_dir)
+    eng = ShardedQueryEngine(index_dir)
+    try:
+        for q in ["data stream", "slow query table", "zzznoterm"]:
+            assert eng.facet_lang_counts(q) == facet_lang_counts(r, q)
+            assert eng.facet_doclen_stats(q) == facet_doclen_stats(r, q)
+        # warm path: same facet twice (cache-hit) stays identical
+        a = eng.facet_lang_counts("data stream")
+        assert a == eng.facet_lang_counts("data stream")
+    finally:
+        eng.shutdown()
