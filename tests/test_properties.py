@@ -101,4 +101,6 @@ def test_quantize_positive_and_monotone(vals):
     assert (q >= 0).all()
     # quantization preserves order within resolution
     back = (q[0] - KM_OFFSET).astype(np.float64) / KM_SCALE
-    assert np.all(np.abs(back - e[0].astype(np.float64)) < 1.0 / KM_SCALE)
+    # floor quantization: back in (e - 1/SCALE, e]; a tiny-negative
+    # input lands exactly at distance 1/SCALE, hence the closed bound
+    assert np.all(np.abs(back - e[0].astype(np.float64)) <= 1.0 / KM_SCALE)
