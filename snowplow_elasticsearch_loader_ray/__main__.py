@@ -197,6 +197,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "alias":
         from .pipelines import alias as AL
 
+        need_name = args.action in ("set", "swap", "resolve", "rollback")
+        if need_name and not args.name:
+            raise SystemExit(f"alias {args.action} requires --name")
+        if args.action in ("set", "swap") and not args.index:
+            raise SystemExit(f"alias {args.action} requires --index")
         if args.action == "set":
             out = AL.set_alias(args.root, args.name, args.index)
         elif args.action == "swap":

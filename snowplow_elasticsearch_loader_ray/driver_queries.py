@@ -3157,6 +3157,16 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _sql_mulmod64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 in HUGEINT without INT128 overflow: split a at
+    2^32 so every sub-product stays under 2^97 — shared by every
+    oracle that replays uint64 wrap multiplication (fingerprints,
+    winnowing)."""
+    M = "18446744073709551616"
+    return (f"((((({a} // 4294967296) * {b}) % {M}) * 4294967296"
+            f" + ({a} % 4294967296) * {b}) % {M})")
+
+
 def _fingerprints_sql() -> str:
     """DuckDB replay of the fingerprint pipeline. Unsigned-64 wrapping
     arithmetic is emulated with HUGEINT ``% 2^64``; XOR runs in the
@@ -3175,11 +3185,7 @@ def _fingerprints_sql() -> str:
         return (f"(CASE WHEN {b} < 0 THEN ({b})::HUGEINT + {M} "
                 f"ELSE ({b})::HUGEINT END)")
 
-    def mulmod(a: str, b: int) -> str:
-        # (a * b) mod 2^64 without INT128 overflow: split a at 2^32 —
-        # every sub-product stays under 2^97
-        return (f"((((({a} // 4294967296) * {b}) % {M}) * 4294967296"
-                f" + ({a} % 4294967296) * {b}) % {M})")
+    mulmod = _sql_mulmod64
 
     pow_rows = ", ".join(
         f"({j}, {int(p)}::HUGEINT)"
@@ -4083,9 +4089,7 @@ def _winnow_sql() -> str:
     M = "18446744073709551616"
     HALF = "9223372036854775808"
 
-    def mulmod(a: str, b: int) -> str:
-        return (f"((((({a} // 4294967296) * {b}) % {M}) * 4294967296"
-                f" + ({a} % 4294967296) * {b}) % {M})")
+    mulmod = _sql_mulmod64
 
     k, w = A.WIN_K, A.WIN_W
     r1, r2, r3 = A.WIN_MULS

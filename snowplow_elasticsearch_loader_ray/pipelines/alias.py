@@ -20,6 +20,8 @@ alias metadata on the coordinating node — no per-query cost.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -29,16 +31,34 @@ class AliasError(KeyError):
     pass
 
 
-def _alias_dir(root: str) -> str:
+def _alias_dir(root: str, create: bool = False) -> str:
+    # pure reads must NOT mkdir: a typo'd root should look nonexistent,
+    # not like an empty-but-valid registry
     d = os.path.join(root, "aliases")
-    os.makedirs(d, exist_ok=True)
+    if create:
+        os.makedirs(d, exist_ok=True)
     return d
 
 
-def _path(root: str, name: str) -> str:
+def _path(root: str, name: str, create: bool = False) -> str:
     if not name or "/" in name or name.startswith("."):
         raise AliasError(f"bad alias name {name!r}")
-    return os.path.join(_alias_dir(root), f"{name}.json")
+    return os.path.join(_alias_dir(root, create=create), f"{name}.json")
+
+
+@contextlib.contextmanager
+def _registry_lock(root: str):
+    """Serializes read-modify-write across concurrent writers (two
+    deploys swapping the same alias must not lose an update or break
+    the monotonic gen counter); os.replace alone only protects
+    READERS from torn state."""
+    d = _alias_dir(root, create=True)
+    with open(os.path.join(d, ".lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def _write_atomic(path: str, doc: dict) -> None:
@@ -56,15 +76,16 @@ def set_alias(root: str, name: str, index_dir: str) -> dict:
     index_dir = os.path.abspath(index_dir)
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         raise AliasError(f"{index_dir} is not a committed index")
-    p = _path(root, name)
-    prev = None
-    gen = 0
-    if os.path.exists(p):
-        cur = json.load(open(p))
-        prev, gen = cur["target"], cur["gen"]
-    doc = {"name": name, "target": index_dir, "prev": prev,
-           "gen": gen + 1, "updated_at": time.time()}
-    _write_atomic(p, doc)
+    p = _path(root, name, create=True)
+    with _registry_lock(root):
+        prev = None
+        gen = 0
+        if os.path.exists(p):
+            cur = json.load(open(p))
+            prev, gen = cur["target"], cur["gen"]
+        doc = {"name": name, "target": index_dir, "prev": prev,
+               "gen": gen + 1, "updated_at": time.time()}
+        _write_atomic(p, doc)
     return doc
 
 
@@ -78,30 +99,51 @@ def resolve(root: str, name: str) -> str:
 
 
 def rollback(root: str, name: str) -> dict:
-    """Re-point the alias at its previous target (one level)."""
+    """Re-point the alias at its previous target (one level). The
+    read and the write happen under one writer lock (flock is not
+    reentrant here, so this does not call set_alias)."""
     p = _path(root, name)
     if not os.path.exists(p):
         raise AliasError(f"unknown alias {name!r}")
-    cur = json.load(open(p))
-    if not cur.get("prev"):
-        raise AliasError(f"alias {name!r} has no previous target")
-    return set_alias(root, name, cur["prev"])
+    with _registry_lock(root):
+        cur = json.load(open(p))
+        if not cur.get("prev"):
+            raise AliasError(f"alias {name!r} has no previous target")
+        doc = {"name": name, "target": cur["prev"],
+               "prev": cur["target"], "gen": cur["gen"] + 1,
+               "updated_at": time.time()}
+        _write_atomic(p, doc)
+    return doc
 
 
 def list_aliases(root: str) -> list[dict]:
     d = _alias_dir(root)
+    if not os.path.isdir(d):
+        return []
     return sorted((json.load(open(os.path.join(d, f)))
                    for f in os.listdir(d) if f.endswith(".json")),
                   key=lambda r: r["name"])
 
 
 def swap(root: str, name: str, new_index_dir: str) -> dict:
-    """The reindex-then-swap action: identical to ``set_alias`` but
-    refuses a no-op re-point (catching a deploy script that forgot to
-    build the new index)."""
-    p = _path(root, name)
-    if os.path.exists(p) and \
-            json.load(open(p))["target"] == os.path.abspath(new_index_dir):
-        raise AliasError(f"alias {name!r} already points at "
-                         f"{new_index_dir} — swap would be a no-op")
-    return set_alias(root, name, new_index_dir)
+    """The reindex-then-swap action: ``set_alias`` plus a refusal of a
+    no-op re-point (catching a deploy script that forgot to build the
+    new index) — checked UNDER the writer lock so two concurrent swaps
+    cannot both pass the guard."""
+    new_index_dir = os.path.abspath(new_index_dir)
+    if not os.path.isdir(os.path.join(new_index_dir, "manifests")):
+        raise AliasError(f"{new_index_dir} is not a committed index")
+    p = _path(root, name, create=True)
+    with _registry_lock(root):
+        prev = None
+        gen = 0
+        if os.path.exists(p):
+            cur = json.load(open(p))
+            if cur["target"] == new_index_dir:
+                raise AliasError(f"alias {name!r} already points at "
+                                 f"{new_index_dir} — swap would be a no-op")
+            prev, gen = cur["target"], cur["gen"]
+        doc = {"name": name, "target": new_index_dir, "prev": prev,
+               "gen": gen + 1, "updated_at": time.time()}
+        _write_atomic(p, doc)
+    return doc

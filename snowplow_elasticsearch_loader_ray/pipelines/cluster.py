@@ -288,14 +288,14 @@ def pq_refine_topk(ds: ray.data.Dataset, books: list[np.ndarray],
             self.qq, self.cands = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from .query import isin_sorted
+
             ids, q = _batch_q(batch)
             qid_c, id_c, d_c = [], [], []
             for qi, cset in enumerate(self.cands):
                 if not len(cset):
                     continue
-                pos = np.minimum(np.searchsorted(cset, ids),
-                                 len(cset) - 1)
-                m = np.nonzero(cset[pos] == ids)[0]
+                m = np.nonzero(isin_sorted(cset, ids))[0]
                 if not len(m):
                     continue
                 d = ((q[m] - self.qq[qi][None, :]) ** 2).sum(axis=1)

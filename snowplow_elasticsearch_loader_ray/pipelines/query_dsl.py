@@ -242,7 +242,12 @@ def execute_with_aggs(reader: IndexReader, body: dict, pos_reader=None
     d, s = execute(reader, inner, pos_reader=pos_reader)
     out: dict = {}
     if aggs:
-        q, _msm = _match_text(node)
+        q, msm = _match_text(node)
+        if msm is not None:
+            raise UnsupportedDSL(
+                "aggs with minimum_should_match would diverge: hits "
+                "honor msm but aggregations run over the ANY-term "
+                "match set — refused rather than silently wrong")
         for name, spec in aggs.items():
             if "terms" in spec:
                 out[name] = facet_lang_counts(reader, q)
@@ -263,6 +268,8 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
 
         if "from" in body:
             raise UnsupportedDSL("search_after and from are exclusive")
+        if body.get("size", 10) < 0:
+            raise UnsupportedDSL("size must be non-negative")
         node = body.get("query")
         if not isinstance(node, dict) or set(node) != {"match"}:
             raise UnsupportedDSL(

@@ -165,7 +165,8 @@ class ShardedQueryEngine:
         # doc-partitioned and fetches survivors' ids from the owning
         # partition instead
         self.index_dir = index_dir
-        self._doc_ids, _lens = load_docmap(index_dir)
+        self._doc_ids, self._dl_lens = load_docmap(index_dir)
+        _lens = self._dl_lens
         self._dl_min = float(_lens.min()) if len(_lens) else 1.0
         # bounded term-meta cache (LRU): at web vocab an unbounded dict
         # grows with every distinct query term ever seen
@@ -360,11 +361,10 @@ class ShardedQueryEngine:
 
     def facet_doclen_stats(self, query: str) -> dict:
         """Distributed ES ``stats`` aggregation on doclen over the full
-        match set — same contract as the single reader's."""
-        lens = getattr(self, "_dl_lens", None)
-        if lens is None:
-            _ids, lens = load_docmap(self.index_dir)
-            self._dl_lens = lens
+        match set — same contract as the single reader's. Lens come
+        from the docmap already loaded at construction (no second
+        corpus-sized read)."""
+        lens = self._dl_lens
         ords = self._match_ords(query)
         if not len(ords):
             return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,

@@ -86,3 +86,33 @@ def test_query_through_alias_cli(ray_session, tmp_path):
     rc = CLI.main(["query", "--index", f"alias://{root}/docs-read",
                    "--query", "data", "-k", "2"])
     assert rc == 0
+
+
+def _bump(args):
+    root, idx, i = args
+    from snowplow_elasticsearch_loader_ray.pipelines import alias as AL2
+    AL2.set_alias(root, "w", idx)
+    return i
+
+
+def test_concurrent_writers_keep_gen_monotonic(tmp_path):
+    """The writer lock: N concurrent re-points must not lose updates —
+    the generation counter ends at exactly N (unlocked RMW would lose
+    increments)."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "reg")
+    a = _fake_index(tmp_path, "v1")
+    n = 12
+    with mp.get_context("spawn").Pool(4) as pool:
+        pool.map(_bump, [(root, a, i) for i in range(n)])
+    doc = json.load(open(os.path.join(root, "aliases", "w.json")))
+    assert doc["gen"] == n
+
+
+def test_reads_do_not_create_registry(tmp_path):
+    root = str(tmp_path / "nothere")
+    with pytest.raises(AL.AliasError):
+        AL.resolve(root, "x")
+    assert AL.list_aliases(root) == []
+    assert not os.path.exists(os.path.join(root, "aliases"))
