@@ -1833,6 +1833,77 @@ SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <
 """
 
 
+#: terms_set minimum_should_match_field divisor: required distinct
+#: terms per doc = min(n_query_terms, 1 + doclen // TERMS_SET_DIV)
+TERMS_SET_DIV = 100
+
+
+def terms_set_topk(sf_dir: str) -> pa.Table:
+    """ES ``terms_set`` with ``minimum_should_match_field``: the
+    required match count is PER-DOC, derived from the doclen doc-value
+    (query.py::score_terms_set) — longer docs must match more distinct
+    terms. One dense-counter pass; threshold gathers the doc-value."""
+    from .pipelines.query import score_terms_set
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in BOOL_QUERIES:
+        d, _s = score_terms_set(r, q, TOPK, m_div=TERMS_SET_DIV)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _terms_set_sql() -> str:
+    import re
+
+    pairs, ncase = [], []
+    for qid, q in BOOL_QUERIES:
+        terms = sorted(set(re.findall(r"[a-z0-9]+", q.lower())))
+        for term in terms:
+            pairs.append(f"({qid}, '{term}')")
+        ncase.append(f"WHEN q.qid = {qid} THEN {len(terms)}")
+    case = " ".join(ncase)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {", ".join(pairs)}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+  HAVING count(*) >= least(CASE {case} END,
+                           1 + max(dl.dl)::BIGINT // {TERMS_SET_DIV})
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 #: span_near window: up to this many intervening tokens between the pair
 SPAN_SLOP = 4
 
@@ -7713,6 +7784,7 @@ def registry() -> tuple[dict, dict]:
         "geo_grid_agg": geo_grid_agg,
         "chunk_spans": chunk_spans,
         "winnow_fps": winnow_fps,
+        "terms_set_topk": terms_set_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7864,6 +7936,7 @@ def registry() -> tuple[dict, dict]:
         "geo_grid_agg": _geo_grid_sql(),
         "chunk_spans": CHUNK_SPANS_SQL,
         "winnow_fps": _winnow_sql(),
+        "terms_set_topk": _terms_set_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

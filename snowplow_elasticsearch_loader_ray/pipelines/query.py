@@ -941,6 +941,37 @@ def score_min_should_match(reader: IndexReader, query: str, m: int,
     return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
 
 
+def score_terms_set(reader: IndexReader, query: str, k: int = 10,
+                    m_div: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``terms_set`` with ``minimum_should_match_field``: the
+    required distinct-term count is PER-DOC, derived from a numeric
+    doc-value — here ``required(doc) = min(n_terms, 1 + doclen //
+    m_div)`` (longer docs must match more terms; the engine's numeric
+    field is doclen). Same one-pass dense counter as
+    ``score_min_should_match``; only the threshold comparison gathers
+    the doc-value."""
+    terms = sorted(set(tokenize_query(query)))
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    acc = reader.acc_buffer()
+    cnt = np.zeros(len(acc), dtype=np.int16)
+    for t in terms:
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        docs, tfs = pl.decode_all()
+        pos = reader.positions_of(t, docs)
+        w = bm25.idf(reader.n_docs, len(docs))
+        acc[pos] += w * bm25.tf_weight(tfs, reader.dl_lens[pos], reader.avgdl)
+        cnt[pos] += 1
+    need = np.minimum(len(terms),
+                      1 + reader.dl_lens.astype(np.int64) // m_div)
+    cand = np.nonzero(cnt >= need)[0]
+    if not len(cand):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return bm25.rank_topk(reader.dl_doc_ids[cand], acc[cand], k)
+
+
 def rescore_topk(reader: IndexReader, pos_reader, query: str,
                  window: int = 50, k: int = 10, boost: float = 5.0
                  ) -> tuple[np.ndarray, np.ndarray]:
