@@ -84,6 +84,19 @@ def _parser() -> argparse.ArgumentParser:
     lv.add_argument("--force", action="store_true")
     lv.add_argument("--shards", type=int, default=32)
 
+    cl = sub.add_parser(
+        "cluster", help="embedding ops: exact-integer k-means / PQ "
+                        "codes over a {vec_id, embedding} parquet table")
+    cl.add_argument("action", choices=["kmeans", "pq"])
+    cl.add_argument("--embeddings", required=True,
+                    help="parquet file/dir with vec_id + embedding")
+    cl.add_argument("--out", required=True,
+                    help="output dir (assignments / codes parquet)")
+    cl.add_argument("--k", type=int, default=8)
+    cl.add_argument("--iters", type=int, default=3)
+    cl.add_argument("--m", type=int, default=4,
+                    help="pq: subspace count (dim must divide)")
+
     al = sub.add_parser(
         "alias", help="index aliases (the ES reindex-then-swap deploy "
                       "pattern: atomic re-point, one-level rollback)")
@@ -194,6 +207,30 @@ def main(argv: list[str] | None = None) -> int:
             s = live.searcher() if gens else None
             out = {"generations": [os.path.basename(g) for g in gens],
                    "live_docs": s.live_doc_count() if s else 0}
+    elif args.cmd == "cluster":
+        import pyarrow.parquet as _pq
+
+        from .pipelines import cluster as KM
+
+        ds = ray.data.read_parquet(args.embeddings,
+                                   columns=["vec_id", "embedding"])
+        first = ds.take(1)
+        dim = len(first[0]["embedding"])
+        if args.action == "kmeans":
+            asg, cent = KM.kmeans(ds, args.k, args.iters)
+            asg.write_parquet(args.out)
+            out = {"k": args.k, "iters": args.iters, "dim": dim,
+                   "out": args.out,
+                   "centroid_checksum": int(cent.sum()) & (2**63 - 1)}
+        else:
+            outs, books = KM.pq_codes(ds, dim, args.m, args.k, args.iters)
+            import os as _os
+            for sub_i, o in enumerate(outs):
+                o.write_parquet(_os.path.join(args.out, f"sub={sub_i}"))
+            out = {"m": args.m, "k": args.k, "iters": args.iters,
+                   "dim": dim, "out": args.out,
+                   "codebook_checksums": [int(b.sum()) & (2**63 - 1)
+                                          for b in books]}
     elif args.cmd == "alias":
         from .pipelines import alias as AL
 

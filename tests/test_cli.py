@@ -82,3 +82,28 @@ def test_cli_live_lifecycle(corpus, capsys, monkeypatch):
                   "--shards", "4"])
     st = _run(capsys, ["live", "status", "--root", root, "--shards", "4"])
     assert st["live_docs"] == 3 and len(st["generations"]) == 1
+
+
+def test_cluster_cli_kmeans_and_pq(ray_session, tmp_path):
+    """cluster subcommand: kmeans assignments parquet + per-subspace PQ
+    codes (hive-partitioned by sub=)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray import __main__ as CLI
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    km_out = str(tmp_path / "km")
+    assert CLI.main(["cluster", "kmeans", "--embeddings", emb,
+                     "--out", km_out, "--k", "4", "--iters", "2"]) == 0
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(f"{km_out}/*.parquet"))
+    assert n == pq.read_metadata(emb).num_rows
+    pq_out = str(tmp_path / "pq")
+    assert CLI.main(["cluster", "pq", "--embeddings", emb,
+                     "--out", pq_out, "--k", "8", "--iters", "2",
+                     "--m", "4"]) == 0
+    subs = sorted({g.split("/")[-2]
+                   for g in glob.glob(f"{pq_out}/*/*.parquet")})
+    assert subs == [f"sub={i}" for i in range(4)]
