@@ -1833,6 +1833,78 @@ SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank <
 """
 
 
+#: BPE training: top pair-count rows surfaced / merges learned
+BPE_TOP_PAIRS = 20
+BPE_N_MERGES = 12
+
+
+def bpe_pair_counts(sf_dir: str) -> pa.Table:
+    """First-iteration BPE statistics (tokenizer training, Sennrich et
+    al. 2016): adjacent-CHARACTER pair counts over the corpus vocab,
+    weighted by word frequency — the distributed stage of BPE training
+    (analysis.py::bpe_word_counts; the vocab table is tiny next to the
+    corpus). Top pairs by (count desc, pair asc)."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    wc = A.bpe_word_counts(ds)
+    words = pa.table({
+        "syms": pa.array([list(t) for t in wc["tok"].to_pylist()],
+                         pa.list_(pa.string())),
+        "n": wc["n"],
+    })
+    stats = A.bpe_pair_stats(words)
+    top = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:BPE_TOP_PAIRS]
+    return pa.table({
+        "left": pa.array([p[0][0] for p in top], pa.string()),
+        "right": pa.array([p[0][1] for p in top], pa.string()),
+        "n": pa.array([p[1] for p in top], pa.int64()),
+    })
+
+
+BPE_PAIRS_SQL = f"""
+WITH wc AS (
+  SELECT tok, count(*)::BIGINT AS n
+  FROM (SELECT unnest({TOK_SQL}) AS tok FROM documents)
+  GROUP BY 1
+),
+chars AS (
+  SELECT tok, n, unnest(string_split(tok, '')) AS ch,
+         generate_subscripts(string_split(tok, ''), 1) AS i
+  FROM wc
+),
+pairs AS (
+  SELECT a.ch AS left_ch, b.ch AS right_ch, sum(a.n)::BIGINT AS n
+  FROM chars a JOIN chars b
+    ON b.tok = a.tok AND b.i = a.i + 1
+  GROUP BY 1, 2
+)
+SELECT left_ch AS "left", right_ch AS "right", n
+FROM pairs
+ORDER BY n DESC, left_ch, right_ch
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """Full BPE merge learning (analysis.py::learn_bpe_merges): the
+    distributed word-count stage feeds a deterministic driver-local
+    trainer (highest count, lexicographic ties, greedy left-to-right
+    application) — the HF-tokenizers architecture. Iterative
+    re-segmentation is not SQL-expressible, so this entry is
+    rows-only; the trainer is pinned against a brute reference and
+    the oracle-backed `bpe_pair_counts` first iteration in
+    tests/test_analysis.py."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+    wc = A.bpe_word_counts(ds)
+    merges = A.learn_bpe_merges(wc, BPE_N_MERGES)
+    return pa.table({
+        "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "n": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
 #: terms_set minimum_should_match_field divisor: required distinct
 #: terms per doc = min(n_query_terms, 1 + doclen // TERMS_SET_DIV)
 TERMS_SET_DIV = 100
@@ -7785,6 +7857,8 @@ def registry() -> tuple[dict, dict]:
         "chunk_spans": chunk_spans,
         "winnow_fps": winnow_fps,
         "terms_set_topk": terms_set_topk,
+        "bpe_pair_counts": bpe_pair_counts,
+        "bpe_merges": bpe_merges,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -7937,6 +8011,9 @@ def registry() -> tuple[dict, dict]:
         "chunk_spans": CHUNK_SPANS_SQL,
         "winnow_fps": _winnow_sql(),
         "terms_set_topk": _terms_set_sql(),
+        "bpe_pair_counts": BPE_PAIRS_SQL,
+        # bpe_merges: iterative re-segmentation is not SQL-expressible
+        # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,

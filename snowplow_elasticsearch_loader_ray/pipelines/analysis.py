@@ -645,3 +645,85 @@ def winnow_fingerprints(ds) -> pa.Table:
         ds.map_batches(_winnow_batch,
                        batch_format="pyarrow").to_arrow_refs())
     return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training: Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def bpe_word_counts(ds) -> "pa.Table":
+    """Distributed (token, count) extraction — the ONLY corpus-sized
+    stage of BPE training (HF-tokenizers-shaped: aggregate word counts
+    across the corpus, then train on the tiny vocab table). Per-batch
+    partial counts ride one term-keyed groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _idx, _n = _flat_tokens(batch["text"])
+        if not len(flat):
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"tok": flat}).group_by("tok").aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["tok", "n"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    rows = rows.sort_values("tok").reset_index(drop=True)
+    return pa.table({"tok": pa.array(rows["tok"], pa.string()),
+                     "n": pa.array(rows["n"], pa.int64())})
+
+
+def bpe_pair_stats(words: "pa.Table") -> dict[tuple[str, str], int]:
+    """Adjacent-symbol pair counts over a (symbols, count) vocab —
+    every adjacent position counts (overlapping pairs included), each
+    weighted by the word's corpus count."""
+    stats: dict[tuple[str, str], int] = {}
+    for syms, n in zip(words["syms"].to_pylist(),
+                       words["n"].to_pylist()):
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] = stats.get((a, b), 0) + n
+    return stats
+
+
+def learn_bpe_merges(word_counts: "pa.Table", n_merges: int
+                     ) -> list[tuple[str, str, int]]:
+    """Deterministic BPE trainer over the aggregated vocab: each round
+    merges the highest-count adjacent pair (ties: lexicographically
+    smallest pair) in every word, greedy left-to-right. Returns
+    [(left, right, count_at_merge_time)]. Driver-local by design —
+    the vocab table is tiny next to the corpus, exactly like
+    production tokenizer trainers."""
+    words = pa.table({
+        "syms": pa.array([list(t) for t in word_counts["tok"].to_pylist()],
+                         pa.list_(pa.string())),
+        "n": word_counts["n"],
+    })
+    syms_list = [list(s) for s in words["syms"].to_pylist()]
+    counts = words["n"].to_pylist()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, n in zip(syms_list, counts):
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + n
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((l, r, c))
+        tgt = l + r
+        for i, syms in enumerate(syms_list):
+            j = 0
+            out = []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(tgt)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms_list[i] = out
+    return merges

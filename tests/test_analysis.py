@@ -260,3 +260,61 @@ def test_winnowing_guarantee_and_locality(ray_session):
                      "text": pa.array(["alpha beta gamma delta"])})
     one = A.winnow_fingerprints(ray.data.from_arrow(tiny)).to_pandas()
     assert len(one) == 1
+
+
+def test_bpe_trainer_reference_and_first_merge(ray_session):
+    """learn_bpe_merges vs a brute per-string reference on a synthetic
+    corpus; and the first learned merge must equal the oracle-backed
+    first-iteration top pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from snowplow_elasticsearch_loader_ray.pipelines import analysis as A
+
+    texts = ["banana bandana ana", "banana banana nab",
+             "dana nabs a banana", "an anagram and a banana"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    wc = A.bpe_word_counts(ray.data.from_arrow(t).repartition(3))
+    merges = A.learn_bpe_merges(wc, 6)
+
+    # brute reference: dict-of-words trainer, same tie rules
+    words = {}
+    for s in texts:
+        for tok in s.split():
+            words[tok] = words.get(tok, 0) + 1
+    segs = {w: list(w) for w in words}
+    ref = []
+    for _ in range(6):
+        stats = {}
+        for w, n in words.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + n
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((l, r, c))
+        for w in segs:
+            s, out, j = segs[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            segs[w] = out
+    assert merges == ref
+    # multi-char merged symbols appear after enough rounds
+    assert any(len(l) + len(r) > 2 for l, r, _ in merges)
+
+    # first merge == oracle-backed first-iteration top pair (sf0.001)
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        bpe_merges as entry_merges, bpe_pair_counts)
+
+    top = bpe_pair_counts("/root/testdata/sf0.001").to_pandas().iloc[0]
+    first = entry_merges("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert (first["left"], first["right"], first["n"]) == \
+        (top["left"], top["right"], top["n"])
