@@ -7668,6 +7668,174 @@ def _ingest_summary_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# round-4 (cont.): function_score random_score / distance_feature,
+# pipeline bucket_selector+bucket_sort, nested-vs-object semantics,
+# diversified sampler, analysis-chain stemming, synonym expansion,
+# terms lookup, bigram LM quality scoring
+# --------------------------------------------------------------------------
+
+#: function_score random_score: a seeded multiplicative hash over the
+#: consistently-routed id field (ES uses _seq_no/_id murmur; the graft
+#: pins an explicit LCG so the oracle replays it as pure BIGINT math —
+#: operands stay < 2^31 so every product fits int64 on both sides)
+RS_PRIME = 2147483629          # largest prime < 2^31
+RS_MUL = 1103515245            # glibc LCG multiplier
+RS_ADD = 12345
+RS_TERM = "data"
+RS_TOP = 20
+
+
+def random_score_topk(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` + ``random_score`` (seeded, field=doc_id):
+    deterministic per-doc hash over the match set of one term, top-k by
+    hash desc (ES maps the hash into [0,1); rank order IS hash order),
+    ties to the smaller doc_id. The match set comes straight from the
+    posting list — never a corpus scan — and the hash is one vectorized
+    int64 expression over the matched ids, so the op is O(df(term))."""
+    r = _reader(sf_dir)
+    pl = r.postings(RS_TERM)
+    if pl is None:
+        ids = np.empty(0, dtype=np.int64)
+    else:
+        ids = r.dl_doc_ids[pl.decode_all()[0]].astype(np.int64)
+    h = ((ids % RS_PRIME) * RS_MUL + RS_ADD) % RS_PRIME
+    top = np.lexsort((ids, -h))[:RS_TOP]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids[top]),
+        "score_u": pa.array(h[top]),
+    })
+
+
+RANDOM_SCORE_SQL = f"""
+SELECT row_number() OVER (ORDER BY score_u DESC, doc_id)::BIGINT AS rank,
+       doc_id, score_u
+FROM (
+  SELECT doc_id,
+         ((doc_id % {RS_PRIME}) * {RS_MUL} + {RS_ADD}) % {RS_PRIME} AS score_u
+  FROM documents WHERE list_contains({TOK_SQL}, '{RS_TERM}')
+)
+ORDER BY score_u DESC, doc_id
+LIMIT {RS_TOP}
+"""
+
+
+#: distance_feature: recency boost around a fixed origin; score =
+#: pivot/(pivot+|ts-origin|) in integer parts-per-1e7 (numerator
+#: SCALE·pivot_us = 2.6e18 < 2^63 keeps the division pure int64)
+DF_ORIGIN_US = 1705276800 * 10**6        # 2024-01-15 00:00:00 UTC
+DF_PIVOT_US = 3 * 86400 * 10**6          # pivot = 3 days
+DF_SCALE = 10**7
+DF_EVENT_TYPE = "click"
+DF_TOP = 20
+
+
+def distance_feature_topk(sf_dir: str) -> pa.Table:
+    """ES ``distance_feature`` query on a date field: events matching
+    ``event_type = click`` ranked by closeness to a fixed origin,
+    score = pivot/(pivot+distance) as an exact integer in 1e-7 units
+    (floor division — identical trunc semantics in numpy and DuckDB on
+    the all-positive operands). Per-block top-k candidates are the only
+    rows that reach the driver."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "event_type"])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], DF_EVENT_TYPE))
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = np.abs(ts - DF_ORIGIN_US)
+        score = (DF_SCALE * DF_PIVOT_US) // (DF_PIVOT_US + dist)
+        best = np.lexsort((eid, -score))[:DF_TOP]
+        return pa.table({"event_id": pa.array(eid[best]),
+                         "score_u": pa.array(score[best])})
+
+    cand = pa.concat_tables(list(
+        ds.map_batches(local_top, batch_format="pyarrow")
+          .iter_batches(batch_format="pyarrow", batch_size=None)))
+    eid = cand["event_id"].to_numpy(zero_copy_only=False)
+    sc = cand["score_u"].to_numpy(zero_copy_only=False)
+    best = np.lexsort((eid, -sc))[:DF_TOP]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(best) + 1, dtype=np.int64)),
+        "event_id": pa.array(eid[best].astype(np.int64)),
+        "score_u": pa.array(sc[best].astype(np.int64)),
+    })
+
+
+DISTANCE_FEATURE_SQL = f"""
+SELECT row_number() OVER (ORDER BY score_u DESC, event_id)::BIGINT AS rank,
+       event_id, score_u
+FROM (
+  SELECT event_id,
+         (({DF_SCALE}::BIGINT * {DF_PIVOT_US}) //
+           ({DF_PIVOT_US} + abs(epoch_us(ts) - {DF_ORIGIN_US})))::BIGINT
+           AS score_u
+  FROM events WHERE event_type = '{DF_EVENT_TYPE}'
+)
+ORDER BY score_u DESC, event_id
+LIMIT {DF_TOP}
+"""
+
+
+#: bucket_selector + bucket_sort thresholds over the daily histogram
+BS_MIN_COUNT = 300
+BS_TOP = 10
+
+
+def bucket_selector_sort(sf_dir: str) -> pa.Table:
+    """ES pipeline aggs ``bucket_selector`` + ``bucket_sort`` over a
+    daily ``date_histogram``: keep buckets with more than BS_MIN_COUNT
+    events, then the top BS_TOP buckets by summed value desc (ties to
+    the earlier day). The value metric is exact integer micro-units
+    (floor(1e6·value) — both sides floor the same IEEE product), summed
+    order-free; blocks collapse to at-most-days partial rows before the
+    shuffle and only ~30 buckets ever reach the driver."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        vm = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        g = (pa.table({"day": day, "value_micro": pa.array(vm)})
+             .group_by("day")
+             .aggregate([("value_micro", "sum"), ([], "count_all")]))
+        return g.rename_columns(["day", "sum_micro", "n"])
+
+    out = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["ts", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out[out["n"] > BS_MIN_COUNT]
+    out = out.sort_values(["sum_micro", "day"],
+                          ascending=[False, True]).head(BS_TOP)
+    return pa.table({
+        "day": pa.array(out["day"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_micro": pa.array(out["sum_micro"], pa.int64()),
+    })
+
+
+BUCKET_SELECTOR_SQL = f"""
+SELECT day, n, sum_micro FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
+         sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_micro
+  FROM events GROUP BY 1
+)
+WHERE n > {BS_MIN_COUNT}
+ORDER BY sum_micro DESC, day
+LIMIT {BS_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -7859,6 +8027,9 @@ def registry() -> tuple[dict, dict]:
         "terms_set_topk": terms_set_topk,
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_merges": bpe_merges,
+        "random_score_topk": random_score_topk,
+        "distance_feature_topk": distance_feature_topk,
+        "bucket_selector_sort": bucket_selector_sort,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8012,6 +8183,9 @@ def registry() -> tuple[dict, dict]:
         "winnow_fps": _winnow_sql(),
         "terms_set_topk": _terms_set_sql(),
         "bpe_pair_counts": BPE_PAIRS_SQL,
+        "random_score_topk": RANDOM_SCORE_SQL,
+        "distance_feature_topk": DISTANCE_FEATURE_SQL,
+        "bucket_selector_sort": BUCKET_SELECTOR_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
