@@ -7835,6 +7835,205 @@ LIMIT {BS_TOP}
 """
 
 
+#: nested query predicate: one event must satisfy BOTH conditions
+NESTED_TYPE = "purchase"
+NESTED_MIN_VALUE = 250.0
+
+
+def nested_query_counts(sf_dir: str) -> pa.Table:
+    """ES ``nested`` query vs OBJECT (flattened) mapping semantics —
+    the canonical distinction: with events as nested children of a
+    user, a nested query demands ONE event match both predicates
+    (type = purchase AND value > v); an object mapping flattens the
+    arrays, so the predicates may match across DIFFERENT events of the
+    same user. Returns both user counts plus the flat-only false
+    positives. One pass: per-block per-user flag partials (three int8
+    maxes) shuffle instead of events; the final reduce sums a
+    users-sized table of flags."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "value"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        is_t = pc.equal(b["event_type"], NESTED_TYPE) \
+            .to_numpy(zero_copy_only=False)
+        is_v = b["value"].to_numpy(zero_copy_only=False) > NESTED_MIN_VALUE
+        t = pa.table({
+            "user_id": b["user_id"],
+            "nested": pa.array((is_t & is_v).astype(np.int8)),
+            "has_type": pa.array(is_t.astype(np.int8)),
+            "has_value": pa.array(is_v.astype(np.int8)),
+        }).group_by("user_id").aggregate(
+            [("nested", "max"), ("has_type", "max"), ("has_value", "max")])
+        return t.rename_columns(["user_id", "nested", "has_type", "has_value"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        nested = b["nested"].to_numpy(zero_copy_only=False)
+        flat = (b["has_type"].to_numpy(zero_copy_only=False)
+                & b["has_value"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_nested_users": pa.array([int(nested.sum())], pa.int64()),
+            "n_flat_users": pa.array([int(flat.sum())], pa.int64()),
+        })
+
+    parts = (ds.map_batches(flags, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("nested", alias_name="nested"),
+                        Max("has_type", alias_name="has_type"),
+                        Max("has_value", alias_name="has_value"))
+             .map_batches(counts, batch_format="pyarrow")
+             .to_pandas())
+    n_nested = int(parts["n_nested_users"].sum())
+    n_flat = int(parts["n_flat_users"].sum())
+    return pa.table({
+        "n_nested_users": pa.array([n_nested], pa.int64()),
+        "n_flat_users": pa.array([n_flat], pa.int64()),
+        "n_flat_only": pa.array([n_flat - n_nested], pa.int64()),
+    })
+
+
+NESTED_QUERY_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = '{NESTED_TYPE}'
+                   AND value > {NESTED_MIN_VALUE!r} THEN 1 ELSE 0 END) AS nested,
+         max(CASE WHEN event_type = '{NESTED_TYPE}' THEN 1 ELSE 0 END) AS has_type,
+         max(CASE WHEN value > {NESTED_MIN_VALUE!r} THEN 1 ELSE 0 END) AS has_value
+  FROM events GROUP BY 1
+)
+SELECT sum(nested)::BIGINT AS n_nested_users,
+       sum(CASE WHEN has_type = 1 AND has_value = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_flat_users,
+       (sum(CASE WHEN has_type = 1 AND has_value = 1 THEN 1 ELSE 0 END)
+        - sum(nested))::BIGINT AS n_flat_only
+FROM u
+"""
+
+
+#: diversified_sampler: at most this many docs per lang (de-bias key)
+DIV_PER_LANG = 40
+
+
+def diversified_sampler_agg(sf_dir: str) -> pa.Table:
+    """ES ``diversified_sampler`` + ``terms`` sub-aggregation: sample
+    the strongest docs (by n_chars desc, doc_id asc — the fixed sort
+    that stands in for score order) with at most DIV_PER_LANG per lang,
+    then count sources over the sampled set. Per-block partial top-M
+    per lang caps what the shuffle carries at langs×M rows per block;
+    the per-lang exact top-M runs as one map_groups over the
+    lang-partitioned groupby (langs are few by construction — the
+    diversity field of a sampler is always low-cardinality)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"])
+
+    def local_top(df):
+        return (df.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True])
+                .groupby("lang", sort=False).head(DIV_PER_LANG))
+
+    def src_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).group_by("source") \
+             .aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    out = (ds.map_batches(local_top, batch_format="pandas")
+           .groupby("lang")
+           .map_groups(local_top, batch_format="pandas")
+           .map_batches(src_counts, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas()
+           .sort_values(["n", "source"], ascending=[False, True])
+           .reset_index(drop=True))
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+DIVERSIFIED_SAMPLER_SQL = f"""
+SELECT source, count(*)::BIGINT AS n
+FROM (
+  SELECT source FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) <= {DIV_PER_LANG}
+)
+GROUP BY source
+ORDER BY n DESC, source
+"""
+
+
+#: analysis-chain stemming: Lucene's EnglishMinimalStemmer rule
+#: (public Lucene analysis-common: len >= 3, trailing 's', penultimate
+#: not 'u'/'s' → drop the 's'); top terms of the STEMMED token stream
+STEM_TOP = 25
+
+
+def stem_top_terms(sf_dir: str) -> pa.Table:
+    """ES analyzer chain with the ``minimal_english`` stemmer token
+    filter: top STEM_TOP stemmed terms by collection frequency (ties
+    to the lexicographically smaller stem). Stemming is three Arrow
+    kernel masks + one sliced copy per batch — no per-token Python —
+    and blocks collapse to per-stem partial counts before the shuffle;
+    after the groupby each block holds complete totals, so per-block
+    top-k + a driver merge of block-count×k rows is exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from .tokenizer import tokenize_to_terms
+        flat, _idx = tokenize_to_terms(b["text"])
+        cond = pc.and_(
+            pc.and_(pc.greater_equal(pc.utf8_length(flat), 3),
+                    pc.ends_with(flat, pattern="s")),
+            pc.and_(pc.invert(pc.ends_with(flat, pattern="us")),
+                    pc.invert(pc.ends_with(flat, pattern="ss"))))
+        stems = pc.if_else(cond, pc.utf8_slice_codeunits(flat, 0, -1), flat)
+        g = pa.table({"stem": stems}).group_by("stem") \
+             .aggregate([([], "count_all")])
+        return g.rename_columns(["stem", "cf"])
+
+    counts = (ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("stem")
+              .aggregate(Sum("cf", alias_name="cf")))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        stems = b["stem"].to_numpy(zero_copy_only=False)
+        cf = b["cf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((stems, -cf))[:STEM_TOP]
+        return pa.table({"stem": pa.array(stems[order], pa.string()),
+                         "cf": pa.array(cf[order].astype(np.int64))})
+
+    cand = pa.concat_tables(list(
+        counts.map_batches(local_top, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)))
+    stems = cand["stem"].to_numpy(zero_copy_only=False)
+    cf = cand["cf"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((stems, -cf))[:STEM_TOP]
+    return pa.table({
+        "stem": pa.array(stems[order], pa.string()),
+        "cf": pa.array(cf[order].astype(np.int64)),
+    })
+
+
+STEM_TOP_TERMS_SQL = f"""
+SELECT stem, cf FROM (
+  SELECT CASE WHEN length(t) >= 3 AND t LIKE '%s'
+               AND substr(t, length(t) - 1, 1) NOT IN ('u', 's')
+         THEN substr(t, 1, length(t) - 1) ELSE t END AS stem,
+         count(*)::BIGINT AS cf
+  FROM (SELECT unnest({TOK_SQL}) AS t FROM documents)
+  GROUP BY 1
+)
+ORDER BY cf DESC, stem
+LIMIT {STEM_TOP}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8030,6 +8229,9 @@ def registry() -> tuple[dict, dict]:
         "random_score_topk": random_score_topk,
         "distance_feature_topk": distance_feature_topk,
         "bucket_selector_sort": bucket_selector_sort,
+        "nested_query_counts": nested_query_counts,
+        "diversified_sampler_agg": diversified_sampler_agg,
+        "stem_top_terms": stem_top_terms,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8186,6 +8388,9 @@ def registry() -> tuple[dict, dict]:
         "random_score_topk": RANDOM_SCORE_SQL,
         "distance_feature_topk": DISTANCE_FEATURE_SQL,
         "bucket_selector_sort": BUCKET_SELECTOR_SQL,
+        "nested_query_counts": NESTED_QUERY_SQL,
+        "diversified_sampler_agg": DIVERSIFIED_SAMPLER_SQL,
+        "stem_top_terms": STEM_TOP_TERMS_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
