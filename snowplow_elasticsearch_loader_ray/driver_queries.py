@@ -3001,7 +3001,8 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
 def _bm25_sql(page: int = 1, src: str = "documents",
               dl_between: tuple[int, int] | None = None,
               gauss: tuple[float, float, float] | None = None,
-              fvf_factor: float | None = None) -> str:
+              fvf_factor: float | None = None,
+              queries: list[tuple[int, str]] | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
     view of ``documents`` through the same query. ``dl_between``
@@ -3016,7 +3017,7 @@ def _bm25_sql(page: int = 1, src: str = "documents",
     import re
 
     pairs = []
-    for qid, q in DOC_QUERIES:
+    for qid, q in (DOC_QUERIES if queries is None else queries):
         for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
             pairs.append(f"({qid}, '{term}')")
     values = ", ".join(pairs)
@@ -8034,6 +8035,114 @@ LIMIT {STEM_TOP}
 """
 
 
+#: query-time synonym filter (ES `synonym` token filter, expand=true):
+#: each group member expands to the whole group; expansion happens
+#: before tokenize_query's sorted-distinct collapse, so scoring an
+#: expanded query IS the bool-should over all synonym clauses
+SYNONYM_GROUPS: list[list[str]] = [
+    ["fast", "quick", "speedy"],
+    ["scan", "filter"],
+    ["row", "line"],
+    ["sort", "order", "merge"],
+]
+SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "fast scan"), (1, "slow row"), (2, "sort data"),
+    (3, "big fast table"), (4, "merge key"),
+]
+
+
+def _expand_synonyms(q: str) -> str:
+    groups = {t: g for g in SYNONYM_GROUPS for t in g}
+    out: list[str] = []
+    for tok in q.lower().split():
+        out.extend(groups.get(tok, [tok]))
+    return " ".join(out)
+
+
+def synonym_expand_topk(sf_dir: str) -> pa.Table:
+    """ES query-time synonym expansion (`synonym` token filter with
+    expand=true on the search analyzer): every query token rewrites to
+    its synonym group; each expanded term is one should clause scored
+    with BM25 against the UNEXPANDED index (the classic query-time
+    synonym trade-off — no reindex, per-term df). Expansion is a pure
+    query rewrite, so serving cost and determinism are exactly
+    `bm25_topk`'s; the oracle replays the same expanded term sets."""
+    eng = QueryEngine(_ensure_index(sf_dir), strategy="taat")
+    qids, ranks, docs = [], [], []
+    for qid, q in SYN_QUERIES:
+        d, _s = eng.topk(_expand_synonyms(q), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _synonym_sql() -> str:
+    return _bm25_sql(queries=[(qid, _expand_synonyms(q))
+                              for qid, q in SYN_QUERIES])
+
+
+#: terms-lookup source document + selectivity floor on the fetched set
+TL_DOC_ID = 7
+TL_MIN_LEN = 4
+TL_TOP = 15
+
+
+def terms_lookup_topk(sf_dir: str) -> pa.Table:
+    """ES ``terms`` query with a terms LOOKUP: the term set is fetched
+    from another document's field at query time (one routed single-doc
+    read — never a corpus scan), filtered to terms of length ≥ 4, then
+    ranked by how many distinct lookup terms each doc contains (filter
+    context: constant-score per term, count as the deterministic rank
+    key; ties to the smaller doc_id). The OR-count runs on posting
+    lists via ``query.py::boolean_or``."""
+    from .pipelines.query import boolean_or as _or
+
+    lk = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"],
+                       filters=[("doc_id", "==", TL_DOC_ID)])
+    text = lk["text"][0].as_py() if lk.num_rows else ""
+    terms = sorted({t for t in _expand_tokens(text) if len(t) >= TL_MIN_LEN})
+    r = _reader(sf_dir)
+    ids, n_matched = _or(r, " ".join(terms))
+    top = np.lexsort((ids, -n_matched))[:TL_TOP]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids[top].astype(np.int64)),
+        "n_matched": pa.array(n_matched[top].astype(np.int64)),
+    })
+
+
+def _expand_tokens(text: str) -> list[str]:
+    import re
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+TERMS_LOOKUP_SQL = f"""
+WITH lk AS (
+  SELECT DISTINCT t FROM (
+    SELECT unnest({TOK_SQL}) AS t FROM documents WHERE doc_id = {TL_DOC_ID}
+  ) WHERE length(t) >= {TL_MIN_LEN}
+),
+doctok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({TOK_SQL}) AS t FROM documents
+  )
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS n_matched
+  FROM doctok JOIN lk USING (t) GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY n_matched DESC, doc_id)::BIGINT AS rank,
+       doc_id, n_matched
+FROM m ORDER BY n_matched DESC, doc_id
+LIMIT {TL_TOP}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8232,6 +8341,8 @@ def registry() -> tuple[dict, dict]:
         "nested_query_counts": nested_query_counts,
         "diversified_sampler_agg": diversified_sampler_agg,
         "stem_top_terms": stem_top_terms,
+        "synonym_expand_topk": synonym_expand_topk,
+        "terms_lookup_topk": terms_lookup_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8391,6 +8502,8 @@ def registry() -> tuple[dict, dict]:
         "nested_query_counts": NESTED_QUERY_SQL,
         "diversified_sampler_agg": DIVERSIFIED_SAMPLER_SQL,
         "stem_top_terms": STEM_TOP_TERMS_SQL,
+        "synonym_expand_topk": _synonym_sql(),
+        "terms_lookup_topk": TERMS_LOOKUP_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
