@@ -8121,6 +8121,64 @@ def _expand_tokens(text: str) -> list[str]:
     return re.findall(r"[a-z0-9]+", text.lower())
 
 
+#: stupid-backoff bigram LM: corpus pairs below this count back off
+BIGRAM_LM_MIN = 2
+
+
+def bigram_lm_scores(sf_dir: str) -> pa.Table:
+    """KenLM-shaped bigram LM quality scores (stupid backoff,
+    alpha = 0.4) in exact integer micro-nats — one LM order above
+    `unigram_lm_scores`; see `analysis.py::bigram_lm_scores` for the
+    two-pass distributed plan (partial pair counts → one groupby →
+    broadcast LM → searchsorted probe per batch)."""
+    out = (A.bigram_lm_scores(_docs_ds(sf_dir), min_count=BIGRAM_LM_MIN)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_bigrams": pa.array(out["n_bigrams"], pa.int64()),
+        "lp_micro": pa.array(out["lp_micro"], pa.int64()),
+    })
+
+
+BIGRAM_LM_SQL = f"""
+WITH docarr AS (SELECT doc_id, {TOK_SQL} AS arr FROM documents),
+toks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS t
+  FROM docarr
+),
+uni AS (SELECT t, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n FROM toks),
+pairs AS (
+  SELECT a.doc_id, a.t AS w1, b.t AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS c FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= {BIGRAM_LM_MIN}
+),
+contrib AS (
+  SELECT p.doc_id,
+         CASE WHEN bi.c IS NOT NULL
+           THEN floor(1e6 * ln(bi.c::DOUBLE / u1.cf::DOUBLE))::BIGINT
+           ELSE floor(1e6 * ln((0.4 * u2.cf::DOUBLE) / nt.n::DOUBLE))::BIGINT
+         END AS m
+  FROM pairs p
+  JOIN uni u1 ON u1.t = p.w1
+  JOIN uni u2 ON u2.t = p.w2
+  LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+  CROSS JOIN nt
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(m)::BIGINT AS lp_micro
+  FROM contrib GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(agg.lp_micro, 0)::BIGINT AS lp_micro
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 TERMS_LOOKUP_SQL = f"""
 WITH lk AS (
   SELECT DISTINCT t FROM (
@@ -8343,6 +8401,7 @@ def registry() -> tuple[dict, dict]:
         "stem_top_terms": stem_top_terms,
         "synonym_expand_topk": synonym_expand_topk,
         "terms_lookup_topk": terms_lookup_topk,
+        "bigram_lm_scores": bigram_lm_scores,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8504,6 +8563,7 @@ def registry() -> tuple[dict, dict]:
         "stem_top_terms": STEM_TOP_TERMS_SQL,
         "synonym_expand_topk": _synonym_sql(),
         "terms_lookup_topk": TERMS_LOOKUP_SQL,
+        "bigram_lm_scores": BIGRAM_LM_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

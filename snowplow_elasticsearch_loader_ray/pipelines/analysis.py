@@ -727,3 +727,130 @@ def learn_bpe_merges(word_counts: "pa.Table", n_merges: int
                     j += 1
             syms_list[i] = out
     return merges
+
+
+# --------------------------------------------------------------------------
+# bigram language-model quality scoring (KenLM-style stupid backoff)
+# --------------------------------------------------------------------------
+
+def bigram_lm_scores(ds, min_count: int = 2,
+                     max_bigrams: int = 50_000_000,
+                     concurrency: int | None = 2):
+    """Per-doc stupid-backoff bigram LM score in exact integer
+    micro-nats — the CCNet/KenLM-shaped quality signal one LM order up
+    from ``unigram_lm_scores``.
+
+    Model: a same-doc adjacent pair (w1, w2) contributes
+    ``floor(1e6·ln(c(w1 w2)/cf(w1)))`` when the corpus bigram count
+    clears ``min_count``, else the backoff
+    ``floor(1e6·ln(0.4·cf(w2)/N))`` (stupid backoff, alpha = 0.4).
+    Every contribution is an integer, so per-doc sums are order-free
+    and a SQL oracle replays them bit-for-bit.
+
+    Scale shape: two streaming passes. Pass 1 collapses each block to
+    distinct-pair partial counts before ONE (w1, w2) groupby (plus the
+    unigram groupby); pairs below ``min_count`` are dropped after the
+    global reduce — the surviving table is the LM. It is broadcast once
+    via ``ray.put`` as (vocab, cf, sorted int64 pair keys, counts);
+    ``max_bigrams`` fails loudly instead of silently truncating (at web
+    scale raise it and shard the LM with the term dictionary). Pass 2
+    maps tokens to vocab ids with one ``index_in`` gather per batch,
+    probes the sorted key array with ``searchsorted`` and reduces with
+    two bincounts — no per-token Python."""
+    import ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def _uni_partial(b: pa.Table) -> pa.Table:
+        flat, _idx = tokenize_to_terms(b["text"])
+        g = pa.table({"t": flat}).group_by("t").aggregate([([], "count_all")])
+        return g.rename_columns(["t", "cf"])
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        if len(idx_np) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        same = pa.array(idx_np[1:] == idx_np[:-1])
+        w1 = flat.slice(0, len(flat) - 1).filter(same)
+        w2 = flat.slice(1).filter(same)
+        g = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]) \
+             .aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c"])
+
+    uni = (ds.map_batches(_uni_partial, batch_format="pyarrow")
+           .groupby("t").aggregate(Sum("cf", alias_name="cf"))
+           .to_pandas())
+    uni = uni.sort_values("t").reset_index(drop=True)
+    vocab = pa.array(uni["t"], pa.string())
+    cf = uni["cf"].to_numpy(np.int64).astype(np.float64)
+    nt = float(cf.sum())
+    v = len(uni)
+
+    bi = (ds.map_batches(_pair_partial, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
+    bi = bi.filter(expr=f"c >= {int(min_count)}")
+    bi_tab = bi.to_pandas()
+    if len(bi_tab) > max_bigrams:
+        raise ValueError(
+            f"bigram LM table has {len(bi_tab)} rows > max_bigrams="
+            f"{max_bigrams}; raise the cap or shard the LM")
+    id1 = pc.index_in(pa.array(bi_tab["w1"], pa.string()), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    id2 = pc.index_in(pa.array(bi_tab["w2"], pa.string()), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = id1 * v + id2
+    bic = bi_tab["c"].to_numpy(np.int64).astype(np.float64)
+    order = np.argsort(keys)
+    lm_ref = ray.put((vocab, cf, nt, keys[order], bic[order]))
+
+    out = ds.map_batches(_BigramLmScore, batch_format="pyarrow",
+                         concurrency=concurrency,
+                         fn_constructor_kwargs={"lm_ref": lm_ref})
+    return out
+
+
+class _BigramLmScore:
+    """Actor-pool stupid-backoff scorer: LM fetched once per actor."""
+
+    def __init__(self, lm_ref):
+        import ray
+        self.vocab, self.cf, self.nt, self.keys, self.bic = ray.get(lm_ref)
+        self.v = len(self.cf)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        flat, idx_arr = tokenize_to_terms(b["text"])
+        n = b.num_rows
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        if len(idx) < 2:
+            z = np.zeros(n, dtype=np.int64)
+            return pa.table({"doc_id": b["doc_id"], "n_bigrams": pa.array(z),
+                             "lp_micro": pa.array(z)})
+        code = pc.fill_null(pc.index_in(flat, value_set=self.vocab), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        same = idx[1:] == idx[:-1]
+        p, c = code[:-1][same], code[1:][same]
+        docp = idx[1:][same]
+        key = p * self.v + c
+        if len(self.keys):
+            pos = np.clip(np.searchsorted(self.keys, key), 0,
+                          len(self.keys) - 1)
+            found = self.keys[pos] == key
+            cbi = self.bic[pos]
+        else:
+            found = np.zeros(len(key), dtype=bool)
+            cbi = np.ones(len(key), dtype=np.float64)
+        m = np.where(
+            found,
+            np.floor(1e6 * np.log(cbi / self.cf[p])),
+            np.floor(1e6 * np.log((0.4 * self.cf[c]) / self.nt)),
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_bigrams": pa.array(np.bincount(docp, minlength=n)
+                                  .astype(np.int64)),
+            "lp_micro": pa.array(np.bincount(docp, weights=m, minlength=n)
+                                 .astype(np.int64)),
+        })

@@ -318,3 +318,43 @@ def test_bpe_trainer_reference_and_first_merge(ray_session):
     first = entry_merges("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert (first["left"], first["right"], first["n"]) == \
         (top["left"], top["right"], top["n"])
+
+
+def test_bigram_lm_matches_brute_force(ray_session):
+    """Stupid-backoff bigram scores vs a per-doc pure-Python replay:
+    seen pairs (count >= min_count) use c(w1 w2)/cf(w1); the rest back
+    off to 0.4 * cf(w2)/N — every contribution an integer micro-nat."""
+    import math
+    import re
+    from collections import Counter
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "the cat sat again",
+        "",
+    ]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    out = (A.bigram_lm_scores(ray.data.from_arrow(docs), min_count=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    cf = Counter(w for ts in toks for w in ts)
+    nt = sum(cf.values())
+    bi = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    bi = {k: v for k, v in bi.items() if v >= 2}
+    for i, ts in enumerate(toks):
+        want_n = max(len(ts) - 1, 0)
+        want_lp = 0
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) in bi:
+                want_lp += math.floor(1e6 * math.log(bi[(a, b)] / cf[a]))
+            else:
+                want_lp += math.floor(1e6 * math.log((0.4 * cf[b]) / nt))
+        assert out.loc[i, "n_bigrams"] == want_n, i
+        assert out.loc[i, "lp_micro"] == want_lp, i
+    # the planted repeats ("the cat" x3, "cat sat" x2, "sat on" x2,
+    # "on the"/"on a" x1) make both branches load-bearing
+    assert ("the", "cat") in bi and ("on", "the") not in bi
