@@ -8121,6 +8121,78 @@ def _expand_tokens(text: str) -> list[str]:
     return re.findall(r"[a-z0-9]+", text.lower())
 
 
+def hll_register_hist(sf_dir: str) -> pa.Table:
+    """Value oracle for the HLL sketch CONTENT (stronger than pinning
+    the estimate, whose 16384-term float sum is summation-order-
+    sensitive): the histogram of merged register values over
+    events.user_id — pure integers, so the DuckDB oracle replays the
+    splitmix64 hash (HUGEINT mod-2^64, the fingerprints pattern), the
+    top-p register index, the trailing-zero rank and the max-merge
+    bit-for-bit. Register histograms also drive HLL++ bias correction
+    in practice, so the compared artifact is the real sketch state."""
+    from .pipelines import analysis as A2
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    regs = A2.hll_merged_registers(ds, "user_id")
+    hist = np.bincount(regs.astype(np.int64))
+    nz = np.nonzero(hist)[0]
+    return pa.table({
+        "rho": pa.array(nz.astype(np.int64)),
+        "n_registers": pa.array(hist[nz].astype(np.int64)),
+    })
+
+
+def _hll_hist_sql() -> str:
+    """Splitmix64 + HLL register derivation in DuckDB: idx = top 14
+    hash bits, w = low 50 bits, rho = ntz(w)+1 (via bit_count of the
+    isolated-lsb mask — all BIGINT-safe since w < 2^50), max per idx,
+    histogram + the implicit rho=0 row for untouched registers."""
+    from .pipelines.analysis import HLL_P
+
+    M = "18446744073709551616"           # 2^64
+    HALF = "9223372036854775808"         # 2^63
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    m = 1 << HLL_P
+    wbits = 64 - HLL_P
+    wmod = str(1 << wbits)
+    shift_p = str(1 << wbits)            # h >> (64-p) == h // 2^(64-p)
+
+    def sb(u: str) -> str:
+        return (f"(CASE WHEN {u} >= {HALF} THEN ({u} - {M})::BIGINT "
+                f"ELSE ({u})::BIGINT END)")
+
+    def ub(b: str) -> str:
+        return (f"(CASE WHEN {b} < 0 THEN ({b})::HUGEINT + {M} "
+                f"ELSE ({b})::HUGEINT END)")
+
+    mulmod = _sql_mulmod64
+    return f"""
+WITH ids AS (SELECT DISTINCT user_id::HUGEINT AS x FROM events),
+s1 AS (SELECT {ub(f"xor({sb('x')}, (x // 1073741824)::BIGINT)")} AS y FROM ids),
+s2 AS (SELECT {mulmod('y', C1)} AS y FROM s1),
+s3 AS (SELECT {ub(f"xor({sb('y')}, (y // 134217728)::BIGINT)")} AS y FROM s2),
+s4 AS (SELECT {mulmod('y', C2)} AS y FROM s3),
+s5 AS (SELECT {ub(f"xor({sb('y')}, (y // 2147483648)::BIGINT)")} AS h FROM s4),
+slots AS (
+  SELECT (h // {shift_p})::BIGINT AS idx, (h % {wmod})::BIGINT AS w FROM s5
+),
+regs AS (
+  SELECT idx,
+         max(CASE WHEN w = 0 THEN {wbits + 1}
+             ELSE bit_count(((w & -w) - 1)::BIGINT) + 1 END) AS rho
+  FROM slots GROUP BY idx
+),
+hist AS (
+  SELECT rho::BIGINT AS rho, count(*)::BIGINT AS n_registers FROM regs GROUP BY 1
+  UNION ALL
+  SELECT 0::BIGINT, ({m} - (SELECT count(*) FROM regs))::BIGINT
+)
+SELECT rho, n_registers FROM hist WHERE n_registers > 0
+"""
+
+
 #: stupid-backoff bigram LM: corpus pairs below this count back off
 BIGRAM_LM_MIN = 2
 
@@ -8402,6 +8474,7 @@ def registry() -> tuple[dict, dict]:
         "synonym_expand_topk": synonym_expand_topk,
         "terms_lookup_topk": terms_lookup_topk,
         "bigram_lm_scores": bigram_lm_scores,
+        "hll_register_hist": hll_register_hist,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8564,6 +8637,7 @@ def registry() -> tuple[dict, dict]:
         "synonym_expand_topk": _synonym_sql(),
         "terms_lookup_topk": TERMS_LOOKUP_SQL,
         "bigram_lm_scores": BIGRAM_LM_SQL,
+        "hll_register_hist": _hll_hist_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

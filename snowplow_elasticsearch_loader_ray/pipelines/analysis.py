@@ -540,8 +540,10 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_cardinality(ds, column: str, p: int = HLL_P) -> float:
-    """Approximate count-distinct of an int64 column, one streaming pass."""
+def hll_merged_registers(ds, column: str, p: int = HLL_P) -> np.ndarray:
+    """Merged HLL register array of an int64 column: one 2^p-byte
+    register row per block, elementwise-max merge — the full sketch
+    state (deterministic: splitmix64), one streaming pass."""
 
     def block(batch: pa.Table) -> pa.Table:
         vals = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -552,7 +554,12 @@ def hll_cardinality(ds, column: str, p: int = HLL_P) -> float:
     regs = np.zeros(1 << p, dtype=np.uint8)
     for row in parts:
         regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
-    return hll_estimate(regs)
+    return regs
+
+
+def hll_cardinality(ds, column: str, p: int = HLL_P) -> float:
+    """Approximate count-distinct of an int64 column, one streaming pass."""
+    return hll_estimate(hll_merged_registers(ds, column, p))
 
 
 # ---------------------------------------------------------------------------
