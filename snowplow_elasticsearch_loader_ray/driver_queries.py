@@ -8193,6 +8193,63 @@ SELECT rho, n_registers FROM hist WHERE n_registers > 0
 """
 
 
+#: rollover: loader micro-batch size and the ILM max_docs condition
+ROLLOVER_BATCH = 100
+ROLLOVER_MAX_DOCS = 150
+
+
+def rollover_stats(sf_dir: str) -> pa.Table:
+    """ES ``_rollover`` (ILM hot phase, max_docs condition): stream the
+    corpus through a rollover-managed write alias in fixed micro-
+    batches; each generation seals (REAL index build — inline fast
+    path) once it holds ≥ max_docs and the write alias atomically
+    advances. Returned doc counts are read back from the built
+    indexes' stats, not the writer's bookkeeping, and the write alias
+    must resolve to the newest generation. The oracle is the closed
+    form of the condition: per-generation capacity =
+    ceil(max_docs/batch)·batch docs."""
+    from .pipelines import rollover as RO
+    from .pipelines.alias import resolve
+
+    key = hashlib.sha256(
+        f"rollover|{os.path.abspath(sf_dir)}|{ROLLOVER_BATCH}|"
+        f"{ROLLOVER_MAX_DOCS}".encode()).hexdigest()[:12]
+    root = os.path.join(CACHE_ROOT, key, "rollover")
+
+    docs = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    docs = docs.sort_by("doc_id")
+    w = RO.RolloverWriter(root, max_docs=ROLLOVER_MAX_DOCS, cfg=CFG)
+    for off in range(0, docs.num_rows, ROLLOVER_BATCH):
+        w.append(docs.slice(off, ROLLOVER_BATCH))
+    gens = w.finish()
+    if gens and resolve(root, "docs-write") != gens[-1]["index_dir"]:
+        raise RuntimeError("write alias does not name the newest generation")
+    return pa.table({
+        "index_name": pa.array([g["name"] for g in gens], pa.string()),
+        "n_docs": pa.array([B.index_stats(g["index_dir"])["n_docs"]
+                            for g in gens], pa.int64()),
+        "sealed": pa.array([int(g["sealed"]) for g in gens], pa.int64()),
+    })
+
+
+_ROLLOVER_CAP = -(-ROLLOVER_MAX_DOCS // ROLLOVER_BATCH) * ROLLOVER_BATCH
+
+ROLLOVER_SQL = f"""
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+g AS (
+  SELECT unnest(generate_series(0, ((c - 1) // {_ROLLOVER_CAP})::BIGINT)) AS i
+  FROM n WHERE c > 0
+)
+SELECT 'docs-' || lpad((i + 1)::VARCHAR, 6, '0') AS index_name,
+       least({_ROLLOVER_CAP}, (SELECT c FROM n) - i * {_ROLLOVER_CAP})::BIGINT
+         AS n_docs,
+       (CASE WHEN least({_ROLLOVER_CAP},
+                        (SELECT c FROM n) - i * {_ROLLOVER_CAP})
+              >= {ROLLOVER_MAX_DOCS} THEN 1 ELSE 0 END)::BIGINT AS sealed
+FROM g
+"""
+
+
 #: stupid-backoff bigram LM: corpus pairs below this count back off
 BIGRAM_LM_MIN = 2
 
@@ -8475,6 +8532,7 @@ def registry() -> tuple[dict, dict]:
         "terms_lookup_topk": terms_lookup_topk,
         "bigram_lm_scores": bigram_lm_scores,
         "hll_register_hist": hll_register_hist,
+        "rollover_stats": rollover_stats,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8638,6 +8696,7 @@ def registry() -> tuple[dict, dict]:
         "terms_lookup_topk": TERMS_LOOKUP_SQL,
         "bigram_lm_scores": BIGRAM_LM_SQL,
         "hll_register_hist": _hll_hist_sql(),
+        "rollover_stats": ROLLOVER_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -116,3 +116,49 @@ def test_reads_do_not_create_registry(tmp_path):
         AL.resolve(root, "x")
     assert AL.list_aliases(root) == []
     assert not os.path.exists(os.path.join(root, "aliases"))
+
+
+def test_rollover_lifecycle(ray_session, tmp_path):
+    """Rollover semantics: the condition check runs after each append
+    (one-batch overshoot, like ES ILM), sealed generations are real
+    searchable indexes, and the write alias always resolves to the
+    newest generation."""
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import rollover as RO
+    from snowplow_elasticsearch_loader_ray.pipelines.alias import resolve
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    root = str(tmp_path / "ro")
+    w = RO.RolloverWriter(root, max_docs=5, cfg=IndexConfig())
+    # batches of 3: gen rolls after the 2nd append (6 >= 5) — overshoot 1
+    for i in range(4):
+        w.append(pa.table({
+            "doc_id": pa.array([i * 3, i * 3 + 1, i * 3 + 2], pa.int64()),
+            "text": pa.array([f"alpha beta doc{j}" for j in
+                              range(i * 3, i * 3 + 3)], pa.string()),
+        }))
+    gens = w.finish()
+    assert [g["n_docs"] for g in gens] == [6, 6]
+    assert [g["sealed"] for g in gens] == [True, True]
+    assert resolve(root, "docs-write") == gens[-1]["index_dir"]
+    # every generation is a real index serving its own docs
+    for g, lo in zip(gens, (0, 6)):
+        d, s = QueryEngine(g["index_dir"]).topk("alpha", 10)
+        assert sorted(d.tolist()) == list(range(lo, lo + 6))
+        assert (s > 0).all()
+
+
+def test_rollover_tail_unsealed(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import rollover as RO
+
+    root = str(tmp_path / "ro2")
+    w = RO.RolloverWriter(root, max_docs=5, cfg=IndexConfig())
+    w.append(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": pa.array(["a b", "b c"], pa.string())}))
+    gens = w.finish()
+    assert [(g["n_docs"], g["sealed"]) for g in gens] == [(2, False)]
