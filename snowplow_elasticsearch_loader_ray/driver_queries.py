@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
+from . import bm25
 from .config import IndexConfig, DedupConfig
 from .pipelines import analysis as A
 from .pipelines import ann as ANN
@@ -8198,16 +8199,10 @@ ROLLOVER_BATCH = 100
 ROLLOVER_MAX_DOCS = 150
 
 
-def rollover_stats(sf_dir: str) -> pa.Table:
-    """ES ``_rollover`` (ILM hot phase, max_docs condition): stream the
-    corpus through a rollover-managed write alias in fixed micro-
-    batches; each generation seals (REAL index build — inline fast
-    path) once it holds ≥ max_docs and the write alias atomically
-    advances. Returned doc counts are read back from the built
-    indexes' stats, not the writer's bookkeeping, and the write alias
-    must resolve to the newest generation. The oracle is the closed
-    form of the condition: per-generation capacity =
-    ceil(max_docs/batch)·batch docs."""
+def _rollover_gens(sf_dir: str) -> list[dict]:
+    """Run (or resume — every generation build is manifest-committed)
+    the rollover lifecycle over the driver corpus; returns the
+    generation records. Shared by rollover_stats / multi_index_search."""
     from .pipelines import rollover as RO
     from .pipelines.alias import resolve
 
@@ -8224,6 +8219,20 @@ def rollover_stats(sf_dir: str) -> pa.Table:
     gens = w.finish()
     if gens and resolve(root, "docs-write") != gens[-1]["index_dir"]:
         raise RuntimeError("write alias does not name the newest generation")
+    return gens
+
+
+def rollover_stats(sf_dir: str) -> pa.Table:
+    """ES ``_rollover`` (ILM hot phase, max_docs condition): stream the
+    corpus through a rollover-managed write alias in fixed micro-
+    batches; each generation seals (REAL index build — inline fast
+    path) once it holds ≥ max_docs and the write alias atomically
+    advances. Returned doc counts are read back from the built
+    indexes' stats, not the writer's bookkeeping, and the write alias
+    must resolve to the newest generation. The oracle is the closed
+    form of the condition: per-generation capacity =
+    ceil(max_docs/batch)·batch docs."""
+    gens = _rollover_gens(sf_dir)
     return pa.table({
         "index_name": pa.array([g["name"] for g in gens], pa.string()),
         "n_docs": pa.array([B.index_stats(g["index_dir"])["n_docs"]
@@ -8247,6 +8256,94 @@ SELECT 'docs-' || lpad((i + 1)::VARCHAR, 6, '0') AS index_name,
                         (SELECT c FROM n) - i * {_ROLLOVER_CAP})
               >= {ROLLOVER_MAX_DOCS} THEN 1 ELSE 0 END)::BIGINT AS sealed
 FROM g
+"""
+
+
+#: multi-index search: query subset scattered across the rolled gens
+MULTI_IDX_QUERIES: list[tuple[int, str]] = [
+    (0, "the"), (1, "data"), (2, "join"),
+    (10, "merge sort"), (14, "slow query"), (20, "sort merge join"),
+]
+
+
+def multi_index_search(sf_dir: str) -> pa.Table:
+    """Search ACROSS the rolled generations (`/idx-*/_search` over the
+    covering alias pattern): each generation scores with its OWN
+    corpus statistics — real ES `query_then_fetch` semantics, where
+    per-shard/per-index idf and avgdl differ and the coordinator merges
+    by (score, id) without global-stats normalization (dfs_query_then_
+    fetch is the opt-in exception). The scatter is one QueryEngine per
+    generation (top-k each), the gather a rank_topk over the
+    concatenated candidates; the oracle partitions documents by the
+    rollover capacity and recomputes BM25 with per-partition stats."""
+    gens = _rollover_gens(sf_dir)
+    engines = [QueryEngine(g["index_dir"], strategy="taat") for g in gens]
+    qids, ranks, docs = [], [], []
+    for qid, q in MULTI_IDX_QUERIES:
+        ids = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float64)
+        for eng in engines:
+            d, s = eng.topk(q, TOPK)
+            ids = np.concatenate([ids, d])
+            scores = np.concatenate([scores, s])
+        d, _s = bm25.rank_topk(ids, scores, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _multi_index_sql() -> str:
+    """Per-generation BM25: the _bm25_sql skeleton with every corpus
+    statistic (n, avgdl, df) keyed by the generation a doc falls in
+    under the rollover capacity split."""
+    import re
+
+    pairs = []
+    for qid, q in MULTI_IDX_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH src AS (
+  SELECT doc_id, text,
+         ((row_number() OVER (ORDER BY doc_id) - 1) // {_ROLLOVER_CAP})::BIGINT
+           AS g
+  FROM documents
+),
+tok AS (SELECT doc_id, g, unnest({TOK_SQL}) AS term FROM src),
+tf AS (SELECT doc_id, g, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, g, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT g, count(*)::DOUBLE AS n,
+         sum(len({TOK_SQL}))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM src GROUP BY g
+),
+df AS (SELECT g, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term AND df.g = tf.g
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN stats s ON s.g = tf.g
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -8533,6 +8630,7 @@ def registry() -> tuple[dict, dict]:
         "bigram_lm_scores": bigram_lm_scores,
         "hll_register_hist": hll_register_hist,
         "rollover_stats": rollover_stats,
+        "multi_index_search": multi_index_search,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8697,6 +8795,7 @@ def registry() -> tuple[dict, dict]:
         "bigram_lm_scores": BIGRAM_LM_SQL,
         "hll_register_hist": _hll_hist_sql(),
         "rollover_stats": ROLLOVER_SQL,
+        "multi_index_search": _multi_index_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
