@@ -8347,6 +8347,84 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: pinned query: promoted ids (in promotion order) + one organic query
+PINNED_IDS = [311, 7, 141]
+PINNED_QUERY = "data stream"
+PINNED_QID = 12
+
+
+def pinned_query_topk(sf_dir: str) -> pa.Table:
+    """ES ``pinned`` query: the listed ids rank first IN LIST ORDER
+    (shown even when they don't match the organic query — ES gives
+    them a constant boost above any organic score), then organic BM25
+    results with the pinned ids excluded fill the remaining slots.
+    Existence of a pinned id is checked against the doc-value table,
+    not the match set."""
+    r = _reader(sf_dir)
+    eng = QueryEngine(_ensure_index(sf_dir), strategy="taat")
+    d, _s = eng.topk(PINNED_QUERY, TOPK + len(PINNED_IDS))
+    exists = np.isin(np.array(PINNED_IDS, dtype=np.int64), r.dl_doc_ids)
+    pinned = [pid for pid, e in zip(PINNED_IDS, exists) if e]
+    drop = set(PINNED_IDS)
+    organic = [x for x in d.tolist() if x not in drop]
+    out = (pinned + organic)[:TOPK]
+    return pa.table({
+        "qid": pa.array([PINNED_QID] * len(out), pa.int64()),
+        "rank": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+        "doc_id": pa.array(out, pa.int64()),
+    })
+
+
+def _pinned_sql() -> str:
+    import re
+
+    terms = sorted(set(re.findall(r"[a-z0-9]+", PINNED_QUERY.lower())))
+    values = ", ".join(f"({PINNED_QID}, '{t}')" for t in terms)
+    pin_rows = ", ".join(f"({i + 1}, {pid})"
+                         for i, pid in enumerate(PINNED_IDS))
+    return f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM src),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM src)::DOUBLE
+           / (SELECT count(*) FROM src)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+pinned(ord, doc_id) AS (VALUES {pin_rows}),
+pex AS (SELECT p.ord, p.doc_id FROM pinned p JOIN documents d USING (doc_id)),
+organic AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 7) DESC, doc_id) AS ord
+  FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM pinned)
+),
+unioned AS (
+  SELECT 0 AS grp, ord, doc_id FROM pex
+  UNION ALL
+  SELECT 1 AS grp, ord, doc_id FROM organic
+)
+SELECT {PINNED_QID}::BIGINT AS qid,
+       row_number() OVER (ORDER BY grp, ord)::BIGINT AS rank, doc_id
+FROM unioned
+ORDER BY grp, ord
+LIMIT {TOPK}
+"""
+
+
 #: stupid-backoff bigram LM: corpus pairs below this count back off
 BIGRAM_LM_MIN = 2
 
@@ -8631,6 +8709,7 @@ def registry() -> tuple[dict, dict]:
         "hll_register_hist": hll_register_hist,
         "rollover_stats": rollover_stats,
         "multi_index_search": multi_index_search,
+        "pinned_query_topk": pinned_query_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -8796,6 +8875,7 @@ def registry() -> tuple[dict, dict]:
         "hll_register_hist": _hll_hist_sql(),
         "rollover_stats": ROLLOVER_SQL,
         "multi_index_search": _multi_index_sql(),
+        "pinned_query_topk": _pinned_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
