@@ -7676,13 +7676,13 @@ def _ingest_summary_sql() -> str:
 # terms lookup, bigram LM quality scoring
 # --------------------------------------------------------------------------
 
-#: function_score random_score: a seeded multiplicative hash over the
-#: consistently-routed id field (ES uses _seq_no/_id murmur; the graft
-#: pins an explicit LCG so the oracle replays it as pure BIGINT math —
-#: operands stay < 2^31 so every product fits int64 on both sides)
-RS_PRIME = 2147483629          # largest prime < 2^31
-RS_MUL = 1103515245            # glibc LCG multiplier
-RS_ADD = 12345
+#: function_score random_score: constants live with the primitive
+#: (query.py::score_random) so the DSL planner, the driver entry and
+#: the SQL oracle can never drift
+from .pipelines.query import (RANDOM_ADD as RS_ADD,          # noqa: E402
+                              RANDOM_MUL as RS_MUL,
+                              RANDOM_PRIME as RS_PRIME)
+
 RS_TERM = "data"
 RS_TOP = 20
 
@@ -7691,21 +7691,17 @@ def random_score_topk(sf_dir: str) -> pa.Table:
     """ES ``function_score`` + ``random_score`` (seeded, field=doc_id):
     deterministic per-doc hash over the match set of one term, top-k by
     hash desc (ES maps the hash into [0,1); rank order IS hash order),
-    ties to the smaller doc_id. The match set comes straight from the
-    posting list — never a corpus scan — and the hash is one vectorized
-    int64 expression over the matched ids, so the op is O(df(term))."""
-    r = _reader(sf_dir)
-    pl = r.postings(RS_TERM)
-    if pl is None:
-        ids = np.empty(0, dtype=np.int64)
-    else:
-        ids = r.dl_doc_ids[pl.decode_all()[0]].astype(np.int64)
-    h = ((ids % RS_PRIME) * RS_MUL + RS_ADD) % RS_PRIME
-    top = np.lexsort((ids, -h))[:RS_TOP]
+    ties to the smaller doc_id. Serves through
+    ``query.py::score_random`` (the same primitive the `_search` DSL
+    planner dispatches to), which probes posting lists — never a
+    corpus scan."""
+    from .pipelines.query import score_random
+
+    ids, h = score_random(_reader(sf_dir), RS_TERM, RS_TOP)
     return pa.table({
-        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-        "doc_id": pa.array(ids[top]),
-        "score_u": pa.array(h[top]),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64)),
+        "doc_id": pa.array(ids),
+        "score_u": pa.array(h.astype(np.int64)),
     })
 
 

@@ -901,6 +901,35 @@ def sort_by_doclen(reader: IndexReader, query: str, k: int = 10
     return ext[order], dl[order]
 
 
+#: function_score random_score constants: a seeded LCG over the id
+#: doc-value (ES hashes _seq_no/_id with murmur; the graft pins an
+#: explicit LCG so oracles replay it as pure int64 math — both factors
+#: stay < 2^31, so every product fits int64)
+RANDOM_PRIME = 2147483629
+RANDOM_MUL = 1103515245
+RANDOM_ADD = 12345
+
+
+def score_random(reader: IndexReader, query: str, k: int = 10
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``function_score`` + ``random_score`` (seeded, field=doc_id):
+    rank the match set (bool-should union over the query terms) by the
+    deterministic per-doc hash desc, ties to the smaller id. Scores are
+    the raw hash values as float64 (ES maps them into [0,1) — a
+    monotone transform, so rank order is the hash order). O(df) over
+    the posting lists; never a corpus scan."""
+    terms = tokenize_query(query)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ords = np.unique(np.concatenate(hits))
+    ids = reader.dl_doc_ids[ords].astype(np.int64)
+    h = ((ids % RANDOM_PRIME) * RANDOM_MUL + RANDOM_ADD) % RANDOM_PRIME
+    top = np.lexsort((ids, -h))[:k]
+    return ids[top], h[top].astype(np.float64)
+
+
 def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
     """(external doc_ids in ordinal order, distinct query terms matched)."""
     terms = tokenize_query(query)

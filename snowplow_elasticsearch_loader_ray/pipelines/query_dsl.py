@@ -50,8 +50,15 @@ from .query import (
     score_field_value_factor,
     score_function_gauss,
     score_min_should_match,
+    score_random,
+    score_terms_set,
     tokenize_query,
 )
+
+#: synthetic score of the first pinned doc; each further pinned slot
+#: steps down by 1 — far above any BM25 sum, mirroring ES's ~1.7e38
+#: pinned-score ramp while staying exactly representable in float64
+PINNED_SCORE_BASE = 1e12
 
 
 class UnsupportedDSL(ValueError):
@@ -370,16 +377,74 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
                 "minimum_should_match inside boosting is unsupported")
         d, s = score_boosting(reader, pos_q, neg_q, k,
                               negative_boost=bq.get("negative_boost", 0.5))
+    elif kind == "pinned":
+        pn = node["pinned"]
+        extra = set(pn) - {"ids", "organic"}
+        if extra or "ids" not in pn or "organic" not in pn:
+            raise UnsupportedDSL(f"unsupported pinned keys {pn!r}")
+        ids_list = pn["ids"]
+        if (not isinstance(ids_list, list)
+                or not all(isinstance(i, int) and not isinstance(i, bool)
+                           for i in ids_list)
+                or len(set(ids_list)) != len(ids_list)):
+            raise UnsupportedDSL(f"bad pinned ids {ids_list!r}")
+        q, msm = _match_text(pn["organic"])
+        if msm is not None:
+            raise UnsupportedDSL(
+                "minimum_should_match inside pinned is unsupported")
+        ords, scores = _taat_scores_ords(reader, q)
+        od, osc = bm25.rank_topk(reader.dl_doc_ids[ords], scores,
+                                 k + len(ids_list))
+        pin_arr = np.array(ids_list, dtype=np.int64)
+        pin = pin_arr[np.isin(pin_arr, reader.dl_doc_ids)]
+        keep = ~np.isin(od, pin_arr)
+        od, osc = od[keep], osc[keep]
+        # pinned docs get a descending synthetic score ramp above any
+        # BM25 sum (ES starts pinned scores at ~1.7e38 and steps down
+        # per list position; PINNED_SCORE_BASE plays that role)
+        ps = PINNED_SCORE_BASE - np.arange(len(pin), dtype=np.float64)
+        d = np.concatenate([pin, od])[:k]
+        s = np.concatenate([ps, osc])[:k]
+    elif kind == "terms_set":
+        ts = node["terms_set"]
+        if set(ts) != {"text"}:
+            raise UnsupportedDSL(f"terms_set on {set(ts)}")
+        p = ts["text"]
+        bad = set(p) - {"terms", "minimum_should_match_field", "m_div"}
+        if bad or "terms" not in p:
+            raise UnsupportedDSL(f"unsupported terms_set params {p!r}")
+        if (not isinstance(p["terms"], list)
+                or not all(isinstance(t, str) for t in p["terms"])):
+            raise UnsupportedDSL(f"bad terms_set terms {p['terms']!r}")
+        if p.get("minimum_should_match_field", "doclen") != "doclen":
+            raise UnsupportedDSL(
+                f"minimum_should_match_field "
+                f"{p.get('minimum_should_match_field')!r} != 'doclen'")
+        d, s = score_terms_set(reader, " ".join(p["terms"]), k,
+                               m_div=p.get("m_div", 100))
     elif kind == "function_score":
         fs = node["function_score"]
-        extra = set(fs) - {"query", "gauss", "field_value_factor"}
+        extra = set(fs) - {"query", "gauss", "field_value_factor",
+                           "random_score"}
         if extra or "query" not in fs:
             raise UnsupportedDSL(f"unsupported function_score keys {fs!r}")
+        if sum(x in fs for x in
+               ("gauss", "field_value_factor", "random_score")) > 1:
+            raise UnsupportedDSL("function_score takes one function")
         q, q_msm = _match_text(fs["query"])
         if q_msm is not None:
             raise UnsupportedDSL(
                 "minimum_should_match inside function_score is unsupported")
-        if "gauss" in fs:
+        if "random_score" in fs:
+            rs = fs["random_score"]
+            bad = set(rs) - {"field", "seed"}
+            if bad or rs.get("field", "doc_id") != "doc_id":
+                raise UnsupportedDSL(f"unsupported random_score {rs!r}")
+            if rs.get("seed", 0) != 0:
+                raise UnsupportedDSL(
+                    "only the default (seed=0) LCG stream is served")
+            d, s = score_random(reader, q, k)
+        elif "gauss" in fs:
             g = fs["gauss"]
             if set(g) != {"doclen"}:
                 raise UnsupportedDSL(f"gauss on {set(g)}")

@@ -309,3 +309,97 @@ def test_phrase_filter_without_pos_reader_raises(reader):
         "filter": [{"match_phrase": {"text": "data stream"}}]}}}
     with pytest.raises(DSL.UnsupportedDSL):
         DSL.execute(reader, body)
+
+
+def test_pinned_query(reader):
+    """pinned: listed ids first IN LIST ORDER (existing ids only, shown
+    even without an organic match), then organic BM25 excluding the
+    pinned set; scores ramp down from PINNED_SCORE_BASE."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import score_taat
+
+    ids = [311, 7, 141, 999_999_999]          # last one doesn't exist
+    body = {"query": {"pinned": {
+        "ids": ids, "organic": {"match": {"text": "data stream"}}}},
+        "size": 10}
+    d, s = DSL.execute(reader, body)
+    exists = [i for i in ids if i in set(reader.dl_doc_ids.tolist())]
+    od, _osc = score_taat(reader, "data stream", 10 + len(ids))
+    organic = [x for x in od.tolist() if x not in set(ids)]
+    assert d.tolist() == (exists + organic)[:10]
+    # pinned scores are the synthetic ramp, strictly above organic
+    np.testing.assert_array_equal(
+        s[:len(exists)],
+        DSL.PINNED_SCORE_BASE - np.arange(len(exists), dtype=np.float64))
+    assert (s[:len(exists)] > s[len(exists):].max()).all()
+    # pagination composes: from=2 drops the first two pinned slots
+    d2, _ = DSL.execute(reader, {**body, "from": 2, "size": 5})
+    assert d2.tolist() == (exists + organic)[2:7]
+
+
+def test_pinned_matches_driver_entry(reader):
+    """The DSL route and the registry entry share one contract."""
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        PINNED_IDS, PINNED_QUERY, TOPK, pinned_query_topk)
+
+    want = pinned_query_topk(SF).column("doc_id").to_pylist()
+    d, _ = DSL.execute(reader, {"query": {"pinned": {
+        "ids": PINNED_IDS,
+        "organic": {"match": {"text": PINNED_QUERY}}}}, "size": TOPK})
+    assert d.tolist() == want
+
+
+def test_terms_set_route(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        score_terms_set)
+
+    body = {"query": {"terms_set": {"text": {
+        "terms": ["data", "stream", "table"],
+        "minimum_should_match_field": "doclen", "m_div": 40}}}, "size": 15}
+    _same(DSL.execute(reader, body),
+          score_terms_set(reader, "data stream table", 15, m_div=40))
+
+
+def test_random_score_route(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        score_random)
+
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "data"}},
+        "random_score": {"field": "doc_id", "seed": 0}}}, "size": 20}
+    _same(DSL.execute(reader, body), score_random(reader, "data", 20))
+    # multi-term organic: match set is the should-union of both lists
+    d, _ = DSL.execute(reader, {"query": {"function_score": {
+        "query": {"match": {"text": "data stream"}},
+        "random_score": {}}}, "size": 500})
+    from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_or
+    union = set(boolean_or(reader, "data stream")[0].tolist())
+    assert set(d.tolist()) <= union and len(d)
+
+
+@pytest.mark.parametrize("body", [
+    # pinned validates ids (dupes, non-ints) and organic shape
+    {"query": {"pinned": {"ids": [1, 1], "organic": {"match": {"text": "x"}}}}},
+    {"query": {"pinned": {"ids": [1, True], "organic": {"match": {"text": "x"}}}}},
+    {"query": {"pinned": {"ids": "1,2", "organic": {"match": {"text": "x"}}}}},
+    {"query": {"pinned": {"ids": [1]}}},
+    {"query": {"pinned": {"ids": [1], "organic": {"match": {"text": {
+        "query": "a b", "minimum_should_match": 2}}}}}},
+    # terms_set validates field, param surface and msm field
+    {"query": {"terms_set": {"title": {"terms": ["a"]}}}},
+    {"query": {"terms_set": {"text": {"terms": ["a"],
+                                      "minimum_should_match_field": "rank"}}}},
+    {"query": {"terms_set": {"text": {"terms": "a b"}}}},
+    {"query": {"terms_set": {"text": {"terms": ["a"], "boost": 2.0}}}},
+    # random_score: non-default stream / field / two functions refuse
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "random_score": {"seed": 7}}}},
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "random_score": {"field": "_seq_no"}}}},
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "random_score": {},
+                                  "gauss": {"doclen": {"origin": 1,
+                                                       "scale": 2}}}}},
+])
+def test_new_route_refusals(reader, body):
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)
