@@ -49,6 +49,9 @@ def upper_bound(idf_t: float, max_tf: int, k1: float = K1, b: float = B) -> floa
 def rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int,
               score_round: int = SCORE_ROUND) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (round(score) desc, doc_id asc); returns (doc_ids, rounded scores)."""
+    if k <= 0:
+        # size=0 is a legal ES request (aggs-only search): no hits
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     r = np.round(scores, score_round)
     if len(r) > 4 * k + 64:
         # pre-cut with selections, never a sort over the tie class:

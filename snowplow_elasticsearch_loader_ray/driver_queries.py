@@ -328,6 +328,150 @@ def function_score_gauss(sf_dir: str) -> pa.Table:
     })
 
 
+#: exp/linear decay share gauss's (origin, scale, decay) point so the
+#: three curves are directly comparable; rank_feature's pivot sits at
+#: the sf0.01 doclen median (56) with a boost on the BM25 scale so the
+#: saturation signal actually reorders ranks
+RANK_FEATURE = (56.0, 3.0)
+
+
+def _decay_topk(sf_dir: str, score_fn) -> pa.Table:
+    o, s, dec = GAUSS_DECAY
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = score_fn(r, q, TOPK, origin=o, scale=s, decay=dec)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def function_score_exp(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` + ``exp`` decay on the doclen doc-value:
+    BM25 × exp(λ·|doclen−origin|), λ = ln(decay)/scale — the
+    heavier-tailed sibling of the gauss entry (same (origin, scale,
+    decay) point, so the two entries pin that the curve SHAPE, not
+    just the decay frame, is what the engine serves)."""
+    from .pipelines.query import score_function_exp as fn
+
+    return _decay_topk(sf_dir, fn)
+
+
+def function_score_linear(sf_dir: str) -> pa.Table:
+    """ES ``function_score`` + ``linear`` decay: BM25 ×
+    max(0, (s−|doclen−origin|)/s), s = scale/(1−decay). Docs beyond
+    distance s stay in the hit set at score 0 (ranked after every
+    positive score, ties by doc_id) — the oracle replays the same
+    greatest(0, ·) expression."""
+    from .pipelines.query import score_function_linear as fn
+
+    return _decay_topk(sf_dir, fn)
+
+
+def rank_feature_topk(sf_dir: str) -> pa.Table:
+    """ES ``rank_feature`` (saturation) in a bool ``should`` beside the
+    scoring match — the static-signal boost: score = BM25 + boost ×
+    dl/(dl+pivot), served through the ``_search`` DSL planner (the
+    additive should contract: promote, never veto)."""
+    from .pipelines.query import IndexReader  # noqa: F401  (doc link)
+    from .pipelines.query_dsl import execute
+
+    pivot, boost = RANK_FEATURE
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = execute(r, {"query": {"bool": {
+            "must": [{"match": {"text": q}}],
+            "should": [{"rank_feature": {
+                "field": "doclen", "saturation": {"pivot": pivot},
+                "boost": boost}}]}}, "size": TOPK})
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+#: range agg buckets over doclen (ES rule: from inclusive, to
+#: exclusive, None = open end) — straddle the sf0.01 quartiles 32/56/76
+#: so every bucket is non-trivially populated
+DOCLEN_RANGES = [(None, 32), (32, 64), (64, 96), (96, None)]
+
+
+def doclen_range_agg(sf_dir: str) -> pa.Table:
+    """ES ``range`` aggregation on the doclen doc-value over each
+    query's FULL match set (aggs see every hit, not the page), through
+    the ``_search`` DSL aggs section."""
+    from .pipelines.query_dsl import execute_with_aggs
+
+    r = _reader(sf_dir)
+    qids, bks, los, his, ns = [], [], [], [], []
+    for qid, q in DOC_QUERIES:
+        body = {"query": {"match": {"text": q}}, "size": 0, "aggs": {
+            "dl": {"range": {"field": "doclen", "ranges": [
+                {k: v for k, v in (("from", lo), ("to", hi))
+                 if v is not None} for lo, hi in DOCLEN_RANGES]}}}}
+        _d, _s, aggs = execute_with_aggs(r, body)
+        for i, b in enumerate(aggs["dl"]):
+            qids.append(qid)
+            bks.append(i)
+            los.append(-1 if b["from"] is None else b["from"])
+            his.append(-1 if b["to"] is None else b["to"])
+            ns.append(b["doc_count"])
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "bucket": pa.array(bks, pa.int64()),
+        "lo": pa.array(los, pa.int64()),
+        "hi": pa.array(his, pa.int64()),
+        "n_docs": pa.array(ns, pa.int64()),
+    })
+
+
+def _doclen_range_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in DOC_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    buckets = ", ".join(
+        f"({i}, {lo if lo is not None else 'NULL'},"
+        f" {hi if hi is not None else 'NULL'})"
+        for i, (lo, hi) in enumerate(DOCLEN_RANGES))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+matched AS (
+  SELECT DISTINCT q.qid, tok.doc_id
+  FROM q JOIN tok ON tok.term = q.term
+),
+b(bucket, lo, hi) AS (VALUES {buckets})
+-- every qid x bucket row survives (zero-match queries emit zero-count
+-- buckets, exactly like the engine's aggs response)
+SELECT qd.qid::BIGINT AS qid, b.bucket::BIGINT AS bucket,
+       coalesce(b.lo, -1)::BIGINT AS lo, coalesce(b.hi, -1)::BIGINT AS hi,
+       count(*) FILTER (WHERE m.doc_id IS NOT NULL
+                          AND (b.lo IS NULL OR dl.dl >= b.lo)
+                          AND (b.hi IS NULL OR dl.dl < b.hi))::BIGINT
+         AS n_docs
+FROM (SELECT DISTINCT qid FROM q) qd
+CROSS JOIN b
+LEFT JOIN matched m ON m.qid = qd.qid
+LEFT JOIN dl ON dl.doc_id = m.doc_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def explain_top3(sf_dir: str) -> pa.Table:
     """ES ``_explain`` analogue: per-term BM25 breakdown for each
     query's top-3 docs — (qid, doc_id, term, tf, contribution) with
@@ -3002,6 +3146,9 @@ def bm25_topk_distributed(sf_dir: str) -> pa.Table:
 def _bm25_sql(page: int = 1, src: str = "documents",
               dl_between: tuple[int, int] | None = None,
               gauss: tuple[float, float, float] | None = None,
+              exp_decay: tuple[float, float, float] | None = None,
+              linear_decay: tuple[float, float, float] | None = None,
+              rank_feature: tuple[float, float] | None = None,
               fvf_factor: float | None = None,
               queries: list[tuple[int, str]] | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
@@ -3032,6 +3179,20 @@ def _bm25_sql(page: int = 1, src: str = "documents",
         # (x*x, not pow(x,2)) — replays np.square bit-for-bit
         mult = (f" * exp(-((max(dl.dl) - {origin!r}) *"
                 f" (max(dl.dl) - {origin!r})) / {two_sigma2!r})")
+    if exp_decay is not None:
+        origin, scale, decay = exp_decay
+        lam = math.log(decay) / scale       # precomputed like the engine
+        mult = f" * exp({lam!r} * abs(max(dl.dl) - {origin!r}))"
+    if linear_decay is not None:
+        origin, scale, decay = linear_decay
+        s_lin = scale / (1.0 - decay)
+        mult = (f" * greatest(0, ({s_lin!r} -"
+                f" abs(max(dl.dl) - {origin!r})) / {s_lin!r})")
+    if rank_feature is not None:
+        # additive bool-should saturation, not a multiplier
+        pivot, boost = rank_feature
+        mult = (f" + {boost!r} *"
+                f" (max(dl.dl) / (max(dl.dl) + {pivot!r}))")
     if fvf_factor is not None:
         # field_value_factor, ln1p modifier (engine mirrors ln(1+x))
         mult = f" * ln(1 + {fvf_factor!r} * max(dl.dl))"
@@ -8595,6 +8756,10 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": boolean_not,
         "bm25_range": bm25_range,
         "function_score_gauss": function_score_gauss,
+        "function_score_exp": function_score_exp,
+        "function_score_linear": function_score_linear,
+        "rank_feature_topk": rank_feature_topk,
+        "doclen_range_agg": doclen_range_agg,
         "field_value_factor": field_value_factor,
         "explain_top3": explain_top3,
         "extended_stats_facet": extended_stats_facet,
@@ -8802,8 +8967,12 @@ def registry() -> tuple[dict, dict]:
         "boolean_not": _boolean_not_sql(),
         "bm25_range": _bm25_sql(dl_between=RANGE_DL),
         "function_score_gauss": _bm25_sql(gauss=GAUSS_DECAY),
-        "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
+        "function_score_exp": _bm25_sql(exp_decay=GAUSS_DECAY),
+        "function_score_linear": _bm25_sql(linear_decay=GAUSS_DECAY),
+        "rank_feature_topk": _bm25_sql(rank_feature=RANK_FEATURE),
+        "doclen_range_agg": _doclen_range_sql(),
         "explain_top3": _explain_sql(),
+        "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "extended_stats_facet": _extended_stats_sql(),
         "span_near": _span_near_sql(),
         "sort_by_length": _sort_by_length_sql(),

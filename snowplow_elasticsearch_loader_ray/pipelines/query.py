@@ -836,6 +836,89 @@ def score_field_value_factor(reader: IndexReader, query: str, k: int = 10,
     return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
 
 
+def score_function_exp(reader: IndexReader, query: str, k: int = 10, *,
+                       origin: float, scale: float, decay: float = 0.5
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``function_score`` with an ``exp`` decay on the doclen
+    doc-value (``boost_mode: multiply``): score(d) = bm25(q, d) ×
+    exp(λ·|doclen(d) − origin|) with λ = ln(decay)/scale, so a doc at
+    distance ``scale`` keeps exactly ``decay`` of its relevance —
+    Elasticsearch's exp parameterization. λ is precomputed in Python
+    float64 so the SQL oracle replays the identical float path. Same
+    full-match-set rescore + doc-value gather plan as gauss."""
+    import math
+
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    lam = math.log(decay) / scale
+    dl = reader.dl_lens[ords].astype(np.float64)
+    mult = np.exp(lam * np.abs(dl - origin))
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
+
+
+def score_function_linear(reader: IndexReader, query: str, k: int = 10, *,
+                          origin: float, scale: float, decay: float = 0.5
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``function_score`` with a ``linear`` decay on doclen:
+    score(d) = bm25(q, d) × max(0, (s − |doclen(d) − origin|)/s) with
+    s = scale/(1 − decay) — relevance falls linearly and hits ZERO at
+    distance s (ES keeps the doc in the hit set with score 0, as does
+    the engine: zero-score docs rank after every positive score, ties
+    by doc_id)."""
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    s = scale / (1.0 - decay)
+    dl = reader.dl_lens[ords].astype(np.float64)
+    mult = np.maximum(0.0, (s - np.abs(dl - origin)) / s)
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores * mult, k)
+
+
+def score_rank_feature(reader: IndexReader, query: str, k: int = 10, *,
+                       pivot: float, boost: float = 1.0
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``rank_feature`` query (saturation function) in a bool
+    ``should`` beside the scoring match — the static-signal boost
+    (pagerank, popularity; here the doclen doc-value): score(d) =
+    bm25(q, d) + boost × dl/(dl + pivot). A doc at dl = pivot gets
+    exactly boost/2; the additive ES ``should`` combination means the
+    signal can promote but never veto. One doc-value gather + one
+    fused multiply-add over the match set — the same O(match set)
+    plan ES runs its rank_feature scorer with."""
+    ords, scores = _taat_scores_ords(reader, query)
+    if not len(ords):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    dl = reader.dl_lens[ords].astype(np.float64)
+    sat = dl / (dl + pivot)
+    return bm25.rank_topk(reader.dl_doc_ids[ords], scores + boost * sat, k)
+
+
+def facet_doclen_ranges(reader: IndexReader, query: str,
+                        ranges: list[tuple[int | None, int | None]]
+                        ) -> list[int]:
+    """ES ``range`` aggregation over the full match set on the doclen
+    doc-value: per bucket, the count of matched docs with
+    from ≤ doclen < to (ES's inclusive-from / exclusive-to rule; None
+    = open end). Buckets may overlap or leave gaps — each is counted
+    independently, exactly as ES does. Vectorized comparisons over the
+    gathered doc-values; a doc-partitioned reader sums partial counts
+    (n_buckets × partitions rows)."""
+    docs, _cnt = boolean_or(reader, query)
+    if not len(docs):
+        return [0] * len(ranges)
+    dl = reader.doclen_of(docs).astype(np.int64)
+    out = []
+    for lo, hi in ranges:
+        m = np.ones(len(dl), dtype=bool)
+        if lo is not None:
+            m &= dl >= lo
+        if hi is not None:
+            m &= dl < hi
+        out.append(int(m.sum()))
+    return out
+
+
 def explain_score(reader: IndexReader, query: str, doc_ids: np.ndarray
                   ) -> list[tuple[int, str, int, float]]:
     """ES ``_explain`` analogue: the per-term BM25 breakdown for given

@@ -17,7 +17,11 @@ unchanged. Supported grammar (the subset the engine serves):
                                 | {"range": {"doclen": {"gte": lo,
                                                         "lte": hi}}}
                                 | {"match_phrase": {"text": "a b"}}],
-                     "must_not": [<match>]}}
+                     "must_not": [<match>],
+                     "should": [{"rank_feature":
+                                 {"field": "doclen",
+                                  "saturation": {"pivot": p},
+                                  "boost": b}}]}}
          | {"dis_max": {"queries": [<match>...],
                         "tie_breaker": tb}}
          | {"boosting": {"positive": <match>, "negative": <match>,
@@ -27,8 +31,13 @@ unchanged. Supported grammar (the subset the engine serves):
          | {"constant_score": {"filter": {"term": {"text": t}},
                                "boost": b}}
          | {"function_score": {"query": <match>,
-                               "gauss": {"doclen": {...}}
-                               | "field_value_factor": {...}}}
+                               "gauss"|"exp"|"linear": {"doclen": {...}}
+                               | "field_value_factor": {...}
+                               | "random_score": {...}}}
+         | {"pinned": {"ids": [...], "organic": <match>}}
+         | {"terms_set": {"text": {"terms": [...],
+                                   "minimum_should_match_field":
+                                   "doclen"}}}
 
 Pagination is the ES coordinator rule: rank (from+size), return the
 [from:] slice. Unsupported constructs raise ``UnsupportedDSL`` loudly
@@ -48,7 +57,9 @@ from .query import (
     isin_sorted,
     score_boosting,
     score_field_value_factor,
+    score_function_exp,
     score_function_gauss,
+    score_function_linear,
     score_min_should_match,
     score_random,
     score_terms_set,
@@ -89,11 +100,35 @@ def _term_ords(reader: IndexReader, term: str) -> np.ndarray:
     return np.sort(reader.positions_of(term, docs))
 
 
+def _rank_feature_params(clause: dict) -> tuple[float, float]:
+    """Validate one ``rank_feature`` should-clause -> (pivot, boost)."""
+    if set(clause) != {"rank_feature"}:
+        raise UnsupportedDSL(
+            f"bool.should supports rank_feature clauses only, "
+            f"got {clause!r}")
+    rf = clause["rank_feature"]
+    extra = set(rf) - {"field", "saturation", "boost"}
+    if extra or rf.get("field", "doclen") != "doclen":
+        raise UnsupportedDSL(f"unsupported rank_feature {rf!r}")
+    sat = rf.get("saturation", {})
+    if set(sat) - {"pivot"}:
+        raise UnsupportedDSL(f"rank_feature saturation {sat!r}")
+    if "pivot" not in sat:
+        raise UnsupportedDSL("rank_feature needs saturation.pivot "
+                             "(the index has no default pivot)")
+    return float(sat["pivot"]), float(rf.get("boost", 1.0))
+
+
 def _exec_bool(reader: IndexReader, node: dict, k: int,
                pos_reader=None) -> tuple[np.ndarray, np.ndarray]:
-    extra = set(node) - {"must", "filter", "must_not"}
+    extra = set(node) - {"must", "filter", "must_not", "should"}
     if extra:
         raise UnsupportedDSL(f"unsupported bool clauses {extra}")
+    should = node.get("should", [])
+    if isinstance(should, dict):
+        should = [should]
+    # validate up front (the raise-before-early-exit rule)
+    rank_features = [_rank_feature_params(c) for c in should]
     must = node.get("must", [])
     if isinstance(must, dict):
         must = [must]
@@ -138,6 +173,14 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
     ords, scores = _taat_scores_ords(reader, q)
     if not len(ords):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    if rank_features:
+        # additive should (the ES contract): each rank_feature clause
+        # adds boost x dl/(dl + pivot) — promote, never veto
+        dl = reader.dl_lens[ords].astype(np.float64)
+        scores = scores.copy()
+        for pivot, boost in rank_features:
+            scores += boost * (dl / (dl + pivot))
 
     for f in filters:
         if set(f) == {"term"}:
@@ -228,21 +271,44 @@ def execute_with_aggs(reader: IndexReader, body: dict, pos_reader=None
     """``execute`` plus the request's ``aggs`` section: aggregations
     run over the FULL match set of the query (every hit, not the
     returned page — the ES contract), served from the doc-value
-    columns. Supported: ``{"terms": {"field": "lang"}}`` and
-    ``{"stats": {"field": "doclen"}}``."""
-    from .query import facet_doclen_stats, facet_lang_counts
+    columns. Supported: ``terms``/``cardinality`` on ``lang`` and
+    ``stats``/``extended_stats``/``range`` on ``doclen``."""
+    from .query import (facet_doclen_extended_stats, facet_doclen_ranges,
+                        facet_doclen_stats, facet_lang_counts)
 
     aggs = body.get("aggs", {})
     node = body.get("query", {})
     if aggs and set(node) != {"match"}:
         raise UnsupportedDSL("aggs are supported on match queries only")
+
+    def _ranges_of(spec: dict) -> list[tuple[int | None, int | None]]:
+        rs = spec.get("ranges")
+        if (not isinstance(rs, list) or not rs
+                or any(set(b) - {"from", "to"} or not b for b in rs)):
+            raise UnsupportedDSL(f"bad range buckets {rs!r}")
+        return [(b.get("from"), b.get("to")) for b in rs]
+
     for name, spec in aggs.items():
         if set(spec) == {"terms"}:
             if spec["terms"].get("field") != "lang":
                 raise UnsupportedDSL(f"terms agg on {spec['terms']!r}")
+        elif set(spec) == {"cardinality"}:
+            if spec["cardinality"].get("field") != "lang":
+                raise UnsupportedDSL(
+                    f"cardinality agg on {spec['cardinality']!r}")
         elif set(spec) == {"stats"}:
             if spec["stats"].get("field") != "doclen":
                 raise UnsupportedDSL(f"stats agg on {spec['stats']!r}")
+        elif set(spec) == {"extended_stats"}:
+            if spec["extended_stats"].get("field") != "doclen":
+                raise UnsupportedDSL(
+                    f"extended_stats agg on {spec['extended_stats']!r}")
+        elif set(spec) == {"range"}:
+            if spec["range"].get("field") != "doclen":
+                raise UnsupportedDSL(f"range agg on {spec['range']!r}")
+            if set(spec["range"]) - {"field", "ranges"}:
+                raise UnsupportedDSL(f"range agg keys {spec['range']!r}")
+            _ranges_of(spec["range"])       # validate before execution
         else:
             raise UnsupportedDSL(f"unsupported agg {name}: {spec!r}")
     inner = {k: v for k, v in body.items() if k != "aggs"}
@@ -258,6 +324,15 @@ def execute_with_aggs(reader: IndexReader, body: dict, pos_reader=None
         for name, spec in aggs.items():
             if "terms" in spec:
                 out[name] = facet_lang_counts(reader, q)
+            elif "cardinality" in spec:
+                out[name] = len(facet_lang_counts(reader, q))
+            elif "extended_stats" in spec:
+                out[name] = facet_doclen_extended_stats(reader, q)
+            elif "range" in spec:
+                ranges = _ranges_of(spec["range"])
+                counts = facet_doclen_ranges(reader, q, ranges)
+                out[name] = [{"from": lo, "to": hi, "doc_count": c}
+                             for (lo, hi), c in zip(ranges, counts)]
             else:
                 out[name] = facet_doclen_stats(reader, q)
     return d, s, out
@@ -424,12 +499,13 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
                                m_div=p.get("m_div", 100))
     elif kind == "function_score":
         fs = node["function_score"]
-        extra = set(fs) - {"query", "gauss", "field_value_factor",
-                           "random_score"}
+        extra = set(fs) - {"query", "gauss", "exp", "linear",
+                           "field_value_factor", "random_score"}
         if extra or "query" not in fs:
             raise UnsupportedDSL(f"unsupported function_score keys {fs!r}")
         if sum(x in fs for x in
-               ("gauss", "field_value_factor", "random_score")) > 1:
+               ("gauss", "exp", "linear", "field_value_factor",
+                "random_score")) > 1:
             raise UnsupportedDSL("function_score takes one function")
         q, q_msm = _match_text(fs["query"])
         if q_msm is not None:
@@ -444,15 +520,20 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
                 raise UnsupportedDSL(
                     "only the default (seed=0) LCG stream is served")
             d, s = score_random(reader, q, k)
-        elif "gauss" in fs:
-            g = fs["gauss"]
+        elif "gauss" in fs or "exp" in fs or "linear" in fs:
+            fn = "gauss" if "gauss" in fs else \
+                 ("exp" if "exp" in fs else "linear")
+            g = fs[fn]
             if set(g) != {"doclen"}:
-                raise UnsupportedDSL(f"gauss on {set(g)}")
+                raise UnsupportedDSL(f"{fn} on {set(g)}")
             p = g["doclen"]
             bad = set(p) - {"origin", "scale", "decay"}
             if bad or "origin" not in p or "scale" not in p:
-                raise UnsupportedDSL(f"gauss params {p!r}")
-            d, s = score_function_gauss(
+                raise UnsupportedDSL(f"{fn} params {p!r}")
+            score_fn = {"gauss": score_function_gauss,
+                        "exp": score_function_exp,
+                        "linear": score_function_linear}[fn]
+            d, s = score_fn(
                 reader, q, k, origin=p["origin"], scale=p["scale"],
                 decay=p.get("decay", 0.5))
         elif "field_value_factor" in fs:
@@ -465,8 +546,9 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
             d, s = score_field_value_factor(reader, q, k,
                                             factor=p["factor"])
         else:
-            raise UnsupportedDSL(f"function_score needs gauss or "
-                                 f"field_value_factor, got {set(fs)}")
+            raise UnsupportedDSL(
+                f"function_score needs a decay (gauss/exp/linear), "
+                f"field_value_factor or random_score, got {set(fs)}")
     else:
         raise UnsupportedDSL(f"unsupported query kind {kind!r}")
     return d[offset:], s[offset:]

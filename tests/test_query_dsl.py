@@ -403,3 +403,139 @@ def test_random_score_route(reader):
 def test_new_route_refusals(reader, body):
     with pytest.raises(DSL.UnsupportedDSL):
         DSL.execute(reader, body)
+
+
+def test_decay_exp_linear_routes(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        score_function_exp, score_function_linear, score_taat)
+
+    for fn, prim in (("exp", score_function_exp),
+                     ("linear", score_function_linear)):
+        body = {"query": {"function_score": {
+            "query": {"match": {"text": "data"}},
+            fn: {"doclen": {"origin": 50.0, "scale": 20.0,
+                            "decay": 0.5}}}}, "size": 200}
+        _same(DSL.execute(reader, body),
+              prim(reader, "data", 200, origin=50.0, scale=20.0, decay=0.5))
+    # the decays actually reorder: each curve differs from plain BM25
+    plain, _ = DSL.execute(reader, {"query": {"match": {"text": "data"}},
+                                    "size": 200})
+    for fn in ("exp", "linear", "gauss"):
+        d, _ = DSL.execute(reader, {"query": {"function_score": {
+            "query": {"match": {"text": "data"}},
+            fn: {"doclen": {"origin": 50.0, "scale": 20.0}}}}, "size": 200})
+        assert d.tolist() != plain.tolist()
+    # linear zeroes (never drops) docs beyond s = scale/(1-decay):
+    # hit count matches plain and the tail ranks by doc_id
+    d, s = DSL.execute(reader, {"query": {"function_score": {
+        "query": {"match": {"text": "data"}},
+        "linear": {"doclen": {"origin": 50.0, "scale": 5.0,
+                              "decay": 0.5}}}}, "size": 100_000})
+    assert len(d) == len(plain := DSL.execute(
+        reader, {"query": {"match": {"text": "data"}},
+                 "size": 100_000})[0])
+    zeros = d[s == 0.0]
+    assert len(zeros) and np.array_equal(zeros, np.sort(zeros))
+
+
+def test_rank_feature_should(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        score_rank_feature, score_taat)
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "should": [{"rank_feature": {
+            "field": "doclen", "saturation": {"pivot": 56.0},
+            "boost": 3.0}}]}}, "size": 50}
+    _same(DSL.execute(reader, body),
+          score_rank_feature(reader, "data stream", 50,
+                             pivot=56.0, boost=3.0))
+    # additive promote-never-veto: hit SET equals the plain match set
+    d, _ = DSL.execute(reader, {**body, "size": 100_000})
+    p, _ = score_taat(reader, "data stream", 100_000)
+    assert set(d.tolist()) == set(p.tolist())
+    assert d.tolist() != p.tolist()          # ...but the ORDER moved
+    # two should clauses sum; composes with filters
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"text": "table"}}],
+        "should": [
+            {"rank_feature": {"field": "doclen",
+                              "saturation": {"pivot": 56.0}}},
+            {"rank_feature": {"field": "doclen",
+                              "saturation": {"pivot": 10.0},
+                              "boost": 2.0}}]}}, "size": 20}
+    d2, s2 = DSL.execute(reader, body2)
+    assert len(d2)
+
+
+def test_aggs_range_extended_cardinality(reader):
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        boolean_or, facet_doclen_extended_stats, facet_doclen_ranges,
+        facet_lang_counts)
+
+    body = {"query": {"match": {"text": "data stream"}}, "size": 0,
+            "aggs": {
+                "xdl": {"extended_stats": {"field": "doclen"}},
+                "nlang": {"cardinality": {"field": "lang"}},
+                "r": {"range": {"field": "doclen", "ranges": [
+                    {"to": 32}, {"from": 32, "to": 64}, {"from": 64}]}}}}
+    d, s, aggs = DSL.execute_with_aggs(reader, body)
+    assert len(d) == 0                       # size=0: aggs-only search
+    assert aggs["xdl"] == facet_doclen_extended_stats(reader, "data stream")
+    assert aggs["nlang"] == len(facet_lang_counts(reader, "data stream"))
+    want = facet_doclen_ranges(reader, "data stream",
+                               [(None, 32), (32, 64), (64, None)])
+    assert [b["doc_count"] for b in aggs["r"]] == want
+    # buckets count the full match set (ranges here tile doclen space)
+    assert sum(want) == len(boolean_or(reader, "data stream")[0])
+
+
+@pytest.mark.parametrize("body", [
+    # rank_feature validates field/saturation/extra keys; bare should
+    # clauses of any other kind refuse
+    {"query": {"bool": {"must": [{"match": {"text": "x"}}],
+                        "should": [{"match": {"text": "y"}}]}}},
+    {"query": {"bool": {"must": [{"match": {"text": "x"}}],
+                        "should": [{"rank_feature": {
+                            "field": "pagerank",
+                            "saturation": {"pivot": 1}}}]}}},
+    {"query": {"bool": {"must": [{"match": {"text": "x"}}],
+                        "should": [{"rank_feature": {
+                            "field": "doclen",
+                            "saturation": {}}}]}}},
+    {"query": {"bool": {"must": [{"match": {"text": "x"}}],
+                        "should": [{"rank_feature": {
+                            "field": "doclen", "log": {"scaling_factor": 2},
+                            "saturation": {"pivot": 1}}}]}}},
+    # decay param surface is validated per function kind
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "exp": {"doclen": {"origin": 1}}}}},
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "linear": {"rank": {"origin": 1,
+                                                      "scale": 2}}}}},
+    {"query": {"function_score": {"query": {"match": {"text": "x"}},
+                                  "exp": {"doclen": {"origin": 1,
+                                                     "scale": 2}},
+                                  "linear": {"doclen": {"origin": 1,
+                                                        "scale": 2}}}}},
+    # agg validation: bad range buckets / fields refuse
+    {"query": {"match": {"text": "x"}},
+     "aggs": {"r": {"range": {"field": "doclen", "ranges": []}}}},
+    {"query": {"match": {"text": "x"}},
+     "aggs": {"r": {"range": {"field": "doclen",
+                              "ranges": [{"gte": 1}]}}}},
+    {"query": {"match": {"text": "x"}},
+     "aggs": {"r": {"range": {"field": "lang",
+                              "ranges": [{"to": 2}]}}}},
+    {"query": {"match": {"text": "x"}},
+     "aggs": {"c": {"cardinality": {"field": "doclen"}}}},
+    {"query": {"match": {"text": "x"}},
+     "aggs": {"x": {"extended_stats": {"field": "lang"}}}},
+])
+def test_new_surface_refusals(reader, body):
+    with pytest.raises(DSL.UnsupportedDSL):
+        if "aggs" in body:
+            DSL.execute_with_aggs(reader, body)
+        else:
+            DSL.execute(reader, body)
