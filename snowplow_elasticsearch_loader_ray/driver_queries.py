@@ -2162,6 +2162,75 @@ def span_near(sf_dir: str) -> pa.Table:
     })
 
 
+#: ordered 3-clause span chains: total intervening-gap budget
+SPAN_CHAIN_SLOP = 8
+
+
+def _span_chains() -> list[tuple[int, str, str, str]]:
+    """(qid, t1, t2, t3): the first three distinct tokens of each
+    fixture query that has them."""
+    import re
+
+    out = []
+    for qid, q in BOOL_QUERIES:
+        toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", q.lower())))
+        if len(toks) >= 3:
+            out.append((qid, toks[0], toks[1], toks[2]))
+    return out
+
+
+def span_near_chain_match(sf_dir: str) -> pa.Table:
+    """ES ``span_near`` with ``in_order: true`` over THREE span_term
+    clauses: docs with positions p1 < p2 < p3 of the clause terms in
+    order and total intervening gap p3 − p1 − 2 ≤ {SPAN_CHAIN_SLOP},
+    with the minimal gap per doc. The engine chains batched
+    searchsorteds (greedy minimal end per start); the oracle does the
+    cubic position cross join."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_near_chain)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, gaps = [], [], []
+    for qid, t1, t2, t3 in _span_chains():
+        d, g = span_near_chain(pr, [t1, t2, t3], SPAN_CHAIN_SLOP)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        gaps.extend(g.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "min_gap": pa.array(gaps, pa.int64()),
+    })
+
+
+def _span_chain_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}', '{c}')"
+                       for qid, a, b, c in _span_chains())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+q(qid, t1, t2, t3) AS (VALUES {values}),
+p1 AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.t1),
+p2 AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.t2),
+p3 AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.t3),
+gaps AS (
+  SELECT a.qid, a.doc_id, min(c.pos - a.pos) - 2 AS min_gap
+  FROM p1 a
+  JOIN p2 b ON b.qid = a.qid AND b.doc_id = a.doc_id AND b.pos > a.pos
+  JOIN p3 c ON c.qid = b.qid AND c.doc_id = b.doc_id AND c.pos > b.pos
+  GROUP BY 1, 2
+  HAVING min(c.pos - a.pos) - 2 <= {SPAN_CHAIN_SLOP}
+)
+SELECT qid::BIGINT AS qid, doc_id, min_gap::BIGINT AS min_gap
+FROM gaps
+"""
+
+
 def _span_near_sql() -> str:
     values = ", ".join(f"({qid}, '{a}', '{b}')"
                        for qid, a, b in _span_pairs())
@@ -8764,6 +8833,7 @@ def registry() -> tuple[dict, dict]:
         "explain_top3": explain_top3,
         "extended_stats_facet": extended_stats_facet,
         "span_near": span_near,
+        "span_near_chain": span_near_chain_match,
         "sort_by_length": sort_by_length,
         "top_hits_by_lang": top_hits_by_lang,
         "lang_doclen_stats": lang_doclen_stats,
@@ -8975,6 +9045,7 @@ def registry() -> tuple[dict, dict]:
         "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "extended_stats_facet": _extended_stats_sql(),
         "span_near": _span_near_sql(),
+        "span_near_chain": _span_chain_sql(),
         "sort_by_length": _sort_by_length_sql(),
         "top_hits_by_lang": _top_hits_sql(),
         "fault_retry_stats": TERM_STATS_SQL,

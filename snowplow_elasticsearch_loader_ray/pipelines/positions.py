@@ -437,6 +437,66 @@ def proximity_search(reader, term_a: str, term_b: str, slop: int,
     return ext[order], gaps[order]
 
 
+def span_near_chain(reader, terms: list[str], slop: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_near`` with ``in_order: true`` for an N-clause chain
+    of span_terms: docs containing occurrences p1 < p2 < … < pn of the
+    clause terms in order, with total intervening gap pn − p1 − (n−1)
+    ≤ slop; returns (external doc_ids ascending, min total gap per
+    doc). Degenerates to ``proximity_search(..., ordered=True)`` at
+    n = 2 and to ``phrase_search`` membership at slop = 0 for distinct
+    terms.
+
+    Per candidate doc the minimal chain is the greedy one: for every
+    start p1, chain each next term to its SMALLEST position after the
+    current end (one batched searchsorted per clause — minimizing the
+    running end can never hurt later clauses), then min over starts.
+    O(Σ n_i log n_i) per doc vs the oracle's quadratic cross join.
+    ``reader`` is a ``PositionalReader`` or ``ShardedPositionalEngine``.
+    Repeated terms are honored (strictly increasing positions over the
+    SAME fetched list)."""
+    if len(terms) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    fetched = reader.term_positions_many(sorted(set(terms)))
+    # conjunctive candidate docs across all clause terms
+    cand = None
+    for t in set(terms):
+        docs_t = fetched[t][0]
+        cand = docs_t if cand is None else np.intersect1d(
+            cand, docs_t, assume_unique=True)
+        if not len(cand):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    lookups = {t: dict(zip(docs.tolist(), range(len(docs))))
+               for t, (docs, _p) in fetched.items()}
+    n = len(terms)
+    out_docs: list[int] = []
+    out_gaps: list[int] = []
+    for doc in cand.tolist():
+        starts = fetched[terms[0]][1][lookups[terms[0]][doc]] \
+            .astype(np.int64)
+        cur = starts
+        for t in terms[1:]:
+            pos_t = fetched[t][1][lookups[t][doc]].astype(np.int64)
+            idx = np.searchsorted(pos_t, cur, side="right")
+            ok = idx < len(pos_t)
+            if not ok.any():
+                cur = None
+                break
+            starts, cur = starts[ok], pos_t[idx[ok]]
+        if cur is None:
+            continue
+        gap = int((cur - starts).min()) - (n - 1)
+        if gap <= slop:
+            out_docs.append(int(doc))
+            out_gaps.append(gap)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    gaps = np.array(out_gaps, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], gaps[order]
+
+
 def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 

@@ -452,6 +452,92 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
                 "minimum_should_match inside boosting is unsupported")
         d, s = score_boosting(reader, pos_q, neg_q, k,
                               negative_boost=bq.get("negative_boost", 0.5))
+    elif kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        p = node[kind]
+        if set(p) != {"text"}:
+            raise UnsupportedDSL(f"{kind} on {set(p)}")
+        v = p["text"]
+        if isinstance(v, str):
+            v = {"value": v}
+        allowed = {"value", "fuzziness"} if kind == "fuzzy" else {"value"}
+        if (not isinstance(v, dict) or set(v) - allowed
+                or not isinstance(v.get("value"), str)):
+            raise UnsupportedDSL(f"unsupported {kind} params {v!r}")
+        if kind == "fuzzy" and v.get("fuzziness", 1) not in (1, "AUTO"):
+            raise UnsupportedDSL(
+                f"fuzziness {v['fuzziness']!r}: only edit distance 1 "
+                f"(the SymSpell delete-1 index) is served")
+        # multi-term expansion queries use ES's constant_score rewrite:
+        # every doc containing ANY expanded term scores 1.0, all-ties
+        # rank = doc_id ascending
+        if kind == "prefix":
+            from .query import prefix_match
+
+            _n, docs = prefix_match(reader, v["value"])
+        elif kind == "fuzzy":
+            from .query import fuzzy_expand
+
+            hits = [pl.decode_all()[0] for t in fuzzy_expand(reader,
+                                                             v["value"])
+                    if (pl := reader.postings(t)) is not None]
+            docs = (reader.dl_doc_ids[np.unique(np.concatenate(hits))]
+                    .astype(np.int64) if hits
+                    else np.empty(0, dtype=np.int64))
+        else:
+            from .query import regexp_search, wildcard_to_regexp
+
+            pat = (wildcard_to_regexp(v["value"]) if kind == "wildcard"
+                   else v["value"])
+            docs = regexp_search(reader, pat).column("doc_id") \
+                .to_numpy(zero_copy_only=False)
+        d, s = bm25.rank_topk(np.asarray(docs, dtype=np.int64),
+                              np.ones(len(docs)), k)
+    elif kind == "ids":
+        iq = node["ids"]
+        if set(iq) != {"values"} or not isinstance(iq["values"], list) \
+                or not all(isinstance(i, int) and not isinstance(i, bool)
+                           for i in iq["values"]):
+            raise UnsupportedDSL(f"unsupported ids query {iq!r}")
+        vals = np.unique(np.asarray(iq["values"], dtype=np.int64)) \
+            if iq["values"] else np.empty(0, dtype=np.int64)
+        docs = vals[np.isin(vals, reader.dl_doc_ids)]
+        d, s = bm25.rank_topk(docs, np.ones(len(docs)), k)
+    elif kind == "match_phrase":
+        # top-level scoring match_phrase: BM25 over the phrase's terms,
+        # candidates restricted to exact phrase matches — the same plan
+        # as bool{must: match, filter: match_phrase}
+        mp = node["match_phrase"]
+        if set(mp) != {"text"} or not isinstance(mp["text"], str):
+            raise UnsupportedDSL(f"unsupported match_phrase {mp!r}")
+        d, s = _exec_bool(reader, {
+            "must": [{"match": {"text": mp["text"]}}],
+            "filter": [{"match_phrase": {"text": mp["text"]}}]},
+            k, pos_reader=pos_reader)
+    elif kind == "span_near":
+        sn = node["span_near"]
+        extra = set(sn) - {"clauses", "slop", "in_order"}
+        if extra or "clauses" not in sn or "slop" not in sn:
+            raise UnsupportedDSL(f"unsupported span_near keys {sn!r}")
+        if sn.get("in_order", False) is not True:
+            raise UnsupportedDSL(
+                "only in_order: true span chains are served (unordered "
+                "PAIRS go through proximity_search directly)")
+        cl = sn["clauses"]
+        if (not isinstance(cl, list) or len(cl) < 2
+                or any(set(c) != {"span_term"}
+                       or set(c["span_term"]) != {"text"}
+                       or not isinstance(c["span_term"]["text"], str)
+                       for c in cl)):
+            raise UnsupportedDSL(f"bad span_near clauses {cl!r}")
+        if pos_reader is None:
+            raise UnsupportedDSL(
+                "span_near needs a positional index (pass pos_reader)")
+        from .positions import span_near_chain
+
+        # constant-score rewrite: matching docs at 1.0, ties doc_id asc
+        docs, _gaps = span_near_chain(
+            pos_reader, [c["span_term"]["text"] for c in cl], sn["slop"])
+        d, s = bm25.rank_topk(docs, np.ones(len(docs)), k)
     elif kind == "pinned":
         pn = node["pinned"]
         extra = set(pn) - {"ids", "organic"}

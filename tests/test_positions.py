@@ -2,6 +2,7 @@
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray.data
 
 from snowplow_elasticsearch_loader_ray.config import IndexConfig
@@ -190,3 +191,46 @@ def test_proximity_search_span_near(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="distinct"):
         proximity_search(r, "fox", "fox", slop=1)
+
+
+def test_span_near_chain(ray_session, tmp_path):
+    """Ordered N-clause span chains: greedy chained-searchsorted match
+    equals brute enumeration; degenerates to proximity_search at n=2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, proximity_search,
+        span_near_chain)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a x b y c",            # a..b..c, gaps 1+1 = 2
+            "a b c",                # exact chain, gap 0
+            "c b a",                # wrong order only
+            "a x x x b x x x c a b c",  # long chain AND tight chain
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pos_dir = str(tmp_path / "pos")
+    build_positions(str(tmp_path / "documents.parquet"), pos_dir,
+                    IndexConfig())
+    r = PositionalReader(pos_dir)
+
+    d, g = span_near_chain(r, ["a", "b", "c"], slop=0)
+    assert d.tolist() == [2, 4] and g.tolist() == [0, 0]
+    d, g = span_near_chain(r, ["a", "b", "c"], slop=2)
+    assert d.tolist() == [1, 2, 4] and g.tolist() == [2, 0, 0]
+    d, _ = span_near_chain(r, ["c", "b", "a"], slop=0)
+    assert d.tolist() == [3]
+    # n=2 degeneracy: same docs and gaps as ordered proximity_search
+    d2, g2 = span_near_chain(r, ["a", "c"], slop=10)
+    dp, gp = proximity_search(r, "a", "c", slop=10, ordered=True)
+    assert d2.tolist() == dp.tolist() and g2.tolist() == gp.tolist()
+    # repeated clause term: strictly increasing over the same list
+    d3, g3 = span_near_chain(r, ["a", "a"], slop=10)
+    assert d3.tolist() == [4] and g3.tolist() == [8]
+    with pytest.raises(ValueError):
+        span_near_chain(r, ["a"], slop=1)

@@ -539,3 +539,110 @@ def test_new_surface_refusals(reader, body):
             DSL.execute_with_aggs(reader, body)
         else:
             DSL.execute(reader, body)
+
+
+def test_expansion_query_routes(reader):
+    """prefix / wildcard / regexp / fuzzy / ids: constant_score rewrite
+    (every matching doc scores 1.0, all-ties rank = doc_id asc)."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        fuzzy_expand, prefix_match, regexp_search, wildcard_to_regexp)
+
+    _n, want = prefix_match(reader, "str")
+    d, s = DSL.execute(reader, {"query": {"prefix": {"text": "str"}},
+                                "size": 10_000})
+    assert d.tolist() == np.sort(want).tolist() and (s == 1.0).all()
+
+    rx = regexp_search(reader, "st.*m").column("doc_id").to_pylist()
+    d, _ = DSL.execute(reader, {"query": {"regexp": {
+        "text": {"value": "st.*m"}}}, "size": 10_000})
+    assert d.tolist() == sorted(rx)
+    # wildcard goes through the same expansion path
+    d2, _ = DSL.execute(reader, {"query": {"wildcard": {
+        "text": {"value": "st*m"}}}, "size": 10_000})
+    assert d2.tolist() == sorted(
+        regexp_search(reader, wildcard_to_regexp("st*m"))
+        .column("doc_id").to_pylist())
+
+    # fuzzy: union of the verified edit-distance-1 expansions
+    exp = fuzzy_expand(reader, "strean")
+    assert exp                               # "stream" is in-vocab
+    from snowplow_elasticsearch_loader_ray.pipelines.query import boolean_or
+    want = set()
+    for t in exp:
+        want |= set(boolean_or(reader, t)[0].tolist())
+    d3, _ = DSL.execute(reader, {"query": {"fuzzy": {
+        "text": {"value": "strean", "fuzziness": 1}}}, "size": 100_000})
+    assert set(d3.tolist()) == want
+
+    ids = [int(reader.dl_doc_ids[0]), 999_999_999, int(reader.dl_doc_ids[5])]
+    d4, s4 = DSL.execute(reader, {"query": {"ids": {"values": ids}}})
+    assert d4.tolist() == sorted(set(ids) & set(reader.dl_doc_ids.tolist()))
+    assert (s4 == 1.0).all()
+
+
+def test_match_phrase_scoring_route(reader):
+    """Top-level match_phrase == bool{must: match, filter: phrase}."""
+    import os
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(SF)), "positions")
+    build_positions(os.path.join(SF, "documents.parquet"), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    body = {"query": {"match_phrase": {"text": "data stream"}}, "size": 20}
+    hand = {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"match_phrase": {"text": "data stream"}}]}}, "size": 20}
+    _same(DSL.execute(reader, body, pos_reader=pr),
+          DSL.execute(reader, hand, pos_reader=pr))
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)           # needs the positional index
+
+
+@pytest.mark.parametrize("body", [
+    {"query": {"prefix": {"title": "x"}}},
+    {"query": {"prefix": {"text": {"value": "x", "rewrite": "top_terms"}}}},
+    {"query": {"fuzzy": {"text": {"value": "x", "fuzziness": 2}}}},
+    {"query": {"wildcard": {"text": {"value": 3}}}},
+    {"query": {"ids": {"values": "1,2"}}},
+    {"query": {"ids": {"values": [1], "boost": 2.0}}},
+    {"query": {"match_phrase": {"text": {"query": "a b", "slop": 1}}}},
+])
+def test_expansion_refusals(reader, body):
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)
+
+
+def test_span_near_dsl_route(reader):
+    import os
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, span_near_chain)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(SF)), "positions")
+    build_positions(os.path.join(SF, "documents.parquet"), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": t}}
+                    for t in ("data", "table", "scan")],
+        "slop": 8, "in_order": True}}, "size": 10_000}
+    d, s = DSL.execute(reader, body, pos_reader=pr)
+    want, _ = span_near_chain(pr, ["data", "table", "scan"], 8)
+    assert d.tolist() == np.sort(want).tolist() and (s == 1.0).all()
+    for bad in [
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 1}}},                       # in_order missing
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}], "slop": 1, "in_order": True}}},
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"match": {"text": "b"}}], "slop": 1, "in_order": True}}},
+    ]:
+        with pytest.raises(DSL.UnsupportedDSL):
+            DSL.execute(reader, bad, pos_reader=pr)
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, body)              # no positional index
