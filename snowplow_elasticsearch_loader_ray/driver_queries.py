@@ -400,6 +400,34 @@ def rank_feature_topk(sf_dir: str) -> pa.Table:
     })
 
 
+#: keyword term filter: the lang doc-value to restrict candidates to
+LANG_FILTER = "en"
+
+
+def bm25_lang_filtered(sf_dir: str) -> pa.Table:
+    """ES bool must + ``term`` filter on a KEYWORD field (the lang
+    doc-value): candidates restricted by one ordinal doc-value gather
+    — never a corpus read — while corpus stats stay unfiltered
+    (non-scoring-filter semantics). Served through the ``_search``
+    DSL planner."""
+    from .pipelines.query_dsl import execute
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = execute(r, {"query": {"bool": {
+            "must": [{"match": {"text": q}}],
+            "filter": [{"term": {"lang": LANG_FILTER}}]}}, "size": TOPK})
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 #: range agg buckets over doclen (ES rule: from inclusive, to
 #: exclusive, None = open end) — straddle the sf0.01 quartiles 32/56/76
 #: so every bucket is non-trivially populated
@@ -3219,6 +3247,7 @@ def _bm25_sql(page: int = 1, src: str = "documents",
               linear_decay: tuple[float, float, float] | None = None,
               rank_feature: tuple[float, float] | None = None,
               fvf_factor: float | None = None,
+              lang_eq: str | None = None,
               queries: list[tuple[int, str]] | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
@@ -3241,6 +3270,12 @@ def _bm25_sql(page: int = 1, src: str = "documents",
     lo, hi = (page - 1) * TOPK, page * TOPK
     dl_where = (f"WHERE dl.dl BETWEEN {dl_between[0]} AND {dl_between[1]}"
                 if dl_between else "")
+    if lang_eq is not None:
+        # keyword term filter: candidates restricted by the doc-value,
+        # corpus stats unfiltered (non-scoring-filter semantics)
+        assert not dl_where
+        dl_where = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents"
+                    f" WHERE lang = '{lang_eq}')")
     mult = ""
     if gauss is not None:
         origin, scale, decay = gauss
@@ -8829,6 +8864,7 @@ def registry() -> tuple[dict, dict]:
         "function_score_linear": function_score_linear,
         "rank_feature_topk": rank_feature_topk,
         "doclen_range_agg": doclen_range_agg,
+        "bm25_lang_filtered": bm25_lang_filtered,
         "field_value_factor": field_value_factor,
         "explain_top3": explain_top3,
         "extended_stats_facet": extended_stats_facet,
@@ -9041,6 +9077,7 @@ def registry() -> tuple[dict, dict]:
         "function_score_linear": _bm25_sql(linear_decay=GAUSS_DECAY),
         "rank_feature_topk": _bm25_sql(rank_feature=RANK_FEATURE),
         "doclen_range_agg": _doclen_range_sql(),
+        "bm25_lang_filtered": _bm25_sql(lang_eq=LANG_FILTER),
         "explain_top3": _explain_sql(),
         "field_value_factor": _bm25_sql(fvf_factor=FVF_FACTOR),
         "extended_stats_facet": _extended_stats_sql(),

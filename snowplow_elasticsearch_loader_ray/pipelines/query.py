@@ -597,13 +597,11 @@ def more_like_this(reader: IndexReader, doc_id: int, text: str,
     return sel, docs, scores
 
 
-def facet_lang_counts(reader: IndexReader, query: str) -> dict[str, int]:
-    """ES ``terms`` aggregation on the ``lang`` doc-value over the full
-    match set: matched ordinals from the postings union, lang keys by
-    ordinal gather from the docmap's doc-value column — no corpus read,
-    no match-set broadcast. A doc-partitioned reader computes its
-    partition's counts the same way and partial counts sum (tiny:
-    langs × partitions rows)."""
+def lang_docvalues(reader: IndexReader) -> np.ndarray:
+    """The per-ordinal ``lang`` doc-value column, loaded once per
+    reader (ES keyword doc_values: columnar per-doc metadata — facets
+    and keyword term filters gather by ordinal, never re-reading the
+    corpus)."""
     langs = getattr(reader, "_dl_langs", None)
     if langs is None:
         from .build import load_docvalues
@@ -612,6 +610,17 @@ def facet_lang_counts(reader: IndexReader, query: str) -> dict[str, int]:
         if langs is None:
             raise ValueError("index has no 'lang' doc-value")
         reader._dl_langs = langs
+    return langs
+
+
+def facet_lang_counts(reader: IndexReader, query: str) -> dict[str, int]:
+    """ES ``terms`` aggregation on the ``lang`` doc-value over the full
+    match set: matched ordinals from the postings union, lang keys by
+    ordinal gather from the docmap's doc-value column — no corpus read,
+    no match-set broadcast. A doc-partitioned reader computes its
+    partition's counts the same way and partial counts sum (tiny:
+    langs × partitions rows)."""
+    langs = lang_docvalues(reader)
     terms = tokenize_query(query)
     hits = [pl.decode_all()[0] for t in terms
             if (pl := reader.postings(t)) is not None]

@@ -147,8 +147,11 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
     # docs or an earlier filter empties the candidate set
     for f in filters:
         if set(f) == {"term"}:
-            if set(f["term"]) != {"text"}:
+            if set(f["term"]) not in ({"text"}, {"lang"}):
                 raise UnsupportedDSL(f"term filter on {set(f['term'])}")
+            if "lang" in f["term"] and not isinstance(f["term"]["lang"],
+                                                      str):
+                raise UnsupportedDSL(f"bad lang value {f['term']!r}")
         elif set(f) == {"match_phrase"}:
             if set(f["match_phrase"]) != {"text"}:
                 raise UnsupportedDSL(
@@ -184,8 +187,15 @@ def _exec_bool(reader: IndexReader, node: dict, k: int,
 
     for f in filters:
         if set(f) == {"term"}:
-            fp = _term_ords(reader, f["term"]["text"])
-            keep = isin_sorted(fp, ords)
+            if "lang" in f["term"]:
+                # keyword-field term filter: one doc-value gather (ES
+                # serves keyword terms from doc_values the same way)
+                from .query import lang_docvalues
+
+                keep = lang_docvalues(reader)[ords] == f["term"]["lang"]
+            else:
+                fp = _term_ords(reader, f["term"]["text"])
+                keep = isin_sorted(fp, ords)
         elif set(f) == {"match_phrase"}:
             from .positions import phrase_search
 
@@ -335,6 +345,55 @@ def execute_with_aggs(reader: IndexReader, body: dict, pos_reader=None
                              for (lo, hi), c in zip(ranges, counts)]
             else:
                 out[name] = facet_doclen_stats(reader, q)
+    return d, s, out
+
+
+def execute_distributed(engine, body: dict
+                        ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Run a ``_search`` request body on the DISTRIBUTED serving plane
+    (``ShardedQueryEngine`` / ``GridQueryEngine`` — scatter-gather over
+    term-shard actors): the coordinator-side subset is ``match`` +
+    from/size paging + ``terms``/``stats`` aggs, each dispatched to the
+    engine's distributed primitive and therefore bit-identical to the
+    single-reader ``execute``/``execute_with_aggs`` (the engines pin
+    score identity). Returns (doc_ids, scores, aggs)."""
+    extra = set(body) - {"query", "size", "from", "aggs"}
+    if extra:
+        raise UnsupportedDSL(f"unsupported distributed keys {extra}")
+    node = body.get("query")
+    if not isinstance(node, dict) or set(node) != {"match"}:
+        raise UnsupportedDSL(
+            "the distributed planner serves match queries only")
+    q, msm = _match_text(node)
+    if msm is not None:
+        raise UnsupportedDSL(
+            "minimum_should_match is unsupported on the distributed plane")
+    size = body.get("size", 10)
+    offset = body.get("from", 0)
+    if size < 0 or offset < 0:
+        raise UnsupportedDSL("size/from must be non-negative")
+    aggs = body.get("aggs", {})
+    for name, spec in aggs.items():
+        if set(spec) == {"terms"}:
+            if spec["terms"].get("field") != "lang":
+                raise UnsupportedDSL(f"terms agg on {spec['terms']!r}")
+        elif set(spec) == {"stats"}:
+            if spec["stats"].get("field") != "doclen":
+                raise UnsupportedDSL(f"stats agg on {spec['stats']!r}")
+        else:
+            raise UnsupportedDSL(f"unsupported agg {name}: {spec!r}")
+    if size + offset > 0:
+        d, s = engine.topk(q, size + offset)
+        d, s = d[offset:], s[offset:]
+    else:
+        d = np.empty(0, dtype=np.int64)
+        s = np.empty(0, dtype=np.float64)
+    out: dict = {}
+    for name, spec in aggs.items():
+        if "terms" in spec:
+            out[name] = engine.facet_lang_counts(q)
+        else:
+            out[name] = engine.facet_doclen_stats(q)
     return d, s, out
 
 

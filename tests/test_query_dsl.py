@@ -646,3 +646,77 @@ def test_span_near_dsl_route(reader):
             DSL.execute(reader, bad, pos_reader=pr)
     with pytest.raises(DSL.UnsupportedDSL):
         DSL.execute(reader, body)              # no positional index
+
+
+def test_lang_term_filter(reader):
+    """bool term filter on the lang KEYWORD doc-value: one ordinal
+    gather restricts candidates; scores keep their unfiltered values
+    (non-scoring filter)."""
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        lang_docvalues, score_taat)
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"lang": "en"}}]}}, "size": 100_000}
+    d, s = DSL.execute(reader, body)
+    langs = lang_docvalues(reader)
+    by_ord = dict(zip(reader.dl_doc_ids.tolist(), langs.tolist()))
+    assert len(d) and all(by_ord[x] == "en" for x in d.tolist())
+    full_d, full_s = score_taat(reader, "data stream", 100_000)
+    full = dict(zip(full_d.tolist(), full_s.tolist()))
+    assert all(full[int(x)] == s[i] for i, x in enumerate(d))
+    assert set(d.tolist()) == {x for x in full_d.tolist()
+                               if by_ord[x] == "en"}
+    # composes with a text term filter in the same list
+    d2, _ = DSL.execute(reader, {"query": {"bool": {
+        "must": [{"match": {"text": "data stream"}}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"term": {"text": "table"}}]}}, "size": 100_000})
+    assert set(d2.tolist()) <= set(d.tolist())
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"bool": {
+            "must": [{"match": {"text": "x"}}],
+            "filter": [{"term": {"source": "src0"}}]}}})
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(reader, {"query": {"bool": {
+            "must": [{"match": {"text": "x"}}],
+            "filter": [{"term": {"lang": 3}}]}}})
+
+
+def test_execute_distributed_bit_identical(reader):
+    """The distributed DSL planner returns the single-reader results
+    bit-for-bit (the sharded plane pins score identity)."""
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        _ensure_index)
+    from snowplow_elasticsearch_loader_ray.pipelines.sharded_query import (
+        ShardedQueryEngine)
+
+    eng = ShardedQueryEngine(_ensure_index(SF))
+    try:
+        body = {"query": {"match": {"text": "data stream"}},
+                "size": 7, "from": 3,
+                "aggs": {"langs": {"terms": {"field": "lang"}},
+                         "dl": {"stats": {"field": "doclen"}}}}
+        d, s, aggs = DSL.execute_distributed(eng, body)
+        sd, ss, saggs = DSL.execute_with_aggs(
+            reader, {k: v for k, v in body.items()})
+        _same((d, s), (sd, ss))
+        assert aggs == saggs
+        # aggs-only request
+        d0, s0, a0 = DSL.execute_distributed(eng, {
+            "query": {"match": {"text": "data"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang"}}}})
+        assert len(d0) == 0
+        assert a0["langs"] == eng.facet_lang_counts("data")
+        for bad in [
+            {"query": {"bool": {"must": [{"match": {"text": "x"}}]}}},
+            {"query": {"match": {"text": "x"}}, "search_after": [1.0, 2]},
+            {"query": {"match": {"text": {"query": "x",
+                                          "minimum_should_match": 1}}}},
+            {"query": {"match": {"text": "x"}},
+             "aggs": {"c": {"cardinality": {"field": "lang"}}}},
+        ]:
+            with pytest.raises(DSL.UnsupportedDSL):
+                DSL.execute_distributed(eng, bad)
+    finally:
+        eng.shutdown()
