@@ -2078,6 +2078,54 @@ def bpe_merges(sf_dir: str) -> pa.Table:
     })
 
 
+#: fixed published BPE merge table (rank order) — the production
+#: encode path ships its tokenizer's merges with the job; chosen to
+#: exercise multi-char cascades on the fixture vocab (data/stream/
+#: table collapse to single tokens, 'start' stays 4 symbols)
+BPE_FIXED_MERGES = [
+    ("s", "t"), ("t", "a"), ("d", "a"), ("e", "r"),
+    ("st", "r"), ("da", "ta"), ("ta", "b"), ("str", "e"),
+    ("stre", "a"), ("strea", "m"), ("tab", "l"), ("tabl", "e"),
+]
+
+
+def bpe_encode_lengths(sf_dir: str) -> pa.Table:
+    """BPE ENCODING with a fixed merge table (the trainer's sibling:
+    `bpe_merges` learns, this applies): per doc, the total token count
+    after every merge rank runs one greedy left-to-right pass per
+    word. Distributed as an actor-pool map_batches whose word→length
+    cache persists across batches; the oracle replays the same greedy
+    passes as chained string replaces over boundary-marked symbols
+    (`|d||a||t||a|` → … → `|data|`), where non-overlapping
+    left-to-right `replace` IS the BPE application rule."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    out = A.bpe_encode_lengths(ds, BPE_FIXED_MERGES).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "n_bpe": pa.array(out["n_bpe"], pa.int64()),
+    })
+
+
+def _bpe_encode_sql() -> str:
+    expr = r"regexp_replace(w, '(.)', '|\1|', 'g')"
+    for l, r in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS w FROM documents),
+enc AS (SELECT doc_id, {expr} AS s FROM tok),
+per_doc AS (
+  SELECT doc_id,
+         sum((length(s) - length(replace(s, '|', ''))) // 2)::BIGINT
+           AS n_bpe
+  FROM enc GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_bpe, 0)::BIGINT AS n_bpe
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 #: terms_set minimum_should_match_field divisor: required distinct
 #: terms per doc = min(n_query_terms, 1 + doclen // TERMS_SET_DIV)
 TERMS_SET_DIV = 100
@@ -8964,6 +9012,7 @@ def registry() -> tuple[dict, dict]:
         "terms_set_topk": terms_set_topk,
         "bpe_pair_counts": bpe_pair_counts,
         "bpe_merges": bpe_merges,
+        "bpe_encode_lengths": bpe_encode_lengths,
         "random_score_topk": random_score_topk,
         "distance_feature_topk": distance_feature_topk,
         "bucket_selector_sort": bucket_selector_sort,
@@ -9016,6 +9065,7 @@ def registry() -> tuple[dict, dict]:
         "corpus_clean_summary": _corpus_clean_sql(),
         "quality_stats": QUALITY_SQL,
         "bpe_token_counts": BPE_TOKEN_SQL,
+        "bpe_encode_lengths": _bpe_encode_sql(),
         "ann_topk": ANN_TOPK_SQL,
         "embedding_pairs": EMBEDDING_PAIRS_SQL,
         "semdedup_survivors": SEMDEDUP_SQL,

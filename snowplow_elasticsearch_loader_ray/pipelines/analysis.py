@@ -480,6 +480,77 @@ def bpe_token_counts(ds, concurrency=None):
     return _apply(ds, BpeTokenCount, concurrency)
 
 
+def bpe_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode ONE word with a fixed merge table: start from characters,
+    apply each merge rank in order as a greedy left-to-right
+    non-overlapping pass — the HF-tokenizers/GPT-2 application rule
+    (training's `learn_bpe_merges` applies merges the same way)."""
+    syms = list(word)
+    for l, r in merges:
+        j, out = 0, []
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                out.append(l + r)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+class BpeEncodeLengths:
+    """doc → BPE token count under a FIXED published merge table (the
+    production shape: a released tokenizer's merges ship with the job;
+    training happened once, elsewhere). Actor-pool stage: the merge
+    table and the word→length cache live for the actor's lifetime, so
+    each distinct word is encoded once per actor, not once per
+    occurrence — per batch the only Python loop is over the batch's
+    UNSEEN vocabulary (cache misses), while occurrence counting is a
+    dictionary-encode + bincount."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = [tuple(m) for m in merges]
+        self._cache: dict[str, int] = {}
+
+    def _enc_len(self, w: str) -> int:
+        n = self._cache.get(w)
+        if n is None:
+            n = len(bpe_apply_merges(w, self.merges))
+            self._cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        if not len(flat):
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_bpe": pa.array(np.zeros(n, dtype=np.int64)),
+            })
+        if isinstance(flat, pa.ChunkedArray):
+            flat = (flat.chunk(0) if flat.num_chunks == 1
+                    else pa.concat_arrays(flat.chunks))
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        lens = np.array([self._enc_len(w)
+                         for w in de.dictionary.to_pylist()], dtype=np.int64)
+        n_bpe = np.bincount(idx, weights=lens[codes].astype(np.float64),
+                            minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe": pa.array(n_bpe),
+        })
+
+
+def bpe_encode_lengths(ds, merges: list[tuple[str, str]],
+                       concurrency=None):
+    if concurrency is None:
+        return ds.map_batches(BpeEncodeLengths(merges),
+                              batch_format="pyarrow")
+    return ds.map_batches(BpeEncodeLengths, fn_constructor_args=(merges,),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog cardinality (the ES `cardinality` aggregation's sketch;
 # the "novel sketch" custom-operator family)

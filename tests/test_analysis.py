@@ -358,3 +358,37 @@ def test_bigram_lm_matches_brute_force(ray_session):
     # the planted repeats ("the cat" x3, "cat sat" x2, "sat on" x2,
     # "on the"/"on a" x1) make both branches load-bearing
     assert ("the", "cat") in bi and ("on", "the") not in bi
+
+
+def test_bpe_apply_merges_greedy_rule(ray_session):
+    """Fixed-merge BPE application: greedy left-to-right
+    non-overlapping per rank, cascading across ranks — and the
+    chained-replace oracle representation agrees on the overlap case."""
+    import pyarrow as pa
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        BPE_FIXED_MERGES)
+    from snowplow_elasticsearch_loader_ray.pipelines.analysis import (
+        BpeEncodeLengths, bpe_apply_merges)
+
+    assert bpe_apply_merges("data", BPE_FIXED_MERGES) == ["data"]
+    assert bpe_apply_merges("stream", BPE_FIXED_MERGES) == ["stream"]
+    assert bpe_apply_merges("table", BPE_FIXED_MERGES) == ["table"]
+    assert bpe_apply_merges("start", BPE_FIXED_MERGES) == \
+        ["st", "a", "r", "t"]
+    assert bpe_apply_merges("database", BPE_FIXED_MERGES) == \
+        ["data", "b", "a", "s", "e"]
+    # non-overlapping left-to-right: 'aaaa' under (a,a) -> aa, aa;
+    # 'aaa' -> aa, a (the merged token does NOT re-pair in-pass)
+    assert bpe_apply_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert bpe_apply_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    # and python str.replace over the |-marked form replays it exactly
+    for w in ("aaaa", "aaa", "aa", "a"):
+        s = "".join(f"|{c}|" for c in w).replace("|a||a|", "|aa|")
+        assert s.count("|") // 2 == len(bpe_apply_merges(w, [("a", "a")]))
+
+    enc = BpeEncodeLengths(BPE_FIXED_MERGES)
+    out = enc(pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                        "text": pa.array(["data stream table",
+                                          "start database x"])}))
+    assert out["n_bpe"].to_pylist() == [3, 4 + 5 + 1]
+    assert len(enc._cache) == 6            # one encode per distinct word
