@@ -2329,6 +2329,60 @@ FROM gaps WHERE min_gap <= {SPAN_SLOP}
 """
 
 
+def intervals_topk(sf_dir: str) -> pa.Table:
+    """ES ``intervals`` query (the ``match`` rule with ``ordered:
+    true`` and ``max_gaps``) for the fixture term pairs, executed
+    through the ``_search`` DSL planner: each pair must appear IN
+    ORDER with ≤ max_gaps intervening tokens, resolved in the
+    positional index (greedy chained searchsorteds) under the
+    constant-score rewrite — all matching docs per query. The span_near
+    entry covers the unordered pair; this is the ordered-pair surface
+    (Intervals.match ordered semantics), whose oracle is the quadratic
+    ordered position cross join."""
+    from .pipelines import query_dsl as DSL
+    from .pipelines.positions import PositionalReader, build_positions
+
+    r = _reader(sf_dir)
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs = [], []
+    for qid, ta, tb in _span_pairs():
+        body = {"query": {"intervals": {"text": {"match": {
+            "query": f"{ta} {tb}", "max_gaps": SPAN_SLOP,
+            "ordered": True}}}}, "size": 1 << 20}
+        d, _s = DSL.execute(r, body, pos_reader=pr)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _intervals_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}')"
+                       for qid, a, b in _span_pairs())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+q(qid, ta, tb) AS (VALUES {values}),
+pa_ AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.ta),
+pb AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.tb),
+gaps AS (
+  SELECT a.qid, a.doc_id, min(b.pos - a.pos) - 1 AS min_gap
+  FROM pa_ a
+  JOIN pb b ON b.qid = a.qid AND b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS qid, doc_id
+FROM gaps WHERE min_gap <= {SPAN_SLOP}
+"""
+
+
 def rescore_phrase(sf_dir: str) -> pa.Table:
     """ES ``rescore`` with ``window_size``: BM25 top-50 window per
     query, +5.0 boost for candidates containing the query's leading
@@ -9026,6 +9080,7 @@ def registry() -> tuple[dict, dict]:
         "rollover_stats": rollover_stats,
         "multi_index_search": multi_index_search,
         "pinned_query_topk": pinned_query_topk,
+        "intervals_topk": intervals_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9199,6 +9254,7 @@ def registry() -> tuple[dict, dict]:
         "rollover_stats": ROLLOVER_SQL,
         "multi_index_search": _multi_index_sql(),
         "pinned_query_topk": _pinned_sql(),
+        "intervals_topk": _intervals_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

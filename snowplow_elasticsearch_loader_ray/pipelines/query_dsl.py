@@ -38,6 +38,9 @@ unchanged. Supported grammar (the subset the engine serves):
          | {"terms_set": {"text": {"terms": [...],
                                    "minimum_should_match_field":
                                    "doclen"}}}
+         | {"intervals": {"text": {"match": {"query": "a b",
+                                             "max_gaps": g,
+                                             "ordered": bool}}}}
 
 Pagination is the ES coordinator rule: rank (from+size), return the
 [from:] slice. Unsupported constructs raise ``UnsupportedDSL`` loudly
@@ -596,6 +599,61 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
         # constant-score rewrite: matching docs at 1.0, ties doc_id asc
         docs, _gaps = span_near_chain(
             pos_reader, [c["span_term"]["text"] for c in cl], sn["slop"])
+        d, s = bm25.rank_topk(docs, np.ones(len(docs)), k)
+    elif kind == "intervals":
+        # ES intervals query, `match` rule: all the rule's terms inside
+        # one interval with ≤ max_gaps intervening tokens, ordered or
+        # not (Intervals.match / IntervalsSource semantics). Routed to
+        # the positional kernels: ordered pairs/chains via the greedy
+        # chained-searchsorted span matcher, unordered pairs via the
+        # two-pointer proximity merge. Constant-score rewrite (docs at
+        # 1.0, ties doc_id ascending) like the other multi-position
+        # rewrites this planner serves.
+        iv = node["intervals"]
+        if set(iv) != {"text"}:
+            raise UnsupportedDSL(f"intervals on {set(iv)}")
+        rule = iv["text"]
+        if not isinstance(rule, dict) or set(rule) != {"match"}:
+            raise UnsupportedDSL(
+                f"intervals supports the match rule only, got {rule!r}")
+        m = rule["match"]
+        bad = set(m) - {"query", "max_gaps", "ordered"}
+        if bad or not isinstance(m.get("query"), str):
+            raise UnsupportedDSL(f"unsupported intervals.match {m!r}")
+        gaps = m.get("max_gaps", -1)
+        if not isinstance(gaps, int) or isinstance(gaps, bool) \
+                or gaps < -1:
+            raise UnsupportedDSL(f"bad max_gaps {gaps!r}")
+        ordered = m.get("ordered", False)
+        if not isinstance(ordered, bool):
+            raise UnsupportedDSL(f"bad ordered {ordered!r}")
+        # ORDER-PRESERVING tokenization (tokenize_query sorts — fine
+        # for bag-of-words scoring, fatal for ordered intervals)
+        from .query import _TOKEN_RE
+
+        terms = _TOKEN_RE.findall(m["query"].lower())
+        if len(terms) < 2 or len(set(terms)) != len(terms):
+            raise UnsupportedDSL(
+                "intervals.match needs ≥2 distinct terms (single-term "
+                "match degenerates to a term query — use match)")
+        if len(terms) > 2 and not ordered:
+            raise UnsupportedDSL(
+                "unordered intervals over >2 terms are not served "
+                "(no minimal-interval kernel for that shape)")
+        if pos_reader is None:
+            raise UnsupportedDSL(
+                "intervals needs a positional index (pass pos_reader)")
+        # max_gaps: -1 = unlimited (the ES default)
+        slop = (1 << 62) if gaps == -1 else gaps
+        if len(terms) == 2 and not ordered:
+            from .positions import proximity_search
+
+            docs, _g = proximity_search(pos_reader, terms[0], terms[1],
+                                        slop, ordered=False)
+        else:
+            from .positions import span_near_chain
+
+            docs, _g = span_near_chain(pos_reader, list(terms), slop)
         d, s = bm25.rank_topk(docs, np.ones(len(docs)), k)
     elif kind == "pinned":
         pn = node["pinned"]

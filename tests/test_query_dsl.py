@@ -720,3 +720,70 @@ def test_execute_distributed_bit_identical(reader):
                 DSL.execute_distributed(eng, bad)
     finally:
         eng.shutdown()
+
+
+def test_intervals_dsl_route(reader):
+    """intervals.match routes: ordered pair/chain -> span_near_chain,
+    unordered pair -> proximity_search; max_gaps=-1 is unlimited;
+    constant-score rewrite (1.0, doc_id asc)."""
+    import os
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, proximity_search,
+        span_near_chain)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(SF)), "positions")
+    build_positions(os.path.join(SF, "documents.parquet"), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+
+    def run(q, gaps, ordered):
+        return DSL.execute(reader, {"query": {"intervals": {"text": {
+            "match": {"query": q, "max_gaps": gaps,
+                      "ordered": ordered}}}}, "size": 10_000},
+            pos_reader=pr)
+
+    # ordered pair == ordered proximity; ORDER of the query string
+    # matters (sort would change the matched docs)
+    d, s = run("table data", 3, True)
+    want, _ = proximity_search(pr, "table", "data", 3, ordered=True)
+    assert d.tolist() == np.sort(want).tolist() and (s == 1.0).all()
+    rev, _ = proximity_search(pr, "data", "table", 3, ordered=True)
+    assert d.tolist() != np.sort(rev).tolist()
+
+    # unordered pair == unordered proximity
+    d2, _ = run("data table", 3, False)
+    want2, _ = proximity_search(pr, "data", "table", 3, ordered=False)
+    assert d2.tolist() == np.sort(want2).tolist()
+
+    # ordered 3-chain == span_near_chain with the same total-gap budget
+    d3, _ = run("data table scan", 8, True)
+    want3, _ = span_near_chain(pr, ["data", "table", "scan"], 8)
+    assert d3.tolist() == np.sort(want3).tolist()
+
+    # max_gaps omitted / -1 = unlimited: every co-occurrence matches
+    dall, _ = run("data table", -1, True)
+    wall, _ = proximity_search(pr, "data", "table", 1 << 62, ordered=True)
+    assert dall.tolist() == np.sort(wall).tolist()
+
+    for bad in [
+        {"intervals": {"text": {"match": {"query": "solo"}}}},
+        {"intervals": {"text": {"match": {"query": "a a",
+                                          "max_gaps": 1}}}},
+        {"intervals": {"text": {"match": {"query": "a b c",
+                                          "max_gaps": 1,
+                                          "ordered": False}}}},
+        {"intervals": {"text": {"match": {"query": "a b",
+                                          "max_gaps": -2}}}},
+        {"intervals": {"text": {"match": {"query": "a b",
+                                          "max_gaps": 1,
+                                          "fuzzy": {}}}}},
+        {"intervals": {"text": {"all_of": {}}}},
+        {"intervals": {"lang": {"match": {"query": "a b"}}}},
+    ]:
+        with pytest.raises(DSL.UnsupportedDSL):
+            DSL.execute(reader, {"query": bad}, pos_reader=pr)
+    with pytest.raises(DSL.UnsupportedDSL):   # no positional index
+        DSL.execute(reader, {"query": {"intervals": {"text": {
+            "match": {"query": "data table", "max_gaps": 1,
+                      "ordered": True}}}}})
