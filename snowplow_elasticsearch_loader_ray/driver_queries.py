@@ -3782,6 +3782,33 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def dsl_knn_topk(sf_dir: str) -> pa.Table:
+    """ES 8 ``knn`` search sections executed through the ``_search``
+    request surface (pipelines/query_dsl.py::msearch_knn): every body's
+    section is validated (field / query_vector / k / num_candidates ≥ k
+    per the ES contract), the query vectors stack into ONE broadcast
+    matrix, and a single exact-cosine pass serves all bodies — the
+    coordinator-side batching ES's ``_msearch`` exists for. Results are
+    the brute-force scorer's, so the oracle is the same cosine SQL as
+    ``ann_topk``."""
+    from .pipelines import query_dsl as DSL
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    bodies = [{"knn": {"field": "embedding", "query_vector": q.tolist(),
+                       "k": TOPK, "num_candidates": 10 * TOPK}}
+              for q in qmat]
+    out = DSL.msearch_knn(ds, bodies)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
 #: reindex-with-transform parameters (ES `_reindex` + query + script)
 REINDEX_MIN_TOKENS = 30
 REINDEX_TRUNCATE = 20
@@ -9081,6 +9108,7 @@ def registry() -> tuple[dict, dict]:
         "multi_index_search": multi_index_search,
         "pinned_query_topk": pinned_query_topk,
         "intervals_topk": intervals_topk,
+        "dsl_knn_topk": dsl_knn_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9255,6 +9283,7 @@ def registry() -> tuple[dict, dict]:
         "multi_index_search": _multi_index_sql(),
         "pinned_query_topk": _pinned_sql(),
         "intervals_topk": _intervals_sql(),
+        "dsl_knn_topk": ANN_TOPK_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -755,3 +755,99 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
     else:
         raise UnsupportedDSL(f"unsupported query kind {kind!r}")
     return d[offset:], s[offset:]
+
+
+# --------------------------------------------------------------------------
+# ES 8.x `knn` search sections (dense-vector retrieval in the _search
+# body; reference context: the loader's ES 8 consumers mix lexical and
+# vector search through this same request surface)
+# --------------------------------------------------------------------------
+
+def _knn_params(sec: dict) -> tuple[list, int, dict | None]:
+    """Validate one ES ``knn`` section → (query_vector, k, filter)."""
+    if not isinstance(sec, dict):
+        raise UnsupportedDSL(f"bad knn section {sec!r}")
+    extra = set(sec) - {"field", "query_vector", "k", "num_candidates",
+                        "filter"}
+    if extra:
+        raise UnsupportedDSL(f"unsupported knn keys {extra}")
+    if sec.get("field") != "embedding":
+        raise UnsupportedDSL(
+            f"knn field {sec.get('field')!r}: only the 'embedding' "
+            f"dense-vector column is indexed")
+    qv = sec.get("query_vector")
+    if (not isinstance(qv, list) or not qv
+            or not all(isinstance(x, (int, float))
+                       and not isinstance(x, bool) for x in qv)):
+        raise UnsupportedDSL(f"bad query_vector {qv!r}")
+    k = sec.get("k")
+    if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+        raise UnsupportedDSL(f"bad knn k {k!r}")
+    nc = sec.get("num_candidates", k)
+    if not isinstance(nc, int) or isinstance(nc, bool) or nc < k:
+        raise UnsupportedDSL(
+            f"num_candidates {nc!r} must be an int ≥ k (ES contract); "
+            f"this engine's brute-force scorer is exact, so any valid "
+            f"num_candidates yields exact top-k")
+    f = sec.get("filter")
+    if f is not None:
+        if (not isinstance(f, dict) or set(f) != {"term"}
+                or not isinstance(f["term"], dict)
+                or set(f["term"]) != {"label"}):
+            raise UnsupportedDSL(
+                f"knn filter {f!r}: only a term filter on the 'label' "
+                f"doc-value column is served (ES PRE-filter semantics)")
+    return qv, k, f
+
+
+def msearch_knn(ds, bodies: list[dict]):
+    """ES ``_msearch`` over bodies that each carry a top-level ``knn``
+    section: validate every section, stack the query vectors into ONE
+    broadcast matrix, and run a single exact-cosine pass over the
+    embedding dataset (`ann.ann_topk`'s per-batch matmul + n_blocks×k
+    reduce) — one corpus scan for N queries instead of N scans, the
+    coordinator-side batching ES's _msearch exists for. Returns the
+    (query_id = body position, rank, vec_id) top-k table.
+
+    All bodies must share one ``k`` and carry no ``filter`` (a filtered
+    body changes the candidate set per query — route it through
+    ``execute_knn`` instead)."""
+    from . import ann as ANN
+
+    if not isinstance(bodies, list) or not bodies:
+        raise UnsupportedDSL("msearch_knn needs a non-empty body list")
+    parsed = []
+    for body in bodies:
+        if not isinstance(body, dict) or set(body) != {"knn"}:
+            raise UnsupportedDSL(f"unsupported msearch knn body {body!r}")
+        parsed.append(_knn_params(body["knn"]))
+    ks = {k for _qv, k, _f in parsed}
+    if len(ks) != 1:
+        raise UnsupportedDSL(f"heterogeneous k across bodies: {sorted(ks)}")
+    if any(f is not None for _qv, _k, f in parsed):
+        raise UnsupportedDSL(
+            "filtered knn bodies can't share one scan — use execute_knn")
+    dims = {len(qv) for qv, _k, _f in parsed}
+    if len(dims) != 1:
+        raise UnsupportedDSL(f"heterogeneous vector dims: {sorted(dims)}")
+    qmat = np.asarray([qv for qv, _k, _f in parsed], dtype=np.float64)
+    return ANN.ann_topk(ds, qmat, k=ks.pop())
+
+
+def execute_knn(ds, body: dict):
+    """One ES 8 ``_search`` request whose retrieval is a top-level
+    ``knn`` section (no ``query`` — pure vector search; hybrid bodies
+    are served by the rrf/linear fusion entries). Routes to the exact
+    brute-force scorer, or its PRE-filter variant when the section
+    carries a term filter. Returns the (rank, vec_id) top-k table."""
+    if not isinstance(body, dict) or set(body) != {"knn"}:
+        raise UnsupportedDSL(
+            f"execute_knn serves knn-only bodies, got keys "
+            f"{set(body) if isinstance(body, dict) else body!r}")
+    qv, k, f = _knn_params(body["knn"])
+    if f is None:
+        return msearch_knn(ds, [body])
+    from . import ann as ANN
+
+    qmat = np.asarray([qv], dtype=np.float64)
+    return ANN.ann_topk_filtered(ds, qmat, "label", f["term"]["label"], k)

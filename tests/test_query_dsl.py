@@ -787,3 +787,61 @@ def test_intervals_dsl_route(reader):
         DSL.execute(reader, {"query": {"intervals": {"text": {
             "match": {"query": "data table", "max_gaps": 1,
                       "ordered": True}}}}})
+
+
+def test_knn_sections(ray_session):
+    """ES 8 knn sections: msearch_knn batches N bodies into one scan
+    and equals per-body ann_topk; execute_knn routes the filtered body
+    to the PRE-filter scorer; malformed sections refuse."""
+    import ray as _ray
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from snowplow_elasticsearch_loader_ray.pipelines import ann as ANN
+
+    sf = SF
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    t = t.take(pc.sort_indices(t["vec_id"]))
+    qmat = np.array(t["embedding"].to_pylist()[:4], dtype=np.float64)
+    ds = _ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    bodies = [{"knn": {"field": "embedding", "query_vector": q.tolist(),
+                       "k": 5, "num_candidates": 50}} for q in qmat]
+    got = DSL.msearch_knn(ds, bodies)
+    want = ANN.ann_topk(ds, qmat, k=5)
+    assert got.equals(want)
+
+    # filtered body: PRE-filter semantics via execute_knn
+    lbl = t["label"][0].as_py()
+    fbody = {"knn": {"field": "embedding",
+                     "query_vector": qmat[0].tolist(), "k": 5,
+                     "num_candidates": 5,
+                     "filter": {"term": {"label": lbl}}}}
+    ds2 = _ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    gotf = DSL.execute_knn(ds2, fbody)
+    wantf = ANN.ann_topk_filtered(ds2, qmat[:1], "label", lbl, k=5)
+    assert gotf.equals(wantf)
+
+    for bad in [
+        {"knn": {"field": "embedding", "query_vector": [0.1], "k": 0}},
+        {"knn": {"field": "embedding", "query_vector": [0.1], "k": 5,
+                 "num_candidates": 3}},            # nc < k
+        {"knn": {"field": "text", "query_vector": [0.1], "k": 1}},
+        {"knn": {"field": "embedding", "query_vector": [], "k": 1}},
+        {"knn": {"field": "embedding", "query_vector": [0.1], "k": 1,
+                 "similarity": 0.5}},              # unknown key
+        {"knn": {"field": "embedding", "query_vector": [0.1], "k": 1,
+                 "filter": {"term": {"lang": "en"}}}},
+        {"query": {"match": {"text": "x"}},
+         "knn": {"field": "embedding", "query_vector": [0.1], "k": 1}},
+    ]:
+        with pytest.raises(DSL.UnsupportedDSL):
+            DSL.execute_knn(ds, bad)
+    with pytest.raises(DSL.UnsupportedDSL):       # mixed k
+        DSL.msearch_knn(ds, [
+            {"knn": {"field": "embedding",
+                     "query_vector": qmat[0].tolist(), "k": 5}},
+            {"knn": {"field": "embedding",
+                     "query_vector": qmat[1].tolist(), "k": 6}}])
+    with pytest.raises(DSL.UnsupportedDSL):       # filter in msearch
+        DSL.msearch_knn(ds, [fbody])
