@@ -4850,6 +4850,160 @@ LIMIT {GEO_GRID_TOP}
 """
 
 
+def geo_bounds_centroid(sf_dir: str) -> pa.Table:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per lang
+    bucket: the bounding box (top = max lat, left = min lon, bottom =
+    min lat, right = max lon) and the centroid (mean point) of each
+    bucket's planted micro-degree geo points. Per-batch integer
+    partials (n, Σlat, Σlon, min/max) reduce through one tiny
+    groupby(lang); centroids divide the EXACT int64 sums in float64 —
+    the same correctly-rounded division DuckDB performs, so the floats
+    hash-match. (Int64 partial sums hold to ~2^35 rows per bucket; at
+    10^12 docs the sums ride per-block partials that stay far below
+    that before the reduce.)"""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "lang"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_micro(ids)
+        t = pa.table({"lang": b["lang"], "lat": pa.array(lat),
+                      "lon": pa.array(lon)})
+        g = t.group_by("lang").aggregate([
+            ("lat", "count"), ("lat", "sum"), ("lon", "sum"),
+            ("lat", "min"), ("lat", "max"), ("lon", "min"),
+            ("lon", "max")])
+        return pa.table({
+            "lang": g["lang"], "n": g["lat_count"].cast(pa.int64()),
+            "sum_lat": g["lat_sum"], "sum_lon": g["lon_sum"],
+            "min_lat": g["lat_min"], "max_lat": g["lat_max"],
+            "min_lon": g["lon_min"], "max_lon": g["lon_max"],
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_lat", alias_name="sum_lat"),
+                      Sum("sum_lon", alias_name="sum_lon"),
+                      Min("min_lat", alias_name="bottom_lat"),
+                      Max("max_lat", alias_name="top_lat"),
+                      Min("min_lon", alias_name="left_lon"),
+                      Max("max_lon", alias_name="right_lon"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    n = out["n"].to_numpy(np.float64)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "top_lat": pa.array(out["top_lat"], pa.int64()),
+        "left_lon": pa.array(out["left_lon"], pa.int64()),
+        "bottom_lat": pa.array(out["bottom_lat"], pa.int64()),
+        "right_lon": pa.array(out["right_lon"], pa.int64()),
+        "centroid_lat": pa.array(
+            out["sum_lat"].to_numpy(np.float64) / n, pa.float64()),
+        "centroid_lon": pa.array(
+            out["sum_lon"].to_numpy(np.float64) / n, pa.float64()),
+    })
+
+
+def _geo_bounds_sql() -> str:
+    lat, lon = _geo_sql_point()
+    return f"""
+WITH pts AS (SELECT lang, {lat}::BIGINT AS lat, {lon}::BIGINT AS lon
+             FROM documents)
+SELECT lang, count(*)::BIGINT AS n,
+       max(lat)::BIGINT AS top_lat, min(lon)::BIGINT AS left_lon,
+       min(lat)::BIGINT AS bottom_lat, max(lon)::BIGINT AS right_lon,
+       sum(lat)::DOUBLE / count(*)::DOUBLE AS centroid_lat,
+       sum(lon)::DOUBLE / count(*)::DOUBLE AS centroid_lon
+FROM pts GROUP BY 1
+"""
+
+
+#: the two lang buckets ES's t_test agg compares (heteroscedastic mode)
+T_TEST_LANGS = ("en", "de")
+
+
+def lang_t_test(sf_dir: str) -> pa.Table:
+    """ES ``t_test`` aggregation (the default heteroscedastic /
+    Welch's form) on the n_chars metric between two lang buckets.
+    Distributed plan: each batch emits EXACT integer moments (n, Σx,
+    Σx²) per lang; one tiny groupby reduces them; the t statistic is
+    computed from the exact moments in float64 on the driver — the
+    same correctly-rounded IEEE expression the oracle evaluates, so
+    the float hash-matches. Moments ride int64 (Σx² < 2^53 per block
+    at web-scale block sizes) — no per-doc data crosses the shuffle."""
+    from ray.data.aggregate import Sum
+
+    la, lb = T_TEST_LANGS
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["lang", "n_chars"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["lang"], value_set=pa.array([la, lb]))
+        t = b.filter(keep)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"lang": t["lang"], "x": pa.array(x),
+                      "xx": pa.array(x * x)})
+        r = g.group_by("lang").aggregate(
+            [([], "count_all"), ("x", "sum"), ("xx", "sum")])
+        return pa.table({
+            "lang": r["lang"], "n": r["count_all"].cast(pa.int64()),
+            "s": r["x_sum"], "q": r["xx_sum"],
+        })
+
+    m = (ds.map_batches(moments, batch_format="pyarrow")
+         .groupby("lang")
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                    Sum("q", alias_name="q"))
+         .to_pandas().set_index("lang"))
+
+    def stats(lang: str) -> tuple[int, float, float]:
+        n = int(m.loc[lang, "n"])
+        s = float(m.loc[lang, "s"])
+        q = float(m.loc[lang, "q"])
+        mean = s / n
+        var = (q - s * mean) / (n - 1)
+        return n, mean, var
+
+    na, ma, va = stats(la)
+    nb, mb, vb = stats(lb)
+    t_stat = (ma - mb) / np.sqrt(va / na + vb / nb)
+    return pa.table({
+        "lang_a": pa.array([la], pa.string()),
+        "lang_b": pa.array([lb], pa.string()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([ma], pa.float64()),
+        "mean_b": pa.array([mb], pa.float64()),
+        "t_stat": pa.array([float(t_stat)], pa.float64()),
+    })
+
+
+def _t_test_sql() -> str:
+    la, lb = T_TEST_LANGS
+    return f"""
+WITH m AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::DOUBLE AS s,
+         sum(n_chars::BIGINT * n_chars::BIGINT)::DOUBLE AS q
+  FROM documents WHERE lang IN ('{la}', '{lb}') GROUP BY 1
+),
+a AS (SELECT * FROM m WHERE lang = '{la}'),
+b AS (SELECT * FROM m WHERE lang = '{lb}')
+SELECT '{la}' AS lang_a, '{lb}' AS lang_b,
+       a.n AS n_a, b.n AS n_b,
+       a.s / a.n::DOUBLE AS mean_a,
+       b.s / b.n::DOUBLE AS mean_b,
+       (a.s / a.n::DOUBLE - b.s / b.n::DOUBLE)
+         / sqrt(((a.q - a.s * (a.s / a.n::DOUBLE)) / (a.n - 1)::DOUBLE)
+                  / a.n::DOUBLE
+                + ((b.q - b.s * (b.s / b.n::DOUBLE)) / (b.n - 1)::DOUBLE)
+                  / b.n::DOUBLE) AS t_stat
+FROM a, b
+"""
+
+
 #: ADC shortlist width multiplier for the exact refine stage
 PQ_EXPAND = 4
 
@@ -9109,6 +9263,8 @@ def registry() -> tuple[dict, dict]:
         "pinned_query_topk": pinned_query_topk,
         "intervals_topk": intervals_topk,
         "dsl_knn_topk": dsl_knn_topk,
+        "geo_bounds_centroid": geo_bounds_centroid,
+        "lang_t_test": lang_t_test,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9284,6 +9440,8 @@ def registry() -> tuple[dict, dict]:
         "pinned_query_topk": _pinned_sql(),
         "intervals_topk": _intervals_sql(),
         "dsl_knn_topk": ANN_TOPK_SQL,
+        "geo_bounds_centroid": _geo_bounds_sql(),
+        "lang_t_test": _t_test_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
