@@ -4921,6 +4921,82 @@ FROM pts GROUP BY 1
 """
 
 
+def gopher_quality_flags(sf_dir: str) -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021) — the
+    non-repetition family: word-count bounds, mean-word-length [3,10],
+    ≥80% words containing a letter, ≥2 stopwords, symbol-to-word ratio
+    ≤0.1 — per-doc counters and pass flags, all integer arithmetic
+    (ratio rules compare cross-multiplied ints). One stateless
+    vectorized map_batches (pipelines/analysis.py::GopherRules); the
+    oracle replays the same RE2 split + rules in SQL."""
+    out = (A.gopher_rules(_docs_ds(sf_dir)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cols = {"doc_id": pa.int64(), "n_words": pa.int64(),
+            "sum_word_len": pa.int64(), "n_alpha_words": pa.int64(),
+            "n_stopwords": pa.int64(), "n_symbols": pa.int64(),
+            "ok_word_count": pa.bool_(), "ok_mean_word_len": pa.bool_(),
+            "ok_alpha_frac": pa.bool_(), "ok_stopwords": pa.bool_(),
+            "ok_symbol_ratio": pa.bool_(), "pass_all": pa.bool_()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+def _gopher_sql() -> str:
+    from .pipelines.analysis import (GOPHER_ALPHA_DEN, GOPHER_ALPHA_NUM,
+                                     GOPHER_MAX_MEAN_WORD_LEN,
+                                     GOPHER_MAX_WORDS,
+                                     GOPHER_MIN_MEAN_WORD_LEN,
+                                     GOPHER_MIN_STOPWORDS,
+                                     GOPHER_MIN_WORDS, GOPHER_STOPWORDS,
+                                     GOPHER_SYMBOL_DEN)
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH flat AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(len(w))::BIGINT AS sum_word_len,
+         count(*) FILTER (regexp_matches(w, '[A-Za-z]'))::BIGINT
+           AS n_alpha_words,
+         count(*) FILTER (lower(w) IN ({stops}))::BIGINT AS n_stopwords
+  FROM flat GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(a.n_words, 0) AS n_words,
+         coalesce(a.sum_word_len, 0) AS sum_word_len,
+         coalesce(a.n_alpha_words, 0) AS n_alpha_words,
+         coalesce(a.n_stopwords, 0) AS n_stopwords,
+         (len(d.text) - len(replace(d.text, '#', '')))::BIGINT
+           + ((len(d.text) - len(replace(d.text, '...', ''))) // 3)::BIGINT
+           AS n_symbols
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+       n_symbols,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS ok_word_count,
+       ({GOPHER_MIN_MEAN_WORD_LEN} * n_words <= sum_word_len
+        AND sum_word_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+         AS ok_mean_word_len,
+       ({GOPHER_ALPHA_DEN} * n_alpha_words
+          >= {GOPHER_ALPHA_NUM} * n_words) AS ok_alpha_frac,
+       (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+       ({GOPHER_SYMBOL_DEN} * n_symbols <= n_words) AS ok_symbol_ratio,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND ({GOPHER_MIN_MEAN_WORD_LEN} * n_words <= sum_word_len
+             AND sum_word_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+        AND ({GOPHER_ALPHA_DEN} * n_alpha_words
+               >= {GOPHER_ALPHA_NUM} * n_words)
+        AND (n_stopwords >= {GOPHER_MIN_STOPWORDS})
+        AND ({GOPHER_SYMBOL_DEN} * n_symbols <= n_words)) AS pass_all
+FROM base
+"""
+
+
 #: the two lang buckets ES's t_test agg compares (heteroscedastic mode)
 T_TEST_LANGS = ("en", "de")
 
@@ -9265,6 +9341,7 @@ def registry() -> tuple[dict, dict]:
         "dsl_knn_topk": dsl_knn_topk,
         "geo_bounds_centroid": geo_bounds_centroid,
         "lang_t_test": lang_t_test,
+        "gopher_quality_flags": gopher_quality_flags,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9442,6 +9519,7 @@ def registry() -> tuple[dict, dict]:
         "dsl_knn_topk": ANN_TOPK_SQL,
         "geo_bounds_centroid": _geo_bounds_sql(),
         "lang_t_test": _t_test_sql(),
+        "gopher_quality_flags": _gopher_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

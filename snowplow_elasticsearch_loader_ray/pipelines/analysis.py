@@ -932,3 +932,91 @@ class _BigramLmScore:
             "lp_micro": pa.array(np.bincount(docp, weights=m, minlength=n)
                                  .astype(np.int64)),
         })
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models" —
+# the document-level filters every web-scale training pipeline applies
+# before tokenization; the repetition family lives in RepetitionStats)
+# --------------------------------------------------------------------------
+
+#: rule thresholds (the published Gopher values)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3    # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5   # ≥ 80% words with a letter
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_SYMBOL_DEN = 10          # symbol-to-word ratio ≤ 0.1
+
+#: Gopher's own stopword list (distinct from the scoring STOPWORDS)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+class GopherRules:
+    """doc → Gopher rule counters + per-rule pass flags, all integer
+    arithmetic (ratio rules compare cross-multiplied ints, never
+    floats). Words are RE2 ``\\s+`` splits of the RAW text (not index
+    terms — Gopher filters run before tokenization); symbols are '#'
+    occurrences plus non-overlapping '...' runs. One vectorized pass:
+    split → flatten → bincount per doc; no Python loop."""
+
+    def __init__(self):
+        self.stop = pa.array(GOPHER_STOPWORDS, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = len(txt)
+        words = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(words)
+        idx = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # regexp_split_to_array emits '' at boundaries — drop them like
+        # the oracle's list_filter(x -> x <> '')
+        keep = wlen > 0
+        flat, idx, wlen = flat.filter(pa.array(keep)), idx[keep], wlen[keep]
+
+        n_words = np.bincount(idx, minlength=n).astype(np.int64)
+        sum_wlen = np.bincount(idx, weights=wlen, minlength=n) \
+            .astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(idx[alpha], minlength=n).astype(np.int64)
+        stop = pc.is_in(pc.utf8_lower(flat), value_set=self.stop) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(idx[stop], minlength=n).astype(np.int64)
+        n_sym = (pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+                 .astype(np.int64)
+                 + pc.count_substring(txt, "...")
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+
+        ok_words = (n_words >= GOPHER_MIN_WORDS) \
+            & (n_words <= GOPHER_MAX_WORDS)
+        ok_mwl = (GOPHER_MIN_MEAN_WORD_LEN * n_words <= sum_wlen) \
+            & (sum_wlen <= GOPHER_MAX_MEAN_WORD_LEN * n_words)
+        ok_alpha = GOPHER_ALPHA_DEN * n_alpha \
+            >= GOPHER_ALPHA_NUM * n_words
+        ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+        ok_sym = GOPHER_SYMBOL_DEN * n_sym <= n_words
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "sum_word_len": pa.array(sum_wlen),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_stopwords": pa.array(n_stop),
+            "n_symbols": pa.array(n_sym),
+            "ok_word_count": pa.array(ok_words),
+            "ok_mean_word_len": pa.array(ok_mwl),
+            "ok_alpha_frac": pa.array(ok_alpha),
+            "ok_stopwords": pa.array(ok_stop),
+            "ok_symbol_ratio": pa.array(ok_sym),
+            "pass_all": pa.array(ok_words & ok_mwl & ok_alpha
+                                 & ok_stop & ok_sym),
+        })
+
+
+def gopher_rules(ds, concurrency=None):
+    return _apply(ds, GopherRules, concurrency)

@@ -392,3 +392,45 @@ def test_bpe_apply_merges_greedy_rule(ray_session):
                                           "start database x"])}))
     assert out["n_bpe"].to_pylist() == [3, 4 + 5 + 1]
     assert len(enc._cache) == 6            # one encode per distinct word
+
+
+def test_gopher_rules_edge_docs_match_oracle(ray_session, tmp_path):
+    """Empty text, whitespace-only text, symbol-heavy and stopword-rich
+    docs through GopherRules vs the SQL oracle (the fixture corpus has
+    no empty docs, so the zero-word branches only bite here)."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    import ray as _ray
+    from snowplow_elasticsearch_loader_ray.driver_queries import _gopher_sql
+    from snowplow_elasticsearch_loader_ray.pipelines import analysis as A
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "",
+            "   \t\n  ",
+            "the be to of and that have with " + "word " * 60,
+            "### ... #... " + "x " * 50,
+            "a b c " * 30,
+            "  leading and trailing   spaces the be   ",
+        ]),
+    })
+    p = tmp_path / "docs.parquet"
+    pq_.write_table(docs, p)
+    got = (A.gopher_rules(_ray.data.read_parquet(str(p)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{p}')")
+    want = con.execute(_gopher_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)[got.columns]
+    for c in got.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    assert got.equals(want)
+    # sanity on the designed cases: stopword-rich long doc passes all
+    assert bool(got.loc[2, "pass_all"])
+    # symbol-heavy doc fails the symbol rule only via that flag
+    assert not bool(got.loc[3, "ok_symbol_ratio"])
+    # empty docs: zero words fail the count rule, pass vacuous ratios
+    assert not got.loc[0, "ok_word_count"] and got.loc[0, "ok_alpha_frac"]
