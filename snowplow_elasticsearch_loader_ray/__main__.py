@@ -62,6 +62,13 @@ def _parser() -> argparse.ArgumentParser:
     mrg.add_argument("--out", required=True)
     mrg.add_argument("--shards", type=int, default=32)
 
+    rsh = sub.add_parser(
+        "reshard", help="rewrite an index under a new term-shard count "
+                        "(ES _split/_shrink; bit-identical results)")
+    rsh.add_argument("--index", required=True)
+    rsh.add_argument("--out", required=True)
+    rsh.add_argument("--shards", type=int, required=True)
+
     stm = sub.add_parser("stream", help="NDJSON payloads on stdin -> micro-batch commits")
     stm.add_argument("--out", required=True)
     stm.add_argument("--purpose", choices=["json", "bad"], default="json")
@@ -161,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = IndexConfig(num_term_shards=args.shards)
         out = merge_indexes(args.inputs, args.out, cfg)
+    elif args.cmd == "reshard":
+        from .pipelines.merge import reshard_index
+
+        out = reshard_index(args.index, args.out, args.shards)
     elif args.cmd == "stream":
         from .sources.stream import stream_ingest
 

@@ -5870,6 +5870,26 @@ def snapshot_restore_terms(sf_dir: str) -> pa.Table:
     return IndexReader(restored).term_stats_table()
 
 
+#: reshard target (the fixture index builds at CFG.num_term_shards)
+RESHARD_TO = 6
+
+
+def reshard_stats(sf_dir: str) -> pa.Table:
+    """ES ``_split``/``_shrink`` analogue end-to-end
+    (pipelines/merge.py::reshard_index): re-bucket the committed index's
+    term shards under hash(term) % {RESHARD_TO} — a pure scatter/gather
+    exchange of segment rows, posting bytes copied verbatim — and serve
+    term statistics from the RESHARDED index, which must match the
+    corpus SQL exactly (and bit-identical query results are pinned in
+    tests/test_merge.py)."""
+    from .pipelines.merge import reshard_index
+
+    src = _ensure_index(sf_dir)
+    out = os.path.join(os.path.dirname(src), f"resharded-{RESHARD_TO}")
+    reshard_index(src, out, RESHARD_TO)
+    return IndexReader(out).term_stats_table()
+
+
 def simhash_recall(sf_dir: str) -> pa.Table:
     """SimHash near-dup mining graded quantitatively: of the exact
     Jaccard pairs at the oracle threshold, how many does the Hamming-
@@ -9342,6 +9362,7 @@ def registry() -> tuple[dict, dict]:
         "geo_bounds_centroid": geo_bounds_centroid,
         "lang_t_test": lang_t_test,
         "gopher_quality_flags": gopher_quality_flags,
+        "reshard_stats": reshard_stats,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9520,6 +9541,7 @@ def registry() -> tuple[dict, dict]:
         "geo_bounds_centroid": _geo_bounds_sql(),
         "lang_t_test": _t_test_sql(),
         "gopher_quality_flags": _gopher_sql(),
+        "reshard_stats": TERM_STATS_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

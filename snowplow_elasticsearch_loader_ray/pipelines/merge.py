@@ -284,3 +284,179 @@ def merge_indexes(input_dirs: list[str], out_dir: str,
     merged_cfg = IndexConfig(num_term_shards=n_shards, block_size=cfg.block_size,
                              k1=cfg.k1, b=cfg.b)
     return finalize(out_dir, merged_cfg, time.time() - t0)
+
+
+# --------------------------------------------------------------------------
+# Resharding (ES `_split` / `_shrink`): same corpus, different term-shard
+# count. Reference context: ES resize APIs rewrite every shard's data
+# under a new routing factor; here the analogue re-buckets committed
+# term shards under hash(term) % new_shards.
+# --------------------------------------------------------------------------
+
+@ray.remote(num_cpus=1)
+def _reshard_scatter(in_dir: str, out_dir: str, in_shard: int,
+                     new_shards: int) -> dict:
+    """Read one input segment shard and split its term rows by the NEW
+    shard function into per-(in, out) parquet parts — the scatter half
+    of the exchange. Posting buffers are copied verbatim (the ordinal
+    space is unchanged), so no decode/re-encode happens anywhere."""
+    from ..tokenizer import term_shards
+
+    name = f"shard-{in_shard:04d}.parquet"
+    path = os.path.join(in_dir, "segments", name)
+    rs_dir = os.path.join(out_dir, "reshard")
+    os.makedirs(rs_dir, exist_ok=True)
+    outputs: list[str] = []
+    n_terms = 0
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        n_terms = t.num_rows
+        if t.num_rows:
+            terms = t["term"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            tgt = term_shards(terms, new_shards)
+            for s in np.unique(tgt):
+                part = t.filter(pa.array(tgt == s))
+                out = os.path.join(
+                    rs_dir, f"in{in_shard:04d}-out{int(s):04d}.parquet")
+                pq.write_table(part, out + ".tmp", compression="zstd")
+                os.replace(out + ".tmp", out)
+                outputs.append(os.path.relpath(out, out_dir))
+    return {
+        "part": in_shard,
+        "stage": "reshard-scatter",
+        "input_files": [path],
+        "counters": {"terms": int(n_terms)},
+        "outputs": outputs,
+    }
+
+
+@ray.remote(num_cpus=1)
+def _reshard_gather(out_dir: str, shard: int, n_in: int) -> dict:
+    """Concatenate one output shard's scattered parts (term-sorted) and
+    commit its segment — the gather half."""
+    rs_dir = os.path.join(out_dir, "reshard")
+    seg_dir = os.path.join(out_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    parts = []
+    for j in range(n_in):
+        p = os.path.join(rs_dir, f"in{j:04d}-out{shard:04d}.parquet")
+        if os.path.exists(p):
+            parts.append(pq.read_table(p))
+    if parts:
+        seg = pa.concat_tables(parts)
+        seg = seg.take(pa.compute.sort_indices(seg["term"]))
+        seg = seg.cast(SEGMENT_SCHEMA)
+    else:
+        seg = SEGMENT_SCHEMA.empty_table()
+    out = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+    pq.write_table(seg, out + ".tmp", compression="zstd")
+    os.replace(out + ".tmp", out)
+    return {
+        "part": shard,
+        "stage": "segments",
+        "input_files": [os.path.relpath(os.path.join(rs_dir, f), out_dir)
+                        for f in sorted(os.listdir(rs_dir))
+                        if f.endswith(f"-out{shard:04d}.parquet")],
+        "counters": {
+            "terms": int(seg.num_rows),
+            "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
+            "bytes_written": os.path.getsize(out),
+        },
+        "outputs": [os.path.relpath(out, out_dir)],
+        "content_hash": mf.content_hash([out]),
+    }
+
+
+def reshard_index(in_dir: str, out_dir: str, new_shards: int,
+                  cfg: IndexConfig = DEFAULT_CONFIG) -> dict:
+    """ES ``_split`` / ``_shrink``: rewrite a committed index under a
+    different ``num_term_shards`` — the serving-parallelism lifecycle
+    op (grow shards when a corpus outgrows its layout, shrink when a
+    merged-down index over-parallelizes reads).
+
+    Pure re-bucketing exchange: scatter tasks split each input shard's
+    term rows by the new shard hash; gather tasks concatenate + sort
+    each output shard. Posting-list BYTES are untouched — the docmap
+    (ordinal space) is copied verbatim — so term stats and query
+    results are bit-identical to the input index (pinned in
+    tests/test_merge.py). Resumable per scatter/gather part through the
+    same manifest machinery as build/merge, with a plan fingerprint
+    (input path + shard count): resuming or re-invoking a committed
+    out_dir under a different plan refuses."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    t0 = time.time()
+    if new_shards < 1:
+        raise ValueError(f"new_shards must be >= 1, got {new_shards}")
+    st = index_stats(in_dir)
+    n_in = st["num_term_shards"]
+    os.makedirs(out_dir, exist_ok=True)
+    man_dir = os.path.join(out_dir, "manifests")
+    plan_key = _hl.sha256(
+        f"{os.path.abspath(in_dir)}|{new_shards}".encode()).hexdigest()[:16]
+
+    def _plan_of(prefix: str) -> set:
+        return {m.get("plan")
+                for m in mf.load_all(man_dir, prefix=prefix).values()}
+
+    if mf.is_committed(man_dir, "index"):
+        if (_plan_of("segment-shard-") | _plan_of("reshard-scatter-")) \
+                - {plan_key}:
+            raise ValueError(
+                "reshard refused: out_dir holds a COMMITTED reshard of a "
+                "different plan (input/shard count changed); use a fresh "
+                "out_dir")
+        return mf.load(man_dir, "stats")["stats"]
+    for prefix in ("segment-shard-", "reshard-scatter-"):
+        for name_, m in mf.load_all(man_dir, prefix=prefix).items():
+            if m.get("plan") != plan_key:
+                raise ValueError(
+                    f"reshard resume refused: committed part {name_} was "
+                    f"written under a different plan; use a fresh out_dir")
+
+    # docmap copy (ordinal space unchanged)
+    dm_in = os.path.join(in_dir, "docmap")
+    dm_out = os.path.join(out_dir, "docmap")
+    os.makedirs(dm_out, exist_ok=True)
+    for f in sorted(os.listdir(dm_in)):
+        dst = os.path.join(dm_out, f)
+        if not os.path.exists(dst):
+            _sh.copy2(os.path.join(dm_in, f), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+    if not mf.is_committed(man_dir, "runs-part-0000"):
+        mf.commit(man_dir, "runs-part-0000", {
+            "part": 0,
+            "stage": "runs",
+            "input_files": [os.path.relpath(in_dir, out_dir)],
+            "row_count": int(st["n_docs"]),
+            "counters": {"docs": int(st["n_docs"]),
+                         "tokens": int(st["total_tokens"]),
+                         "postings": 0},
+            "outputs": [os.path.relpath(os.path.join(dm_out, f), out_dir)
+                        for f in sorted(os.listdir(dm_out))],
+        })
+
+    missing = [j for j in range(n_in)
+               if not mf.is_committed(man_dir, f"reshard-scatter-{j:04d}")]
+    refs = [_reshard_scatter.remote(in_dir, out_dir, j, new_shards)
+            for j in missing]
+    for j, payload in zip(missing, ray.get(refs)):
+        payload["plan"] = plan_key
+        mf.commit(man_dir, f"reshard-scatter-{j:04d}", payload)
+
+    missing = [s for s in range(new_shards)
+               if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
+    refs = [_reshard_gather.remote(out_dir, s, n_in) for s in missing]
+    for s, payload in zip(missing, ray.get(refs)):
+        payload["plan"] = plan_key
+        mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
+
+    out_cfg = IndexConfig(num_term_shards=new_shards,
+                          block_size=st["block_size"],
+                          k1=st["k1"], b=st["b"])
+    stats = finalize(out_dir, out_cfg, time.time() - t0)
+    _sh.rmtree(os.path.join(out_dir, "reshard"), ignore_errors=True)
+    return stats

