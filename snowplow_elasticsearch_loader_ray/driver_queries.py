@@ -9146,6 +9146,318 @@ LIMIT {TL_TOP}
 
 
 # --------------------------------------------------------------------------
+# ES _terms_enum / filters agg / auto_date_histogram / search template
+# --------------------------------------------------------------------------
+
+#: _terms_enum requests: (rid, index_prefix, search_after, size)
+TERMS_ENUM_REQUESTS = [
+    (0, "da", "", 8), (1, "cu", "cust", 6), (2, "s", "so", 10),
+    (3, "ba", "", 5), (4, "zzzzq", "", 5),
+]
+
+
+def terms_enum(sf_dir: str) -> pa.Table:
+    """ES ``_terms_enum`` API: alphabetically-ordered index terms under
+    a prefix, resuming after a ``search_after`` cursor, capped at
+    ``size`` — served straight off the merged term dictionary (plus df,
+    which makes the oracle a value check, not just term presence). At
+    scale this is a per-shard dictionary range scan + k-way merge; here
+    the dictionary IS the index's term_stats table."""
+    r = _reader(sf_dir)
+    t = r.term_stats_table()
+    rids, terms, dfs = [], [], []
+    for rid, prefix, after, size in TERMS_ENUM_REQUESTS:
+        m = pc.and_(pc.starts_with(t["term"], prefix),
+                    pc.greater(t["term"], after))
+        page = t.filter(m).sort_by("term").slice(0, size)
+        rids.extend([rid] * len(page))
+        terms.extend(page["term"].to_pylist())
+        dfs.extend(page["df"].to_pylist())
+    return pa.table({
+        "rid": pa.array(rids, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(dfs, pa.int64()),
+    })
+
+
+def _terms_enum_sql() -> str:
+    legs = []
+    for rid, prefix, after, size in TERMS_ENUM_REQUESTS:
+        legs.append(
+            f"SELECT * FROM (SELECT {rid} AS rid, term, df FROM vocab "
+            f"WHERE term LIKE {_sql_quote(prefix + '%')} "
+            f"AND term > {_sql_quote(after)} ORDER BY term LIMIT {size})")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM tok GROUP BY 1)
+{u}
+"""
+
+
+#: filters-agg buckets: (name, kind, spec) — term-query buckets resolve
+#: via posting-list intersection; the doclen bucket via the doc-value
+FILTERS_AGG_BUCKETS = [
+    ("data_stream", "terms", "data stream"),
+    ("customer", "terms", "customer"),
+    ("long_docs", "doclen_ge", 64),
+]
+
+
+def filters_agg(sf_dir: str) -> pa.Table:
+    """ES ``filters`` aggregation with named buckets +
+    ``other_bucket``: each named filter counts its own match set
+    independently (a doc may land in several buckets, the ES
+    contract); ``_other_`` counts docs matching none. Term buckets are
+    posting-list intersections, the doclen bucket reads the docmap
+    doc-value — no corpus scan; the other-bucket is a union over the
+    (index-resident) match sets."""
+    from .pipelines.query import boolean_and
+
+    r = _reader(sf_dir)
+    dl = r.doc_lengths_table()
+    n_docs = len(dl)
+    names, counts, sets = [], [], []
+    for name, kind, spec in FILTERS_AGG_BUCKETS:
+        if kind == "terms":
+            ids = boolean_and(r, spec)
+        else:
+            ids = dl.filter(pc.greater_equal(dl["doclen"], spec)) \
+                ["doc_id"].to_numpy(zero_copy_only=False)
+        names.append(name)
+        counts.append(len(ids))
+        sets.append(np.asarray(ids, dtype=np.int64))
+    matched = np.unique(np.concatenate(sets)) if sets else \
+        np.empty(0, np.int64)
+    names.append("_other_")
+    counts.append(n_docs - len(matched))
+    return pa.table({
+        "bucket": pa.array(names, pa.string()),
+        "doc_count": pa.array(counts, pa.int64()),
+    })
+
+
+def _filters_agg_sql() -> str:
+    import re
+
+    conds = {}
+    for name, kind, spec in FILTERS_AGG_BUCKETS:
+        if kind == "terms":
+            terms = sorted(set(re.findall(r"[a-z0-9]+", spec.lower())))
+            conds[name] = " AND ".join(
+                f"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id "
+                f"AND tok.term = {_sql_quote(t)})" for t in terms)
+        else:
+            conds[name] = (f"(SELECT count(*) FROM tok WHERE "
+                           f"tok.doc_id = d.doc_id) >= {spec}")
+    legs = [f"SELECT {_sql_quote(n)} AS bucket, "
+            f"count(*) FILTER ({c})::BIGINT AS doc_count FROM documents d"
+            for n, c in conds.items()]
+    none_of = " AND ".join(f"NOT ({c})" for c in conds.values())
+    legs.append(f"SELECT '_other_', count(*) FILTER ({none_of})::BIGINT "
+                f"FROM documents d")
+    u = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+{u}
+"""
+
+
+#: auto_date_histogram: target bucket count + fixed-interval ladder in
+#: seconds (ES rounds to calendar intervals; the engine's documented
+#: deviation is a pure fixed-second ladder — same selection rule:
+#: smallest interval whose ALIGNED bucket count fits the target)
+AUTO_DH_TARGET = 12
+AUTO_DH_LADDER = [60, 300, 600, 1800, 3600, 10800, 43200, 86400,
+                  259200, 604800, 2592000, 7776000, 31536000]
+
+
+def auto_date_histogram(sf_dir: str) -> pa.Table:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval
+    whose epoch-aligned bucket count over [min(ts), max(ts)] is ≤ the
+    target, then histogram on it. Two streaming passes over the ts
+    column only: (1) per-batch min/max partials reduced on the driver
+    (two i64 per block), (2) per-batch partial bucket counts through
+    one tiny groupby — events never leave their blocks un-aggregated."""
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["ts"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        return pa.table({"lo": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(mm, batch_format="pyarrow")
+          .iter_batches(batch_format="pyarrow", batch_size=None)))
+    lo = pc.min(parts["lo"]).as_py()
+    hi = pc.max(parts["hi"]).as_py()
+    iv = next(i for i in AUTO_DH_LADDER
+              if hi // (i * 1_000_000) - lo // (i * 1_000_000) + 1
+              <= AUTO_DH_TARGET)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx, n = np.unique(us // (iv * 1_000_000), return_counts=True)
+        return pa.table({"bucket_start": pa.array(idx * iv, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    out = (ray.data.read_parquet(path, columns=["ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket_start").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("bucket_start"))
+    return pa.table({
+        "interval_s": pa.array([iv] * len(out), pa.int64()),
+        "bucket_start": pa.array(out["bucket_start"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+def _auto_dh_sql() -> str:
+    lad = ", ".join(f"({i})" for i in AUTO_DH_LADDER)
+    return f"""
+WITH lad(iv) AS (VALUES {lad}),
+mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+pick AS (
+  SELECT min(iv)::BIGINT AS iv FROM lad, mm
+  WHERE (hi // (iv::BIGINT * 1000000)) - (lo // (iv::BIGINT * 1000000)) + 1
+        <= {AUTO_DH_TARGET}
+)
+SELECT (SELECT iv FROM pick)::BIGINT AS interval_s,
+       ((epoch_us(ts) // ((SELECT iv FROM pick) * 1000000))
+          * (SELECT iv FROM pick))::BIGINT AS bucket_start,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 2 ORDER BY 2
+"""
+
+
+#: _search/template fixtures: one body template, per-request params
+SEARCH_TEMPLATE_BODY = {"query": {"match": {"text": "{{q}}"}},
+                        "size": "{{size}}"}
+SEARCH_TEMPLATE_PARAMS: list[tuple[int, dict]] = [
+    (0, {"q": "merge sort", "size": 10}),
+    (1, {"q": "slow query", "size": 10}),
+    (2, {"q": "customer order line value", "size": 10}),
+    (3, {"q": "data stream", "size": 10}),
+]
+
+
+def search_template(sf_dir: str) -> pa.Table:
+    """ES ``_search/template``: mustache-lite parameter substitution
+    into a stored request-body template
+    (query_dsl.py::render_template), then normal DSL execution — typed
+    whole-string params (``"{{size}}"`` → int) and in-string
+    substitution, unbound params refused."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, params in SEARCH_TEMPLATE_PARAMS:
+        body = DSL.render_template(SEARCH_TEMPLATE_BODY, params)
+        d, _s = DSL.execute(r, body)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+#: blocklist-filter fixtures (token-level C4-style bad-words filter)
+BLOCKLIST_TERMS = ["dup", "spark"]
+
+
+def blocklist_flags(sf_dir: str) -> pa.Table:
+    """C4-style blocklist document filter: per source, how many docs
+    contain ANY blocklisted token (token-level word-boundary match,
+    not substring — 'sparky' does not match 'spark'). One vectorized
+    RE2 alternation per batch (pipelines/analysis.py::BlocklistFlag),
+    per-batch partial per-source counts, one tiny groupby Sum."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["source", "text"])
+    out = A.blocklist_flags(ds, BLOCKLIST_TERMS).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "n_flagged": pa.array(out["n_flagged"], pa.int64()),
+    })
+
+
+def _blocklist_sql() -> str:
+    terms = ", ".join(_sql_quote(t) for t in BLOCKLIST_TERMS)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms}))
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (d.doc_id IN (SELECT doc_id FROM hit))::BIGINT
+         AS n_flagged
+FROM documents d GROUP BY 1 ORDER BY 1
+"""
+
+
+def flesch_reading(sf_dir: str) -> pa.Table:
+    """Flesch reading-ease readability scoring, aggregated per source:
+    exact integer counters (words / sentences / syllables) and the FRE
+    score in floor-micro units (pipelines/analysis.py::FleschScore —
+    five RE2 count kernels per batch, zero per-row Python). The
+    per-source reduce ships six ints per (block, source); the oracle
+    replays tokenization, syllable rule, and the left-to-right float64
+    formula in SQL."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "source", "text"])
+    out = (A.flesch_scores(ds)
+           .groupby("source")
+           .aggregate(Sum("n_words", alias_name="sum_words"),
+                      Sum("n_sentences", alias_name="sum_sentences"),
+                      Sum("n_syllables", alias_name="sum_syllables"),
+                      Sum("fre_micro", alias_name="sum_fre_micro"),
+                      Min("fre_micro", alias_name="min_fre_micro"),
+                      Max("fre_micro", alias_name="max_fre_micro"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    cols = {"source": pa.string(), "sum_words": pa.int64(),
+            "sum_sentences": pa.int64(), "sum_syllables": pa.int64(),
+            "sum_fre_micro": pa.int64(), "min_fre_micro": pa.int64(),
+            "max_fre_micro": pa.int64()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+FLESCH_SQL = """
+WITH c AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          + len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          - len(regexp_extract_all(
+                lower(text), '[a-z0-9]*[aeiouy][a-z0-9]*')))::BIGINT AS syl
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+),
+f AS (
+  SELECT source, w, s, syl,
+         floor(1000000.0 * (206.835 - 1.015 * (w::DOUBLE / s)
+                            - 84.6 * (syl::DOUBLE / w)))::BIGINT AS fre
+  FROM c
+)
+SELECT source, sum(w)::BIGINT AS sum_words,
+       sum(s)::BIGINT AS sum_sentences,
+       sum(syl)::BIGINT AS sum_syllables,
+       sum(fre)::BIGINT AS sum_fre_micro,
+       min(fre)::BIGINT AS min_fre_micro,
+       max(fre)::BIGINT AS max_fre_micro
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -9363,6 +9675,12 @@ def registry() -> tuple[dict, dict]:
         "lang_t_test": lang_t_test,
         "gopher_quality_flags": gopher_quality_flags,
         "reshard_stats": reshard_stats,
+        "terms_enum": terms_enum,
+        "filters_agg": filters_agg,
+        "auto_date_histogram": auto_date_histogram,
+        "search_template": search_template,
+        "blocklist_flags": blocklist_flags,
+        "flesch_reading": flesch_reading,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9542,6 +9860,13 @@ def registry() -> tuple[dict, dict]:
         "lang_t_test": _t_test_sql(),
         "gopher_quality_flags": _gopher_sql(),
         "reshard_stats": TERM_STATS_SQL,
+        "terms_enum": _terms_enum_sql(),
+        "filters_agg": _filters_agg_sql(),
+        "auto_date_histogram": _auto_dh_sql(),
+        "search_template": _bm25_sql(
+            queries=[(qid, p["q"]) for qid, p in SEARCH_TEMPLATE_PARAMS]),
+        "blocklist_flags": _blocklist_sql(),
+        "flesch_reading": FLESCH_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

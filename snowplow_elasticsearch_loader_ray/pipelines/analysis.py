@@ -1020,3 +1020,115 @@ class GopherRules:
 
 def gopher_rules(ds, concurrency=None):
     return _apply(ds, GopherRules, concurrency)
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease (readability scoring — the classic quality signal
+# readability-filtered corpora like C4/CCNet variants bucket on)
+# --------------------------------------------------------------------------
+
+#: micro-unit scale for the FRE score (the unigram_lm_scores pattern:
+#: floor(1e6·x) makes float scores order-free-summable and SQL-hashable)
+FRE_SCALE = 1_000_000.0
+
+
+class FleschScore:
+    """doc → Flesch reading-ease counters + score in integer micro-units.
+
+    Words are the index tokenizer's ``[a-z0-9]+`` runs of lower(text);
+    sentences are non-overlapping ``[.!?]+`` runs of the RAW text with a
+    floor of 1 (a fragment with no terminator is one sentence, the
+    textstat convention); syllables are the vowel-group count
+    (``[aeiouy]+`` runs — vowel groups cannot cross token boundaries
+    because separators are non-alphanumeric) plus one per vowel-less
+    word (the per-word max(1,·) floor). ``fre_micro =
+    floor(1e6 * (206.835 - 1.015*(W/S) - 84.6*(Syl/W)))`` evaluated
+    left-to-right in float64 so the DuckDB oracle replays it
+    bit-identically. Docs with zero words are dropped (FRE undefined).
+
+    All five counters come from ``pc.count_substring_regex`` (RE2) over
+    the batch — no per-row Python, no token materialization."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        low = pc.utf8_lower(txt)
+
+        def cnt(arr, pat):
+            return pc.count_substring_regex(arr, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_words = cnt(low, "[a-z0-9]+")
+        n_sent_raw = cnt(txt, "[.!?]+")
+        vowel_groups = cnt(low, "[aeiouy]+")
+        vowel_words = cnt(low, "[a-z0-9]*[aeiouy][a-z0-9]*")
+
+        keep = n_words > 0
+        n_words, n_sent_raw = n_words[keep], n_sent_raw[keep]
+        n_syll = vowel_groups[keep] + (n_words - vowel_words[keep])
+        n_sent = np.maximum(n_sent_raw, 1)
+
+        w = n_words.astype(np.float64)
+        fre = 206.835 - 1.015 * (w / n_sent) - 84.6 * (n_syll / w)
+        fre_micro = np.floor(FRE_SCALE * fre).astype(np.int64)
+        kept = pa.array(keep)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(kept),
+            "source": b["source"].filter(kept),
+            "n_words": pa.array(n_words),
+            "n_sentences": pa.array(n_sent),
+            "n_syllables": pa.array(n_syll),
+            "fre_micro": pa.array(fre_micro),
+        })
+
+
+def flesch_scores(ds, concurrency=None):
+    return _apply(ds, FleschScore, concurrency)
+
+
+# --------------------------------------------------------------------------
+# Blocklist filter (the C4 "bad words" document filter: drop/flag any
+# document containing a blocklisted WORD — token-level, not substring)
+# --------------------------------------------------------------------------
+
+class BlocklistFlag:
+    """doc → flagged bool: does the document contain any blocklisted
+    token? One RE2 alternation with explicit ``[^a-z0-9]``/anchor
+    boundaries (RE2 has no lookaround) over lower(text) — token-level
+    semantics identical to ``term IN (list)`` over the tokenized
+    corpus, which is exactly what the oracle checks. The compiled
+    pattern is built once per actor from the blocklist."""
+
+    def __init__(self, terms: list[str]):
+        import re as _re
+
+        alts = "|".join(_re.escape(t) for t in terms)
+        self.pattern = f"(^|[^a-z0-9])({alts})([^a-z0-9]|$)"
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        hit = pc.match_substring_regex(pc.utf8_lower(txt), self.pattern) \
+            .to_numpy(zero_copy_only=False)
+        # per-batch partial per-source counts: the shuffle moves
+        # (source, n_docs, n_flagged) rows, never text
+        t = pa.table({"source": b["source"],
+                      "flagged": pa.array(hit.astype(np.int64))})
+        g = t.group_by("source").aggregate(
+            [("flagged", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "n_flagged", "n_docs"])
+
+
+def blocklist_flags(ds, terms: list[str]):
+    """Per-source blocklist-filter counts (partial per-batch combine →
+    one tiny groupby Sum — at 10^12 docs the exchange is
+    n_sources×n_blocks rows)."""
+    from ray.data.aggregate import Sum
+
+    flagger = BlocklistFlag(terms)
+    return (ds.map_batches(flagger, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("n_flagged", alias_name="n_flagged"),
+                         Sum("n_docs", alias_name="n_docs")))

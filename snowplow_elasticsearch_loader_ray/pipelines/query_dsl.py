@@ -400,6 +400,34 @@ def execute_distributed(engine, body: dict
     return d, s, out
 
 
+def render_template(node, params: dict):
+    """ES ``_search/template`` (mustache-lite): substitute ``{{name}}``
+    placeholders into a request-body template. A string that IS a
+    placeholder (``"{{size}}"``) is replaced by the param value with
+    its native type (the ES number-parameter behavior); a string that
+    CONTAINS placeholders gets string substitution. Unknown
+    placeholders are a refusal, not a silent empty string — a template
+    bug must not execute a different query."""
+    if isinstance(node, dict):
+        return {k: render_template(v, params) for k, v in node.items()}
+    if isinstance(node, list):
+        return [render_template(v, params) for v in node]
+    if isinstance(node, str):
+        import re as _re
+
+        names = _re.findall(r"\{\{(\w+)\}\}", node)
+        missing = [n for n in names if n not in params]
+        if missing:
+            raise UnsupportedDSL(f"unbound template params {missing}")
+        if len(names) == 1 and node == "{{" + names[0] + "}}":
+            return params[names[0]]
+        out = node
+        for n in names:
+            out = out.replace("{{" + n + "}}", str(params[n]))
+        return out
+    return node
+
+
 def execute(reader: IndexReader, body: dict, pos_reader=None
             ) -> tuple[np.ndarray, np.ndarray]:
     """Run one ES ``_search`` request body; returns (doc_ids, scores)

@@ -434,3 +434,64 @@ def test_gopher_rules_edge_docs_match_oracle(ray_session, tmp_path):
     assert not bool(got.loc[3, "ok_symbol_ratio"])
     # empty docs: zero words fail the count rule, pass vacuous ratios
     assert not got.loc[0, "ok_word_count"] and got.loc[0, "ok_alpha_frac"]
+
+
+def test_flesch_score_hand_computed(tmp_path):
+    import math
+
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"]),
+        "text": pa.array([
+            "The cat sat. It ran!",      # 5 words, 2 sentences
+            "xyz 42 7",                  # vowel-less words -> 1 syl each
+            "beautiful queueing aeiou",  # multi-vowel-group words
+            "!!! ...",                   # zero words -> dropped
+        ]),
+    })
+    p = tmp_path / "docs.parquet"
+    pq_.write_table(docs, p)
+    per_doc = pa.concat_tables(list(
+        _ray.data.read_parquet(str(p))
+            .map_batches(A.FleschScore(), batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None))) \
+        .sort_by("doc_id").to_pandas()
+    assert per_doc["doc_id"].tolist() == [0, 1, 2]  # doc 3 dropped
+    # doc 0: the(1) cat(1) sat(1) it(1) ran(1) = 5 syl, W=5, S=2
+    assert per_doc.loc[0, ["n_words", "n_sentences", "n_syllables"]] \
+        .tolist() == [5, 2, 5]
+    assert per_doc.loc[0, "fre_micro"] == math.floor(
+        1e6 * (206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)))
+    # doc 1: three vowel-less words -> one syllable each, S floors to 1
+    assert per_doc.loc[1, ["n_words", "n_sentences", "n_syllables"]] \
+        .tolist() == [3, 1, 3]
+    # doc 2: beau-ti-ful(3) + queuei-ng? 'ueuei'(1) + 'aeiou'(1) groups:
+    # beautiful=[eau,i,u]=3, queueing=[ueuei]=1... 'queueing' lower:
+    # q-ueuei-ng -> 1 group; aeiou -> 1 group; total 5
+    assert per_doc.loc[2, "n_syllables"] == 5
+
+
+def test_blocklist_flag_token_boundaries(tmp_path):
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["s"] * 5),
+        "text": pa.array([
+            "a spark of genius",    # flagged (token match)
+            "sparky the dog",       # NOT flagged (substring only)
+            "dup",                  # flagged (whole text is the token)
+            "DUP at the start",     # flagged (case-folded)
+            "dedup and superdup",   # NOT flagged (suffix substrings)
+        ]),
+    })
+    p = tmp_path / "docs.parquet"
+    pq_.write_table(docs, p)
+    out = A.blocklist_flags(
+        _ray.data.read_parquet(str(p)), ["dup", "spark"]).to_pandas()
+    assert out["n_docs"].tolist() == [5]
+    assert out["n_flagged"].tolist() == [3]

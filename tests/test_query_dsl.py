@@ -845,3 +845,22 @@ def test_knn_sections(ray_session):
                      "query_vector": qmat[1].tolist(), "k": 6}}])
     with pytest.raises(DSL.UnsupportedDSL):       # filter in msearch
         DSL.msearch_knn(ds, [fbody])
+
+
+def test_render_template():
+    from snowplow_elasticsearch_loader_ray.pipelines.query_dsl import (
+        UnsupportedDSL, render_template)
+
+    tpl = {"query": {"match": {"text": "{{q}} extra"}}, "size": "{{size}}",
+           "from": 0, "tags": ["{{q}}", "fixed"]}
+    out = render_template(tpl, {"q": "merge sort", "size": 7})
+    # whole-string placeholder keeps the param's native type
+    assert out["size"] == 7 and isinstance(out["size"], int)
+    # in-string substitution stringifies
+    assert out["query"]["match"]["text"] == "merge sort extra"
+    assert out["tags"] == ["merge sort", "fixed"]
+    assert out["from"] == 0
+    # unbound params refuse instead of silently rewriting the query
+    import pytest as _pytest
+    with _pytest.raises(UnsupportedDSL):
+        render_template({"q": "{{missing}}"}, {})
