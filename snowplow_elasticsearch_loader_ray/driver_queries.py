@@ -9458,6 +9458,521 @@ FROM f GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# date_range agg / sliced scroll / significant_text / quality model /
+# collapse inner_hits / indices_boost
+# --------------------------------------------------------------------------
+
+#: ES date_range agg buckets: (key, from_inclusive, to_exclusive)
+DATE_RANGE_BUCKETS = [
+    ("early", None, "2024-01-08"),
+    ("mid", "2024-01-08", "2024-01-20"),
+    ("late", "2024-01-20", None),
+]
+
+
+def events_date_range_agg(sf_dir: str) -> pa.Table:
+    """ES ``date_range`` aggregation (keyed buckets, from-inclusive /
+    to-exclusive): one vectorized ``searchsorted`` against the bucket
+    boundaries per batch, per-batch partial counts (zero-filled so
+    empty buckets survive), one tiny groupby Sum."""
+    from ray.data.aggregate import Sum
+
+    bounds = np.array([np.datetime64(b, "us").astype(np.int64)
+                       for _, b, _ in DATE_RANGE_BUCKETS[1:]], np.int64)
+    keys = [k for k, _, _ in DATE_RANGE_BUCKETS]
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, us, side="right")
+        n = np.bincount(idx, minlength=len(keys)).astype(np.int64)
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         "n": pa.array(n)})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n", alias_name="doc_count"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    return pa.table({
+        "bucket": pa.array(out["bucket"], pa.string()),
+        "doc_count": pa.array(out["doc_count"], pa.int64()),
+    })
+
+
+def _date_range_sql() -> str:
+    b1 = DATE_RANGE_BUCKETS[1][1]
+    b2 = DATE_RANGE_BUCKETS[2][1]
+    return f"""
+WITH k(bucket) AS (VALUES ('early'), ('mid'), ('late')),
+c AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{b1}' THEN 'early'
+              WHEN ts < TIMESTAMP '{b2}' THEN 'mid'
+              ELSE 'late' END AS bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT k.bucket, coalesce(c.n, 0)::BIGINT AS doc_count
+FROM k LEFT JOIN c USING (bucket) ORDER BY 1
+"""
+
+
+#: sliced scroll: slice count (ES slices on a hash of _id; the engine's
+#: documented deviation slices on the numeric id directly — any
+#: deterministic partition serves the parallel-export role)
+N_SCAN_SLICES = 4
+
+
+def sliced_scan(sf_dir: str) -> pa.Table:
+    """ES sliced scroll (``slice: {id, max}``): partition the scan into
+    N independent disjoint slices a parallel exporter consumes; per
+    slice, exact counters prove coverage (counts/ids/chars sum to the
+    whole corpus with no overlap). Per-batch partial per-slice
+    aggregates → one N-row groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "slice_id": pa.array(ids % N_SCAN_SLICES, pa.int64()),
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
+        })
+        g = t.group_by("slice_id").aggregate(
+            [("doc_id", "min"), ("doc_id", "max"), ("n_chars", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(
+            ["slice_id", "min_doc", "max_doc", "sum_chars", "n_docs"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("slice_id")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Min("min_doc", alias_name="min_doc"),
+                      Max("max_doc", alias_name="max_doc"),
+                      Sum("sum_chars", alias_name="sum_chars"))
+           .to_pandas().sort_values("slice_id").reset_index(drop=True))
+    cols = {"slice_id": pa.int64(), "n_docs": pa.int64(),
+            "min_doc": pa.int64(), "max_doc": pa.int64(),
+            "sum_chars": pa.int64()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+SLICED_SCAN_SQL = f"""
+SELECT (doc_id % {N_SCAN_SLICES})::BIGINT AS slice_id,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc,
+       max(doc_id)::BIGINT AS max_doc,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+#: significant_text sampling: the agg re-analyzes only the TOP hits of
+#: the query (ES's sampled significant_text), not the full match set
+SIG_TXT_SAMPLE = 100
+SIG_TXT_QUERIES = [(10, "merge sort"), (12, "data stream"),
+                   (14, "slow query")]
+
+
+def significant_text(sf_dir: str) -> pa.Table:
+    """ES ``significant_text`` aggregation: significant terms computed
+    over a SAMPLE — the query's top-``SIG_TXT_SAMPLE`` BM25 hits —
+    re-analyzed from source text (the agg's contract: it never trusts
+    stored fields), vs the whole-corpus background. Sampling is the
+    agg's own scaling device (ES default and the reason it stays cheap
+    on huge indices): the fg scan touches sample_size docs per query
+    regardless of corpus size. Same distributed plan as
+    ``significant_terms`` — broadcast sample sets, vectorized distinct
+    (doc,term) partials, groupby Sum, broadcast bg-df lift scoring,
+    per-qid map_groups top-k."""
+    from .tokenizer import tokenize_to_terms
+
+    r = _reader(sf_dir)
+    n_docs = r.n_docs
+    eng = QueryEngine(_ensure_index(sf_dir), strategy="taat")
+    cand = {}
+    for qid, q in SIG_TXT_QUERIES:
+        d, _s = eng.topk(q, SIG_TXT_SAMPLE)
+        cand[qid] = np.asarray(d, dtype=np.int64)
+    fg_sizes = {qid: len(v) for qid, v in cand.items()}
+    cand_ref = ray.put(cand)
+
+    class _FgSample:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            flat, idx = tokenize_to_terms(batch["text"])
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            enc = flat.dictionary_encode()
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            tid = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            row = idx.to_numpy(zero_copy_only=False).astype(np.int64) \
+                if not isinstance(idx, np.ndarray) else idx.astype(np.int64)
+            V = max(len(vocab), 1)
+            pairs = np.unique(row * V + tid)
+            prow, ptid = pairs // V, pairs % V
+            qs, ts, ns = [], [], []
+            for qid, docs in self.cand.items():
+                mask = np.isin(ids[prow], docs)
+                if not mask.any():
+                    continue
+                counts = np.bincount(ptid[mask], minlength=V)
+                nz = np.nonzero(counts)[0]
+                qs.extend([qid] * len(nz))
+                ts.extend(vocab[nz].tolist())
+                ns.extend(counts[nz].tolist())
+            return pa.table({"qid": pa.array(qs, pa.int64()),
+                             "term": pa.array(ts, pa.string()),
+                             "fg_df": pa.array(ns, pa.int64())})
+
+    t = r.term_stats_table()
+    bg_ref = ray.put((np.asarray(t["term"].to_pylist(), dtype=object),
+                      t["df"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)))
+    fg_ref = ray.put(fg_sizes)
+
+    class _Lift:
+        def __init__(self):
+            self.bg_terms, self.bg_dfs = ray.get(bg_ref)
+            self.fg_sizes = ray.get(fg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            fg_df = b["fg_df"].to_numpy(zero_copy_only=False)
+            keep = fg_df >= SIG_MIN_FG_DF
+            qid = b["qid"].to_numpy(zero_copy_only=False)[keep]
+            term = np.asarray(b["term"].to_pylist(), dtype=object)[keep]
+            fg_df = fg_df[keep]
+            if not len(fg_df):
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "fg_df": pa.array([], pa.int64()),
+                                 "bg_df": pa.array([], pa.int64()),
+                                 "lift": pa.array([], pa.float64())})
+            bg_df = self.bg_dfs[np.searchsorted(self.bg_terms, term)]
+            n_fg = np.array([self.fg_sizes[int(q)] for q in qid],
+                            np.float64)
+            lift = np.round((fg_df / n_fg) / (bg_df / float(n_docs)), 6)
+            return pa.table({"qid": pa.array(qid, pa.int64()),
+                             "term": pa.array(term, pa.string()),
+                             "fg_df": pa.array(fg_df, pa.int64()),
+                             "bg_df": pa.array(bg_df, pa.int64()),
+                             "lift": pa.array(lift, pa.float64())})
+
+    import pandas as pd
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lift", "term"], ascending=[False, True])
+        return g.head(SIG_TOP)
+
+    out = (
+        ray.data.read_parquet(_docs_path(sf_dir),
+                              columns=["doc_id", "text"])
+        .map_batches(_FgSample, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["qid", "term"])
+        .aggregate(ray.data.aggregate.Sum("fg_df", alias_name="fg_df"))
+        .map_batches(_Lift, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("qid")
+        .map_groups(_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["qid", "term"]).reset_index(drop=True)
+    return pa.table({
+        "qid": pa.array(out["qid"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "fg_df": pa.array(out["fg_df"], pa.int64()),
+        "bg_df": pa.array(out["bg_df"], pa.int64()),
+        "lift": pa.array(out["lift"], pa.float64()),
+    })
+
+
+def _significant_text_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in SIG_TXT_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+sample AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 7) DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {SIG_TXT_SAMPLE}
+),
+fgsize AS (SELECT qid, count(*)::DOUBLE AS n_fg FROM sample GROUP BY 1),
+fg AS (SELECT s.qid, tok.term, count(DISTINCT tok.doc_id)::BIGINT AS fg_df
+       FROM sample s JOIN tok USING (doc_id) GROUP BY 1, 2),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+       FROM tok GROUP BY 1),
+scored AS (
+  SELECT fg.qid, fg.term, fg.fg_df, bg.bg_df,
+         round((fg.fg_df / fs.n_fg)
+               / (bg.bg_df / (SELECT count(*)::DOUBLE FROM documents)), 6)
+           AS lift
+  FROM fg JOIN fgsize fs USING (qid) JOIN bg USING (term)
+  WHERE fg.fg_df >= {SIG_MIN_FG_DF}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY lift DESC, term) AS rn
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, term, fg_df, bg_df, lift
+FROM ranked WHERE rn <= {SIG_TOP}
+"""
+
+
+def quality_classifier_scores(sf_dir: str) -> pa.Table:
+    """Model-based quality filtering (the fasttext/CCNet classifier
+    role): a fixed-weight linear model over cheap text features —
+    stopword fraction, mean token length, type-token ratio,
+    ln(1+tokens) — gates each doc into keep/drop
+    (pipelines/analysis.py::QualityClassifier, one vectorized pass).
+    Scores are floor-micro ints; the oracle replays features, the
+    left-to-right float64 dot product, and the integer gate in SQL."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    out = A.quality_classifier(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cols = {"doc_id": pa.int64(), "n_tokens": pa.int64(),
+            "n_types": pa.int64(), "n_stopwords": pa.int64(),
+            "sum_token_len": pa.int64(), "qscore_micro": pa.int64(),
+            "keep": pa.bool_()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+def _quality_classifier_sql() -> str:
+    w0, w1, w2, w3, w4 = A.QC_WEIGHTS
+    stops = ", ".join(f"'{w}'" for w in A.STOPWORDS)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_types,
+         count(*) FILTER (term IN ({stops}))::BIGINT AS n_stopwords,
+         sum(len(term))::BIGINT AS sum_token_len
+  FROM tok GROUP BY 1
+),
+f AS (
+  SELECT *, floor(1000000.0 * (
+           {w0} + {w1} * (n_stopwords::DOUBLE / n_tokens)
+                + {w2} * (sum_token_len::DOUBLE / n_tokens)
+                + {w3} * (n_types::DOUBLE / n_tokens)
+                + {w4} * ln(1.0 + n_tokens::DOUBLE)))::BIGINT
+           AS qscore_micro
+  FROM agg WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, n_types, n_stopwords, sum_token_len,
+       qscore_micro, (qscore_micro > 0) AS keep
+FROM f
+"""
+
+
+#: collapse inner_hits: top-N hits returned per collapsed group
+INNER_HITS_PER_GROUP = 2
+
+
+def collapse_inner_hits(sf_dir: str) -> pa.Table:
+    """ES field collapsing with ``inner_hits``: the collapsed ranking
+    (best doc per lang group, groups ordered by their best score)
+    additionally expands each of the top groups into its own top-N
+    inner hits — same ordinal-gathered lang doc-value and lexsort
+    plan as ``bm25_collapse_lang``, one extra within-group rank."""
+    from .pipelines.query import _taat_scores_ords
+    from .pipelines.build import load_docvalues
+
+    r = _reader(sf_dir)
+    langs = getattr(r, "_dl_langs", None)
+    if langs is None:
+        langs = load_docvalues(r.index_dir, "lang")
+        r._dl_langs = langs
+    qids, granks, ls, iranks, docs = [], [], [], [], []
+    for qid, q in DOC_QUERIES:
+        ords, scores = _taat_scores_ords(r, q)
+        if not len(ords):
+            continue
+        ext = r.dl_doc_ids[ords]
+        rs = np.round(scores, 7)
+        lang_of = langs[ords]
+        order = np.lexsort((ext, -rs, lang_of))
+        sl, se, sr = lang_of[order], ext[order], rs[order]
+        first = np.concatenate(([True], sl[1:] != sl[:-1]))
+        grp = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        inner_pos = np.arange(len(order)) - starts[grp]
+        # group rank by (best score desc, best doc asc), top-k groups
+        best_rs, best_doc = sr[first], se[first]
+        grank_of = np.empty(len(starts), np.int64)
+        grank_of[np.lexsort((best_doc, -best_rs))] = \
+            np.arange(len(starts))
+        show = (grank_of[grp] < TOPK) & (inner_pos < INNER_HITS_PER_GROUP)
+        for j in np.nonzero(show)[0]:
+            qids.append(qid)
+            granks.append(int(grank_of[grp[j]]) + 1)
+            ls.append(str(sl[j]))
+            iranks.append(int(inner_pos[j]) + 1)
+            docs.append(int(se[j]))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "group_rank": pa.array(granks, pa.int64()),
+        "lang": pa.array(ls, pa.string()),
+        "inner_rank": pa.array(iranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _collapse_inner_hits_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {_query_term_values()}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 7) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+grouped AS (
+  SELECT sc.qid, sc.doc_id, sc.score, d.lang,
+         row_number() OVER (PARTITION BY sc.qid, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS ir
+  FROM scores sc JOIN documents d USING (doc_id)
+),
+granks AS (
+  SELECT qid, lang,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS grank
+  FROM grouped WHERE ir = 1
+)
+SELECT g.qid::BIGINT AS qid, gr.grank::BIGINT AS group_rank, g.lang,
+       g.ir::BIGINT AS inner_rank, g.doc_id
+FROM grouped g JOIN granks gr USING (qid, lang)
+WHERE gr.grank <= {TOPK} AND g.ir <= {INNER_HITS_PER_GROUP}
+"""
+
+
+#: indices_boost: per-generation boost = 1 + step·generation_index
+MULTI_IDX_BOOST_STEP = 0.25
+
+
+def multi_index_boosted(sf_dir: str) -> pa.Table:
+    """ES ``indices_boost``: per-index score multipliers applied at the
+    coordinator before the global merge. Because the boost is constant
+    per index, each generation's local top-k under its own stats is
+    already its top-k under the boost — the scatter stays k rows per
+    index (the ES argument for why indices_boost is merge-time-only)."""
+    gens = _rollover_gens(sf_dir)
+    engines = [QueryEngine(g["index_dir"], strategy="taat") for g in gens]
+    qids, ranks, docs = [], [], []
+    for qid, q in MULTI_IDX_QUERIES:
+        ids = np.empty(0, dtype=np.int64)
+        scores = np.empty(0, dtype=np.float64)
+        for gi, eng in enumerate(engines):
+            d, s = eng.topk(q, TOPK)
+            ids = np.concatenate([ids, d])
+            scores = np.concatenate(
+                [scores, (1.0 + MULTI_IDX_BOOST_STEP * gi) * s])
+        d, _s = bm25.rank_topk(ids, scores, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _multi_index_boosted_sql() -> str:
+    import re
+
+    pairs = []
+    for qid, q in MULTI_IDX_QUERIES:
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH src AS (
+  SELECT doc_id, text,
+         ((row_number() OVER (ORDER BY doc_id) - 1) // {_ROLLOVER_CAP})::BIGINT
+           AS g
+  FROM documents
+),
+tok AS (SELECT doc_id, g, unnest({TOK_SQL}) AS term FROM src),
+tf AS (SELECT doc_id, g, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, g, count(*)::DOUBLE AS dl FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT g, count(*)::DOUBLE AS n,
+         sum(len({TOK_SQL}))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM src GROUP BY g
+),
+df AS (SELECT g, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id, tf.g,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term AND df.g = tf.g
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN stats s ON s.g = tf.g
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round((1.0 + {MULTI_IDX_BOOST_STEP} * g)
+                                           * score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -9681,6 +10196,12 @@ def registry() -> tuple[dict, dict]:
         "search_template": search_template,
         "blocklist_flags": blocklist_flags,
         "flesch_reading": flesch_reading,
+        "events_date_range_agg": events_date_range_agg,
+        "sliced_scan": sliced_scan,
+        "significant_text": significant_text,
+        "quality_classifier_scores": quality_classifier_scores,
+        "collapse_inner_hits": collapse_inner_hits,
+        "multi_index_boosted": multi_index_boosted,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -9867,6 +10388,12 @@ def registry() -> tuple[dict, dict]:
             queries=[(qid, p["q"]) for qid, p in SEARCH_TEMPLATE_PARAMS]),
         "blocklist_flags": _blocklist_sql(),
         "flesch_reading": FLESCH_SQL,
+        "events_date_range_agg": _date_range_sql(),
+        "sliced_scan": SLICED_SCAN_SQL,
+        "significant_text": _significant_text_sql(),
+        "quality_classifier_scores": _quality_classifier_sql(),
+        "collapse_inner_hits": _collapse_inner_hits_sql(),
+        "multi_index_boosted": _multi_index_boosted_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -1121,6 +1121,72 @@ class BlocklistFlag:
         return g.rename_columns(["source", "n_flagged", "n_docs"])
 
 
+# --------------------------------------------------------------------------
+# Linear quality classifier (the fasttext/logistic quality-model role:
+# a fixed-weight linear model over cheap text features gates documents
+# into keep/drop — CCNet/C4-style model-based filtering, here with a
+# deterministic published weight vector so the score is value-oracled)
+# --------------------------------------------------------------------------
+
+#: fixed model weights: bias, stopword_frac, mean_word_len,
+#: type_token_ratio, ln(1+n_tokens)
+QC_WEIGHTS = (-1.55, 6.0, -0.15, 1.5, 0.2)
+
+
+class QualityClassifier:
+    """doc → linear quality score in floor-micro units + keep flag.
+
+    Features (exact integer counters divided as float64): stopword
+    fraction, mean token length, type-token ratio, ln(1+n_tokens).
+    ``score = w0 + w1·sf + w2·mwl + w3·ttr + w4·ln(1+n)`` evaluated
+    left-to-right so the DuckDB oracle replays the float64 arithmetic
+    bit-identically; ``keep = qscore_micro > 0`` (the integer gate, so
+    the flag is exactly replayable). Zero-token docs are dropped
+    (no features). One vectorized pass per batch — token flatten,
+    three bincounts, one group_by for distinct types."""
+
+    def __init__(self, stopwords: list[str] = STOPWORDS):
+        self.stop = pa.array(stopwords, type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, idx, n = _flat_tokens(batch["text"])
+        n_tokens = np.bincount(idx, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=self.stop) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(idx[is_stop], minlength=n).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sum_len = np.bincount(idx, weights=wlen, minlength=n) \
+            .astype(np.int64)
+        pairs = pa.table({"i": pa.array(idx), "term": flat})
+        ti = pairs.group_by(["i", "term"]).aggregate([([], "count_all")]) \
+            ["i"].to_numpy(zero_copy_only=False)
+        n_types = np.bincount(ti, minlength=n).astype(np.int64)
+
+        keep_rows = n_tokens > 0
+        nt = n_tokens[keep_rows].astype(np.float64)
+        sf = n_stop[keep_rows] / nt
+        mwl = sum_len[keep_rows] / nt
+        ttr = n_types[keep_rows] / nt
+        w0, w1, w2, w3, w4 = QC_WEIGHTS
+        score = w0 + w1 * sf + w2 * mwl + w3 * ttr + w4 * np.log(1.0 + nt)
+        micro = np.floor(1e6 * score).astype(np.int64)
+        kept = pa.array(keep_rows)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(kept),
+            "n_tokens": pa.array(n_tokens[keep_rows]),
+            "n_types": pa.array(n_types[keep_rows]),
+            "n_stopwords": pa.array(n_stop[keep_rows]),
+            "sum_token_len": pa.array(sum_len[keep_rows]),
+            "qscore_micro": pa.array(micro),
+            "keep": pa.array(micro > 0),
+        })
+
+
+def quality_classifier(ds, concurrency=None):
+    return _apply(ds, QualityClassifier, concurrency)
+
+
 def blocklist_flags(ds, terms: list[str]):
     """Per-source blocklist-filter counts (partial per-batch combine →
     one tiny groupby Sum — at 10^12 docs the exchange is
