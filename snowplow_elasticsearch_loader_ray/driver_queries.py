@@ -1597,18 +1597,11 @@ ORDER BY df DESC, term
 LIMIT {N_TOP_TERMS}
 """
 
-def doclen_percentiles(sf_dir: str) -> pa.Table:
-    """Corpus doc-length distribution from the index docmap tables
-    (written by the build's run parts — no corpus rescan): discrete
-    percentiles defined as the value at index floor(q·(n−1)) of the
-    sorted lengths (DuckDB ``quantile_disc`` parity).
-
-    Distributed EXACT quantiles via per-part bounded histograms:
-    doclen is a small int (≤ max tokens per doc), so each docmap part
-    reduces to an ``np.bincount`` a few KiB long; the driver merges
-    histograms — O(max_doclen) memory — and reads the quantile off the
-    cumulative counts. Never pulls the doclen column to the driver
-    (at 10^12 docs that column is ~8 TB; the histograms are ~KiB)."""
+def _doclen_hist(sf_dir: str) -> np.ndarray:
+    """Merged doclen histogram from the index docmap parts (one
+    KiB-sized ``np.bincount`` per part task, elementwise-summed on the
+    driver) — the shared exact-quantile substrate for percentiles /
+    MAD / boxplot."""
     d = _ensure_index(sf_dir)
     files = sorted(glob.glob(os.path.join(d, "docmap", "part-*.parquet")))
 
@@ -1623,6 +1616,22 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     hist = np.zeros(size, np.int64)
     for h in hists:
         hist[:len(h)] += h
+    return hist
+
+
+def doclen_percentiles(sf_dir: str) -> pa.Table:
+    """Corpus doc-length distribution from the index docmap tables
+    (written by the build's run parts — no corpus rescan): discrete
+    percentiles defined as the value at index floor(q·(n−1)) of the
+    sorted lengths (DuckDB ``quantile_disc`` parity).
+
+    Distributed EXACT quantiles via per-part bounded histograms:
+    doclen is a small int (≤ max tokens per doc), so each docmap part
+    reduces to an ``np.bincount`` a few KiB long; the driver merges
+    histograms — O(max_doclen) memory — and reads the quantile off the
+    cumulative counts. Never pulls the doclen column to the driver
+    (at 10^12 docs that column is ~8 TB; the histograms are ~KiB)."""
+    hist = _doclen_hist(sf_dir)
     n = int(hist.sum())
     if n:
         cum = np.cumsum(hist)
@@ -9973,6 +9982,214 @@ FROM ranked WHERE rank <= {TOPK}
 
 
 # --------------------------------------------------------------------------
+# pipeline aggs over bucket tables / cumulative cardinality / boxplot /
+# dup-cluster histogram
+# --------------------------------------------------------------------------
+
+def _daily_counts(sf_dir: str):
+    """day → total event count (the date_histogram bucket table the
+    sibling pipeline aggs consume): per-batch partial counts keyed by
+    day, one tiny groupby Sum, sorted chronologically. The bucket
+    table is bounded by the TIME RANGE, not the corpus size — safe on
+    the driver at any scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        g = pa.table({"day": day}).group_by("day") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n"])
+
+    return (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                  columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+
+
+DAILY_COUNTS_CTE = """
+d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1)
+"""
+
+
+def bucket_stats_pipeline(sf_dir: str) -> pa.Table:
+    """ES sibling pipeline aggregations over the daily date_histogram:
+    ``stats_bucket`` (count/sum/min/max/avg of the bucket metric) +
+    ``percentiles_bucket`` (p50, the value at floor(q·(n−1)) of the
+    sorted bucket metrics — quantile_disc parity). The heavy reduce is
+    the histogram itself; the pipeline agg runs over the tiny bucket
+    table."""
+    out = _daily_counts(sf_dir)
+    n = out["n"].to_numpy().astype(np.int64)
+    nb = len(n)
+    p50 = int(np.sort(n)[(nb - 1) // 2]) if nb else 0
+    return pa.table({
+        "n_buckets": pa.array([nb], pa.int64()),
+        "sum_n": pa.array([int(n.sum())], pa.int64()),
+        "min_n": pa.array([int(n.min()) if nb else 0], pa.int64()),
+        "max_n": pa.array([int(n.max()) if nb else 0], pa.int64()),
+        "avg_n": pa.array([n.sum() / float(nb) if nb else 0.0],
+                          pa.float64()),
+        "p50_n": pa.array([p50], pa.int64()),
+    })
+
+
+BUCKET_STATS_SQL = f"""
+WITH {DAILY_COUNTS_CTE}
+SELECT count(*)::BIGINT AS n_buckets,
+       sum(n)::BIGINT AS sum_n,
+       min(n)::BIGINT AS min_n,
+       max(n)::BIGINT AS max_n,
+       sum(n)::DOUBLE / count(*)::DOUBLE AS avg_n,
+       quantile_disc(n, 0.5)::BIGINT AS p50_n
+FROM d
+"""
+
+#: serial_diff lag (ES default use case: week-over-week seasonality)
+SERIAL_DIFF_LAG = 7
+
+
+def serial_diff_week(sf_dir: str) -> pa.Table:
+    """ES ``derivative`` (lag-1) + ``serial_diff`` (lag-7) pipeline
+    aggs over the daily histogram: emitted from the first bucket where
+    BOTH lags exist (ES emits null before the lag window fills; the
+    engine's keyed variant drops those buckets instead)."""
+    out = _daily_counts(sf_dir)
+    n = out["n"].to_numpy().astype(np.int64)
+    days = out["day"].tolist()
+    rows = range(SERIAL_DIFF_LAG, len(n))
+    return pa.table({
+        "day": pa.array([days[i] for i in rows], pa.string()),
+        "n": pa.array([int(n[i]) for i in rows], pa.int64()),
+        "diff1": pa.array([int(n[i] - n[i - 1]) for i in rows],
+                          pa.int64()),
+        "diff7": pa.array([int(n[i] - n[i - SERIAL_DIFF_LAG])
+                           for i in rows], pa.int64()),
+    })
+
+
+SERIAL_DIFF_SQL = f"""
+WITH {DAILY_COUNTS_CTE},
+w AS (
+  SELECT day, n,
+         (n - lag(n, 1) OVER (ORDER BY day))::BIGINT AS diff1,
+         (n - lag(n, {SERIAL_DIFF_LAG}) OVER (ORDER BY day))::BIGINT
+           AS diff7,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM d
+)
+SELECT day, n, diff1, diff7 FROM w WHERE rn > {SERIAL_DIFF_LAG}
+"""
+
+
+def cumulative_cardinality(sf_dir: str) -> pa.Table:
+    """ES ``cumulative_cardinality`` pipeline agg: per day, the number
+    of users first seen that day and the running distinct-user total.
+    Exact and distributed: the groupby(user) Min(day) shuffle carries
+    (user, day) rows — the standard first-touch attribution plan — and
+    only the day-bucketed counts reach the driver for the cumsum."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        }).group_by("user_id").aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "day"])
+
+    first = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts", "user_id"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n_new"])
+
+    out = (first.map_batches(day_counts, batch_format="pyarrow")
+           .groupby("day").aggregate(Sum("n_new", alias_name="n_new"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    return pa.table({
+        "day": pa.array(out["day"], pa.string()),
+        "n_new": pa.array(out["n_new"], pa.int64()),
+        "n_cum": pa.array(out["n_new"].cumsum(), pa.int64()),
+    })
+
+
+CUMULATIVE_CARDINALITY_SQL = """
+WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY 1),
+c AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+SELECT day, n_new,
+       sum(n_new) OVER (ORDER BY day)::BIGINT AS n_cum
+FROM c ORDER BY day
+"""
+
+
+def dup_cluster_hist(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster size histogram (the dedup-audit table every
+    cleaning run reports): exact-text clusters from the hash-partition
+    dedup, then a second tiny groupby over cluster sizes — the
+    shuffle carries 16-byte hash rows, then ≤max_cluster_size count
+    rows."""
+    from ray.data.aggregate import Count
+
+    out = (D.exact_dedup(_docs_ds(sf_dir))
+           .groupby("n_dups").aggregate(Count(alias_name="n_clusters"))
+           .to_pandas().sort_values("n_dups").reset_index(drop=True))
+    return pa.table({
+        "cluster_size": pa.array(out["n_dups"], pa.int64()),
+        "n_clusters": pa.array(out["n_clusters"], pa.int64()),
+    })
+
+
+DUP_CLUSTER_HIST_SQL = """
+WITH c AS (SELECT count(*)::BIGINT AS sz FROM documents GROUP BY text)
+SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def doclen_boxplot(sf_dir: str) -> pa.Table:
+    """ES ``boxplot`` aggregation on doclen: exact min / q1 / q2 / q3 /
+    max off the merged docmap histograms (the `_doclen_hist` bounded
+    substrate — no doclen column ever reaches the driver), quantiles
+    at floor(q·(n−1)) of the sorted values (quantile_disc parity)."""
+    hist = _doclen_hist(sf_dir)
+    n = int(hist.sum())
+    if n:
+        cum = np.cumsum(hist)
+        q1, q2, q3 = (
+            int(np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1))
+            for q in (0.25, 0.5, 0.75))
+        nz = np.nonzero(hist)[0]
+        lo, hi = int(nz[0]), int(nz[-1])
+    else:
+        q1 = q2 = q3 = lo = hi = 0
+    return pa.table({
+        "min_len": pa.array([lo], pa.int64()),
+        "q1": pa.array([q1], pa.int64()),
+        "q2": pa.array([q2], pa.int64()),
+        "q3": pa.array([q3], pa.int64()),
+        "max_len": pa.array([hi], pa.int64()),
+        "n_docs": pa.array([n], pa.int64()),
+    })
+
+
+DOCLEN_BOXPLOT_SQL = f"""
+WITH dl AS (SELECT len({TOK_SQL})::BIGINT AS doclen FROM documents)
+SELECT min(doclen)::BIGINT AS min_len,
+       quantile_disc(doclen, 0.25)::BIGINT AS q1,
+       quantile_disc(doclen, 0.5)::BIGINT AS q2,
+       quantile_disc(doclen, 0.75)::BIGINT AS q3,
+       max(doclen)::BIGINT AS max_len,
+       count(*)::BIGINT AS n_docs
+FROM dl
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10202,6 +10419,11 @@ def registry() -> tuple[dict, dict]:
         "quality_classifier_scores": quality_classifier_scores,
         "collapse_inner_hits": collapse_inner_hits,
         "multi_index_boosted": multi_index_boosted,
+        "bucket_stats_pipeline": bucket_stats_pipeline,
+        "serial_diff_week": serial_diff_week,
+        "cumulative_cardinality": cumulative_cardinality,
+        "dup_cluster_hist": dup_cluster_hist,
+        "doclen_boxplot": doclen_boxplot,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -10394,6 +10616,11 @@ def registry() -> tuple[dict, dict]:
         "quality_classifier_scores": _quality_classifier_sql(),
         "collapse_inner_hits": _collapse_inner_hits_sql(),
         "multi_index_boosted": _multi_index_boosted_sql(),
+        "bucket_stats_pipeline": BUCKET_STATS_SQL,
+        "serial_diff_week": SERIAL_DIFF_SQL,
+        "cumulative_cardinality": CUMULATIVE_CARDINALITY_SQL,
+        "dup_cluster_hist": DUP_CLUSTER_HIST_SQL,
+        "doclen_boxplot": DOCLEN_BOXPLOT_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
