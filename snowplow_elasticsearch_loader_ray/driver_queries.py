@@ -9981,6 +9981,58 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def multi_index_dfs(sf_dir: str) -> pa.Table:
+    """ES ``dfs_query_then_fetch`` across the rolled generations: a DFS
+    phase first gathers GLOBAL statistics (per-term df summed over
+    every index, total docs, total tokens — each index ships a few
+    ints), then each generation scores its local postings with the
+    global idf/avgdl. Because the generations partition the corpus,
+    the merged ranking must equal single-index BM25 EXACTLY — the
+    oracle is the plain corpus BM25 SQL, which pins both the semantics
+    and the float parity (same per-doc term-order summation, same
+    reconstructed avgdl division). Contrast with ``multi_index_search``
+    (default query_then_fetch, per-index stats)."""
+    from .pipelines.query import tokenize_query
+
+    gens = _rollover_gens(sf_dir)
+    readers = [IndexReader(g["index_dir"]) for g in gens]
+    stats = [B.index_stats(g["index_dir"]) for g in gens]
+    n = sum(int(s["n_docs"]) for s in stats)
+    avgdl = sum(int(s["total_tokens"]) for s in stats) / n
+    qids, ranks, docs = [], [], []
+    for qid, q in MULTI_IDX_QUERIES:
+        terms = tokenize_query(q)
+        gdf = {t: sum(r.df(t) for r in readers) for t in set(terms)}
+        ids_all, sc_all = [], []
+        for r in readers:
+            acc = r.acc_buffer()
+            matched = False
+            for t in terms:
+                pl = r.postings(t)
+                if pl is None or not gdf[t]:
+                    continue
+                matched = True
+                d, tfs = pl.decode_all()
+                w = bm25.idf(n, gdf[t])
+                acc[d] += w * bm25.tf_weight(tfs, r.dl_lens[d], avgdl)
+            if matched:
+                cand = np.nonzero(acc)[0]
+                ids_all.append(r.dl_doc_ids[cand])
+                sc_all.append(acc[cand])
+        if not ids_all:
+            continue
+        d, _s = bm25.rank_topk(np.concatenate(ids_all),
+                               np.concatenate(sc_all), TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 # --------------------------------------------------------------------------
 # pipeline aggs over bucket tables / cumulative cardinality / boxplot /
 # dup-cluster histogram
@@ -10424,6 +10476,7 @@ def registry() -> tuple[dict, dict]:
         "cumulative_cardinality": cumulative_cardinality,
         "dup_cluster_hist": dup_cluster_hist,
         "doclen_boxplot": doclen_boxplot,
+        "multi_index_dfs": multi_index_dfs,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -10621,6 +10674,7 @@ def registry() -> tuple[dict, dict]:
         "cumulative_cardinality": CUMULATIVE_CARDINALITY_SQL,
         "dup_cluster_hist": DUP_CLUSTER_HIST_SQL,
         "doclen_boxplot": DOCLEN_BOXPLOT_SQL,
+        "multi_index_dfs": _bm25_sql(queries=MULTI_IDX_QUERIES),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
