@@ -9981,6 +9981,50 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: infix (wildcard-field) queries: mixed selectivity + one sub-trigram
+#: fallback + one guaranteed miss
+INFIX_QUERIES = ["ata", "ust", "rea", "ba", "zzzzq"]
+
+
+def infix_search(sf_dir: str) -> pa.Table:
+    """ES ``wildcard`` FIELD type (``*infix*`` substring queries): a
+    trigram→term index over the vocabulary answers infix queries by
+    intersecting the infix's trigram owner sets + substring verify
+    (query.py::infix_expand) — work proportional to the rarest
+    trigram's owner list, not a vocabulary scan; sub-trigram infixes
+    fall back to the RE2 scan like ES. Reports expansion width and
+    distinct matching docs; the oracle recomputes with LIKE
+    '%infix%'."""
+    from .pipelines.query import infix_expand, infix_search as _is
+
+    r = _reader(sf_dir)
+    rows = []
+    for s in INFIX_QUERIES:
+        terms = infix_expand(r, s)
+        if not terms:
+            continue
+        rows.append((s, len(terms), len(_is(r, s))))
+    c = list(zip(*rows))
+    return pa.table({
+        "infix": pa.array(c[0], pa.string()),
+        "n_terms": pa.array(c[1], pa.int64()),
+        "n_docs": pa.array(c[2], pa.int64()),
+    })
+
+
+def _infix_sql() -> str:
+    vals = ", ".join(f"({_sql_quote(s)})" for s in INFIX_QUERIES)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+p(infix) AS (VALUES {vals}),
+m AS (SELECT p.infix, tok.term, tok.doc_id
+      FROM p JOIN tok ON tok.term LIKE '%' || p.infix || '%')
+SELECT infix, count(DISTINCT term)::BIGINT AS n_terms,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM m GROUP BY 1
+"""
+
+
 def multi_index_dfs(sf_dir: str) -> pa.Table:
     """ES ``dfs_query_then_fetch`` across the rolled generations: a DFS
     phase first gathers GLOBAL statistics (per-term df summed over
@@ -10477,6 +10521,7 @@ def registry() -> tuple[dict, dict]:
         "dup_cluster_hist": dup_cluster_hist,
         "doclen_boxplot": doclen_boxplot,
         "multi_index_dfs": multi_index_dfs,
+        "infix_search": infix_search,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -10675,6 +10720,7 @@ def registry() -> tuple[dict, dict]:
         "dup_cluster_hist": DUP_CLUSTER_HIST_SQL,
         "doclen_boxplot": DOCLEN_BOXPLOT_SQL,
         "multi_index_dfs": _bm25_sql(queries=MULTI_IDX_QUERIES),
+        "infix_search": _infix_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

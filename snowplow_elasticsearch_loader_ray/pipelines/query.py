@@ -448,12 +448,9 @@ def wildcard_to_regexp(pattern: str) -> str:
     return "".join(out)
 
 
-def regexp_search(reader: IndexReader, pattern: str) -> pa.Table:
-    """ES ``regexp`` query (constant-score rewrite): docs containing
-    ANY matching term, with the count of distinct matching terms each
-    doc contains. One postings decode per expanded term, one bincount
-    over ordinals — no corpus scan."""
-    terms = expand_regexp(reader, pattern)
+def _docs_of_terms(reader: IndexReader, terms: list[str]) -> pa.Table:
+    """Constant-score union of the terms' postings: (doc_id, number of
+    distinct matching terms) via one bincount over ordinals."""
     hits = [pl.decode_all()[0] for t in terms
             if (pl := reader.postings(t)) is not None]
     if not hits:
@@ -466,6 +463,90 @@ def regexp_search(reader: IndexReader, pattern: str) -> pa.Table:
         "doc_id": pa.array(reader.dl_doc_ids[nz].astype(np.int64)),
         "n_matched_terms": pa.array(cnt[nz].astype(np.int64)),
     })
+
+
+def regexp_search(reader: IndexReader, pattern: str) -> pa.Table:
+    """ES ``regexp`` query (constant-score rewrite): docs containing
+    ANY matching term, with the count of distinct matching terms each
+    doc contains. One postings decode per expanded term, one bincount
+    over ordinals — no corpus scan."""
+    return _docs_of_terms(reader, expand_regexp(reader, pattern))
+
+
+def _trigram_index(reader: IndexReader):
+    """Trigram → owning-term index over the vocabulary (the structure
+    behind the ES ``wildcard`` field type): two SORTED int64 arrays
+    (trigram hash → vocab ordinal, deduped pairs) built with the same
+    Arrow slice-explode pass as the fuzzy delete-1 index — one kernel
+    call per slice POSITION, no per-term Python. ~16 B per (term ×
+    distinct position) entry; at web vocab it shards with the term
+    dictionary. Hash collisions only over-generate candidates, which
+    the substring verification removes."""
+    idx = getattr(reader, "_tri_index", None)
+    if idx is None:
+        import pyarrow.compute as pc
+
+        vocab = np.asarray(sorted(reader.terms), dtype=object)
+        va = pa.array(vocab, type=pa.string())
+        lens = pc.utf8_length(va).to_numpy()
+        ids = np.arange(len(vocab), dtype=np.int64)
+        tri_chunks, owner_chunks = [], []
+        maxlen = int(lens.max()) if len(lens) else 0
+        for p in range(max(0, maxlen - 2)):
+            mask = lens >= p + 3
+            sub = va.filter(pa.array(mask)) if not mask.all() else va
+            tri = pc.utf8_slice_codeunits(sub, p, p + 3)
+            tri_chunks.append(tri.to_numpy(zero_copy_only=False))
+            owner_chunks.append(ids[mask])
+        if tri_chunks:
+            h = _hash_prefix64(np.concatenate(tri_chunks))
+            o = np.concatenate(owner_chunks)
+            order = np.lexsort((o, h))
+            h, o = h[order], o[order]
+            keep = np.concatenate(
+                ([True], (h[1:] != h[:-1]) | (o[1:] != o[:-1])))
+            h, o = h[keep], o[keep]
+        else:
+            h = np.empty(0, np.int64)
+            o = np.empty(0, np.int64)
+        reader._tri_index = idx = (h, o, vocab)
+    return idx
+
+
+def infix_expand(reader: IndexReader, infix: str) -> list[str]:
+    """Vocabulary terms CONTAINING ``infix`` via the trigram index:
+    intersect the owner sets of every trigram of the infix, then
+    verify candidates by exact substring — identical results to the
+    RE2 vocabulary scan (``expand_regexp('.*infix.*')``), but the work
+    is proportional to the rarest trigram's owner list, not the vocab.
+    Infixes shorter than 3 chars have no trigram and fall back to the
+    scan (the ES wildcard field does the same)."""
+    import pyarrow.compute as pc
+
+    if len(infix) < 3:
+        return expand_regexp(reader, f".*{re.escape(infix)}.*")
+    h, o, vocab = _trigram_index(reader)
+    cand = None
+    for i in range(len(infix) - 2):
+        gh = _hash_prefix64(np.asarray([infix[i:i + 3]], dtype=object))
+        lo = np.searchsorted(h, gh[0], "left")
+        hi = np.searchsorted(h, gh[0], "right")
+        owners = o[lo:hi]
+        cand = owners if cand is None else \
+            np.intersect1d(cand, owners, assume_unique=True)
+        if not len(cand):
+            return []
+    terms = vocab[cand]
+    ok = pc.match_substring(pa.array(terms, pa.string()), infix) \
+        .to_numpy(zero_copy_only=False)
+    return sorted(terms[ok].tolist())
+
+
+def infix_search(reader: IndexReader, infix: str) -> pa.Table:
+    """ES ``wildcard`` FIELD infix query (``*infix*``): trigram-index
+    expansion + constant-score union — rank/result-identical to
+    routing the same pattern through the RE2 wildcard scan."""
+    return _docs_of_terms(reader, infix_expand(reader, infix))
 
 
 def _deletes1(term: str) -> set[str]:

@@ -396,3 +396,20 @@ def test_rank_eval_single_term_queries_perfect(ray_session):
         if row["hits"]:
             assert row["ndcg_micro"] == 1_000_000
             assert row["rr_micro"] == 1_000_000
+
+
+def test_infix_expand_identical_to_regexp_scan(built):
+    import re as _re
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, expand_regexp, infix_expand, infix_search,
+        regexp_search)
+
+    r = IndexReader(built[1])
+    for s in ["ata", "ust", "rea", "ab", "zzq", "merge", "a"]:
+        want = expand_regexp(r, f".*{_re.escape(s)}.*")
+        got = infix_expand(r, s)
+        assert got == want, s
+        t = infix_search(r, s)
+        w = regexp_search(r, f".*{_re.escape(s)}.*")
+        assert t.equals(w), s
