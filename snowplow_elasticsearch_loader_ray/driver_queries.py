@@ -9981,6 +9981,163 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: ES ingest-node pipeline fixture (processors in execution order)
+INGEST_PIPELINE = [
+    {"lowercase": {"field": "source"}},
+    {"gsub": {"field": "text", "pattern": "[aeiou]+", "replacement": "_"}},
+    {"set": {"field": "tag", "value": "v1"}},
+    {"trim": {"field": "text"}},
+]
+
+
+def ingest_pipeline_stats(sf_dir: str) -> pa.Table:
+    """ES ingest-node pipeline (`_ingest/pipeline` processors) applied
+    at index time: lowercase / gsub / set / trim run as one vectorized
+    kernel each, in list order
+    (stages/transforms.py::apply_ingest_pipeline). Per-source
+    accounting proves every processor acted: transformed lengths (gsub
+    + trim), change counts, and the set-processor tag count; the
+    oracle composes the same operations in SQL."""
+    from ray.data.aggregate import Sum
+    from .stages.transforms import apply_ingest_pipeline
+
+    def partial(b: pa.Table) -> pa.Table:
+        len_before = pc.utf8_length(b["text"])
+        out = apply_ingest_pipeline(b, INGEST_PIPELINE)
+        len_after = pc.utf8_length(out["text"])
+        changed = pc.cast(pc.not_equal(len_after, len_before), pa.int64())
+        tagged = pc.cast(pc.equal(out["tag"], "v1"), pa.int64())
+        t = pa.table({
+            "source": out["source"],
+            "len_after": pc.cast(len_after, pa.int64()),
+            "changed": changed,
+            "tagged": tagged,
+        })
+        g = t.group_by("source").aggregate(
+            [("len_after", "sum"), ("changed", "sum"), ("tagged", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(
+            ["source", "sum_len_after", "n_changed", "n_tagged", "n_docs"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_len_after", alias_name="sum_len_after"),
+                      Sum("n_changed", alias_name="n_changed"),
+                      Sum("n_tagged", alias_name="n_tagged"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    cols = {"source": pa.string(), "n_docs": pa.int64(),
+            "sum_len_after": pa.int64(), "n_changed": pa.int64(),
+            "n_tagged": pa.int64()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+INGEST_PIPELINE_SQL = """
+WITH t AS (
+  SELECT lower(source) AS source,
+         trim(regexp_replace(text, '[aeiou]+', '_', 'g'),
+              ' ' || chr(9) || chr(10) || chr(13)) AS text2,
+         text
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(text2))::BIGINT AS sum_len_after,
+       count(*) FILTER (len(text2) <> len(text))::BIGINT AS n_changed,
+       count(*)::BIGINT AS n_tagged
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+#: retriever-tree fixture: two standard legs fused by rrf
+RETRIEVER_BODY = {
+    "retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "data stream"}}}},
+            {"standard": {"query": {"match": {"text": "merge sort"}}}},
+        ],
+        "rank_constant": 60,
+        "rank_window_size": 30,
+    }},
+    "size": 10,
+}
+
+
+def retriever_rrf_topk(sf_dir: str) -> pa.Table:
+    """ES 8.16 ``retriever`` tree: an ``rrf`` retriever over two
+    ``standard`` sub-retrievers (each a match query run at
+    rank_window_size through the unchanged DSL planner), fused by
+    reciprocal rank at the coordinator
+    (query_dsl.py::execute_retriever)."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    d, _s = DSL.execute_retriever(r, RETRIEVER_BODY)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+        "doc_id": pa.array(d, pa.int64()),
+    })
+
+
+def _retriever_rrf_sql() -> str:
+    import re
+
+    spec = RETRIEVER_BODY["retriever"]["rrf"]
+    rc = spec["rank_constant"]
+    window = spec["rank_window_size"]
+    size = RETRIEVER_BODY["size"]
+    pairs = []
+    for qid, leg in enumerate(spec["retrievers"]):
+        q = leg["standard"]["query"]["match"]["text"]
+        for term in sorted(set(re.findall(r"[a-z0-9]+", q.lower()))):
+            pairs.append(f"({qid}, '{term}')")
+    values = ", ".join(pairs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+legs AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+),
+l0 AS (SELECT doc_id, rank FROM legs WHERE qid = 0 AND rank <= {window}),
+l1 AS (SELECT doc_id, rank FROM legs WHERE qid = 1 AND rank <= {window}),
+u AS (SELECT doc_id FROM l0 UNION SELECT doc_id FROM l1),
+sc AS (
+  SELECT u.doc_id,
+         coalesce(1.0 / ({rc} + l0.rank), 0)
+           + coalesce(1.0 / ({rc} + l1.rank), 0) AS rrf
+  FROM u
+  LEFT JOIN l0 ON l0.doc_id = u.doc_id
+  LEFT JOIN l1 ON l1.doc_id = u.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
+       doc_id
+FROM sc ORDER BY rrf DESC, doc_id LIMIT {size}
+"""
+
+
 #: infix (wildcard-field) queries: mixed selectivity + one sub-trigram
 #: fallback + one guaranteed miss
 INFIX_QUERIES = ["ata", "ust", "rea", "ba", "zzzzq"]
@@ -10522,6 +10679,8 @@ def registry() -> tuple[dict, dict]:
         "doclen_boxplot": doclen_boxplot,
         "multi_index_dfs": multi_index_dfs,
         "infix_search": infix_search,
+        "ingest_pipeline_stats": ingest_pipeline_stats,
+        "retriever_rrf_topk": retriever_rrf_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -10721,6 +10880,8 @@ def registry() -> tuple[dict, dict]:
         "doclen_boxplot": DOCLEN_BOXPLOT_SQL,
         "multi_index_dfs": _bm25_sql(queries=MULTI_IDX_QUERIES),
         "infix_search": _infix_sql(),
+        "ingest_pipeline_stats": INGEST_PIPELINE_SQL,
+        "retriever_rrf_topk": _retriever_rrf_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

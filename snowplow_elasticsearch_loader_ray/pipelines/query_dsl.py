@@ -400,6 +400,43 @@ def execute_distributed(engine, body: dict
     return d, s, out
 
 
+def execute_retriever(reader: IndexReader, body: dict, pos_reader=None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """ES 8.16 ``retriever`` tree: a top-level ``rrf`` retriever fusing
+    N ``standard`` sub-retrievers (each an ordinary ``query`` run at
+    ``rank_window_size``) by reciprocal rank — score = Σ 1/(rc+rank)
+    summed in retriever LIST order (fixed float operand order, the
+    oracle contract), ties doc_id asc. Each leg reuses the planner
+    unchanged; fusion is rank-list-sized."""
+    node = body.get("retriever")
+    if not isinstance(node, dict) or set(node) != {"rrf"}:
+        raise UnsupportedDSL(f"unsupported retriever {node!r}")
+    spec = node["rrf"]
+    extra = set(spec) - {"retrievers", "rank_constant", "rank_window_size"}
+    if extra:
+        raise UnsupportedDSL(f"unsupported rrf keys {extra}")
+    rc = float(spec.get("rank_constant", 60))
+    window = int(spec.get("rank_window_size", 10))
+    legs = spec.get("retrievers")
+    if not isinstance(legs, list) or not legs:
+        raise UnsupportedDSL("rrf needs a non-empty retrievers list")
+    scores: dict[int, float] = {}
+    for leg in legs:
+        if not isinstance(leg, dict) or set(leg) != {"standard"}:
+            raise UnsupportedDSL(f"unsupported sub-retriever {leg!r}")
+        d, _s = execute(reader, {"query": leg["standard"]["query"],
+                                 "size": window}, pos_reader)
+        for rank, doc in enumerate(d.tolist(), start=1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (rc + rank)
+    if not scores:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.fromiter(scores, dtype=np.int64, count=len(scores))
+    vals = np.fromiter(scores.values(), dtype=np.float64,
+                       count=len(scores))
+    order = np.lexsort((docs, -vals))[:body.get("size", 10)]
+    return docs[order], vals[order]
+
+
 def render_template(node, params: dict):
     """ES ``_search/template`` (mustache-lite): substitute ``{{name}}``
     placeholders into a request-body template. A string that IS a

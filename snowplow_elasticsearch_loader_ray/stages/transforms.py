@@ -382,3 +382,58 @@ def with_retries(fn: Callable[[], Any], *, attempts: int = 5, delay_s: float = 1
                 sleep(delay_s)
     assert last is not None
     raise last
+
+
+# --------------------------------------------------------------------------
+# ES ingest-node processor chain (the `_ingest/pipeline` surface: the
+# loader's documents pass through declarative processors before
+# indexing; reference context: ES-side ingest pipelines that the
+# loader's consumers attach to the target index)
+# --------------------------------------------------------------------------
+
+#: processors supported by the vectorized executor; anything else refuses
+_INGEST_PROCESSORS = ("lowercase", "gsub", "set", "trim")
+
+
+def apply_ingest_pipeline(batch: pa.Table, processors: list[dict]) -> pa.Table:
+    """Run an ES-style ingest-pipeline processor list over one Arrow
+    batch — each processor is one vectorized kernel call, applied in
+    list order (the ES contract). Supported: ``lowercase`` (field),
+    ``gsub`` (field, pattern, replacement — RE2, global), ``set``
+    (field, value — constant column, overwrite), ``trim`` (field,
+    ASCII whitespace both ends). Unknown processors or fields raise
+    ``ValueError`` (fail the batch loudly, the pipeline's
+    on_failure-absent default)."""
+    import pyarrow.compute as pc
+
+    for proc in processors:
+        if len(proc) != 1:
+            raise ValueError(f"malformed processor {proc!r}")
+        kind, spec = next(iter(proc.items()))
+        if kind not in _INGEST_PROCESSORS:
+            raise ValueError(f"unsupported ingest processor {kind!r}")
+        if kind == "set":
+            col = pa.array([spec["value"]] * batch.num_rows)
+            if spec["field"] in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(spec["field"]),
+                    spec["field"], col)
+            else:
+                batch = batch.append_column(spec["field"], col)
+            continue
+        field = spec["field"]
+        if field not in batch.column_names:
+            raise ValueError(f"ingest processor field {field!r} absent")
+        col = batch[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if kind == "lowercase":
+            col = pc.utf8_lower(col)
+        elif kind == "gsub":
+            col = pc.replace_substring_regex(
+                col, spec["pattern"], replacement=spec["replacement"])
+        elif kind == "trim":
+            col = pc.utf8_trim(col, " \t\n\r")
+        batch = batch.set_column(batch.column_names.index(field),
+                                 field, col)
+    return batch

@@ -864,3 +864,37 @@ def test_render_template():
     import pytest as _pytest
     with _pytest.raises(UnsupportedDSL):
         render_template({"q": "{{missing}}"}, {})
+
+
+def test_execute_retriever_rrf(reader):
+    import numpy as np
+    import pytest as _pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines import query_dsl as DSL
+
+    body = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "data stream"}}}},
+            {"standard": {"query": {"match": {"text": "merge sort"}}}},
+        ],
+        "rank_constant": 60, "rank_window_size": 20}},
+        "size": 5}
+    d, s = DSL.execute_retriever(reader, body)
+    assert len(d) == 5 and np.all(np.diff(s) <= 0)
+    # a doc ranked #1 in BOTH legs would score 2/(60+1); every fused
+    # score is bounded by that
+    assert s[0] <= 2.0 / 61.0 + 1e-12
+    # single-leg degenerate: fusion order == the leg's own order
+    one = {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "data stream"}}}}],
+        "rank_constant": 60, "rank_window_size": 20}}, "size": 5}
+    d1, _ = DSL.execute_retriever(reader, one)
+    dm, _ = DSL.execute(reader, {"query": {"match": {"text": "data stream"}},
+                                 "size": 5})
+    assert d1.tolist() == dm.tolist()
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute_retriever(reader, {"retriever": {"linear": {}}})
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute_retriever(
+            reader, {"retriever": {"rrf": {"retrievers": []}}})

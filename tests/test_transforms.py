@@ -228,3 +228,37 @@ def test_zstd_content_size_header_parse():
         comp = pa.Codec("zstd").compress(b"a" * n).to_pybytes()
         assert _zstd_content_size(comp) == n, n
     assert _zstd_content_size(b"\x28\xb5\x2f\xfd") is None   # truncated
+
+
+def test_apply_ingest_pipeline_processors():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from snowplow_elasticsearch_loader_ray.stages.transforms import (
+        apply_ingest_pipeline)
+
+    b = pa.table({
+        "source": pa.array(["SrcA", "srcb"]),
+        "text": pa.array(["  hello aeiou world  ", "xyz"]),
+    })
+    out = apply_ingest_pipeline(b, [
+        {"lowercase": {"field": "source"}},
+        {"gsub": {"field": "text", "pattern": "[aeiou]+",
+                  "replacement": "_"}},
+        {"set": {"field": "tag", "value": "v1"}},
+        {"trim": {"field": "text"}},
+    ])
+    assert out["source"].to_pylist() == ["srca", "srcb"]
+    # gsub runs BEFORE trim (list order): vowel runs collapse, then
+    # the edges trim
+    assert out["text"].to_pylist() == ["h_ll_ _ w_rld", "xyz"]
+    assert out["tag"].to_pylist() == ["v1", "v1"]
+    # set overwrites an existing column
+    out2 = apply_ingest_pipeline(out, [{"set": {"field": "tag",
+                                                "value": "v2"}}])
+    assert out2["tag"].to_pylist() == ["v2", "v2"]
+    # unknown processor / absent field refuse loudly
+    with _pytest.raises(ValueError):
+        apply_ingest_pipeline(b, [{"nope": {"field": "text"}}])
+    with _pytest.raises(ValueError):
+        apply_ingest_pipeline(b, [{"trim": {"field": "missing"}}])
