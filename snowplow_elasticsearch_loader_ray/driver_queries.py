@@ -9981,6 +9981,130 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def span_not(sf_dir: str) -> pa.Table:
+    """ES ``span_not`` (include minus exclude, pre=post=SPAN_SLOP,
+    single-token spans): per fixture pair, docs keeping at least one
+    include occurrence with no exclude occurrence within the slop, and
+    how many clear occurrences survive
+    (positions.py::span_not_search — batched searchsorted per shared
+    doc; the oracle runs the quadratic NOT EXISTS cross join)."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_not_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, counts = [], [], []
+    for qid, ti, te in _span_pairs():
+        d, c = span_not_search(pr, ti, te, SPAN_SLOP)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        counts.extend(c.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_clear": pa.array(counts, pa.int64()),
+    })
+
+
+def _span_not_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}')"
+                       for qid, a, b in _span_pairs())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+q(qid, ti, te) AS (VALUES {values}),
+pi AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.ti),
+pe AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.te),
+clear AS (
+  SELECT i.qid, i.doc_id, count(*)::BIGINT AS n_clear
+  FROM pi i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pe e
+    WHERE e.qid = i.qid AND e.doc_id = i.doc_id
+      AND abs(e.pos - i.pos) <= {SPAN_SLOP}
+  )
+  GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS qid, doc_id, n_clear FROM clear
+"""
+
+
+def lm_contrast_scores(sf_dir: str) -> pa.Table:
+    """Contrastive LM filtering (the CCNet/DSIR two-model pattern —
+    here the bigram model contrasted against its own unigram backoff):
+    per doc, ``contrast_micro = bigram lp − unigram lp`` in exact
+    integer micro-nats. Both scoring passes are the existing
+    distributed pipelines; the subtraction is a doc-keyed join of two
+    RESULT-sized tables (at 10^12 docs both scorers run in one
+    map_batches chain so the contrast never leaves the batch — here
+    the join reuses the two oracle-pinned entries verbatim so the
+    contrast inherits their exactness)."""
+    uni = unigram_lm_scores(sf_dir).to_pandas()[
+        ["doc_id", "n_tokens", "lm_micro"]]
+    bi = bigram_lm_scores(sf_dir).to_pandas()
+    m = uni.merge(bi, on="doc_id").sort_values("doc_id") \
+        .reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(m["doc_id"], pa.int64()),
+        "n_tokens": pa.array(m["n_tokens"], pa.int64()),
+        "n_bigrams": pa.array(m["n_bigrams"], pa.int64()),
+        "contrast_micro": pa.array(m["lp_micro"] - m["lm_micro"],
+                                   pa.int64()),
+    })
+
+
+def _lm_contrast_sql() -> str:
+    return f"""
+WITH uni AS ({UNIGRAM_LM_SQL}),
+bi AS ({BIGRAM_LM_SQL})
+SELECT uni.doc_id, uni.n_tokens, bi.n_bigrams,
+       (bi.lp_micro - uni.lm_micro)::BIGINT AS contrast_micro
+FROM uni JOIN bi USING (doc_id)
+"""
+
+
+def random_sampler_agg(sf_dir: str) -> pa.Table:
+    """ES ``random_sampler`` aggregation: a sub-agg (terms on lang)
+    computed over a deterministic probability sample with counts
+    scaled back by 1/p — integer scaling (n·MOD//KEEP) so the
+    estimate is SQL-exact. The sample predicate pushes down as a
+    vectorized filter; only sampled rows reach the per-lang partial
+    counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % SAMPLE_MOD < SAMPLE_KEEP))
+        g = sub.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_sampled"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "lang"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n_sampled",
+                                          alias_name="n_sampled"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    n = out["n_sampled"].to_numpy().astype(np.int64)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_sampled": pa.array(n),
+        "n_est": pa.array(n * SAMPLE_MOD // SAMPLE_KEEP),
+    })
+
+
+RANDOM_SAMPLER_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_sampled,
+       (count(*) * {SAMPLE_MOD} // {SAMPLE_KEEP})::BIGINT AS n_est
+FROM documents
+WHERE doc_id % {SAMPLE_MOD} < {SAMPLE_KEEP}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: ES ingest-node pipeline fixture (processors in execution order)
 INGEST_PIPELINE = [
     {"lowercase": {"field": "source"}},
@@ -10681,6 +10805,9 @@ def registry() -> tuple[dict, dict]:
         "infix_search": infix_search,
         "ingest_pipeline_stats": ingest_pipeline_stats,
         "retriever_rrf_topk": retriever_rrf_topk,
+        "span_not": span_not,
+        "lm_contrast_scores": lm_contrast_scores,
+        "random_sampler_agg": random_sampler_agg,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -10882,6 +11009,9 @@ def registry() -> tuple[dict, dict]:
         "infix_search": _infix_sql(),
         "ingest_pipeline_stats": INGEST_PIPELINE_SQL,
         "retriever_rrf_topk": _retriever_rrf_sql(),
+        "span_not": _span_not_sql(),
+        "lm_contrast_scores": _lm_contrast_sql(),
+        "random_sampler_agg": RANDOM_SAMPLER_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

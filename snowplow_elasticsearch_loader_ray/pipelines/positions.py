@@ -437,6 +437,52 @@ def proximity_search(reader, term_a: str, term_b: str, slop: int,
     return ext[order], gaps[order]
 
 
+def span_not_search(reader, include: str, exclude: str, slop: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_not`` (pre = post = ``slop``, single-token spans):
+    occurrences of ``include`` with NO ``exclude`` occurrence within
+    ``slop`` tokens (|Δpos| ≤ slop rejects). Returns (external doc_ids
+    ascending, count of CLEAR include positions per doc) for docs
+    keeping at least one — a doc without the exclude term keeps all
+    its include positions.
+
+    Per shared doc the rejection test is one batched searchsorted of
+    the include positions against the exclude positions (nearest
+    neighbor on both sides) — O((n_i+n_e) log n_e), no pair
+    enumeration; the oracle runs the quadratic NOT EXISTS cross join.
+    ``reader`` is a ``PositionalReader`` or ``ShardedPositionalEngine``."""
+    if include == exclude:
+        raise ValueError("span_not include/exclude must differ")
+    fetched = reader.term_positions_many(sorted({include, exclude}))
+    docs_i, pos_i = fetched[include]
+    docs_e, pos_e = fetched[exclude]
+    big = np.iinfo(np.int64).max
+    e_at = {int(d): j for j, d in enumerate(docs_e)}
+    out_docs: list[int] = []
+    out_counts: list[int] = []
+    for j in range(len(docs_i)):
+        a = pos_i[j].astype(np.int64)
+        je = e_at.get(int(docs_i[j]))
+        if je is None:
+            n_clear = len(a)
+        else:
+            b = pos_e[je].astype(np.int64)
+            k = np.searchsorted(b, a)
+            left = np.where(k > 0, a - b[np.maximum(k - 1, 0)], big)
+            right = np.where(k < len(b), b[np.minimum(k, len(b) - 1)] - a,
+                             big)
+            n_clear = int((np.minimum(left, right) > slop).sum())
+        if n_clear:
+            out_docs.append(int(docs_i[j]))
+            out_counts.append(n_clear)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    counts = np.array(out_counts, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], counts[order]
+
+
 def span_near_chain(reader, terms: list[str], slop: int
                     ) -> tuple[np.ndarray, np.ndarray]:
     """ES ``span_near`` with ``in_order: true`` for an N-clause chain
