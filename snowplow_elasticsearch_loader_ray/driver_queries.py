@@ -9981,6 +9981,313 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: match_bool_prefix fixtures: leading full terms + trailing prefix
+MBP_QUERIES = [(0, "slow qu"), (1, "hash jo"), (2, "window ag"),
+               (3, "data stre")]
+MBP_MAX_EXPANSIONS = 50
+
+
+def match_bool_prefix(sf_dir: str) -> pa.Table:
+    """ES ``match_bool_prefix``: the last token is a PREFIX, the rest
+    ordinary terms — a bool-should of term queries plus every
+    dictionary expansion of the prefix (capped at max_expansions in
+    TERM ORDER, the ES default 50), summed as disjunctive BM25. The
+    oracle derives the same expansion set with LIKE + the same cap."""
+    from .pipelines.query import expand_prefix
+
+    r = _reader(sf_dir)
+    from .pipelines.query import _taat_scores
+
+    qids, ranks, docs = [], [], []
+    for qid, q in MBP_QUERIES:
+        *full, pre = q.split()
+        exp = sorted(expand_prefix(r, pre))[:MBP_MAX_EXPANSIONS]
+        terms = list(dict.fromkeys(full + exp))
+        if not terms:
+            continue
+        ids, scores = _taat_scores(r, " ".join(terms))
+        d, _s = bm25.rank_topk(ids, scores, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _mbp_sql() -> str:
+    fulls, prefixes = [], []
+    for qid, q in MBP_QUERIES:
+        *full, pre = q.split()
+        for t in full:
+            fulls.append(f"({qid}, {_sql_quote(t)})")
+        prefixes.append(f"({qid}, {_sql_quote(pre)})")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qfull(qid, term) AS (VALUES {", ".join(fulls)}),
+qp(qid, prefix) AS (VALUES {", ".join(prefixes)}),
+vocab AS (SELECT DISTINCT term FROM tok),
+qexp AS (
+  SELECT qid, term FROM (
+    SELECT qp.qid, v.term,
+           row_number() OVER (PARTITION BY qp.qid ORDER BY v.term) AS rn
+    FROM qp JOIN vocab v ON v.term LIKE qp.prefix || '%'
+  ) WHERE rn <= {MBP_MAX_EXPANSIONS}
+),
+qall AS (SELECT DISTINCT qid, term FROM
+         (SELECT * FROM qfull UNION ALL SELECT * FROM qexp)),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qall q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+#: more_like_this `unlike`: terms of this doc are vetoed from selection
+MLT_UNLIKE_DOC = 2
+
+
+def mlt_unlike(sf_dir: str) -> pa.Table:
+    """ES ``more_like_this`` with ``unlike``: term selection additionally
+    VETOES every term occurring in the unlike document (steer away
+    from a negative example), then ranks by disjunctive BM25 with the
+    source excluded — same two index lookups as plain MLT plus one
+    posting-membership set."""
+    import collections
+    import re as _re
+
+    r = _reader(sf_dir)
+    from .pipelines.query import _taat_scores
+
+    src = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ids = src["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    veto_pos = order[np.searchsorted(ids[order], MLT_UNLIKE_DOC)] \
+        if MLT_UNLIKE_DOC in ids else None
+    veto = set(_re.findall(r"[a-z0-9]+",
+                           src["text"][int(veto_pos)].as_py().lower())) \
+        if veto_pos is not None else set()
+    srcs, ranks, docs = [], [], []
+    for i in order[:N_MLT].tolist():
+        sid = int(src["doc_id"][i].as_py())
+        tf = collections.Counter(
+            _re.findall(r"[a-z0-9]+", src["text"][i].as_py().lower()))
+        weighted = []
+        for t, f in tf.items():
+            if t in veto:
+                continue
+            df_t = r.df(t)
+            if df_t:
+                weighted.append((-f * bm25.idf(r.n_docs, df_t), t))
+        weighted.sort()
+        sel = [t for _w, t in weighted[:10]]
+        if not sel:
+            continue
+        cand_ids, cand_scores = _taat_scores(r, " ".join(sel))
+        keep = cand_ids != sid
+        d, _s = bm25.rank_topk(cand_ids[keep], cand_scores[keep], TOPK)
+        srcs.extend([sid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "src_doc_id": pa.array(srcs, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _mlt_unlike_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(len({TOK_SQL})), 0) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+veto AS (SELECT DISTINCT term FROM tok WHERE doc_id = {MLT_UNLIKE_DOC}),
+src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_MLT}),
+sel AS (
+  SELECT s.doc_id AS src, tf.term,
+         row_number() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY tf.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) DESC,
+                    tf.term) AS rn
+  FROM src s
+  JOIN tf ON tf.doc_id = s.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st
+  WHERE tf.term NOT IN (SELECT term FROM veto)
+),
+q AS (SELECT src, term FROM sel WHERE rn <= 10),
+scores AS (
+  SELECT q.src, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.src
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, doc_id,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT src AS src_doc_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def quality_deciles(sf_dir: str) -> pa.Table:
+    """Curriculum bucketing: documents ranked by the linear quality
+    score (ties doc_id asc) and cut into 10 equal-rank deciles —
+    per (decile, source) counts, the table a curriculum sampler or
+    quality-stratified mixer consumes. The decile is a RANK cut
+    (floor((rank−1)·10/n)), exactly replayable; at 10^12 docs the rank
+    comes from a distributed sort by (score, doc_id), which is one
+    shuffle — the price of exact global quantiles."""
+    qc = quality_classifier_scores(sf_dir).to_pandas()
+    src = pq.read_table(_docs_path(sf_dir),
+                        columns=["doc_id", "source"]).to_pandas()
+    qc = qc.merge(src, on="doc_id")
+    n = len(qc)
+    order = np.lexsort((qc["doc_id"].to_numpy(), qc["qscore_micro"]
+                        .to_numpy()))
+    dec = np.empty(n, np.int64)
+    dec[order] = np.arange(n, dtype=np.int64) * 10 // n
+    out = (qc.assign(decile=dec)
+           .groupby(["decile", "source"], as_index=False)
+           .agg(n_docs=("doc_id", "size"),
+                sum_score_micro=("qscore_micro", "sum"))
+           .sort_values(["decile", "source"]).reset_index(drop=True))
+    return pa.table({
+        "decile": pa.array(out["decile"], pa.int64()),
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "sum_score_micro": pa.array(out["sum_score_micro"], pa.int64()),
+    })
+
+
+def _quality_deciles_sql() -> str:
+    return f"""
+WITH qc AS ({_quality_classifier_sql()}),
+d AS (
+  SELECT doc_id, qscore_micro,
+         ((row_number() OVER (ORDER BY qscore_micro, doc_id) - 1) * 10
+            // (SELECT count(*) FROM qc))::BIGINT AS decile
+  FROM qc
+)
+SELECT d.decile, doc.source, count(*)::BIGINT AS n_docs,
+       sum(d.qscore_micro)::BIGINT AS sum_score_micro
+FROM d JOIN documents doc USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def span_or_near(sf_dir: str) -> pa.Table:
+    """ES ``span_or`` inside ``span_near``: docs where (t1 OR t2)
+    occurs within SPAN_SLOP tokens of t3 — the or-clause's position
+    list is the sorted union of its terms' lists, then the same
+    nearest-neighbor merge as the plain pair (positions machinery, no
+    pair enumeration; the oracle cross-joins term IN (t1,t2) × t3)."""
+    from .pipelines.positions import (PositionalReader, build_positions)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    big = np.iinfo(np.int64).max
+    qids, docs, gaps = [], [], []
+    for qid, t1, t2, t3 in _span_chains():
+        fetched = pr.term_positions_many(sorted({t1, t2, t3}))
+        d1, p1 = fetched[t1]
+        d2, p2 = fetched[t2]
+        d3, p3 = fetched[t3]
+        at1 = {int(d): j for j, d in enumerate(d1)}
+        at2 = {int(d): j for j, d in enumerate(d2)}
+        union_docs = np.union1d(d1, d2)
+        cand, iu, i3 = np.intersect1d(union_docs, d3, assume_unique=True,
+                                      return_indices=True)
+        for j in range(len(cand)):
+            doc = int(cand[j])
+            parts = []
+            if doc in at1:
+                parts.append(p1[at1[doc]].astype(np.int64))
+            if doc in at2:
+                parts.append(p2[at2[doc]].astype(np.int64))
+            a = np.sort(np.concatenate(parts))
+            b = p3[i3[j]].astype(np.int64)
+            k = np.searchsorted(a, b)
+            left = np.where(k > 0, b - a[np.maximum(k - 1, 0)], big)
+            right = np.where(k < len(a), a[np.minimum(k, len(a) - 1)] - b,
+                             big)
+            gap = int(np.minimum(left, right).min()) - 1
+            if gap <= SPAN_SLOP:
+                qids.append(qid)
+                docs.append(int(pr.doc_ids[doc]))
+                gaps.append(gap)
+    t = pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "min_gap": pa.array(gaps, pa.int64()),
+    })
+    return t.sort_by([("qid", "ascending"), ("doc_id", "ascending")])
+
+
+def _span_or_near_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}', '{c}')"
+                       for qid, a, b, c in _span_chains())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+q(qid, t1, t2, t3) AS (VALUES {values}),
+pa_ AS (SELECT q.qid, tok.doc_id, tok.pos FROM q
+        JOIN tok ON tok.term IN (q.t1, q.t2)),
+pb AS (SELECT q.qid, tok.doc_id, tok.pos FROM q JOIN tok ON tok.term = q.t3),
+gaps AS (
+  SELECT a.qid, a.doc_id, min(abs(a.pos - b.pos)) - 1 AS min_gap
+  FROM pa_ a JOIN pb b ON b.qid = a.qid AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS qid, doc_id, min_gap::BIGINT AS min_gap
+FROM gaps WHERE min_gap <= {SPAN_SLOP}
+"""
+
+
 def span_not(sf_dir: str) -> pa.Table:
     """ES ``span_not`` (include minus exclude, pre=post=SPAN_SLOP,
     single-token spans): per fixture pair, docs keeping at least one
@@ -10808,6 +11115,10 @@ def registry() -> tuple[dict, dict]:
         "span_not": span_not,
         "lm_contrast_scores": lm_contrast_scores,
         "random_sampler_agg": random_sampler_agg,
+        "match_bool_prefix": match_bool_prefix,
+        "mlt_unlike": mlt_unlike,
+        "quality_deciles": quality_deciles,
+        "span_or_near": span_or_near,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -11012,6 +11323,10 @@ def registry() -> tuple[dict, dict]:
         "span_not": _span_not_sql(),
         "lm_contrast_scores": _lm_contrast_sql(),
         "random_sampler_agg": RANDOM_SAMPLER_SQL,
+        "match_bool_prefix": _mbp_sql(),
+        "mlt_unlike": _mlt_unlike_sql(),
+        "quality_deciles": _quality_deciles_sql(),
+        "span_or_near": _span_or_near_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
