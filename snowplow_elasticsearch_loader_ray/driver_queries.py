@@ -9981,6 +9981,307 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: MMR re-rank: candidate pool, picks, and the λ=0.7 tradeoff as the
+#: integer pair (7, 3) scaled by 10 — objective = 7·sim(q,d) −
+#: 3·max_{s∈sel} sim(d,s), all int64 over quantized embeddings
+MMR_POOL = 20
+MMR_K = 5
+MMR_NUM, MMR_COMP = 7, 3
+
+
+def mmr_rerank(sf_dir: str) -> pa.Table:
+    """Maximal-marginal-relevance diversified re-rank (the diverse
+    top-k every dedup-aware retrieval / diverse-sampling pipeline
+    wants): per query, a distributed integer-dot candidate pool
+    (top-``MMR_POOL`` over quantized embeddings — per-block partial
+    top-k, tiny reduce), then the greedy MMR selection of ``MMR_K``
+    docs with objective 7·sim(q,d) − 3·max sim(d,selected). EVERYTHING
+    is int64 over the k-means quantization grid, so the greedy
+    trajectory is exact and the oracle replays every pick as an
+    unrolled CTE chain (the k-means-iterations trick). Pairwise sims
+    are computed only for the pool (a semi-join fetch at scale)."""
+    from .pipelines.cluster import quantize
+
+    qids, qmat = _query_vectors(sf_dir)
+    qq = quantize(qmat)
+    qq_ref = ray.put(qq)
+
+    class _PoolCand:
+        def __init__(self):
+            self.qq = ray.get(qq_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = quantize(np.array(b["embedding"].to_pylist(),
+                                  dtype=np.float64))
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            dots = x @ self.qq.T                     # (n, nq) int64
+            qs, vs, ds_ = [], [], []
+            for qi in range(dots.shape[1]):
+                top = np.lexsort((ids, -dots[:, qi]))[:MMR_POOL]
+                qs.extend([qi] * len(top))
+                vs.extend(ids[top].tolist())
+                ds_.extend(dots[top, qi].tolist())
+            return pa.table({"qi": pa.array(qs, pa.int64()),
+                             "vec_id": pa.array(vs, pa.int64()),
+                             "dot": pa.array(ds_, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        .map_batches(_PoolCand, batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    qi = parts["qi"].to_numpy(zero_copy_only=False)
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    dot = parts["dot"].to_numpy(zero_copy_only=False)
+
+    # candidate embeddings: one semi-join fetch of the pooled ids
+    need = np.unique(vid)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    eids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    keep = np.isin(eids, need)
+    sub_ids = eids[keep]
+    sub_q = quantize(np.array(
+        emb["embedding"].filter(pa.array(keep)).to_pylist(),
+        dtype=np.float64))
+    at = {int(v): j for j, v in enumerate(sub_ids)}
+
+    out_q, out_r, out_v = [], [], []
+    for q in range(len(qids)):
+        m = qi == q
+        order = np.lexsort((vid[m], -dot[m]))[:MMR_POOL]
+        cids = vid[m][order]
+        cdots = dot[m][order]
+        cvecs = sub_q[[at[int(v)] for v in cids]]
+        pair = cvecs @ cvecs.T                       # int64
+        sel: list[int] = []
+        remaining = np.ones(len(cids), dtype=bool)
+        first = int(np.lexsort((cids, -cdots))[0])
+        sel.append(first)
+        remaining[first] = False
+        while len(sel) < min(MMR_K, len(cids)):
+            maxsim = pair[:, sel].max(axis=1)
+            obj = MMR_NUM * cdots - MMR_COMP * maxsim
+            cand_idx = np.nonzero(remaining)[0]
+            best = cand_idx[np.lexsort((cids[cand_idx],
+                                        -obj[cand_idx]))[0]]
+            sel.append(int(best))
+            remaining[best] = False
+        for r, j in enumerate(sel, start=1):
+            out_q.append(int(qids[q]))
+            out_r.append(r)
+            out_v.append(int(cids[j]))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+    })
+
+
+def _mmr_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    prev_sel = "s1"
+    sel_ctes = []
+    for r in range(2, MMR_K + 1):
+        sel_ctes.append(f"""
+s{r} AS (
+  SELECT qid, vec_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY ({MMR_NUM} * c.dot
+                                        - {MMR_COMP} * m.maxsim) DESC,
+                                       c.vec_id) AS rn
+    FROM cand c
+    JOIN (SELECT p.qid, p.va AS vec_id, max(p.sim) AS maxsim
+          FROM p JOIN {prev_sel} s
+            ON s.qid = p.qid AND s.vec_id = p.vb
+          GROUP BY 1, 2) m
+      ON m.qid = c.qid AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} x
+                      WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+  ) WHERE rn = 1
+),
+selu{r} AS (SELECT * FROM {prev_sel} UNION ALL SELECT * FROM s{r})""")
+        prev_sel = f"selu{r}"
+    finals = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, {r} AS rank, vec_id FROM s{r}"
+        if r > 1 else
+        "SELECT qid AS query_id, 1 AS rank, vec_id FROM s1"
+        for r in range(1, MMR_K + 1))
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, q AS qq FROM qv
+       ORDER BY vec_id LIMIT {N_ANN_QUERIES}),
+dots AS (
+  SELECT qs.qid, v.vec_id,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                                 i -> v.q[i] * qs.qq[i]))::BIGINT AS dot
+  FROM qv v, qs
+),
+cand AS (
+  SELECT qid, vec_id, dot FROM (
+    SELECT qid, vec_id, dot,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, vec_id) AS rn
+    FROM dots
+  ) WHERE rn <= {MMR_POOL}
+),
+p AS (
+  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         list_sum(list_transform(range(1, len(x.q) + 1),
+                                 i -> x.q[i] * y.q[i]))::BIGINT AS sim
+  FROM cand a
+  JOIN cand b ON b.qid = a.qid
+  JOIN qv x ON x.vec_id = a.vec_id
+  JOIN qv y ON y.vec_id = b.vec_id
+),
+s1 AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dot DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),{",".join(sel_ctes)}
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, vec_id
+FROM ({finals})
+"""
+
+
+#: funnel steps, matched strictly-increasing in event time per user
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_counts(sf_dir: str) -> pa.Table:
+    """Ordered-funnel analysis (the product-analytics windowed
+    sequence op): per user, how deep into view→click→purchase they
+    got, matching events with STRICTLY increasing timestamps — the
+    greedy chain (earliest qualifying event at every step) is optimal,
+    the span_near_chain argument over time instead of token
+    positions. One groupby(user) shuffle; per group three
+    searchsorteds; output is n_steps rows."""
+    import pandas as pd
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        depth = 0
+        cur = None
+        for step in FUNNEL_STEPS:
+            ts = g.loc[g["event_type"] == step, "ts"].to_numpy()
+            ts = ts[ts > cur] if cur is not None else ts
+            if not len(ts):
+                break
+            cur = ts.min()
+            depth += 1
+        return pd.DataFrame({"depth": [depth]})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "event_type", "ts"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    depths = out["depth"].to_numpy()
+    rows = [(i + 1, " > ".join(FUNNEL_STEPS[:i + 1]),
+             int((depths >= i + 1).sum()))
+            for i in range(len(FUNNEL_STEPS))]
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "funnel": pa.array([r[1] for r in rows], pa.string()),
+        "n_users": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+            WHERE event_type = '{s1}' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = '{s2}' AND e.ts > t1.ts GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+       JOIN t2 ON t2.user_id = e.user_id
+       WHERE e.event_type = '{s3}' AND e.ts > t2.ts GROUP BY 1)
+SELECT 1::BIGINT AS step, '{s1}' AS funnel,
+       (SELECT count(*) FROM t1)::BIGINT AS n_users
+UNION ALL
+SELECT 2, '{s1} > {s2}', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT 3, '{s1} > {s2} > {s3}', (SELECT count(*) FROM t3)
+"""
+
+
+#: retention window: returned on a later calendar day within N days
+RETENTION_DAYS = 7
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention (the dataset-growth / engagement table): users
+    grouped by first-seen day; retained = any event on a LATER
+    calendar day within RETENTION_DAYS. One groupby(user) over
+    distinct (user, day) pairs (pre-deduped per batch before the
+    shuffle), then a day-keyed count — bucket table bounded by the
+    time range."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(np.array(g["day"].tolist(), dtype="datetime64[D]"))
+        first = days[0]
+        later = days[(days > first)
+                     & (days <= first + np.timedelta64(RETENTION_DAYS,
+                                                       "D"))]
+        return pd.DataFrame({"cohort": [str(first)],
+                             "n_users": [1],
+                             "n_retained": [1 if len(later) else 0]})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "ts"])
+           .map_batches(dedupe, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .groupby("cohort")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_retained", alias_name="n_retained"))
+           .to_pandas().sort_values("cohort").reset_index(drop=True))
+    return pa.table({
+        "cohort": pa.array(out["cohort"], pa.string()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+        "n_retained": pa.array(out["n_retained"], pa.int64()),
+    })
+
+
+RETENTION_SQL = f"""
+WITH d AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+r AS (
+  SELECT f.user_id, f.cohort,
+         max(CASE WHEN d.day > f.cohort
+                   AND d.day::DATE <= f.cohort::DATE
+                                      + INTERVAL {RETENTION_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS retained
+  FROM f JOIN d USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort, count(*)::BIGINT AS n_users,
+       sum(retained)::BIGINT AS n_retained
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 #: match_bool_prefix fixtures: leading full terms + trailing prefix
 MBP_QUERIES = [(0, "slow qu"), (1, "hash jo"), (2, "window ag"),
                (3, "data stre")]
@@ -11119,6 +11420,9 @@ def registry() -> tuple[dict, dict]:
         "mlt_unlike": mlt_unlike,
         "quality_deciles": quality_deciles,
         "span_or_near": span_or_near,
+        "mmr_rerank": mmr_rerank,
+        "funnel_counts": funnel_counts,
+        "retention_cohorts": retention_cohorts,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -11327,6 +11631,9 @@ def registry() -> tuple[dict, dict]:
         "mlt_unlike": _mlt_unlike_sql(),
         "quality_deciles": _quality_deciles_sql(),
         "span_or_near": _span_or_near_sql(),
+        "mmr_rerank": _mmr_sql(),
+        "funnel_counts": _funnel_sql(),
+        "retention_cohorts": RETENTION_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
