@@ -9981,6 +9981,278 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def bq_hamming_topk(sf_dir: str) -> pa.Table:
+    """Binary-quantized ANN (the ES BBQ / 1-bit quantization scale
+    path): each embedding collapses to its SIGN BITS (e ≥ 0), queries
+    rank the corpus by Hamming distance (asc, vec_id ties) — 64× less
+    data moved than float vectors, integer-exact, so unlike LSH this
+    approximate path carries a FULL value oracle. Per-block partial
+    top-k over the bit matrix (at scale the bits pack to one uint64
+    word per vector and the distance is one XOR+popcount), tiny
+    reduce."""
+    qids, qmat = _query_vectors(sf_dir)
+    qbits = (qmat >= 0.0)
+    qref = ray.put(qbits)
+
+    class _Ham:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = np.array(b["embedding"].to_pylist(),
+                         dtype=np.float64) >= 0.0
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            qs, vs, hs = [], [], []
+            for qi in range(len(self.q)):
+                d = (x != self.q[qi]).sum(axis=1).astype(np.int64)
+                top = np.lexsort((ids, d))[:TOPK]
+                qs.extend([qi] * len(top))
+                vs.extend(ids[top].tolist())
+                hs.extend(d[top].tolist())
+            return pa.table({"qi": pa.array(qs, pa.int64()),
+                             "vec_id": pa.array(vs, pa.int64()),
+                             "ham": pa.array(hs, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        .map_batches(_Ham, batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    qi = parts["qi"].to_numpy(zero_copy_only=False)
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    ham = parts["ham"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_v, out_h = [], [], [], []
+    for q in range(len(qids)):
+        m = qi == q
+        top = np.lexsort((vid[m], ham[m]))[:TOPK]
+        out_q.extend([int(qids[q])] * len(top))
+        out_r.extend(range(1, len(top) + 1))
+        out_v.extend(vid[m][top].tolist())
+        out_h.extend(ham[m][top].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "hamming": pa.array(out_h, pa.int64()),
+    })
+
+
+BQ_HAMMING_SQL = f"""
+WITH bits AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CASE WHEN e::DOUBLE >= 0 THEN 1 ELSE 0 END)
+           AS b
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, b AS qb FROM bits
+       ORDER BY vec_id LIMIT {N_ANN_QUERIES}),
+d AS (
+  SELECT qs.query_id, v.vec_id,
+         list_sum(list_transform(range(1, len(v.b) + 1),
+                                 i -> abs(v.b[i] - qs.qb[i])))::BIGINT
+           AS hamming
+  FROM bits v, qs
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, hamming
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+#: frequent_item_sets minimum support (users containing the set)
+FIS_MIN_SUPPORT = 50
+
+
+def frequent_item_sets(sf_dir: str) -> pa.Table:
+    """ES ``frequent_item_sets`` aggregation (market-basket over the
+    per-user set of event types): all 2- and 3-item sets with support
+    ≥ {FIS_MIN_SUPPORT}. Distinct (user, type) pairs dedupe inside
+    each batch before the shuffle; per-user baskets collapse to a
+    5-bit mask, so the driver sees at most 2^5 mask-count rows and
+    enumerates subsets exactly — the a-priori lattice degenerates to a
+    popcount table at this dictionary size (documented: at large item
+    dictionaries this becomes the standard level-wise candidate
+    join)."""
+    import itertools
+    import pandas as pd
+
+    types = sorted(["view", "click", "purchase", "signup", "error"])
+    bit = {t: i for i, t in enumerate(types)}
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "event_type": b["event_type"]})
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    def mask_of(g: pd.DataFrame) -> pd.DataFrame:
+        m = 0
+        for t in g["event_type"]:
+            m |= 1 << bit[t]
+        return pd.DataFrame({"mask": [m], "n": [1]})
+
+    from ray.data.aggregate import Sum
+
+    counts = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                    columns=["user_id", "event_type"])
+              .map_batches(dedupe, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(mask_of, batch_format="pandas")
+              .groupby("mask").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    mask_n = dict(zip(counts["mask"].astype(int), counts["n"].astype(int)))
+    rows = []
+    for size in (2, 3):
+        for combo in itertools.combinations(types, size):
+            need = 0
+            for t in combo:
+                need |= 1 << bit[t]
+            support = sum(n for m, n in mask_n.items()
+                          if (m & need) == need)
+            if support >= FIS_MIN_SUPPORT:
+                rows.append(("+".join(combo), size, support))
+    rows.sort()
+    return pa.table({
+        "items": pa.array([r[0] for r in rows], pa.string()),
+        "size": pa.array([r[1] for r in rows], pa.int64()),
+        "support": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+FIS_SQL = f"""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p2 AS (
+  SELECT a.event_type || '+' || b.event_type AS items, 2 AS size,
+         count(*)::BIGINT AS support
+  FROM d a JOIN d b ON b.user_id = a.user_id
+                   AND b.event_type > a.event_type
+  GROUP BY 1
+),
+p3 AS (
+  SELECT a.event_type || '+' || b.event_type || '+' || c.event_type
+           AS items, 3 AS size, count(*)::BIGINT AS support
+  FROM d a
+  JOIN d b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  JOIN d c ON c.user_id = a.user_id AND c.event_type > b.event_type
+  GROUP BY 1
+)
+SELECT items, size::BIGINT AS size, support
+FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+WHERE support >= {FIS_MIN_SUPPORT}
+ORDER BY items
+"""
+
+
+def change_point_day(sf_dir: str) -> pa.Table:
+    """ES ``change_point`` aggregation (step-change detection over the
+    daily histogram): the split k maximizing the absolute mean gap
+    |S1/k − S2/(n−k)| between the first k and remaining days (ties →
+    earliest split). Means are float64 with the identical expression
+    on both sides; the reported means are floor-micro ints. The heavy
+    reduce is the histogram; the split scan runs over the
+    time-range-bounded bucket table."""
+    out = _daily_counts(sf_dir)
+    n = out["n"].to_numpy().astype(np.int64)
+    days = out["day"].tolist()
+    nb = len(n)
+    if nb < 2:
+        return pa.table({"split_day": pa.array([], pa.string()),
+                         "mean_before_micro": pa.array([], pa.int64()),
+                         "mean_after_micro": pa.array([], pa.int64()),
+                         "gap_micro": pa.array([], pa.int64())})
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    k = np.arange(1, nb, dtype=np.int64)
+    s1 = cum[:-1].astype(np.float64)
+    m1 = s1 / k
+    m2 = (total - s1) / (nb - k)
+    gap = np.abs(m1 - m2)
+    best = int(np.lexsort((k, -gap))[0])
+    return pa.table({
+        "split_day": pa.array([days[best]], pa.string()),
+        "mean_before_micro": pa.array(
+            [int(np.floor(1e6 * m1[best]))], pa.int64()),
+        "mean_after_micro": pa.array(
+            [int(np.floor(1e6 * m2[best]))], pa.int64()),
+        "gap_micro": pa.array([int(np.floor(1e6 * gap[best]))],
+                              pa.int64()),
+    })
+
+
+def _change_point_sql() -> str:
+    return f"""
+WITH {DAILY_COUNTS_CTE},
+w AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day) AS s1,
+         row_number() OVER (ORDER BY day) AS k,
+         (SELECT count(*) FROM d) AS nb,
+         (SELECT sum(n) FROM d) AS total
+  FROM d
+),
+g AS (
+  SELECT day,
+         s1::DOUBLE / k AS m1,
+         (total - s1)::DOUBLE / (nb - k) AS m2,
+         abs(s1::DOUBLE / k - (total - s1)::DOUBLE / (nb - k)) AS gap
+  FROM w WHERE k < nb
+)
+SELECT day AS split_day,
+       floor(1000000.0 * m1)::BIGINT AS mean_before_micro,
+       floor(1000000.0 * m2)::BIGINT AS mean_after_micro,
+       floor(1000000.0 * gap)::BIGINT AS gap_micro
+FROM g ORDER BY gap DESC, day LIMIT 1
+"""
+
+
+#: numeric histogram interval over events.value
+VALUE_HIST_INTERVAL = 50.0
+
+
+def value_histogram(sf_dir: str) -> pa.Table:
+    """ES ``histogram`` aggregation on a numeric field: fixed-interval
+    buckets over events.value (bucket key = floor(v/interval)·interval
+    — true float64 floor on both sides), per-batch partial counts and
+    exact integer-cent sums, one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        idx = np.floor(v / VALUE_HIST_INTERVAL).astype(np.int64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"bucket": pa.array(idx), "n": pa.array(
+            np.ones(len(v), np.int64)), "cents": pa.array(cents)})
+        g = t.group_by("bucket").aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["bucket", "n", "sum_cents"])
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_cents", alias_name="sum_cents"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    return pa.table({
+        "bucket": pa.array(out["bucket"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+    })
+
+
+VALUE_HIST_SQL = f"""
+SELECT floor(value / {VALUE_HIST_INTERVAL!r})::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 #: MMR re-rank: candidate pool, picks, and the λ=0.7 tradeoff as the
 #: integer pair (7, 3) scaled by 10 — objective = 7·sim(q,d) −
 #: 3·max_{s∈sel} sim(d,s), all int64 over quantized embeddings
@@ -11423,6 +11695,10 @@ def registry() -> tuple[dict, dict]:
         "mmr_rerank": mmr_rerank,
         "funnel_counts": funnel_counts,
         "retention_cohorts": retention_cohorts,
+        "bq_hamming_topk": bq_hamming_topk,
+        "frequent_item_sets": frequent_item_sets,
+        "change_point_day": change_point_day,
+        "value_histogram": value_histogram,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -11634,6 +11910,10 @@ def registry() -> tuple[dict, dict]:
         "mmr_rerank": _mmr_sql(),
         "funnel_counts": _funnel_sql(),
         "retention_cohorts": RETENTION_SQL,
+        "bq_hamming_topk": BQ_HAMMING_SQL,
+        "frequent_item_sets": FIS_SQL,
+        "change_point_day": _change_point_sql(),
+        "value_histogram": VALUE_HIST_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
