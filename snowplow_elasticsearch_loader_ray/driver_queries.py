@@ -9981,6 +9981,257 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: has_parent filter: parent (customer) account-balance threshold
+HAS_PARENT_MIN_BAL = 5000.0
+
+
+def has_parent_counts(sf_dir: str) -> pa.Table:
+    """ES parent-join ``has_parent`` query + ``children`` aggregation:
+    children (orders) whose parent (customer) passes a filter, bucketed
+    by the parent's mktsegment — the matching-parent id set (with its
+    segment) broadcasts once via ``ray.put`` and each order batch
+    probes it with one sorted searchsorted, emitting per-segment
+    partials (at web scale the parent side is hash-partitioned and
+    this becomes the standard parent-id shuffle join; the broadcast is
+    the small-side fast path)."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_acctbal",
+                                  "c_mktsegment"])
+    keep = pc.greater(cust["c_acctbal"], HAS_PARENT_MIN_BAL)
+    cust = cust.filter(keep)
+    ids = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order_ids = np.argsort(ids, kind="stable")
+    par_ref = ray.put((ids[order_ids], segs[order_ids]))
+
+    class _Probe:
+        def __init__(self):
+            self.ids, self.segs = ray.get(par_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ids, ck)
+            pos_c = np.minimum(pos, len(self.ids) - 1)
+            hit = self.ids[pos_c] == ck
+            if not hit.any():
+                return pa.table({"segment": pa.array([], pa.string()),
+                                 "n_orders": pa.array([], pa.int64())})
+            seg = self.segs[pos_c[hit]]
+            u, cnt = np.unique(seg, return_counts=True)
+            return pa.table({"segment": pa.array(u.tolist(), pa.string()),
+                             "n_orders": pa.array(cnt.astype(np.int64))})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey"])
+           .map_batches(_Probe, batch_format="pyarrow",
+                        concurrency=(1, 2))
+           .groupby("segment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas().sort_values("segment").reset_index(drop=True))
+    return pa.table({
+        "segment": pa.array(out["segment"], pa.string()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+    })
+
+
+HAS_PARENT_SQL = f"""
+SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_acctbal > {HAS_PARENT_MIN_BAL!r}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+#: matryoshka truncation: rank with this dim prefix vs the full vector
+MRL_DIMS = 16
+
+
+def matryoshka_overlap(sf_dir: str) -> pa.Table:
+    """Matryoshka-representation evaluation (MRL truncation — the
+    embedding-efficiency question every vector pipeline asks): per
+    query, the top-k by integer dot over the FIRST ``MRL_DIMS`` dims
+    vs the full-vector top-k, reporting overlap@k — both rankings are
+    exact quantized-int64 dots, so the comparison carries a full value
+    oracle. One distributed pass computes both dots per block."""
+    from .pipelines.cluster import quantize
+
+    qids, qmat = _query_vectors(sf_dir)
+    qq = quantize(qmat)
+    qref = ray.put(qq)
+
+    class _TwoDots:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = quantize(np.array(b["embedding"].to_pylist(),
+                                  dtype=np.float64))
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            full = x @ self.q.T
+            trunc = x[:, :MRL_DIMS] @ self.q[:, :MRL_DIMS].T
+            qs, vs, fd, td = [], [], [], []
+            for qi in range(len(self.q)):
+                cand = np.union1d(np.lexsort((ids, -full[:, qi]))[:TOPK],
+                                  np.lexsort((ids, -trunc[:, qi]))[:TOPK])
+                qs.extend([qi] * len(cand))
+                vs.extend(ids[cand].tolist())
+                fd.extend(full[cand, qi].tolist())
+                td.extend(trunc[cand, qi].tolist())
+            return pa.table({"qi": pa.array(qs, pa.int64()),
+                             "vec_id": pa.array(vs, pa.int64()),
+                             "full": pa.array(fd, pa.int64()),
+                             "trunc": pa.array(td, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        .map_batches(_TwoDots, batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    qi = parts["qi"].to_numpy(zero_copy_only=False)
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    full = parts["full"].to_numpy(zero_copy_only=False)
+    trunc = parts["trunc"].to_numpy(zero_copy_only=False)
+    out_q, out_o = [], []
+    for q in range(len(qids)):
+        m = qi == q
+        tf = vid[m][np.lexsort((vid[m], -full[m]))[:TOPK]]
+        tt = vid[m][np.lexsort((vid[m], -trunc[m]))[:TOPK]]
+        out_q.append(int(qids[q]))
+        out_o.append(int(len(np.intersect1d(tf, tt))))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "overlap": pa.array(out_o, pa.int64()),
+    })
+
+
+def _matryoshka_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qv
+       ORDER BY vec_id LIMIT {N_ANN_QUERIES}),
+dots AS (
+  SELECT qs.query_id, v.vec_id,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                                 i -> v.q[i] * qs.qq[i]))::BIGINT AS fdot,
+         list_sum(list_transform(range(1, {MRL_DIMS} + 1),
+                                 i -> v.q[i] * qs.qq[i]))::BIGINT AS tdot
+  FROM qv v, qs
+),
+tf AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fdot DESC, vec_id) AS rn
+         FROM dots) WHERE rn <= {TOPK}),
+tt AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY tdot DESC, vec_id) AS rn
+         FROM dots) WHERE rn <= {TOPK})
+SELECT tf.query_id, count(tt.vec_id)::BIGINT AS overlap
+FROM tf LEFT JOIN tt ON tt.query_id = tf.query_id
+                    AND tt.vec_id = tf.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition counts (the Markov/session-flow
+    matrix): consecutive event pairs in strict ts order within each
+    user — one groupby(user) shuffle, one vectorized sort + shift per
+    group; the oracle replays with a LEAD window."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        a = g["event_type"].to_numpy()
+        if len(a) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        return (pd.DataFrame({"from_type": a[:-1], "to_type": a[1:],
+                              "n": 1})
+                .groupby(["from_type", "to_type"], as_index=False)
+                .sum())
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "event_id",
+                                          "event_type", "ts"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .groupby(["from_type", "to_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    return pa.table({
+        "from_type": pa.array(out["from_type"], pa.string()),
+        "to_type": pa.array(out["to_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def anomaly_days(sf_dir: str) -> pa.Table:
+    """Outlier-day detection over the daily histogram (the z-score>2
+    rule, exact): a day is anomalous iff
+    (n·nb − total)² > 4 · nb · (nb·Σn² − total²) / nb — evaluated as
+    the cross-multiplied INTEGER comparison
+    nb·(n·nb − total)² > 4·nb·(nb·Σn² − total²), no float variance.
+    Heavy reduce = the histogram; the scan is bucket-table-sized."""
+    out = _daily_counts(sf_dir)
+    n = out["n"].to_numpy().astype(object)     # Python ints: no overflow
+    days = out["day"].tolist()
+    nb = len(n)
+    total = sum(n)
+    sq = sum(x * x for x in n)
+    var_num = nb * sq - total * total           # nb² · variance
+    rows = []
+    for d, x in zip(days, n):
+        dev = x * nb - total                    # nb · (x − mean)
+        if nb * dev * dev > 4 * nb * var_num:
+            rows.append((d, int(x)))
+    return pa.table({
+        "day": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _anomaly_days_sql() -> str:
+    return f"""
+WITH {DAILY_COUNTS_CTE},
+s AS (SELECT count(*)::HUGEINT AS nb, sum(n)::HUGEINT AS total,
+             sum(n::HUGEINT * n::HUGEINT)::HUGEINT AS sq FROM d)
+SELECT day, n
+FROM d, s
+WHERE s.nb * (n * s.nb - s.total) * (n * s.nb - s.total)
+      > 4 * s.nb * (s.nb * s.sq - s.total * s.total)
+ORDER BY day
+"""
+
+
 def bq_hamming_topk(sf_dir: str) -> pa.Table:
     """Binary-quantized ANN (the ES BBQ / 1-bit quantization scale
     path): each embedding collapses to its SIGN BITS (e ≥ 0), queries
@@ -11699,6 +11950,10 @@ def registry() -> tuple[dict, dict]:
         "frequent_item_sets": frequent_item_sets,
         "change_point_day": change_point_day,
         "value_histogram": value_histogram,
+        "has_parent_counts": has_parent_counts,
+        "matryoshka_overlap": matryoshka_overlap,
+        "event_transitions": event_transitions,
+        "anomaly_days": anomaly_days,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -11914,6 +12169,10 @@ def registry() -> tuple[dict, dict]:
         "frequent_item_sets": FIS_SQL,
         "change_point_day": _change_point_sql(),
         "value_histogram": VALUE_HIST_SQL,
+        "has_parent_counts": HAS_PARENT_SQL,
+        "matryoshka_overlap": _matryoshka_sql(),
+        "event_transitions": EVENT_TRANSITIONS_SQL,
+        "anomaly_days": _anomaly_days_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
