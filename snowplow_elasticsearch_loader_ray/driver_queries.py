@@ -9981,6 +9981,173 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: PMI collocations: minimum pair count + results kept
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def top_pmi_bigrams(sf_dir: str) -> pa.Table:
+    """Collocation extraction by pointwise mutual information (the
+    stop-phrase / tokenizer-merge signal): pmi_micro =
+    floor(1e6·ln(c_ab·T/(cf_a·cf_b))) over corpus bigram counts, with
+    unigram cf and total tokens T straight from the index statistics.
+    Bigram counts are the `top_bigrams` distributed partials; scoring
+    is a broadcast cf lookup inside map_batches (no second shuffle),
+    per-block top-k then a tiny driver reduce — the full scored bigram
+    table never materializes anywhere."""
+    from ray.data.aggregate import Sum
+    from .tokenizer import tokenize_to_terms
+
+    r = _reader(sf_dir)
+    t = r.term_stats_table()
+    T = int(pc.sum(t["cf"]).as_py())
+    bg_ref = ray.put((np.asarray(t["term"].to_pylist(), dtype=object),
+                      t["cf"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(batch["text"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = idx.to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = pa.array(rows[1:] == rows[:-1])
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        vc = pc.value_counts(pairs.filter(same_doc))
+        return pa.table({
+            "bigram": pc.cast(vc.field("values"), pa.string()),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    class _Pmi:
+        def __init__(self):
+            self.terms, self.cf = ray.get(bg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False)
+            keep = n >= PMI_MIN_COUNT
+            if not keep.any():
+                return pa.table({"bigram": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "pmi_micro": pa.array([], pa.int64())})
+            bigrams = np.asarray(b["bigram"].to_pylist(),
+                                 dtype=object)[keep]
+            n = n[keep]
+            w = np.array([bg.split(" ") for bg in bigrams], dtype=object)
+            cf1 = self.cf[np.searchsorted(self.terms, w[:, 0])]
+            cf2 = self.cf[np.searchsorted(self.terms, w[:, 1])]
+            pmi = np.floor(1e6 * np.log(
+                (n.astype(np.float64) * T) / (cf1.astype(np.float64)
+                                              * cf2))).astype(np.int64)
+            top = np.lexsort((bigrams, -pmi))[:PMI_TOP]
+            return pa.table({
+                "bigram": pa.array(bigrams[top].tolist(), pa.string()),
+                "n": pa.array(n[top]),
+                "pmi_micro": pa.array(pmi[top]),
+            })
+
+    parts = pa.concat_tables(list(
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+        .map_batches(_Pmi, batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    bigrams = np.asarray(parts["bigram"].to_pylist(), dtype=object)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    pmi = parts["pmi_micro"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((bigrams, -pmi))[:PMI_TOP]
+    return pa.table({
+        "bigram": pa.array(bigrams[top].tolist(), pa.string()),
+        "n": pa.array(n[top].astype(np.int64)),
+        "pmi_micro": pa.array(pmi[top].astype(np.int64)),
+    })
+
+
+PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS t,
+         unnest(range(1, len({TOK_SQL}) + 1)) AS pos
+  FROM documents
+),
+uni AS (SELECT t, count(*)::BIGINT AS cf FROM toks GROUP BY 1),
+tt AS (SELECT sum(cf)::BIGINT AS total FROM uni),
+bi AS (
+  SELECT a.t AS w1, b.t AS w2, count(*)::BIGINT AS c
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.c AS n,
+         floor(1000000.0 * ln((bi.c::DOUBLE * tt.total)
+                              / (u1.cf::DOUBLE * u2.cf)))::BIGINT
+           AS pmi_micro
+  FROM bi JOIN uni u1 ON u1.t = bi.w1
+          JOIN uni u2 ON u2.t = bi.w2
+          CROSS JOIN tt
+)
+SELECT bigram, n, pmi_micro
+FROM scored ORDER BY pmi_micro DESC, bigram LIMIT {PMI_TOP}
+"""
+
+
+#: convex polygon (lat, lon) vertices in micro-degrees, CCW
+GEO_POLYGON = [(-60_000_000, 140_000_000), (85_000_000, 90_000_000),
+               (70_000_000, -120_000_000), (-80_000_000, -150_000_000)]
+
+
+def geo_polygon_counts(sf_dir: str) -> pa.Table:
+    """ES ``geo_polygon`` filter: documents whose planted point falls
+    inside a convex polygon — inside iff every edge cross product
+    (x2−x1)(py−y1) − (y2−y1)(px−x1) ≥ 0 for the CCW vertex ring, all
+    int64 (coords < 2^28, products < 2^58): exact, no float geometry.
+    Same per-block derive+test+partial-count plan as geo_distance."""
+    from ray.data.aggregate import Sum
+
+    verts = GEO_POLYGON
+
+    def count(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_micro(ids)
+        inside = np.ones(len(ids), dtype=bool)
+        for i in range(len(verts)):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % len(verts)]
+            cross = ((x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1))
+            inside &= cross >= 0
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n": pa.array([int(inside.sum())], pa.int64())})
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+           .map_batches(count, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n_inside"))
+           .to_pandas())
+    return pa.table({
+        "n_inside": pa.array(out["n_inside"].astype("int64")),
+    })
+
+
+def _geo_polygon_sql() -> str:
+    lat_expr, lon_expr = _geo_sql_point()
+    conds = []
+    v = GEO_POLYGON
+    for i in range(len(v)):
+        y1, x1 = v[i]
+        y2, x2 = v[(i + 1) % len(v)]
+        conds.append(
+            f"(({x2} - {x1}) * (lat - {y1}) "
+            f"- ({y2} - {y1}) * (lon - {x1})) >= 0")
+    where = " AND ".join(conds)
+    return f"""
+WITH pts AS (SELECT {lat_expr}::BIGINT AS lat, {lon_expr}::BIGINT AS lon
+             FROM documents)
+SELECT count(*) FILTER ({where})::BIGINT AS n_inside FROM pts
+"""
+
+
 #: has_parent filter: parent (customer) account-balance threshold
 HAS_PARENT_MIN_BAL = 5000.0
 
@@ -11954,6 +12121,8 @@ def registry() -> tuple[dict, dict]:
         "matryoshka_overlap": matryoshka_overlap,
         "event_transitions": event_transitions,
         "anomaly_days": anomaly_days,
+        "top_pmi_bigrams": top_pmi_bigrams,
+        "geo_polygon_counts": geo_polygon_counts,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12173,6 +12342,8 @@ def registry() -> tuple[dict, dict]:
         "matryoshka_overlap": _matryoshka_sql(),
         "event_transitions": EVENT_TRANSITIONS_SQL,
         "anomaly_days": _anomaly_days_sql(),
+        "top_pmi_bigrams": PMI_SQL,
+        "geo_polygon_counts": _geo_polygon_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
