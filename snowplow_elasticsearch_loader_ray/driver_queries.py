@@ -9981,6 +9981,57 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: ES|QL fixture queries (the 8.11 piped query language)
+ESQL_DOCS_QUERY = (
+    'FROM documents | WHERE lang == "en" AND n_chars >= 100 | '
+    'STATS n = COUNT(*), sum_chars = SUM(n_chars), '
+    'avg_chars = AVG(n_chars), max_id = MAX(doc_id) BY source | '
+    'SORT source')
+ESQL_EVENTS_QUERY = (
+    'FROM events | WHERE event_type != "error" | '
+    'STATS n = COUNT(*), min_user = MIN(user_id), '
+    'max_user = MAX(user_id) BY event_type | SORT event_type')
+
+
+def esql_stats(sf_dir: str) -> pa.Table:
+    """ES|QL (`POST /_query`, the piped language ES ships since 8.11):
+    a FROM | WHERE | STATS..BY | SORT request parsed and compiled to
+    Ray Data operators (pipelines/esql.py — pruned columnar scan,
+    vectorized filter, groupby reduce; SUM/AVG restricted to integer
+    columns so every number is exactly SQL-replayable; unsupported
+    constructs refuse)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_DOCS_QUERY)
+
+
+ESQL_STATS_SQL = """
+SELECT source, count(*)::BIGINT AS n,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars,
+       max(doc_id)::BIGINT AS max_id
+FROM documents WHERE lang = 'en' AND n_chars >= 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def esql_events(sf_dir: str) -> pa.Table:
+    """ES|QL over the events table — the second fixture shape
+    (!= filter, MIN/MAX aggregates, BY on a keyword column)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_EVENTS_QUERY)
+
+
+ESQL_EVENTS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       min(user_id)::BIGINT AS min_user,
+       max(user_id)::BIGINT AS max_user
+FROM events WHERE event_type <> 'error'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -12123,6 +12174,8 @@ def registry() -> tuple[dict, dict]:
         "anomaly_days": anomaly_days,
         "top_pmi_bigrams": top_pmi_bigrams,
         "geo_polygon_counts": geo_polygon_counts,
+        "esql_stats": esql_stats,
+        "esql_events": esql_events,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12344,6 +12397,8 @@ def registry() -> tuple[dict, dict]:
         "anomaly_days": _anomaly_days_sql(),
         "top_pmi_bigrams": PMI_SQL,
         "geo_polygon_counts": _geo_polygon_sql(),
+        "esql_stats": ESQL_STATS_SQL,
+        "esql_events": ESQL_EVENTS_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

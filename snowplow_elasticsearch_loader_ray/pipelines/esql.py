@@ -1,0 +1,237 @@
+"""Minimal ES|QL — the piped query language Elasticsearch ships since
+8.11 (`POST /_query {"query": "FROM idx | WHERE ... | STATS ... BY ..."}`).
+
+Reference context: the loader's ES 8 consumers increasingly query
+through ES|QL rather than the `_search` DSL; this module gives the
+engine that front end over the same Parquet tables, compiled to Ray
+Data operators (columnar scan with pruning → vectorized filter →
+groupby aggregate), never row-at-a-time.
+
+Supported grammar (anything else raises :class:`UnsupportedEsql` —
+refusal, never a silently different query):
+
+    query  := FROM ident ( '|' stage )*
+    stage  := WHERE cond ( AND cond )*
+            | STATS agg ( ',' agg )* [ BY ident ( ',' ident )* ]
+            | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
+            | LIMIT int
+            | KEEP ident ( ',' ident )*
+    cond   := ident op literal          op ∈ == != >= <= > <
+    agg    := ident '=' FUNC '(' (ident|'*') ')'
+              FUNC ∈ COUNT SUM MIN MAX AVG
+
+Semantics pinned for oracle parity:
+- ``SUM``/``AVG`` accept INTEGER columns only (float sums are
+  order-dependent across a distributed reduce; refusing keeps every
+  emitted number exactly SQL-replayable). ``AVG`` is the exact integer
+  sum divided once in float64 — identical to ``sum(x)::DOUBLE /
+  count(*)``.
+- ``SORT`` / ``LIMIT`` are only accepted AFTER ``STATS`` (they then
+  order the bucket table); a raw-row SORT over the corpus is a global
+  shuffle the caller should request explicitly via the index pipeline.
+- String literals are double-quoted; numbers are int or float.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+class UnsupportedEsql(ValueError):
+    """An ES|QL construct outside the supported grammar."""
+
+
+_AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+_OPS = ("==", "!=", ">=", "<=", ">", "<")
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        raise UnsupportedEsql(f"bad literal {tok!r}")
+
+
+def parse(query: str) -> dict:
+    """Parse an ES|QL string into a plan dict; refuses anything the
+    executor cannot run exactly."""
+    stages = [s.strip() for s in query.strip().split("|")]
+    if not stages or not stages[0].upper().startswith("FROM "):
+        raise UnsupportedEsql("query must start with FROM <table>")
+    table = stages[0][5:].strip()
+    if not re.fullmatch(_IDENT, table):
+        raise UnsupportedEsql(f"bad table name {table!r}")
+    plan: dict = {"from": table, "where": [], "stats": None, "by": [],
+                  "sort": [], "limit": None, "keep": None}
+    seen_stats = False
+    for st in stages[1:]:
+        kw = st.split(None, 1)[0].upper() if st else ""
+        body = st[len(kw):].strip()
+        if kw == "WHERE":
+            if seen_stats:
+                raise UnsupportedEsql("WHERE after STATS is unsupported")
+            for cond in re.split(r"\s+AND\s+", body, flags=re.I):
+                m = re.fullmatch(
+                    rf"({_IDENT})\s*(==|!=|>=|<=|>|<)\s*(.+)", cond.strip())
+                if not m:
+                    raise UnsupportedEsql(f"bad condition {cond!r}")
+                plan["where"].append((m.group(1), m.group(2),
+                                      _literal(m.group(3))))
+        elif kw == "STATS":
+            if seen_stats:
+                raise UnsupportedEsql("one STATS stage only")
+            seen_stats = True
+            if re.search(r"\bBY\b", body, flags=re.I):
+                aggs_s, by_s = re.split(r"\bBY\b", body, maxsplit=1,
+                                        flags=re.I)
+                plan["by"] = [b.strip() for b in by_s.split(",")]
+                for b in plan["by"]:
+                    if not re.fullmatch(_IDENT, b):
+                        raise UnsupportedEsql(f"bad BY field {b!r}")
+            else:
+                aggs_s = body
+            aggs = []
+            for a in aggs_s.split(","):
+                m = re.fullmatch(
+                    rf"({_IDENT})\s*=\s*({'|'.join(_AGG_FUNCS)})"
+                    rf"\s*\(\s*(\*|{_IDENT})\s*\)", a.strip(),
+                    flags=re.I)
+                if not m:
+                    raise UnsupportedEsql(f"bad aggregate {a!r}")
+                name, func, col = m.group(1), m.group(2).upper(), m.group(3)
+                if func == "COUNT" and col != "*":
+                    raise UnsupportedEsql("COUNT supports only COUNT(*)")
+                if func != "COUNT" and col == "*":
+                    raise UnsupportedEsql(f"{func}(*) is not a thing")
+                aggs.append((name, func, col))
+            plan["stats"] = aggs
+        elif kw == "SORT":
+            if not seen_stats:
+                raise UnsupportedEsql(
+                    "SORT before STATS is a corpus shuffle — unsupported")
+            for part in body.split(","):
+                m = re.fullmatch(rf"({_IDENT})(\s+(ASC|DESC))?",
+                                 part.strip(), flags=re.I)
+                if not m:
+                    raise UnsupportedEsql(f"bad sort key {part!r}")
+                plan["sort"].append(
+                    (m.group(1), (m.group(3) or "ASC").upper()))
+        elif kw == "LIMIT":
+            if not seen_stats:
+                raise UnsupportedEsql("LIMIT before STATS is unsupported")
+            if not re.fullmatch(r"\d+", body):
+                raise UnsupportedEsql(f"bad LIMIT {body!r}")
+            plan["limit"] = int(body)
+        elif kw == "KEEP":
+            plan["keep"] = [k.strip() for k in body.split(",")]
+            for k in plan["keep"]:
+                if not re.fullmatch(_IDENT, k):
+                    raise UnsupportedEsql(f"bad KEEP field {k!r}")
+        else:
+            raise UnsupportedEsql(f"unsupported stage {st!r}")
+    if plan["stats"] is None:
+        raise UnsupportedEsql(
+            "queries without STATS return raw rows — route those through "
+            "scan_export / the search pipelines instead")
+    return plan
+
+
+def _filter_batch(batch: pa.Table, where: list) -> pa.Table:
+    mask = None
+    for col, op, lit in where:
+        c = batch[col]
+        m = {"==": pc.equal, "!=": pc.not_equal, ">=": pc.greater_equal,
+             "<=": pc.less_equal, ">": pc.greater, "<": pc.less}[op](c, lit)
+        mask = m if mask is None else pc.and_(mask, m)
+    return batch.filter(mask) if mask is not None else batch
+
+
+def execute(sf_dir: str, query: str) -> pa.Table:
+    """Run an ES|QL query over ``<sf_dir>/<table>.parquet``: pruned
+    columnar scan → vectorized WHERE → per-batch partial aggregates →
+    one groupby reduce → bucket-table SORT/LIMIT/KEEP."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    plan = parse(query)
+    cols = set(plan["by"])
+    for col, _op, _lit in plan["where"]:
+        cols.add(col)
+    for _n, func, col in plan["stats"]:
+        if col != "*":
+            cols.add(col)
+    path = os.path.join(sf_dir, plan["from"] + ".parquet")
+    if not os.path.exists(path):
+        raise UnsupportedEsql(f"unknown table {plan['from']!r}")
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    for c in sorted(cols):
+        if c not in schema.names:
+            raise UnsupportedEsql(f"unknown field {c!r}")
+    for _n, func, col in plan["stats"]:
+        if func in ("SUM", "AVG") and not pa.types.is_integer(
+                schema.field(col).type):
+            raise UnsupportedEsql(
+                f"{func}({col}): non-integer column — float sums are "
+                f"order-dependent across a distributed reduce")
+
+    ds = ray.data.read_parquet(path, columns=sorted(cols))
+    if plan["where"]:
+        where = plan["where"]
+        ds = ds.map_batches(lambda b: _filter_batch(b, where),
+                            batch_format="pyarrow")
+
+    ray_aggs, avg_of = [], {}
+    for name, func, col in plan["stats"]:
+        if func == "COUNT":
+            ray_aggs.append(Count(alias_name=name))
+        elif func == "SUM":
+            ray_aggs.append(Sum(col, alias_name=name))
+        elif func == "MIN":
+            ray_aggs.append(Min(col, alias_name=name))
+        elif func == "MAX":
+            ray_aggs.append(Max(col, alias_name=name))
+        else:                                   # AVG = exact SUM + COUNT
+            ray_aggs.append(Sum(col, alias_name=f"__sum_{name}"))
+            ray_aggs.append(Count(alias_name=f"__n_{name}"))
+            avg_of[name] = (f"__sum_{name}", f"__n_{name}")
+    grouped = (ds.groupby(plan["by"]) if plan["by"] else ds.groupby(None))
+    out = grouped.aggregate(*ray_aggs).to_pandas()
+    for name, (s, n) in avg_of.items():
+        out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
+            np.float64)
+        out = out.drop(columns=[s, n])
+    if plan["sort"]:
+        out = out.sort_values([k for k, _ in plan["sort"]],
+                              ascending=[d == "ASC"
+                                         for _, d in plan["sort"]])
+    if plan["limit"] is not None:
+        out = out.head(plan["limit"])
+    if plan["keep"]:
+        out = out[plan["keep"]]
+    order = (plan["keep"] if plan["keep"] else
+             plan["by"] + [n for n, _f, _c in plan["stats"]])
+    out = out[order].reset_index(drop=True)
+    arrays = {}
+    for c in out.columns:
+        if out[c].dtype == object:
+            arrays[c] = pa.array(out[c], pa.string())
+        elif np.issubdtype(out[c].dtype, np.floating):
+            arrays[c] = pa.array(out[c], pa.float64())
+        else:
+            arrays[c] = pa.array(out[c], pa.int64())
+    return pa.table(arrays)

@@ -1,0 +1,76 @@
+"""ES|QL front end: parse/refusal cases + executed plans vs DuckDB."""
+
+import duckdb
+import pytest
+
+from snowplow_elasticsearch_loader_ray.pipelines import esql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_shapes():
+    p = esql.parse('FROM documents | WHERE lang == "en" AND n_chars >= 100'
+                   ' | STATS n = COUNT(*), s = SUM(n_chars) BY source'
+                   ' | SORT source ASC | LIMIT 5 | KEEP source, n')
+    assert p["from"] == "documents"
+    assert p["where"] == [("lang", "==", "en"), ("n_chars", ">=", 100)]
+    assert p["stats"] == [("n", "COUNT", "*"), ("s", "SUM", "n_chars")]
+    assert p["by"] == ["source"] and p["sort"] == [("source", "ASC")]
+    assert p["limit"] == 5 and p["keep"] == ["source", "n"]
+
+
+@pytest.mark.parametrize("bad", [
+    "WHERE x == 1",                              # no FROM
+    "FROM documents",                            # no STATS (raw rows)
+    "FROM documents | SORT lang | STATS n = COUNT(*)",   # SORT pre-STATS
+    "FROM documents | STATS n = COUNT(lang)",    # COUNT(col)
+    "FROM documents | STATS n = MEDIAN(n_chars)",  # unknown func
+    "FROM documents | STATS n = SUM(*)",         # SUM(*)
+    "FROM documents | EVAL x = 1 | STATS n = COUNT(*)",  # unknown stage
+    'FROM documents | WHERE lang ~= "en" | STATS n = COUNT(*)',
+])
+def test_parse_refusals(bad):
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.parse(bad)
+
+
+def test_execute_refusals(ray_session):
+    # float SUM refuses (order-dependent), unknown field/table refuse
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM events | STATS s = SUM(value)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM documents | STATS n = SUM(nope)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM nothere | STATS n = COUNT(*)")
+
+
+def test_execute_matches_duckdb(ray_session):
+    q = ('FROM documents | WHERE lang == "en" AND n_chars >= 100 | '
+         'STATS n = COUNT(*), sum_chars = SUM(n_chars), '
+         'avg_chars = AVG(n_chars), max_id = MAX(doc_id) BY source | '
+         'SORT source')
+    got = esql.execute(SF, q).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT source, count(*)::BIGINT AS n,
+               sum(n_chars)::BIGINT AS sum_chars,
+               sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars,
+               max(doc_id)::BIGINT AS max_id
+        FROM documents WHERE lang = 'en' AND n_chars >= 100
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got.equals(want[got.columns])
+
+
+def test_execute_global_stats_no_by(ray_session):
+    got = esql.execute(
+        SF, "FROM events | STATS n = COUNT(*), u = MAX(user_id)"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute("SELECT count(*)::BIGINT AS n, "
+                       "max(user_id)::BIGINT AS u FROM events").df()
+    assert got.equals(want)
