@@ -9981,6 +9981,98 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def transform_pivot(sf_dir: str) -> pa.Table:
+    """ES ``_transform`` (continuous pivot → entity-centric index):
+    the per-user entity table a transform job maintains — event count,
+    distinct types, exact integer cents, first/last activity. One
+    groupby(user) shuffle with a vectorized per-group reduce; at scale
+    this is precisely the transform checkpoint job (the destination
+    index is this table)."""
+    import pandas as pd
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(g)],
+            "n_types": [g["event_type"].nunique()],
+            "sum_cents": [int(cents.sum())],
+            "first_ts_us": [int(ts.min().astype("datetime64[us]")
+                                .astype(np.int64))],
+            "last_ts_us": [int(ts.max().astype("datetime64[us]")
+                               .astype(np.int64))],
+        })
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "event_type", "ts",
+                                          "value"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    cols = {"user_id": pa.int64(), "n_events": pa.int64(),
+            "n_types": pa.int64(), "sum_cents": pa.int64(),
+            "first_ts_us": pa.int64(), "last_ts_us": pa.int64()}
+    return pa.table({c: pa.array(out[c], t) for c, t in cols.items()})
+
+
+TRANSFORM_PIVOT_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents,
+       min(epoch_us(ts))::BIGINT AS first_ts_us,
+       max(epoch_us(ts))::BIGINT AS last_ts_us
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def terms_by_metric(sf_dir: str) -> pa.Table:
+    """ES ``terms`` aggregation ORDERED BY A SUB-AGG metric (the
+    classic `"order": {"avg_len": "desc"}` shape): lang buckets ranked
+    by average chars — exact integer (n, sum) partials through the
+    groupby, the avg division once at rank time (sum::DOUBLE/count,
+    ties lang asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "n_chars"]).group_by("lang").aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["lang", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars"))
+           .to_pandas())
+    avg = out["sum_chars"].to_numpy(np.float64) \
+        / out["n_docs"].to_numpy(np.float64)
+    langs = np.asarray(out["lang"].to_numpy(), dtype=object)
+    order = np.lexsort((langs, -avg))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "lang": pa.array(langs[order].tolist(), pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy()[order], pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"].to_numpy()[order],
+                              pa.int64()),
+    })
+
+
+TERMS_BY_METRIC_SQL = """
+WITH b AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT row_number() OVER (
+         ORDER BY sum_chars::DOUBLE / n_docs DESC, lang)::BIGINT AS rank,
+       lang, n_docs, sum_chars
+FROM b ORDER BY rank
+"""
+
+
 #: ES|QL fixture queries (the 8.11 piped query language)
 ESQL_DOCS_QUERY = (
     'FROM documents | WHERE lang == "en" AND n_chars >= 100 | '
@@ -12176,6 +12268,8 @@ def registry() -> tuple[dict, dict]:
         "geo_polygon_counts": geo_polygon_counts,
         "esql_stats": esql_stats,
         "esql_events": esql_events,
+        "transform_pivot": transform_pivot,
+        "terms_by_metric": terms_by_metric,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12399,6 +12493,8 @@ def registry() -> tuple[dict, dict]:
         "geo_polygon_counts": _geo_polygon_sql(),
         "esql_stats": ESQL_STATS_SQL,
         "esql_events": ESQL_EVENTS_SQL,
+        "transform_pivot": TRANSFORM_PIVOT_SQL,
+        "terms_by_metric": TERMS_BY_METRIC_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -12,6 +12,7 @@ refusal, never a silently different query):
 
     query  := FROM ident ( '|' stage )*
     stage  := WHERE cond ( AND cond )*
+            | EVAL ident '=' term ( op term )*   op ∈ + - * // %
             | STATS agg ( ',' agg )* [ BY ident ( ',' ident )* ]
             | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
             | LIMIT int
@@ -19,6 +20,12 @@ refusal, never a silently different query):
     cond   := ident op literal          op ∈ == != >= <= > <
     agg    := ident '=' FUNC '(' (ident|'*') ')'
               FUNC ∈ COUNT SUM MIN MAX AVG
+
+``EVAL`` builds derived INTEGER columns (left-associative + - * // %
+over integer columns and int literals; // and % floor like numpy, the
+DuckDB parity trick is shifting operands non-negative or replaying
+with floor(a/b)) and runs before STATS so derived fields can be
+aggregated or grouped.
 
 Semantics pinned for oracle parity:
 - ``SUM``/``AVG`` accept INTEGER columns only (float sums are
@@ -75,13 +82,31 @@ def parse(query: str) -> dict:
     table = stages[0][5:].strip()
     if not re.fullmatch(_IDENT, table):
         raise UnsupportedEsql(f"bad table name {table!r}")
-    plan: dict = {"from": table, "where": [], "stats": None, "by": [],
-                  "sort": [], "limit": None, "keep": None}
+    plan: dict = {"from": table, "where": [], "evals": [], "stats": None,
+                  "by": [], "sort": [], "limit": None, "keep": None}
     seen_stats = False
     for st in stages[1:]:
         kw = st.split(None, 1)[0].upper() if st else ""
         body = st[len(kw):].strip()
-        if kw == "WHERE":
+        if kw == "EVAL":
+            if seen_stats:
+                raise UnsupportedEsql("EVAL after STATS is unsupported")
+            m = re.fullmatch(rf"({_IDENT})\s*=\s*(.+)", body)
+            if not m:
+                raise UnsupportedEsql(f"bad EVAL {body!r}")
+            name, expr = m.group(1), m.group(2)
+            toks = re.findall(rf"{_IDENT}|\d+|//|%|\+|-|\*|\S", expr)
+            if len(toks) % 2 != 1:
+                raise UnsupportedEsql(f"bad EVAL expression {expr!r}")
+            terms, ops = toks[0::2], toks[1::2]
+            for t in terms:
+                if not (re.fullmatch(_IDENT, t) or re.fullmatch(r"\d+", t)):
+                    raise UnsupportedEsql(f"bad EVAL term {t!r}")
+            for o in ops:
+                if o not in ("+", "-", "*", "//", "%"):
+                    raise UnsupportedEsql(f"bad EVAL operator {o!r}")
+            plan["evals"].append((name, terms, ops))
+        elif kw == "WHERE":
             if seen_stats:
                 raise UnsupportedEsql("WHERE after STATS is unsupported")
             for cond in re.split(r"\s+AND\s+", body, flags=re.I):
@@ -167,12 +192,18 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Min, Sum
 
     plan = parse(query)
-    cols = set(plan["by"])
+    eval_names = {name for name, _t, _o in plan["evals"]}
+    cols = set(plan["by"]) - eval_names
     for col, _op, _lit in plan["where"]:
-        cols.add(col)
-    for _n, func, col in plan["stats"]:
-        if col != "*":
+        if col not in eval_names:
             cols.add(col)
+    for _n, func, col in plan["stats"]:
+        if col != "*" and col not in eval_names:
+            cols.add(col)
+    for _name, terms, _ops in plan["evals"]:
+        for t in terms:
+            if re.fullmatch(_IDENT, t) and t not in eval_names:
+                cols.add(t)
     path = os.path.join(sf_dir, plan["from"] + ".parquet")
     if not os.path.exists(path):
         raise UnsupportedEsql(f"unknown table {plan['from']!r}")
@@ -182,14 +213,49 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     for c in sorted(cols):
         if c not in schema.names:
             raise UnsupportedEsql(f"unknown field {c!r}")
+    for _name, terms, _ops in plan["evals"]:
+        for t in terms:
+            if re.fullmatch(_IDENT, t) and t not in eval_names \
+                    and not pa.types.is_integer(schema.field(t).type):
+                raise UnsupportedEsql(
+                    f"EVAL over non-integer column {t!r}")
     for _n, func, col in plan["stats"]:
-        if func in ("SUM", "AVG") and not pa.types.is_integer(
-                schema.field(col).type):
+        if func in ("SUM", "AVG") and col not in eval_names \
+                and not pa.types.is_integer(schema.field(col).type):
             raise UnsupportedEsql(
                 f"{func}({col}): non-integer column — float sums are "
                 f"order-dependent across a distributed reduce")
 
     ds = ray.data.read_parquet(path, columns=sorted(cols))
+    if plan["evals"]:
+        evals = plan["evals"]
+
+        def add_evals(b: pa.Table) -> pa.Table:
+            for name, terms, ops in evals:
+                def val(t):
+                    if re.fullmatch(r"\d+", t):
+                        return np.int64(int(t))
+                    return b[t].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                acc = val(terms[0])
+                for o, t in zip(ops, terms[1:]):
+                    v = val(t)
+                    if o == "+":
+                        acc = acc + v
+                    elif o == "-":
+                        acc = acc - v
+                    elif o == "*":
+                        acc = acc * v
+                    elif o == "//":
+                        acc = acc // v
+                    else:
+                        acc = acc % v
+                if np.isscalar(acc) or acc.ndim == 0:
+                    acc = np.full(b.num_rows, acc, dtype=np.int64)
+                b = b.append_column(name, pa.array(acc, pa.int64()))
+            return b
+
+        ds = ds.map_batches(add_evals, batch_format="pyarrow")
     if plan["where"]:
         where = plan["where"]
         ds = ds.map_batches(lambda b: _filter_batch(b, where),

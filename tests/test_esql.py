@@ -26,7 +26,7 @@ def test_parse_shapes():
     "FROM documents | STATS n = COUNT(lang)",    # COUNT(col)
     "FROM documents | STATS n = MEDIAN(n_chars)",  # unknown func
     "FROM documents | STATS n = SUM(*)",         # SUM(*)
-    "FROM documents | EVAL x = 1 | STATS n = COUNT(*)",  # unknown stage
+    "FROM documents | GROK text p | STATS n = COUNT(*)",  # unknown stage
     'FROM documents | WHERE lang ~= "en" | STATS n = COUNT(*)',
 ])
 def test_parse_refusals(bad):
@@ -74,3 +74,29 @@ def test_execute_global_stats_no_by(ray_session):
     want = con.execute("SELECT count(*)::BIGINT AS n, "
                        "max(user_id)::BIGINT AS u FROM events").df()
     assert got.equals(want)
+
+
+def test_eval_stage(ray_session):
+    q = ('FROM documents | EVAL kb = n_chars // 100 | '
+         'WHERE kb >= 1 | STATS n = COUNT(*), s = SUM(kb) BY lang | '
+         'SORT lang')
+    got = esql.execute(SF, q).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH e AS (SELECT lang, n_chars // 100 AS kb FROM documents)
+        SELECT lang, count(*)::BIGINT AS n, sum(kb)::BIGINT AS s
+        FROM e WHERE kb >= 1 GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got.equals(want[got.columns])
+    # eval refusals: float column, malformed expr, EVAL after STATS
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM events | EVAL x = value * 2 | "
+                         "STATS n = COUNT(*)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.parse("FROM documents | EVAL x = n_chars + | "
+                   "STATS n = COUNT(*)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.parse("FROM documents | STATS n = COUNT(*) | "
+                   "EVAL x = n + 1")
