@@ -9981,6 +9981,113 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def dup_degree_hist(sf_dir: str) -> pa.Table:
+    """Near-duplicate GRAPH degree histogram (the dedup-audit
+    companion to `dup_cluster_hist`): per document, how many exact-
+    Jaccard neighbors it has over the threshold, bucketed by degree —
+    degree 0 counts the untouched corpus. Pairs come from the existing
+    distributed shingle pipeline; the degree reduce is pair-table
+    sized."""
+    pairs = jaccard_pairs(sf_dir)
+    ids = np.concatenate([
+        pairs["doc_id_a"].to_numpy(zero_copy_only=False),
+        pairs["doc_id_b"].to_numpy(zero_copy_only=False)])
+    n_docs = pq.read_metadata(_docs_path(sf_dir)).num_rows
+    if len(ids):
+        _u, deg = np.unique(ids, return_counts=True)
+        dh, dn = np.unique(deg, return_counts=True)
+    else:
+        dh, dn = np.empty(0, np.int64), np.empty(0, np.int64)
+    degs = [0] + dh.tolist()
+    counts = [n_docs - int(dn.sum())] + dn.tolist()
+    return pa.table({
+        "degree": pa.array(degs, pa.int64()),
+        "n_docs": pa.array(counts, pa.int64()),
+    })
+
+
+def _dup_degree_sql() -> str:
+    return f"""
+WITH pairs AS ({JACCARD_PAIRS_SQL}),
+deg AS (
+  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+    SELECT doc_id_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_id_b FROM pairs
+  ) GROUP BY 1
+),
+hist AS (SELECT degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY 1)
+SELECT 0::BIGINT AS degree,
+       ((SELECT count(*) FROM documents)
+        - coalesce((SELECT sum(n_docs) FROM hist), 0))::BIGINT AS n_docs
+UNION ALL
+SELECT degree, n_docs FROM hist
+"""
+
+
+#: mixture planning: α=0.5 temperature, budget = 2× corpus tokens,
+#: at most 4 epochs of any source
+MIX_BUDGET_X = 2
+MIX_MAX_EPOCHS_MICRO = 4_000_000
+
+
+def mixture_epochs(sf_dir: str) -> pa.Table:
+    """Training-mixture epoch planning (the DoReMi/temperature-
+    sampling accounting table): per source, its token count, the
+    α=0.5-smoothed quota out of a 2×-corpus token budget, and the
+    implied epochs (capped at 4). One float op per source (sqrt —
+    correctly-rounded IEEE on both sides), everything else exact
+    integers: w = floor(1e6·√tok), quota = T·w // Σw, epochs_micro =
+    min(cap, 1e6·quota // tok). Token counts reduce distributed; the
+    plan is n_sources rows."""
+    from ray.data.aggregate import Sum
+    from .tokenizer import tokenize_to_terms
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        rows = idx.to_numpy(zero_copy_only=False)
+        n = np.bincount(rows, minlength=b.num_rows).astype(np.int64)
+        t = pa.table({"source": b["source"], "tok": pa.array(n)})
+        g = t.group_by("source").aggregate([("tok", "sum")])
+        return g.rename_columns(["source", "tok"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("tok", alias_name="tok"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    tok = [int(x) for x in out["tok"]]
+    w = [int(np.floor(1e6 * np.sqrt(t))) for t in tok]
+    sw = sum(w)
+    T = MIX_BUDGET_X * sum(tok)
+    quota = [T * wi // sw for wi in w]
+    ep = [min(MIX_MAX_EPOCHS_MICRO, 1_000_000 * q // t)
+          for q, t in zip(quota, tok)]
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_tokens": pa.array(tok, pa.int64()),
+        "quota_tokens": pa.array(quota, pa.int64()),
+        "epochs_micro": pa.array(ep, pa.int64()),
+    })
+
+
+MIXTURE_EPOCHS_SQL = f"""
+WITH s AS (
+  SELECT source, sum(len({TOK_SQL}))::BIGINT AS tok
+  FROM documents GROUP BY 1
+),
+w AS (SELECT source, tok,
+             floor(1000000.0 * sqrt(tok::DOUBLE))::BIGINT AS w FROM s),
+tot AS (SELECT sum(w)::BIGINT AS sw,
+               {MIX_BUDGET_X} * sum(tok)::BIGINT AS t FROM w)
+SELECT source, tok AS n_tokens,
+       (tot.t * w // tot.sw)::BIGINT AS quota_tokens,
+       least({MIX_MAX_EPOCHS_MICRO},
+             1000000 * (tot.t * w // tot.sw) // tok)::BIGINT
+         AS epochs_micro
+FROM w, tot ORDER BY source
+"""
+
+
 def transform_pivot(sf_dir: str) -> pa.Table:
     """ES ``_transform`` (continuous pivot → entity-centric index):
     the per-user entity table a transform job maintains — event count,
@@ -12270,6 +12377,8 @@ def registry() -> tuple[dict, dict]:
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
+        "dup_degree_hist": dup_degree_hist,
+        "mixture_epochs": mixture_epochs,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12495,6 +12604,8 @@ def registry() -> tuple[dict, dict]:
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,
+        "dup_degree_hist": _dup_degree_sql(),
+        "mixture_epochs": MIXTURE_EPOCHS_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
