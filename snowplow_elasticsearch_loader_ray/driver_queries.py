@@ -9981,6 +9981,82 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def cluster_label_purity(sf_dir: str) -> pa.Table:
+    """Clustering evaluation against ground truth (the corpus-map QA
+    table): per k-means cluster, its size, majority true label and
+    purity (1e6·majority//size — integer). Assignments are the
+    oracle-pinned exact-integer k-means; the label join is
+    assignment-table-sized."""
+    asg = kmeans_clusters(sf_dir).to_pandas()[["vec_id", "cluster"]]
+    lab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "label"]).to_pandas()
+    m = asg.merge(lab, on="vec_id")
+    g = (m.groupby(["cluster", "label"], as_index=False)
+         .agg(n=("vec_id", "size"))
+         .sort_values(["cluster", "n", "label"],
+                      ascending=[True, False, True]))
+    best = g.drop_duplicates("cluster", keep="first")
+    tot = m.groupby("cluster", as_index=False).agg(size=("vec_id",
+                                                         "size"))
+    out = best.merge(tot, on="cluster").sort_values("cluster") \
+        .reset_index(drop=True)
+    return pa.table({
+        "cluster": pa.array(out["cluster"], pa.int64()),
+        "size": pa.array(out["size"], pa.int64()),
+        "majority_label": pa.array(out["label"], pa.int64()),
+        "purity_micro": pa.array(
+            (1_000_000 * out["n"] // out["size"]).astype("int64")),
+    })
+
+
+def _cluster_purity_sql() -> str:
+    return f"""
+WITH a AS ({_kmeans_sql()}),
+j AS (
+  SELECT a.cluster, e.label, count(*)::BIGINT AS n
+  FROM a JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+),
+tot AS (SELECT cluster, sum(n)::BIGINT AS size FROM j GROUP BY 1),
+best AS (
+  SELECT cluster, label, n FROM j
+  QUALIFY row_number() OVER (PARTITION BY cluster
+                             ORDER BY n DESC, label) = 1
+)
+SELECT b.cluster::BIGINT AS cluster, t.size,
+       b.label::BIGINT AS majority_label,
+       (1000000 * b.n // t.size)::BIGINT AS purity_micro
+FROM best b JOIN tot t USING (cluster) ORDER BY 1
+"""
+
+
+def langid_confusion(sf_dir: str) -> pa.Table:
+    """Classifier evaluation as a confusion matrix: the marker-based
+    language-ID heuristic's predictions against the corpus's true
+    lang column — (true, predicted, n). Prediction is the
+    oracle-pinned `lang_id` pipeline; the join is result-sized."""
+    pred = langid(sf_dir).to_pandas()[["doc_id", "pred_lang"]]
+    true = pq.read_table(_docs_path(sf_dir),
+                         columns=["doc_id", "lang"]).to_pandas()
+    m = pred.merge(true, on="doc_id")
+    g = (m.groupby(["lang", "pred_lang"], as_index=False)
+         .agg(n=("doc_id", "size"))
+         .sort_values(["lang", "pred_lang"]).reset_index(drop=True))
+    return pa.table({
+        "true_lang": pa.array(g["lang"], pa.string()),
+        "pred_lang": pa.array(g["pred_lang"], pa.string()),
+        "n": pa.array(g["n"], pa.int64()),
+    })
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH p AS ({_lang_id_sql()})
+SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n
+FROM p JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def dup_degree_hist(sf_dir: str) -> pa.Table:
     """Near-duplicate GRAPH degree histogram (the dedup-audit
     companion to `dup_cluster_hist`): per document, how many exact-
@@ -12379,6 +12455,8 @@ def registry() -> tuple[dict, dict]:
         "terms_by_metric": terms_by_metric,
         "dup_degree_hist": dup_degree_hist,
         "mixture_epochs": mixture_epochs,
+        "cluster_label_purity": cluster_label_purity,
+        "langid_confusion": langid_confusion,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12606,6 +12684,8 @@ def registry() -> tuple[dict, dict]:
         "terms_by_metric": TERMS_BY_METRIC_SQL,
         "dup_degree_hist": _dup_degree_sql(),
         "mixture_epochs": MIXTURE_EPOCHS_SQL,
+        "cluster_label_purity": _cluster_purity_sql(),
+        "langid_confusion": _langid_confusion_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
