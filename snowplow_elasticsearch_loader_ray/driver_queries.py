@@ -10029,6 +10029,112 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+def cluster_silhouette(sf_dir: str) -> pa.Table:
+    """Squared-distance silhouette of the k-means clustering (the
+    moment-computable silhouette variant): mean SQUARED distance from
+    point i to cluster C is (n_C·‖x‖² − 2·x·S_C + Q_C)/n_C with
+    S_C = Σy (integer vector) and Q_C = Σ‖y‖² — so a(i)/b(i) come from
+    per-cluster INTEGER moments, no pairwise pass at any scale (the
+    reason the squared variant is the distributed one). a divides by
+    n_own−1 (self excluded, a zero term), singleton clusters score 0;
+    s_micro = floor(1e6·(b−a)/max(a,b))."""
+    from .pipelines.cluster import quantize
+
+    asg = kmeans_clusters(sf_dir).to_pandas()[["vec_id", "cluster"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    order = pc.sort_indices(emb["vec_id"])
+    emb = emb.take(order)
+    assert emb["vec_id"].to_numpy(zero_copy_only=False).tolist() \
+        == asg["vec_id"].tolist()
+    x = quantize(np.array(emb["embedding"].to_pylist(), dtype=np.float64))
+    cl = asg["cluster"].to_numpy()
+    k = int(cl.max()) + 1
+    n_c = np.bincount(cl, minlength=k).astype(np.int64)
+    S = np.zeros((k, x.shape[1]), np.int64)
+    np.add.at(S, cl, x)
+    x2 = (x * x).sum(axis=1)
+    Q = np.zeros(k, np.int64)
+    np.add.at(Q, cl, x2)
+    # total squared distance from each point to every cluster's members
+    tot = (np.outer(x2, n_c) - 2 * (x @ S.T) + Q[None, :])
+    ids = asg["vec_id"].to_numpy()
+    s_micro = np.zeros(len(ids), np.int64)
+    for i in range(len(ids)):
+        own = cl[i]
+        if n_c[own] <= 1:
+            continue
+        a = tot[i, own] / (n_c[own] - 1)
+        others = [tot[i, c] / n_c[c] for c in range(k)
+                  if c != own and n_c[c] > 0]
+        b = min(others)
+        if max(a, b) > 0:
+            s_micro[i] = int(np.floor(1e6 * (b - a) / max(a, b)))
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cl, pa.int64()),
+        "s_micro": pa.array(s_micro),
+    })
+
+
+def _silhouette_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    return f"""
+WITH a AS ({_kmeans_sql()}),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT a.cluster, t.i AS d, sum(v.q[t.i])::BIGINT AS s
+  FROM a JOIN qv v USING (vec_id), range(1, 65) t(i)
+  GROUP BY 1, 2
+),
+svec AS (SELECT cluster, list(s ORDER BY d) AS sv FROM dims GROUP BY 1),
+mom AS (
+  SELECT a.cluster, count(*)::BIGINT AS n,
+         sum(list_sum(list_transform(range(1, len(v.q) + 1),
+                                     i -> v.q[i] * v.q[i])))::BIGINT AS qq
+  FROM a JOIN qv v USING (vec_id) GROUP BY 1
+),
+pt AS (
+  SELECT v.vec_id, a.cluster AS own,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                                 i -> v.q[i] * v.q[i]))::BIGINT AS x2,
+         v.q
+  FROM a JOIN qv v USING (vec_id)
+),
+tot AS (
+  SELECT pt.vec_id, pt.own, m.cluster AS c, m.n,
+         (m.n * pt.x2
+          - 2 * list_sum(list_transform(range(1, len(pt.q) + 1),
+                                        i -> pt.q[i] * s.sv[i]))
+          + m.qq)::BIGINT AS t
+  FROM pt JOIN mom m ON true JOIN svec s ON s.cluster = m.cluster
+),
+ab AS (
+  SELECT vec_id, own,
+         max(CASE WHEN c = own AND n > 1
+                  THEN t::DOUBLE / (n - 1) END) AS a_val,
+         min(CASE WHEN c <> own AND n > 0
+                  THEN t::DOUBLE / n END) AS b_val,
+         max(CASE WHEN c = own THEN n END) AS n_own
+  FROM tot GROUP BY 1, 2
+)
+SELECT vec_id, own::BIGINT AS cluster,
+       CASE WHEN n_own <= 1 OR greatest(a_val, b_val) <= 0 THEN 0
+            ELSE floor(1000000.0 * (b_val - a_val)
+                       / greatest(a_val, b_val))::BIGINT
+       END AS s_micro
+FROM ab ORDER BY vec_id
+"""
+
+
 def langid_confusion(sf_dir: str) -> pa.Table:
     """Classifier evaluation as a confusion matrix: the marker-based
     language-ID heuristic's predictions against the corpus's true
@@ -12457,6 +12563,7 @@ def registry() -> tuple[dict, dict]:
         "mixture_epochs": mixture_epochs,
         "cluster_label_purity": cluster_label_purity,
         "langid_confusion": langid_confusion,
+        "cluster_silhouette": cluster_silhouette,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12686,6 +12793,7 @@ def registry() -> tuple[dict, dict]:
         "mixture_epochs": MIXTURE_EPOCHS_SQL,
         "cluster_label_purity": _cluster_purity_sql(),
         "langid_confusion": _langid_confusion_sql(),
+        "cluster_silhouette": _silhouette_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -262,6 +262,26 @@ def delete_snapshot(repo_dir: str, name: str) -> None:
     os.remove(p)
 
 
+def slm_retain(repo_dir: str, keep_last: int,
+               grace_s: float = 15 * 60) -> dict:
+    """ES SLM retention (`slm.retention` with ``max_count``): keep the
+    newest ``keep_last`` committed snapshots — ordered by
+    (committed_at, name), name breaking the 1-second timestamp ties
+    deterministically — delete the rest, then gc unreferenced blobs
+    (content-addressing means a blob shared with a kept snapshot
+    survives). Returns kept/deleted names + the gc counters."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (retain something)")
+    snaps = mf.load_all(os.path.join(repo_dir, "snapshots"))
+    order = sorted(snaps, key=lambda n: (snaps[n].get("committed_at", ""),
+                                         n))
+    doomed = order[:-keep_last] if len(order) > keep_last else []
+    for name in doomed:
+        delete_snapshot(repo_dir, name)
+    gc = gc_repository(repo_dir, grace_s=grace_s)
+    return {"kept": order[len(doomed):], "deleted": doomed, **gc}
+
+
 def gc_repository(repo_dir: str, grace_s: float = 15 * 60) -> dict:
     """Remove blobs referenced by no committed snapshot; → counts.
 

@@ -200,3 +200,36 @@ def test_restored_live_chain_keeps_stored_source(ray_session, tmp_path):
     assert r["n_docs"] == 2
     s = LiveIndex(restored, CFG).searcher()
     assert sorted(s.topk("zznew", 10)[0].tolist()) == [1, 2]
+
+
+def test_slm_retention_keeps_newest(ray_session, tmp_path):
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        restore_incremental, slm_retain, snapshot_incremental,
+    )
+
+    idx = str(tmp_path / "idx")
+    B.build_index(DOCS, idx, CFG)
+    repo = str(tmp_path / "repo")
+    for name in ("snap-001", "snap-002", "snap-003"):
+        snapshot_incremental(idx, repo, name)
+
+    out = slm_retain(repo, keep_last=2, grace_s=0)
+    assert out["deleted"] == ["snap-001"]
+    assert out["kept"] == ["snap-002", "snap-003"]
+    # content addressing: the kept snapshots still reference every blob
+    assert out["blobs_removed"] == 0
+    # the newest snapshot still restore-verifies after retention
+    restored = str(tmp_path / "restored")
+    r = restore_incremental(repo, "snap-003", restored)
+    assert r["segments"] > 0
+    d1, s1 = QueryEngine(idx).topk("the data", 10)
+    d2, s2 = QueryEngine(restored).topk("the data", 10)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    # deleted snapshot is gone
+    with pytest.raises(ValueError, match="no snapshot"):
+        restore_incremental(repo, "snap-001", str(tmp_path / "nope"))
+    # retaining 1 of the remaining 2 keeps only snap-003
+    out2 = slm_retain(repo, keep_last=1, grace_s=0)
+    assert out2["deleted"] == ["snap-002"] and out2["kept"] == ["snap-003"]
+    with pytest.raises(ValueError):
+        slm_retain(repo, keep_last=0)
