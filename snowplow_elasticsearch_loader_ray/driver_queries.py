@@ -10029,6 +10029,168 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+#: PageRank over the near-dup graph: damping 85/100, 3 iterations,
+#: everything integer micro-units (floored at every step so the
+#: trajectory is exactly SQL-replayable)
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = 150_000  # floor(0.15 * 1e6)
+
+
+def dup_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the near-duplicate pair graph (the canonical-
+    document / authority signal a dedup pipeline can rank survivors
+    by): 3 power iterations in INTEGER micro-units — per-edge
+    contribution r_u // deg_u, update r'_v = 150000 +
+    85·Σcontrib // 100 — every floor lands identically in the unrolled
+    SQL CTEs. The pair generation is the existing distributed shingle
+    pipeline; iterations are edge-table-sized."""
+    pairs = jaccard_pairs(sf_dir)
+    a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    at = {int(v): j for j, v in enumerate(nodes)}
+    si = np.array([at[int(v)] for v in src], np.int64)
+    di = np.array([at[int(v)] for v in dst], np.int64)
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), 1_000_000, np.int64)
+    for _ in range(PR_ITERS):
+        contrib = r[si] // deg[si]
+        acc = np.zeros(len(nodes), np.int64)
+        np.add.at(acc, di, contrib)
+        r = PR_BASE + PR_DAMP_NUM * acc // PR_DAMP_DEN
+    order = np.argsort(nodes)
+    return pa.table({
+        "doc_id": pa.array(nodes[order], pa.int64()),
+        "degree": pa.array(deg[order], pa.int64()),
+        "rank_micro": pa.array(r[order], pa.int64()),
+    })
+
+
+def _dup_pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.doc_id,
+         ({PR_BASE} + {PR_DAMP_NUM} * coalesce(s.acc, 0)
+                      // {PR_DAMP_DEN})::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.r // d.deg)::BIGINT AS acc
+    FROM edges e
+    JOIN {prev} p ON p.doc_id = e.src
+    JOIN deg d ON d.doc_id = e.src
+    GROUP BY 1
+  ) s USING (doc_id)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS ({JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id, 1000000::BIGINT AS r FROM nodes),{",".join(iters)}
+SELECT n.doc_id, d.deg AS degree, p.r AS rank_micro
+FROM nodes n JOIN deg d USING (doc_id) JOIN {prev} p USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+def dup_triangles(sf_dir: str) -> pa.Table:
+    """Triangle count of the near-dup graph (the clustering-coefficient
+    numerator — how clique-ish the duplicate neighborhoods are): exact
+    count over ordered edge pairs. Pair generation is distributed; the
+    count is edge-table work (per-edge neighbor intersection — the
+    standard MR triangle plan at scale)."""
+    pairs = jaccard_pairs(sf_dir)
+    a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
+    edges = set(zip(a.tolist(), b.tolist()))
+    n_tri = 0
+    for (x, y) in edges:
+        for (p, q) in edges:
+            if p == y and (x, q) in edges:
+                n_tri += 1
+    return pa.table({
+        "n_edges": pa.array([len(edges)], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+    })
+
+
+def _dup_triangles_sql() -> str:
+    return f"""
+WITH pairs AS ({JACCARD_PAIRS_SQL}),
+e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)::BIGINT AS n_triangles
+"""
+
+
+#: Bloom-dedup fixture: filter sizing + the two Knuth-ish hash rows
+BLOOM_M = 512
+BLOOM_MULS = (2_654_435_761, 2_246_822_519, 3_266_489_917)
+BLOOM_MOD = 2**32
+
+
+def bloom_dedup_stats(sf_dir: str) -> pa.Table:
+    """Bloom-filter dedup accounting (the Dolma-style at-scale exact
+    dedup front line): insert the EVEN doc_ids' content keys into an
+    m={BLOOM_M}, k=3 filter (multiplicative hashes — exactly
+    replayable in SQL), probe the ODD ids, and report the exact
+    true-negative / false-positive split (no odd key repeats an even
+    key in this corpus, so every probe hit is a false positive). The
+    filter is a 4 KiB bitset — the broadcast-once structure the real
+    pipeline ships to every worker."""
+    ids = pq.read_table(_docs_path(sf_dir), columns=["doc_id"]) \
+        ["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ins = ids[ids % 2 == 0]
+    probe = ids[ids % 2 == 1]
+    shift = BLOOM_MOD // BLOOM_M   # take the HIGH bits (Knuth): the
+    # low bits of odd-multiplier products preserve the id's parity and
+    # would structurally separate even inserts from odd probes
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for mul in BLOOM_MULS:
+        bits[(ins * mul) % BLOOM_MOD // shift] = True
+    hit = np.ones(len(probe), dtype=bool)
+    for mul in BLOOM_MULS:
+        hit &= bits[(probe * mul) % BLOOM_MOD // shift]
+    return pa.table({
+        "n_inserted": pa.array([len(ins)], pa.int64()),
+        "n_probed": pa.array([len(probe)], pa.int64()),
+        "n_false_positives": pa.array([int(hit.sum())], pa.int64()),
+    })
+
+
+def _bloom_sql() -> str:
+    shift = BLOOM_MOD // BLOOM_M
+    set_legs = " UNION ".join(
+        f"SELECT (doc_id * {mul}) % {BLOOM_MOD} // {shift} AS bit "
+        f"FROM documents WHERE doc_id % 2 = 0" for mul in BLOOM_MULS)
+    probes = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE bit = "
+        f"(d.doc_id * {mul}) % {BLOOM_MOD} // {shift})"
+        for mul in BLOOM_MULS)
+    return f"""
+WITH bits AS ({set_legs})
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT
+         AS n_inserted,
+       (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT
+         AS n_probed,
+       (SELECT count(*) FROM documents d
+        WHERE d.doc_id % 2 = 1 AND {probes})::BIGINT
+         AS n_false_positives
+"""
+
+
 def cluster_silhouette(sf_dir: str) -> pa.Table:
     """Squared-distance silhouette of the k-means clustering (the
     moment-computable silhouette variant): mean SQUARED distance from
@@ -12564,6 +12726,9 @@ def registry() -> tuple[dict, dict]:
         "cluster_label_purity": cluster_label_purity,
         "langid_confusion": langid_confusion,
         "cluster_silhouette": cluster_silhouette,
+        "dup_pagerank": dup_pagerank,
+        "dup_triangles": dup_triangles,
+        "bloom_dedup_stats": bloom_dedup_stats,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12794,6 +12959,9 @@ def registry() -> tuple[dict, dict]:
         "cluster_label_purity": _cluster_purity_sql(),
         "langid_confusion": _langid_confusion_sql(),
         "cluster_silhouette": _silhouette_sql(),
+        "dup_pagerank": _dup_pagerank_sql(),
+        "dup_triangles": _dup_triangles_sql(),
+        "bloom_dedup_stats": _bloom_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
