@@ -10029,6 +10029,163 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+#: priority sampling: keep this many docs, weighted by doclen
+WSAMPLE_K = 40
+WSAMPLE_MUL = 2_654_435_761
+WSAMPLE_MOD = 2**32
+
+
+def weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sampling (priority/bottom-k sampling —
+    the quality- or length-weighted subset selection a curriculum
+    builder runs): key = hash(doc_id) // weight, keep the k smallest
+    keys (ties doc_id asc) — heavier docs draw proportionally smaller
+    keys, all integer. Per-block bottom-k partials, k-row reduce; the
+    weight here is doclen straight from the tokenizer pass."""
+    from .tokenizer import tokenize_to_terms
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, idx = tokenize_to_terms(b["text"])
+        rows = idx.to_numpy(zero_copy_only=False)
+        w = np.bincount(rows, minlength=b.num_rows).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        key = (ids * WSAMPLE_MUL) % WSAMPLE_MOD // w
+        top = np.lexsort((ids, key))[:WSAMPLE_K]
+        return pa.table({"doc_id": pa.array(ids[top]),
+                         "doclen": pa.array(w[top]),
+                         "key": pa.array(key[top])})
+
+    parts = pa.concat_tables(list(
+        ray.data.read_parquet(_docs_path(sf_dir),
+                              columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ids = parts["doc_id"].to_numpy(zero_copy_only=False)
+    w = parts["doclen"].to_numpy(zero_copy_only=False)
+    key = parts["key"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((ids, key))[:WSAMPLE_K]
+    order = np.argsort(ids[top])
+    return pa.table({
+        "doc_id": pa.array(ids[top][order].astype(np.int64)),
+        "doclen": pa.array(w[top][order].astype(np.int64)),
+    })
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, len({TOK_SQL})::BIGINT AS doclen FROM documents
+  WHERE len({TOK_SQL}) > 0
+),
+keyed AS (
+  SELECT doc_id, doclen,
+         (doc_id * {WSAMPLE_MUL}) % {WSAMPLE_MOD} // doclen AS key
+  FROM w
+)
+SELECT doc_id, doclen FROM keyed
+ORDER BY key, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
+def weekday_profile(sf_dir: str) -> pa.Table:
+    """Weekly seasonality profile (the periodicity table behind rate
+    alerts): events bucketed by day-of-week — counts and the
+    floor-micro mean per weekday occurrence (n / n_distinct_days).
+    Rides the daily-count reduce; the profile is 7 rows."""
+    out = _daily_counts(sf_dir)
+    days = np.array(out["day"].tolist(), dtype="datetime64[D]")
+    dow = ((days.astype(np.int64) + 4) % 7).astype(np.int64)  # epoch=Thu
+    n = out["n"].to_numpy().astype(np.int64)
+    rows = []
+    for d in range(7):
+        m = dow == d
+        if not m.any():
+            continue
+        tot, nd = int(n[m].sum()), int(m.sum())
+        rows.append((d, nd, tot,
+                     int(np.floor(1e6 * (tot / nd)))))
+    return pa.table({
+        "dow": pa.array([r[0] for r in rows], pa.int64()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "n_events": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _weekday_profile_sql() -> str:
+    return f"""
+WITH {DAILY_COUNTS_CTE},
+p AS (
+  SELECT dayofweek(day::DATE)::BIGINT AS dow,
+         count(*)::BIGINT AS n_days, sum(n)::BIGINT AS n_events
+  FROM d GROUP BY 1
+)
+SELECT dow, n_days, n_events,
+       floor(1000000.0 * (n_events::DOUBLE / n_days))::BIGINT
+         AS mean_micro
+FROM p ORDER BY dow
+"""
+
+
+def source_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of the per-source token distribution (the
+    mixture-imbalance diagnostic): exact integer rank-weighted sums,
+    G = (2·Σ i·x_(i) / (n·Σx) − (n+1)/n) in floor-micro — sources
+    sorted by (tokens, name) so the rank assignment is deterministic.
+    The token reduce is distributed; the Gini is n_sources rows of
+    arithmetic."""
+    from ray.data.aggregate import Sum
+    from .tokenizer import tokenize_to_terms
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        rows = idx.to_numpy(zero_copy_only=False)
+        n = np.bincount(rows, minlength=b.num_rows).astype(np.int64)
+        t = pa.table({"source": b["source"], "tok": pa.array(n)})
+        g = t.group_by("source").aggregate([("tok", "sum")])
+        return g.rename_columns(["source", "tok"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("tok", alias_name="tok"))
+           .to_pandas())
+    srcs = np.asarray(out["source"].to_numpy(), dtype=object)
+    tok = out["tok"].to_numpy().astype(np.int64)
+    order = np.lexsort((srcs, tok))
+    x = tok[order]
+    n = len(x)
+    total = int(x.sum())
+    ranked = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini = 2.0 * ranked / (n * total) - (n + 1) / n
+    return pa.table({
+        "n_sources": pa.array([n], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "gini_micro": pa.array([int(np.floor(1e6 * gini))], pa.int64()),
+    })
+
+
+SOURCE_GINI_SQL = f"""
+WITH s AS (
+  SELECT source, sum(len({TOK_SQL}))::BIGINT AS tok
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT tok, row_number() OVER (ORDER BY tok, source) AS i FROM s
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(tok)::BIGINT AS total,
+         sum(i * tok)::BIGINT AS ranked
+  FROM r
+)
+SELECT n AS n_sources, total AS total_tokens,
+       floor(1000000.0 * (2.0 * ranked / (n * total)
+                          - (n + 1)::DOUBLE / n))::BIGINT AS gini_micro
+FROM agg
+"""
+
+
 #: PageRank over the near-dup graph: damping 85/100, 3 iterations,
 #: everything integer micro-units (floored at every step so the
 #: trajectory is exactly SQL-replayable)
@@ -12729,6 +12886,9 @@ def registry() -> tuple[dict, dict]:
         "dup_pagerank": dup_pagerank,
         "dup_triangles": dup_triangles,
         "bloom_dedup_stats": bloom_dedup_stats,
+        "weighted_sample": weighted_sample,
+        "weekday_profile": weekday_profile,
+        "source_gini": source_gini,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -12962,6 +13122,9 @@ def registry() -> tuple[dict, dict]:
         "dup_pagerank": _dup_pagerank_sql(),
         "dup_triangles": _dup_triangles_sql(),
         "bloom_dedup_stats": _bloom_sql(),
+        "weighted_sample": WEIGHTED_SAMPLE_SQL,
+        "weekday_profile": _weekday_profile_sql(),
+        "source_gini": SOURCE_GINI_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
