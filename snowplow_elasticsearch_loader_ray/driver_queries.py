@@ -10029,6 +10029,132 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+#: late interaction: vectors group into pseudo-docs of this many
+#: "token" vectors; the first N_LI_QUERIES groups are the queries
+LI_GROUP = 4
+N_LI_QUERIES = 5
+LI_TOPK = 5
+
+
+def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
+    """Late-interaction retrieval (ColBERT MaxSim): documents are BAGS
+    of token vectors (here vec_id//{LI_GROUP} groups of the embedding
+    table) and score(q, d) = Σ over q's token vectors of max over d's
+    token vectors of the dot product — all integer over the quantized
+    grid, so the approximate-free ranking carries a full value oracle.
+    Distributed plan: per-block integer dots against the broadcast
+    query bag → per-block partial (group, qtok) MAXes → one groupby
+    Max → one groupby Sum → tiny top-k; token vectors never co-locate
+    by group, which is the property that makes MaxSim shardable."""
+    from ray.data.aggregate import Max, Sum
+    from .pipelines.cluster import quantize
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    order = pc.sort_indices(emb["vec_id"])
+    ids_all = emb["vec_id"].take(order).to_numpy(zero_copy_only=False)
+    qmask = ids_all // LI_GROUP < N_LI_QUERIES
+    qids = ids_all[qmask]
+    qvecs = quantize(np.array(
+        emb["embedding"].take(order).to_pylist(), dtype=np.float64)
+        [qmask])
+    q_ref = ray.put((qids, qvecs))
+
+    class _Dots:
+        def __init__(self):
+            self.qids, self.qv = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = quantize(np.array(b["embedding"].to_pylist(),
+                                  dtype=np.float64))
+            ids = b["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dots = x @ self.qv.T                    # (n, n_qtok) int64
+            grp = ids // LI_GROUP
+            # per-block partial max per (group, query token)
+            u, inv = np.unique(grp, return_inverse=True)
+            part = np.full((len(u), dots.shape[1]), np.iinfo(np.int64).min,
+                           np.int64)
+            np.maximum.at(part, inv, dots)
+            g = np.repeat(u, dots.shape[1])
+            qt = np.tile(self.qids, len(u))
+            return pa.table({
+                "grp": pa.array(g, pa.int64()),
+                "qtok": pa.array(qt, pa.int64()),
+                "m": pa.array(part.reshape(-1)),
+            })
+
+    maxes = (ray.data.read_parquet(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"])
+             .map_batches(_Dots, batch_format="pyarrow",
+                          concurrency=(1, 2))
+             .groupby(["grp", "qtok"]).aggregate(Max("m", alias_name="m")))
+
+    def to_qgroup(b: pa.Table) -> pa.Table:
+        qt = b["qtok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grp": b["grp"],
+            "qid": pa.array(qt // LI_GROUP, pa.int64()),
+            "m": b["m"],
+        })
+
+    scores = (maxes.map_batches(to_qgroup, batch_format="pyarrow")
+              .groupby(["qid", "grp"]).aggregate(Sum("m",
+                                                     alias_name="score"))
+              .to_pandas())
+    out_q, out_r, out_g, out_s = [], [], [], []
+    for qid in range(N_LI_QUERIES):
+        sub = scores[scores["qid"] == qid]
+        g = sub["grp"].to_numpy(np.int64)
+        s = sub["score"].to_numpy(np.int64)
+        top = np.lexsort((g, -s))[:LI_TOPK]
+        out_q.extend([qid] * len(top))
+        out_r.extend(range(1, len(top) + 1))
+        out_g.extend(g[top].tolist())
+        out_s.extend(s[top].tolist())
+    return pa.table({
+        "qid": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "group_id": pa.array(out_g, pa.int64()),
+        "score_int": pa.array(out_s, pa.int64()),
+    })
+
+
+def _colbert_sql() -> str:
+    from .pipelines.cluster import KM_OFFSET, KM_SCALE
+
+    return f"""
+WITH qv AS (
+  SELECT vec_id, vec_id // {LI_GROUP} AS grp,
+         list_transform(embedding,
+           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
+                + {KM_OFFSET}) AS q
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qtok, grp AS qid, q AS qq FROM qv
+       WHERE grp < {N_LI_QUERIES}),
+dots AS (
+  SELECT qs.qid, qs.qtok, v.grp,
+         max(list_sum(list_transform(range(1, len(v.q) + 1),
+                                     i -> v.q[i] * qs.qq[i])))::BIGINT
+           AS m
+  FROM qv v, qs GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT qid, grp, sum(m)::BIGINT AS score FROM dots GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, grp, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, grp) AS rank
+  FROM scores
+)
+SELECT qid, rank::BIGINT AS rank, grp AS group_id, score AS score_int
+FROM ranked WHERE rank <= {LI_TOPK}
+"""
+
+
 #: priority sampling: keep this many docs, weighted by doclen
 WSAMPLE_K = 40
 WSAMPLE_MUL = 2_654_435_761
@@ -12889,6 +13015,7 @@ def registry() -> tuple[dict, dict]:
         "weighted_sample": weighted_sample,
         "weekday_profile": weekday_profile,
         "source_gini": source_gini,
+        "colbert_maxsim_topk": colbert_maxsim_topk,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -13125,6 +13252,7 @@ def registry() -> tuple[dict, dict]:
         "weighted_sample": WEIGHTED_SAMPLE_SQL,
         "weekday_profile": _weekday_profile_sql(),
         "source_gini": SOURCE_GINI_SQL,
+        "colbert_maxsim_topk": _colbert_sql(),
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
