@@ -10036,6 +10036,14 @@ N_LI_QUERIES = 5
 LI_TOPK = 5
 
 
+def _li_quant(emb: np.ndarray) -> np.ndarray:
+    """CENTERED micro-quantization for similarity scoring:
+    floor(e·1e6) with NO positivity offset — the k-means offset would
+    dominate every dot product (all-positive vectors make MaxSim rank
+    by vector mass, not direction). Signed int64 dots stay exact."""
+    return np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+
+
 def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
     """Late-interaction retrieval (ColBERT MaxSim): documents are BAGS
     of token vectors (here vec_id//{LI_GROUP} groups of the embedding
@@ -10047,7 +10055,6 @@ def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
     Max → one groupby Sum → tiny top-k; token vectors never co-locate
     by group, which is the property that makes MaxSim shardable."""
     from ray.data.aggregate import Max, Sum
-    from .pipelines.cluster import quantize
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
@@ -10055,7 +10062,7 @@ def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
     ids_all = emb["vec_id"].take(order).to_numpy(zero_copy_only=False)
     qmask = ids_all // LI_GROUP < N_LI_QUERIES
     qids = ids_all[qmask]
-    qvecs = quantize(np.array(
+    qvecs = _li_quant(np.array(
         emb["embedding"].take(order).to_pylist(), dtype=np.float64)
         [qmask])
     q_ref = ray.put((qids, qvecs))
@@ -10065,8 +10072,8 @@ def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
             self.qids, self.qv = ray.get(q_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            x = quantize(np.array(b["embedding"].to_pylist(),
-                                  dtype=np.float64))
+            x = _li_quant(np.array(b["embedding"].to_pylist(),
+                                   dtype=np.float64))
             ids = b["vec_id"].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             dots = x @ self.qv.T                    # (n, n_qtok) int64
@@ -10122,14 +10129,11 @@ def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
 
 
 def _colbert_sql() -> str:
-    from .pipelines.cluster import KM_OFFSET, KM_SCALE
-
     return f"""
 WITH qv AS (
   SELECT vec_id, vec_id // {LI_GROUP} AS grp,
          list_transform(embedding,
-           e -> CAST(floor(e::DOUBLE * {KM_SCALE}) AS BIGINT)
-                + {KM_OFFSET}) AS q
+           e -> CAST(floor(e::DOUBLE * 1000000) AS BIGINT)) AS q
   FROM embeddings
 ),
 qs AS (SELECT vec_id AS qtok, grp AS qid, q AS qq FROM qv
