@@ -10029,6 +10029,58 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+ESQL_ENRICH_QUERY = (
+    'FROM customer | ENRICH nation ON c_nationkey WITH n_name | '
+    'STATS n = COUNT(*), max_key = MAX(c_custkey) BY n_name | '
+    'SORT n_name')
+
+
+def esql_enrich(sf_dir: str) -> pa.Table:
+    """ES|QL ``ENRICH`` (the enrich-policy lookup join): customers
+    enriched with their nation name — the small side broadcasts once
+    and each batch gathers, never a shuffle (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_ENRICH_QUERY)
+
+
+ESQL_ENRICH_SQL = """
+SELECT n.n_name, count(*)::BIGINT AS n,
+       max(c.c_custkey)::BIGINT AS max_key
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def filtered_alias_topk(sf_dir: str) -> pa.Table:
+    """ES FILTERED alias (the `_aliases` filter action — the
+    tenancy/visibility device): an alias carrying a ``term`` filter on
+    lang; every search routed through it gets the filter merged into
+    its bool (pipelines/alias.py::search_alias — the caller cannot
+    escape it). Results must equal the explicit lang-filtered query,
+    which is what the oracle checks."""
+    from .pipelines.alias import search_alias, set_alias
+
+    idx = _ensure_index(sf_dir)
+    root = os.path.dirname(idx)
+    set_alias(root, "docs-en", idx,
+              filter={"term": {"lang": LANG_FILTER}})
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = search_alias(root, "docs-en", r,
+                             {"query": {"match": {"text": q}},
+                              "size": TOPK})
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
 #: late interaction: vectors group into pseudo-docs of this many
 #: "token" vectors; the first N_LI_QUERIES groups are the queries
 LI_GROUP = 4
@@ -13020,6 +13072,8 @@ def registry() -> tuple[dict, dict]:
         "weekday_profile": weekday_profile,
         "source_gini": source_gini,
         "colbert_maxsim_topk": colbert_maxsim_topk,
+        "filtered_alias_topk": filtered_alias_topk,
+        "esql_enrich": esql_enrich,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -13257,6 +13311,8 @@ def registry() -> tuple[dict, dict]:
         "weekday_profile": _weekday_profile_sql(),
         "source_gini": SOURCE_GINI_SQL,
         "colbert_maxsim_topk": _colbert_sql(),
+        "filtered_alias_topk": _bm25_sql(lang_eq=LANG_FILTER),
+        "esql_enrich": ESQL_ENRICH_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:

@@ -70,12 +70,19 @@ def _write_atomic(path: str, doc: dict) -> None:
     os.replace(tmp, path)
 
 
-def set_alias(root: str, name: str, index_dir: str) -> dict:
+def set_alias(root: str, name: str, index_dir: str,
+              filter: dict | None = None) -> dict:
     """Point ``name`` at ``index_dir`` (create or re-point). The target
-    must be a committed index (its manifests directory exists)."""
+    must be a committed index (its manifests directory exists).
+    ``filter`` makes this a FILTERED alias (the ES `_aliases` filter
+    action): a query-DSL filter clause every search through the alias
+    must apply — stored verbatim, validated at query time by the DSL
+    planner (an unsupported filter refuses there, not silently)."""
     index_dir = os.path.abspath(index_dir)
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         raise AliasError(f"{index_dir} is not a committed index")
+    if filter is not None and not isinstance(filter, dict):
+        raise AliasError(f"alias filter must be a DSL dict, got {filter!r}")
     p = _path(root, name, create=True)
     with _registry_lock(root):
         prev = None
@@ -85,6 +92,8 @@ def set_alias(root: str, name: str, index_dir: str) -> dict:
             prev, gen = cur["target"], cur["gen"]
         doc = {"name": name, "target": index_dir, "prev": prev,
                "gen": gen + 1, "updated_at": time.time()}
+        if filter is not None:
+            doc["filter"] = filter
         _write_atomic(p, doc)
     return doc
 
@@ -96,6 +105,38 @@ def resolve(root: str, name: str) -> str:
     if not os.path.exists(p):
         raise AliasError(f"unknown alias {name!r}")
     return json.load(open(p))["target"]
+
+
+def resolve_with_filter(root: str, name: str) -> tuple[str, dict | None]:
+    """Alias -> (index dir, attached DSL filter or None) — the lookup
+    a search through a filtered alias performs."""
+    p = _path(root, name)
+    if not os.path.exists(p):
+        raise AliasError(f"unknown alias {name!r}")
+    doc = json.load(open(p))
+    return doc["target"], doc.get("filter")
+
+
+def search_alias(root: str, name: str, reader, body: dict,
+                 pos_reader=None):
+    """Run a ``_search`` body through an alias: the alias's filter (if
+    any) merges into the request as one more bool filter clause —
+    exactly the ES filtered-alias contract (the caller cannot escape
+    the filter). ``reader`` must be an ``IndexReader`` over the
+    alias's resolved target."""
+    from . import query_dsl as DSL
+
+    _target, flt = resolve_with_filter(root, name)
+    if flt is not None:
+        q = body.get("query", {"match_all": {}})
+        if set(q) == {"bool"}:
+            node = {"bool": dict(q["bool"])}
+            node["bool"]["filter"] = list(node["bool"].get("filter", [])) \
+                + [flt]
+        else:
+            node = {"bool": {"must": [q], "filter": [flt]}}
+        body = {**body, "query": node}
+    return DSL.execute(reader, body, pos_reader)
 
 
 def rollback(root: str, name: str) -> dict:

@@ -13,6 +13,7 @@ refusal, never a silently different query):
     query  := FROM ident ( '|' stage )*
     stage  := WHERE cond ( AND cond )*
             | EVAL ident '=' term ( op term )*   op ∈ + - * // %
+            | ENRICH ident ON ident WITH ident
             | STATS agg ( ',' agg )* [ BY ident ( ',' ident )* ]
             | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
             | LIMIT int
@@ -20,6 +21,12 @@ refusal, never a silently different query):
     cond   := ident op literal          op ∈ == != >= <= > <
     agg    := ident '=' FUNC '(' (ident|'*') ')'
               FUNC ∈ COUNT SUM MIN MAX AVG
+
+``ENRICH <table> ON <key> WITH <col>`` is the ES enrich-policy lookup
+join: the enrich table (joined on ITS FIRST column) broadcasts once
+and each batch gathers the requested column — the small-side
+broadcast join, never a shuffle. Duplicate lookup keys refuse (an
+enrich policy must be entity-unique).
 
 ``EVAL`` builds derived INTEGER columns (left-associative + - * // %
 over integer columns and int literals; // and % floor like numpy, the
@@ -88,7 +95,17 @@ def parse(query: str) -> dict:
     for st in stages[1:]:
         kw = st.split(None, 1)[0].upper() if st else ""
         body = st[len(kw):].strip()
-        if kw == "EVAL":
+        if kw == "ENRICH":
+            if seen_stats:
+                raise UnsupportedEsql("ENRICH after STATS is unsupported")
+            m = re.fullmatch(
+                rf"({_IDENT})\s+ON\s+({_IDENT})\s+WITH\s+({_IDENT})",
+                body, flags=re.I)
+            if not m:
+                raise UnsupportedEsql(f"bad ENRICH {body!r}")
+            plan.setdefault("enrich", []).append(
+                (m.group(1), m.group(2), m.group(3)))
+        elif kw == "EVAL":
             if seen_stats:
                 raise UnsupportedEsql("EVAL after STATS is unsupported")
             m = re.fullmatch(rf"({_IDENT})\s*=\s*(.+)", body)
@@ -192,7 +209,10 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Min, Sum
 
     plan = parse(query)
-    eval_names = {name for name, _t, _o in plan["evals"]}
+    enrich = plan.get("enrich", [])
+    derived = {name for name, _t, _o in plan["evals"]} \
+        | {col for _tbl, _key, col in enrich}
+    eval_names = derived
     cols = set(plan["by"]) - eval_names
     for col, _op, _lit in plan["where"]:
         if col not in eval_names:
@@ -204,6 +224,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         for t in terms:
             if re.fullmatch(_IDENT, t) and t not in eval_names:
                 cols.add(t)
+    for _tbl, key, _col in enrich:
+        cols.add(key)
     path = os.path.join(sf_dir, plan["from"] + ".parquet")
     if not os.path.exists(path):
         raise UnsupportedEsql(f"unknown table {plan['from']!r}")
@@ -227,6 +249,31 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"order-dependent across a distributed reduce")
 
     ds = ray.data.read_parquet(path, columns=sorted(cols))
+    for tbl, key, col in enrich:
+        lpath = os.path.join(sf_dir, tbl + ".parquet")
+        if not os.path.exists(lpath):
+            raise UnsupportedEsql(f"unknown enrich table {tbl!r}")
+        lk = pq.read_table(lpath)
+        lk_key = lk.column_names[0]
+        if col not in lk.column_names:
+            raise UnsupportedEsql(
+                f"enrich table {tbl!r} has no column {col!r}")
+        keys = lk[lk_key].to_numpy(zero_copy_only=False)
+        if len(np.unique(keys)) != len(keys):
+            raise UnsupportedEsql(
+                f"enrich table {tbl!r} key {lk_key!r} is not unique")
+        vals = lk[col].to_pylist()
+        lut = dict(zip(keys.tolist(), vals))
+
+        def add_enrich(b: pa.Table, _k=key, _c=col, _lut=lut) -> pa.Table:
+            kv = b[_k].to_numpy(zero_copy_only=False)
+            out = [_lut.get(v) for v in kv.tolist()]
+            if any(v is None for v in out):
+                raise UnsupportedEsql(
+                    f"enrich miss: a {_k!r} value has no lookup row")
+            return b.append_column(_c, pa.array(out))
+
+        ds = ds.map_batches(add_enrich, batch_format="pyarrow")
     if plan["evals"]:
         evals = plan["evals"]
 

@@ -162,3 +162,41 @@ def test_rollover_tail_unsealed(ray_session, tmp_path):
                        "text": pa.array(["a b", "b c"], pa.string())}))
     gens = w.finish()
     assert [(g["n_docs"], g["sealed"]) for g in gens] == [(2, False)]
+
+
+def test_filtered_alias_merges_filter(ray_session, tmp_path):
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.pipelines import query_dsl as DSL
+    from snowplow_elasticsearch_loader_ray.pipelines.alias import (
+        AliasError, resolve_with_filter, search_alias, set_alias)
+    from snowplow_elasticsearch_loader_ray.pipelines.query import IndexReader
+    import snowplow_elasticsearch_loader_ray.driver_queries as DQ
+
+    idx = DQ._ensure_index("/root/testdata/sf0.001")
+    root = str(tmp_path)
+    set_alias(root, "en-only", idx, filter={"term": {"lang": "en"}})
+    assert resolve_with_filter(root, "en-only")[1] == \
+        {"term": {"lang": "en"}}
+    r = IndexReader(idx)
+    d1, s1 = search_alias(root, "en-only", r,
+                          {"query": {"match": {"text": "data"}},
+                           "size": 10})
+    d2, s2 = DSL.execute(r, {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"term": {"lang": "en"}}]}}, "size": 10})
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    # an already-bool query gains the alias filter on top of its own
+    d3, _ = search_alias(root, "en-only", r, {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}]}}, "size": 10})
+    assert d3.tolist() == d1.tolist()
+    # unfiltered alias passes through untouched
+    set_alias(root, "all", idx)
+    d4, _ = search_alias(root, "all", r,
+                         {"query": {"match": {"text": "data"}},
+                          "size": 10})
+    d5, _ = DSL.execute(r, {"query": {"match": {"text": "data"}},
+                            "size": 10})
+    assert d4.tolist() == d5.tolist()
+    with np.testing.assert_raises(AliasError):
+        set_alias(root, "bad", idx, filter="lang:en")

@@ -100,3 +100,25 @@ def test_eval_stage(ray_session):
     with pytest.raises(esql.UnsupportedEsql):
         esql.parse("FROM documents | STATS n = COUNT(*) | "
                    "EVAL x = n + 1")
+
+
+def test_enrich_lookup_join(ray_session):
+    q = ('FROM customer | ENRICH nation ON c_nationkey WITH n_name | '
+         'STATS n = COUNT(*) BY n_name | SORT n_name')
+    got = esql.execute(SF, q).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute("""
+        SELECT n.n_name, count(*)::BIGINT AS n
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1 ORDER BY 1
+    """).df()[["n_name", "n"]]
+    assert got.equals(want)
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM customer | ENRICH nothere ON c_nationkey "
+                         "WITH x | STATS n = COUNT(*)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM customer | ENRICH nation ON c_nationkey "
+                         "WITH nope | STATS n = COUNT(*)")
