@@ -10029,6 +10029,67 @@ FROM best b JOIN tot t USING (cluster) ORDER BY 1
 """
 
 
+def events_per_user_hist(sf_dir: str) -> pa.Table:
+    """Activity-distribution histogram (the engagement-shape table):
+    events-per-user counts re-bucketed as a count-of-counts — two
+    tiny chained groupbys (user shuffle carries 16-byte rows, the
+    histogram is bounded by the max per-user activity)."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id"]).group_by("user_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+           .groupby("n").aggregate(Count(alias_name="n_users"))
+           .to_pandas().sort_values("n").reset_index(drop=True))
+    return pa.table({
+        "n_events": pa.array(out["n"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+    })
+
+
+EVENTS_PER_USER_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
+SELECT n AS n_events, count(*)::BIGINT AS n_users
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def token_length_profile(sf_dir: str) -> pa.Table:
+    """Vocabulary length profile (the tokenizer-design table: how much
+    mass sits at each term length): per token length, distinct types
+    and total occurrences — straight off the index term dictionary,
+    no corpus rescan."""
+    t = _reader(sf_dir).term_stats_table()
+    ln = pc.utf8_length(t["term"]).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cf = t["cf"].to_numpy(zero_copy_only=False)
+    u = np.unique(ln)
+    return pa.table({
+        "length": pa.array(u, pa.int64()),
+        "n_types": pa.array(
+            np.bincount(ln, minlength=u.max() + 1)[u].astype(np.int64)),
+        "n_occurrences": pa.array(
+            np.bincount(ln, weights=cf,
+                        minlength=u.max() + 1)[u].astype(np.int64)),
+    })
+
+
+TOKEN_LENGTH_SQL = f"""
+WITH tok AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+v AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY 1)
+SELECT len(term)::BIGINT AS length,
+       count(*)::BIGINT AS n_types,
+       sum(cf)::BIGINT AS n_occurrences
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
 ESQL_ENRICH_QUERY = (
     'FROM customer | ENRICH nation ON c_nationkey WITH n_name | '
     'STATS n = COUNT(*), max_key = MAX(c_custkey) BY n_name | '
@@ -13074,6 +13135,8 @@ def registry() -> tuple[dict, dict]:
         "colbert_maxsim_topk": colbert_maxsim_topk,
         "filtered_alias_topk": filtered_alias_topk,
         "esql_enrich": esql_enrich,
+        "events_per_user_hist": events_per_user_hist,
+        "token_length_profile": token_length_profile,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -13313,6 +13376,8 @@ def registry() -> tuple[dict, dict]:
         "colbert_maxsim_topk": _colbert_sql(),
         "filtered_alias_topk": _bm25_sql(lang_eq=LANG_FILTER),
         "esql_enrich": ESQL_ENRICH_SQL,
+        "events_per_user_hist": EVENTS_PER_USER_SQL,
+        "token_length_profile": TOKEN_LENGTH_SQL,
         # bpe_merges: iterative re-segmentation is not SQL-expressible
         # (rows-only; trainer pinned vs brute reference in pytest)
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
