@@ -10513,11 +10513,11 @@ def dup_triangles(sf_dir: str) -> pa.Table:
     a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
     b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
     edges = set(zip(a.tolist(), b.tolist()))
-    n_tri = 0
-    for (x, y) in edges:
-        for (p, q) in edges:
-            if p == y and (x, q) in edges:
-                n_tri += 1
+    fwd: dict[int, set[int]] = {}
+    for (x, y) in edges:                 # x < y by construction
+        fwd.setdefault(x, set()).add(y)
+    n_tri = sum(len(fwd.get(x, ()) & fwd.get(y, set()))
+                for (x, y) in edges)
     return pa.table({
         "n_edges": pa.array([len(edges)], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
