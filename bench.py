@@ -333,6 +333,22 @@ def _large_query_bench(n_rows: int, cfg, qs) -> dict:
             float(np.percentile(lat, 50)) * 1000, 3)
         out[f"query_p99_ms_large{suffix}"] = round(
             float(np.percentile(lat, 99)) * 1000, 3)
+        # distinct-query steady state: request cache OFF, champion/hot
+        # caches warm — the tail a stream of NEVER-REPEATED queries over
+        # a warmed node sees (the honest number behind the warm p99
+        # above, which is dominated by ES-style request-cache hits)
+        eng.request_cache_enabled = False
+        nc = []
+        for _ in range(QUERY_REPEATS):
+            for _qid, q, k in qs:
+                t0 = time.time()
+                eng.topk(q, k)
+                nc.append(time.time() - t0)
+        eng.request_cache_enabled = True
+        out[f"query_p50_ms_large_nocache{suffix}"] = round(
+            float(np.percentile(nc, 50)) * 1000, 3)
+        out[f"query_p99_ms_large_nocache{suffix}"] = round(
+            float(np.percentile(nc, 99)) * 1000, 3)
         # fused-throughput: _msearch ships the whole set through one
         # scatter per round — the batch-serving QPS the per-query
         # latency numbers above cannot show

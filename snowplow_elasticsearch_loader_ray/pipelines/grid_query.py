@@ -39,7 +39,13 @@ from ..codec import PostingList, binary_views
 from ..config import DOCLEN_TERM
 from ..tokenizer import term_shard_one
 from .build import index_stats, load_docmap
-from .servecache import CappedLRU, dense_combine, env_cap
+from .servecache import (
+    CappedLRU,
+    RequestCache,
+    champion_topk,
+    dense_combine,
+    env_cap,
+)
 from .query import tokenize_query
 
 
@@ -81,6 +87,11 @@ class GridCellReader:
         self._scores: CappedLRU = CappedLRU(
             env_cap("GRAFT_CELL_HOT_SCORES", 8_000_000),  # ≈64 MB per cell
             size_of=len)
+        # champion lists for this cell's stripe (lazy impact ordering —
+        # see servecache.champion_topk): a head term's stripe ranks once
+        self._champ: CappedLRU = CappedLRU(
+            env_cap("GRAFT_CELL_CHAMP_ROWS", 1_000_000),
+            size_of=lambda v: max(1, len(v[0])))
 
     def _scored(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         hit = self.terms.get(term)
@@ -104,8 +115,10 @@ class GridCellReader:
         if scored is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         docs, scores = scored
-        return bm25.rank_topk(self.doc_ids[docs // self.n_doc_parts],
-                              scores, k)
+        return champion_topk(
+            self._champ, term, k,
+            lambda kk: bm25.rank_topk(
+                self.doc_ids[docs // self.n_doc_parts], scores, kk))
 
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -165,6 +178,11 @@ class GridQueryEngine:
         self._partials: CappedLRU = CappedLRU(
             env_cap("GRAFT_COORD_HOT_POSTINGS", 16_000_000),  # ≈256 MB
             size_of=lambda v: sum(len(d) for d, _s in v))
+        # ES shard-request-cache role (see servecache.RequestCache)
+        self._requests = RequestCache(env_cap("GRAFT_REQ_CACHE_ROWS",
+                                              4_000_000))
+        #: benches flip this off to expose the distinct-query steady state
+        self.request_cache_enabled = True
         self.n_doc_parts = n_doc_parts
         n_cells = self.num_shards * n_doc_parts
         if cpus_per_reader is None:
@@ -248,6 +266,17 @@ class GridQueryEngine:
         live = [t for t in terms if t in metas]
         if not live:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if not self.request_cache_enabled:
+            return self._topk_impl(live, metas, k)
+        key = RequestCache.key(live, k)
+        if (hit := self._requests.get(key)) is not None:
+            return hit[0].copy(), hit[1].copy()   # k rows; copy guards callers
+        ids, scores = self._topk_impl(live, metas, k)
+        self._requests.put(key, (ids.copy(), scores.copy()))
+        return ids, scores
+
+    def _topk_impl(self, live: list[str], metas: dict, k: int,
+                   ) -> tuple[np.ndarray, np.ndarray]:
         if len(live) == 1:
             # one term → each stripe ranks locally, the driver merges
             # P×k pre-ranked rows (re-ranking rounded scores is
@@ -310,22 +339,36 @@ class GridQueryEngine:
         toks = [tokenize_query(q) for q in queries]
         all_terms = sorted({t for ts in toks for t in ts})
         metas = self._metas(all_terms)
-        live_all = [t for t in all_terms if t in metas]
-        by_term = self._scatter("partial_scores", live_all) if live_all else {}
-        out = []
-        for ts in toks:
-            live = [t for t in ts if t in by_term]
+        lives = [[t for t in ts if t in metas] for ts in toks]
+        out: list = [None] * len(queries)
+        need: list[int] = []
+        for i, live in enumerate(lives):
             if not live:
-                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
+            elif self.request_cache_enabled and (
+                    hit := self._requests.get(RequestCache.key(live, k))
+                  ) is not None:               # request-cache hit: O(k)
+                out[i] = (hit[0].copy(), hit[1].copy())
+            else:
+                need.append(i)
+        union = sorted({t for i in need for t in lives[i]})
+        by_term = self._scatter("partial_scores", union) if union else {}
+        for i in need:
+            live = [t for t in lives[i] if t in by_term]
+            if not live:
+                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
                 continue
             if len(live) == 1:                 # stripes are doc-disjoint:
                 slices = by_term[live[0]]      # concat IS the combine
                 docs = np.concatenate([d for d, _s in slices])
                 scores = np.concatenate([s for _d, s in slices])
-                out.append(bm25.rank_topk(self._doc_ids[docs], scores, k))
-                continue
-            uniq, sums = self._combine(live, by_term)
-            out.append(bm25.rank_topk(self._doc_ids[uniq], sums, k))
+                res = bm25.rank_topk(self._doc_ids[docs], scores, k)
+            else:
+                uniq, sums = self._combine(live, by_term)
+                res = bm25.rank_topk(self._doc_ids[uniq], sums, k)
+            self._requests.put(RequestCache.key(live, k),
+                               (res[0].copy(), res[1].copy()))
+            out[i] = res
         return out
 
     def shutdown(self) -> None:

@@ -81,3 +81,71 @@ def dense_combine(owner, n_docs: int, terms, slices_by_term):
     sums = acc[uniq].copy()
     acc[uniq] = 0.0
     return uniq, sums
+
+
+#: champion-list depth: single-term top-k requests with k <= this are
+#: served from a lazily ranked per-term prefix (see ``champion_topk``)
+CHAMP_K = 128
+
+
+def champion_topk(cache: CappedLRU, term: str, k: int, rank_full):
+    """Single-term top-k through a lazy CHAMPION LIST (impact ordering
+    realized as a serving cache).
+
+    Why not block-max skipping here: single-term top-k over a
+    DOCUMENT-ORDERED posting list cannot skip blocks when impact is
+    uncorrelated with doc order — measured on the 960k-doc bench corpus,
+    every head-term block's upper bound (block max_tf + block min
+    doclen) exceeds the true kth score, so 0% of 7225 blocks prune
+    (BASELINE.md round-5 note). The classic IR answer is IMPACT
+    ordering: rank once, keep the top prefix. This realizes it lazily —
+    the first query on a term pays the one full rank (the cold-path
+    cost, reported separately in the bench), and every later single-term
+    query is O(k). Exactness: ``rank_topk`` is a fixed total order
+    ((rounded score desc, doc_id asc)), so its top-``CHAMP_K`` prefix
+    sliced to ``k <= CHAMP_K`` IS ``rank_topk(..., k)`` — bit-identical,
+    not approximate. ``rank_full(k)`` computes the rank at depth k;
+    requests deeper than ``CHAMP_K`` bypass the cache.
+    """
+    if k > CHAMP_K:
+        return rank_full(k)
+    hit = cache.get(term)
+    if hit is None:
+        hit = cache.put(term, rank_full(CHAMP_K))
+    return hit[0][:k], hit[1][:k]
+
+
+class RequestCache:
+    """The ES shard-request-cache role for the distributed coordinators:
+    final (doc_ids, rounded scores) per normalized request key.
+
+    Soundness: a coordinator instance serves ONE committed, immutable
+    index directory — every mutating pipeline (upsert merge, reshard,
+    snapshot restore) commits a NEW directory, and the NRT plane builds
+    a fresh searcher per refresh generation — so a cached result can
+    never go stale within an engine's lifetime (the same invariant the
+    hot-partials caches already rely on). Cached values are exactly the
+    arrays the full path computed: bit-identity is unchanged, repeats
+    are O(1). Bounded by total cached result rows, LRU.
+    """
+
+    def __init__(self, cap_rows: int):
+        self._lru: CappedLRU = CappedLRU(
+            cap_rows, size_of=lambda v: max(1, len(v[0])))
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key(terms: list[str], k: int) -> str:
+        return f"{k}:{' '.join(terms)}"
+
+    def get(self, key: str):
+        hit = self._lru.get(key)
+        if hit is not None:
+            self.hits += 1
+        else:
+            self.misses += 1
+        return hit
+
+    def put(self, key: str, value):
+        return self._lru.put(key, value)

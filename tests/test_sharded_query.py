@@ -101,6 +101,41 @@ def test_msearch_bit_identical_to_per_query_topk(ray_session, tmp_path):
             eng.shutdown()
 
 
+def test_serving_caches_bit_identical(ray_session, tmp_path):
+    """Champion lists + request cache: warm repeats, varied k order and
+    deep-k champion bypass all return the single reader's exact arrays,
+    and a caller mutating a returned array cannot corrupt the cache."""
+    from snowplow_elasticsearch_loader_ray.pipelines.grid_query import (
+        GridQueryEngine)
+    from snowplow_elasticsearch_loader_ray.pipelines.servecache import CHAMP_K
+
+    cfg = IndexConfig(num_term_shards=8)
+    idx = str(tmp_path / "cidx")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx, cfg)
+    single = QueryEngine(idx)
+    for mk in (lambda: ShardedQueryEngine(idx),
+               lambda: GridQueryEngine(idx, n_doc_parts=3)):
+        eng = mk()
+        try:
+            # k descending then ascending: champion prefix slices and
+            # distinct request-cache keys must each match the reference
+            for q in ("the", "data", "the data table scan filter"):
+                for k in (10, 5, 10, CHAMP_K, CHAMP_K + 50, 3):
+                    d1, s1 = single.topk(q, k)
+                    d2, s2 = eng.topk(q, k)
+                    np.testing.assert_array_equal(d1, d2, err_msg=f"{q} k={k}")
+                    np.testing.assert_array_equal(s1, s2, err_msg=f"{q} k={k}")
+            d, s = eng.topk("the", 10)
+            d[:] = -1                     # hostile caller mutates its copy
+            s[:] = 0.0
+            d2, s2 = eng.topk("the", 10)  # cache must be unaffected
+            w1, w2 = single.topk("the", 10)
+            np.testing.assert_array_equal(d2, w1)
+            np.testing.assert_array_equal(s2, w2)
+        finally:
+            eng.shutdown()
+
+
 def test_sharded_facets_bit_identical_to_single_reader(ray_session, tmp_path):
     """Distributed aggregations: the sharded plane's lang terms facet
     and doclen stats facet equal the single reader's exactly, and the
