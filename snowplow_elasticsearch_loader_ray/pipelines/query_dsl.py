@@ -465,10 +465,15 @@ def render_template(node, params: dict):
     return node
 
 
-def execute(reader: IndexReader, body: dict, pos_reader=None
+def execute(reader: IndexReader, body: dict, pos_reader=None,
+            field_readers: dict | None = None
             ) -> tuple[np.ndarray, np.ndarray]:
     """Run one ES ``_search`` request body; returns (doc_ids, scores)
-    of the requested page, ranked by the engine's BM25 contract."""
+    of the requested page, ranked by the engine's BM25 contract.
+
+    ``field_readers``: name → IndexReader over per-field indexes
+    (``pipelines.multifield.build_field_indexes``) — required for
+    ``multi_match``; every other query shape scores ``reader``."""
     extra = set(body) - {"query", "size", "from", "search_after"}
     if extra:
         raise UnsupportedDSL(f"unsupported top-level keys {extra}")
@@ -558,6 +563,34 @@ def execute(reader: IndexReader, body: dict, pos_reader=None
         ords = _term_ords(reader, f["term"]["text"])
         d, s = bm25.rank_topk(reader.dl_doc_ids[ords],
                               np.full(len(ords), boost), k)
+    elif kind == "multi_match":
+        mm = node["multi_match"]
+        extra = set(mm) - {"query", "fields", "type", "tie_breaker"}
+        if extra or not isinstance(mm.get("query"), str) \
+                or not isinstance(mm.get("fields"), list) or not mm["fields"]:
+            raise UnsupportedDSL(f"unsupported multi_match {mm!r}")
+        mm_type = mm.get("type", "best_fields")
+        if mm_type not in ("best_fields", "most_fields"):
+            raise UnsupportedDSL(f"multi_match type {mm_type!r}")
+        if mm_type == "most_fields" and "tie_breaker" in mm:
+            raise UnsupportedDSL("tie_breaker applies to best_fields only")
+        if field_readers is None:
+            raise UnsupportedDSL(
+                "multi_match requires per-field indexes (pass "
+                "field_readers built by multifield.build_field_indexes)")
+        from .multifield import multi_match_scores, parse_field_boosts
+
+        try:
+            fb = parse_field_boosts(mm["fields"])
+        except (ValueError, AttributeError, TypeError) as e:
+            raise UnsupportedDSL(f"bad multi_match fields: {e}") from e
+        try:
+            ids, scores = multi_match_scores(
+                field_readers, mm["query"], fb, mm_type=mm_type,
+                tie_breaker=float(mm.get("tie_breaker", 0.0)))
+        except ValueError as e:                    # unknown field name
+            raise UnsupportedDSL(str(e)) from e
+        d, s = bm25.rank_topk(ids, scores, k)
     elif kind == "simple_query_string":
         sq = node["simple_query_string"]
         extra = set(sq) - {"query", "fields"}

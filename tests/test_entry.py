@@ -74,15 +74,17 @@ def test_entry_smoke():
 # search_dsl_topk / kmeans_clusters / ivf_pq_ann_topk promoted in;
 # first_hit_position / doclen_percentiles / revenue_by_nation moved
 # just past the marker (all still oracle-green via this file) — each
-# §2 area keeps at least one in-window row.
+# §2 area keeps at least one in-window row.  Round-5 curation:
+# multi_match_topk promoted in (the round-4 verdict's missing-surface
+# #1); more_like_this moved just past the marker.
 GRADED_WINDOW = [
     "ingest_summary", "decompress_roundtrip", "payload_json", "payload_bad",
     "shard_routing", "stream_batches", "events_min_ts", "build_metrics",
     "fault_retry_stats", "merge_upsert_terms", "resume_stats", "health_probe",
     "snapshot_restore_terms", "live_search", "corpus_stats", "doc_lengths",
     "term_stats", "bm25_topk", "bm25_topk_sharded", "bm25_topk_filtered",
-    "boolean_and", "search_dsl_topk", "doc_fetch", "top_terms",
-    "phrase_positional", "more_like_this", "benchmark_contamination",
+    "boolean_and", "search_dsl_topk", "multi_match_topk", "doc_fetch",
+    "top_terms", "phrase_positional", "benchmark_contamination",
     "repetition_stats", "semdedup_survivors", "unigram_lm_scores",
     "lang_facet", "doclen_stats_facet", "significant_terms",
     "dedup_exact", "jaccard_pairs", "dedup_survivors",
