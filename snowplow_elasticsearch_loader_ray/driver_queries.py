@@ -11297,6 +11297,11 @@ def has_parent_counts(sf_dir: str) -> pa.Table:
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            if not len(self.ids):
+                # no parent passed the filter: zero buckets, not a -1
+                # index into an empty broadcast array
+                return pa.table({"segment": pa.array([], pa.string()),
+                                 "n_orders": pa.array([], pa.int64())})
             pos = np.searchsorted(self.ids, ck)
             pos_c = np.minimum(pos, len(self.ids) - 1)
             hit = self.ids[pos_c] == ck

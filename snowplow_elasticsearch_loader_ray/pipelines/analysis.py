@@ -1103,6 +1103,10 @@ class BlocklistFlag:
     def __init__(self, terms: list[str]):
         import re as _re
 
+        if not terms:
+            # an empty alternation "()" matches any separator — an empty
+            # blocklist would flag nearly everything instead of nothing
+            raise ValueError("blocklist must contain at least one term")
         alts = "|".join(_re.escape(t) for t in terms)
         self.pattern = f"(^|[^a-z0-9])({alts})([^a-z0-9]|$)"
 

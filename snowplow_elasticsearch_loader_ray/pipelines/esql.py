@@ -235,18 +235,58 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     for c in sorted(cols):
         if c not in schema.names:
             raise UnsupportedEsql(f"unknown field {c!r}")
+    # enrich output dtypes from the lookup table schemas: ENRICH-derived
+    # columns are not in the base schema, but EVAL/SUM/AVG/WHERE over
+    # them must obey the same refusal contract as base columns
+    enrich_types: dict[str, pa.DataType] = {}
+    for tbl, _key, col in enrich:
+        lpath = os.path.join(sf_dir, tbl + ".parquet")
+        if not os.path.exists(lpath):
+            raise UnsupportedEsql(f"unknown enrich table {tbl!r}")
+        lsch = pq.read_schema(lpath)
+        if col not in lsch.names:
+            raise UnsupportedEsql(
+                f"enrich table {tbl!r} has no column {col!r}")
+        enrich_types[col] = lsch.field(col).type
+
+    def _out_type(name: str) -> pa.DataType | None:
+        """Static type of a column the pipeline produces: base schema,
+        enrich lookup value, or int64 for EVAL-derived names."""
+        if name in schema.names:
+            return schema.field(name).type
+        if name in enrich_types:
+            return enrich_types[name]
+        return pa.int64() if name in eval_names else None
+
     for _name, terms, _ops in plan["evals"]:
         for t in terms:
-            if re.fullmatch(_IDENT, t) and t not in eval_names \
-                    and not pa.types.is_integer(schema.field(t).type):
-                raise UnsupportedEsql(
-                    f"EVAL over non-integer column {t!r}")
+            if re.fullmatch(_IDENT, t) and not re.fullmatch(r"\d+", t):
+                ty = _out_type(t)
+                if ty is not None and not pa.types.is_integer(ty):
+                    raise UnsupportedEsql(
+                        f"EVAL over non-integer column {t!r} ({ty})")
     for _n, func, col in plan["stats"]:
-        if func in ("SUM", "AVG") and col not in eval_names \
-                and not pa.types.is_integer(schema.field(col).type):
+        if func in ("SUM", "AVG") and col != "*":
+            ty = _out_type(col)
+            if ty is not None and not pa.types.is_integer(ty):
+                raise UnsupportedEsql(
+                    f"{func}({col}): non-integer column — float sums are "
+                    f"order-dependent across a distributed reduce")
+    for col, op, lit in plan["where"]:
+        ty = _out_type(col)
+        if ty is not None:
+            col_is_str = (pa.types.is_string(ty)
+                          or pa.types.is_large_string(ty))
+            if col_is_str != isinstance(lit, str):
+                raise UnsupportedEsql(
+                    f"WHERE {col} {op} {lit!r}: literal type does not "
+                    f"match column type {ty}")
+    if plan["keep"]:
+        avail = set(plan["by"]) | {n for n, _f, _c in plan["stats"]}
+        bad = [c for c in plan["keep"] if c not in avail]
+        if bad:
             raise UnsupportedEsql(
-                f"{func}({col}): non-integer column — float sums are "
-                f"order-dependent across a distributed reduce")
+                f"KEEP of column(s) not in the STATS output: {bad}")
 
     ds = ray.data.read_parquet(path, columns=sorted(cols))
     for tbl, key, col in enrich:

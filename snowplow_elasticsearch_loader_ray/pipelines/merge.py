@@ -333,17 +333,22 @@ def _reshard_scatter(in_dir: str, out_dir: str, in_shard: int,
 
 
 @ray.remote(num_cpus=1)
-def _reshard_gather(out_dir: str, shard: int, n_in: int) -> dict:
+def _reshard_gather(out_dir: str, shard: int, part_rels: list[str]) -> dict:
     """Concatenate one output shard's scattered parts (term-sorted) and
-    commit its segment — the gather half."""
-    rs_dir = os.path.join(out_dir, "reshard")
+    commit its segment — the gather half. ``part_rels`` are the scatter
+    MANIFESTS' committed outputs for this shard: a missing file is a
+    hard error (a silently absent part would become a silently empty
+    shard), and the driver re-scatters before retrying."""
     seg_dir = os.path.join(out_dir, "segments")
     os.makedirs(seg_dir, exist_ok=True)
     parts = []
-    for j in range(n_in):
-        p = os.path.join(rs_dir, f"in{j:04d}-out{shard:04d}.parquet")
-        if os.path.exists(p):
-            parts.append(pq.read_table(p))
+    for rel in part_rels:
+        p = os.path.join(out_dir, rel)
+        if not os.path.exists(p):
+            raise RuntimeError(
+                f"reshard gather: committed scatter output {rel!r} is "
+                f"absent from disk — re-scatter before gathering")
+        parts.append(pq.read_table(p))
     if parts:
         seg = pa.concat_tables(parts)
         seg = seg.take(pa.compute.sort_indices(seg["term"]))
@@ -356,9 +361,7 @@ def _reshard_gather(out_dir: str, shard: int, n_in: int) -> dict:
     return {
         "part": shard,
         "stage": "segments",
-        "input_files": [os.path.relpath(os.path.join(rs_dir, f), out_dir)
-                        for f in sorted(os.listdir(rs_dir))
-                        if f.endswith(f"-out{shard:04d}.parquet")],
+        "input_files": sorted(part_rels),
         "counters": {
             "terms": int(seg.num_rows),
             "postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
@@ -403,19 +406,31 @@ def reshard_index(in_dir: str, out_dir: str, new_shards: int,
                 for m in mf.load_all(man_dir, prefix=prefix).values()}
 
     if mf.is_committed(man_dir, "index"):
-        if (_plan_of("segment-shard-") | _plan_of("reshard-scatter-")) \
-                - {plan_key}:
+        if (_plan_of("segment-shard-") | _plan_of("reshard-scatter-")
+                | _plan_of("reshard-plan")) - {plan_key}:
             raise ValueError(
                 "reshard refused: out_dir holds a COMMITTED reshard of a "
                 "different plan (input/shard count changed); use a fresh "
                 "out_dir")
         return mf.load(man_dir, "stats")["stats"]
-    for prefix in ("segment-shard-", "reshard-scatter-"):
+    for prefix in ("segment-shard-", "reshard-scatter-", "reshard-plan",
+                   "runs-part-"):
         for name_, m in mf.load_all(man_dir, prefix=prefix).items():
             if m.get("plan") != plan_key:
                 raise ValueError(
                     f"reshard resume refused: committed part {name_} was "
                     f"written under a different plan; use a fresh out_dir")
+    # the plan manifest commits BEFORE any file lands in out_dir (the
+    # docmap copy is the first write): a crash anywhere after it leaves
+    # a recorded plan, so a re-invocation with a different in_dir can
+    # never silently mix the old input's docmap with new postings
+    if not mf.is_committed(man_dir, "reshard-plan"):
+        mf.commit(man_dir, "reshard-plan", {
+            "part": 0, "stage": "plan",
+            "input_files": [os.path.relpath(in_dir, out_dir)],
+            "counters": {"new_shards": int(new_shards)},
+            "outputs": [], "plan": plan_key,
+        })
 
     # docmap copy (ordinal space unchanged)
     dm_in = os.path.join(in_dir, "docmap")
@@ -437,20 +452,38 @@ def reshard_index(in_dir: str, out_dir: str, new_shards: int,
                          "postings": 0},
             "outputs": [os.path.relpath(os.path.join(dm_out, f), out_dir)
                         for f in sorted(os.listdir(dm_out))],
+            "plan": plan_key,
         })
 
     missing = [j for j in range(n_in)
                if not mf.is_committed(man_dir, f"reshard-scatter-{j:04d}")]
+    # self-heal: a committed scatter whose outputs vanished (the
+    # exchange is GC'd at index commit; a crash between gather loss and
+    # full commit leaves manifests pointing at deleted files) must
+    # re-scatter before any remaining gather reads it
+    missing_g = [s for s in range(new_shards)
+                 if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
+    if missing_g:
+        for m in mf.load_all(man_dir, prefix="reshard-scatter-").values():
+            if any(not os.path.exists(os.path.join(out_dir, rel))
+                   for rel in m["outputs"]):
+                missing.append(int(m["part"]))
     refs = [_reshard_scatter.remote(in_dir, out_dir, j, new_shards)
             for j in missing]
     for j, payload in zip(missing, ray.get(refs)):
         payload["plan"] = plan_key
         mf.commit(man_dir, f"reshard-scatter-{j:04d}", payload)
 
-    missing = [s for s in range(new_shards)
-               if not mf.is_committed(man_dir, f"segment-shard-{s:04d}")]
-    refs = [_reshard_gather.remote(out_dir, s, n_in) for s in missing]
-    for s, payload in zip(missing, ray.get(refs)):
+    # each gather reads EXACTLY its committed scatter outputs (absent
+    # file = hard error in the task, never a silently empty shard)
+    by_shard: dict[int, list[str]] = {}
+    for m in mf.load_all(man_dir, prefix="reshard-scatter-").values():
+        for rel in m["outputs"]:
+            s = int(rel.rsplit("-out", 1)[1].split(".")[0])
+            by_shard.setdefault(s, []).append(rel)
+    refs = [_reshard_gather.remote(out_dir, s, sorted(by_shard.get(s, [])))
+            for s in missing_g]
+    for s, payload in zip(missing_g, ray.get(refs)):
         payload["plan"] = plan_key
         mf.commit(man_dir, f"segment-shard-{s:04d}", payload)
 

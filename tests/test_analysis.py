@@ -495,3 +495,6 @@ def test_blocklist_flag_token_boundaries(tmp_path):
         _ray.data.read_parquet(str(p)), ["dup", "spark"]).to_pandas()
     assert out["n_docs"].tolist() == [5]
     assert out["n_flagged"].tolist() == [3]
+    # an empty blocklist must refuse, not flag every separator-bearing doc
+    with pytest.raises(ValueError, match="at least one term"):
+        A.BlocklistFlag([])

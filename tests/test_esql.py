@@ -42,6 +42,27 @@ def test_execute_refusals(ray_session):
         esql.execute(SF, "FROM documents | STATS n = SUM(nope)")
     with pytest.raises(esql.UnsupportedEsql):
         esql.execute(SF, "FROM nothere | STATS n = COUNT(*)")
+    # KEEP of a column the STATS output does not carry refuses (was a
+    # raw pandas KeyError)
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM documents | STATS n = COUNT(*) BY source"
+                         " | KEEP nope")
+    # WHERE literal/column type mismatch refuses (was an Arrow error)
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | WHERE n_chars == "big" | '
+                         "STATS n = COUNT(*)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM documents | WHERE lang == 3 | "
+                         "STATS n = COUNT(*)")
+    # EVAL / SUM over a non-integer ENRICH-derived column refuses
+    # (string n_name would otherwise hit a numpy cast mid-pipeline)
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM customer | ENRICH nation ON c_nationkey "
+                         "WITH n_name | EVAL x = n_name + 1 | "
+                         "STATS n = COUNT(*)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM customer | ENRICH nation ON c_nationkey "
+                         "WITH n_name | STATS s = SUM(n_name)")
 
 
 def test_execute_matches_duckdb(ray_session):

@@ -186,6 +186,39 @@ def test_reshard_split_and_shrink_bit_identical(ray_session, tmp_path):
     assert again["num_term_shards"] == 16
 
 
+def test_reshard_plan_recorded_before_first_write(ray_session, tmp_path):
+    """Crash window between the docmap copy and the first scatter
+    commit: the plan manifest is committed BEFORE any file lands, so a
+    re-invocation with a DIFFERENT input refuses instead of mixing the
+    old input's docmap with the new input's postings."""
+    from snowplow_elasticsearch_loader_ray.pipelines.merge import (
+        reshard_index)
+    from snowplow_elasticsearch_loader_ray.state import manifest as mf
+
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+    B.build_index(SF_DOCS, src_a, CFG)
+    B.build_index("/root/testdata/sf0.001/documents.parquet", src_b,
+                  CFG)
+    out = str(tmp_path / "out")
+    reshard_index(src_a, out, 16)
+    # model the crash: keep the plan manifest + docmap, drop everything
+    # committed after them
+    man = os.path.join(out, "manifests")
+    for f in list(os.listdir(man)):
+        if not f.startswith("reshard-plan"):
+            os.remove(os.path.join(man, f))
+    import shutil
+    shutil.rmtree(os.path.join(out, "segments"))
+    with pytest.raises(ValueError, match="different plan"):
+        reshard_index(src_b, out, 16)
+    with pytest.raises(ValueError, match="different plan"):
+        reshard_index(src_a, out, 8)       # same input, new shard count
+    assert mf.load(man, "reshard-plan")["plan"]  # plan survived intact
+    st = reshard_index(src_a, out, 16)     # the RIGHT plan still resumes
+    assert st["num_term_shards"] == 16
+
+
 def test_reshard_resumes_missing_gather_part(ray_session, tmp_path):
     """Delete one output-shard manifest + segment: re-invoking rebuilds
     ONLY that shard from the scatter parts' manifests... the reshard/
@@ -201,16 +234,14 @@ def test_reshard_resumes_missing_gather_part(ray_session, tmp_path):
     reshard_index(src, out, 16)
     t_before = IndexReader(out).term_stats_table()
     # simulate a crash before the index commit: drop the index manifest
-    # and one gather part (its segment too)
+    # and one gather part (its segment too). The exchange was GC'd at
+    # commit, so the surviving scatter manifests point at deleted files
+    # — the rerun must detect that and re-scatter by itself (a gather
+    # over an absent committed part is a hard error, never an empty
+    # shard)
     os.remove(os.path.join(out, "manifests", "index.json"))
     os.remove(os.path.join(out, "manifests", "segment-shard-0003.json"))
     os.remove(os.path.join(out, "segments", "shard-0003.parquet"))
-    # the exchange was GC'd at commit; scatter manifests survive, so the
-    # rerun must re-scatter (manifest says files exist — they don't).
-    # Drop the scatter manifests to model the documented recovery path.
-    for f in os.listdir(os.path.join(out, "manifests")):
-        if f.startswith("reshard-scatter-"):
-            os.remove(os.path.join(out, "manifests", f))
     st = reshard_index(src, out, 16)
     assert st["num_term_shards"] == 16
     assert IndexReader(out).term_stats_table().equals(t_before)
