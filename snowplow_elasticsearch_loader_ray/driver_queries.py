@@ -2071,11 +2071,13 @@ def bpe_merges(sf_dir: str) -> pa.Table:
     """Full BPE merge learning (analysis.py::learn_bpe_merges): the
     distributed word-count stage feeds a deterministic driver-local
     trainer (highest count, lexicographic ties, greedy left-to-right
-    application) — the HF-tokenizers architecture. Iterative
-    re-segmentation is not SQL-expressible, so this entry is
-    rows-only; the trainer is pinned against a brute reference and
-    the oracle-backed `bpe_pair_counts` first iteration in
-    tests/test_analysis.py."""
+    application) — the HF-tokenizers architecture. Value oracle:
+    the trainer is deterministic, so the SQL unrolls every merge
+    round as chained CTEs (stats → single-row best → boundary-marked
+    ``replace`` re-segmentation; DuckDB's left-to-right
+    non-overlapping replace IS the greedy BPE application rule) —
+    the kmeans/MMR unrolled-iteration pattern applied to tokenizer
+    training."""
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
     wc = A.bpe_word_counts(ds)
     merges = A.learn_bpe_merges(wc, BPE_N_MERGES)
@@ -2085,6 +2087,53 @@ def bpe_merges(sf_dir: str) -> pa.Table:
         "right": pa.array([m[1] for m in merges], pa.string()),
         "n": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+def _bpe_merges_sql() -> str:
+    """Unrolled BPE trainer: each round computes weighted adjacent-pair
+    stats over the CURRENT segmentation (boundary-marked ``|a||b|``
+    strings — symbols never contain '|'), picks the (count desc, pair
+    asc) best, and re-segments every word with one ``replace`` of
+    ``|l||r|`` → ``|lr|`` (left-to-right non-overlapping = the
+    engine's greedy scan, including the ``aaa`` overlap case)."""
+    parts = []
+    prev = "seg0"
+    for i in range(1, BPE_N_MERGES + 1):
+        parts.append(f"""
+chars{i} AS MATERIALIZED (
+  SELECT tok, n, unnest(string_split(trim(s, '|'), '||')) AS ch,
+         generate_subscripts(string_split(trim(s, '|'), '||'), 1) AS p
+  FROM {prev}
+),
+stats{i} AS MATERIALIZED (
+  SELECT a.ch AS l, b.ch AS r, sum(a.n)::BIGINT AS c
+  FROM chars{i} a JOIN chars{i} b ON b.tok = a.tok AND b.p = a.p + 1
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (SELECT l, r, c FROM stats{i} ORDER BY c DESC, l, r LIMIT 1),
+seg{i} AS MATERIALIZED (
+  SELECT tok, n,
+         replace(s, '|' || b.l || '||' || b.r || '|',
+                    '|' || b.l || b.r || '|') AS s
+  FROM {prev} CROSS JOIN best{i} b
+)""")
+        prev = f"seg{i}"
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, l AS \"left\", r AS \"right\", "
+        f"c AS n FROM best{i}" for i in range(1, BPE_N_MERGES + 1))
+    return f"""
+WITH wc AS (
+  SELECT tok, count(*)::BIGINT AS n
+  FROM (SELECT unnest({TOK_SQL}) AS tok FROM documents)
+  GROUP BY 1
+),
+seg0 AS MATERIALIZED (
+  SELECT tok, n,
+         '|' || array_to_string(string_split(tok, ''), '||') || '|' AS s
+  FROM wc
+),{",".join(parts)}
+SELECT * FROM ({finals}) ORDER BY rank
+"""
 
 
 #: fixed published BPE merge table (rank order) — the production
@@ -10293,15 +10342,17 @@ def colbert_maxsim_topk(sf_dir: str) -> pa.Table:
     by group, which is the property that makes MaxSim shardable."""
     from ray.data.aggregate import Max, Sum
 
+    # query bag: predicate pushed into the parquet read — only the
+    # N_LI_QUERIES*LI_GROUP query rows' row groups leave storage, never
+    # the full embedding table on the driver
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<",
+                                  N_LI_QUERIES * LI_GROUP)])
     order = pc.sort_indices(emb["vec_id"])
-    ids_all = emb["vec_id"].take(order).to_numpy(zero_copy_only=False)
-    qmask = ids_all // LI_GROUP < N_LI_QUERIES
-    qids = ids_all[qmask]
+    qids = emb["vec_id"].take(order).to_numpy(zero_copy_only=False)
     qvecs = _li_quant(np.array(
-        emb["embedding"].take(order).to_pylist(), dtype=np.float64)
-        [qmask])
+        emb["embedding"].take(order).to_pylist(), dtype=np.float64))
     q_ref = ray.put((qids, qvecs))
 
     class _Dots:
@@ -10568,28 +10619,47 @@ def dup_pagerank(sf_dir: str) -> pa.Table:
     contribution r_u // deg_u, update r'_v = 150000 +
     85·Σcontrib // 100 — every floor lands identically in the unrolled
     SQL CTEs. The pair generation is the existing distributed shingle
-    pipeline; iterations are edge-table-sized."""
+    pipeline; each iteration is an EDGE-PARTITIONED pass — per-batch
+    integer contributions against the broadcast (node, rank, degree)
+    state, pre-aggregated in the batch, reduced by one groupby(dst) Sum
+    — so only the (rare, documented) node table ever sits on the
+    driver, and contributions are exact integer sums (order-free)."""
+    from ray.data.aggregate import Sum
+
     pairs = jaccard_pairs(sf_dir)
     a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
     b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    nodes = np.unique(src)
-    at = {int(v): j for j, v in enumerate(nodes)}
-    si = np.array([at[int(v)] for v in src], np.int64)
-    di = np.array([at[int(v)] for v in dst], np.int64)
-    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    src = np.concatenate([a, b]).astype(np.int64)
+    dst = np.concatenate([b, a]).astype(np.int64)
+    edges_ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    nodes, deg = np.unique(src, return_counts=True)
+    deg = deg.astype(np.int64)
     r = np.full(len(nodes), 1_000_000, np.int64)
     for _ in range(PR_ITERS):
-        contrib = r[si] // deg[si]
+        state = ray.put((nodes, r, deg))
+
+        def _contrib(bt: pa.Table, _ref=state) -> pa.Table:
+            nodes_, r_, deg_ = ray.get(_ref)
+            s = bt["src"].to_numpy(zero_copy_only=False)
+            d = bt["dst"].to_numpy(zero_copy_only=False)
+            j = np.searchsorted(nodes_, s)
+            c = r_[j] // deg_[j]
+            u, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, c)             # per-batch combiner
+            return pa.table({"dst": pa.array(u), "c": pa.array(acc)})
+
+        acc_t = (edges_ds.map_batches(_contrib, batch_format="pyarrow")
+                 .groupby("dst").aggregate(Sum("c", alias_name="acc"))
+                 .to_pandas())
         acc = np.zeros(len(nodes), np.int64)
-        np.add.at(acc, di, contrib)
+        acc[np.searchsorted(nodes, acc_t["dst"].to_numpy(np.int64))] = \
+            acc_t["acc"].to_numpy(np.int64)
         r = PR_BASE + PR_DAMP_NUM * acc // PR_DAMP_DEN
-    order = np.argsort(nodes)
     return pa.table({
-        "doc_id": pa.array(nodes[order], pa.int64()),
-        "degree": pa.array(deg[order], pa.int64()),
-        "rank_micro": pa.array(r[order], pa.int64()),
+        "doc_id": pa.array(nodes, pa.int64()),
+        "degree": pa.array(deg, pa.int64()),
+        "rank_micro": pa.array(r, pa.int64()),
     })
 
 
@@ -10629,21 +10699,53 @@ ORDER BY n.doc_id
 
 def dup_triangles(sf_dir: str) -> pa.Table:
     """Triangle count of the near-dup graph (the clustering-coefficient
-    numerator — how clique-ish the duplicate neighborhoods are): exact
-    count over ordered edge pairs. Pair generation is distributed; the
-    count is edge-table work (per-edge neighbor intersection — the
-    standard MR triangle plan at scale)."""
+    numerator — how clique-ish the duplicate neighborhoods are): the
+    standard distributed wedge plan. groupby(a).map_groups emits each
+    node's forward-neighbor PAIRS (every triangle a<u<w yields exactly
+    one wedge, at its lowest node); wedges union the tagged edge table
+    and one groupby((u,w)) counts wedges that close over an edge. No
+    driver-side pass over edges — both shuffles are wedge/edge-table
+    sized, and a<b ordering makes every count exact-once."""
+    from ray.data.aggregate import Sum
+
     pairs = jaccard_pairs(sf_dir)
-    a = pairs["doc_id_a"].to_numpy(zero_copy_only=False)
-    b = pairs["doc_id_b"].to_numpy(zero_copy_only=False)
-    edges = set(zip(a.tolist(), b.tolist()))
-    fwd: dict[int, set[int]] = {}
-    for (x, y) in edges:                 # x < y by construction
-        fwd.setdefault(x, set()).add(y)
-    n_tri = sum(len(fwd.get(x, ()) & fwd.get(y, set()))
-                for (x, y) in edges)
+    n_edges = pairs.num_rows
+    ds = ray.data.from_arrow(pairs.select(["doc_id_a", "doc_id_b"]))
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        nb = np.sort(t["doc_id_b"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        iu, iw = np.triu_indices(len(nb), k=1)
+        return pa.table({
+            "u": pa.array(nb[iu], pa.int64()),
+            "w": pa.array(nb[iw], pa.int64()),
+            "wedge": pa.array(np.ones(len(iu), np.int64)),
+            "edge": pa.array(np.zeros(len(iu), np.int64)),
+        })
+
+    def _tag_edges(bt: pa.Table) -> pa.Table:
+        n = bt.num_rows
+        return pa.table({
+            "u": bt["doc_id_a"].cast(pa.int64()),
+            "w": bt["doc_id_b"].cast(pa.int64()),
+            "wedge": pa.array(np.zeros(n, np.int64)),
+            "edge": pa.array(np.ones(n, np.int64)),
+        })
+
+    closed = (ds.groupby("doc_id_a").map_groups(_wedges,
+                                                batch_format="pyarrow")
+              .union(ds.map_batches(_tag_edges, batch_format="pyarrow"))
+              .groupby(["u", "w"])
+              .aggregate(Sum("wedge", alias_name="nw"),
+                         Sum("edge", alias_name="ne"))
+              .map_batches(lambda t: pa.table({"tri": pa.array([int(
+                  (t["nw"].to_numpy(zero_copy_only=False)
+                   * (t["ne"].to_numpy(zero_copy_only=False) > 0)).sum())],
+                  pa.int64())}), batch_format="pyarrow")
+              .to_pandas())
+    n_tri = int(closed["tri"].sum())
     return pa.table({
-        "n_edges": pa.array([len(edges)], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
     })
 
@@ -13513,8 +13615,7 @@ def registry() -> tuple[dict, dict]:
         "esql_enrich": ESQL_ENRICH_SQL,
         "events_per_user_hist": EVENTS_PER_USER_SQL,
         "token_length_profile": TOKEN_LENGTH_SQL,
-        # bpe_merges: iterative re-segmentation is not SQL-expressible
-        # (rows-only; trainer pinned vs brute reference in pytest)
+        "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
         # measured-recall graders (ann_recall, minhash_recall,
