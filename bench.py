@@ -370,6 +370,15 @@ def _large_query_bench(n_rows: int, cfg, qs) -> dict:
             eng.msearch([q for _qid, q, _k in qs], 10)
         out[f"msearch_qps_large{suffix}"] = round(
             QUERY_REPEATS * len(qs) / (time.time() - t0), 1)
+        # and the request-cache-disabled fused throughput (distinct-
+        # query steady state: one scatter per wave, full combine+rank)
+        eng.request_cache_enabled = False
+        t0 = time.time()
+        for _ in range(QUERY_REPEATS):
+            eng.msearch([q for _qid, q, _k in qs], 10)
+        eng.request_cache_enabled = True
+        out[f"msearch_qps_large_nocache{suffix}"] = round(
+            QUERY_REPEATS * len(qs) / (time.time() - t0), 1)
         eng.shutdown()
     return out
 

@@ -4115,6 +4115,87 @@ def multi_match_most_fields(sf_dir: str) -> pa.Table:
     return _mm_topk(sf_dir, "most_fields")
 
 
+def combined_fields_topk(sf_dir: str) -> pa.Table:
+    """ES ``combined_fields`` — the principled BM25F: one score as if
+    title (×2) and body were a single field (combined tf / combined
+    doclen / any-field df / combined avgdl), via the DSL route
+    (pipelines/multifield.py::combined_fields_scores). Integer boosts
+    keep every pre-idf statistic integer-valued in float64, so the SQL
+    oracle replays the arithmetic bit-for-bit."""
+    from .pipelines import query_dsl as DSL
+
+    root = _mm_root(sf_dir)
+    readers = {"title": IndexReader(os.path.join(root, "title")),
+               "body": _reader(sf_dir)}
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = DSL.execute(r, {"query": {"combined_fields": {
+            "query": q, "fields": MM_FIELDS}}, "size": TOPK},
+            field_readers=readers)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def _combined_fields_sql() -> str:
+    title_src = (f"(SELECT doc_id, array_to_string(({TOK_SQL})"
+                 f"[1:{MM_TITLE_TOKENS}], ' ') AS text FROM documents)")
+    return f"""
+WITH tsrc AS (SELECT doc_id, text FROM {title_src}),
+tokt AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM tsrc),
+tokb AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokt GROUP BY 1, 2),
+tfb AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokb GROUP BY 1, 2),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokt GROUP BY 1),
+dlb AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokb GROUP BY 1),
+dlc AS (
+  SELECT d.doc_id,
+         2.0 * coalesce(t.dl, 0) + 1.0 * coalesce(b.dl, 0) AS dlc
+  FROM documents d
+  LEFT JOIN dlt t ON t.doc_id = d.doc_id
+  LEFT JOIN dlb b ON b.doc_id = d.doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dlc) FROM dlc)
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdlc
+),
+tfc AS (
+  SELECT doc_id, term, sum(w) AS tfc FROM (
+    SELECT doc_id, term, 2.0 * tf AS w FROM tft
+    UNION ALL SELECT doc_id, term, 1.0 * tf FROM tfb
+  ) GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY 1),
+q(qid, term) AS (VALUES {_query_term_values()}),
+scores AS (
+  SELECT q.qid, tfc.doc_id,
+         sum( ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+            * tfc.tfc * (1.2 + 1) / (tfc.tfc + 1.2 * (1 - 0.75 + 0.75 * dlc.dlc / s.avgdlc)) ) AS score
+  FROM q
+  JOIN tfc ON tfc.term = q.term
+  JOIN dfc ON dfc.term = q.term
+  JOIN dlc ON dlc.doc_id = tfc.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 7) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked
+WHERE rank <= {TOPK}
+"""
+
+
 def _mm_field_scores_sql(src: str) -> str:
     """(qid, doc_id, score) raw BM25 sums for one field whose corpus
     view is the table expression ``src`` (exposing doc_id + text) —
@@ -13176,6 +13257,7 @@ def registry() -> tuple[dict, dict]:
         # tests/test_entry.py::test_graded_window_pinned)
         "more_like_this": more_like_this,
         "multi_match_most_fields": multi_match_most_fields,
+        "combined_fields_topk": combined_fields_topk,
         "first_hit_position": first_hit_position,
         "doclen_percentiles": doclen_percentiles,
         "revenue_by_nation": revenue_by_nation,
@@ -13514,6 +13596,7 @@ def registry() -> tuple[dict, dict]:
         "search_dsl_topk": _search_dsl_sql(),
         "multi_match_topk": _mm_sql("best_fields"),
         "multi_match_most_fields": _mm_sql("most_fields"),
+        "combined_fields_topk": _combined_fields_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "boosting_topk": _boosting_sql(),
         "query_string_topk": _query_string_sql(),

@@ -112,6 +112,7 @@ def multi_match_scores(readers: dict[str, IndexReader], query: str,
                        fields: list[tuple[str, float]],
                        mm_type: str = "best_fields",
                        tie_breaker: float = 0.0,
+                       scores_of=None,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """All matching (external doc_ids, combined scores) for an ES
     ``multi_match``.
@@ -121,14 +122,21 @@ def multi_match_scores(readers: dict[str, IndexReader], query: str,
     most_fields: sum over fields in DECLARED field order (each doc
     appears at most once per field, so the per-doc float addition order
     is the field order — deterministic, SQL-replayable).
+
+    ``scores_of(name) -> (ids, raw scores)`` overrides the per-field
+    scorer — the distributed engines plug their scatter-gather here
+    (bit-identical partial sums, so the combine is plane-independent).
     """
     if mm_type not in ("best_fields", "most_fields"):
         raise ValueError(f"unsupported multi_match type {mm_type!r}")
+    if scores_of is None:
+        def scores_of(name: str):
+            return _taat_scores(readers[name], query)
     per = []
     for name, boost in fields:
         if name not in readers:
             raise ValueError(f"unknown field {name!r}")
-        ids, scores = _taat_scores(readers[name], query)
+        ids, scores = scores_of(name)
         if len(ids):
             per.append((ids, boost * scores))
     if not per:
@@ -143,6 +151,74 @@ def multi_match_scores(readers: dict[str, IndexReader], query: str,
     if mm_type == "most_fields":
         return uniq, sums
     return uniq, maxs + tie_breaker * (sums - maxs)
+
+
+def combined_fields_scores(readers: dict[str, IndexReader], query: str,
+                           fields: list[tuple[str, float]],
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``combined_fields`` (the principled BM25F): score as if the
+    fields were ONE field — per-doc term frequency Σ boost_f × tf_f,
+    document length Σ boost_f × dl_f, avgdl over the combined lengths,
+    df = docs containing the term in ANY field — then plain BM25 over
+    those combined statistics (one idf per term, one saturation).
+
+    Exactness: with integer boosts every pre-idf quantity (combined tf,
+    combined dl, their corpus sum) is integer-valued in float64, so
+    sums are order-free and the SQL oracle replays them bit-for-bit;
+    per-term score contributions then add in sorted-term order (the
+    TAAT determinism contract). Two dense n_docs accumulators — the
+    same memory shape as single-field TAAT.
+    """
+    from .query import tokenize_query
+
+    if not fields:
+        raise ValueError("combined_fields needs at least one field")
+    for name, _b in fields:
+        if name not in readers:
+            raise ValueError(f"unknown field {name!r}")
+    r0 = readers[fields[0][0]]
+    n_docs = r0.n_docs
+    key = tuple(fields)
+    cache = getattr(r0, "_cf_cache", None)
+    if cache is None or cache[0] != key:
+        # combined doclens on the FIRST field's ordinal axis: every
+        # field indexes the same corpus view (same docs, same order),
+        # asserted on external ids
+        dlc = np.zeros(n_docs, dtype=np.float64)
+        for name, boost in fields:
+            r = readers[name]
+            if r.n_docs != n_docs or not np.array_equal(
+                    r.dl_doc_ids, r0.dl_doc_ids):
+                raise ValueError(
+                    f"field {name!r} indexes a different corpus")
+            dlc += boost * r.dl_lens.astype(np.float64)
+        avgdlc = float(dlc.sum()) / n_docs if n_docs else 1.0
+        cache = r0._cf_cache = (key, dlc, avgdlc)
+    _key, dlc, avgdlc = cache
+
+    score_acc = np.zeros(n_docs, dtype=np.float64)
+    matched = False
+    for t in tokenize_query(query):            # sorted, deduped
+        tfc = np.zeros(n_docs, dtype=np.float64)
+        hit = False
+        for name, boost in fields:             # declared field order
+            r = readers[name]
+            pl = r.postings(t)
+            if pl is None:
+                continue
+            docs, tfs = pl.decode_all()
+            tfc[r.positions_of(t, docs)] += boost * tfs
+            hit = True
+        if not hit:
+            continue
+        matched = True
+        nz = np.nonzero(tfc)[0]
+        w = bm25.idf(n_docs, len(nz))          # df over ANY field
+        score_acc[nz] += w * bm25.tf_weight(tfc[nz], dlc[nz], avgdlc)
+    if not matched:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cand = np.nonzero(score_acc)[0]
+    return r0.dl_doc_ids[cand], score_acc[cand]
 
 
 class MultiFieldEngine:
@@ -160,3 +236,52 @@ class MultiFieldEngine:
             self.readers, query, parse_field_boosts(fields),
             mm_type=mm_type, tie_breaker=tie_breaker)
         return bm25.rank_topk(ids, scores, k)
+
+    def combined_fields(self, query: str, fields: list[str],
+                        k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        ids, scores = combined_fields_scores(
+            self.readers, query, parse_field_boosts(fields))
+        return bm25.rank_topk(ids, scores, k)
+
+
+class MultiFieldShardedEngine:
+    """multi_match over per-field SHARDED planes: one scatter-gather
+    engine per field (``root/<field>/``), per-field match scores
+    bit-identical to the single reader (the sharded combine contract),
+    so the cross-field combine — shared with ``MultiFieldEngine`` —
+    lands the exact same arrays.
+
+    Actor sizing: the per-field pools split the cluster's CPU budget
+    (fields × shards actors total) so two field engines never
+    over-subscribe — on a small ``num_cpus`` two independently-sized
+    pools would deadlock waiting for reservations."""
+
+    def __init__(self, root: str, fields: list[str]):
+        import ray
+
+        from .sharded_query import ShardedQueryEngine
+
+        avail = max(1.0, ray.cluster_resources().get("CPU", 1.0))
+        self.engines: dict[str, ShardedQueryEngine] = {}
+        for f in fields:
+            d = os.path.join(root, f)
+            from .build import index_stats
+
+            shards = int(index_stats(d)["num_term_shards"])
+            cpus = min(1.0, max(0.05,
+                                (avail * 0.8) / (len(fields) * shards)))
+            self.engines[f] = ShardedQueryEngine(d, cpus_per_reader=cpus)
+
+    def multi_match(self, query: str, fields: list[str],
+                    mm_type: str = "best_fields", tie_breaker: float = 0.0,
+                    k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        ids, scores = multi_match_scores(
+            self.engines, query, parse_field_boosts(fields),
+            mm_type=mm_type, tie_breaker=tie_breaker,
+            scores_of=lambda n: self.engines[n].match_scores(query))
+        return bm25.rank_topk(ids, scores, k)
+
+    def shutdown(self) -> None:
+        for e in self.engines.values():
+            e.shutdown()
+        self.engines = {}

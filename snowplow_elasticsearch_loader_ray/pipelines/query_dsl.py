@@ -591,6 +591,28 @@ def execute(reader: IndexReader, body: dict, pos_reader=None,
         except ValueError as e:                    # unknown field name
             raise UnsupportedDSL(str(e)) from e
         d, s = bm25.rank_topk(ids, scores, k)
+    elif kind == "combined_fields":
+        cf = node["combined_fields"]
+        extra = set(cf) - {"query", "fields"}
+        if extra or not isinstance(cf.get("query"), str) \
+                or not isinstance(cf.get("fields"), list) or not cf["fields"]:
+            raise UnsupportedDSL(f"unsupported combined_fields {cf!r}")
+        if field_readers is None:
+            raise UnsupportedDSL(
+                "combined_fields requires per-field indexes (pass "
+                "field_readers built by multifield.build_field_indexes)")
+        from .multifield import combined_fields_scores, parse_field_boosts
+
+        try:
+            fb = parse_field_boosts(cf["fields"])
+        except (ValueError, AttributeError, TypeError) as e:
+            raise UnsupportedDSL(f"bad combined_fields fields: {e}") from e
+        try:
+            ids, scores = combined_fields_scores(field_readers,
+                                                 cf["query"], fb)
+        except ValueError as e:                    # unknown field name
+            raise UnsupportedDSL(str(e)) from e
+        d, s = bm25.rank_topk(ids, scores, k)
     elif kind == "simple_query_string":
         sq = node["simple_query_string"]
         extra = set(sq) - {"query", "fields"}

@@ -361,6 +361,20 @@ class ShardedQueryEngine:
             cand_scores[j] += scores
         return bm25.rank_topk(self._doc_ids[cand], cand_scores, k)
 
+    def match_scores(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """All matching (external doc_ids, raw BM25 sums) — the full
+        TAAT result through the scatter plane (bit-identical to the
+        single reader's ``_taat_scores``: same partials, same
+        sorted-term dense combine). The multi-field engine's per-field
+        scorer."""
+        terms = tokenize_query(query)
+        by_term = self._scatter("partial_scores", terms)
+        live = [t for t in terms if t in by_term]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq, sums = self._combine(live, by_term)
+        return self._doc_ids[uniq], sums
+
     def _match_ords(self, query: str) -> np.ndarray:
         """Full match-set ordinals (postings union across the owning
         shards) — the aggregation input. Rides the coordinator's hot

@@ -117,6 +117,88 @@ def test_dsl_route_and_refusals(mf_root):
                         field_readers=eng.readers)
 
 
+def test_combined_fields_matches_brute(mf_root):
+    """BM25F: combined tf / combined dl / any-field df — dict-based
+    brute reference vs the dense-accumulator engine path."""
+    from snowplow_elasticsearch_loader_ray.pipelines.multifield import (
+        combined_fields_scores,
+    )
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        tokenize_query,
+    )
+
+    eng = MultiFieldEngine(mf_root, ["title", "body"])
+    fields = [("title", 2.0), ("body", 1.0)]
+    r0 = eng.readers["title"]
+    n = r0.n_docs
+    dlc = np.zeros(n)
+    for f, bst in fields:
+        dlc += bst * eng.readers[f].dl_lens.astype(np.float64)
+    avg = float(dlc.sum()) / n
+    for q in QUERIES:
+        want: dict[int, float] = {}
+        for t in tokenize_query(q):
+            tf: dict[int, float] = {}
+            for f, bst in fields:
+                pl = eng.readers[f].postings(t)
+                if pl is None:
+                    continue
+                docs, tfs = pl.decode_all()
+                for o, v in zip(docs.tolist(), tfs.tolist()):
+                    tf[o] = tf.get(o, 0.0) + bst * v
+            if not tf:
+                continue
+            w = bm25.idf(n, len(tf))
+            for o, v in tf.items():
+                c = w * float(bm25.tf_weight(np.float64(v),
+                                             np.float64(dlc[o]), avg))
+                did = int(r0.dl_doc_ids[o])
+                want[did] = want.get(did, 0.0) + c
+        ids, sc = combined_fields_scores(eng.readers, q, fields)
+        assert dict(zip(ids.tolist(), sc.tolist())) == pytest.approx(want)
+    # combined_fields genuinely differs from best_fields on this corpus
+    d_cf, _ = eng.combined_fields("the data", ["title^2", "body"], k=10)
+    d_bf, _ = eng.multi_match("the data", ["title^2", "body"], k=10)
+    assert len(d_cf) and len(d_bf)
+
+
+def test_combined_fields_dsl_route(mf_root):
+    body_reader = IndexReader(f"{mf_root}/body")
+    eng = MultiFieldEngine(mf_root, ["title", "body"])
+    req = {"query": {"combined_fields": {
+        "query": "data stream", "fields": ["title^2", "body"]}}, "size": 10}
+    d, s = DSL.execute(body_reader, req, field_readers=eng.readers)
+    wd, ws = eng.combined_fields("data stream", ["title^2", "body"], k=10)
+    np.testing.assert_array_equal(d, wd)
+    np.testing.assert_array_equal(s, ws)
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(body_reader, req)          # no field readers wired
+    with pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(body_reader, {"query": {"combined_fields": {
+            "query": "x", "fields": ["nope"]}}},
+            field_readers=eng.readers)
+
+
+def test_sharded_multifield_bit_identical(mf_root):
+    from snowplow_elasticsearch_loader_ray.pipelines.multifield import (
+        MultiFieldShardedEngine,
+    )
+
+    eng = MultiFieldEngine(mf_root, ["title", "body"])
+    sh = MultiFieldShardedEngine(mf_root, ["title", "body"])
+    try:
+        for q in QUERIES:
+            for mm_type in ("best_fields", "most_fields"):
+                d1, s1 = eng.multi_match(q, ["title^2", "body"],
+                                         mm_type=mm_type, k=10)
+                d2, s2 = sh.multi_match(q, ["title^2", "body"],
+                                        mm_type=mm_type, k=10)
+                np.testing.assert_array_equal(d1, d2, err_msg=q)
+                np.testing.assert_array_equal(s1, s2, err_msg=q)
+    finally:
+        sh.shutdown()
+
+
 def test_parse_field_boosts():
     assert parse_field_boosts(["title^2", "body", "url^0.5"]) == \
         [("title", 2.0), ("body", 1.0), ("url", 0.5)]
