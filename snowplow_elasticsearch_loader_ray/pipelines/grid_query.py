@@ -120,6 +120,12 @@ class GridCellReader:
             lambda kk: bm25.rank_topk(
                 self.doc_ids[docs // self.n_doc_parts], scores, kk))
 
+    def topk_single_many(self, terms: list[str], k: int,
+                         ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Batched ``topk_single`` over this cell's stripe (champion-
+        cached) — k rows per term, the msearch fan-in path."""
+        return {t: self.topk_single(t, k) for t in terms}
+
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in terms:
@@ -351,19 +357,41 @@ class GridQueryEngine:
                 out[i] = (hit[0].copy(), hit[1].copy())
             else:
                 need.append(i)
-        union = sorted({t for i in need for t in lives[i]})
+        # single-term queries rank on their stripes (champion-cached,
+        # one batched RPC per cell); the driver merges P×k pre-ranked
+        # rows per term — re-ranking rounded scores is idempotent
+        singles = sorted({lives[i][0] for i in need if len(lives[i]) == 1})
+        single_res: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        if singles:
+            by_shard: dict[int, list[str]] = {}
+            for t in singles:
+                by_shard.setdefault(
+                    term_shard_one(t, self.num_shards), []).append(t)
+            refs = [self.cells[s, p].topk_single_many.remote(ts, k)
+                    for s, ts in sorted(by_shard.items())
+                    for p in range(self.n_doc_parts)]
+            for part in ray.get(refs):
+                for t, ds in part.items():
+                    single_res.setdefault(t, []).append(ds)
+        union = sorted({t for i in need if len(lives[i]) > 1
+                        for t in lives[i]})
         by_term = self._scatter("partial_scores", union) if union else {}
         for i in need:
-            live = [t for t in lives[i] if t in by_term]
-            if not live:
-                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
-                continue
-            if len(live) == 1:                 # stripes are doc-disjoint:
-                slices = by_term[live[0]]      # concat IS the combine
-                docs = np.concatenate([d for d, _s in slices])
-                scores = np.concatenate([s for _d, s in slices])
-                res = bm25.rank_topk(self._doc_ids[docs], scores, k)
+            if len(lives[i]) == 1:
+                live = lives[i]
+                parts = single_res.get(live[0], [])
+                if parts:
+                    ids = np.concatenate([p[0] for p in parts])
+                    scores = np.concatenate([p[1] for p in parts])
+                    res = bm25.rank_topk(ids, scores, k)
+                else:
+                    res = (np.empty(0, np.int64), np.empty(0, np.float64))
             else:
+                live = [t for t in lives[i] if t in by_term]
+                if not live:
+                    out[i] = (np.empty(0, np.int64),
+                              np.empty(0, np.float64))
+                    continue
                 uniq, sums = self._combine(live, by_term)
                 res = bm25.rank_topk(self._doc_ids[uniq], sums, k)
             self._requests.put(RequestCache.key(live, k),

@@ -117,6 +117,13 @@ class ShardReader:
             self._champ, term, k,
             lambda kk: bm25.rank_topk(self.doc_ids[docs], scores, kk))
 
+    def topk_single_many(self, terms: list[str], k: int,
+                         ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Batched ``topk_single`` — one RPC ranks every requested term
+        on its owning shard (champion-cached), shipping k rows per term
+        instead of df-sized partials (the msearch fan-in path)."""
+        return {t: self.topk_single(t, k) for t in terms}
+
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """term → (doc ordinals, per-doc partial scores) for this shard."""
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -450,17 +457,34 @@ class ShardedQueryEngine:
                 out[i] = (hit[0].copy(), hit[1].copy())
             else:
                 need.append(i)
-        union = sorted({t for i in need for t in lives[i]})
+        # single-term queries rank on their owning shards in ONE batched
+        # RPC per shard (champion-cached, k rows shipped per term) —
+        # never a df-sized partial for a fused head-term lookup
+        singles = sorted({lives[i][0] for i in need if len(lives[i]) == 1})
+        single_res: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if singles:
+            by_shard: dict[int, list[str]] = {}
+            for t in singles:
+                by_shard.setdefault(
+                    term_shard_one(t, self.num_shards), []).append(t)
+            refs = [self.readers[s].topk_single_many.remote(ts, k)
+                    for s, ts in sorted(by_shard.items())]
+            for part in ray.get(refs):
+                single_res.update(part)
+        union = sorted({t for i in need if len(lives[i]) > 1
+                        for t in lives[i]})
         by_term = self._scatter("partial_scores", union) if union else {}
         for i in need:
-            live = [t for t in lives[i] if t in by_term]
-            if not live:
-                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
-                continue
-            if len(live) == 1:                 # combine of one term = identity
-                docs, scores = by_term[live[0]]
-                res = bm25.rank_topk(self._doc_ids[docs], scores, k)
+            if len(lives[i]) == 1:             # pre-ranked on the shard
+                live = lives[i]
+                res = single_res.get(live[0], (np.empty(0, np.int64),
+                                               np.empty(0, np.float64)))
             else:
+                live = [t for t in lives[i] if t in by_term]
+                if not live:
+                    out[i] = (np.empty(0, np.int64),
+                              np.empty(0, np.float64))
+                    continue
                 uniq, sums = self._combine(live, by_term)
                 res = bm25.rank_topk(self._doc_ids[uniq], sums, k)
             self._requests.put(RequestCache.key(live, k),
