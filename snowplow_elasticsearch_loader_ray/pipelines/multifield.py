@@ -281,6 +281,80 @@ class MultiFieldShardedEngine:
             scores_of=lambda n: self.engines[n].match_scores(query))
         return bm25.rank_topk(ids, scores, k)
 
+    def combined_fields(self, query: str, fields: list[str],
+                        k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """BM25F over the scatter planes: per-field RAW tf partials
+        (``ShardReader.tf_partials`` — weighting must wait for the
+        COMBINED statistics), dense tf combine per term in declared
+        field order, idf/saturation over combined dl/avgdl on the
+        coordinator — identical arithmetic to the single-process
+        ``combined_fields_scores``."""
+        from ..tokenizer import term_shard_one
+        from .query import tokenize_query
+
+        fb = parse_field_boosts(fields)
+        if not fb:
+            raise ValueError("combined_fields needs at least one field")
+        for name, _b in fb:
+            if name not in self.engines:
+                raise ValueError(f"unknown field {name!r}")
+        e0 = self.engines[fb[0][0]]
+        n_docs = e0.n_docs
+        key = tuple(fb)
+        cache = getattr(e0, "_cf_cache", None)
+        if cache is None or cache[0] != key:
+            dlc = np.zeros(n_docs, dtype=np.float64)
+            for name, boost in fb:
+                e = self.engines[name]
+                if e.n_docs != n_docs or not np.array_equal(
+                        e._doc_ids, e0._doc_ids):
+                    raise ValueError(
+                        f"field {name!r} indexes a different corpus")
+                dlc += boost * e._dl_lens.astype(np.float64)
+            avgdlc = float(dlc.sum()) / n_docs if n_docs else 1.0
+            cache = e0._cf_cache = (key, dlc, avgdlc)
+        _key, dlc, avgdlc = cache
+
+        terms = tokenize_query(query)
+        per_field: dict[str, dict] = {}
+        for name, _b in fb:                    # one scatter per field
+            e = self.engines[name]
+            by_shard: dict[int, list[str]] = {}
+            for t in terms:
+                by_shard.setdefault(
+                    term_shard_one(t, e.num_shards), []).append(t)
+            import ray
+
+            refs = [e.readers[s].tf_partials.remote(ts)
+                    for s, ts in sorted(by_shard.items())]
+            got: dict = {}
+            for part in ray.get(refs):
+                got.update(part)
+            per_field[name] = got
+
+        score_acc = np.zeros(n_docs, dtype=np.float64)
+        matched = False
+        for t in terms:                        # sorted, deduped
+            tfc = np.zeros(n_docs, dtype=np.float64)
+            hit = False
+            for name, boost in fb:             # declared field order
+                p = per_field[name].get(t)
+                if p is None:
+                    continue
+                docs, tfs = p
+                tfc[docs] += boost * tfs
+                hit = True
+            if not hit:
+                continue
+            matched = True
+            nz = np.nonzero(tfc)[0]
+            w = bm25.idf(n_docs, len(nz))
+            score_acc[nz] += w * bm25.tf_weight(tfc[nz], dlc[nz], avgdlc)
+        if not matched:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.nonzero(score_acc)[0]
+        return bm25.rank_topk(e0._doc_ids[cand], score_acc[cand], k)
+
     def shutdown(self) -> None:
         for e in self.engines.values():
             e.shutdown()

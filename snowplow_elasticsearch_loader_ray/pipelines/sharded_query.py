@@ -124,6 +124,29 @@ class ShardReader:
         instead of df-sized partials (the msearch fan-in path)."""
         return {t: self.topk_single(t, k) for t in terms}
 
+    def tf_partials(self, terms: list[str]
+                    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (doc ordinals, RAW tf values) — the un-weighted
+        postings a cross-field scorer (combined_fields/BM25F) combines
+        BEFORE any idf/saturation, since those apply to the combined
+        statistics, not per field. LRU-cached like the scored lists."""
+        cache = getattr(self, "_hot_tf", None)
+        if cache is None:
+            cache = self._hot_tf = CappedLRU(
+                env_cap("GRAFT_SHARD_HOT_POSTINGS", 8_000_000),
+                size_of=lambda v: len(v[0]))
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            hit = cache.get(t)
+            if hit is None:
+                buf = self.terms.get(t)
+                if buf is None:
+                    continue
+                docs, tfs = PostingList(buf).decode_all()
+                hit = cache.put(t, (docs, tfs.astype(np.float64)))
+            out[t] = hit
+        return out
+
     def partial_scores(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """term → (doc ordinals, per-doc partial scores) for this shard."""
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}

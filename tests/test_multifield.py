@@ -195,6 +195,12 @@ def test_sharded_multifield_bit_identical(mf_root):
                                         mm_type=mm_type, k=10)
                 np.testing.assert_array_equal(d1, d2, err_msg=q)
                 np.testing.assert_array_equal(s1, s2, err_msg=q)
+            # BM25F over the scatter planes (raw tf partials + combined
+            # stats on the coordinator) — bit-identical too
+            d1, s1 = eng.combined_fields(q, ["title^2", "body"], k=10)
+            d2, s2 = sh.combined_fields(q, ["title^2", "body"], k=10)
+            np.testing.assert_array_equal(d1, d2, err_msg=q)
+            np.testing.assert_array_equal(s1, s2, err_msg=q)
     finally:
         sh.shutdown()
 
