@@ -104,6 +104,24 @@ def _parser() -> argparse.ArgumentParser:
     cl.add_argument("--m", type=int, default=4,
                     help="pq: subspace count (dim must divide)")
 
+    mf = sub.add_parser(
+        "mfield", help="multi-field indexes + multi_match/combined_fields "
+                       "(a field IS an index: per-field norms)")
+    mf.add_argument("action", choices=["build", "search"])
+    mf.add_argument("--root", required=True, help="multi-field index root")
+    mf.add_argument("--docs", help="docs parquet file/dir (build)")
+    mf.add_argument("--fields", nargs="+", default=["title:text:8", "body"],
+                    help="build: NAME[:COLUMN[:FIRST_TOKENS]] specs; "
+                         "search: NAME[^BOOST] ES field syntax")
+    mf.add_argument("--query", help="query text (search)")
+    mf.add_argument("--type", dest="mm_type", default="best_fields",
+                    choices=["best_fields", "most_fields", "combined_fields"])
+    mf.add_argument("--tie-breaker", type=float, default=0.0)
+    mf.add_argument("-k", type=int, default=10)
+    mf.add_argument("--shards", type=int, default=32)
+    mf.add_argument("--sharded", action="store_true",
+                    help="serve through per-field scatter-gather planes")
+
     al = sub.add_parser(
         "alias", help="index aliases (the ES reindex-then-swap deploy "
                       "pattern: atomic re-point, one-level rollback)")
@@ -242,6 +260,42 @@ def main(argv: list[str] | None = None) -> int:
                    "dim": dim, "out": args.out,
                    "codebook_checksums": [int(b.sum()) & (2**63 - 1)
                                           for b in books]}
+    elif args.cmd == "mfield":
+        from .pipelines import multifield as MF
+
+        if args.action == "build":
+            if not args.docs:
+                raise SystemExit("mfield build requires --docs")
+            specs = {}
+            for f in args.fields:
+                parts = f.split(":")
+                specs[parts[0]] = MF.FieldSpec(
+                    column=parts[1] if len(parts) > 1 else "text",
+                    first_tokens=int(parts[2]) if len(parts) > 2 else None)
+            cfg = IndexConfig(num_term_shards=args.shards)
+            out = MF.build_field_indexes(args.docs, args.root, specs, cfg)
+        else:
+            if not args.query:
+                raise SystemExit("mfield search requires --query")
+            names = [MF.parse_field_boosts([f])[0][0] for f in args.fields]
+            eng = (MF.MultiFieldShardedEngine(args.root, names)
+                   if args.sharded else MF.MultiFieldEngine(args.root, names))
+            try:
+                if args.mm_type == "combined_fields":
+                    docs, scores = eng.combined_fields(args.query,
+                                                       args.fields, k=args.k)
+                else:
+                    docs, scores = eng.multi_match(
+                        args.query, args.fields, mm_type=args.mm_type,
+                        tie_breaker=args.tie_breaker, k=args.k)
+            finally:
+                if args.sharded:
+                    eng.shutdown()
+            out = {"query": args.query, "fields": args.fields,
+                   "type": args.mm_type,
+                   "hits": [{"rank": i + 1, "doc_id": int(d),
+                             "score": float(s)}
+                            for i, (d, s) in enumerate(zip(docs, scores))]}
     elif args.cmd == "alias":
         from .pipelines import alias as AL
 

@@ -122,3 +122,28 @@ def test_cli_reshard(corpus, capsys):
     hits = _run(capsys, ["query", "--index", str(corpus / "index12"),
                          "--query", q, "-k", "5"])
     assert hits["hits"] == base["hits"]
+
+
+def test_cli_mfield_build_and_search(ray_session, tmp_path, capsys):
+    from snowplow_elasticsearch_loader_ray.pipelines.multifield import (
+        MultiFieldEngine,
+    )
+
+    root = str(tmp_path / "mf")
+    stats = _run(capsys, ["mfield", "build", "--root", root,
+                          "--docs", "/root/testdata/sf0.001/documents.parquet",
+                          "--fields", "title:text:8", "body",
+                          "--shards", "4"])
+    assert stats["title"]["avgdl"] <= 8.0
+    assert stats["body"]["n_docs"] == stats["title"]["n_docs"]
+    hits = _run(capsys, ["mfield", "search", "--root", root,
+                         "--fields", "title^2", "body",
+                         "--query", "data stream", "-k", "5"])
+    eng = MultiFieldEngine(root, ["title", "body"])
+    d, s = eng.multi_match("data stream", ["title^2", "body"], k=5)
+    assert [h["doc_id"] for h in hits["hits"]] == d.tolist()
+    cf = _run(capsys, ["mfield", "search", "--root", root,
+                       "--fields", "title^2", "body", "--query",
+                       "data stream", "--type", "combined_fields", "-k", "5"])
+    d2, _s2 = eng.combined_fields("data stream", ["title^2", "body"], k=5)
+    assert [h["doc_id"] for h in cf["hits"]] == d2.tolist()
