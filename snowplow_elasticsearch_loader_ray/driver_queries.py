@@ -13171,6 +13171,309 @@ FROM dl
 
 
 # --------------------------------------------------------------------------
+# round-5 additions: pipeline aggs, scripted metric, geohash grid,
+# point-in-time reads, Heaps-law vocabulary growth
+# --------------------------------------------------------------------------
+
+def moving_avg_daily(sf_dir: str) -> pa.Table:
+    """ES ``moving_fn`` (unweightedAvg, window=7, shift=1 — the window
+    covers the 6 preceding buckets plus the current one) as a sibling
+    pipeline agg over the daily date_histogram: the bucket table comes
+    from the distributed per-batch partial-count reduce
+    (``_daily_counts``); the window pass runs over the ~30 bucket rows
+    on the driver — bounded by the TIME RANGE, not the corpus. The
+    average is an exact integer floor in micro-events/day, so both
+    sides compare bit-for-bit."""
+    out = _daily_counts(sf_dir)
+    n = out["n"].to_numpy().astype(np.int64)
+    k = len(n)
+    idx = np.arange(k)
+    c = np.minimum(idx + 1, 7)
+    cs = np.concatenate(([0], np.cumsum(n)))
+    s = cs[idx + 1] - cs[np.maximum(idx + 1 - 7, 0)]
+    return pa.table({
+        "day": pa.array(out["day"], pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "mov_sum7": pa.array(s, pa.int64()),
+        "mov_avg_micro": pa.array(s * 1_000_000 // c, pa.int64()),
+    })
+
+
+MOVING_AVG_SQL = f"""
+WITH {DAILY_COUNTS_CTE},
+w AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+         count(*) OVER (ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c
+  FROM d)
+SELECT day, n, s::BIGINT AS mov_sum7,
+       ((s * 1000000) // c)::BIGINT AS mov_avg_micro
+FROM w
+"""
+
+
+def scripted_metric_agg(sf_dir: str) -> pa.Table:
+    """ES ``scripted_metric`` aggregation parity: map script
+    ``w = n_chars * (1 + doc_id % 7)`` per document, combine per block
+    (the per-shard combine_script — a group_by inside map_batches that
+    collapses each block to at most |sources| rows before the
+    exchange), reduce across blocks (the coordinator reduce_script —
+    one tiny groupby over partials). All-integer, so the script result
+    is exact on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        w = nc * (1 + ids % 7)
+        g = (pa.table({"source": b["source"], "w": pa.array(w, pa.int64()),
+                       "one": pa.array(np.ones(len(w), np.int64))})
+             .group_by("source")
+             .aggregate([("w", "sum"), ("w", "max"), ("one", "sum")]))
+        return g.rename_columns(["source", "s", "mx", "nd"])
+
+    out = (
+        ray.data.read_parquet(_docs_path(sf_dir),
+                              columns=["doc_id", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nd", alias_name="n_docs"),
+                   Sum("s", alias_name="script_sum"),
+                   Max("mx", alias_name="script_max"))
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "script_sum": pa.array(out["script_sum"], pa.int64()),
+        "script_max": pa.array(out["script_max"], pa.int64()),
+    })
+
+
+SCRIPTED_METRIC_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars * (1 + doc_id % 7))::BIGINT AS script_sum,
+       max(n_chars * (1 + doc_id % 7))::BIGINT AS script_max
+FROM documents
+GROUP BY source
+"""
+
+
+#: geohash precision 4 = 20 interleaved bits (10 lon + 10 lat, lon
+#: first), standard base32 alphabet. Spans are the planted-point spans
+#: +1 so the max micro-degree maps to cell 1023, exactly in range.
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_TOP = 12
+
+
+def _geohash_codes(ids: np.ndarray) -> np.ndarray:
+    """doc ids → 20-bit geohash cell codes (vectorized int64 bit math
+    over the planted micro-degree points; MSB-first interleave, lon in
+    the even bit positions exactly as the geohash spec bisects)."""
+    lat, lon = _geo_micro(ids)
+    cy = (lat + 90_000_000) * 1024 // GEO_LAT_SPAN
+    cx = (lon + 180_000_000) * 1024 // GEO_LON_SPAN
+    code = np.zeros(len(ids), np.int64)
+    for i in range(10):
+        code |= ((cx >> (9 - i)) & 1) << (19 - 2 * i)
+        code |= ((cy >> (9 - i)) & 1) << (18 - 2 * i)
+    return code
+
+
+def geohash_grid_agg(sf_dir: str) -> pa.Table:
+    """ES ``geohash_grid`` aggregation over the planted points: the
+    real geohash — axis bisection to 10 bits per axis, MSB-first
+    lon/lat bit interleave, base32 digits — not a lookalike cell id.
+    Per-batch partial counts keyed by the 20-bit cell code collapse
+    each block to ≤2^20 rows before the exchange (the groupby moves
+    cell-count partials, never points); the base32 rendering happens
+    on the driver over the top-{GEOHASH_TOP} rows only. Base32 digits
+    are ASCII-increasing and MSB-first, so string order == code order
+    and the SQL's lexicographic tie-break matches."""
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        code = _geohash_codes(b["doc_id"].to_numpy(zero_copy_only=False))
+        g = (pa.table({"code": pa.array(code),
+                       "one": pa.array(np.ones(len(code), np.int64))})
+             .group_by("code").aggregate([("one", "sum")]))
+        return g.rename_columns(["code", "n"])
+
+    out = (
+        ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby("code").aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["n_docs", "code"], ascending=[False, True])
+        .head(GEOHASH_TOP).reset_index(drop=True)
+    )
+    codes = out["code"].to_numpy()
+    gh = ["".join(GEOHASH_B32[(int(c) >> sh) & 31] for sh in (15, 10, 5, 0))
+          for c in codes]
+    return pa.table({
+        "geohash": pa.array(gh, pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+    })
+
+
+def _geohash_sql() -> str:
+    lat, lon = _geo_sql_point()
+    interleave = " + ".join(
+        f"(((cx >> {9 - i}) & 1) << {19 - 2 * i})"
+        f" + (((cy >> {9 - i}) & 1) << {18 - 2 * i})"
+        for i in range(10))
+    chars = " || ".join(
+        f"substr('{GEOHASH_B32}', ((code >> {sh}) & 31) + 1, 1)"
+        for sh in (15, 10, 5, 0))
+    return f"""
+WITH cells AS (
+  SELECT ((({lat}) + 90000000) * 1024) // {GEO_LAT_SPAN} AS cy,
+         ((({lon}) + 180000000) * 1024) // {GEO_LON_SPAN} AS cx
+  FROM documents),
+codes AS (SELECT ({interleave}) AS code FROM cells),
+g AS (SELECT code, count(*)::BIGINT AS n_docs FROM codes GROUP BY 1)
+SELECT ({chars}) AS geohash, n_docs
+FROM g ORDER BY n_docs DESC, code LIMIT {GEOHASH_TOP}
+"""
+
+
+def pit_consistency(sf_dir: str) -> pa.Table:
+    """ES point-in-time (``_pit``) semantics on the NRT chain: a
+    searcher opened after wave 1 keeps serving the wave-1 corpus even
+    while later refreshes land (ES PITs pin the segment set at open —
+    a Lucene IndexReader over immutable generation directories, which
+    is exactly what ``LiveSearcher`` holds). The build streams the
+    doc_id-ordered first half, opens the PIT, streams the second half
+    into a new generation, and verifies the HELD-OPEN searcher is
+    bit-identical to a reconstructed gens[:1] reader (raises
+    otherwise); the entry output replays the PIT top-k, and the oracle
+    scores only the first-half corpus."""
+    import json as _json
+
+    from .pipelines.live import LiveIndex, LiveSearcher
+    from .sources.stream import stream_ingest
+
+    root = os.path.join(os.path.dirname(_index_dir(sf_dir)), "pit")
+    live = LiveIndex(root, CFG)
+    done = os.path.join(root, "_PIT_READY")
+    if not os.path.exists(done):
+        t = pq.read_table(_docs_path(sf_dir),
+                          columns=["doc_id", "text", "lang"])
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w1 = t.filter(pa.array(ids * 2 < n))
+        w2 = t.filter(pa.array(ids * 2 >= n))
+
+        def payloads(tbl: pa.Table):
+            for d, x, lg in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist(),
+                                tbl["lang"].to_pylist()):
+                yield _json.dumps(
+                    {"doc_id": int(d), "text": x, "lang": lg}).encode()
+
+        s1 = os.path.join(root, "wave1")
+        stream_ingest(payloads(w1), s1, purpose="json", cfg=CFG)
+        live.refresh(s1)
+        pit = live.searcher()          # the point-in-time open
+        s2 = os.path.join(root, "wave2")
+        stream_ingest(payloads(w2), s2, purpose="json", cfg=CFG)
+        live.refresh(s2)               # lands AFTER the PIT opened
+        # the PIT must not see wave 2: bit-identical to gens[:1]
+        rebuilt = LiveSearcher(live.generations()[:1])
+        for qid, q in DOC_QUERIES:
+            d_pit, sc_pit = pit.topk(q, TOPK)
+            d_re, sc_re = rebuilt.topk(q, TOPK)
+            if not (np.array_equal(d_pit, d_re)
+                    and np.array_equal(sc_pit, sc_re)):
+                raise AssertionError(
+                    f"PIT leaked post-open segments for query {qid}")
+        with open(done, "w") as f:
+            f.write("ok")
+    s = LiveSearcher(live.generations()[:1])
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _sc = s.topk(q, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+#: the wave-1 (pre-PIT) corpus as a table expression for _bm25_sql
+_PIT_SRC_SQL = ("(SELECT doc_id, text FROM documents "
+                "WHERE doc_id * 2 < (SELECT count(*) FROM documents))")
+
+
+def vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary-growth curve (the tokenizer-coverage
+    planning table for training-data pipelines): vocabulary size after
+    the doc_id-ordered prefix of 1/8, 1/4, 1/2 and all of the corpus.
+    Distributed as a per-term Min reduce: each block collapses to
+    (term, min doc_id) partials before the exchange, and the threshold
+    counting is another per-batch partial (4 counter rows per block) —
+    the vocabulary table itself never lands on the driver."""
+    from ray.data.aggregate import Min as _Min, Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    n = pq.read_metadata(_docs_path(sf_dir)).num_rows
+    thresholds = sorted({(n + 7) // 8, (n + 3) // 4, (n + 1) // 2, n})
+    thr = np.array(thresholds, np.int64)
+
+    def term_min(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        d = ids[idx.to_numpy(zero_copy_only=False)]
+        g = (pa.table({"term": flat, "d": pa.array(d, pa.int64())})
+             .group_by("term").aggregate([("d", "min")]))
+        return g.rename_columns(["term", "md"])
+
+    def count_thresholds(b: pa.Table) -> pa.Table:
+        md = b["md"].to_numpy(zero_copy_only=False)
+        cnt = (md[:, None] < thr[None, :]).sum(axis=0)
+        return pa.table({"prefix_docs": pa.array(thr, pa.int64()),
+                         "vocab_size": pa.array(cnt, pa.int64())})
+
+    out = (
+        ray.data.read_parquet(_docs_path(sf_dir),
+                              columns=["doc_id", "text"])
+        .map_batches(term_min, batch_format="pyarrow")
+        .groupby("term").aggregate(_Min("md", alias_name="md"))
+        .map_batches(count_thresholds, batch_format="pyarrow")
+        .groupby("prefix_docs").aggregate(Sum("vocab_size",
+                                              alias_name="vocab_size"))
+        .to_pandas().sort_values("prefix_docs").reset_index(drop=True)
+    )
+    return pa.table({
+        "prefix_docs": pa.array(out["prefix_docs"], pa.int64()),
+        "vocab_size": pa.array(out["vocab_size"], pa.int64()),
+    })
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+m AS (SELECT term, min(doc_id) AS md FROM tok GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+t AS (
+  SELECT DISTINCT prefix_docs FROM (
+    SELECT (n + 7) // 8 AS prefix_docs FROM nn
+    UNION ALL SELECT (n + 3) // 4 FROM nn
+    UNION ALL SELECT (n + 1) // 2 FROM nn
+    UNION ALL SELECT n FROM nn))
+SELECT t.prefix_docs::BIGINT AS prefix_docs,
+       (SELECT count(*) FROM m WHERE m.md < t.prefix_docs)::BIGINT
+         AS vocab_size
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -13454,6 +13757,11 @@ def registry() -> tuple[dict, dict]:
         "esql_enrich": esql_enrich,
         "events_per_user_hist": events_per_user_hist,
         "token_length_profile": token_length_profile,
+        "moving_avg_daily": moving_avg_daily,
+        "scripted_metric_agg": scripted_metric_agg,
+        "geohash_grid_agg": geohash_grid_agg,
+        "pit_consistency": pit_consistency,
+        "vocab_growth": vocab_growth,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -13698,6 +14006,11 @@ def registry() -> tuple[dict, dict]:
         "esql_enrich": ESQL_ENRICH_SQL,
         "events_per_user_hist": EVENTS_PER_USER_SQL,
         "token_length_profile": TOKEN_LENGTH_SQL,
+        "moving_avg_daily": MOVING_AVG_SQL,
+        "scripted_metric_agg": SCRIPTED_METRIC_SQL,
+        "geohash_grid_agg": _geohash_sql(),
+        "pit_consistency": _bm25_sql(src=_PIT_SRC_SQL),
+        "vocab_growth": VOCAB_GROWTH_SQL,
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
