@@ -6431,20 +6431,38 @@ def hll_users(sf_dir: str) -> pa.Table:
     """ES ``cardinality`` aggregation: HyperLogLog count-distinct of
     events.user_id (p=14, ~0.8% expected error). One streaming pass,
     one 16 KiB register row per block, elementwise-max merge — the
-    sketch never ships values. Reported next to the exact count; the
-    relative error is pytest-bounded (deterministic splitmix64 hash)."""
+    sketch never ships values (``analysis.hll_merged_registers``).
+
+    Value-oracled (not just error-bounded): the harmonic sum is
+    computed as the EXACT integer S = Σ 2^(51−rho) over all 2^14
+    registers — every addend is a dyadic power, so the sum is
+    order-free and the DuckDB oracle (``_hll_users_sql``) replays it
+    in HUGEINT bit-for-bit. The bias-corrected estimate is then one
+    double expression written token-for-token the same on both sides
+    (same literals, left-association and libm ln), floored to integer
+    micro-units — the same exact-float-replay discipline as the
+    bigram-LM micro-nats oracle."""
+    import math
+
     from .pipelines import analysis as A2
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
-    est = A2.hll_cardinality(ds, "user_id")
+    regs = A2.hll_merged_registers(ds, "user_id")
+    m = 1 << A2.HLL_P
+    rmax = 64 - A2.HLL_P + 1             # 51: max possible rho
+    hist = np.bincount(regs.astype(np.int64), minlength=1)
+    s = sum(int(c) << (rmax - r) for r, c in enumerate(hist) if c)
+    zeros = int(np.count_nonzero(regs == 0))
+    fm = float(m)
+    e0 = (0.7213 / (1.0 + 1.079 / fm)) * fm * fm * float(1 << rmax) / float(s)
+    est = fm * math.log(fm / zeros) if (e0 <= 2.5 * fm and zeros > 0) else e0
     exact = int(distinct_users(sf_dir)["n_distinct"][0].as_py())
     return pa.table({
         "column": pa.array(["user_id"], pa.string()),
-        "hll_estimate": pa.array([round(est, 1)], pa.float64()),
         "exact": pa.array([exact], pa.int64()),
-        "rel_err_pct": pa.array([round(abs(est - exact) / exact * 100, 3)],
-                                pa.float64()),
+        "zero_registers": pa.array([zeros], pa.int64()),
+        "hll_est_micro": pa.array([math.floor(est * 1000000.0)], pa.int64()),
     })
 
 
@@ -9048,17 +9066,36 @@ def hll_register_hist(sf_dir: str) -> pa.Table:
 
 
 def _hll_hist_sql() -> str:
-    """Splitmix64 + HLL register derivation in DuckDB: idx = top 14
-    hash bits, w = low 50 bits, rho = ntz(w)+1 (via bit_count of the
-    isolated-lsb mask — all BIGINT-safe since w < 2^50), max per idx,
-    histogram + the implicit rho=0 row for untouched registers."""
+    """Histogram of merged HLL registers, replayed in SQL over the
+    shared register derivation (see ``_hll_regs_cte``)."""
+    from .pipelines.analysis import HLL_P
+
+    m = 1 << HLL_P
+    return f"""
+WITH {_hll_regs_cte()},
+hist AS (
+  SELECT rho::BIGINT AS rho, count(*)::BIGINT AS n_registers FROM regs GROUP BY 1
+  UNION ALL
+  SELECT 0::BIGINT, ({m} - (SELECT count(*) FROM regs))::BIGINT
+)
+SELECT rho, n_registers FROM hist WHERE n_registers > 0
+"""
+
+
+def _hll_regs_cte() -> str:
+    """Splitmix64 + HLL register derivation in DuckDB, as a reusable
+    CTE chain ending in ``regs(idx, rho)``: idx = top 14 hash bits,
+    w = low 50 bits, rho = ntz(w)+1 (via bit_count of the isolated-lsb
+    mask — all BIGINT-safe since w < 2^50), max per idx. Untouched
+    registers (rho = 0) are implicit — consumers add the
+    ``2^p - count(regs)`` remainder. Shared by ``_hll_hist_sql`` and
+    ``_hll_users_sql``."""
     from .pipelines.analysis import HLL_P
 
     M = "18446744073709551616"           # 2^64
     HALF = "9223372036854775808"         # 2^63
     C1 = 0xBF58476D1CE4E5B9
     C2 = 0x94D049BB133111EB
-    m = 1 << HLL_P
     wbits = 64 - HLL_P
     wmod = str(1 << wbits)
     shift_p = str(1 << wbits)            # h >> (64-p) == h // 2^(64-p)
@@ -9072,8 +9109,7 @@ def _hll_hist_sql() -> str:
                 f"ELSE ({b})::HUGEINT END)")
 
     mulmod = _sql_mulmod64
-    return f"""
-WITH ids AS (SELECT DISTINCT user_id::HUGEINT AS x FROM events),
+    return f"""ids AS (SELECT DISTINCT user_id::HUGEINT AS x FROM events),
 s1 AS (SELECT {ub(f"xor({sb('x')}, (x // 1073741824)::BIGINT)")} AS y FROM ids),
 s2 AS (SELECT {mulmod('y', C1)} AS y FROM s1),
 s3 AS (SELECT {ub(f"xor({sb('y')}, (y // 134217728)::BIGINT)")} AS y FROM s2),
@@ -9087,13 +9123,44 @@ regs AS (
          max(CASE WHEN w = 0 THEN {wbits + 1}
              ELSE bit_count(((w & -w) - 1)::BIGINT) + 1 END) AS rho
   FROM slots GROUP BY idx
-),
-hist AS (
-  SELECT rho::BIGINT AS rho, count(*)::BIGINT AS n_registers FROM regs GROUP BY 1
-  UNION ALL
-  SELECT 0::BIGINT, ({m} - (SELECT count(*) FROM regs))::BIGINT
-)
-SELECT rho, n_registers FROM hist WHERE n_registers > 0
+)"""
+
+
+def _hll_users_sql() -> str:
+    """Exact-value oracle for the HLL ESTIMATE itself: the harmonic
+    sum is replayed as the exact integer S = Σ 2^(51−rho) (HUGEINT —
+    every addend is a dyadic power, so no float summation-order
+    sensitivity), then the bias-corrected estimate is ONE double
+    expression written token-for-token like the Python side
+    (same literals, same left-association, same libm ln), floored to
+    integer micro-units."""
+    from .pipelines.analysis import HLL_P
+
+    m = 1 << HLL_P
+    rmax = 64 - HLL_P + 1                # 51: max possible rho
+    p51 = float(1 << rmax)               # 2^51 as a double literal
+    return f"""
+WITH {_hll_regs_cte()},
+agg AS (
+  SELECT count(*)::HUGEINT AS touched,
+         sum((1::HUGEINT << ({rmax} - rho))) AS s_t
+  FROM regs),
+st AS (
+  SELECT ({m} - touched)::BIGINT AS zeros,
+         (s_t + ({m}::HUGEINT - touched) * (1::HUGEINT << {rmax})) AS s
+  FROM agg),
+est AS (
+  SELECT zeros,
+         (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {p51!r}
+           / (s::DOUBLE) AS e0
+  FROM st)
+SELECT 'user_id' AS "column",
+       (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS exact,
+       zeros AS zero_registers,
+       floor((CASE WHEN e0 <= 2.5 * {m}.0 AND zeros > 0
+              THEN {m}.0 * ln({m}.0 / zeros) ELSE e0 END)
+             * 1000000.0)::BIGINT AS hll_est_micro
+FROM est
 """
 
 
@@ -13834,8 +13901,7 @@ def registry() -> tuple[dict, dict]:
         "user_sessions": USER_SESSIONS_SQL,
         "asof_purchase_click": ASOF_SQL,
         "events_window_counts": EVENTS_WINDOW_SQL,
-        # hll_users: approximate sketch (engine-defined hash) → rows-only;
-        # its error vs the exact count is pytest-bounded
+        "hll_users": _hll_users_sql(),
         "lang_counts": LANG_COUNTS_SQL,
         "bm25_search_after": _bm25_sql(page=2),
         "more_like_this": _mlt_sql(),
