@@ -13540,6 +13540,209 @@ FROM t
 """
 
 
+#: span_first end offset: the span must end within the first 8 token
+#: positions (0-based pos < 8 for one-token spans).
+SPAN_FIRST_END = 8
+
+
+def span_first(sf_dir: str) -> pa.Table:
+    """ES ``span_first`` (single-token spans, end={SPAN_FIRST_END}):
+    per fixture term, docs where the term occurs within the first
+    {SPAN_FIRST_END} token positions and how many early occurrences
+    each keeps — resolved entirely inside the positional index with
+    one searchsorted per candidate doc
+    (positions.py::span_first_search); the oracle recounts from the
+    exploded token-position table."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_first_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, counts = [], [], []
+    for qid, ti, _te in _span_pairs():
+        d, c = span_first_search(pr, ti, SPAN_FIRST_END)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        counts.extend(c.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_early": pa.array(counts, pa.int64()),
+    })
+
+
+def _span_first_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}')" for qid, a, _b in _span_pairs())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, s.t AS term, s.p - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+),
+q(qid, term) AS (VALUES {values})
+SELECT q.qid::BIGINT AS qid, tok.doc_id,
+       count(*)::BIGINT AS n_early
+FROM q JOIN tok ON tok.term = q.term AND tok.pos < {SPAN_FIRST_END}
+GROUP BY 1, 2
+"""
+
+
+def rate_agg(sf_dir: str) -> pa.Table:
+    """ES ``rate`` aggregation (unit=day) inside a calendar-month
+    date_histogram: per month, the event count and the per-day rate —
+    count·10^6 // days-in-month, an exact integer floor in
+    micro-events/day. The bucket table comes from per-batch partial
+    counts keyed by month (≤ a few rows per block before the
+    exchange); the calendar division runs over the tiny bucket table
+    on the driver."""
+    import calendar
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        month = pc.strftime(b["ts"], format="%Y-%m")
+        g = pa.table({"month": month}).group_by("month") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["month", "n"])
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("month").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("month").reset_index(drop=True))
+    n = out["n"].to_numpy().astype(np.int64)
+    days = np.array([calendar.monthrange(int(m[:4]), int(m[5:7]))[1]
+                     for m in out["month"]], np.int64)
+    return pa.table({
+        "month": pa.array(out["month"], pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "days": pa.array(days, pa.int64()),
+        "rate_micro_per_day": pa.array(n * 1_000_000 // days, pa.int64()),
+    })
+
+
+RATE_AGG_SQL = """
+WITH m AS (
+  SELECT strftime(ts, '%Y-%m') AS month, date_trunc('month', ts) AS m0,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT month, n,
+       date_diff('day', m0::DATE, (m0 + INTERVAL 1 MONTH)::DATE)::BIGINT
+         AS days,
+       ((n * 1000000)
+        // date_diff('day', m0::DATE, (m0 + INTERVAL 1 MONTH)::DATE)
+       )::BIGINT AS rate_micro_per_day
+FROM m
+"""
+
+
+def normalize_lang_pct(sf_dir: str) -> pa.Table:
+    """ES ``normalize`` pipeline aggregation (method=percent_of_sum)
+    over the lang terms agg: per language, the doc count and its share
+    of the total as an exact integer floor in micro-percent
+    (n·10^8 // total). The heavy reduce is the terms agg itself
+    (per-batch partial counts, one tiny groupby); the normalize pass
+    runs over the ≤|langs| bucket rows on the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b["lang"]}).group_by("lang") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir), columns=["lang"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    n = out["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "pct_micro": pa.array(n * 100_000_000 // max(total, 1), pa.int64()),
+    })
+
+
+NORMALIZE_LANG_SQL = """
+WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM g)
+SELECT g.lang, g.n,
+       ((g.n * 100000000) // greatest(t.total, 1))::BIGINT AS pct_micro
+FROM g, t
+"""
+
+
+#: categorize_text: bucket by the first 3 digit-free tokens; top 12
+#: categories by count.
+CATEGORIZE_TOP = 12
+
+
+def categorize_text(sf_dir: str) -> pa.Table:
+    """ES ``categorize_text`` aggregation (deterministic variant): the
+    category key is the first 3 tokens after dropping digit-bearing
+    tokens (the ML categorizer's number-stripping rule), counted per
+    doc, top {CATEGORIZE_TOP} by count. Per batch the key extraction
+    is fully vectorized — one RE2 split + one match_substring_regex
+    mask + a scatter into a (rows, 3) token grid — and each block
+    collapses to category partial counts before the exchange; only
+    bucket rows ride the groupby."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    def cats(b: pa.Table) -> pa.Table:
+        n_rows = len(b)
+        flat, idx = tokenize_to_terms(b["text"])
+        keep = pc.invert(pc.match_substring_regex(flat, "[0-9]"))
+        flat = flat.filter(keep)
+        idx_np = idx.filter(keep).to_numpy(zero_copy_only=False)
+        # rank of each surviving token within its row (flat order is
+        # row-major, so rank = position - row start)
+        change = np.diff(idx_np, prepend=-1) != 0
+        start = np.maximum.accumulate(
+            np.where(change, np.arange(len(idx_np)), 0))
+        rank = np.arange(len(idx_np)) - start
+        early = rank < 3
+        grid = np.full((n_rows, 3), "", dtype=object)
+        grid[idx_np[early], rank[early]] = np.asarray(
+            flat.filter(pa.array(early)).to_pylist(), dtype=object)
+        cat = grid[:, 0].copy()
+        for j in (1, 2):
+            m = grid[:, j] != ""
+            cat[m] = cat[m] + " " + grid[m, j]
+        g = (pa.table({"category": pa.array(cat.tolist(), pa.string())})
+             .group_by("category").aggregate([([], "count_all")]))
+        return g.rename_columns(["category", "n"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir), columns=["text"])
+           .map_batches(cats, batch_format="pyarrow")
+           .groupby("category").aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas()
+           .sort_values(["n_docs", "category"], ascending=[False, True])
+           .head(CATEGORIZE_TOP).reset_index(drop=True))
+    return pa.table({
+        "category": pa.array(out["category"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+    })
+
+
+CATEGORIZE_TEXT_SQL = f"""
+WITH c AS (
+  SELECT array_to_string(
+    list_slice(
+      list_filter({TOK_SQL}, x -> NOT regexp_matches(x, '[0-9]')),
+      1, 3), ' ') AS category
+  FROM documents),
+g AS (SELECT category, count(*)::BIGINT AS n_docs FROM c GROUP BY 1)
+SELECT category, n_docs FROM g
+ORDER BY n_docs DESC, category LIMIT {CATEGORIZE_TOP}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13829,6 +14032,10 @@ def registry() -> tuple[dict, dict]:
         "geohash_grid_agg": geohash_grid_agg,
         "pit_consistency": pit_consistency,
         "vocab_growth": vocab_growth,
+        "span_first": span_first,
+        "rate_agg": rate_agg,
+        "normalize_lang_pct": normalize_lang_pct,
+        "categorize_text": categorize_text,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -14077,6 +14284,10 @@ def registry() -> tuple[dict, dict]:
         "geohash_grid_agg": _geohash_sql(),
         "pit_consistency": _bm25_sql(src=_PIT_SRC_SQL),
         "vocab_growth": VOCAB_GROWTH_SQL,
+        "span_first": _span_first_sql(),
+        "rate_agg": RATE_AGG_SQL,
+        "normalize_lang_pct": NORMALIZE_LANG_SQL,
+        "categorize_text": CATEGORIZE_TEXT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with

@@ -543,6 +543,33 @@ def span_near_chain(reader, terms: list[str], slop: int
     return ext[order], gaps[order]
 
 
+def span_first_search(reader, term: str, end: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_first`` for a single-token span: occurrences of
+    ``term`` whose 0-based token position is < ``end`` (the span must
+    END within the first ``end`` positions; for a one-token span the
+    end offset is pos + 1 ≤ end ⇔ pos < end). Returns (external
+    doc_ids ascending, count of early occurrences per doc) for docs
+    keeping at least one.
+
+    Position lists are stored ascending, so the per-doc count is one
+    ``searchsorted(positions, end)`` — O(log n_positions) per
+    candidate doc, no position scan. ``reader`` is a
+    ``PositionalReader`` or ``ShardedPositionalEngine``."""
+    if end <= 0:
+        raise ValueError("span_first end must be positive")
+    docs, pos = reader.term_positions_many([term])[term]
+    counts = np.array([int(np.searchsorted(p, end)) for p in pos],
+                      dtype=np.int64)
+    keep = counts > 0
+    if not keep.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[docs[keep].astype(np.int64)]
+    counts = counts[keep]
+    order = np.argsort(ext)
+    return ext[order], counts[order]
+
+
 def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 

@@ -234,3 +234,48 @@ def test_span_near_chain(ray_session, tmp_path):
     assert d3.tolist() == [4] and g3.tolist() == [8]
     with pytest.raises(ValueError):
         span_near_chain(r, ["a"], slop=1)
+
+
+def test_span_first_search(ray_session, tmp_path):
+    """span_first: 0-based position < end, early-occurrence counts,
+    brute-force parity against a direct token scan."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, span_first_search)
+
+    texts = {
+        10: "z z z a z a",        # a at 3, 5
+        20: "a b a a x",          # a at 0, 2, 3
+        30: "b b b b b b b a",    # a at 7 only
+        40: "no match here",
+    }
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pos_dir = str(tmp_path / "pos")
+    build_positions(str(tmp_path / "documents.parquet"), pos_dir,
+                    IndexConfig())
+    r = PositionalReader(pos_dir)
+
+    for end in (1, 3, 4, 6, 8, 100):
+        d, c = span_first_search(r, "a", end)
+        want = {}
+        for doc, t in texts.items():
+            n = sum(1 for i, tok in enumerate(re.findall(r"[a-z0-9]+", t))
+                    if tok == "a" and i < end)
+            if n:
+                want[doc] = n
+        assert dict(zip(d.tolist(), c.tolist())) == want
+        assert d.tolist() == sorted(d.tolist())
+
+    d, c = span_first_search(r, "missingterm", 5)
+    assert d.tolist() == [] and c.tolist() == []
+    with pytest.raises(ValueError):
+        span_first_search(r, "a", 0)
