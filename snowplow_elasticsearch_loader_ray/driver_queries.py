@@ -13743,6 +13743,264 @@ ORDER BY n_docs DESC, category LIMIT {CATEGORIZE_TOP}
 """
 
 
+def _span_triples() -> list[tuple[int, str, str, str]]:
+    """(qid, a, b, c): the first three distinct tokens of each fixture
+    query that has them — the span_containing fixtures (big span =
+    a NEAR b, little span = c)."""
+    import re
+
+    out = []
+    for qid, q in BOOL_QUERIES:
+        toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", q.lower())))
+        if len(toks) >= 3:
+            out.append((qid, toks[0], toks[1], toks[2]))
+    return out
+
+
+def span_containing(sf_dir: str) -> pa.Table:
+    """ES ``span_containing`` (big = unordered a-NEAR-b pair with
+    |Δpos| ≤ {SPAN_SLOP}, little = single token c): per fixture
+    triple, docs where some big span contains a little occurrence,
+    and how many distinct big spans qualify. The engine resolves each
+    candidate doc with one broadcast min/max over the (a, b) position
+    pair grid plus two searchsorted probes of c's positions
+    (positions.py::span_containing_search); the oracle runs the
+    quadratic EXISTS cross join."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_containing_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, counts = [], [], []
+    for qid, a, b, c in _span_triples():
+        d, n = span_containing_search(pr, a, b, c, SPAN_SLOP)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        counts.extend(n.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_spans": pa.array(counts, pa.int64()),
+    })
+
+
+def _span_containing_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}', '{c}')"
+                       for qid, a, b, c in _span_triples())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, s.t AS term, s.p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+),
+q(qid, ta, tb, tc) AS (VALUES {values}),
+big AS (
+  SELECT q.qid, a.doc_id,
+         least(a.pos, b.pos) AS lo, greatest(a.pos, b.pos) AS hi
+  FROM q
+  JOIN tok a ON a.term = q.ta
+  JOIN tok b ON b.term = q.tb AND b.doc_id = a.doc_id
+  WHERE abs(a.pos - b.pos) <= {SPAN_SLOP}
+    AND EXISTS (
+      SELECT 1 FROM tok c
+      WHERE c.term = q.tc AND c.doc_id = a.doc_id
+        AND c.pos BETWEEN least(a.pos, b.pos) AND greatest(a.pos, b.pos)
+    )
+)
+SELECT qid::BIGINT AS qid, doc_id, count(*)::BIGINT AS n_spans
+FROM big GROUP BY 1, 2
+"""
+
+
+#: global-agg filtered context: the lang whose bucket the filtered leg
+#: reads (reuses the corpus fixture's dominant language).
+GLOBAL_AGG_LANG = "en"
+
+
+def global_agg(sf_dir: str) -> pa.Table:
+    """ES ``global`` aggregation: a filtered search context
+    (lang = {GLOBAL_AGG_LANG}) plus a ``global`` bucket that escapes
+    the filter, both answered in ONE distributed pass — every batch
+    emits (n, Σn_chars) partials for the filtered mask AND the whole
+    block, so the corpus is scanned once and only eight counters ride
+    the reduce. Averages are exact integer floors in micro-chars."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.equal(b["lang"], GLOBAL_AGG_LANG).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_match": pa.array([int(m.sum())], pa.int64()),
+            "chars_match": pa.array([int(nc[m].sum())], pa.int64()),
+            "n_global": pa.array([len(b)], pa.int64()),
+            "chars_global": pa.array([int(nc.sum())], pa.int64()),
+        })
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["lang", "n_chars"])
+           .map_batches(partial, batch_format="pyarrow")
+           .sum(["n_match", "chars_match", "n_global", "chars_global"]))
+    nm, cm = int(out["sum(n_match)"]), int(out["sum(chars_match)"])
+    ng, cg = int(out["sum(n_global)"]), int(out["sum(chars_global)"])
+    return pa.table({
+        "n_match": pa.array([nm], pa.int64()),
+        "chars_match": pa.array([cm], pa.int64()),
+        "avg_chars_match_micro": pa.array(
+            [cm * 1_000_000 // max(nm, 1)], pa.int64()),
+        "n_global": pa.array([ng], pa.int64()),
+        "chars_global": pa.array([cg], pa.int64()),
+        "avg_chars_global_micro": pa.array(
+            [cg * 1_000_000 // max(ng, 1)], pa.int64()),
+    })
+
+
+GLOBAL_AGG_SQL = f"""
+SELECT count(*) FILTER (WHERE lang = '{GLOBAL_AGG_LANG}')::BIGINT AS n_match,
+       coalesce(sum(n_chars) FILTER (WHERE lang = '{GLOBAL_AGG_LANG}'),
+                0)::BIGINT AS chars_match,
+       ((coalesce(sum(n_chars) FILTER (WHERE lang = '{GLOBAL_AGG_LANG}'), 0)
+         * 1000000)
+        // greatest(count(*) FILTER (WHERE lang = '{GLOBAL_AGG_LANG}'), 1)
+       )::BIGINT AS avg_chars_match_micro,
+       count(*)::BIGINT AS n_global,
+       sum(n_chars)::BIGINT AS chars_global,
+       ((sum(n_chars)::BIGINT * 1000000) // greatest(count(*), 1))::BIGINT
+         AS avg_chars_global_micro
+FROM documents
+"""
+
+
+def incremental_dedup_stats(sf_dir: str) -> pa.Table:
+    """Incremental crawl dedup (the new-snapshot-vs-previous-snapshot
+    pattern): docs with doc_id ≥ cutoff (= ceil(n/2), the 'new crawl')
+    deduplicated against BOTH the old half and each other by exact
+    text. One content-hash groupby — 16-byte rows ride the exchange,
+    never text — classifies every hash group with (min doc_id,
+    new-doc count); per-block partial sums reduce the group table to
+    four counters. At 10^12 docs the 'old half' is the existing
+    index's hash column, same plan."""
+    from ray.data.aggregate import Sum
+
+    from .pipelines.dedup import AddContentHash
+
+    n = pq.read_metadata(_docs_path(sf_dir)).num_rows
+    cutoff = (n + 1) // 2
+
+    def classify(b: pa.Table) -> pa.Table:
+        mn = b["mn"].to_numpy(zero_copy_only=False)
+        nn = b["n_new"].to_numpy(zero_copy_only=False)
+        has_new = nn > 0
+        old_min = mn < cutoff
+        return pa.table({
+            "n_new": pa.array([int(nn.sum())], pa.int64()),
+            "dup_of_old": pa.array(
+                [int(nn[has_new & old_min].sum())], pa.int64()),
+            "dup_within_new": pa.array(
+                [int((nn[has_new & ~old_min] - 1).sum())], pa.int64()),
+            "n_kept": pa.array(
+                [int((has_new & ~old_min).sum())], pa.int64()),
+        })
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        h = AddContentHash()(b)
+        ids = h["doc_id"].to_numpy(zero_copy_only=False)
+        return h.append_column(
+            "is_new", pa.array((ids >= cutoff).astype(np.int64)))
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "text"])
+           .map_batches(hash_rows, batch_format="pyarrow")
+           .groupby("content_hash")
+           .aggregate(Min("doc_id", alias_name="mn"),
+                      Sum("is_new", alias_name="n_new"))
+           .map_batches(classify, batch_format="pyarrow")
+           .sum(["n_new", "dup_of_old", "dup_within_new", "n_kept"]))
+    return pa.table({
+        "n_new": pa.array([int(out["sum(n_new)"])], pa.int64()),
+        "dup_of_old": pa.array([int(out["sum(dup_of_old)"])], pa.int64()),
+        "dup_within_new": pa.array(
+            [int(out["sum(dup_within_new)"])], pa.int64()),
+        "n_kept": pa.array([int(out["sum(n_kept)"])], pa.int64()),
+    })
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH nn AS (SELECT (count(*) + 1) // 2 AS cutoff FROM documents),
+g AS (
+  SELECT min(doc_id) AS mn,
+         count(*) FILTER (WHERE doc_id >= (SELECT cutoff FROM nn))::BIGINT
+           AS n_new
+  FROM documents GROUP BY text)
+SELECT sum(n_new)::BIGINT AS n_new,
+       coalesce(sum(n_new) FILTER (
+         WHERE n_new > 0 AND mn < (SELECT cutoff FROM nn)), 0)::BIGINT
+         AS dup_of_old,
+       coalesce(sum(n_new - 1) FILTER (
+         WHERE n_new > 0 AND mn >= (SELECT cutoff FROM nn)), 0)::BIGINT
+         AS dup_within_new,
+       count(*) FILTER (
+         WHERE n_new > 0 AND mn >= (SELECT cutoff FROM nn))::BIGINT
+         AS n_kept
+FROM g
+"""
+
+
+def bucket_script_metrics(sf_dir: str) -> pa.Table:
+    """ES ``bucket_script`` + ``bucket_sort`` pipeline aggs over the
+    event_type terms agg: per type, exact integer cents sum and count
+    from per-block partials, then the script
+    ``mean_cents_micro = sum_cents·10^6 // n`` and a bucket_sort by it
+    (desc, type tie-break) over the tiny bucket table on the driver —
+    where ES's coordinating node runs pipeline aggs."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (pa.table({"event_type": b["event_type"],
+                       "c": pa.array(cents),
+                       "one": pa.array(np.ones(len(cents), np.int64))})
+             .group_by("event_type")
+             .aggregate([("c", "sum"), ("one", "sum")]))
+        return g.rename_columns(["event_type", "sc", "n"])
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sc", alias_name="sum_cents"))
+           .to_pandas())
+    n = out["n"].to_numpy().astype(np.int64)
+    sc = out["sum_cents"].to_numpy().astype(np.int64)
+    out["mean_cents_micro"] = sc * 1_000_000 // n
+    out = out.sort_values(["mean_cents_micro", "event_type"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+        "mean_cents_micro": pa.array(out["mean_cents_micro"], pa.int64()),
+    })
+
+
+BUCKET_SCRIPT_SQL = """
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+  FROM events GROUP BY 1)
+SELECT event_type, n, sum_cents,
+       ((sum_cents * 1000000) // n)::BIGINT AS mean_cents_micro
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14036,6 +14294,10 @@ def registry() -> tuple[dict, dict]:
         "rate_agg": rate_agg,
         "normalize_lang_pct": normalize_lang_pct,
         "categorize_text": categorize_text,
+        "span_containing": span_containing,
+        "global_agg": global_agg,
+        "incremental_dedup_stats": incremental_dedup_stats,
+        "bucket_script_metrics": bucket_script_metrics,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -14288,6 +14550,10 @@ def registry() -> tuple[dict, dict]:
         "rate_agg": RATE_AGG_SQL,
         "normalize_lang_pct": NORMALIZE_LANG_SQL,
         "categorize_text": CATEGORIZE_TEXT_SQL,
+        "span_containing": _span_containing_sql(),
+        "global_agg": GLOBAL_AGG_SQL,
+        "incremental_dedup_stats": INCREMENTAL_DEDUP_SQL,
+        "bucket_script_metrics": BUCKET_SCRIPT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with

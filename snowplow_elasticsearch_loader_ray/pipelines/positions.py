@@ -570,6 +570,56 @@ def span_first_search(reader, term: str, end: int
     return ext[order], counts[order]
 
 
+def span_containing_search(reader, big_a: str, big_b: str, little: str,
+                           slop: int) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_containing``: matches of the big span that CONTAIN a
+    match of the little span. Big spans here are unordered
+    (``big_a``, ``big_b``) position pairs with |Δpos| ≤ ``slop``
+    (the span_near shape); the little span is the single token
+    ``little``; containment means some little position lies inside
+    the big span's [min, max] position window (inclusive).
+
+    Returns (external doc_ids ascending, number of DISTINCT containing
+    big spans per doc) for docs with at least one. Per candidate doc
+    the pair windows come from one broadcasted (n_a × n_b) min/max,
+    and containment is two searchsorted probes of the little position
+    list against the window bounds — no triple enumeration; the
+    oracle runs the quadratic EXISTS cross join."""
+    if len({big_a, big_b, little}) != 3:
+        raise ValueError("span_containing terms must be distinct")
+    fetched = reader.term_positions_many(sorted({big_a, big_b, little}))
+    docs_a, pos_a = fetched[big_a]
+    docs_b, pos_b = fetched[big_b]
+    docs_c, pos_c = fetched[little]
+    b_at = {int(d): j for j, d in enumerate(docs_b)}
+    c_at = {int(d): j for j, d in enumerate(docs_c)}
+    out_docs: list[int] = []
+    out_counts: list[int] = []
+    for j in range(len(docs_a)):
+        doc = int(docs_a[j])
+        jb, jc = b_at.get(doc), c_at.get(doc)
+        if jb is None or jc is None:
+            continue
+        a = pos_a[j].astype(np.int64)
+        b = pos_b[jb].astype(np.int64)
+        c = pos_c[jc].astype(np.int64)
+        lo = np.minimum(a[:, None], b[None, :]).ravel()
+        hi = np.maximum(a[:, None], b[None, :]).ravel()
+        near = hi - lo <= slop
+        has_little = (np.searchsorted(c, hi, side="right")
+                      - np.searchsorted(c, lo, side="left")) > 0
+        n = int((near & has_little).sum())
+        if n:
+            out_docs.append(doc)
+            out_counts.append(n)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    counts = np.array(out_counts, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], counts[order]
+
+
 def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 

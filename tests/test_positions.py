@@ -279,3 +279,58 @@ def test_span_first_search(ray_session, tmp_path):
     assert d.tolist() == [] and c.tolist() == []
     with pytest.raises(ValueError):
         span_first_search(r, "a", 0)
+
+
+def test_span_containing_search(ray_session, tmp_path):
+    """span_containing: unordered (a,b) windows within slop that hold a
+    little-span occurrence; brute-force triple-loop parity."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, span_containing_search)
+
+    texts = {
+        1: "a c b",            # window [0,2] holds c
+        2: "a b c",            # c outside every tight window
+        3: "b x c x a",        # window [0,4] (slop>=4) holds c
+        4: "a x x x x x b c",  # a..b too far at small slop
+        5: "c a b c a c b",    # many windows
+        6: "a b",              # no little term
+    }
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pos_dir = str(tmp_path / "pos")
+    build_positions(str(tmp_path / "documents.parquet"), pos_dir,
+                    IndexConfig())
+    r = PositionalReader(pos_dir)
+
+    def brute(slop):
+        want = {}
+        for doc, t in texts.items():
+            toks = re.findall(r"[a-z0-9]+", t)
+            pa_ = [i for i, x in enumerate(toks) if x == "a"]
+            pb_ = [i for i, x in enumerate(toks) if x == "b"]
+            pc_ = [i for i, x in enumerate(toks) if x == "c"]
+            n = sum(1 for i in pa_ for j in pb_
+                    if abs(i - j) <= slop
+                    and any(min(i, j) <= k <= max(i, j) for k in pc_))
+            if n:
+                want[doc] = n
+        return want
+
+    for slop in (1, 2, 4, 7, 100):
+        d, c = span_containing_search(r, "a", "b", "c", slop)
+        assert dict(zip(d.tolist(), c.tolist())) == brute(slop), slop
+        assert d.tolist() == sorted(d.tolist())
+
+    d, c = span_containing_search(r, "a", "b", "missingterm", 100)
+    assert d.tolist() == []
+    with pytest.raises(ValueError):
+        span_containing_search(r, "a", "a", "c", 2)
