@@ -2166,10 +2166,17 @@ def bpe_encode_lengths(sf_dir: str) -> pa.Table:
     })
 
 
-def _bpe_encode_sql() -> str:
+def _bpe_sym_expr() -> str:
+    """SQL expression: word ``w`` → its boundary-marked symbol string
+    after every fixed merge (shared by the encode/fertility oracles)."""
     expr = r"regexp_replace(w, '(.)', '|\1|', 'g')"
     for l, r in BPE_FIXED_MERGES:
         expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    return expr
+
+
+def _bpe_encode_sql() -> str:
+    expr = _bpe_sym_expr()
     return f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS w FROM documents),
 enc AS (SELECT doc_id, {expr} AS s FROM tok),
@@ -14001,6 +14008,339 @@ FROM g
 """
 
 
+#: percentile points for the events.value percentiles agg
+VALUE_PCT_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def value_percentiles(sf_dir: str) -> pa.Table:
+    """ES ``percentiles`` aggregation over events.value — EXACT where
+    ES estimates with a t-digest: values quantize to integer cents
+    (the fixture's native 2-dp fixed point), each block collapses to a
+    (cents, n) partial-count table, and one tiny groupby produces the
+    value histogram — bounded by the VALUE DOMAIN, not the event
+    count, so the driver-side cumulative read-off holds at any scale
+    (documented assumption: bounded value domain; an unbounded metric
+    would fall back to a quantile sketch). Percentile = value at index
+    floor(q·(n−1)) of the sorted cents (quantile_disc parity)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cents").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("cents").reset_index(drop=True))
+    cents = out["cents"].to_numpy().astype(np.int64)
+    n = out["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    vals = [int(cents[np.searchsorted(
+        cum, int(np.floor(q * (total - 1))) + 1)]) if total else 0
+        for q in VALUE_PCT_QS]
+    return pa.table({
+        "q_micro": pa.array([int(q * 1_000_000) for q in VALUE_PCT_QS],
+                            pa.int64()),
+        "cents": pa.array(vals, pa.int64()),
+    })
+
+
+def _value_percentiles_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {int(q * 1_000_000)} AS q_micro, "
+        f"quantile_disc(cents, {q})::BIGINT AS cents FROM c"
+        for q in VALUE_PCT_QS)
+    return f"""
+WITH c AS (SELECT floor(value * 100 + 0.5)::BIGINT AS cents FROM events)
+{legs}
+"""
+
+
+#: sampler agg: the deterministic first-N sample (lowest doc_ids — the
+#: per-shard first-docs rule made cluster-size independent)
+SAMPLER_N = 100
+
+
+def sampler_agg(sf_dir: str) -> pa.Table:
+    """ES ``sampler`` aggregation: sub-aggregations run over a SAMPLE
+    of the match set — here the {SAMPLER_N} lowest doc_ids (ES takes
+    the first shard_size docs per shard; lowest-id is that rule made
+    deterministic at any cluster size), with a lang terms sub-agg.
+    Each block emits its own ≤{SAMPLER_N} smallest (doc_id, lang) rows
+    — block partials, never the corpus — and the driver reduces
+    result-sized candidates (blocks × {SAMPLER_N} rows) to the global
+    sample."""
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        k = min(SAMPLER_N, len(ids))
+        sel = np.argpartition(ids, k - 1)[:k] if len(ids) > k \
+            else np.arange(len(ids))
+        return b.take(pa.array(np.sort(sel)))
+
+    cand = (ray.data.read_parquet(_docs_path(sf_dir),
+                                  columns=["doc_id", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.nsmallest(SAMPLER_N, "doc_id")
+    g = cand.groupby("lang").size().reset_index(name="n_docs") \
+        .sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(g["lang"], pa.string()),
+        "n_docs": pa.array(g["n_docs"], pa.int64()),
+    })
+
+
+SAMPLER_AGG_SQL = f"""
+WITH s AS (SELECT lang FROM documents ORDER BY doc_id LIMIT {SAMPLER_N})
+SELECT lang, count(*)::BIGINT AS n_docs FROM s GROUP BY 1
+"""
+
+
+#: date_histogram offset: +6h (the ES `offset` parameter — buckets
+#: start at 06:00, not midnight)
+DH_OFFSET_US = 6 * 3600 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+
+
+def date_histogram_offset(sf_dir: str) -> pa.Table:
+    """ES ``date_histogram`` with ``offset: "+6h"``: daily buckets
+    shifted to start at 06:00. Bucket key = offset-shifted floor of
+    the epoch-microsecond timestamp; per-batch partial counts keyed by
+    bucket start collapse each block before the exchange (the
+    fixed-interval arithmetic rule — epoch-aligned, same as ES
+    fixed_interval + offset)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        start = (us - DH_OFFSET_US) // _DAY_US * _DAY_US + DH_OFFSET_US
+        g = (pa.table({"bucket_start_us": pa.array(start, pa.int64())})
+             .group_by("bucket_start_us").aggregate([([], "count_all")]))
+        return g.rename_columns(["bucket_start_us", "n"])
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["ts"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket_start_us").aggregate(Sum("n", alias_name="n"))
+           .to_pandas().sort_values("bucket_start_us")
+           .reset_index(drop=True))
+    return pa.table({
+        "bucket_start_us": pa.array(out["bucket_start_us"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+    })
+
+
+DATE_HISTOGRAM_OFFSET_SQL = f"""
+SELECT ((epoch_us(ts) - {DH_OFFSET_US}) // {_DAY_US} * {_DAY_US}
+        + {DH_OFFSET_US})::BIGINT AS bucket_start_us,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+
+#: chi2 significant_terms: candidate pool (top background-df terms)
+#: and per-lang output size
+CHI2_CAND = 200
+CHI2_TOP = 5
+
+
+def sig_terms_chi2(sf_dir: str) -> pa.Table:
+    """ES ``significant_terms`` with the ``chi_square`` heuristic,
+    nested under a lang terms bucket: per language, the top
+    {CHI2_TOP} candidate terms by χ² against the whole-corpus
+    background. Candidates are the {CHI2_CAND} highest-df index terms
+    (ES's shard_size candidate pruning made deterministic); one
+    distributed pass counts distinct (doc, term ∈ candidates) pairs
+    per lang via a broadcast sorted candidate probe + bincount, so the
+    exchange carries ≤ langs×{CHI2_CAND} partial rows per block. The
+    χ² scores are computed over that result-sized contingency table
+    with EXACT Python integers (the 2×2 cross term overflows int64;
+    the oracle replays it in HUGEINT), floored to micro-units."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    r = _reader(sf_dir)
+    n_docs = r.n_docs
+    t = r.term_stats_table()
+    terms_all = np.asarray(t["term"].to_pylist(), dtype=object)
+    dfs_all = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((terms_all, -dfs_all))[:CHI2_CAND]
+    cand_terms = terms_all[order]
+    cand_df = dfs_all[order]
+    c_order = np.argsort(cand_terms)
+    cand_sorted = cand_terms[c_order]
+    cand_ref = ray.put(cand_sorted)
+
+    class _LangTermCounts:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, idx = tokenize_to_terms(b["text"])
+            term = np.asarray(flat.to_pylist(), dtype=object)
+            pos = np.searchsorted(self.cand, term)
+            pos_c = np.minimum(pos, len(self.cand) - 1)
+            hit = self.cand[pos_c] == term
+            if not hit.any():
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "term": pa.array([], pa.string()),
+                                 "fg_df": pa.array([], pa.int64())})
+            row = idx.to_numpy(zero_copy_only=False)[hit]
+            tid = pos_c[hit]
+            K = len(self.cand)
+            pairs = np.unique(row * K + tid)        # distinct (doc, term)
+            prow, ptid = pairs // K, pairs % K
+            langs = np.asarray(b["lang"].to_pylist(), dtype=object)[prow]
+            g = (pa.table({"lang": pa.array(langs.tolist(), pa.string()),
+                           "term": pa.array(self.cand[ptid].tolist(),
+                                            pa.string()),
+                           "one": pa.array(np.ones(len(prow), np.int64))})
+                 .group_by(["lang", "term"]).aggregate([("one", "sum")]))
+            return g.rename_columns(["lang", "term", "fg_df"])
+
+    fg = (ray.data.read_parquet(_docs_path(sf_dir),
+                                columns=["doc_id", "lang", "text"])
+          .map_batches(_LangTermCounts, batch_format="pyarrow",
+                       concurrency=2)
+          .groupby(["lang", "term"]).aggregate(Sum("fg_df",
+                                                   alias_name="fg_df"))
+          .to_pandas())
+    lang_sizes = lang_counts(sf_dir).to_pandas()
+    size_of = dict(zip(lang_sizes["lang"], lang_sizes["n_docs"]))
+    df_of = dict(zip(cand_terms.tolist(), cand_df.tolist()))
+    rows = []
+    for lang, term, a in fg.itertuples(index=False):
+        a = int(a)
+        fg_n, bg_df = int(size_of[lang]), int(df_of[term])
+        b_ = bg_df - a
+        c_ = fg_n - a
+        d_ = n_docs - fg_n - b_
+        den = (a + b_) * (c_ + d_) * (a + c_) * (b_ + d_)
+        chi2 = (n_docs * (a * d_ - b_ * c_) ** 2 * 1_000_000 // den
+                if den else 0)
+        rows.append((lang, term, a, chi2))
+    rows.sort(key=lambda x: (x[0], -x[3], x[1]))
+    out = []
+    seen: dict[str, int] = {}
+    for lang, term, a, chi2 in rows:
+        if seen.get(lang, 0) < CHI2_TOP:
+            seen[lang] = seen.get(lang, 0) + 1
+            out.append((lang, term, a, chi2))
+    return pa.table({
+        "lang": pa.array([x[0] for x in out], pa.string()),
+        "term": pa.array([x[1] for x in out], pa.string()),
+        "fg_df": pa.array([x[2] for x in out], pa.int64()),
+        "chi2_micro": pa.array([x[3] for x in out], pa.int64()),
+    })
+
+
+def _sig_chi2_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+cand AS (SELECT term, df FROM df
+         ORDER BY df DESC, term LIMIT {CHI2_CAND}),
+ls AS (SELECT lang, count(*)::BIGINT AS fg_n FROM documents GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+fg AS (
+  SELECT d.lang, tok.term, count(DISTINCT tok.doc_id)::BIGINT AS a
+  FROM tok JOIN documents d USING (doc_id)
+  JOIN cand ON cand.term = tok.term
+  GROUP BY 1, 2),
+cross_t AS (
+  SELECT fg.lang, fg.term, fg.a, cand.df, ls.fg_n, nn.n,
+         (fg.a::HUGEINT * (nn.n - ls.fg_n - (cand.df - fg.a))::HUGEINT
+          - (cand.df - fg.a)::HUGEINT * (ls.fg_n - fg.a)::HUGEINT) AS x
+  FROM fg
+  JOIN cand ON cand.term = fg.term
+  JOIN ls ON ls.lang = fg.lang
+  CROSS JOIN nn),
+scored AS (
+  SELECT lang, term, a,
+         CASE WHEN df = 0 OR df = n OR fg_n = 0 OR fg_n = n THEN 0
+              ELSE (n::HUGEINT * x * x * 1000000
+                    // (df::HUGEINT * (n - df)::HUGEINT
+                        * fg_n::HUGEINT * (n - fg_n)::HUGEINT))::BIGINT
+         END AS chi2_micro
+  FROM cross_t)
+SELECT lang, term, a AS fg_df, chi2_micro
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY chi2_micro DESC, term) <= {CHI2_TOP}
+"""
+
+
+def bpe_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility by language (the multilingual-training
+    planning table: chars consumed per BPE token): per lang,
+    Σ n_chars, Σ BPE tokens under the fixed merge table, and
+    fertility = chars·10^6 // tokens in exact integer micro-units.
+    One actor-pool pass — the encoder's word→length cache rides the
+    actor (analysis.py::BpeEncodeLengths), each block collapses to
+    ≤|langs| partial rows before the exchange."""
+    from ray.data.aggregate import Sum
+
+    class _FertilityPartial:
+        def __init__(self):
+            self.enc = A.BpeEncodeLengths(BPE_FIXED_MERGES)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            e = self.enc(b.select(["doc_id", "text"]))
+            g = (pa.table({"lang": b["lang"], "nc": b["n_chars"],
+                           "nb": e["n_bpe"]})
+                 .group_by("lang")
+                 .aggregate([("nc", "sum"), ("nb", "sum")]))
+            return g.rename_columns(["lang", "sum_chars", "sum_bpe"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "lang", "n_chars",
+                                          "text"])
+           .map_batches(_FertilityPartial, batch_format="pyarrow",
+                        concurrency=2)
+           .groupby("lang")
+           .aggregate(Sum("sum_chars", alias_name="sum_chars"),
+                      Sum("sum_bpe", alias_name="sum_bpe"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    sc = out["sum_chars"].to_numpy().astype(np.int64)
+    sb = out["sum_bpe"].to_numpy().astype(np.int64)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "sum_chars": pa.array(sc, pa.int64()),
+        "sum_bpe": pa.array(sb, pa.int64()),
+        "fertility_micro": pa.array(
+            sc * 1_000_000 // np.maximum(sb, 1), pa.int64()),
+    })
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS w FROM documents),
+enc AS (SELECT doc_id, {_bpe_sym_expr()} AS s FROM tok),
+per_doc AS (
+  SELECT doc_id,
+         sum((length(s) - length(replace(s, '|', ''))) // 2)::BIGINT
+           AS n_bpe
+  FROM enc GROUP BY 1),
+g AS (
+  SELECT d.lang, sum(d.n_chars)::BIGINT AS sum_chars,
+         sum(coalesce(p.n_bpe, 0))::BIGINT AS sum_bpe
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  GROUP BY 1)
+SELECT lang, sum_chars, sum_bpe,
+       ((sum_chars * 1000000) // greatest(sum_bpe, 1))::BIGINT
+         AS fertility_micro
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14298,6 +14638,11 @@ def registry() -> tuple[dict, dict]:
         "global_agg": global_agg,
         "incremental_dedup_stats": incremental_dedup_stats,
         "bucket_script_metrics": bucket_script_metrics,
+        "value_percentiles": value_percentiles,
+        "sampler_agg": sampler_agg,
+        "date_histogram_offset": date_histogram_offset,
+        "sig_terms_chi2": sig_terms_chi2,
+        "bpe_fertility": bpe_fertility,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -14554,6 +14899,11 @@ def registry() -> tuple[dict, dict]:
         "global_agg": GLOBAL_AGG_SQL,
         "incremental_dedup_stats": INCREMENTAL_DEDUP_SQL,
         "bucket_script_metrics": BUCKET_SCRIPT_SQL,
+        "value_percentiles": _value_percentiles_sql(),
+        "sampler_agg": SAMPLER_AGG_SQL,
+        "date_histogram_offset": DATE_HISTOGRAM_OFFSET_SQL,
+        "sig_terms_chi2": _sig_chi2_sql(),
+        "bpe_fertility": _bpe_fertility_sql(),
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
