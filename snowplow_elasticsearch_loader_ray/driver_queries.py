@@ -14341,6 +14341,183 @@ FROM g
 """
 
 
+#: text_expansion fixture: per query, the model-produced (token, weight)
+#: bag — positional weights over each fixture query's distinct tokens.
+def _expansion_queries() -> list[tuple[int, dict[str, int]]]:
+    import re
+
+    out = []
+    for qid, q in BOOL_QUERIES:
+        toks = list(dict.fromkeys(re.findall(r"[a-z0-9]+", q.lower())))
+        out.append((qid, {t: len(toks) - i + 1 for i, t in enumerate(toks)}))
+    return out
+
+
+def text_expansion_topk(sf_dir: str) -> pa.Table:
+    """ES ``text_expansion`` / ``sparse_vector`` (the ELSER
+    learned-sparse retrieval shape): each fixture query carries a
+    (token, weight) bag; docs score Σ weight·tf over the index's
+    posting lists in one integer scatter-add pass
+    (query.py::score_text_expansion) — integer-exact end to end, so
+    the learned-sparse surface gets a full value oracle."""
+    from .pipelines.query import score_text_expansion
+
+    r = _reader(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, weights in _expansion_queries():
+        d, s = score_text_expansion(r, weights, TOPK)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(s.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+    })
+
+
+def _text_expansion_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {w})"
+        for qid, ws in _expansion_queries() for t, w in sorted(ws.items()))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+q(qid, term, w) AS (VALUES {values}),
+scored AS (
+  SELECT q.qid, tf.doc_id, sum(q.w * tf.tf)::BIGINT AS score
+  FROM q JOIN tf USING (term)
+  GROUP BY 1, 2
+)
+SELECT qid::BIGINT AS qid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, doc_id) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= {TOPK}
+"""
+
+
+#: geo sort: nearest-K documents per query origin
+GEO_SORT_K = 8
+
+
+def geo_sort_topk(sf_dir: str) -> pa.Table:
+    """ES ``sort`` by ``_geo_distance``: the {GEO_SORT_K} nearest docs
+    per query origin under exact planar squared micro-degree distance
+    (int64 — diffs < 2^29, squares sum < 2^59; monotone in true
+    planar distance, so the ranking is the geo sort's). Each block
+    emits only its own ≤K-per-query nearest partials — the classic
+    per-block top-k reduce — and the driver merges result-sized
+    candidate sets."""
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def nearest(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lat, lon = _geo_micro(ids)
+        qs, ds_, d2s = [], [], []
+        for qid, qlat, qlon, _r in GEO_QUERIES:
+            d2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+            k = min(GEO_SORT_K, len(ids))
+            sel = np.lexsort((ids, d2))[:k]
+            qs.extend([qid] * k)
+            ds_.extend(ids[sel].tolist())
+            d2s.extend(d2[sel].tolist())
+        return pa.table({"qid": pa.array(qs, pa.int64()),
+                         "doc_id": pa.array(ds_, pa.int64()),
+                         "d2": pa.array(d2s, pa.int64())})
+
+    cand = ds.map_batches(nearest, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["qid", "d2", "doc_id"]) \
+        .groupby("qid").head(GEO_SORT_K).reset_index(drop=True)
+    rank = cand.groupby("qid").cumcount() + 1
+    return pa.table({
+        "qid": pa.array(cand["qid"], pa.int64()),
+        "rank": pa.array(rank.to_numpy(), pa.int64()),
+        "doc_id": pa.array(cand["doc_id"], pa.int64()),
+        "d2": pa.array(cand["d2"], pa.int64()),
+    })
+
+
+def _geo_sort_sql() -> str:
+    lat, lon = _geo_sql_point()
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id, "
+        f"(lat-({qlat}))*(lat-({qlat})) + (lon-({qlon}))*(lon-({qlon})) AS d2"
+        f" FROM pts"
+        for qid, qlat, qlon, _r in GEO_QUERIES)
+    return f"""
+WITH pts AS (SELECT doc_id, {lat}::BIGINT AS lat, {lon}::BIGINT AS lon
+             FROM documents),
+d AS ({legs})
+SELECT qid::BIGINT AS qid,
+       row_number() OVER (PARTITION BY qid ORDER BY d2, doc_id) AS rank,
+       doc_id, d2
+FROM d
+QUALIFY rank <= {GEO_SORT_K}
+"""
+
+
+def counter_deltas(sf_dir: str) -> pa.Table:
+    """ES TSDB ``rate`` on a counter field: per user, the sum of
+    POSITIVE deltas of the value sequence ordered by (ts, event_id) —
+    counter resets (negative deltas) excluded and counted separately,
+    exactly the Prometheus/ES counter-rate rule. One groupby(user_id)
+    shuffle, then a fully vectorized per-group pass (sort → diff →
+    masked sums) in exact integer cents; same partitioning assumption
+    as sessionization (a user's events fit one group)."""
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        d = np.diff(cents[order])
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "pos_delta_cents": pa.array([int(d[d > 0].sum())], pa.int64()),
+            "n_resets": pa.array([int((d < 0).sum())], pa.int64()),
+        })
+
+    out = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["user_id", "ts", "event_id",
+                                          "value"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pyarrow")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return pa.table({
+        "user_id": pa.array(out["user_id"], pa.int64()),
+        "n_events": pa.array(out["n_events"], pa.int64()),
+        "pos_delta_cents": pa.array(out["pos_delta_cents"], pa.int64()),
+        "n_resets": pa.array(out["n_resets"], pa.int64()),
+    })
+
+
+COUNTER_DELTAS_SQL = """
+WITH e AS (
+  SELECT user_id,
+         floor(value * 100 + 0.5)::BIGINT AS cents,
+         lag(floor(value * 100 + 0.5)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       coalesce(sum(cents - prev) FILTER (
+         WHERE prev IS NOT NULL AND cents > prev), 0)::BIGINT
+         AS pos_delta_cents,
+       count(*) FILTER (WHERE prev IS NOT NULL AND cents < prev)::BIGINT
+         AS n_resets
+FROM e GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14643,6 +14820,9 @@ def registry() -> tuple[dict, dict]:
         "date_histogram_offset": date_histogram_offset,
         "sig_terms_chi2": sig_terms_chi2,
         "bpe_fertility": bpe_fertility,
+        "text_expansion_topk": text_expansion_topk,
+        "geo_sort_topk": geo_sort_topk,
+        "counter_deltas": counter_deltas,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -14904,6 +15084,9 @@ def registry() -> tuple[dict, dict]:
         "date_histogram_offset": DATE_HISTOGRAM_OFFSET_SQL,
         "sig_terms_chi2": _sig_chi2_sql(),
         "bpe_fertility": _bpe_fertility_sql(),
+        "text_expansion_topk": _text_expansion_sql(),
+        "geo_sort_topk": _geo_sort_sql(),
+        "counter_deltas": COUNTER_DELTAS_SQL,
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with

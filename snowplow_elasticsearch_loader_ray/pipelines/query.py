@@ -217,6 +217,34 @@ def score_dismax(reader: IndexReader, query: str, k: int,
     return bm25.rank_topk(reader.dl_doc_ids[cand], score, k)
 
 
+def score_text_expansion(reader: IndexReader, weights: dict[str, int],
+                         k: int) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``text_expansion`` / ``sparse_vector`` query (the ELSER
+    learned-sparse shape): the query is a (token, weight) bag produced
+    upstream by a model; a doc scores Σ weight(t) · tf(t, doc) over the
+    expansion tokens. Document-side activations are the index's term
+    frequencies, so scoring is one integer scatter-add pass over the
+    expansion tokens' posting lists — EXACT (no floats anywhere), which
+    is what makes this surface fully value-oracle-able. Ranking ties
+    break by doc_id ascending (the BM25 contract)."""
+    acc = np.zeros(len(reader.dl_doc_ids), dtype=np.int64)
+    matched = False
+    for t in sorted(weights):
+        pl = reader.postings(t)
+        if pl is None:
+            continue
+        matched = True
+        docs, tfs = pl.decode_all()
+        pos = reader.positions_of(t, docs)
+        acc[pos] += int(weights[t]) * tfs.astype(np.int64)
+    if not matched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    cand = np.nonzero(acc)[0]
+    d, s = bm25.rank_topk(reader.dl_doc_ids[cand],
+                          acc[cand].astype(np.float64), k)
+    return d, s.astype(np.int64)
+
+
 def score_boosting(reader: IndexReader, positive: str, negative: str,
                    k: int, negative_boost: float = 0.5
                    ) -> tuple[np.ndarray, np.ndarray]:
