@@ -14518,6 +14518,53 @@ FROM e GROUP BY 1
 """
 
 
+ESQL_DISSECT_QUERY = (
+    r'FROM events | DISSECT props "{\"k\": %{kv}}" | '
+    'STATS n = COUNT(*) BY kv | SORT kv | LIMIT 12')
+ESQL_RENAME_QUERY = (
+    'FROM documents | WHERE n_chars >= 100 | '
+    'STATS n = COUNT(*), s = SUM(n_chars) BY lang | '
+    'RENAME lang AS language, n AS n_docs | DROP s | SORT language')
+
+
+def esql_dissect(sf_dir: str) -> pa.Table:
+    """ES|QL ``DISSECT`` (the 8.11+ dissect processor stage): pattern
+    literals + %{name} captures compiled to ONE anchored RE2 applied
+    vectorized per batch (pc.extract_regex); capture outputs are
+    string columns grouped by STATS..BY. Non-matching rows refuse —
+    the planner's 'refusal, never silently different' contract
+    extends to runtime via driver-side unwrap of worker-raised
+    UnsupportedEsql."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_DISSECT_QUERY)
+
+
+ESQL_DISSECT_SQL = r"""
+WITH c AS (
+  SELECT regexp_extract(props, '^\{"k": (.*?)\}$', 1) AS kv FROM events)
+SELECT kv, count(*)::BIGINT AS n
+FROM c GROUP BY 1 ORDER BY 1 LIMIT 12
+"""
+
+
+def esql_rename_drop(sf_dir: str) -> pa.Table:
+    """ES|QL ``RENAME .. AS ..`` + ``DROP`` over the STATS bucket
+    table (column reshaping happens on the result-sized table, where
+    ES's coordinating node applies them; KEEP/SORT validate against
+    the post-rename names)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_RENAME_QUERY)
+
+
+ESQL_RENAME_SQL = """
+SELECT lang AS language, count(*)::BIGINT AS n_docs
+FROM documents WHERE n_chars >= 100
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14823,6 +14870,8 @@ def registry() -> tuple[dict, dict]:
         "text_expansion_topk": text_expansion_topk,
         "geo_sort_topk": geo_sort_topk,
         "counter_deltas": counter_deltas,
+        "esql_dissect": esql_dissect,
+        "esql_rename_drop": esql_rename_drop,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -15087,6 +15136,8 @@ def registry() -> tuple[dict, dict]:
         "text_expansion_topk": _text_expansion_sql(),
         "geo_sort_topk": _geo_sort_sql(),
         "counter_deltas": COUNTER_DELTAS_SQL,
+        "esql_dissect": ESQL_DISSECT_SQL,
+        "esql_rename_drop": ESQL_RENAME_SQL,
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with

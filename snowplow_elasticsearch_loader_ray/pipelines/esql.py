@@ -14,13 +14,26 @@ refusal, never a silently different query):
     stage  := WHERE cond ( AND cond )*
             | EVAL ident '=' term ( op term )*   op ∈ + - * // %
             | ENRICH ident ON ident WITH ident
+            | DISSECT ident '"' pattern '"'      pattern: literals + %{name}
             | STATS agg ( ',' agg )* [ BY ident ( ',' ident )* ]
             | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
             | LIMIT int
             | KEEP ident ( ',' ident )*
+            | RENAME ident AS ident ( ',' ident AS ident )*   (after STATS)
+            | DROP ident ( ',' ident )*                       (after STATS)
     cond   := ident op literal          op ∈ == != >= <= > <
     agg    := ident '=' FUNC '(' (ident|'*') ')'
               FUNC ∈ COUNT SUM MIN MAX AVG
+
+``DISSECT <col> "<pattern>"`` is the ES|QL dissect processor over a
+string column: ``%{name}`` captures between exact literals (compiled
+to ONE anchored RE2 with lazy captures, applied vectorized via
+``pc.extract_regex``); capture outputs are STRING columns usable in
+WHERE / BY. A row that does not match the pattern refuses (ES emits
+null — silently different groupings are worse than an error here);
+patterns may not contain ``|`` (the stage splitter) or ``%`` outside
+``%{name}``. ``RENAME``/``DROP`` operate on the STATS bucket table
+(before STATS they would complicate pruning for no power — refused).
 
 ``ENRICH <table> ON <key> WITH <col>`` is the ES enrich-policy lookup
 join: the enrich table (joined on ITS FIRST column) broadcasts once
@@ -183,6 +196,44 @@ def parse(query: str) -> dict:
             for k in plan["keep"]:
                 if not re.fullmatch(_IDENT, k):
                     raise UnsupportedEsql(f"bad KEEP field {k!r}")
+        elif kw == "DISSECT":
+            if seen_stats:
+                raise UnsupportedEsql("DISSECT after STATS is unsupported")
+            m = re.fullmatch(
+                rf'({_IDENT})\s+"((?:[^"\\]|\\.)*)"', body)
+            if not m:
+                raise UnsupportedEsql(f"bad DISSECT {body!r}")
+            col = m.group(1)
+            pattern = m.group(2).replace('\\"', '"').replace("\\\\", "\\")
+            names = re.findall(rf"%\{{({_IDENT})\}}", pattern)
+            if not names:
+                raise UnsupportedEsql("DISSECT pattern has no %{name}")
+            if len(set(names)) != len(names):
+                raise UnsupportedEsql("duplicate DISSECT capture names")
+            literals = re.split(rf"%\{{{_IDENT}\}}", pattern)
+            if "%" in "".join(literals):
+                raise UnsupportedEsql(
+                    "DISSECT supports only %{name} placeholders")
+            plan.setdefault("dissect", []).append((col, literals, names))
+        elif kw == "RENAME":
+            if not seen_stats:
+                raise UnsupportedEsql(
+                    "RENAME before STATS is unsupported — rename the "
+                    "STATS output instead")
+            for part in body.split(","):
+                m = re.fullmatch(rf"({_IDENT})\s+AS\s+({_IDENT})",
+                                 part.strip(), flags=re.I)
+                if not m:
+                    raise UnsupportedEsql(f"bad RENAME {part!r}")
+                plan.setdefault("rename", []).append(
+                    (m.group(1), m.group(2)))
+        elif kw == "DROP":
+            if not seen_stats:
+                raise UnsupportedEsql("DROP before STATS is unsupported")
+            for part in body.split(","):
+                if not re.fullmatch(_IDENT, part.strip()):
+                    raise UnsupportedEsql(f"bad DROP field {part!r}")
+                plan.setdefault("drop", []).append(part.strip())
         else:
             raise UnsupportedEsql(f"unsupported stage {st!r}")
     if plan["stats"] is None:
@@ -210,8 +261,10 @@ def execute(sf_dir: str, query: str) -> pa.Table:
 
     plan = parse(query)
     enrich = plan.get("enrich", [])
+    dissect = plan.get("dissect", [])
+    dissect_names = {n for _c, _l, names in dissect for n in names}
     derived = {name for name, _t, _o in plan["evals"]} \
-        | {col for _tbl, _key, col in enrich}
+        | {col for _tbl, _key, col in enrich} | dissect_names
     eval_names = derived
     cols = set(plan["by"]) - eval_names
     for col, _op, _lit in plan["where"]:
@@ -226,6 +279,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 cols.add(t)
     for _tbl, key, _col in enrich:
         cols.add(key)
+    for dcol, _lits, _names in dissect:
+        if dcol not in eval_names:
+            cols.add(dcol)
     path = os.path.join(sf_dir, plan["from"] + ".parquet")
     if not os.path.exists(path):
         raise UnsupportedEsql(f"unknown table {plan['from']!r}")
@@ -251,12 +307,30 @@ def execute(sf_dir: str, query: str) -> pa.Table:
 
     def _out_type(name: str) -> pa.DataType | None:
         """Static type of a column the pipeline produces: base schema,
-        enrich lookup value, or int64 for EVAL-derived names."""
+        enrich lookup value, string for DISSECT captures, or int64 for
+        EVAL-derived names."""
         if name in schema.names:
             return schema.field(name).type
         if name in enrich_types:
             return enrich_types[name]
+        if name in dissect_names:
+            return pa.string()
         return pa.int64() if name in eval_names else None
+
+    # DISSECT static checks: source must be a string column, capture
+    # names must not shadow anything the pipeline already produces
+    for dcol, _lits, names in dissect:
+        ty = (schema.field(dcol).type if dcol in schema.names
+              else enrich_types.get(dcol))
+        if ty is None or not (pa.types.is_string(ty)
+                              or pa.types.is_large_string(ty)):
+            raise UnsupportedEsql(
+                f"DISSECT over non-string column {dcol!r} ({ty})")
+        for n in names:
+            if n in schema.names or n in enrich_types \
+                    or any(n == e for e, _t, _o in plan["evals"]):
+                raise UnsupportedEsql(
+                    f"DISSECT capture {n!r} shadows an existing column")
 
     for _name, terms, _ops in plan["evals"]:
         for t in terms:
@@ -281,9 +355,30 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"WHERE {col} {op} {lit!r}: literal type does not "
                     f"match column type {ty}")
+    # bucket-table column set after RENAME / DROP; KEEP and SORT must
+    # reference the post-rename names
+    names_now = plan["by"] + [n for n, _f, _c in plan["stats"]]
+    for old, new in plan.get("rename", []):
+        if old not in names_now:
+            raise UnsupportedEsql(
+                f"RENAME of column {old!r} not in the STATS output")
+        if new in names_now:
+            raise UnsupportedEsql(
+                f"RENAME target {new!r} already exists")
+        names_now[names_now.index(old)] = new
+    for dcol in plan.get("drop", []):
+        if dcol not in names_now:
+            raise UnsupportedEsql(
+                f"DROP of column {dcol!r} not in the STATS output")
+        names_now.remove(dcol)
+    if not names_now:
+        raise UnsupportedEsql("DROP removed every output column")
+    for skey, _dir in plan["sort"]:
+        if skey not in names_now:
+            raise UnsupportedEsql(
+                f"SORT key {skey!r} not in the output columns")
     if plan["keep"]:
-        avail = set(plan["by"]) | {n for n, _f, _c in plan["stats"]}
-        bad = [c for c in plan["keep"] if c not in avail]
+        bad = [c for c in plan["keep"] if c not in names_now]
         if bad:
             raise UnsupportedEsql(
                 f"KEEP of column(s) not in the STATS output: {bad}")
@@ -314,6 +409,26 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return b.append_column(_c, pa.array(out))
 
         ds = ds.map_batches(add_enrich, batch_format="pyarrow")
+    for dcol, literals, names in dissect:
+        parts = [re.escape(literals[0])]
+        for n, lit in zip(names, literals[1:]):
+            parts.append(f"(?P<{n}>.*?)")
+            parts.append(re.escape(lit))
+        rx = "^" + "".join(parts) + "$"
+
+        def add_dissect(b: pa.Table, _c=dcol, _rx=rx,
+                        _names=tuple(names)) -> pa.Table:
+            ex = pc.extract_regex(b[_c], pattern=_rx)
+            if ex.null_count:
+                raise UnsupportedEsql(
+                    f"DISSECT miss: a {_c!r} value does not match the "
+                    f"pattern")
+            for n in _names:
+                b = b.append_column(
+                    n, pc.cast(pc.struct_field(ex, n), pa.string()))
+            return b
+
+        ds = ds.map_batches(add_dissect, batch_format="pyarrow")
     if plan["evals"]:
         evals = plan["evals"]
 
@@ -348,10 +463,26 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
 
+    # Ray's Count() (row count, no `on`) returns 0 under groupby(None)
+    # on this Ray version — count rows as Sum over a ones column when
+    # there is no BY (null-agnostic, exactly SQL count(*))
+    need_ones = not plan["by"] and any(
+        f in ("COUNT", "AVG") for _n, f, _c in plan["stats"])
+    if need_ones:
+        def add_ones(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__one", pa.array(np.ones(b.num_rows, np.int64)))
+
+        ds = ds.map_batches(add_ones, batch_format="pyarrow")
+
+    def _count(alias: str):
+        return (Sum("__one", alias_name=alias) if need_ones
+                else Count(alias_name=alias))
+
     ray_aggs, avg_of = [], {}
     for name, func, col in plan["stats"]:
         if func == "COUNT":
-            ray_aggs.append(Count(alias_name=name))
+            ray_aggs.append(_count(name))
         elif func == "SUM":
             ray_aggs.append(Sum(col, alias_name=name))
         elif func == "MIN":
@@ -360,14 +491,42 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             ray_aggs.append(Max(col, alias_name=name))
         else:                                   # AVG = exact SUM + COUNT
             ray_aggs.append(Sum(col, alias_name=f"__sum_{name}"))
-            ray_aggs.append(Count(alias_name=f"__n_{name}"))
+            ray_aggs.append(_count(f"__n_{name}"))
             avg_of[name] = (f"__sum_{name}", f"__n_{name}")
     grouped = (ds.groupby(plan["by"]) if plan["by"] else ds.groupby(None))
-    out = grouped.aggregate(*ray_aggs).to_pandas()
+    try:
+        out = grouped.aggregate(*ray_aggs).to_pandas()
+    except Exception as e:                      # unwrap worker refusals
+        cause = e
+        seen = set()
+        while cause is not None and id(cause) not in seen:
+            seen.add(id(cause))
+            if isinstance(cause, UnsupportedEsql):
+                raise UnsupportedEsql(str(cause)) from None
+            # RayTaskError carries the remote traceback as TEXT only —
+            # the UnsupportedEsql instance never crosses the task
+            # boundary, so match it in the rendered message
+            text = str(cause)
+            if "UnsupportedEsql" in text:
+                for line in reversed(text.splitlines()):
+                    if "UnsupportedEsql:" in line:
+                        raise UnsupportedEsql(
+                            line.split("UnsupportedEsql:", 1)[1].strip()
+                        ) from None
+                raise UnsupportedEsql(text.splitlines()[-1]) from None
+            cause = cause.__cause__ or cause.__context__
+        raise
+    for name, func, _col in plan["stats"]:
+        if func == "COUNT" and name in out.columns:
+            out[name] = out[name].fillna(0)     # count(*) of no rows is 0
     for name, (s, n) in avg_of.items():
         out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
             np.float64)
         out = out.drop(columns=[s, n])
+    if plan.get("rename"):
+        out = out.rename(columns=dict(plan["rename"]))
+    if plan.get("drop"):
+        out = out.drop(columns=plan["drop"])
     if plan["sort"]:
         out = out.sort_values([k for k, _ in plan["sort"]],
                               ascending=[d == "ASC"
@@ -376,8 +535,7 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         out = out.head(plan["limit"])
     if plan["keep"]:
         out = out[plan["keep"]]
-    order = (plan["keep"] if plan["keep"] else
-             plan["by"] + [n for n, _f, _c in plan["stats"]])
+    order = plan["keep"] if plan["keep"] else names_now
     out = out[order].reset_index(drop=True)
     arrays = {}
     for c in out.columns:

@@ -143,3 +143,59 @@ def test_enrich_lookup_join(ray_session):
     with pytest.raises(esql.UnsupportedEsql):
         esql.execute(SF, "FROM customer | ENRICH nation ON c_nationkey "
                          "WITH nope | STATS n = COUNT(*)")
+
+
+def test_dissect_rename_drop(ray_session):
+    """DISSECT extracts string captures usable in BY/WHERE; RENAME and
+    DROP reshape the STATS bucket table; every bad shape refuses."""
+    q = (r'FROM events | DISSECT props "{\"k\": %{kv}}" | '
+         'STATS n = COUNT(*) BY kv | SORT kv | LIMIT 5')
+    got = esql.execute(SF, q).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(r"""
+        SELECT regexp_extract(props, '^\{"k": (.*?)\}$', 1) AS kv,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 5
+    """).df()
+    assert got.equals(want)
+
+    # WHERE over a dissect capture (string compare)
+    q2 = (r'FROM events | DISSECT props "{\"k\": %{kv}}" | '
+          'WHERE kv == "42" | STATS n = COUNT(*)')
+    n42 = esql.execute(SF, q2).to_pandas()["n"][0]
+    want42 = con.execute("""
+        SELECT count(*) FROM events WHERE props = '{"k": 42}'
+    """).fetchone()[0]
+    assert n42 == want42 > 0
+
+    q3 = ('FROM documents | STATS n = COUNT(*), s = SUM(n_chars) BY lang'
+          ' | RENAME lang AS language | DROP s | SORT language')
+    got3 = esql.execute(SF, q3).to_pandas()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want3 = con.execute("""
+        SELECT lang AS language, count(*)::BIGINT AS n
+        FROM documents GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got3.equals(want3)
+
+    for bad in [
+        r'FROM events | DISSECT ts "x%{a}"',                 # non-string
+        r'FROM events | DISSECT props "nope"',               # no capture
+        r'FROM events | DISSECT props "{\"k\": %{value}}"',  # shadows
+        r'FROM events | DISSECT props "%{a}%{a}"',           # dup name
+        r'FROM events | DISSECT props "50%% off %{a}"',      # stray %
+        'FROM documents | RENAME lang AS l | STATS n = COUNT(*)',
+        'FROM documents | STATS n = COUNT(*) BY lang | DROP nope',
+        'FROM documents | STATS n = COUNT(*) BY lang | DROP n, lang',
+        'FROM documents | STATS n = COUNT(*) BY lang | RENAME lang AS n',
+        'FROM documents | STATS n = COUNT(*) BY lang | SORT nope',
+        # runtime refusal: a row that does not match the pattern
+        r'FROM events | DISSECT props "{\"k\": %{kv}x}" | '
+        'STATS n = COUNT(*) BY kv',
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad + (' | STATS n = COUNT(*)'
+                                    if 'STATS' not in bad else ''))
