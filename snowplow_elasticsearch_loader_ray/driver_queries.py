@@ -1619,11 +1619,33 @@ def _doclen_hist(sf_dir: str) -> np.ndarray:
     return hist
 
 
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    """2-dp fixed point: floor(v·100 + 0.5) as int64 — the ONE rounding
+    rule every money/value entry shares with its SQL oracle's
+    ``floor(value * 100 + 0.5)::BIGINT`` (np.round is banker's; this
+    is not)."""
+    return np.floor(np.asarray(values, dtype=np.float64) * 100.0
+                    + 0.5).astype(np.int64)
+
+
+def _q_disc(cum: np.ndarray, total: int, q: float) -> int:
+    """Discrete quantile off a cumulative-count histogram: the value at
+    0-based index ceil(q·total)−1 of the sorted data — DuckDB
+    ``quantile_disc``'s convention, exact-integer over q in micro-units
+    (floor(q·(n−1)) diverges from quantile_disc whenever q·n has a
+    fractional part below q — masked at round fixture sizes, wrong at
+    any other n)."""
+    qm = int(round(q * 1_000_000))
+    idx = max((qm * total + 999_999) // 1_000_000 - 1, 0)
+    return int(np.searchsorted(cum, idx + 1))
+
+
 def doclen_percentiles(sf_dir: str) -> pa.Table:
     """Corpus doc-length distribution from the index docmap tables
     (written by the build's run parts — no corpus rescan): discrete
-    percentiles defined as the value at index floor(q·(n−1)) of the
-    sorted lengths (DuckDB ``quantile_disc`` parity).
+    percentiles at 0-based index ceil(q·n)−1 of the sorted lengths
+    (DuckDB ``quantile_disc`` parity via ``_q_disc``).
 
     Distributed EXACT quantiles via per-part bounded histograms:
     doclen is a small int (≤ max tokens per doc), so each docmap part
@@ -1635,8 +1657,7 @@ def doclen_percentiles(sf_dir: str) -> pa.Table:
     n = int(hist.sum())
     if n:
         cum = np.cumsum(hist)
-        vals = [int(np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1))
-                for q in (0.5, 0.9, 0.99)]
+        vals = [_q_disc(cum, n, q) for q in (0.5, 0.9, 0.99)]
         max_len = int(np.nonzero(hist)[0][-1])
     else:
         vals, max_len = [0, 0, 0], 0
@@ -13210,14 +13231,13 @@ def doclen_boxplot(sf_dir: str) -> pa.Table:
     """ES ``boxplot`` aggregation on doclen: exact min / q1 / q2 / q3 /
     max off the merged docmap histograms (the `_doclen_hist` bounded
     substrate — no doclen column ever reaches the driver), quantiles
-    at floor(q·(n−1)) of the sorted values (quantile_disc parity)."""
+    at ceil(q·n)−1 of the sorted values (quantile_disc parity via
+    ``_q_disc``)."""
     hist = _doclen_hist(sf_dir)
     n = int(hist.sum())
     if n:
         cum = np.cumsum(hist)
-        q1, q2, q3 = (
-            int(np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1))
-            for q in (0.25, 0.5, 0.75))
+        q1, q2, q3 = (_q_disc(cum, n, q) for q in (0.25, 0.5, 0.75))
         nz = np.nonzero(hist)[0]
         lo, hi = int(nz[0]), int(nz[-1])
     else:
@@ -13967,9 +13987,7 @@ def bucket_script_metrics(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.floor(
-            b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
         g = (pa.table({"event_type": b["event_type"],
                        "c": pa.array(cents),
                        "one": pa.array(np.ones(len(cents), np.int64))})
@@ -14020,14 +14038,14 @@ def value_percentiles(sf_dir: str) -> pa.Table:
     value histogram — bounded by the VALUE DOMAIN, not the event
     count, so the driver-side cumulative read-off holds at any scale
     (documented assumption: bounded value domain; an unbounded metric
-    would fall back to a quantile sketch). Percentile = value at index
-    floor(q·(n−1)) of the sorted cents (quantile_disc parity)."""
+    would fall back to a quantile sketch). Percentile = value at
+    0-based index ceil(q·n)−1 of the sorted cents (``_q_disc`` —
+    quantile_disc parity verified at non-round n, where the
+    floor(q·(n−1)) convention diverges)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.floor(
-            b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
         u, c = np.unique(cents, return_counts=True)
         return pa.table({"cents": pa.array(u, pa.int64()),
                          "n": pa.array(c, pa.int64())})
@@ -14041,9 +14059,8 @@ def value_percentiles(sf_dir: str) -> pa.Table:
     n = out["n"].to_numpy().astype(np.int64)
     total = int(n.sum())
     cum = np.cumsum(n)
-    vals = [int(cents[np.searchsorted(
-        cum, int(np.floor(q * (total - 1))) + 1)]) if total else 0
-        for q in VALUE_PCT_QS]
+    vals = [int(cents[_q_disc(cum, total, q)]) if total else 0
+            for q in VALUE_PCT_QS]
     return pa.table({
         "q_micro": pa.array([int(q * 1_000_000) for q in VALUE_PCT_QS],
                             pa.int64()),
@@ -14474,9 +14491,7 @@ def counter_deltas(sf_dir: str) -> pa.Table:
     def per_user(g: pa.Table) -> pa.Table:
         ts = g["ts"].to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
-        cents = np.floor(
-            g["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
+        cents = _cents(g["value"].to_numpy(zero_copy_only=False))
         order = np.lexsort((eid, ts))
         d = np.diff(cents[order])
         return pa.table({

@@ -225,15 +225,16 @@ def parse(query: str) -> dict:
                                  part.strip(), flags=re.I)
                 if not m:
                     raise UnsupportedEsql(f"bad RENAME {part!r}")
-                plan.setdefault("rename", []).append(
-                    (m.group(1), m.group(2)))
+                plan.setdefault("reshape", []).append(
+                    ("rename", m.group(1), m.group(2)))
         elif kw == "DROP":
             if not seen_stats:
                 raise UnsupportedEsql("DROP before STATS is unsupported")
             for part in body.split(","):
                 if not re.fullmatch(_IDENT, part.strip()):
                     raise UnsupportedEsql(f"bad DROP field {part!r}")
-                plan.setdefault("drop", []).append(part.strip())
+                plan.setdefault("reshape", []).append(
+                    ("drop", part.strip(), None))
         else:
             raise UnsupportedEsql(f"unsupported stage {st!r}")
     if plan["stats"] is None:
@@ -318,7 +319,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         return pa.int64() if name in eval_names else None
 
     # DISSECT static checks: source must be a string column, capture
-    # names must not shadow anything the pipeline already produces
+    # names must not shadow anything the pipeline already produces —
+    # including captures from OTHER dissect stages
+    seen_captures: set[str] = set()
     for dcol, _lits, names in dissect:
         ty = (schema.field(dcol).type if dcol in schema.names
               else enrich_types.get(dcol))
@@ -328,9 +331,11 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"DISSECT over non-string column {dcol!r} ({ty})")
         for n in names:
             if n in schema.names or n in enrich_types \
+                    or n in seen_captures \
                     or any(n == e for e, _t, _o in plan["evals"]):
                 raise UnsupportedEsql(
                     f"DISSECT capture {n!r} shadows an existing column")
+            seen_captures.add(n)
 
     for _name, terms, _ops in plan["evals"]:
         for t in terms:
@@ -355,22 +360,25 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"WHERE {col} {op} {lit!r}: literal type does not "
                     f"match column type {ty}")
-    # bucket-table column set after RENAME / DROP; KEEP and SORT must
-    # reference the post-rename names
+    # bucket-table column set after the RENAME / DROP chain, validated
+    # and later applied in TEXTUAL ORDER (a DROP may free a name a
+    # later RENAME reuses; chained renames must resolve sequentially);
+    # KEEP and SORT must reference the post-reshape names
     names_now = plan["by"] + [n for n, _f, _c in plan["stats"]]
-    for old, new in plan.get("rename", []):
-        if old not in names_now:
-            raise UnsupportedEsql(
-                f"RENAME of column {old!r} not in the STATS output")
-        if new in names_now:
-            raise UnsupportedEsql(
-                f"RENAME target {new!r} already exists")
-        names_now[names_now.index(old)] = new
-    for dcol in plan.get("drop", []):
-        if dcol not in names_now:
-            raise UnsupportedEsql(
-                f"DROP of column {dcol!r} not in the STATS output")
-        names_now.remove(dcol)
+    for op, a, b in plan.get("reshape", []):
+        if op == "rename":
+            if a not in names_now:
+                raise UnsupportedEsql(
+                    f"RENAME of column {a!r} not in the STATS output")
+            if b in names_now:
+                raise UnsupportedEsql(
+                    f"RENAME target {b!r} already exists")
+            names_now[names_now.index(a)] = b
+        else:
+            if a not in names_now:
+                raise UnsupportedEsql(
+                    f"DROP of column {a!r} not in the STATS output")
+            names_now.remove(a)
     if not names_now:
         raise UnsupportedEsql("DROP removed every output column")
     for skey, _dir in plan["sort"]:
@@ -414,7 +422,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         for n, lit in zip(names, literals[1:]):
             parts.append(f"(?P<{n}>.*?)")
             parts.append(re.escape(lit))
-        rx = "^" + "".join(parts) + "$"
+        # (?s): ES dissect captures ANY chars, including newlines —
+        # RE2's default '.' excludes \n
+        rx = "(?s)^" + "".join(parts) + "$"
 
         def add_dissect(b: pa.Table, _c=dcol, _rx=rx,
                         _names=tuple(names)) -> pa.Table:
@@ -523,10 +533,11 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
             np.float64)
         out = out.drop(columns=[s, n])
-    if plan.get("rename"):
-        out = out.rename(columns=dict(plan["rename"]))
-    if plan.get("drop"):
-        out = out.drop(columns=plan["drop"])
+    for op, a, b in plan.get("reshape", []):    # sequential, textual order
+        if op == "rename":
+            out = out.rename(columns={a: b})
+        else:
+            out = out.drop(columns=[a])
     if plan["sort"]:
         out = out.sort_values([k for k, _ in plan["sort"]],
                               ascending=[d == "ASC"

@@ -199,3 +199,23 @@ def test_dissect_rename_drop(ray_session):
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad + (' | STATS n = COUNT(*)'
                                     if 'STATS' not in bad else ''))
+
+
+def test_reshape_chain_order(ray_session):
+    """RENAME/DROP resolve sequentially in textual order: chained
+    renames work, DROP frees a name for a later RENAME, and cross-stage
+    DISSECT capture collisions refuse at plan time."""
+    q = ('FROM documents | STATS n = COUNT(*) BY lang | '
+         'RENAME lang AS l | RENAME l AS m | SORT m | LIMIT 2')
+    got = esql.execute(SF, q).to_pandas()
+    assert list(got.columns) == ["m", "n"] and len(got) == 2
+
+    q2 = ('FROM documents | STATS n = COUNT(*), s = SUM(n_chars) BY lang'
+          ' | DROP s | RENAME n AS s | SORT lang')
+    got2 = esql.execute(SF, q2).to_pandas()
+    assert list(got2.columns) == ["lang", "s"]
+
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, r'FROM events | DISSECT props "{\"k\": %{x}}" | '
+                         r'DISSECT event_type "%{x}" | '
+                         'STATS n = COUNT(*) BY x')
