@@ -14580,6 +14580,262 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+#: chunk retrieval: window = 2 × step so every hit position belongs to
+#: exactly the two windows starting at floor(p/S)·S and that minus S —
+#: the membership trick that keeps per-batch chunk scoring one bincount
+CHUNK_TOPK_STEP = 16
+CHUNK_TOPK_WIN = 32
+CHUNK_TOPK_K = 5
+
+
+def chunk_topk(sf_dir: str) -> pa.Table:
+    """RAG chunk-level retrieval (the ES ``semantic_text`` chunked-
+    scoring shape): overlapping {CHUNK_TOPK_WIN}-token windows every
+    {CHUNK_TOPK_STEP} tokens, scored by query-term hit count; top
+    {CHUNK_TOPK_K} chunks per query by (hits desc, doc_id, start).
+    Fully distributed: each batch tokenizes once, maps hit positions
+    to their two covering windows with integer arithmetic, bincounts
+    per (row, window), and emits only its own top-{CHUNK_TOPK_K}
+    partial rows; the driver reduces blocks × {CHUNK_TOPK_K}
+    candidates. Text never rides the exchange."""
+    import re as _re
+
+    from .tokenizer import tokenize_to_terms
+
+    S, W = CHUNK_TOPK_STEP, CHUNK_TOPK_WIN
+    qsets = [(qid, sorted(set(_re.findall(r"[a-z0-9]+", q.lower()))))
+             for qid, q in BOOL_QUERIES]
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        # token position within its row (flat order is row-major)
+        change = np.diff(idx_np, prepend=-1) != 0
+        start = np.maximum.accumulate(
+            np.where(change, np.arange(len(idx_np)), 0))
+        pos = np.arange(len(idx_np)) - start
+        term = np.asarray(flat.to_pylist(), dtype=object)
+        qs, ds_, st_, ns_ = [], [], [], []
+        for qid, terms in qsets:
+            hit = np.isin(term, terms)
+            if not hit.any():
+                continue
+            hrow, hpos = idx_np[hit], pos[hit]
+            c = hpos // S
+            rows2 = np.concatenate((hrow, hrow[c > 0]))
+            chunks2 = np.concatenate((c, c[c > 0] - 1))
+            K = int(chunks2.max()) + 1
+            key = rows2.astype(np.int64) * K + chunks2
+            uk, counts = np.unique(key, return_counts=True)
+            urow, uchunk = uk // K, uk % K
+            k = min(CHUNK_TOPK_K, len(uk))
+            sel = np.lexsort((uchunk * S, ids[urow], -counts))[:k]
+            qs.extend([qid] * k)
+            ds_.extend(ids[urow[sel]].tolist())
+            st_.extend((uchunk[sel] * S).tolist())
+            ns_.extend(counts[sel].tolist())
+        return pa.table({"qid": pa.array(qs, pa.int64()),
+                         "doc_id": pa.array(ds_, pa.int64()),
+                         "chunk_start": pa.array(st_, pa.int64()),
+                         "n_hits": pa.array(ns_, pa.int64())})
+
+    cand = (ray.data.read_parquet(_docs_path(sf_dir),
+                                  columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow").to_pandas())
+    cand = cand.sort_values(["qid", "n_hits", "doc_id", "chunk_start"],
+                            ascending=[True, False, True, True]) \
+        .groupby("qid").head(CHUNK_TOPK_K).reset_index(drop=True)
+    rank = cand.groupby("qid").cumcount() + 1
+    return pa.table({
+        "qid": pa.array(cand["qid"], pa.int64()),
+        "rank": pa.array(rank.to_numpy(), pa.int64()),
+        "doc_id": pa.array(cand["doc_id"], pa.int64()),
+        "chunk_start": pa.array(cand["chunk_start"], pa.int64()),
+        "n_hits": pa.array(cand["n_hits"], pa.int64()),
+    })
+
+
+def _chunk_topk_sql() -> str:
+    S = CHUNK_TOPK_STEP
+    return f"""
+WITH tok AS (
+  SELECT doc_id, s.t AS term, s.p - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+),
+q(qid, term) AS (VALUES {_bool_values()}),
+hits AS (SELECT q.qid, tok.doc_id, tok.pos
+         FROM q JOIN tok ON tok.term = q.term),
+member AS (
+  SELECT qid, doc_id, (pos // {S}) * {S} AS chunk_start FROM hits
+  UNION ALL
+  SELECT qid, doc_id, (pos // {S} - 1) * {S} FROM hits
+  WHERE pos // {S} >= 1
+),
+scored AS (
+  SELECT qid, doc_id, chunk_start, count(*)::BIGINT AS n_hits
+  FROM member GROUP BY 1, 2, 3
+)
+SELECT qid::BIGINT AS qid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY n_hits DESC, doc_id, chunk_start)
+         AS rank,
+       doc_id, chunk_start, n_hits
+FROM scored
+QUALIFY rank <= {CHUNK_TOPK_K}
+"""
+
+
+def oov_rate(sf_dir: str) -> pa.Table:
+    """Tokenizer OOV / rare-word exposure by language (the vocabulary-
+    coverage planning table): per lang, total token occurrences and
+    occurrences of hapax terms (corpus df = 1), with
+    ``oov_micro = hapax·10^6 // total``. The df side is the INDEX's
+    term-stats table broadcast once (ray.put) and probed by
+    searchsorted inside every batch; each block collapses to ≤|langs|
+    partial rows. No second corpus aggregation, no shuffle of terms."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    r = _reader(sf_dir)
+    t = r.term_stats_table()
+    terms_all = np.asarray(t["term"].to_pylist(), dtype=object)
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms_all)
+    bg_ref = ray.put((terms_all[order], dfs[order]))
+
+    class _OovPartial:
+        def __init__(self):
+            self.terms, self.dfs = ray.get(bg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, idx = tokenize_to_terms(b["text"])
+            term = np.asarray(flat.to_pylist(), dtype=object)
+            pos = np.searchsorted(self.terms, term)
+            pos_c = np.minimum(pos, max(len(self.terms) - 1, 0))
+            # every corpus token exists in the index vocabulary
+            hapax = (self.dfs[pos_c] == 1).astype(np.int64)
+            langs = np.asarray(b["lang"].to_pylist(),
+                               dtype=object)[idx.to_numpy(
+                                   zero_copy_only=False)]
+            g = (pa.table({"lang": pa.array(langs.tolist(), pa.string()),
+                           "one": pa.array(np.ones(len(term), np.int64)),
+                           "hx": pa.array(hapax)})
+                 .group_by("lang")
+                 .aggregate([("one", "sum"), ("hx", "sum")]))
+            return g.rename_columns(["lang", "n_tokens", "n_hapax"])
+
+    out = (ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["lang", "text"])
+           .map_batches(_OovPartial, batch_format="pyarrow",
+                        concurrency=2)
+           .groupby("lang")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_hapax", alias_name="n_hapax"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    nt = out["n_tokens"].to_numpy().astype(np.int64)
+    nh = out["n_hapax"].to_numpy().astype(np.int64)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "n_hapax": pa.array(nh, pa.int64()),
+        "oov_micro": pa.array(nh * 1_000_000 // np.maximum(nt, 1),
+                              pa.int64()),
+    })
+
+
+OOV_RATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOK_SQL}) AS term FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM tok GROUP BY 1),
+g AS (
+  SELECT tok.lang, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (WHERE df.df = 1)::BIGINT AS n_hapax
+  FROM tok JOIN df USING (term)
+  GROUP BY 1)
+SELECT lang, n_tokens, n_hapax,
+       ((n_hapax * 1000000) // greatest(n_tokens, 1))::BIGINT AS oov_micro
+FROM g
+"""
+
+
+def ltr_features(sf_dir: str) -> pa.Table:
+    """Learning-to-rank feature export (the ES LTR plugin's
+    ``_ltr/_featureset`` logging shape): for every conjunctive match
+    of each fixture query, the integer feature vector (Σ tf over
+    query terms, doclen, min df among the terms) — everything resolved
+    inside the index (posting intersections + doc-values), no text
+    read, match-set-sized output."""
+    from .pipelines.query import boolean_and as _and
+
+    r = _reader(sf_dir)
+    import re as _re
+
+    qids, docs, tfs_, dls, dfm = [], [], [], [], []
+    for qid, q in BOOL_QUERIES:
+        terms = sorted(set(_re.findall(r"[a-z0-9]+", q.lower())))
+        cand = _and(r, q)
+        if not len(cand):
+            continue
+        # map external ids back to ordinals via the sorted-ext index
+        ext_order = np.argsort(r.dl_doc_ids, kind="stable")
+        ext_sorted = r.dl_doc_ids[ext_order]
+        ords = ext_order[np.searchsorted(ext_sorted, cand)]
+        tf_sum = np.zeros(len(cand), np.int64)
+        df_min = None
+        for t in terms:
+            pl = r.postings(t)
+            if pl is None:
+                continue
+            d, tf = pl.decode_all()
+            lk = np.searchsorted(d, ords)
+            lk_c = np.minimum(lk, max(len(d) - 1, 0))
+            hit = d[lk_c] == ords
+            tf_sum[hit] += tf[lk_c[hit]].astype(np.int64)
+            df_min = len(d) if df_min is None else min(df_min, len(d))
+        qids.extend([qid] * len(cand))
+        docs.extend(cand.tolist())
+        tfs_.extend(tf_sum.tolist())
+        dls.extend(r.dl_lens[ords].astype(np.int64).tolist())
+        dfm.extend([int(df_min)] * len(cand))
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf_sum": pa.array(tfs_, pa.int64()),
+        "doclen": pa.array(dls, pa.int64()),
+        "df_min": pa.array(dfm, pa.int64()),
+    })
+
+
+def _ltr_features_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, len({TOK_SQL})::BIGINT AS doclen FROM documents),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {_bool_values()}),
+qsize AS (SELECT qid, count(*)::BIGINT AS nt FROM q GROUP BY 1),
+m AS (
+  SELECT q.qid, tf.doc_id, count(*)::BIGINT AS nm,
+         sum(tf.tf)::BIGINT AS tf_sum,
+         min(df.df)::BIGINT AS df_min
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  GROUP BY 1, 2)
+SELECT m.qid::BIGINT AS qid, m.doc_id, m.tf_sum, dl.doclen, m.df_min
+FROM m JOIN qsize s ON s.qid = m.qid JOIN dl ON dl.doc_id = m.doc_id
+WHERE m.nm = s.nt
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14887,6 +15143,9 @@ def registry() -> tuple[dict, dict]:
         "counter_deltas": counter_deltas,
         "esql_dissect": esql_dissect,
         "esql_rename_drop": esql_rename_drop,
+        "chunk_topk": chunk_topk,
+        "oov_rate": oov_rate,
+        "ltr_features": ltr_features,
 }
     oracles = {
         "ingest_summary": _ingest_summary_sql(),
@@ -15153,6 +15412,9 @@ def registry() -> tuple[dict, dict]:
         "counter_deltas": COUNTER_DELTAS_SQL,
         "esql_dissect": ESQL_DISSECT_SQL,
         "esql_rename_drop": ESQL_RENAME_SQL,
+        "chunk_topk": _chunk_topk_sql(),
+        "oov_rate": OOV_RATE_SQL,
+        "ltr_features": _ltr_features_sql(),
         "bpe_merges": _bpe_merges_sql(),
         # minhash_pairs / simhash_pairs / lsh_ann_topk / ivf_ann_topk:
         # seed-dependent sketches / approximate search → rows-only, with
