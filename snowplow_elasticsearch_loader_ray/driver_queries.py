@@ -14580,6 +14580,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_GROK_QUERY = (
+    r'FROM events | GROK props "{\"k\": %{INT:k:int}}" | WHERE k >= 10 | '
+    'STATS n = COUNT(*), k_sum = SUM(k), k_max = MAX(k) BY event_type | '
+    'SORT event_type')
+ESQL_BUCKET_QUERY = (
+    'FROM events | WHERE event_type == "click" | '
+    'STATS n = COUNT(*), umax = MAX(user_id) BY day = BUCKET(ts, 1 day) | '
+    'SORT day | LIMIT 10')
+ESQL_MV_EXPAND_QUERY = (
+    'FROM documents | WHERE lang == "en" | EVAL tok = SPLIT(text, " ") | '
+    'MV_EXPAND tok | STATS n = COUNT(*) BY tok | '
+    'SORT n DESC, tok ASC | LIMIT 12')
+
+
+def esql_grok(sf_dir: str) -> pa.Table:
+    """ES|QL ``GROK`` (the regex sibling of DISSECT): ``%{SYNTAX:name
+    [:int]}`` captures compiled into ONE anchored RE2 applied
+    vectorized (pc.extract_regex); ``:int`` casts the capture to
+    int64 so it rides the integer-only WHERE / SUM contract. Here it
+    parses the JSON-ish ``props`` payload, filters on the extracted
+    value, and aggregates per event type — the classic
+    log-line-to-metrics grok pipeline."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_GROK_QUERY)
+
+
+ESQL_GROK_SQL = r"""
+WITH g AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '^\{"k": ([+-]?\d+)\}$', 1)
+              AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS k_sum,
+       max(k)::BIGINT AS k_max
+FROM g WHERE k >= 10 GROUP BY 1 ORDER BY 1
+"""
+
+
+def esql_bucket_daily(sf_dir: str) -> pa.Table:
+    """ES|QL ``BY day = BUCKET(ts, 1 day)`` — the date-histogram
+    grouping ES|QL uses instead of the DSL's date_histogram agg:
+    floor_temporal per batch (ISO weeks Monday-start for week spans,
+    matching DuckDB date_trunc) rendered as a sortable string key, then
+    the same partial-agg groupby as any other BY column. Wider
+    multiples refuse (epoch alignment is engine-specific)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_BUCKET_QUERY)
+
+
+ESQL_BUCKET_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n, max(user_id)::BIGINT AS umax
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY 1 LIMIT 10
+"""
+
+
+def esql_mv_expand(sf_dir: str) -> pa.Table:
+    """ES|QL multivalued columns: ``EVAL tok = SPLIT(text, " ")``
+    produces a list column and ``MV_EXPAND tok`` explodes it
+    one-value-per-row (vectorized list_flatten + parent-index take —
+    never a Python loop), after which ``tok`` groups like any scalar
+    field. Referencing an unexpanded SPLIT output refuses. The shape
+    is top-terms-through-ES|QL; the exchange carries only the
+    (tok, count) partials."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_MV_EXPAND_QUERY)
+
+
+ESQL_MV_EXPAND_SQL = """
+SELECT tok, count(*)::BIGINT AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE lang = 'en')
+GROUP BY 1 ORDER BY n DESC, tok LIMIT 12
+"""
+
+
 #: chunk retrieval: window = 2 × step so every hit position belongs to
 #: exactly the two windows starting at floor(p/S)·S and that minus S —
 #: the membership trick that keeps per-batch chunk scoring one bincount
@@ -15142,6 +15222,9 @@ def registry() -> tuple[dict, dict]:
         "geo_sort_topk": geo_sort_topk,
         "counter_deltas": counter_deltas,
         "esql_dissect": esql_dissect,
+        "esql_grok": esql_grok,
+        "esql_bucket_daily": esql_bucket_daily,
+        "esql_mv_expand": esql_mv_expand,
         "esql_rename_drop": esql_rename_drop,
         "chunk_topk": chunk_topk,
         "oov_rate": oov_rate,
@@ -15411,6 +15494,9 @@ def registry() -> tuple[dict, dict]:
         "geo_sort_topk": _geo_sort_sql(),
         "counter_deltas": COUNTER_DELTAS_SQL,
         "esql_dissect": ESQL_DISSECT_SQL,
+        "esql_grok": ESQL_GROK_SQL,
+        "esql_bucket_daily": ESQL_BUCKET_SQL,
+        "esql_mv_expand": ESQL_MV_EXPAND_SQL,
         "esql_rename_drop": ESQL_RENAME_SQL,
         "chunk_topk": _chunk_topk_sql(),
         "oov_rate": OOV_RATE_SQL,

@@ -13,9 +13,13 @@ refusal, never a silently different query):
     query  := FROM ident ( '|' stage )*
     stage  := WHERE cond ( AND cond )*
             | EVAL ident '=' term ( op term )*   op ∈ + - * // %
+            | EVAL ident '=' SPLIT '(' ident ',' '"' sep '"' ')'
             | ENRICH ident ON ident WITH ident
             | DISSECT ident '"' pattern '"'      pattern: literals + %{name}
-            | STATS agg ( ',' agg )* [ BY ident ( ',' ident )* ]
+            | GROK ident '"' pattern '"'         pattern: literals +
+                                                 %{SYNTAX:name[:int]}
+            | MV_EXPAND ident                    (a SPLIT output)
+            | STATS agg ( ',' agg )* [ BY byitem ( ',' byitem )* ]
             | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
             | LIMIT int
             | KEEP ident ( ',' ident )*
@@ -24,6 +28,26 @@ refusal, never a silently different query):
     cond   := ident op literal          op ∈ == != >= <= > <
     agg    := ident '=' FUNC '(' (ident|'*') ')'
               FUNC ∈ COUNT SUM MIN MAX AVG
+    byitem := ident | ident '=' BUCKET '(' ident ',' int unit ')'
+              unit ∈ hour day week (multiple pinned to 1)
+
+``GROK <col> "<pattern>"`` is DISSECT's regex-powered sibling: captures
+are ``%{SYNTAX:name}`` with SYNTAX ∈ WORD NOTSPACE NUMBER INT DATA
+GREEDYDATA (the grok-patterns definitions, compiled verbatim into ONE
+anchored RE2); ``%{INT:n:int}`` / ``%{NUMBER:n:int}`` convert the
+capture to int64 (usable in EVAL / SUM / AVG under the integer-only
+contract). Non-matching rows refuse, like DISSECT.
+
+``EVAL x = SPLIT(col, "sep")`` produces a MULTIVALUED column; it may
+only be referenced after ``MV_EXPAND x`` explodes it one-value-per-row
+(vectorized list_flatten + parent-index take — the SQL unnest
+convention: empty lists drop their row). Referencing an unexpanded
+SPLIT output anywhere refuses.
+
+``BY b = BUCKET(ts, 1 day)`` is the ES|QL date-histogram grouping:
+floor_temporal to hour/day/week (ISO weeks, Monday start — DuckDB
+date_trunc parity) rendered as a sortable string key. Wider multiples
+refuse: their epoch alignment differs between engines.
 
 ``DISSECT <col> "<pattern>"`` is the ES|QL dissect processor over a
 string column: ``%{name}`` captures between exact literals (compiled
@@ -79,6 +103,35 @@ _OPS = ("==", "!=", ">=", "<=", ">", "<")
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
+#: ES|QL GROK syntax atoms the engine supports, compiled verbatim into
+#: the anchored RE2 (the grok-patterns file's definitions for these
+#: names; DATA/GREEDYDATA are the lazy/greedy catch-alls)
+_GROK_SYNTAX = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "INT": r"[+-]?\d+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+
+
+def _split_outside_parens(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (BY lists may contain
+    ``BUCKET(col, 1 day)`` whose comma is not a list separator)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
 def _literal(tok: str):
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
@@ -125,6 +178,17 @@ def parse(query: str) -> dict:
             if not m:
                 raise UnsupportedEsql(f"bad EVAL {body!r}")
             name, expr = m.group(1), m.group(2)
+            ms = re.fullmatch(
+                rf'SPLIT\s*\(\s*({_IDENT})\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)',
+                expr, flags=re.I)
+            if ms:
+                sep = ms.group(2).replace('\\"', '"').replace("\\\\", "\\")
+                if not sep:
+                    raise UnsupportedEsql("SPLIT separator must be "
+                                          "non-empty")
+                plan.setdefault("splits", []).append(
+                    (name, ms.group(1), sep))
+                continue
             toks = re.findall(rf"{_IDENT}|\d+|//|%|\+|-|\*|\S", expr)
             if len(toks) % 2 != 1:
                 raise UnsupportedEsql(f"bad EVAL expression {expr!r}")
@@ -153,10 +217,30 @@ def parse(query: str) -> dict:
             if re.search(r"\bBY\b", body, flags=re.I):
                 aggs_s, by_s = re.split(r"\bBY\b", body, maxsplit=1,
                                         flags=re.I)
-                plan["by"] = [b.strip() for b in by_s.split(",")]
-                for b in plan["by"]:
-                    if not re.fullmatch(_IDENT, b):
-                        raise UnsupportedEsql(f"bad BY field {b!r}")
+                for raw in _split_outside_parens(by_s):
+                    raw = raw.strip()
+                    mb = re.fullmatch(
+                        rf"({_IDENT})\s*=\s*BUCKET\s*\(\s*({_IDENT})\s*,"
+                        rf"\s*(\d+)\s+({_IDENT})\s*\)", raw, flags=re.I)
+                    if mb:
+                        name, col = mb.group(1), mb.group(2)
+                        mult = int(mb.group(3))
+                        unit = mb.group(4).lower().rstrip("s")
+                        if unit not in ("hour", "day", "week"):
+                            raise UnsupportedEsql(
+                                f"BUCKET unit {mb.group(4)!r} unsupported "
+                                f"(hour/day/week)")
+                        if mult != 1:
+                            raise UnsupportedEsql(
+                                "BUCKET multiple must be 1 — epoch "
+                                "alignment of wider spans is not pinned")
+                        plan.setdefault("buckets", []).append(
+                            (name, col, unit))
+                        plan["by"].append(name)
+                    elif re.fullmatch(_IDENT, raw):
+                        plan["by"].append(raw)
+                    else:
+                        raise UnsupportedEsql(f"bad BY field {raw!r}")
             else:
                 aggs_s = body
             aggs = []
@@ -215,6 +299,45 @@ def parse(query: str) -> dict:
                 raise UnsupportedEsql(
                     "DISSECT supports only %{name} placeholders")
             plan.setdefault("dissect", []).append((col, literals, names))
+        elif kw == "GROK":
+            if seen_stats:
+                raise UnsupportedEsql("GROK after STATS is unsupported")
+            m = re.fullmatch(
+                rf'({_IDENT})\s+"((?:[^"\\]|\\.)*)"', body)
+            if not m:
+                raise UnsupportedEsql(f"bad GROK {body!r}")
+            col = m.group(1)
+            pattern = m.group(2).replace('\\"', '"').replace("\\\\", "\\")
+            cap_re = re.compile(
+                rf"%\{{({'|'.join(_GROK_SYNTAX)}):({_IDENT})"
+                rf"(?::(int))?\}}")
+            caps = [(mm.group(1), mm.group(2), mm.group(3) == "int")
+                    for mm in cap_re.finditer(pattern)]
+            if not caps:
+                raise UnsupportedEsql(
+                    "GROK pattern has no %{SYNTAX:name} capture")
+            names = [n for _s, n, _t in caps]
+            if len(set(names)) != len(names):
+                raise UnsupportedEsql("duplicate GROK capture names")
+            for syntax, n, as_int in caps:
+                if as_int and syntax not in ("INT", "NUMBER"):
+                    raise UnsupportedEsql(
+                        f"GROK :int needs INT or NUMBER, got {syntax}")
+            literals = cap_re.split(pattern)[0::4]
+            if "%" in "".join(literals):
+                raise UnsupportedEsql(
+                    "GROK supports only %{SYNTAX:name[:int]} captures "
+                    f"from {sorted(_GROK_SYNTAX)}")
+            plan.setdefault("grok", []).append((col, literals, caps))
+        elif kw == "MV_EXPAND":
+            if seen_stats:
+                raise UnsupportedEsql(
+                    "MV_EXPAND after STATS is unsupported")
+            if not re.fullmatch(_IDENT, body):
+                raise UnsupportedEsql(f"bad MV_EXPAND {body!r}")
+            if body in plan.get("mv_expand", []):
+                raise UnsupportedEsql(f"MV_EXPAND {body!r} twice")
+            plan.setdefault("mv_expand", []).append(body)
         elif kw == "RENAME":
             if not seen_stats:
                 raise UnsupportedEsql(
@@ -263,9 +386,18 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     plan = parse(query)
     enrich = plan.get("enrich", [])
     dissect = plan.get("dissect", [])
+    grok = plan.get("grok", [])
+    splits = plan.get("splits", [])
+    buckets = plan.get("buckets", [])
+    mv_expand = plan.get("mv_expand", [])
     dissect_names = {n for _c, _l, names in dissect for n in names}
+    grok_types = {n: (pa.int64() if as_int else pa.string())
+                  for _c, _l, caps in grok for _s, n, as_int in caps}
+    split_names = {n for n, _c, _s in splits}
+    bucket_names = {n for n, _c, _u in buckets}
     derived = {name for name, _t, _o in plan["evals"]} \
-        | {col for _tbl, _key, col in enrich} | dissect_names
+        | {col for _tbl, _key, col in enrich} | dissect_names \
+        | set(grok_types) | split_names | bucket_names
     eval_names = derived
     cols = set(plan["by"]) - eval_names
     for col, _op, _lit in plan["where"]:
@@ -283,6 +415,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     for dcol, _lits, _names in dissect:
         if dcol not in eval_names:
             cols.add(dcol)
+    for gcol, _lits, _caps in grok:
+        if gcol not in eval_names:
+            cols.add(gcol)
+    for _n, scol, _s in splits:
+        if scol not in eval_names:
+            cols.add(scol)
+    for _n, bcol, _u in buckets:
+        if bcol not in eval_names:
+            cols.add(bcol)
     path = os.path.join(sf_dir, plan["from"] + ".parquet")
     if not os.path.exists(path):
         raise UnsupportedEsql(f"unknown table {plan['from']!r}")
@@ -316,6 +457,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return enrich_types[name]
         if name in dissect_names:
             return pa.string()
+        if name in grok_types:
+            return grok_types[name]
+        if name in split_names:
+            # a SPLIT output is multivalued; after MV_EXPAND each row
+            # carries one string value
+            return (pa.string() if name in mv_expand
+                    else pa.list_(pa.string()))
+        if name in bucket_names:
+            return pa.string()
         return pa.int64() if name in eval_names else None
 
     # DISSECT static checks: source must be a string column, capture
@@ -336,6 +486,74 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"DISSECT capture {n!r} shadows an existing column")
             seen_captures.add(n)
+
+    # GROK static checks: same contract as DISSECT (string source, no
+    # shadowing — sharing seen_captures with DISSECT stages)
+    for gcol, _lits, caps in grok:
+        ty = (schema.field(gcol).type if gcol in schema.names
+              else enrich_types.get(gcol))
+        if ty is None or not (pa.types.is_string(ty)
+                              or pa.types.is_large_string(ty)):
+            raise UnsupportedEsql(
+                f"GROK over non-string column {gcol!r} ({ty})")
+        for _s, n, _t in caps:
+            if n in schema.names or n in enrich_types \
+                    or n in seen_captures or n in split_names \
+                    or n in bucket_names \
+                    or any(n == e for e, _t2, _o in plan["evals"]):
+                raise UnsupportedEsql(
+                    f"GROK capture {n!r} shadows an existing column")
+            seen_captures.add(n)
+
+    # SPLIT / MV_EXPAND static checks: a SPLIT output is MULTIVALUED —
+    # it may only be referenced (BY / WHERE / aggregates) after
+    # MV_EXPAND turns it back into one value per row
+    for n, scol, _s in splits:
+        ty = (schema.field(scol).type if scol in schema.names
+              else enrich_types.get(scol))
+        if ty is None or not (pa.types.is_string(ty)
+                              or pa.types.is_large_string(ty)):
+            raise UnsupportedEsql(
+                f"SPLIT over non-string column {scol!r} ({ty})")
+        if n in schema.names or n in enrich_types or n in seen_captures \
+                or n in bucket_names \
+                or any(n == e for e, _t, _o in plan["evals"]):
+            raise UnsupportedEsql(
+                f"SPLIT output {n!r} shadows an existing column")
+    if len(split_names) != len(splits):
+        raise UnsupportedEsql("duplicate SPLIT output names")
+    for n in mv_expand:
+        if n not in split_names:
+            raise UnsupportedEsql(
+                f"MV_EXPAND {n!r}: not a SPLIT-derived multivalued "
+                f"column")
+    unexpanded = split_names - set(mv_expand)
+    referenced = set(plan["by"]) \
+        | {c for c, _o, _l in plan["where"]} \
+        | {c for _n, _f, c in plan["stats"] if c != "*"} \
+        | {t for _n, terms, _o in plan["evals"] for t in terms
+           if re.fullmatch(_IDENT, t)}
+    hit = unexpanded & referenced
+    if hit:
+        raise UnsupportedEsql(
+            f"multivalued column(s) {sorted(hit)} referenced without "
+            f"MV_EXPAND")
+
+    # BUCKET static checks: timestamp source, no shadowing
+    for n, bcol, _u in buckets:
+        ty = (schema.field(bcol).type if bcol in schema.names
+              else enrich_types.get(bcol))
+        if ty is None or not pa.types.is_timestamp(ty):
+            raise UnsupportedEsql(
+                f"BUCKET over non-timestamp column {bcol!r} ({ty}) — "
+                f"date spans only")
+        if n in schema.names or n in enrich_types or n in seen_captures \
+                or n in split_names \
+                or any(n == e for e, _t, _o in plan["evals"]):
+            raise UnsupportedEsql(
+                f"BUCKET output {n!r} shadows an existing column")
+    if len(bucket_names) != len(buckets):
+        raise UnsupportedEsql("duplicate BUCKET output names")
 
     for _name, terms, _ops in plan["evals"]:
         for t in terms:
@@ -439,6 +657,37 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return b
 
         ds = ds.map_batches(add_dissect, batch_format="pyarrow")
+    for gcol, literals, caps in grok:
+        parts = [re.escape(literals[0])]
+        for (syntax, n, _as_int), lit in zip(caps, literals[1:]):
+            parts.append(f"(?P<{n}>{_GROK_SYNTAX[syntax]})")
+            parts.append(re.escape(lit))
+        # (?s) for the same reason as DISSECT: grok DATA/GREEDYDATA
+        # capture any chars including newlines
+        rx = "(?s)^" + "".join(parts) + "$"
+        gnames = tuple(n for _s, n, _t in caps)
+        gints = tuple(n for _s, n, as_int in caps if as_int)
+
+        def add_grok(b: pa.Table, _c=gcol, _rx=rx, _names=gnames,
+                     _ints=gints) -> pa.Table:
+            ex = pc.extract_regex(b[_c], pattern=_rx)
+            if ex.null_count:
+                raise UnsupportedEsql(
+                    f"GROK miss: a {_c!r} value does not match the "
+                    f"pattern")
+            for n in _names:
+                v = pc.cast(pc.struct_field(ex, n), pa.string())
+                if n in _ints:
+                    try:
+                        v = pc.cast(v, pa.int64())
+                    except pa.ArrowInvalid:
+                        raise UnsupportedEsql(
+                            f"GROK :int: capture {n!r} is not an "
+                            f"integer") from None
+                b = b.append_column(n, v)
+            return b
+
+        ds = ds.map_batches(add_grok, batch_format="pyarrow")
     if plan["evals"]:
         evals = plan["evals"]
 
@@ -468,6 +717,32 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return b
 
         ds = ds.map_batches(add_evals, batch_format="pyarrow")
+    for name, scol, sep in splits:
+        if name not in mv_expand:
+            # statically unreferenced (checked above) — materializing
+            # the list column would be pure waste
+            continue
+
+        def split_expand(b: pa.Table, _c=scol, _n=name,
+                         _s=sep) -> pa.Table:
+            b = b.combine_chunks()
+            lst = pc.split_pattern(b[_c], pattern=_s)
+            idx = pc.list_parent_indices(lst)
+            flat = pc.list_flatten(lst)
+            # rows whose list is empty are dropped (the SQL unnest
+            # convention; SPLIT of a non-empty string never is)
+            return b.take(idx).append_column(_n, flat)
+
+        ds = ds.map_batches(split_expand, batch_format="pyarrow")
+    for name, bcol, unit in buckets:
+        fmt = "%Y-%m-%d %H:%M:%S" if unit == "hour" else "%Y-%m-%d"
+
+        def add_bucket(b: pa.Table, _c=bcol, _n=name, _u=unit,
+                       _f=fmt) -> pa.Table:
+            floored = pc.floor_temporal(b[_c], unit=_u)
+            return b.append_column(_n, pc.strftime(floored, format=_f))
+
+        ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     if plan["where"]:
         where = plan["where"]
         ds = ds.map_batches(lambda b: _filter_batch(b, where),

@@ -219,3 +219,99 @@ def test_reshape_chain_order(ray_session):
         esql.execute(SF, r'FROM events | DISSECT props "{\"k\": %{x}}" | '
                          r'DISSECT event_type "%{x}" | '
                          'STATS n = COUNT(*) BY x')
+
+
+# ---------------------------------------------------------------- round 5:
+# GROK / SPLIT+MV_EXPAND / BUCKET
+
+
+def test_grok_parse_and_refusals():
+    p = esql.parse(r'FROM events | GROK props "{\"k\": %{INT:k:int}}"'
+                   ' | STATS n = COUNT(*) BY k')
+    (col, literals, caps), = p["grok"]
+    assert col == "props" and caps == [("INT", "k", True)]
+    assert literals == ['{"k": ', "}"]
+    for bad in [
+        'FROM events | GROK props "no captures" | STATS n = COUNT(*)',
+        'FROM events | GROK props "%{WORD:w:int}" | STATS n = COUNT(*)',
+        'FROM events | GROK props "%{WORD:a} %{WORD:a}" | '
+        'STATS n = COUNT(*)',
+        'FROM events | GROK props "%{NOPE:x}" | STATS n = COUNT(*)',
+        'FROM events | STATS n = COUNT(*) | GROK props "%{WORD:w}"',
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.parse(bad)
+
+
+def test_grok_execute_refusals(ray_session):
+    # capture shadowing an existing column
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM events | GROK props "%{DATA:value}!" | '
+                         "STATS n = COUNT(*)")
+    # grok over a non-string column
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM events | GROK value "%{WORD:w}" | '
+                         "STATS n = COUNT(*)")
+    # runtime miss: the pattern matches no row
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM events | GROK props "nope%{WORD:w}" | '
+                         "STATS n = COUNT(*)")
+
+
+def test_mv_expand_matches_duckdb(ray_session):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    got = esql.execute(
+        SF, 'FROM documents | EVAL tok = SPLIT(text, " ") | '
+            "MV_EXPAND tok | STATS n = COUNT(*) BY tok | "
+            "SORT n DESC, tok ASC | LIMIT 7").to_pandas()
+    want = con.sql(
+        "SELECT tok, count(*)::BIGINT AS n FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY 1 ORDER BY n DESC, tok LIMIT 7").df()
+    assert got[["tok", "n"]].equals(want[["tok", "n"]])
+
+
+def test_mv_expand_refusals(ray_session):
+    # unexpanded multivalued column referenced in BY / WHERE / aggs
+    for q in [
+        'FROM documents | EVAL t = SPLIT(text, " ") | '
+        "STATS n = COUNT(*) BY t",
+        'FROM documents | EVAL t = SPLIT(text, " ") | WHERE t == "a" | '
+        "STATS n = COUNT(*)",
+        'FROM documents | EVAL t = SPLIT(text, " ") | STATS m = MIN(t)',
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, q)
+    # MV_EXPAND of something that is not a SPLIT output
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM documents | MV_EXPAND lang | "
+                         "STATS n = COUNT(*)")
+    # SPLIT over a non-string column
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | EVAL t = SPLIT(n_chars, " ") '
+                         "| MV_EXPAND t | STATS n = COUNT(*) BY t")
+
+
+def test_bucket_matches_duckdb(ray_session):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    got = esql.execute(
+        SF, "FROM events | STATS n = COUNT(*) BY "
+            "w = BUCKET(ts, 1 week) | SORT w").to_pandas()
+    want = con.sql(
+        "SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS w, "
+        "count(*)::BIGINT AS n FROM events GROUP BY 1 ORDER BY 1").df()
+    assert got[["w", "n"]].equals(want[["w", "n"]])
+
+
+def test_bucket_refusals():
+    for bad in [
+        "FROM events | STATS n = COUNT(*) BY b = BUCKET(ts, 7 day)",
+        "FROM events | STATS n = COUNT(*) BY b = BUCKET(ts, 1 month)",
+        "FROM events | STATS n = COUNT(*) BY b = BUCKET(ts)",
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.parse(bad)
