@@ -5721,6 +5721,87 @@ SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
 """
 
 
+#: radius cutoff for ann_radius — at sf0.01 this admits 22 pairs with a
+#: 1.8e-3 similarity gap to the nearest excluded vector, so the float
+#: boundary can't flip membership between the engine and the oracle.
+ANN_RADIUS_SIM = 0.35
+
+
+def ann_radius(sf_dir: str) -> pa.Table:
+    """ES 8 `knn` with a `similarity` cutoff (radius search): every
+    vector whose cosine to the query clears ANN_RADIUS_SIM, per query —
+    result size data-dependent, no top-k heap (ann.py::ann_radius)."""
+    qids, qmat = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = ANN.ann_radius(ds, qmat, ANN_RADIUS_SIM)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "vec_id": out["vec_id"],
+        "sim": out["sim"],
+    })
+
+
+ANN_RADIUS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 9) AS sim
+FROM embeddings e, q
+WHERE round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 9)
+      >= {ANN_RADIUS_SIM}
+"""
+
+
+def hard_negatives_topk(sf_dir: str) -> pa.Table:
+    """Contrastive hard-negative mining: for each anchor (the first
+    N_ANN_QUERIES vectors by vec_id), the top-k most-similar vectors
+    with a DIFFERENT label, excluding the anchor itself
+    (ann.py::hard_negatives_topk). The per-anchor label rides the
+    broadcast; the corpus-side plan is the ann_topk matmul."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    t = t.take(pc.sort_indices(t["vec_id"]))
+    qids = t["vec_id"].to_numpy(zero_copy_only=False)[:N_ANN_QUERIES]
+    qlabels = t["label"].to_numpy(zero_copy_only=False)[:N_ANN_QUERIES]
+    qmat = np.array(t["embedding"].to_pylist()[:N_ANN_QUERIES],
+                    dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding", "label"])
+    out = ANN.hard_negatives_topk(ds, qmat, qids, qlabels, k=TOPK)
+    qmap = pa.array(qids[out["query_id"].to_numpy(zero_copy_only=False)],
+                    pa.int64())
+    return pa.table({
+        "query_id": qmap,
+        "rank": pc.cast(out["rank"], pa.int64()),
+        "vec_id": out["vec_id"],
+    })
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 9) AS sim
+  FROM embeddings e, q
+  WHERE e.label <> q.ql AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def hybrid_rrf_topk(sf_dir: str) -> pa.Table:
     """Hybrid retrieval (ES 8 `rrf` retriever): the BM25 lexical leg
     (DOC_QUERIES[qid]) and the vector leg (cosine top-k for the
@@ -15055,6 +15136,8 @@ def registry() -> tuple[dict, dict]:
         "suggest_phrase": suggest_phrase,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "ann_topk_filtered": ann_topk_filtered,
+        "ann_radius": ann_radius,
+        "hard_negatives_topk": hard_negatives_topk,
         "reindex_transformed_terms": reindex_transformed_terms,
         "histogram_pipeline_aggs": histogram_pipeline_aggs,
         "adjacency_matrix_agg": adjacency_matrix_agg,
@@ -15276,6 +15359,8 @@ def registry() -> tuple[dict, dict]:
         "suggest_phrase": _suggest_phrase_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "ann_topk_filtered": ANN_FILTERED_SQL,
+        "ann_radius": ANN_RADIUS_SQL,
+        "hard_negatives_topk": HARD_NEGATIVES_SQL,
         "reindex_transformed_terms": REINDEX_SQL,
         "histogram_pipeline_aggs": HISTOGRAM_PIPELINE_SQL,
         "unigram_lm_scores": UNIGRAM_LM_SQL,

@@ -121,6 +121,105 @@ def ann_topk_filtered(ds: ray.data.Dataset, queries: np.ndarray,
     return ann_topk(ds.map_batches(pre, batch_format="pyarrow"), queries, k)
 
 
+class _RadiusPerBatch:
+    """Emit every (query, vector) pair whose cosine clears the radius
+    threshold — no per-query heap, no candidate cap, so the stage is
+    embarrassingly parallel and a hot query never concentrates work."""
+
+    def __init__(self, queries_ref, threshold: float):
+        self.q = _normalize(ray.get(queries_ref))
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        sims = np.round(m @ self.q.T, SIM_ROUND)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        rows, cols = np.nonzero(sims >= self.threshold)
+        return pa.table({
+            "query_id": pa.array(cols.astype(np.int64)),
+            "vec_id": pa.array(ids[rows], type=pa.int64()),
+            "sim": pa.array(sims[rows, cols], type=pa.float64()),
+        })
+
+
+def ann_radius(ds: ray.data.Dataset, queries: np.ndarray,
+               threshold: float) -> pa.Table:
+    """ES 8 ``knn`` with a ``similarity`` cutoff (radius search): ALL
+    vectors with cosine >= threshold per query, not a fixed k. The
+    result size is data-dependent, so unlike top-k there is no local
+    reduction — each batch emits its qualifying pairs and the output
+    streams; the driver only concatenates the (small) match set."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(
+        _RadiusPerBatch(qref, threshold), batch_format="pyarrow",
+        batch_size=4096,
+    )
+    t = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    q = t["query_id"].to_numpy(zero_copy_only=False)
+    v = t["vec_id"].to_numpy(zero_copy_only=False)
+    return t.take(pa.array(np.lexsort((v, q))))
+
+
+class _HardNegPerBatch:
+    """Local top-k per anchor among vectors with a DIFFERENT label (and
+    never the anchor row itself): contrastive hard-negative mining.
+    The anchor matrix, ids and labels broadcast once per actor; the
+    positive mask is one vectorized comparison per batch."""
+
+    def __init__(self, anchors_ref, k: int):
+        q, qids, qlabels = ray.get(anchors_ref)
+        self.q = _normalize(q)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.qlabels = np.asarray(qlabels)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        sims = m @ self.q.T                               # [batch, n_anchors]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        # positives (same label) and the anchor itself are not negatives
+        mask = (labels[:, None] == self.qlabels[None, :]) \
+            | (ids[:, None] == self.qids[None, :])
+        sims = np.where(mask, -2.0, sims)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            keep = s[part] > -1.5                         # drop masked rows
+            part = part[keep]
+            out_q.append(np.full(len(part), qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_s.append(s[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def hard_negatives_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                        query_ids: np.ndarray, query_labels: np.ndarray,
+                        k: int = 10) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors whose label DIFFERS from the
+    anchor's (excluding the anchor row). Same broadcast-matmul +
+    local-top-k + driver-reduce plan as ``ann_topk``; the per-anchor
+    positive mask rides the broadcast."""
+    aref = ray.put((np.asarray(queries, dtype=np.float64),
+                    np.asarray(query_ids, dtype=np.int64),
+                    np.asarray(query_labels)))
+    cand = ds.map_batches(
+        _HardNegPerBatch(aref, k), batch_format="pyarrow", batch_size=4096
+    )
+    return _final_topk(pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    ), k)
+
+
 # --------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # --------------------------------------------------------------------------

@@ -222,3 +222,49 @@ def test_hybrid_linear_fuses_both_legs(ray_session):
     h, l, v = ranking(hy), ranking(lex), ranking(vec)
     assert any(h[q] != l.get(q) for q in h)
     assert any(h[q] != v.get(q) for q in h)
+
+
+def test_ann_radius_matches_exhaustive(emb_ds, emb_np):
+    ids, mat = emb_np
+    queries = mat[:4]
+    got = ANN.ann_radius(emb_ds, queries, 0.35).to_pandas()
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = np.round(m @ q.T, ANN.SIM_ROUND)
+    want = {(qi, int(ids[r])) for r, qi in zip(*np.nonzero(sims >= 0.35))}
+    assert set(zip(got["query_id"], got["vec_id"])) == want
+    # every self-pair (sim 1.0) must be present
+    assert all((qi, int(ids[qi])) in want for qi in range(4))
+    # sims are the rounded float64 cosines
+    for _, row in got.iterrows():
+        r = np.nonzero(ids == row["vec_id"])[0][0]
+        assert row["sim"] == sims[r, int(row["query_id"])]
+
+
+def test_hard_negatives_excludes_positives(ray_session):
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    import pyarrow.compute as pc
+    t = t.take(pc.sort_indices(t["vec_id"]))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    labels = t["label"].to_numpy(zero_copy_only=False)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    n_anchor = 5
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    got = ANN.hard_negatives_topk(
+        ds, mat[:n_anchor], ids[:n_anchor], labels[:n_anchor], k=8
+    ).to_pandas()
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    for _, row in got.iterrows():
+        anchor = int(row["query_id"])
+        assert int(row["vec_id"]) != int(ids[anchor])
+        assert lab[int(row["vec_id"])] != labels[anchor]
+    # exhaustive check for anchor 0: top-8 among different-label vectors
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    s = np.round(m @ m[0], ANN.SIM_ROUND)
+    mask = (labels != labels[0]) & (ids != ids[0])
+    cand_ids, cand_s = ids[mask], s[mask]
+    order = np.lexsort((cand_ids, -cand_s))[:8]
+    sub = got[got["query_id"] == 0].sort_values("rank")
+    np.testing.assert_array_equal(sub["vec_id"].to_numpy(), cand_ids[order])
