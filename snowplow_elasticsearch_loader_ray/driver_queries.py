@@ -11458,6 +11458,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_DISTINCT_QUERY = (
+    'FROM documents | WHERE source IN ("src0", "src1", "src2") '
+    'AND lang NOT LIKE "z?" | '
+    'STATS n = COUNT(*), d_lang = COUNT_DISTINCT(lang), '
+    'med_chars = MEDIAN(n_chars), p90_chars = PERCENTILE(n_chars, 90) '
+    'BY source | SORT source')
+
+
+def esql_distinct_stats(sf_dir: str) -> pa.Table:
+    """ES|QL COUNT_DISTINCT / MEDIAN / PERCENTILE aggregates plus the
+    IN / NOT LIKE predicate forms (pipelines/esql.py): the distinct
+    family rides a (by, col) value-histogram groupby — reduce output
+    bounded by groups × distinct values, the same bounded-value-domain
+    assumption value_percentiles makes — and is EXACT where ES
+    estimates (cardinality HLL, percentile t-digest); MEDIAN ≡
+    PERCENTILE(col, 50), discrete quantile_disc convention."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_DISTINCT_QUERY)
+
+
+ESQL_DISTINCT_SQL = """
+SELECT source, count(*)::BIGINT AS n,
+       count(DISTINCT lang)::BIGINT AS d_lang,
+       quantile_disc(n_chars, 0.50)::BIGINT AS med_chars,
+       quantile_disc(n_chars, 0.90)::BIGINT AS p90_chars
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2') AND lang NOT LIKE 'z_'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15264,6 +15296,7 @@ def registry() -> tuple[dict, dict]:
         "top_pmi_bigrams": top_pmi_bigrams,
         "geo_polygon_counts": geo_polygon_counts,
         "esql_stats": esql_stats,
+        "esql_distinct_stats": esql_distinct_stats,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15538,6 +15571,7 @@ def registry() -> tuple[dict, dict]:
         "top_pmi_bigrams": PMI_SQL,
         "geo_polygon_counts": _geo_polygon_sql(),
         "esql_stats": ESQL_STATS_SQL,
+        "esql_distinct_stats": ESQL_DISTINCT_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

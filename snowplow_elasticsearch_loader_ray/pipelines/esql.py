@@ -26,8 +26,20 @@ refusal, never a silently different query):
             | RENAME ident AS ident ( ',' ident AS ident )*   (after STATS)
             | DROP ident ( ',' ident )*                       (after STATS)
     cond   := ident op literal          op ∈ == != >= <= > <
+            | ident [NOT] IN '(' literal ( ',' literal )* ')'
+            | ident [NOT] LIKE '"' wildcard '"'    (* any run, ? one char)
+            | ident [NOT] RLIKE '"' regex '"'      (RE2, full match)
     agg    := ident '=' FUNC '(' (ident|'*') ')'
-              FUNC ∈ COUNT SUM MIN MAX AVG
+              FUNC ∈ COUNT SUM MIN MAX AVG COUNT_DISTINCT MEDIAN
+            | ident '=' PERCENTILE '(' ident ',' int ')'
+
+``COUNT_DISTINCT`` / ``MEDIAN`` / ``PERCENTILE(col, p)`` are EXACT
+where ES estimates (cardinality HLL / percentile t-digest): they ride
+a (by, col) groupby whose reduce output is bounded by groups ×
+distinct VALUES — the documented bounded-value-domain assumption.
+MEDIAN ≡ PERCENTILE(col, 50); both use the discrete convention
+(value at 0-based index ceil(p/100·n)−1 — DuckDB ``quantile_disc``)
+over INTEGER columns only; COUNT_DISTINCT accepts integer or string.
     byitem := ident | ident '=' BUCKET '(' ident ',' int unit ')'
               unit ∈ hour day week (multiple pinned to 1)
 
@@ -89,6 +101,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -98,7 +111,9 @@ class UnsupportedEsql(ValueError):
     """An ES|QL construct outside the supported grammar."""
 
 
-_AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+#: COUNT_DISTINCT before COUNT — the parse alternation is ordered
+_AGG_FUNCS = ("COUNT_DISTINCT", "COUNT", "SUM", "MIN", "MAX", "AVG",
+              "MEDIAN")
 _OPS = ("==", "!=", ">=", "<=", ">", "<")
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -144,6 +159,38 @@ def _literal(tok: str):
         return float(tok)
     except ValueError:
         raise UnsupportedEsql(f"bad literal {tok!r}")
+
+
+def _parse_cond(cond: str) -> tuple:
+    """One WHERE conjunct → (col, op, payload). Ops: the six comparators
+    (payload = literal), [not_]in (payload = literal tuple, one type),
+    [not_]like (payload = wildcard pattern, * and ? only — % and _ are
+    refused so the SQL-LIKE replay is unambiguous), [not_]rlike
+    (payload = RE2 source, full-match both sides)."""
+    m = re.fullmatch(rf"({_IDENT})\s*(==|!=|>=|<=|>|<)\s*(.+)", cond)
+    if m:
+        return (m.group(1), m.group(2), _literal(m.group(3)))
+    m = re.fullmatch(rf"({_IDENT})\s+(NOT\s+)?IN\s*\((.*)\)", cond,
+                     flags=re.I)
+    if m:
+        lits = [_literal(t) for t in _split_outside_parens(m.group(3))]
+        if not lits:
+            raise UnsupportedEsql(f"empty IN list in {cond!r}")
+        if len({type(v) for v in lits}) != 1:
+            raise UnsupportedEsql(f"mixed literal types in {cond!r}")
+        return (m.group(1), "not_in" if m.group(2) else "in", tuple(lits))
+    m = re.fullmatch(
+        rf'({_IDENT})\s+(NOT\s+)?(LIKE|RLIKE)\s+"((?:[^"\\]|\\.)*)"',
+        cond, flags=re.I)
+    if m:
+        op = m.group(3).lower()
+        pat = m.group(4).replace('\\"', '"').replace("\\\\", "\\")
+        if op == "like" and re.search(r"[%_]", pat):
+            raise UnsupportedEsql(
+                "LIKE pattern may not contain % or _ (reserved by the "
+                "SQL-LIKE parity contract; use * and ?)")
+        return (m.group(1), ("not_" if m.group(2) else "") + op, pat)
+    raise UnsupportedEsql(f"bad condition {cond!r}")
 
 
 def parse(query: str) -> dict:
@@ -204,12 +251,7 @@ def parse(query: str) -> dict:
             if seen_stats:
                 raise UnsupportedEsql("WHERE after STATS is unsupported")
             for cond in re.split(r"\s+AND\s+", body, flags=re.I):
-                m = re.fullmatch(
-                    rf"({_IDENT})\s*(==|!=|>=|<=|>|<)\s*(.+)", cond.strip())
-                if not m:
-                    raise UnsupportedEsql(f"bad condition {cond!r}")
-                plan["where"].append((m.group(1), m.group(2),
-                                      _literal(m.group(3))))
+                plan["where"].append(_parse_cond(cond.strip()))
         elif kw == "STATS":
             if seen_stats:
                 raise UnsupportedEsql("one STATS stage only")
@@ -244,10 +286,22 @@ def parse(query: str) -> dict:
             else:
                 aggs_s = body
             aggs = []
-            for a in aggs_s.split(","):
+            for a in _split_outside_parens(aggs_s):
+                a = a.strip()
+                mp = re.fullmatch(
+                    rf"({_IDENT})\s*=\s*PERCENTILE\s*\(\s*({_IDENT})\s*,"
+                    rf"\s*(\d+)\s*\)", a, flags=re.I)
+                if mp:
+                    p = int(mp.group(3))
+                    if not 0 <= p <= 100:
+                        raise UnsupportedEsql(
+                            f"PERCENTILE p must be 0..100, got {p}")
+                    plan.setdefault("pctl", {})[mp.group(1)] = p
+                    aggs.append((mp.group(1), "PERCENTILE", mp.group(2)))
+                    continue
                 m = re.fullmatch(
                     rf"({_IDENT})\s*=\s*({'|'.join(_AGG_FUNCS)})"
-                    rf"\s*\(\s*(\*|{_IDENT})\s*\)", a.strip(),
+                    rf"\s*\(\s*(\*|{_IDENT})\s*\)", a,
                     flags=re.I)
                 if not m:
                     raise UnsupportedEsql(f"bad aggregate {a!r}")
@@ -256,6 +310,9 @@ def parse(query: str) -> dict:
                     raise UnsupportedEsql("COUNT supports only COUNT(*)")
                 if func != "COUNT" and col == "*":
                     raise UnsupportedEsql(f"{func}(*) is not a thing")
+                if func == "MEDIAN":          # MEDIAN ≡ PERCENTILE(col, 50)
+                    plan.setdefault("pctl", {})[name] = 50
+                    func = "PERCENTILE"
                 aggs.append((name, func, col))
             plan["stats"] = aggs
         elif kw == "SORT":
@@ -367,12 +424,57 @@ def parse(query: str) -> dict:
     return plan
 
 
+def _hist_count():
+    from ray.data.aggregate import Count
+    return Count(alias_name="__vn")
+
+
+def _pctl_from_hist(g, col: str, p_pct: int):
+    """Discrete percentile off a (value, __vn) histogram frame — the
+    value at 0-based index ceil(p/100·total)−1 of the sorted data
+    (DuckDB ``quantile_disc`` parity, exact-integer in micro-units)."""
+    vals = g[col].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    n = g["__vn"].to_numpy()[order].astype(np.int64)
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    qm = p_pct * 10_000                        # p% → micro-units, exact
+    idx = max((qm * total + 999_999) // 1_000_000 - 1, 0)
+    return np.int64(vals[int(np.searchsorted(cum, idx + 1))])
+
+
+def _like_regex(pat: str) -> str:
+    """ES|QL LIKE wildcards (* = any run, ? = one char) → anchored RE2.
+    (?s) because SQL LIKE's % matches newlines; RE2's '.' does not."""
+    body = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pat)
+    return "(?s)^" + body + "$"
+
+
 def _filter_batch(batch: pa.Table, where: list) -> pa.Table:
     mask = None
     for col, op, lit in where:
         c = batch[col]
-        m = {"==": pc.equal, "!=": pc.not_equal, ">=": pc.greater_equal,
-             "<=": pc.less_equal, ">": pc.greater, "<": pc.less}[op](c, lit)
+        if op in ("in", "not_in"):
+            m = pc.is_in(c, value_set=pa.array(list(lit)))
+            if op == "not_in":
+                m = pc.invert(m)
+        elif op in ("like", "not_like"):
+            m = pc.match_substring_regex(c, pattern=_like_regex(lit))
+            if op == "not_like":
+                m = pc.invert(m)
+        elif op in ("rlike", "not_rlike"):
+            # full-match, default RE2 semantics both sides ('.' stops at
+            # newline here AND in DuckDB regexp_full_match)
+            m = pc.match_substring_regex(c, pattern="^(?:" + lit + ")$")
+            if op == "not_rlike":
+                m = pc.invert(m)
+        else:
+            m = {"==": pc.equal, "!=": pc.not_equal,
+                 ">=": pc.greater_equal, "<=": pc.less_equal,
+                 ">": pc.greater, "<": pc.less}[op](c, lit)
         mask = m if mask is None else pc.and_(mask, m)
     return batch.filter(mask) if mask is not None else batch
 
@@ -569,15 +671,41 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"{func}({col}): non-integer column — float sums are "
                     f"order-dependent across a distributed reduce")
+        elif func == "PERCENTILE":
+            ty = _out_type(col)
+            if ty is not None and not pa.types.is_integer(ty):
+                raise UnsupportedEsql(
+                    f"MEDIAN/PERCENTILE({col}): non-integer column — the "
+                    f"exact value-histogram plan needs a bounded integer "
+                    f"domain")
+        elif func == "COUNT_DISTINCT":
+            ty = _out_type(col)
+            if ty is not None and not (
+                    pa.types.is_integer(ty) or pa.types.is_string(ty)
+                    or pa.types.is_large_string(ty)):
+                raise UnsupportedEsql(
+                    f"COUNT_DISTINCT({col}): only integer or string "
+                    f"columns group exactly")
     for col, op, lit in plan["where"]:
         ty = _out_type(col)
-        if ty is not None:
-            col_is_str = (pa.types.is_string(ty)
-                          or pa.types.is_large_string(ty))
-            if col_is_str != isinstance(lit, str):
+        if ty is None:
+            continue
+        col_is_str = (pa.types.is_string(ty)
+                      or pa.types.is_large_string(ty))
+        if op in ("like", "not_like", "rlike", "not_rlike"):
+            if not col_is_str:
                 raise UnsupportedEsql(
-                    f"WHERE {col} {op} {lit!r}: literal type does not "
-                    f"match column type {ty}")
+                    f"WHERE {col} {op.upper().replace('_', ' ')}: "
+                    f"pattern match needs a string column, got {ty}")
+        elif op in ("in", "not_in"):
+            if col_is_str != isinstance(lit[0], str):
+                raise UnsupportedEsql(
+                    f"WHERE {col} IN: literal type does not match "
+                    f"column type {ty}")
+        elif col_is_str != isinstance(lit, str):
+            raise UnsupportedEsql(
+                f"WHERE {col} {op} {lit!r}: literal type does not "
+                f"match column type {ty}")
     # bucket-table column set after the RENAME / DROP chain, validated
     # and later applied in TEXTUAL ORDER (a DROP may free a name a
     # later RENAME reuses; chained renames must resolve sequentially);
@@ -751,8 +879,12 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     # Ray's Count() (row count, no `on`) returns 0 under groupby(None)
     # on this Ray version — count rows as Sum over a ones column when
     # there is no BY (null-agnostic, exactly SQL count(*))
-    need_ones = not plan["by"] and any(
-        f in ("COUNT", "AVG") for _n, f, _c in plan["stats"])
+    need_ones = not plan["by"] and (
+        any(f in ("COUNT", "AVG") for _n, f, _c in plan["stats"])
+        # all-histogram stats still add a hidden row count to anchor
+        # the (single) group row — same Count()-under-groupby(None) bug
+        or all(f in ("COUNT_DISTINCT", "PERCENTILE")
+               for _n, f, _c in plan["stats"]))
     if need_ones:
         def add_ones(b: pa.Table) -> pa.Table:
             return b.append_column(
@@ -764,7 +896,7 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         return (Sum("__one", alias_name=alias) if need_ones
                 else Count(alias_name=alias))
 
-    ray_aggs, avg_of = [], {}
+    ray_aggs, avg_of, hist_aggs = [], {}, []
     for name, func, col in plan["stats"]:
         if func == "COUNT":
             ray_aggs.append(_count(name))
@@ -774,10 +906,17 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             ray_aggs.append(Min(col, alias_name=name))
         elif func == "MAX":
             ray_aggs.append(Max(col, alias_name=name))
+        elif func in ("COUNT_DISTINCT", "PERCENTILE"):
+            # served off the (by, col) value-histogram pass below
+            hist_aggs.append((name, func, col))
         else:                                   # AVG = exact SUM + COUNT
             ray_aggs.append(Sum(col, alias_name=f"__sum_{name}"))
             ray_aggs.append(_count(f"__n_{name}"))
             avg_of[name] = (f"__sum_{name}", f"__n_{name}")
+    drop_nrows = False
+    if not ray_aggs:                # stats were ALL histogram-served —
+        ray_aggs.append(_count("__nrows"))   # still need the group table
+        drop_nrows = True
     grouped = (ds.groupby(plan["by"]) if plan["by"] else ds.groupby(None))
     try:
         out = grouped.aggregate(*ray_aggs).to_pandas()
@@ -801,6 +940,33 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(text.splitlines()[-1]) from None
             cause = cause.__cause__ or cause.__context__
         raise
+    if plan["by"] and out.empty and not set(plan["by"]) <= set(out.columns):
+        # zero groups: Ray's empty aggregate drops the schema entirely —
+        # rebuild the typed empty frame SQL would return
+        def _empty_dtype(ty):
+            if ty is None:
+                return object
+            if pa.types.is_integer(ty):
+                return np.int64
+            if pa.types.is_floating(ty):
+                return np.float64
+            return object
+
+        data = {b: pd.Series([], dtype=_empty_dtype(_out_type(b)))
+                for b in plan["by"]}
+        for name, func, col in plan["stats"]:
+            if func == "AVG":
+                data[f"__sum_{name}"] = pd.Series([], dtype=np.int64)
+                data[f"__n_{name}"] = pd.Series([], dtype=np.int64)
+            elif func in ("MIN", "MAX"):
+                data[name] = pd.Series(
+                    [], dtype=_empty_dtype(_out_type(col)))
+            else:   # COUNT / SUM / COUNT_DISTINCT / PERCENTILE
+                data[name] = pd.Series([], dtype=np.int64)
+        if drop_nrows:
+            data["__nrows"] = pd.Series([], dtype=np.int64)
+        out = pd.DataFrame(data)
+        hist_aggs = []          # columns already present (and typed)
     for name, func, _col in plan["stats"]:
         if func == "COUNT" and name in out.columns:
             out[name] = out[name].fillna(0)     # count(*) of no rows is 0
@@ -808,6 +974,47 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
             np.float64)
         out = out.drop(columns=[s, n])
+    if hist_aggs:
+        # COUNT_DISTINCT / MEDIAN / PERCENTILE ride a (by, col) groupby:
+        # the reduce output is bounded by groups × distinct VALUES, not
+        # row count (documented assumption: bounded value domain — the
+        # same one value_percentiles makes; exact where ES t-digests).
+        # One pass per distinct target column, shared by its aggs.
+        hists: dict[str, "object"] = {}
+        for col in {c for _n, _f, c in hist_aggs}:
+            h = (ds.groupby(plan["by"] + [col])
+                   .aggregate(_hist_count())
+                   .to_pandas())
+            hists[col] = h
+        for name, func, col in hist_aggs:
+            h = hists[col]
+            if plan["by"]:
+                if func == "COUNT_DISTINCT":
+                    r = (h.groupby(plan["by"], as_index=False)
+                          .agg(**{name: (col, "size")}))
+                    r[name] = r[name].astype(np.int64)
+                else:
+                    p = plan["pctl"][name]
+                    rows = []
+                    for key, g in h.groupby(plan["by"]):
+                        key = key if isinstance(key, tuple) else (key,)
+                        rows.append(
+                            (*key, _pctl_from_hist(g, col, p)))
+                    r = pd.DataFrame(rows,
+                                     columns=plan["by"] + [name])
+                out = out.merge(r, on=plan["by"], how="left")
+            else:
+                if func == "COUNT_DISTINCT":
+                    out[name] = np.int64(len(h))
+                elif h.empty:
+                    raise UnsupportedEsql(
+                        "MEDIAN/PERCENTILE over zero rows — SQL returns "
+                        "NULL; refusing rather than silently differing")
+                else:
+                    out[name] = _pctl_from_hist(
+                        h, col, plan["pctl"][name])
+    if drop_nrows:
+        out = out.drop(columns=["__nrows"])
     for op, a, b in plan.get("reshape", []):    # sequential, textual order
         if op == "rename":
             out = out.rename(columns={a: b})

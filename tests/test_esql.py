@@ -24,7 +24,7 @@ def test_parse_shapes():
     "FROM documents",                            # no STATS (raw rows)
     "FROM documents | SORT lang | STATS n = COUNT(*)",   # SORT pre-STATS
     "FROM documents | STATS n = COUNT(lang)",    # COUNT(col)
-    "FROM documents | STATS n = MEDIAN(n_chars)",  # unknown func
+    "FROM documents | STATS n = MODE(n_chars)",    # unknown func
     "FROM documents | STATS n = SUM(*)",         # SUM(*)
     "FROM documents | GROK text p | STATS n = COUNT(*)",  # unknown stage
     'FROM documents | WHERE lang ~= "en" | STATS n = COUNT(*)',
@@ -315,3 +315,88 @@ def test_bucket_refusals():
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.parse(bad)
+
+
+def _docs_con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def test_in_like_rlike_match_duckdb(ray_session):
+    con = _docs_con()
+    cases = [
+        ('FROM documents | WHERE lang IN ("en", "de") | '
+         "STATS n = COUNT(*) BY lang | SORT lang",
+         "SELECT lang, count(*)::BIGINT AS n FROM documents "
+         "WHERE lang IN ('en','de') GROUP BY 1 ORDER BY 1"),
+        ('FROM documents | WHERE source NOT LIKE "src?" | '
+         "STATS n = COUNT(*)",
+         "SELECT count(*)::BIGINT AS n FROM documents "
+         "WHERE source NOT LIKE 'src_'"),
+        ('FROM documents | WHERE lang RLIKE "e[nt]" | '
+         "STATS n = COUNT(*) BY lang | SORT lang",
+         "SELECT lang, count(*)::BIGINT AS n FROM documents "
+         "WHERE regexp_full_match(lang, 'e[nt]') GROUP BY 1 ORDER BY 1"),
+        ('FROM documents | WHERE source LIKE "src*" AND doc_id NOT IN '
+         "(1, 2, 3) | STATS n = COUNT(*)",
+         "SELECT count(*)::BIGINT AS n FROM documents WHERE source "
+         "LIKE 'src%' AND doc_id NOT IN (1, 2, 3)"),
+    ]
+    for q, sql in cases:
+        got = esql.execute(SF, q).to_pandas()
+        want = con.sql(sql).df()
+        assert got.equals(want.astype(got.dtypes.to_dict())), q
+
+
+def test_distinct_median_percentile_match_duckdb(ray_session):
+    con = _docs_con()
+    got = esql.execute(
+        SF, "FROM documents | STATS d = COUNT_DISTINCT(lang), "
+            "m = MEDIAN(n_chars), p90 = PERCENTILE(n_chars, 90), "
+            "p0 = PERCENTILE(n_chars, 0), p100 = PERCENTILE(n_chars, 100) "
+            "BY source | SORT source").to_pandas()
+    want = con.sql(
+        "SELECT source, count(DISTINCT lang)::BIGINT AS d, "
+        "quantile_disc(n_chars, 0.5)::BIGINT AS m, "
+        "quantile_disc(n_chars, 0.9)::BIGINT AS p90, "
+        "min(n_chars)::BIGINT AS p0, max(n_chars)::BIGINT AS p100 "
+        "FROM documents GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # no-BY (global) row, COUNT_DISTINCT over a string column
+    got = esql.execute(
+        SF, "FROM documents | STATS d = COUNT_DISTINCT(source), "
+            "m = MEDIAN(doc_id)").to_pandas()
+    want = con.sql(
+        "SELECT count(DISTINCT source)::BIGINT AS d, "
+        "quantile_disc(doc_id, 0.5)::BIGINT AS m FROM documents").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_zero_match_by_returns_typed_empty(ray_session):
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang == "zz" | '
+            "STATS n = COUNT(*), d = COUNT_DISTINCT(lang) BY source")
+    assert got.num_rows == 0
+    assert got.schema.names == ["source", "n", "d"]
+
+
+def test_new_predicate_and_agg_refusals():
+    for bad in [
+        'FROM documents | WHERE lang LIKE "e%" | STATS n = COUNT(*)',
+        'FROM documents | WHERE n_chars LIKE "4*" | STATS n = COUNT(*)',
+        'FROM documents | WHERE lang IN () | STATS n = COUNT(*)',
+        'FROM documents | WHERE lang IN ("en", 3) | STATS n = COUNT(*)',
+        "FROM documents | STATS m = MEDIAN(lang)",
+        "FROM documents | STATS p = PERCENTILE(n_chars, 101)",
+        "FROM documents | STATS d = COUNT_DISTINCT(*)",
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
+
+
+def test_percentile_zero_rows_refuses(ray_session):
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | WHERE lang == "zz" | '
+                         "STATS p = PERCENTILE(n_chars, 50)")
