@@ -11490,6 +11490,33 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_LOOKUP_QUERY = (
+    'FROM region | EVAL n_regionkey = r_regionkey | '
+    'LOOKUP JOIN nation ON n_regionkey | '
+    'STATS n = COUNT(*), d_nations = COUNT_DISTINCT(n_name), '
+    'max_nkey = MAX(n_nationkey) BY r_name | SORT r_name')
+
+
+def esql_lookup_join(sf_dir: str) -> pa.Table:
+    """ES|QL ``LOOKUP JOIN`` (8.18): regions joined to their nations —
+    MULTIPLE matches EXPAND rows (the semantic ENRICH lacks), via one
+    broadcast of the lookup table + per-batch searchsorted range-gather
+    (pipelines/esql.py). The EVAL rename supplies the shared-name join
+    key ES requires; zero-match keys refuse."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_LOOKUP_QUERY)
+
+
+ESQL_LOOKUP_SQL = """
+SELECT r.r_name, count(*)::BIGINT AS n,
+       count(DISTINCT nn.n_name)::BIGINT AS d_nations,
+       max(nn.n_nationkey)::BIGINT AS max_nkey
+FROM region r JOIN nation nn ON nn.n_regionkey = r.r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15297,6 +15324,7 @@ def registry() -> tuple[dict, dict]:
         "geo_polygon_counts": geo_polygon_counts,
         "esql_stats": esql_stats,
         "esql_distinct_stats": esql_distinct_stats,
+        "esql_lookup_join": esql_lookup_join,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15572,6 +15600,7 @@ def registry() -> tuple[dict, dict]:
         "geo_polygon_counts": _geo_polygon_sql(),
         "esql_stats": ESQL_STATS_SQL,
         "esql_distinct_stats": ESQL_DISTINCT_SQL,
+        "esql_lookup_join": ESQL_LOOKUP_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

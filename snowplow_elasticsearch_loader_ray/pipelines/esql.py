@@ -15,6 +15,7 @@ refusal, never a silently different query):
             | EVAL ident '=' term ( op term )*   op ∈ + - * // %
             | EVAL ident '=' SPLIT '(' ident ',' '"' sep '"' ')'
             | ENRICH ident ON ident WITH ident
+            | LOOKUP JOIN ident ON ident
             | DISSECT ident '"' pattern '"'      pattern: literals + %{name}
             | GROK ident '"' pattern '"'         pattern: literals +
                                                  %{SYNTAX:name[:int]}
@@ -76,6 +77,14 @@ join: the enrich table (joined on ITS FIRST column) broadcasts once
 and each batch gathers the requested column — the small-side
 broadcast join, never a shuffle. Duplicate lookup keys refuse (an
 enrich policy must be entity-unique).
+
+``LOOKUP JOIN <table> ON <key>`` (ES 8.18) broadcasts the lookup table
+once and joins per batch via searchsorted; it adds EVERY non-key
+column of the lookup table, and — unlike ENRICH — MULTIPLE matches
+EXPAND rows (np.repeat + range-gather, fully vectorized). It runs
+after EVAL so a derived key (``EVAL n_regionkey = r_regionkey``) can
+join; zero-match keys refuse (ES emits nulls — silently different
+STATS counts are worse than an error), as do shadowed column names.
 
 ``EVAL`` builds derived INTEGER columns (left-associative + - * // %
 over integer columns and int literals; // and % floor like numpy, the
@@ -218,6 +227,15 @@ def parse(query: str) -> dict:
                 raise UnsupportedEsql(f"bad ENRICH {body!r}")
             plan.setdefault("enrich", []).append(
                 (m.group(1), m.group(2), m.group(3)))
+        elif kw == "LOOKUP":
+            if seen_stats:
+                raise UnsupportedEsql(
+                    "LOOKUP JOIN after STATS is unsupported")
+            m = re.fullmatch(rf"JOIN\s+({_IDENT})\s+ON\s+({_IDENT})",
+                             body, flags=re.I)
+            if not m:
+                raise UnsupportedEsql(f"bad LOOKUP {body!r}")
+            plan.setdefault("lookup", []).append((m.group(1), m.group(2)))
         elif kw == "EVAL":
             if seen_stats:
                 raise UnsupportedEsql("EVAL after STATS is unsupported")
@@ -487,6 +505,7 @@ def execute(sf_dir: str, query: str) -> pa.Table:
 
     plan = parse(query)
     enrich = plan.get("enrich", [])
+    lookup = plan.get("lookup", [])
     dissect = plan.get("dissect", [])
     grok = plan.get("grok", [])
     splits = plan.get("splits", [])
@@ -497,10 +516,39 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                   for _c, _l, caps in grok for _s, n, as_int in caps}
     split_names = {n for n, _c, _s in splits}
     bucket_names = {n for n, _c, _u in buckets}
+    # LOOKUP JOIN adds every non-key column of each lookup table; their
+    # dtypes come from the lookup schemas (validated further below)
+    lookup_types: dict[str, pa.DataType] = {}
+    import pyarrow.parquet as _pq_mod
+    for tbl, key in lookup:
+        lpath = os.path.join(sf_dir, tbl + ".parquet")
+        if not os.path.exists(lpath):
+            raise UnsupportedEsql(f"unknown lookup table {tbl!r}")
+        lsch = _pq_mod.read_schema(lpath)
+        if key not in lsch.names:
+            raise UnsupportedEsql(
+                f"lookup table {tbl!r} has no join field {key!r}")
+        for f in lsch:
+            if f.name != key:
+                if f.name in lookup_types:
+                    raise UnsupportedEsql(
+                        f"two LOOKUP JOINs both add column {f.name!r}")
+                lookup_types[f.name] = f.type
     derived = {name for name, _t, _o in plan["evals"]} \
         | {col for _tbl, _key, col in enrich} | dissect_names \
-        | set(grok_types) | split_names | bucket_names
+        | set(grok_types) | split_names | bucket_names \
+        | set(lookup_types)
     eval_names = derived
+    for name, _t, _o in plan["evals"]:
+        if name in lookup_types:
+            raise UnsupportedEsql(
+                f"EVAL name {name!r} collides with a LOOKUP-added column")
+    for _name, terms, _ops in plan["evals"]:
+        for t in terms:
+            if t in lookup_types:
+                raise UnsupportedEsql(
+                    f"EVAL over LOOKUP-added column {t!r} is unsupported "
+                    f"(EVAL runs before the join)")
     cols = set(plan["by"]) - eval_names
     for col, _op, _lit in plan["where"]:
         if col not in eval_names:
@@ -514,6 +562,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 cols.add(t)
     for _tbl, key, _col in enrich:
         cols.add(key)
+    for _tbl, key in lookup:
+        if key not in eval_names:
+            cols.add(key)
     for dcol, _lits, _names in dissect:
         if dcol not in eval_names:
             cols.add(dcol)
@@ -557,6 +608,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return schema.field(name).type
         if name in enrich_types:
             return enrich_types[name]
+        if name in lookup_types:
+            return lookup_types[name]
         if name in dissect_names:
             return pa.string()
         if name in grok_types:
@@ -570,6 +623,29 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return pa.string()
         return pa.int64() if name in eval_names else None
 
+    # LOOKUP JOIN static checks: added columns must not shadow base or
+    # derived names; the join key must resolve on the left side with
+    # the lookup key's exact type
+    for tbl, key in lookup:
+        lsch = _pq_mod.read_schema(os.path.join(sf_dir, tbl + ".parquet"))
+        for f in lsch:
+            if f.name == key:
+                continue
+            if f.name in schema.names or f.name in (derived
+                                                    - set(lookup_types)):
+                raise UnsupportedEsql(
+                    f"LOOKUP JOIN {tbl!r} would shadow column {f.name!r}")
+        kty = _out_type(key)
+        if kty is None:
+            raise UnsupportedEsql(
+                f"LOOKUP JOIN key {key!r} does not resolve on the "
+                f"left side")
+        if kty != lsch.field(key).type and not (
+                pa.types.is_integer(kty)
+                and pa.types.is_integer(lsch.field(key).type)):
+            raise UnsupportedEsql(
+                f"LOOKUP JOIN key {key!r}: left type {kty} does not "
+                f"match lookup type {lsch.field(key).type}")
     # DISSECT static checks: source must be a string column, capture
     # names must not shadow anything the pipeline already produces —
     # including captures from OTHER dissect stages
@@ -845,6 +921,42 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return b
 
         ds = ds.map_batches(add_evals, batch_format="pyarrow")
+    for tbl, key in lookup:
+        # ES 8.18 LOOKUP JOIN: broadcast the (small) lookup table once,
+        # searchsorted per batch; MULTIPLE matches EXPAND rows (the
+        # semantic that separates it from ENRICH), zero matches refuse
+        # (ES emits nulls — a silently different STATS is worse here).
+        # Runs AFTER EVAL so derived keys (e.g. a rename) can join.
+        lk = pq.read_table(os.path.join(sf_dir, tbl + ".parquet"))
+        add_cols = [c for c in lk.column_names if c != key]
+        keys_np = lk[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys_np, kind="stable")
+        sorted_keys = keys_np[order]
+        sorted_cols = {c: lk[c].combine_chunks().take(pa.array(order))
+                       for c in add_cols}
+
+        def lookup_join(b: pa.Table, _k=key, _sk=sorted_keys,
+                        _sc=sorted_cols, _tbl=tbl) -> pa.Table:
+            kv = b[_k].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(_sk, kv, side="left")
+            hi = np.searchsorted(_sk, kv, side="right")
+            cnt = hi - lo
+            if (cnt == 0).any():
+                miss = kv[cnt == 0][0]
+                raise UnsupportedEsql(
+                    f"LOOKUP JOIN miss: {_k}={miss!r} has no row in "
+                    f"{_tbl!r}")
+            parent = np.repeat(np.arange(len(kv), dtype=np.int64), cnt)
+            starts = np.repeat(lo, cnt)
+            offs = (np.arange(int(cnt.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            gidx = pa.array(starts + offs)
+            out = b.take(pa.array(parent))
+            for c, arr in _sc.items():
+                out = out.append_column(c, arr.take(gidx))
+            return out
+
+        ds = ds.map_batches(lookup_join, batch_format="pyarrow")
     for name, scol, sep in splits:
         if name not in mv_expand:
             # statically unreferenced (checked above) — materializing

@@ -400,3 +400,52 @@ def test_percentile_zero_rows_refuses(ray_session):
     with pytest.raises(esql.UnsupportedEsql):
         esql.execute(SF, 'FROM documents | WHERE lang == "zz" | '
                          "STATS p = PERCENTILE(n_chars, 50)")
+
+
+def test_lookup_join_expands_rows(ray_session):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    got = esql.execute(
+        SF, "FROM region | EVAL n_regionkey = r_regionkey | "
+            "LOOKUP JOIN nation ON n_regionkey | "
+            "STATS n = COUNT(*), d = COUNT_DISTINCT(n_name) BY r_name | "
+            "SORT r_name").to_pandas()
+    want = con.sql(
+        "SELECT r.r_name, count(*)::BIGINT AS n, "
+        "count(DISTINCT nn.n_name)::BIGINT AS d "
+        "FROM region r JOIN nation nn ON nn.n_regionkey = r.r_regionkey "
+        "GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert (got["n"] == 5).all()          # rows expanded 5× per region
+    # unique-key join through a WHERE over the joined column
+    got = esql.execute(
+        SF, "FROM customer | EVAL n_nationkey = c_nationkey | "
+            "LOOKUP JOIN nation ON n_nationkey | "
+            'WHERE n_name LIKE "A*" | '
+            "STATS n = COUNT(*) BY n_name | SORT n_name").to_pandas()
+    want = con.sql(
+        "SELECT nn.n_name, count(*)::BIGINT AS n FROM customer c "
+        "JOIN nation nn ON nn.n_nationkey = c.c_nationkey "
+        "WHERE nn.n_name LIKE 'A%' GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_lookup_join_refusals(ray_session):
+    for bad in [
+        "FROM customer | LOOKUP JOIN nation ON nope | "
+        "STATS n = COUNT(*)",
+        "FROM nation | LOOKUP JOIN customer ON c_custkey | "
+        "STATS n = COUNT(*)",                 # key absent on the left
+        "FROM documents | LOOKUP JOIN documents ON doc_id | "
+        "STATS n = COUNT(*)",                 # shadows every column
+        "FROM customer | EVAL n_nationkey = c_nationkey | "
+        "LOOKUP JOIN nation ON n_nationkey | EVAL y = n_regionkey + 1 "
+        "| STATS s = SUM(y)",                 # EVAL over joined column
+        "FROM customer | STATS n = COUNT(*) | "
+        "LOOKUP JOIN nation ON n_nationkey",  # after STATS
+        "FROM customer | LOOKUP nation ON x | STATS n = COUNT(*)",
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
