@@ -11517,6 +11517,39 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_CASE_QUERY = (
+    'FROM documents | '
+    'EVAL is_en = CASE(lang == "en", 1, 0) | '
+    'EVAL size_bucket = CASE(n_chars < 500, 0, n_chars < 1500, 1, 2) | '
+    'EVAL floored = GREATEST(n_chars, 300) | '
+    'EVAL clamped = LEAST(floored, 2500) | '
+    'EVAL centered = n_chars - 1000 | EVAL dev = ABS(centered) | '
+    'STATS n = COUNT(*), s_clamp = SUM(clamped), s_dev = SUM(dev), '
+    'en_docs = SUM(is_en) BY size_bucket | SORT size_bucket')
+
+
+def esql_case_eval(sf_dir: str) -> pa.Table:
+    """ES|QL scalar EVAL functions — CASE (SQL-CASE semantics, first
+    matching condition wins, string-typed conditions gating integer
+    outputs), GREATEST/LEAST composition and ABS — all vectorized
+    np.where / maximum / abs inside the one EVAL map_batches stage
+    (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_CASE_QUERY)
+
+
+ESQL_CASE_SQL = """
+SELECT CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 1500 THEN 1
+            ELSE 2 END AS size_bucket,
+       count(*)::BIGINT AS n,
+       sum(LEAST(GREATEST(n_chars, 300), 2500))::BIGINT AS s_clamp,
+       sum(abs(n_chars - 1000))::BIGINT AS s_dev,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15325,6 +15358,7 @@ def registry() -> tuple[dict, dict]:
         "esql_stats": esql_stats,
         "esql_distinct_stats": esql_distinct_stats,
         "esql_lookup_join": esql_lookup_join,
+        "esql_case_eval": esql_case_eval,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15601,6 +15635,7 @@ def registry() -> tuple[dict, dict]:
         "esql_stats": ESQL_STATS_SQL,
         "esql_distinct_stats": ESQL_DISTINCT_SQL,
         "esql_lookup_join": ESQL_LOOKUP_SQL,
+        "esql_case_eval": ESQL_CASE_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

@@ -13,6 +13,9 @@ refusal, never a silently different query):
     query  := FROM ident ( '|' stage )*
     stage  := WHERE cond ( AND cond )*
             | EVAL ident '=' term ( op term )*   op ∈ + - * // %
+            | EVAL ident '=' CASE '(' (cond ',' term ',')+ term ')'
+            | EVAL ident '=' (GREATEST|LEAST) '(' term (',' term)+ ')'
+            | EVAL ident '=' ABS '(' term ')'
             | EVAL ident '=' SPLIT '(' ident ',' '"' sep '"' ')'
             | ENRICH ident ON ident WITH ident
             | LOOKUP JOIN ident ON ident
@@ -85,6 +88,14 @@ EXPAND rows (np.repeat + range-gather, fully vectorized). It runs
 after EVAL so a derived key (``EVAL n_regionkey = r_regionkey``) can
 join; zero-match keys refuse (ES emits nulls — silently different
 STATS counts are worse than an error), as do shadowed column names.
+
+``EVAL x = CASE(cond, v, ..., default)`` evaluates SQL-CASE style
+(first matching condition wins, computed default-outward with
+vectorized np.where); conditions take every WHERE form (comparison /
+IN / LIKE / RLIKE, so string-typed columns CAN gate an integer CASE),
+values are integer terms. ``GREATEST`` / ``LEAST`` / ``ABS`` are their
+DuckDB namesakes over integer terms. CASE conditions may not read
+BUCKET/SPLIT outputs (produced after EVAL) — they refuse.
 
 ``EVAL`` builds derived INTEGER columns (left-associative + - * // %
 over integer columns and int literals; // and % floor like numpy, the
@@ -253,6 +264,41 @@ def parse(query: str) -> dict:
                                           "non-empty")
                 plan.setdefault("splits", []).append(
                     (name, ms.group(1), sep))
+                continue
+            mc = re.fullmatch(r"CASE\s*\((.*)\)", expr, flags=re.I | re.S)
+            if mc:
+                parts = [p.strip()
+                         for p in _split_outside_parens(mc.group(1))]
+                if len(parts) < 3 or len(parts) % 2 == 0:
+                    raise UnsupportedEsql(
+                        "CASE needs (cond, value)+ pairs and a default")
+                conds, vals = [], []
+                for i in range(0, len(parts) - 1, 2):
+                    conds.append(_parse_cond(parts[i]))
+                    vals.append(parts[i + 1])
+                vals.append(parts[-1])
+                for t in vals:
+                    if not (re.fullmatch(_IDENT, t)
+                            or re.fullmatch(r"-?\d+", t)):
+                        raise UnsupportedEsql(f"bad CASE value {t!r}")
+                plan["evals"].append((name, vals, [("case", conds)]))
+                plan.setdefault("eval_conds", []).extend(conds)
+                continue
+            mf = re.fullmatch(r"(GREATEST|LEAST|ABS)\s*\((.*)\)",
+                              expr, flags=re.I | re.S)
+            if mf:
+                fname = mf.group(1).upper()
+                args = [a.strip()
+                        for a in _split_outside_parens(mf.group(2))]
+                if fname == "ABS" and len(args) != 1:
+                    raise UnsupportedEsql("ABS takes one argument")
+                if fname != "ABS" and len(args) < 2:
+                    raise UnsupportedEsql(f"{fname} needs >= 2 arguments")
+                for t in args:
+                    if not (re.fullmatch(_IDENT, t)
+                            or re.fullmatch(r"-?\d+", t)):
+                        raise UnsupportedEsql(f"bad {fname} argument {t!r}")
+                plan["evals"].append((name, args, [("fn", fname)]))
                 continue
             toks = re.findall(rf"{_IDENT}|\d+|//|%|\+|-|\*|\S", expr)
             if len(toks) % 2 != 1:
@@ -471,28 +517,36 @@ def _like_regex(pat: str) -> str:
     return "(?s)^" + body + "$"
 
 
+def _cond_mask(batch: pa.Table, cond: tuple):
+    """Boolean Arrow mask for one parsed condition (shared by WHERE and
+    CASE)."""
+    col, op, lit = cond
+    c = batch[col]
+    if op in ("in", "not_in"):
+        m = pc.is_in(c, value_set=pa.array(list(lit)))
+        if op == "not_in":
+            m = pc.invert(m)
+    elif op in ("like", "not_like"):
+        m = pc.match_substring_regex(c, pattern=_like_regex(lit))
+        if op == "not_like":
+            m = pc.invert(m)
+    elif op in ("rlike", "not_rlike"):
+        # full-match, default RE2 semantics both sides ('.' stops at
+        # newline here AND in DuckDB regexp_full_match)
+        m = pc.match_substring_regex(c, pattern="^(?:" + lit + ")$")
+        if op == "not_rlike":
+            m = pc.invert(m)
+    else:
+        m = {"==": pc.equal, "!=": pc.not_equal,
+             ">=": pc.greater_equal, "<=": pc.less_equal,
+             ">": pc.greater, "<": pc.less}[op](c, lit)
+    return m
+
+
 def _filter_batch(batch: pa.Table, where: list) -> pa.Table:
     mask = None
-    for col, op, lit in where:
-        c = batch[col]
-        if op in ("in", "not_in"):
-            m = pc.is_in(c, value_set=pa.array(list(lit)))
-            if op == "not_in":
-                m = pc.invert(m)
-        elif op in ("like", "not_like"):
-            m = pc.match_substring_regex(c, pattern=_like_regex(lit))
-            if op == "not_like":
-                m = pc.invert(m)
-        elif op in ("rlike", "not_rlike"):
-            # full-match, default RE2 semantics both sides ('.' stops at
-            # newline here AND in DuckDB regexp_full_match)
-            m = pc.match_substring_regex(c, pattern="^(?:" + lit + ")$")
-            if op == "not_rlike":
-                m = pc.invert(m)
-        else:
-            m = {"==": pc.equal, "!=": pc.not_equal,
-                 ">=": pc.greater_equal, "<=": pc.less_equal,
-                 ">": pc.greater, "<": pc.less}[op](c, lit)
+    for cond in where:
+        m = _cond_mask(batch, cond)
         mask = m if mask is None else pc.and_(mask, m)
     return batch.filter(mask) if mask is not None else batch
 
@@ -549,8 +603,21 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"EVAL over LOOKUP-added column {t!r} is unsupported "
                     f"(EVAL runs before the join)")
+    for col, _op, _lit in plan.get("eval_conds", []):
+        if col in lookup_types:
+            raise UnsupportedEsql(
+                f"CASE condition over LOOKUP-added column {col!r} is "
+                f"unsupported (EVAL runs before the join)")
+    eval_conds = plan.get("eval_conds", [])
+    for col, _op, _lit in eval_conds:
+        # CASE conditions evaluate inside the EVAL stage — columns that
+        # only exist later (BUCKET keys, SPLIT outputs) cannot feed them
+        if col in bucket_names or col in split_names:
+            raise UnsupportedEsql(
+                f"CASE condition over {col!r}: BUCKET/SPLIT outputs are "
+                f"produced after EVAL")
     cols = set(plan["by"]) - eval_names
-    for col, _op, _lit in plan["where"]:
+    for col, _op, _lit in list(plan["where"]) + eval_conds:
         if col not in eval_names:
             cols.add(col)
     for _n, func, col in plan["stats"]:
@@ -762,7 +829,7 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"COUNT_DISTINCT({col}): only integer or string "
                     f"columns group exactly")
-    for col, op, lit in plan["where"]:
+    for col, op, lit in list(plan["where"]) + eval_conds:
         ty = _out_type(col)
         if ty is None:
             continue
@@ -898,26 +965,59 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         def add_evals(b: pa.Table) -> pa.Table:
             for name, terms, ops in evals:
                 def val(t):
-                    if re.fullmatch(r"\d+", t):
+                    if re.fullmatch(r"-?\d+", t):
                         return np.int64(int(t))
                     return b[t].to_numpy(zero_copy_only=False) \
                         .astype(np.int64)
-                acc = val(terms[0])
-                for o, t in zip(ops, terms[1:]):
-                    v = val(t)
-                    if o == "+":
-                        acc = acc + v
-                    elif o == "-":
-                        acc = acc - v
-                    elif o == "*":
-                        acc = acc * v
-                    elif o == "//":
-                        acc = acc // v
-                    else:
-                        acc = acc % v
+                if ops and isinstance(ops[0], tuple):
+                    tag = ops[0][0]
+                    if tag == "case":
+                        # evaluate default-outward so the FIRST matching
+                        # condition wins (SQL CASE semantics)
+                        conds = ops[0][1]
+                        acc = val(terms[-1])
+                        if np.isscalar(acc) or acc.ndim == 0:
+                            acc = np.full(b.num_rows, acc, np.int64)
+                        for cond, vterm in zip(conds[::-1],
+                                               terms[-2::-1]):
+                            mask = _cond_mask(b, cond) \
+                                .to_numpy(zero_copy_only=False)
+                            acc = np.where(mask, val(vterm), acc)
+                    else:                          # ("fn", NAME)
+                        fname = ops[0][1]
+                        args = [val(t) for t in terms]
+                        if fname == "ABS":
+                            acc = np.abs(args[0])
+                        elif fname == "GREATEST":
+                            acc = np.maximum.reduce(
+                                [np.broadcast_to(a, (b.num_rows,))
+                                 if np.ndim(a) else
+                                 np.full(b.num_rows, a, np.int64)
+                                 for a in args])
+                        else:                      # LEAST
+                            acc = np.minimum.reduce(
+                                [np.broadcast_to(a, (b.num_rows,))
+                                 if np.ndim(a) else
+                                 np.full(b.num_rows, a, np.int64)
+                                 for a in args])
+                else:
+                    acc = val(terms[0])
+                    for o, t in zip(ops, terms[1:]):
+                        v = val(t)
+                        if o == "+":
+                            acc = acc + v
+                        elif o == "-":
+                            acc = acc - v
+                        elif o == "*":
+                            acc = acc * v
+                        elif o == "//":
+                            acc = acc // v
+                        else:
+                            acc = acc % v
                 if np.isscalar(acc) or acc.ndim == 0:
                     acc = np.full(b.num_rows, acc, dtype=np.int64)
-                b = b.append_column(name, pa.array(acc, pa.int64()))
+                b = b.append_column(
+                    name, pa.array(acc.astype(np.int64), pa.int64()))
             return b
 
         ds = ds.map_batches(add_evals, batch_format="pyarrow")

@@ -449,3 +449,43 @@ def test_lookup_join_refusals(ray_session):
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_case_greatest_least_abs_match_duckdb(ray_session):
+    con = _docs_con()
+    cases = [
+        ("FROM documents | EVAL b = CASE(n_chars < 500, 0, "
+         "n_chars < 1500, 1, 2) | STATS n = COUNT(*) BY b | SORT b",
+         "SELECT CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 1500 "
+         "THEN 1 ELSE 2 END AS b, count(*)::BIGINT AS n FROM documents "
+         "GROUP BY 1 ORDER BY 1"),
+        ('FROM documents | EVAL is_en = CASE(lang == "en", 1, 0) | '
+         "STATS s = SUM(is_en), n = COUNT(*)",
+         "SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT "
+         "AS s, count(*)::BIGINT AS n FROM documents"),
+        ("FROM documents | EVAL g = GREATEST(n_chars, 700) | "
+         "EVAL l = LEAST(g, 1200) | EVAL d = l - 1000 | EVAL a = ABS(d) | "
+         "STATS s = SUM(a) BY lang | SORT lang",
+         "SELECT lang, sum(abs(LEAST(GREATEST(n_chars, 700), 1200) "
+         "- 1000))::BIGINT AS s FROM documents GROUP BY 1 ORDER BY 1"),
+    ]
+    for q, sql in cases:
+        got = esql.execute(SF, q).to_pandas()
+        want = con.sql(sql).df()
+        assert got.equals(want.astype(got.dtypes.to_dict())), q
+
+
+def test_case_fn_refusals():
+    for bad in [
+        'FROM documents | EVAL x = CASE(lang == "en", 1) | '
+        "STATS n = COUNT(*)",                  # no default
+        'FROM documents | EVAL x = CASE(lang == "en", lang, 0) | '
+        "STATS n = COUNT(*)",                  # string CASE value
+        "FROM documents | EVAL x = ABS(n_chars, 3) | STATS n = COUNT(*)",
+        "FROM documents | EVAL x = GREATEST(n_chars) | "
+        "STATS n = COUNT(*)",
+        "FROM events | EVAL x = CASE(b == \"d\", 1, 0) | "
+        "STATS n = COUNT(*) BY b = BUCKET(ts, 1 day)",  # cond on BUCKET
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
