@@ -11550,6 +11550,33 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_STRING_QUERY = (
+    'FROM documents | EVAL up = TO_UPPER(lang) | '
+    'EVAL key = CONCAT(up, "-", source) | '
+    'EVAL pre = SUBSTRING(text, 1, 2) | EVAL lg = LENGTH(text) | '
+    'STATS n = COUNT(*), d_pre = COUNT_DISTINCT(pre), s_len = SUM(lg) '
+    'BY key | SORT key | LIMIT 12')
+
+
+def esql_string_fns(sf_dir: str) -> pa.Table:
+    """ES|QL string EVAL functions — TO_UPPER, CONCAT (columns +
+    literals), SUBSTRING (1-based, code points), LENGTH — each one
+    Arrow kernel, composing into derived STRING/INT columns that feed
+    BY / COUNT_DISTINCT / SUM (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_STRING_QUERY)
+
+
+ESQL_STRING_SQL = """
+SELECT upper(lang) || '-' || source AS key,
+       count(*)::BIGINT AS n,
+       count(DISTINCT substring(text, 1, 2))::BIGINT AS d_pre,
+       sum(length(text))::BIGINT AS s_len
+FROM documents GROUP BY 1 ORDER BY 1 LIMIT 12
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15359,6 +15386,7 @@ def registry() -> tuple[dict, dict]:
         "esql_distinct_stats": esql_distinct_stats,
         "esql_lookup_join": esql_lookup_join,
         "esql_case_eval": esql_case_eval,
+        "esql_string_fns": esql_string_fns,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15636,6 +15664,7 @@ def registry() -> tuple[dict, dict]:
         "esql_distinct_stats": ESQL_DISTINCT_SQL,
         "esql_lookup_join": ESQL_LOOKUP_SQL,
         "esql_case_eval": ESQL_CASE_SQL,
+        "esql_string_fns": ESQL_STRING_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

@@ -16,6 +16,9 @@ refusal, never a silently different query):
             | EVAL ident '=' CASE '(' (cond ',' term ',')+ term ')'
             | EVAL ident '=' (GREATEST|LEAST) '(' term (',' term)+ ')'
             | EVAL ident '=' ABS '(' term ')'
+            | EVAL ident '=' (LENGTH|TO_LOWER|TO_UPPER) '(' ident ')'
+            | EVAL ident '=' SUBSTRING '(' ident ',' int ',' int ')'
+            | EVAL ident '=' CONCAT '(' (ident|str) (',' (ident|str))+ ')'
             | EVAL ident '=' SPLIT '(' ident ',' '"' sep '"' ')'
             | ENRICH ident ON ident WITH ident
             | LOOKUP JOIN ident ON ident
@@ -96,6 +99,13 @@ IN / LIKE / RLIKE, so string-typed columns CAN gate an integer CASE),
 values are integer terms. ``GREATEST`` / ``LEAST`` / ``ABS`` are their
 DuckDB namesakes over integer terms. CASE conditions may not read
 BUCKET/SPLIT outputs (produced after EVAL) — they refuse.
+
+String EVAL functions: ``LENGTH`` (code points — DuckDB length parity)
+produces int64; ``TO_LOWER`` / ``TO_UPPER`` (Unicode), ``SUBSTRING``
+(1-based start, code-point slicing — SQL substring parity; negative
+starts refuse) and ``CONCAT`` (columns + quoted literals) produce
+STRING columns usable in BY / WHERE / COUNT_DISTINCT / later string
+functions. All compile to single Arrow kernels.
 
 ``EVAL`` builds derived INTEGER columns (left-associative + - * // %
 over integer columns and int literals; // and % floor like numpy, the
@@ -299,6 +309,52 @@ def parse(query: str) -> dict:
                             or re.fullmatch(r"-?\d+", t)):
                         raise UnsupportedEsql(f"bad {fname} argument {t!r}")
                 plan["evals"].append((name, args, [("fn", fname)]))
+                continue
+            msf = re.fullmatch(
+                rf"(LENGTH|TO_LOWER|TO_UPPER)\s*\(\s*({_IDENT})\s*\)",
+                expr, flags=re.I)
+            if msf:
+                fname = msf.group(1).upper()
+                plan["evals"].append(
+                    (name, [msf.group(2)], [("sfn", fname, None)]))
+                if fname != "LENGTH":
+                    plan.setdefault("eval_str", set()).add(name)
+                continue
+            msub = re.fullmatch(
+                rf"SUBSTRING\s*\(\s*({_IDENT})\s*,\s*(\d+)\s*,"
+                rf"\s*(\d+)\s*\)", expr, flags=re.I)
+            if msub:
+                start, ln = int(msub.group(2)), int(msub.group(3))
+                if start < 1:
+                    raise UnsupportedEsql(
+                        "SUBSTRING start is 1-based and positive "
+                        "(negative starts are not pinned across engines)")
+                plan["evals"].append(
+                    (name, [msub.group(1)],
+                     [("sfn", "SUBSTRING", (start, ln))]))
+                plan.setdefault("eval_str", set()).add(name)
+                continue
+            mcat = re.fullmatch(r"CONCAT\s*\((.*)\)", expr,
+                                flags=re.I | re.S)
+            if mcat:
+                raw = [a.strip()
+                       for a in _split_outside_parens(mcat.group(1))]
+                if len(raw) < 2:
+                    raise UnsupportedEsql("CONCAT needs >= 2 arguments")
+                args, refs = [], []
+                for a in raw:
+                    if re.fullmatch(_IDENT, a):
+                        args.append(("col", a))
+                        refs.append(a)
+                    elif re.fullmatch(r'"(?:[^"\\]|\\.)*"', a):
+                        args.append(("lit", a[1:-1].replace('\\"', '"')
+                                     .replace("\\\\", "\\")))
+                    else:
+                        raise UnsupportedEsql(
+                            f"bad CONCAT argument {a!r}")
+                plan["evals"].append(
+                    (name, refs, [("sfn", "CONCAT", args)]))
+                plan.setdefault("eval_str", set()).add(name)
                 continue
             toks = re.findall(rf"{_IDENT}|\d+|//|%|\+|-|\*|\S", expr)
             if len(toks) % 2 != 1:
@@ -688,6 +744,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     else pa.list_(pa.string()))
         if name in bucket_names:
             return pa.string()
+        if name in plan.get("eval_str", set()):
+            return pa.string()
         return pa.int64() if name in eval_names else None
 
     # LOOKUP JOIN static checks: added columns must not shadow base or
@@ -800,7 +858,17 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     if len(bucket_names) != len(buckets):
         raise UnsupportedEsql("duplicate BUCKET output names")
 
-    for _name, terms, _ops in plan["evals"]:
+    for _name, terms, ops_ in plan["evals"]:
+        if ops_ and isinstance(ops_[0], tuple) and ops_[0][0] == "sfn":
+            for t in terms:       # string functions take STRING columns
+                ty = _out_type(t)
+                if ty is not None and not (
+                        pa.types.is_string(ty)
+                        or pa.types.is_large_string(ty)):
+                    raise UnsupportedEsql(
+                        f"string function over non-string column "
+                        f"{t!r} ({ty})")
+            continue
         for t in terms:
             if re.fullmatch(_IDENT, t) and not re.fullmatch(r"\d+", t):
                 ty = _out_type(t)
@@ -969,6 +1037,29 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                         return np.int64(int(t))
                     return b[t].to_numpy(zero_copy_only=False) \
                         .astype(np.int64)
+                if ops and isinstance(ops[0], tuple) \
+                        and ops[0][0] == "sfn":
+                    fname, params = ops[0][1], ops[0][2]
+                    if fname == "LENGTH":
+                        b = b.append_column(
+                            name, pc.utf8_length(b[terms[0]])
+                            .cast(pa.int64()))
+                    elif fname in ("TO_LOWER", "TO_UPPER"):
+                        k = (pc.utf8_lower if fname == "TO_LOWER"
+                             else pc.utf8_upper)
+                        b = b.append_column(name, k(b[terms[0]]))
+                    elif fname == "SUBSTRING":
+                        start, ln = params
+                        b = b.append_column(
+                            name, pc.utf8_slice_codeunits(
+                                b[terms[0]], start - 1, start - 1 + ln))
+                    else:                          # CONCAT
+                        parts = [b[a[1]] if a[0] == "col"
+                                 else pa.scalar(a[1]) for a in params]
+                        b = b.append_column(
+                            name,
+                            pc.binary_join_element_wise(*parts, ""))
+                    continue
                 if ops and isinstance(ops[0], tuple):
                     tag = ops[0][0]
                     if tag == "case":
@@ -1194,7 +1285,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         # One pass per distinct target column, shared by its aggs.
         hists: dict[str, "object"] = {}
         for col in {c for _n, _f, c in hist_aggs}:
-            h = (ds.groupby(plan["by"] + [col])
+            keys = plan["by"] + ([col] if col not in plan["by"] else [])
+            h = (ds.groupby(keys)
                    .aggregate(_hist_count())
                    .to_pandas())
             hists[col] = h

@@ -489,3 +489,48 @@ def test_case_fn_refusals():
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_string_fns_match_duckdb(ray_session):
+    con = _docs_con()
+    cases = [
+        ("FROM documents | EVAL lg = LENGTH(text) | "
+         "STATS s = SUM(lg), m = MAX(lg) BY lang | SORT lang",
+         "SELECT lang, sum(length(text))::BIGINT AS s, "
+         "max(length(text))::BIGINT AS m FROM documents "
+         "GROUP BY 1 ORDER BY 1"),
+        ("FROM documents | EVAL pre = SUBSTRING(text, 1, 3) | "
+         "STATS n = COUNT(*) BY pre | SORT pre | LIMIT 5",
+         "SELECT substring(text, 1, 3) AS pre, count(*)::BIGINT AS n "
+         "FROM documents GROUP BY 1 ORDER BY 1 LIMIT 5"),
+        ('FROM documents | EVAL up = TO_UPPER(lang) | '
+         'EVAL k = CONCAT(up, "-", source) | '
+         "STATS n = COUNT(*) BY k | SORT k | LIMIT 6",
+         "SELECT upper(lang) || '-' || source AS k, "
+         "count(*)::BIGINT AS n FROM documents GROUP BY 1 ORDER BY 1 "
+         "LIMIT 6"),
+        ('FROM documents | EVAL lo = TO_LOWER(source) | '
+         'WHERE lo LIKE "src*" | STATS n = COUNT(*)',
+         "SELECT count(*)::BIGINT AS n FROM documents "
+         "WHERE lower(source) LIKE 'src%'"),
+    ]
+    for q, sql in cases:
+        got = esql.execute(SF, q).to_pandas()
+        want = con.sql(sql).df()
+        assert got.equals(want.astype(got.dtypes.to_dict())), q
+
+
+def test_string_fn_refusals(ray_session):
+    for bad in [
+        "FROM documents | EVAL x = LENGTH(n_chars) | STATS n = COUNT(*)",
+        "FROM documents | EVAL x = SUBSTRING(text, 0, 3) | "
+        "STATS n = COUNT(*) BY x",            # 0-based start
+        "FROM documents | EVAL x = CONCAT(lang) | STATS n = COUNT(*) "
+        "BY x",                               # one argument
+        "FROM documents | EVAL lo = TO_LOWER(lang) | EVAL y = lo + 1 | "
+        "STATS s = SUM(y)",                   # string output in arith
+        "FROM documents | EVAL s = TO_LOWER(lang) | "
+        "STATS m = MEDIAN(s)",                # string output in MEDIAN
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
