@@ -11577,6 +11577,41 @@ FROM documents GROUP BY 1 ORDER BY 1 LIMIT 12
 """
 
 
+ESQL_INLINE_QUERY = (
+    'FROM documents | WHERE lang IN ("en", "de") | '
+    'INLINESTATS mx = MAX(n_chars), grp_n = COUNT(*) BY source | '
+    'EVAL gap = mx - n_chars | '
+    'STATS total_gap = SUM(gap), n = COUNT(*), max_gap = MAX(gap), '
+    'grp = MAX(grp_n) BY source | SORT source')
+
+
+def esql_inlinestats(sf_dir: str) -> pa.Table:
+    """ES|QL ``INLINESTATS`` (window-style group aggregates appended to
+    every ROW): one distributed partial-agg pass produces a
+    groups-sized table that broadcasts into a second map over the same
+    stream — no row shuffle; EVAL then combines the group value with
+    each row (pipelines/esql.py). The WHERE before it filters the
+    aggregate pass too — SQL window + WHERE parity, which the oracle
+    replays with max() OVER (PARTITION BY source)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_INLINE_QUERY)
+
+
+ESQL_INLINE_SQL = """
+WITH w AS (
+  SELECT source, n_chars,
+         max(n_chars) OVER (PARTITION BY source) AS mx,
+         count(*) OVER (PARTITION BY source) AS grp_n
+  FROM documents WHERE lang IN ('en', 'de')
+)
+SELECT source, sum(mx - n_chars)::BIGINT AS total_gap,
+       count(*)::BIGINT AS n, max(mx - n_chars)::BIGINT AS max_gap,
+       max(grp_n)::BIGINT AS grp
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15387,6 +15422,7 @@ def registry() -> tuple[dict, dict]:
         "esql_lookup_join": esql_lookup_join,
         "esql_case_eval": esql_case_eval,
         "esql_string_fns": esql_string_fns,
+        "esql_inlinestats": esql_inlinestats,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15665,6 +15701,7 @@ def registry() -> tuple[dict, dict]:
         "esql_lookup_join": ESQL_LOOKUP_SQL,
         "esql_case_eval": ESQL_CASE_SQL,
         "esql_string_fns": ESQL_STRING_SQL,
+        "esql_inlinestats": ESQL_INLINE_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

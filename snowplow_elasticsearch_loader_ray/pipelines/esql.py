@@ -26,6 +26,8 @@ refusal, never a silently different query):
             | GROK ident '"' pattern '"'         pattern: literals +
                                                  %{SYNTAX:name[:int]}
             | MV_EXPAND ident                    (a SPLIT output)
+            | INLINESTATS iagg ( ',' iagg )* [ BY ident ]
+              iagg: ident '=' (COUNT|SUM|MIN|MAX) '(' (ident|'*') ')'
             | STATS agg ( ',' agg )* [ BY byitem ( ',' byitem )* ]
             | SORT ident [ASC|DESC] ( ',' ident [ASC|DESC] )*
             | LIMIT int
@@ -99,6 +101,16 @@ IN / LIKE / RLIKE, so string-typed columns CAN gate an integer CASE),
 values are integer terms. ``GREATEST`` / ``LEAST`` / ``ABS`` are their
 DuckDB namesakes over integer terms. CASE conditions may not read
 BUCKET/SPLIT outputs (produced after EVAL) — they refuse.
+
+``INLINESTATS`` (the window-style stage: group aggregates appended to
+every ROW) runs as one distributed partial-agg pass producing a
+groups-sized table that broadcasts into a second map over the same
+stream — no row shuffle. It executes BEFORE EVAL so EVAL can combine
+its outputs with row values (``INLINESTATS mx = MAX(n_chars) BY source
+| EVAL gap = mx - n_chars``); WHERE conjuncts written before it filter
+the aggregate pass too (SQL window + WHERE parity). Integer COUNT/SUM/
+MIN/MAX only, one plain BY column; inputs produced after that stage
+(EVAL/SPLIT/BUCKET/LOOKUP outputs) refuse.
 
 String EVAL functions: ``LENGTH`` (code points — DuckDB length parity)
 produces int64; ``TO_LOWER`` / ``TO_UPPER`` (Unicode), ``SUBSTRING``
@@ -372,6 +384,43 @@ def parse(query: str) -> dict:
                 raise UnsupportedEsql("WHERE after STATS is unsupported")
             for cond in re.split(r"\s+AND\s+", body, flags=re.I):
                 plan["where"].append(_parse_cond(cond.strip()))
+        elif kw == "INLINESTATS":
+            if seen_stats:
+                raise UnsupportedEsql(
+                    "INLINESTATS after STATS is unsupported")
+            if "inline" in plan:
+                raise UnsupportedEsql("one INLINESTATS stage only")
+            if re.search(r"\bBY\b", body, flags=re.I):
+                aggs_s, by_s = re.split(r"\bBY\b", body, maxsplit=1,
+                                        flags=re.I)
+                iby = [b.strip() for b in by_s.split(",")]
+                if len(iby) != 1 or not re.fullmatch(_IDENT, iby[0]):
+                    raise UnsupportedEsql(
+                        "INLINESTATS BY supports exactly one plain "
+                        "column (the broadcast-rejoin is keyed on it)")
+            else:
+                aggs_s, iby = body, []
+            iaggs = []
+            for a in _split_outside_parens(aggs_s):
+                m = re.fullmatch(
+                    rf"({_IDENT})\s*=\s*(COUNT|SUM|MIN|MAX)"
+                    rf"\s*\(\s*(\*|{_IDENT})\s*\)", a.strip(), flags=re.I)
+                if not m:
+                    raise UnsupportedEsql(
+                        f"bad INLINESTATS aggregate {a.strip()!r} "
+                        f"(COUNT/SUM/MIN/MAX only — float AVG would "
+                        f"break the integer contract)")
+                nm, fn, col = m.group(1), m.group(2).upper(), m.group(3)
+                if fn == "COUNT" and col != "*":
+                    raise UnsupportedEsql("COUNT supports only COUNT(*)")
+                if fn != "COUNT" and col == "*":
+                    raise UnsupportedEsql(f"{fn}(*) is not a thing")
+                iaggs.append((nm, fn, col))
+            plan["inline"] = (iaggs, iby)
+            # WHERE conds written BEFORE this stage must filter the
+            # inline pass too — split them off
+            plan["where_pre"] = plan["where"]
+            plan["where"] = []
         elif kw == "STATS":
             if seen_stats:
                 raise UnsupportedEsql("one STATS stage only")
@@ -644,10 +693,41 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     raise UnsupportedEsql(
                         f"two LOOKUP JOINs both add column {f.name!r}")
                 lookup_types[f.name] = f.type
+    inline = plan.get("inline")
+    where_pre = plan.get("where_pre", [])
+    inline_names: set = set()
+    if inline:
+        iaggs, iby = inline
+        inline_names = {nm for nm, _f, _c in iaggs}
+        if len(inline_names) != len(iaggs):
+            raise UnsupportedEsql("duplicate INLINESTATS output names")
+        # INLINESTATS runs BEFORE EVAL (so EVAL can combine its outputs
+        # with row values) — its inputs must exist by then, and its
+        # outputs must not shadow anything
+        later = ({n for n, _t, _o in plan["evals"]} | split_names
+                 | bucket_names | set(lookup_types))
+        for nm, _f, col in iaggs:
+            if nm in later or nm in dissect_names or nm in grok_types:
+                raise UnsupportedEsql(
+                    f"INLINESTATS output {nm!r} shadows another column")
+            if col != "*" and col in later:
+                raise UnsupportedEsql(
+                    f"INLINESTATS over {col!r}: EVAL/SPLIT/BUCKET/LOOKUP "
+                    f"columns are produced after it")
+        for col in iby:
+            if col in later or col in inline_names:
+                raise UnsupportedEsql(
+                    f"INLINESTATS BY {col!r}: not yet produced at that "
+                    f"stage")
+        for col, _op, _lit in where_pre:
+            if col in later or col in inline_names:
+                raise UnsupportedEsql(
+                    f"WHERE before INLINESTATS references {col!r}, which "
+                    f"is produced later")
     derived = {name for name, _t, _o in plan["evals"]} \
         | {col for _tbl, _key, col in enrich} | dissect_names \
         | set(grok_types) | split_names | bucket_names \
-        | set(lookup_types)
+        | set(lookup_types) | inline_names
     eval_names = derived
     for name, _t, _o in plan["evals"]:
         if name in lookup_types:
@@ -673,9 +753,16 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"CASE condition over {col!r}: BUCKET/SPLIT outputs are "
                 f"produced after EVAL")
     cols = set(plan["by"]) - eval_names
-    for col, _op, _lit in list(plan["where"]) + eval_conds:
+    for col, _op, _lit in list(plan["where"]) + where_pre + eval_conds:
         if col not in eval_names:
             cols.add(col)
+    if inline:
+        for _nm, _f, col in inline[0]:
+            if col != "*" and col not in eval_names:
+                cols.add(col)
+        for col in inline[1]:
+            if col not in eval_names:
+                cols.add(col)
     for _n, func, col in plan["stats"]:
         if col != "*" and col not in eval_names:
             cols.add(col)
@@ -897,7 +984,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"COUNT_DISTINCT({col}): only integer or string "
                     f"columns group exactly")
-    for col, op, lit in list(plan["where"]) + eval_conds:
+    if inline:
+        for _nm, fn, col in inline[0]:
+            if col == "*":
+                continue
+            ty = _out_type(col)
+            if ty is not None and not pa.types.is_integer(ty):
+                raise UnsupportedEsql(
+                    f"INLINESTATS {fn}({col}): integer columns only")
+    for col, op, lit in list(plan["where"]) + where_pre + eval_conds:
         ty = _out_type(col)
         if ty is None:
             continue
@@ -1027,6 +1122,67 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             return b
 
         ds = ds.map_batches(add_grok, batch_format="pyarrow")
+    if inline:
+        # INLINESTATS: one distributed partial-agg pass produces a
+        # GROUPS-sized table; it broadcasts into a second map over the
+        # same (pre-filtered) stream that appends the group values to
+        # every row — ES's window-style stats without any row shuffle.
+        iaggs, iby = inline
+        if where_pre:
+            ds = ds.map_batches(lambda b: _filter_batch(b, where_pre),
+                                batch_format="pyarrow")
+
+        def _add_ione(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__ione", pa.array(np.ones(b.num_rows, np.int64)))
+
+        need_icount = any(f == "COUNT" for _n, f, _c in iaggs)
+        ids = ds.map_batches(_add_ione, batch_format="pyarrow") \
+            if need_icount else ds
+        ray_iaggs = []
+        for nm, fn, col in iaggs:
+            if fn == "COUNT":       # Sum over ones: groupby(None)-safe
+                ray_iaggs.append(Sum("__ione", alias_name=nm))
+            elif fn == "SUM":
+                ray_iaggs.append(Sum(col, alias_name=nm))
+            elif fn == "MIN":
+                ray_iaggs.append(Min(col, alias_name=nm))
+            else:
+                ray_iaggs.append(Max(col, alias_name=nm))
+        igrouped = ids.groupby(iby) if iby else ids.groupby(None)
+        small = igrouped.aggregate(*ray_iaggs).to_pandas()
+        if iby and small.empty:
+            small = pd.DataFrame(
+                {iby[0]: pd.Series([], dtype=object),
+                 **{nm: pd.Series([], dtype=np.int64)
+                    for nm, _f, _c in iaggs}})
+        if iby:
+            k = small[iby[0]].to_numpy()
+            order = np.argsort(k, kind="stable")
+            k = k[order]
+            ivals = {nm: small[nm].to_numpy()[order].astype(np.int64)
+                     for nm, _f, _c in iaggs}
+
+            def add_inline(b: pa.Table, _k=k, _v=ivals,
+                           _key=iby[0]) -> pa.Table:
+                kv = b[_key].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(_k, kv)
+                for nm, arr in _v.items():
+                    b = b.append_column(
+                        nm, pa.array(arr[pos], pa.int64()))
+                return b
+        else:
+            consts = {nm: (0 if pd.isna(small[nm].iloc[0])
+                           else int(small[nm].iloc[0]))
+                      for nm, _f, _c in iaggs}
+
+            def add_inline(b: pa.Table, _c=consts) -> pa.Table:
+                for nm, v in _c.items():
+                    b = b.append_column(
+                        nm, pa.array(np.full(b.num_rows, v, np.int64)))
+                return b
+
+        ds = ds.map_batches(add_inline, batch_format="pyarrow")
     if plan["evals"]:
         evals = plan["evals"]
 

@@ -534,3 +534,59 @@ def test_string_fn_refusals(ray_session):
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_inlinestats_matches_window_sql(ray_session):
+    con = _docs_con()
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang IN ("en", "de") | '
+            "INLINESTATS mx = MAX(n_chars) BY source | "
+            "EVAL gap = mx - n_chars | "
+            "STATS total_gap = SUM(gap), n = COUNT(*) BY source | "
+            "SORT source").to_pandas()
+    want = con.sql(
+        "WITH w AS (SELECT source, n_chars, "
+        "max(n_chars) OVER (PARTITION BY source) AS mx "
+        "FROM documents WHERE lang IN ('en','de')) "
+        "SELECT source, sum(mx - n_chars)::BIGINT AS total_gap, "
+        "count(*)::BIGINT AS n FROM w GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # rows-at-group-max via EVAL + WHERE after the inline stage
+    got = esql.execute(
+        SF, "FROM documents | INLINESTATS mx = MAX(n_chars) BY lang | "
+            "EVAL d = mx - n_chars | WHERE d == 0 | "
+            "STATS n_at_max = COUNT(*) BY lang | SORT lang").to_pandas()
+    want = con.sql(
+        "WITH w AS (SELECT lang, n_chars, "
+        "max(n_chars) OVER (PARTITION BY lang) AS mx FROM documents) "
+        "SELECT lang, count(*)::BIGINT AS n_at_max FROM w "
+        "WHERE n_chars = mx GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # global inline (no BY) with COUNT
+    got = esql.execute(
+        SF, "FROM documents | INLINESTATS g = MAX(n_chars), "
+            "cnt = COUNT(*) | EVAL top = g - n_chars | "
+            "STATS s = SUM(top), c = MAX(cnt)").to_pandas()
+    want = con.sql(
+        "WITH w AS (SELECT n_chars, max(n_chars) OVER () AS g, "
+        "count(*) OVER () AS cnt FROM documents) "
+        "SELECT sum(g - n_chars)::BIGINT AS s, max(cnt)::BIGINT AS c "
+        "FROM w").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_inlinestats_refusals(ray_session):
+    for bad in [
+        "FROM documents | INLINESTATS a = AVG(n_chars) BY lang | "
+        "STATS n = COUNT(*)",                 # float AVG
+        "FROM documents | EVAL k = n_chars + 1 | "
+        "INLINESTATS m = MAX(k) BY lang | STATS n = COUNT(*)",
+        "FROM documents | INLINESTATS m = MAX(n_chars) BY lang, source "
+        "| STATS n = COUNT(*)",               # multi-col BY
+        "FROM documents | INLINESTATS m = MAX(text) BY lang | "
+        "STATS n = COUNT(*)",                 # string agg col
+        "FROM documents | INLINESTATS m = MAX(n_chars) BY lang | "
+        "INLINESTATS x = MIN(n_chars) | STATS n = COUNT(*)",  # two
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
