@@ -11612,6 +11612,30 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_TOPN_QUERY = (
+    'FROM documents | WHERE lang IN ("en", "de") | '
+    'SORT n_chars DESC, doc_id ASC | LIMIT 15 | '
+    'KEEP doc_id, n_chars, lang, source')
+
+
+def esql_topn(sf_dir: str) -> pa.Table:
+    """ES|QL raw-row top-N (the one supported no-STATS shape: SORT |
+    LIMIT | KEEP): each batch contributes its LOCAL top-n, one driver
+    merge picks the global head — bounded by the LIMIT cap (ES's
+    10k max_result_window), never a corpus shuffle; the unique doc_id
+    trailing key pins tie order (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_TOPN_QUERY)
+
+
+ESQL_TOPN_SQL = """
+SELECT doc_id, n_chars, lang, source FROM documents
+WHERE lang IN ('en', 'de')
+ORDER BY n_chars DESC, doc_id LIMIT 15
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15423,6 +15447,7 @@ def registry() -> tuple[dict, dict]:
         "esql_case_eval": esql_case_eval,
         "esql_string_fns": esql_string_fns,
         "esql_inlinestats": esql_inlinestats,
+        "esql_topn": esql_topn,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15702,6 +15727,7 @@ def registry() -> tuple[dict, dict]:
         "esql_case_eval": ESQL_CASE_SQL,
         "esql_string_fns": ESQL_STRING_SQL,
         "esql_inlinestats": ESQL_INLINE_SQL,
+        "esql_topn": ESQL_TOPN_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

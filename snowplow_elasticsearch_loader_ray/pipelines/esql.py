@@ -131,9 +131,13 @@ Semantics pinned for oracle parity:
   emitted number exactly SQL-replayable). ``AVG`` is the exact integer
   sum divided once in float64 — identical to ``sum(x)::DOUBLE /
   count(*)``.
-- ``SORT`` / ``LIMIT`` are only accepted AFTER ``STATS`` (they then
-  order the bucket table); a raw-row SORT over the corpus is a global
-  shuffle the caller should request explicitly via the index pipeline.
+- With ``STATS`` present, ``SORT`` / ``LIMIT`` are only accepted AFTER
+  it (they order the bucket table). WITHOUT ``STATS``, the one
+  supported raw-row shape is bounded top-N — ``SORT keys | LIMIT n |
+  KEEP cols`` (all three required, n ≤ 10000 = ES max_result_window):
+  per-batch local top-n + one driver merge, never a corpus shuffle.
+  Ties beyond the declared keys are engine-specific — pin determinism
+  with a unique trailing key, exactly as in SQL.
 - String literals are double-quoted; numbers are int or float.
 """
 
@@ -486,8 +490,7 @@ def parse(query: str) -> dict:
             plan["stats"] = aggs
         elif kw == "SORT":
             if not seen_stats:
-                raise UnsupportedEsql(
-                    "SORT before STATS is a corpus shuffle — unsupported")
+                plan["_sort_pre_stats"] = True
             for part in body.split(","):
                 m = re.fullmatch(rf"({_IDENT})(\s+(ASC|DESC))?",
                                  part.strip(), flags=re.I)
@@ -497,7 +500,7 @@ def parse(query: str) -> dict:
                     (m.group(1), (m.group(3) or "ASC").upper()))
         elif kw == "LIMIT":
             if not seen_stats:
-                raise UnsupportedEsql("LIMIT before STATS is unsupported")
+                plan["_limit_pre_stats"] = True
             if not re.fullmatch(r"\d+", body):
                 raise UnsupportedEsql(f"bad LIMIT {body!r}")
             plan["limit"] = int(body)
@@ -587,9 +590,33 @@ def parse(query: str) -> dict:
         else:
             raise UnsupportedEsql(f"unsupported stage {st!r}")
     if plan["stats"] is None:
-        raise UnsupportedEsql(
-            "queries without STATS return raw rows — route those through "
-            "scan_export / the search pipelines instead")
+        # the ONE supported raw-row shape is bounded top-N:
+        # SORT keys | LIMIT n | KEEP cols — per-batch local top-n +
+        # driver merge, never a corpus shuffle
+        if not (plan["sort"] and plan["limit"] is not None
+                and plan["keep"]):
+            raise UnsupportedEsql(
+                "queries without STATS return raw rows — the only "
+                "supported raw-row shape is SORT ... | LIMIT n | "
+                "KEEP ... (bounded top-N); route full scans through "
+                "scan_export / the search pipelines instead")
+        if plan.get("reshape"):
+            raise UnsupportedEsql(
+                "RENAME/DROP operate on the STATS bucket table")
+        if plan["limit"] > 10_000:
+            raise UnsupportedEsql(
+                "raw-row LIMIT is capped at 10000 (ES's index.max_"
+                "result_window default) — deeper reads are an export")
+        plan["topn"] = True
+    else:
+        # with STATS present, SORT/LIMIT order the BUCKET table — they
+        # must come after it (a pre-STATS sort of raw rows would be a
+        # silently different query)
+        if plan.get("_sort_pre_stats"):
+            raise UnsupportedEsql(
+                "SORT before STATS is a corpus shuffle — unsupported")
+        if plan.get("_limit_pre_stats"):
+            raise UnsupportedEsql("LIMIT before STATS is unsupported")
     return plan
 
 
@@ -663,6 +690,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     from ray.data.aggregate import Count, Max, Min, Sum
 
     plan = parse(query)
+    topn = plan.get("topn", False)
+    if topn:
+        plan["stats"] = []      # the aggregate loops below become no-ops
     enrich = plan.get("enrich", [])
     lookup = plan.get("lookup", [])
     dissect = plan.get("dissect", [])
@@ -763,6 +793,10 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         for col in inline[1]:
             if col not in eval_names:
                 cols.add(col)
+    if topn:
+        for c in [k for k, _d in plan["sort"]] + plan["keep"]:
+            if c not in eval_names:
+                cols.add(c)
     for _n, func, col in plan["stats"]:
         if col != "*" and col not in eval_names:
             cols.add(col)
@@ -1012,36 +1046,54 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             raise UnsupportedEsql(
                 f"WHERE {col} {op} {lit!r}: literal type does not "
                 f"match column type {ty}")
+    if topn:
+        # raw-row top-N: SORT/KEEP reference row columns, not a bucket
+        # table; every referenced column must resolve to an orderable
+        # scalar type
+        names_now = list(plan["keep"])
+        for c in dict.fromkeys(
+                [k for k, _d in plan["sort"]] + plan["keep"]):
+            ty = _out_type(c)
+            if ty is None:
+                raise UnsupportedEsql(f"unknown top-N column {c!r}")
+            if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                    or pa.types.is_string(ty)
+                    or pa.types.is_large_string(ty)):
+                raise UnsupportedEsql(
+                    f"top-N over column {c!r} of type {ty} is not "
+                    f"pinned across engines")
     # bucket-table column set after the RENAME / DROP chain, validated
     # and later applied in TEXTUAL ORDER (a DROP may free a name a
     # later RENAME reuses; chained renames must resolve sequentially);
     # KEEP and SORT must reference the post-reshape names
-    names_now = plan["by"] + [n for n, _f, _c in plan["stats"]]
-    for op, a, b in plan.get("reshape", []):
-        if op == "rename":
-            if a not in names_now:
+    names_now = names_now if topn else (
+        plan["by"] + [n for n, _f, _c in plan["stats"]])
+    if not topn:
+        for op, a, b in plan.get("reshape", []):
+            if op == "rename":
+                if a not in names_now:
+                    raise UnsupportedEsql(
+                        f"RENAME of column {a!r} not in the STATS output")
+                if b in names_now:
+                    raise UnsupportedEsql(
+                        f"RENAME target {b!r} already exists")
+                names_now[names_now.index(a)] = b
+            else:
+                if a not in names_now:
+                    raise UnsupportedEsql(
+                        f"DROP of column {a!r} not in the STATS output")
+                names_now.remove(a)
+        if not names_now:
+            raise UnsupportedEsql("DROP removed every output column")
+        for skey, _dir in plan["sort"]:
+            if skey not in names_now:
                 raise UnsupportedEsql(
-                    f"RENAME of column {a!r} not in the STATS output")
-            if b in names_now:
+                    f"SORT key {skey!r} not in the output columns")
+        if plan["keep"]:
+            bad = [c for c in plan["keep"] if c not in names_now]
+            if bad:
                 raise UnsupportedEsql(
-                    f"RENAME target {b!r} already exists")
-            names_now[names_now.index(a)] = b
-        else:
-            if a not in names_now:
-                raise UnsupportedEsql(
-                    f"DROP of column {a!r} not in the STATS output")
-            names_now.remove(a)
-    if not names_now:
-        raise UnsupportedEsql("DROP removed every output column")
-    for skey, _dir in plan["sort"]:
-        if skey not in names_now:
-            raise UnsupportedEsql(
-                f"SORT key {skey!r} not in the output columns")
-    if plan["keep"]:
-        bad = [c for c in plan["keep"] if c not in names_now]
-        if bad:
-            raise UnsupportedEsql(
-                f"KEEP of column(s) not in the STATS output: {bad}")
+                    f"KEEP of column(s) not in the STATS output: {bad}")
 
     ds = ray.data.read_parquet(path, columns=sorted(cols))
     for tbl, key, col in enrich:
@@ -1334,6 +1386,46 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         where = plan["where"]
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
+
+    if topn:
+        # bounded raw-row top-N: each batch contributes its LOCAL top-n
+        # (n_batches × n candidate rows — small by the LIMIT cap), one
+        # driver merge picks the global head. Ties beyond the declared
+        # sort keys are engine-specific — callers pin determinism with
+        # a unique trailing key, exactly as in SQL.
+        skeys = [k for k, _d in plan["sort"]]
+        asc = [d == "ASC" for _k, d in plan["sort"]]
+        out_cols = plan["keep"]
+        need_cols = list(dict.fromkeys(out_cols + skeys))
+        n = plan["limit"]
+
+        def local_topn(b: pa.Table) -> pa.Table:
+            df = b.select(need_cols).to_pandas()
+            df = df.sort_values(skeys, ascending=asc,
+                                kind="mergesort").head(n)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand = ds.map_batches(local_topn, batch_format="pyarrow")
+        parts = [t for t in cand.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+                 if t.num_rows]
+        if not parts:
+            out = pd.DataFrame({c: pd.Series([], dtype=object)
+                                for c in out_cols})
+        else:
+            merged = pa.concat_tables(parts).to_pandas()
+            out = merged.sort_values(skeys, ascending=asc,
+                                     kind="mergesort").head(n)
+        out = out[out_cols].reset_index(drop=True)
+        arrays = {}
+        for c in out.columns:
+            if out[c].dtype == object:
+                arrays[c] = pa.array(out[c], pa.string())
+            elif np.issubdtype(out[c].dtype, np.floating):
+                arrays[c] = pa.array(out[c], pa.float64())
+            else:
+                arrays[c] = pa.array(out[c], pa.int64())
+        return pa.table(arrays)
 
     # Ray's Count() (row count, no `on`) returns 0 under groupby(None)
     # on this Ray version — count rows as Sum over a ones column when

@@ -590,3 +590,44 @@ def test_inlinestats_refusals(ray_session):
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_topn_raw_rows_match_duckdb(ray_session):
+    con = _docs_con()
+    cases = [
+        ("FROM documents | SORT n_chars DESC, doc_id | LIMIT 10 | "
+         "KEEP doc_id, n_chars, lang",
+         "SELECT doc_id, n_chars, lang FROM documents "
+         "ORDER BY n_chars DESC, doc_id LIMIT 10"),
+        ('FROM documents | WHERE lang == "en" | EVAL kb = n_chars // 100'
+         " | SORT kb DESC, doc_id ASC | LIMIT 7 | KEEP doc_id, kb",
+         "SELECT doc_id, n_chars // 100 AS kb FROM documents "
+         "WHERE lang = 'en' ORDER BY kb DESC, doc_id LIMIT 7"),
+        ("FROM documents | SORT source ASC, doc_id DESC | LIMIT 5 | "
+         "KEEP source, doc_id",
+         "SELECT source, doc_id FROM documents "
+         "ORDER BY source ASC, doc_id DESC LIMIT 5"),
+    ]
+    for q, sql in cases:
+        got = esql.execute(SF, q).to_pandas()
+        want = con.sql(sql).df()
+        assert got.equals(want.astype(got.dtypes.to_dict())), q
+    # zero-match returns an empty typed frame
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang == "zz" | SORT doc_id | '
+            "LIMIT 5 | KEEP doc_id")
+    assert got.num_rows == 0 and got.schema.names == ["doc_id"]
+
+
+def test_topn_refusals(ray_session):
+    for bad in [
+        "FROM documents | SORT n_chars | LIMIT 5",     # no KEEP
+        "FROM documents | SORT n_chars | KEEP doc_id",  # no LIMIT
+        "FROM documents | LIMIT 5 | KEEP doc_id",      # no SORT
+        "FROM documents | SORT n_chars | LIMIT 99999 | "
+        "KEEP doc_id",                                 # > max window
+        "FROM events | SORT ts | LIMIT 5 | KEEP event_id",  # timestamp
+        "FROM documents | SORT n_chars | STATS n = COUNT(*)",
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
