@@ -3436,7 +3436,8 @@ def _bm25_sql(page: int = 1, src: str = "documents",
               rank_feature: tuple[float, float] | None = None,
               fvf_factor: float | None = None,
               lang_eq: str | None = None,
-              queries: list[tuple[int, str]] | None = None) -> str:
+              queries: list[tuple[int, str]] | None = None,
+              min_score: float | None = None) -> str:
     """``src`` is a table expression for the scored corpus (must expose
     doc_id + text) — the live-index oracle scores a filtered/rewritten
     view of ``documents`` through the same query. ``dl_between``
@@ -3513,11 +3514,14 @@ scores AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT qid, doc_id,
+  SELECT qid, doc_id, score,
          row_number() OVER (PARTITION BY qid ORDER BY round(score, 7) DESC, doc_id) AS rank
   FROM scores
 )
-SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked WHERE rank > {lo} AND rank <= {hi}
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, doc_id FROM ranked
+WHERE rank > {lo} AND rank <= {hi}{
+    f" AND round(score, 7) >= {min_score!r}" if min_score is not None
+    else ""}
 """
 
 
@@ -4370,6 +4374,62 @@ def constant_score_topk(sf_dir: str) -> pa.Table:
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(docs, pa.int64()),
         "score": pa.array(scores, pa.float64()),
+    })
+
+
+#: min_score threshold — sits 3.06e-4 clear of every top-10 score at
+#: sf0.01 (≫ the oracle's 1e-7 rounding), and genuinely bites: three
+#: queries drop to 0-1 hits
+BM25_MIN_SCORE = 0.45
+
+
+def bm25_min_score(sf_dir: str) -> pa.Table:
+    """ES top-level ``min_score``: hits below the threshold are dropped
+    BEFORE pagination (pipelines/query_dsl.py::execute) — here the
+    ranked page suffix below 0.45 disappears; three of the 25 fixture
+    queries lose all or all-but-one hits."""
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        d, _s = DSL.execute(r, {"query": {"match": {"text": q}},
+                                "size": TOPK,
+                                "min_score": BM25_MIN_SCORE})
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+    })
+
+
+def wrapper_query_topk(sf_dir: str) -> pa.Table:
+    """ES ``wrapper`` query (base64-encoded JSON query node — the
+    escape hatch for JSON-mangling middlemen): decoded and
+    re-dispatched by the planner; results are bit-identical to the
+    plain match, which is what the oracle checks."""
+    import base64
+    import json
+
+    from .pipelines import query_dsl as DSL
+
+    r = _reader(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, q in DOC_QUERIES:
+        inner = json.dumps({"match": {"text": q}}).encode()
+        body = {"query": {"wrapper": {
+            "query": base64.b64encode(inner).decode()}}, "size": TOPK}
+        d, _s = DSL.execute(r, body)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
     })
 
 
@@ -15365,6 +15425,8 @@ def registry() -> tuple[dict, dict]:
         "query_string_topk": query_string_topk,
         "cluster_balanced_sample": cluster_balanced_sample,
         "constant_score_topk": constant_score_topk,
+        "bm25_min_score": bm25_min_score,
+        "wrapper_query_topk": wrapper_query_topk,
         "multi_terms_agg": multi_terms_agg,
         "lm_bucket_counts": lm_bucket_counts,
         "pq_codes": pq_codes,
@@ -15645,6 +15707,8 @@ def registry() -> tuple[dict, dict]:
         "query_string_topk": _query_string_sql(),
         "cluster_balanced_sample": _cluster_sample_sql(),
         "constant_score_topk": _constant_score_sql(),
+        "bm25_min_score": _bm25_sql(min_score=BM25_MIN_SCORE),
+        "wrapper_query_topk": _bm25_sql(),
         "multi_terms_agg": MULTI_TERMS_SQL,
         "lm_bucket_counts": LM_BUCKETS_SQL,
         "pq_codes": _pq_codes_sql(),

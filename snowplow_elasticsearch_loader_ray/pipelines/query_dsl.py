@@ -474,9 +474,33 @@ def execute(reader: IndexReader, body: dict, pos_reader=None,
     ``field_readers``: name → IndexReader over per-field indexes
     (``pipelines.multifield.build_field_indexes``) — required for
     ``multi_match``; every other query shape scores ``reader``."""
-    extra = set(body) - {"query", "size", "from", "search_after"}
+    extra = set(body) - {"query", "size", "from", "search_after",
+                         "min_score"}
     if extra:
         raise UnsupportedDSL(f"unsupported top-level keys {extra}")
+    min_score = body.get("min_score")
+    if min_score is not None:
+        if not isinstance(min_score, (int, float)) \
+                or isinstance(min_score, bool):
+            raise UnsupportedDSL(f"bad min_score {min_score!r}")
+        if "search_after" in body:
+            raise UnsupportedDSL(
+                "min_score with search_after is unsupported")
+        # ES applies min_score BEFORE pagination: rank the full page
+        # window, drop sub-threshold hits, then slice
+        inner = {k: v for k, v in body.items() if k != "min_score"}
+        d, s = execute(reader, inner, pos_reader=pos_reader,
+                       field_readers=field_readers)
+        # the inner call already sliced [from:]; min_score only ever
+        # removes a SUFFIX of a descending-ranked page, so filtering
+        # after the slice equals ES's filter-then-paginate when the
+        # page head is full — refuse offsets to keep it exact
+        if body.get("from", 0):
+            raise UnsupportedDSL(
+                "min_score with from-offset pagination is unsupported "
+                "(dropped hits shift page boundaries)")
+        keep = s >= float(min_score)
+        return d[keep], s[keep]
     if "search_after" in body:
         from .query import score_taat_after
 
@@ -506,6 +530,24 @@ def execute(reader: IndexReader, body: dict, pos_reader=None,
     if not isinstance(node, dict) or len(node) != 1:
         raise UnsupportedDSL(f"bad query node {node!r}")
     kind = next(iter(node))
+    if kind == "wrapper":
+        # ES `wrapper` query: a base64-encoded JSON query node (the
+        # escape hatch clients use to smuggle queries through systems
+        # that mangle JSON) — decode and re-dispatch
+        import base64
+        import json as _json
+
+        w = node["wrapper"]
+        if set(w) != {"query"} or not isinstance(w["query"], str):
+            raise UnsupportedDSL(f"unsupported wrapper {w!r}")
+        try:
+            decoded = _json.loads(
+                base64.b64decode(w["query"], validate=True))
+        except Exception:
+            raise UnsupportedDSL(
+                "wrapper.query is not base64-encoded JSON") from None
+        return execute(reader, {**body, "query": decoded},
+                       pos_reader=pos_reader, field_readers=field_readers)
     if kind == "match":
         q, msm = _match_text(node)
         if msm is not None:

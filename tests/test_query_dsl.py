@@ -898,3 +898,59 @@ def test_execute_retriever_rrf(reader):
     with _pytest.raises(DSL.UnsupportedDSL):
         DSL.execute_retriever(
             reader, {"retriever": {"rrf": {"retrievers": []}}})
+
+
+def test_wrapper_query_decodes_and_redispatches(reader):
+    import base64
+    import json
+
+    from snowplow_elasticsearch_loader_ray.pipelines import query_dsl as DSL
+
+    r = reader
+    plain_d, plain_s = DSL.execute(
+        r, {"query": {"match": {"text": "data stream"}}, "size": 5})
+    enc = base64.b64encode(
+        json.dumps({"match": {"text": "data stream"}}).encode()).decode()
+    d, s = DSL.execute(
+        r, {"query": {"wrapper": {"query": enc}}, "size": 5})
+    assert (d == plain_d).all() and (s == plain_s).all()
+    # nested wrapper unwraps recursively
+    enc2 = base64.b64encode(json.dumps(
+        {"wrapper": {"query": enc}}).encode()).decode()
+    d2, _ = DSL.execute(
+        r, {"query": {"wrapper": {"query": enc2}}, "size": 5})
+    assert (d2 == plain_d).all()
+    import pytest as _pytest
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(r, {"query": {"wrapper": {"query": "!!notb64!!"}}})
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(r, {"query": {"wrapper": {"q": enc}}})
+
+
+def test_min_score_drops_suffix(reader):
+    import numpy as np
+    import pytest as _pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines import query_dsl as DSL
+
+    r = reader
+    d0, s0 = DSL.execute(
+        r, {"query": {"match": {"text": "data stream"}}, "size": 10})
+    theta = float(s0[len(s0) // 2])         # cut mid-page at an exact hit
+    d, s = DSL.execute(
+        r, {"query": {"match": {"text": "data stream"}}, "size": 10,
+            "min_score": theta})
+    keep = s0 >= theta
+    assert (d == d0[keep]).all() and (s == s0[keep]).all()
+    assert len(d) < len(d0)
+    # impossible threshold -> empty
+    d, s = DSL.execute(
+        r, {"query": {"match": {"text": "data stream"}}, "size": 10,
+            "min_score": 1e9})
+    assert len(d) == 0
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(r, {"query": {"match": {"text": "data"}},
+                        "min_score": 0.1, "from": 5})
+    with _pytest.raises(DSL.UnsupportedDSL):
+        DSL.execute(r, {"query": {"match": {"text": "data"}},
+                        "min_score": True})
