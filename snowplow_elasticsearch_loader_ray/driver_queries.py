@@ -11696,6 +11696,40 @@ ORDER BY n_chars DESC, doc_id LIMIT 15
 """
 
 
+ESQL_FILTERED_AGGS_QUERY = (
+    'FROM documents | STATS n = COUNT(*), '
+    'n_en = COUNT(*) WHERE lang == "en", '
+    's_en = SUM(n_chars) WHERE lang == "en", '
+    'mx_en = MAX(n_chars) WHERE lang == "en", '
+    'd_big = COUNT_DISTINCT(lang) WHERE n_chars > 400 '
+    'BY source | SORT source')
+
+
+def esql_filtered_aggs(sf_dir: str) -> pa.Table:
+    """ES|QL per-aggregate filters (``STATS agg WHERE cond``, 8.16):
+    each filtered plain aggregate rides a derived per-batch column
+    (indicator for COUNT, masked product for SUM — the coalesce-0
+    convention, nulled non-matches for MIN/MAX so the null-ignoring
+    reduce equals SQL FILTER); filtered COUNT_DISTINCT restricts its
+    value-histogram pass (pipelines/esql.py). The en filter matches in
+    every source group, so no NULL-refusal path triggers."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_FILTERED_AGGS_QUERY)
+
+
+ESQL_FILTERED_AGGS_SQL = """
+SELECT source, count(*)::BIGINT AS n,
+       count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en,
+       coalesce(sum(n_chars) FILTER (WHERE lang = 'en'), 0)::BIGINT
+         AS s_en,
+       max(n_chars) FILTER (WHERE lang = 'en')::BIGINT AS mx_en,
+       count(DISTINCT lang) FILTER (WHERE n_chars > 400)::BIGINT
+         AS d_big
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15510,6 +15544,7 @@ def registry() -> tuple[dict, dict]:
         "esql_string_fns": esql_string_fns,
         "esql_inlinestats": esql_inlinestats,
         "esql_topn": esql_topn,
+        "esql_filtered_aggs": esql_filtered_aggs,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15792,6 +15827,7 @@ def registry() -> tuple[dict, dict]:
         "esql_string_fns": ESQL_STRING_SQL,
         "esql_inlinestats": ESQL_INLINE_SQL,
         "esql_topn": ESQL_TOPN_SQL,
+        "esql_filtered_aggs": ESQL_FILTERED_AGGS_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

@@ -38,9 +38,19 @@ refusal, never a silently different query):
             | ident [NOT] IN '(' literal ( ',' literal )* ')'
             | ident [NOT] LIKE '"' wildcard '"'    (* any run, ? one char)
             | ident [NOT] RLIKE '"' regex '"'      (RE2, full match)
-    agg    := ident '=' FUNC '(' (ident|'*') ')'
+    agg    := ident '=' FUNC '(' (ident|'*') ')' [ WHERE cond (AND cond)* ]
               FUNC ∈ COUNT SUM MIN MAX AVG COUNT_DISTINCT MEDIAN
-            | ident '=' PERCENTILE '(' ident ',' int ')'
+            | ident '=' PERCENTILE '(' ident ',' int ')' [ WHERE ... ]
+
+Per-aggregate filters (``STATS agg WHERE cond``, ES 8.16) ride derived
+per-batch columns: an indicator for COUNT (Σ indicator = SQL count
+FILTER), a masked product for SUM (the coalesce-0 convention: a group
+with zero filtered rows sums to 0 where SQL yields NULL — documented),
+nulled non-matches for MIN/MAX (null-ignoring reduce; a group with
+zero filtered rows is SQL NULL and REFUSES), masked sum/count for AVG,
+and a filtered value-histogram pass for COUNT_DISTINCT / MEDIAN /
+PERCENTILE (empty-group COUNT_DISTINCT is 0; empty-group percentile
+refuses).
 
 ``COUNT_DISTINCT`` / ``MEDIAN`` / ``PERCENTILE(col, p)`` are EXACT
 where ES estimates (cardinality HLL / percentile t-digest): they ride
@@ -461,6 +471,13 @@ def parse(query: str) -> dict:
             aggs = []
             for a in _split_outside_parens(aggs_s):
                 a = a.strip()
+                # per-aggregate filter (ES 8.16): agg WHERE cond [AND..]
+                mw = re.split(r"\s+WHERE\s+", a, maxsplit=1, flags=re.I)
+                aconds = None
+                if len(mw) == 2:
+                    a = mw[0].strip()
+                    aconds = [_parse_cond(c.strip()) for c in
+                              re.split(r"\s+AND\s+", mw[1], flags=re.I)]
                 mp = re.fullmatch(
                     rf"({_IDENT})\s*=\s*PERCENTILE\s*\(\s*({_IDENT})\s*,"
                     rf"\s*(\d+)\s*\)", a, flags=re.I)
@@ -471,6 +488,9 @@ def parse(query: str) -> dict:
                             f"PERCENTILE p must be 0..100, got {p}")
                     plan.setdefault("pctl", {})[mp.group(1)] = p
                     aggs.append((mp.group(1), "PERCENTILE", mp.group(2)))
+                    if aconds:
+                        plan.setdefault("agg_filters",
+                                        {})[mp.group(1)] = aconds
                     continue
                 m = re.fullmatch(
                     rf"({_IDENT})\s*=\s*({'|'.join(_AGG_FUNCS)})"
@@ -487,6 +507,8 @@ def parse(query: str) -> dict:
                     plan.setdefault("pctl", {})[name] = 50
                     func = "PERCENTILE"
                 aggs.append((name, func, col))
+                if aconds:
+                    plan.setdefault("agg_filters", {})[name] = aconds
             plan["stats"] = aggs
         elif kw == "SORT":
             if not seen_stats:
@@ -775,6 +797,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"CASE condition over LOOKUP-added column {col!r} is "
                 f"unsupported (EVAL runs before the join)")
     eval_conds = plan.get("eval_conds", [])
+    agg_conds = [c for conds in plan.get("agg_filters", {}).values()
+                 for c in conds]
     for col, _op, _lit in eval_conds:
         # CASE conditions evaluate inside the EVAL stage — columns that
         # only exist later (BUCKET keys, SPLIT outputs) cannot feed them
@@ -783,7 +807,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"CASE condition over {col!r}: BUCKET/SPLIT outputs are "
                 f"produced after EVAL")
     cols = set(plan["by"]) - eval_names
-    for col, _op, _lit in list(plan["where"]) + where_pre + eval_conds:
+    for col, _op, _lit in (list(plan["where"]) + where_pre + eval_conds
+                           + agg_conds):
         if col not in eval_names:
             cols.add(col)
     if inline:
@@ -1026,7 +1051,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             if ty is not None and not pa.types.is_integer(ty):
                 raise UnsupportedEsql(
                     f"INLINESTATS {fn}({col}): integer columns only")
-    for col, op, lit in list(plan["where"]) + where_pre + eval_conds:
+    for col, op, lit in (list(plan["where"]) + where_pre + eval_conds
+                         + agg_conds):
         ty = _out_type(col)
         if ty is None:
             continue
@@ -1447,8 +1473,35 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         return (Sum("__one", alias_name=alias) if need_ones
                 else Count(alias_name=alias))
 
+    # per-aggregate filters (STATS ... WHERE, ES 8.16): each filtered
+    # plain aggregate rides a derived per-batch column — indicator for
+    # COUNT, masked product for SUM (the coalesce-0 convention), nulled
+    # non-matches for MIN/MAX (null-ignoring reduce = SQL FILTER)
+    agg_filters = plan.get("agg_filters", {})
+    fspecs = []                     # (outcol, kind, col, conds)
     ray_aggs, avg_of, hist_aggs = [], {}, []
     for name, func, col in plan["stats"]:
+        aconds = agg_filters.get(name)
+        if aconds and func not in ("COUNT_DISTINCT", "PERCENTILE"):
+            if func == "COUNT":
+                fspecs.append((f"__af_{name}", "count", None, aconds))
+                ray_aggs.append(Sum(f"__af_{name}", alias_name=name))
+            elif func == "SUM":
+                fspecs.append((f"__af_{name}", "sum", col, aconds))
+                ray_aggs.append(Sum(f"__af_{name}", alias_name=name))
+            elif func in ("MIN", "MAX"):
+                fspecs.append((f"__af_{name}", "mask", col, aconds))
+                agg_cls = Min if func == "MIN" else Max
+                ray_aggs.append(agg_cls(f"__af_{name}", alias_name=name))
+            else:                   # AVG WHERE = masked SUM / masked n
+                fspecs.append((f"__af_{name}", "sum", col, aconds))
+                fspecs.append((f"__afn_{name}", "count", None, aconds))
+                ray_aggs.append(Sum(f"__af_{name}",
+                                    alias_name=f"__sum_{name}"))
+                ray_aggs.append(Sum(f"__afn_{name}",
+                                    alias_name=f"__n_{name}"))
+                avg_of[name] = (f"__sum_{name}", f"__n_{name}")
+            continue
         if func == "COUNT":
             ray_aggs.append(_count(name))
         elif func == "SUM":
@@ -1464,6 +1517,27 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             ray_aggs.append(Sum(col, alias_name=f"__sum_{name}"))
             ray_aggs.append(_count(f"__n_{name}"))
             avg_of[name] = (f"__sum_{name}", f"__n_{name}")
+    if fspecs:
+        def add_agg_filters(b: pa.Table, _s=tuple(fspecs)) -> pa.Table:
+            for outcol, kind, col, conds in _s:
+                mask = None
+                for c in conds:
+                    m = _cond_mask(b, c)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if kind == "count":
+                    b = b.append_column(outcol,
+                                        pc.cast(mask, pa.int64()))
+                elif kind == "sum":
+                    b = b.append_column(outcol, pc.multiply(
+                        pc.cast(b[col], pa.int64()),
+                        pc.cast(mask, pa.int64())))
+                else:               # mask: null out non-matching rows
+                    b = b.append_column(outcol, pc.if_else(
+                        mask, b[col],
+                        pa.scalar(None, b.schema.field(col).type)))
+            return b
+
+        ds = ds.map_batches(add_agg_filters, batch_format="pyarrow")
     drop_nrows = False
     if not ray_aggs:                # stats were ALL histogram-served —
         ray_aggs.append(_count("__nrows"))   # still need the group table
@@ -1521,6 +1595,16 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     for name, func, _col in plan["stats"]:
         if func == "COUNT" and name in out.columns:
             out[name] = out[name].fillna(0)     # count(*) of no rows is 0
+        elif (func in ("MIN", "MAX") and agg_filters.get(name)
+                and name in out.columns):
+            # the masked column is nullable, so Ray hands back object
+            # dtype; a group with zero filtered rows is SQL NULL — refuse
+            if out[name].isna().any():
+                raise UnsupportedEsql(
+                    f"{func} WHERE over a group with zero filtered rows "
+                    f"— SQL returns NULL; refusing rather than silently "
+                    f"differing")
+            out[name] = out[name].astype(np.int64)
     for name, (s, n) in avg_of.items():
         out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
             np.float64)
@@ -1531,20 +1615,38 @@ def execute(sf_dir: str, query: str) -> pa.Table:
         # row count (documented assumption: bounded value domain — the
         # same one value_percentiles makes; exact where ES t-digests).
         # One pass per distinct target column, shared by its aggs.
-        hists: dict[str, "object"] = {}
-        for col in {c for _n, _f, c in hist_aggs}:
+        hists: dict[tuple, "object"] = {}
+        def _hkey(name, col):
+            return (col, repr(agg_filters.get(name)))
+        for name, _f, col in hist_aggs:
+            hk = _hkey(name, col)
+            if hk in hists:
+                continue
             keys = plan["by"] + ([col] if col not in plan["by"] else [])
-            h = (ds.groupby(keys)
-                   .aggregate(_hist_count())
-                   .to_pandas())
-            hists[col] = h
+            hds = ds
+            aconds = agg_filters.get(name)
+            if aconds:          # per-agg FILTER: restrict the hist pass
+                hds = ds.map_batches(
+                    lambda b, _c=tuple(aconds): _filter_batch(b, _c),
+                    batch_format="pyarrow")
+            h = (hds.groupby(keys)
+                    .aggregate(_hist_count())
+                    .to_pandas())
+            if h.empty and not set(keys) <= set(h.columns):
+                h = pd.DataFrame({c: pd.Series([], dtype=object)
+                                  for c in keys + ["__vn"]})
+            hists[hk] = h
         for name, func, col in hist_aggs:
-            h = hists[col]
+            h = hists[_hkey(name, col)]
             if plan["by"]:
                 if func == "COUNT_DISTINCT":
-                    r = (h.groupby(plan["by"], as_index=False)
-                          .agg(**{name: (col, "size")}))
-                    r[name] = r[name].astype(np.int64)
+                    if h.empty:
+                        r = pd.DataFrame(
+                            {c: pd.Series([], dtype=object)
+                             for c in plan["by"] + [name]})
+                    else:
+                        r = (h.groupby(plan["by"], as_index=False)
+                              .agg(**{name: (col, "size")}))
                 else:
                     p = plan["pctl"][name]
                     rows = []
@@ -1555,6 +1657,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     r = pd.DataFrame(rows,
                                      columns=plan["by"] + [name])
                 out = out.merge(r, on=plan["by"], how="left")
+                if func == "COUNT_DISTINCT":
+                    # a group where no row passed the agg filter: SQL
+                    # count(DISTINCT) FILTER = 0
+                    out[name] = out[name].fillna(0).astype(np.int64)
+                elif out[name].isna().any():
+                    raise UnsupportedEsql(
+                        "MEDIAN/PERCENTILE over a group with zero "
+                        "filtered rows — SQL returns NULL; refusing "
+                        "rather than silently differing")
             else:
                 if func == "COUNT_DISTINCT":
                     out[name] = np.int64(len(h))

@@ -631,3 +631,47 @@ def test_topn_refusals(ray_session):
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_filtered_aggs_match_duckdb(ray_session):
+    con = _docs_con()
+    got = esql.execute(
+        SF, 'FROM documents | STATS n = COUNT(*), '
+            'n_en = COUNT(*) WHERE lang == "en", '
+            's_en = SUM(n_chars) WHERE lang == "en", '
+            'mx_en = MAX(n_chars) WHERE lang == "en" '
+            "BY source | SORT source").to_pandas()
+    want = con.sql(
+        "SELECT source, count(*)::BIGINT AS n, "
+        "count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en, "
+        "coalesce(sum(n_chars) FILTER (WHERE lang = 'en'), 0)::BIGINT "
+        "AS s_en, "
+        "max(n_chars) FILTER (WHERE lang = 'en')::BIGINT AS mx_en "
+        "FROM documents GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # filtered AVG = masked exact sum / masked count
+    got = esql.execute(
+        SF, "FROM documents | STATS a = AVG(n_chars) WHERE "
+            "n_chars > 200, n = COUNT(*) BY lang | SORT lang").to_pandas()
+    want = con.sql(
+        "SELECT lang, sum(n_chars) FILTER (WHERE n_chars > 200)::DOUBLE"
+        " / count(*) FILTER (WHERE n_chars > 200)::DOUBLE AS a, "
+        "count(*)::BIGINT AS n FROM documents GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # filtered COUNT_DISTINCT (value-histogram pass restricted)
+    got = esql.execute(
+        SF, "FROM documents | STATS d = COUNT_DISTINCT(lang) WHERE "
+            "n_chars > 300 BY source | SORT source").to_pandas()
+    want = con.sql(
+        "SELECT source, count(DISTINCT lang) FILTER "
+        "(WHERE n_chars > 300)::BIGINT AS d FROM documents "
+        "GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_filtered_minmax_empty_group_refuses(ray_session):
+    # some group has no rows passing the filter -> SQL NULL -> refuse
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(
+            SF, 'FROM documents | STATS mx = MAX(n_chars) WHERE '
+                'lang == "nosuch" BY source')
