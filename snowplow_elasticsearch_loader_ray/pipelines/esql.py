@@ -38,6 +38,10 @@ refusal, never a silently different query):
             | ident [NOT] IN '(' literal ( ',' literal )* ')'
             | ident [NOT] LIKE '"' wildcard '"'    (* any run, ? one char)
             | ident [NOT] RLIKE '"' regex '"'      (RE2, full match)
+    A WHERE stage is either conds joined by AND, or conds joined by OR
+    (one flat OR-group). Mixed AND/OR in one stage refuses (no
+    parenthesized precedence) — chain separate WHERE stages for
+    AND-of-ORs.
     agg    := ident '=' FUNC '(' (ident|'*') ')' [ WHERE cond (AND cond)* ]
               FUNC ∈ COUNT SUM MIN MAX AVG COUNT_DISTINCT MEDIAN
             | ident '=' PERCENTILE '(' ident ',' int ')' [ WHERE ... ]
@@ -396,8 +400,21 @@ def parse(query: str) -> dict:
         elif kw == "WHERE":
             if seen_stats:
                 raise UnsupportedEsql("WHERE after STATS is unsupported")
-            for cond in re.split(r"\s+AND\s+", body, flags=re.I):
-                plan["where"].append(_parse_cond(cond.strip()))
+            has_or = re.search(r"\sOR\s", body, flags=re.I)
+            if has_or and re.search(r"\sAND\s", body, flags=re.I):
+                raise UnsupportedEsql(
+                    "mixed AND/OR in one WHERE is unsupported (no "
+                    "parenthesized precedence) — split into separate "
+                    "WHERE stages for AND-of-ORs")
+            if has_or:
+                # one OR-group: (c1 OR c2 OR ...) as a single conjunct
+                plan["where"].append(
+                    ("__or__", "or", tuple(
+                        _parse_cond(c.strip()) for c in
+                        re.split(r"\s+OR\s+", body, flags=re.I))))
+            else:
+                for cond in re.split(r"\s+AND\s+", body, flags=re.I):
+                    plan["where"].append(_parse_cond(cond.strip()))
         elif kw == "INLINESTATS":
             if seen_stats:
                 raise UnsupportedEsql(
@@ -671,10 +688,28 @@ def _like_regex(pat: str) -> str:
     return "(?s)^" + body + "$"
 
 
+def _leaf_conds(conds) -> list:
+    """Flatten OR-groups to their leaf (col, op, lit) conditions for
+    column pruning and type validation."""
+    out = []
+    for c in conds:
+        if c[1] == "or":
+            out.extend(_leaf_conds(c[2]))
+        else:
+            out.append(c)
+    return out
+
+
 def _cond_mask(batch: pa.Table, cond: tuple):
     """Boolean Arrow mask for one parsed condition (shared by WHERE and
     CASE)."""
     col, op, lit = cond
+    if op == "or":
+        m = None
+        for c in lit:
+            mm = _cond_mask(batch, c)
+            m = mm if m is None else pc.or_(m, mm)
+        return m
     c = batch[col]
     if op in ("in", "not_in"):
         m = pc.is_in(c, value_set=pa.array(list(lit)))
@@ -771,7 +806,7 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 raise UnsupportedEsql(
                     f"INLINESTATS BY {col!r}: not yet produced at that "
                     f"stage")
-        for col, _op, _lit in where_pre:
+        for col, _op, _lit in _leaf_conds(where_pre):
             if col in later or col in inline_names:
                 raise UnsupportedEsql(
                     f"WHERE before INLINESTATS references {col!r}, which "
@@ -807,8 +842,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                 f"CASE condition over {col!r}: BUCKET/SPLIT outputs are "
                 f"produced after EVAL")
     cols = set(plan["by"]) - eval_names
-    for col, _op, _lit in (list(plan["where"]) + where_pre + eval_conds
-                           + agg_conds):
+    for col, _op, _lit in _leaf_conds(
+            list(plan["where"]) + where_pre + eval_conds + agg_conds):
         if col not in eval_names:
             cols.add(col)
     if inline:
@@ -1051,8 +1086,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             if ty is not None and not pa.types.is_integer(ty):
                 raise UnsupportedEsql(
                     f"INLINESTATS {fn}({col}): integer columns only")
-    for col, op, lit in (list(plan["where"]) + where_pre + eval_conds
-                         + agg_conds):
+    for col, op, lit in _leaf_conds(
+            list(plan["where"]) + where_pre + eval_conds + agg_conds):
         ty = _out_type(col)
         if ty is None:
             continue

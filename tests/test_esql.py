@@ -675,3 +675,30 @@ def test_filtered_minmax_empty_group_refuses(ray_session):
         esql.execute(
             SF, 'FROM documents | STATS mx = MAX(n_chars) WHERE '
                 'lang == "nosuch" BY source')
+
+
+def test_where_or_groups(ray_session):
+    con = _docs_con()
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang == "en" OR lang == "de" OR '
+            "n_chars > 500 | STATS n = COUNT(*) BY lang | SORT lang"
+    ).to_pandas()
+    want = con.sql(
+        "SELECT lang, count(*)::BIGINT AS n FROM documents WHERE "
+        "lang = 'en' OR lang = 'de' OR n_chars > 500 "
+        "GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # AND-of-ORs: chained WHERE stages
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang == "en" OR lang == "de" | '
+            'WHERE n_chars > 300 OR source LIKE "src1*" | '
+            "STATS n = COUNT(*)").to_pandas()
+    want = con.sql(
+        "SELECT count(*)::BIGINT AS n FROM documents WHERE "
+        "(lang = 'en' OR lang = 'de') AND "
+        "(n_chars > 300 OR source LIKE 'src1%')").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | WHERE lang == "en" AND '
+                         'n_chars > 5 OR lang == "de" | '
+                         "STATS n = COUNT(*)")
