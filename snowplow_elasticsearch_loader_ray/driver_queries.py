@@ -11730,6 +11730,84 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def token_kl_by_source(sf_dir: str) -> pa.Table:
+    """Token-distribution drift per source: KL(source unigram dist ‖
+    corpus unigram dist), the standard crawl/domain drift monitor for
+    training-data curation. Exact-integer convention: each (term,
+    source) contributes floor(1e9 · (c/Tₛ) · ln((c·T)/(Tₛ·c_t)))
+    nano-nats — floors are order-free so the distributed sum replays in
+    SQL bit-for-bit (the unigram_lm_scores trick). Plan: per-batch
+    Arrow (term, source) partial counts → one vocab-keyed groupby →
+    per-term map_groups emits contributions (vocab rides the shuffle,
+    never the driver; Tₛ is the only broadcast — n_sources rows) → a
+    source-keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from .tokenizer import tokenize_to_terms
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, idx = tokenize_to_terms(b["text"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = b["source"].take(idx)
+        g = pa.table({"term": flat, "source": src}) \
+            .group_by(["term", "source"]).aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "source": g["source"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["term", "source"])
+              .aggregate(Sum("c", alias_name="c")))
+    tot = counts.groupby("source") \
+        .aggregate(Sum("c", alias_name="t")).to_pandas()
+    ts_map = {s: float(t) for s, t in zip(tot["source"], tot["t"])}
+    grand = float(tot["t"].sum())
+
+    def contrib(g):
+        import pandas as pd
+
+        ct = float(g["c"].sum())                 # corpus count of term
+        c = g["c"].to_numpy(np.float64)
+        ts = np.array([ts_map[s] for s in g["source"]], np.float64)
+        part = np.floor(1e9 * (c / ts)
+                        * np.log((c * grand) / (ts * ct))).astype(np.int64)
+        return pd.DataFrame({"source": g["source"], "kl_part": part,
+                             "one": np.ones(len(part), np.int64)})
+
+    out = (counts.groupby("term").map_groups(contrib,
+                                             batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("kl_part", alias_name="kl_nano"),
+                      Sum("one", alias_name="n_terms"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "kl_nano": pa.array(out["kl_nano"].astype(np.int64)),
+        "n_terms": pa.array(out["n_terms"].astype(np.int64)),
+    })
+
+
+TOKEN_KL_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOK_SQL}) AS term FROM documents
+),
+cts AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT source, sum(c)::DOUBLE AS t FROM cts GROUP BY 1),
+ct AS (SELECT term, sum(c)::DOUBLE AS ctot FROM cts GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cts)
+SELECT cts.source,
+       sum(floor(1e9 * (cts.c::DOUBLE / ts.t)
+           * ln((cts.c::DOUBLE * tot.t) / (ts.t * ct.ctot))))::BIGINT
+         AS kl_nano,
+       count(*)::BIGINT AS n_terms
+FROM cts JOIN ts USING (source) JOIN ct USING (term) CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: PMI collocations: minimum pair count + results kept
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
@@ -15545,6 +15623,7 @@ def registry() -> tuple[dict, dict]:
         "esql_inlinestats": esql_inlinestats,
         "esql_topn": esql_topn,
         "esql_filtered_aggs": esql_filtered_aggs,
+        "token_kl_by_source": token_kl_by_source,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15828,6 +15907,7 @@ def registry() -> tuple[dict, dict]:
         "esql_inlinestats": ESQL_INLINE_SQL,
         "esql_topn": ESQL_TOPN_SQL,
         "esql_filtered_aggs": ESQL_FILTERED_AGGS_SQL,
+        "token_kl_by_source": TOKEN_KL_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,
