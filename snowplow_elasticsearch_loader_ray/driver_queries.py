@@ -11730,6 +11730,31 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+ESQL_DATE_EXTRACT_QUERY = (
+    'FROM events | EVAL h = DATE_EXTRACT("hour", ts) | '
+    'EVAL dw = DATE_EXTRACT("isodow", ts) | WHERE dw <= 5 | '
+    'STATS n = COUNT(*), d_users = COUNT_DISTINCT(user_id) BY h | '
+    'SORT h')
+
+
+def esql_date_extract(sf_dir: str) -> pa.Table:
+    """ES|QL ``DATE_EXTRACT``: integer timestamp parts as EVAL columns
+    (Arrow temporal kernels; isodow pinned to the 1=Monday DuckDB
+    convention) feeding WHERE / BY / COUNT_DISTINCT — weekday-hours
+    traffic profile (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_DATE_EXTRACT_QUERY)
+
+
+ESQL_DATE_EXTRACT_SQL = """
+SELECT extract(hour FROM ts)::BIGINT AS h, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS d_users
+FROM events WHERE extract(isodow FROM ts) <= 5
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def token_kl_by_source(sf_dir: str) -> pa.Table:
     """Token-distribution drift per source: KL(source unigram dist ‖
     corpus unigram dist), the standard crawl/domain drift monitor for
@@ -15624,6 +15649,7 @@ def registry() -> tuple[dict, dict]:
         "esql_topn": esql_topn,
         "esql_filtered_aggs": esql_filtered_aggs,
         "token_kl_by_source": token_kl_by_source,
+        "esql_date_extract": esql_date_extract,
         "esql_events": esql_events,
         "transform_pivot": transform_pivot,
         "terms_by_metric": terms_by_metric,
@@ -15908,6 +15934,7 @@ def registry() -> tuple[dict, dict]:
         "esql_topn": ESQL_TOPN_SQL,
         "esql_filtered_aggs": ESQL_FILTERED_AGGS_SQL,
         "token_kl_by_source": TOKEN_KL_SQL,
+        "esql_date_extract": ESQL_DATE_EXTRACT_SQL,
         "esql_events": ESQL_EVENTS_SQL,
         "transform_pivot": TRANSFORM_PIVOT_SQL,
         "terms_by_metric": TERMS_BY_METRIC_SQL,

@@ -340,6 +340,19 @@ def parse(query: str) -> dict:
                         raise UnsupportedEsql(f"bad {fname} argument {t!r}")
                 plan["evals"].append((name, args, [("fn", fname)]))
                 continue
+            mde = re.fullmatch(
+                rf'DATE_EXTRACT\s*\(\s*"({_IDENT})"\s*,'
+                rf"\s*({_IDENT})\s*\)", expr, flags=re.I)
+            if mde:
+                part = mde.group(1).lower()
+                if part not in ("year", "month", "day", "hour",
+                                "minute", "second", "isodow"):
+                    raise UnsupportedEsql(
+                        f"DATE_EXTRACT part {part!r} unsupported "
+                        f"(year/month/day/hour/minute/second/isodow)")
+                plan["evals"].append(
+                    (name, [mde.group(2)], [("dfn", part, None)]))
+                continue
             msf = re.fullmatch(
                 rf"(LENGTH|TO_LOWER|TO_UPPER)\s*\(\s*({_IDENT})\s*\)",
                 expr, flags=re.I)
@@ -1050,6 +1063,13 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                         f"string function over non-string column "
                         f"{t!r} ({ty})")
             continue
+        if ops_ and isinstance(ops_[0], tuple) and ops_[0][0] == "dfn":
+            ty = _out_type(terms[0])
+            if ty is not None and not pa.types.is_timestamp(ty):
+                raise UnsupportedEsql(
+                    f"DATE_EXTRACT over non-timestamp column "
+                    f"{terms[0]!r} ({ty})")
+            continue
         for t in terms:
             if re.fullmatch(_IDENT, t) and not re.fullmatch(r"\d+", t):
                 ty = _out_type(t)
@@ -1306,6 +1326,17 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                         return np.int64(int(t))
                     return b[t].to_numpy(zero_copy_only=False) \
                         .astype(np.int64)
+                if ops and isinstance(ops[0], tuple) \
+                        and ops[0][0] == "dfn":
+                    part = ops[0][1]
+                    col_arr = b[terms[0]]
+                    if part == "isodow":   # 1=Monday..7=Sunday, DuckDB
+                        v = pc.day_of_week(col_arr, count_from_zero=False,
+                                           week_start=1)
+                    else:
+                        v = getattr(pc, part)(col_arr)
+                    b = b.append_column(name, pc.cast(v, pa.int64()))
+                    continue
                 if ops and isinstance(ops[0], tuple) \
                         and ops[0][0] == "sfn":
                     fname, params = ops[0][1], ops[0][2]

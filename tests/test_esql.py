@@ -702,3 +702,27 @@ def test_where_or_groups(ray_session):
         esql.execute(SF, 'FROM documents | WHERE lang == "en" AND '
                          'n_chars > 5 OR lang == "de" | '
                          "STATS n = COUNT(*)")
+
+
+def test_date_extract_matches_duckdb(ray_session):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    got = esql.execute(
+        SF, 'FROM events | EVAL h = DATE_EXTRACT("hour", ts) | '
+            'EVAL dw = DATE_EXTRACT("isodow", ts) | WHERE dw <= 5 | '
+            "STATS n = COUNT(*) BY h | SORT h").to_pandas()
+    want = con.sql(
+        "SELECT extract(hour FROM ts)::BIGINT AS h, "
+        "count(*)::BIGINT AS n FROM events "
+        "WHERE extract(isodow FROM ts) <= 5 "
+        "GROUP BY 1 ORDER BY 1").df()
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    for bad in [
+        'FROM events | EVAL x = DATE_EXTRACT("week", ts) | '
+        "STATS n = COUNT(*)",
+        'FROM events | EVAL x = DATE_EXTRACT("hour", user_id) | '
+        "STATS n = COUNT(*)",
+    ]:
+        with pytest.raises(esql.UnsupportedEsql):
+            esql.execute(SF, bad)
