@@ -16,6 +16,8 @@ refusal, never a silently different query):
             | EVAL ident '=' CASE '(' (cond ',' term ',')+ term ')'
             | EVAL ident '=' (GREATEST|LEAST) '(' term (',' term)+ ')'
             | EVAL ident '=' ABS '(' term ')'
+            | EVAL ident '=' DATE_EXTRACT '(' '"' part '"' ',' ident ')'
+              part ∈ year month day hour minute second isodow
             | EVAL ident '=' (LENGTH|TO_LOWER|TO_UPPER) '(' ident ')'
             | EVAL ident '=' SUBSTRING '(' ident ',' int ',' int ')'
             | EVAL ident '=' CONCAT '(' (ident|str) (',' (ident|str))+ ')'
