@@ -44,6 +44,7 @@ from .servecache import (
     RequestCache,
     champion_topk,
     dense_combine,
+    fused_combine_rank,
     env_cap,
 )
 from .query import tokenize_query
@@ -376,6 +377,7 @@ class GridQueryEngine:
         union = sorted({t for i in need if len(lives[i]) > 1
                         for t in lives[i]})
         by_term = self._scatter("partial_scores", union) if union else {}
+        jobs: list[tuple[int, list[str]]] = []
         for i in need:
             if len(lives[i]) == 1:
                 live = lives[i]
@@ -386,14 +388,20 @@ class GridQueryEngine:
                     res = bm25.rank_topk(ids, scores, k)
                 else:
                     res = (np.empty(0, np.int64), np.empty(0, np.float64))
+                self._requests.put(RequestCache.key(live, k),
+                                   (res[0].copy(), res[1].copy()))
+                out[i] = res
+                continue
+            live = [t for t in lives[i] if t in by_term]
+            if not live:
+                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
             else:
-                live = [t for t in lives[i] if t in by_term]
-                if not live:
-                    out[i] = (np.empty(0, np.int64),
-                              np.empty(0, np.float64))
-                    continue
-                uniq, sums = self._combine(live, by_term)
-                res = bm25.rank_topk(self._doc_ids[uniq], sums, k)
+                jobs.append((i, live))
+        # per-query combine + rank on the coordinator combine pool —
+        # see ShardedQueryEngine.msearch / servecache.fused_combine_rank
+        for i, live, res in fused_combine_rank(
+                self, self.n_docs, jobs, lambda t: by_term.get(t, ()),
+                k, self._doc_ids):
             self._requests.put(RequestCache.key(live, k),
                                (res[0].copy(), res[1].copy()))
             out[i] = res

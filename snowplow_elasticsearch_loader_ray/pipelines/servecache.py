@@ -52,6 +52,25 @@ def env_cap(var: str, default: int) -> int:
     return int(os.environ.get(var, default))
 
 
+def dense_combine_into(acc, terms, slices_by_term):
+    """Core of ``dense_combine`` over a caller-supplied zeroed buffer —
+    the per-query work is pure GIL-releasing numpy, so ``msearch`` runs
+    one of these per thread (see ``fused_combine_rank``)."""
+    import numpy as np
+
+    hit = False
+    for t in terms:
+        for docs, scores in slices_by_term(t):
+            acc[docs] += scores
+            hit = True
+    if not hit:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    uniq = np.nonzero(acc)[0]
+    sums = acc[uniq].copy()
+    acc[uniq] = 0.0
+    return uniq, sums
+
+
 def dense_combine(owner, n_docs: int, terms, slices_by_term):
     """Per-doc partial sums through a dense ordinal accumulator cached
     on ``owner`` — shared by the sharded and grid coordinators.
@@ -70,17 +89,76 @@ def dense_combine(owner, n_docs: int, terms, slices_by_term):
     acc = getattr(owner, "_acc", None)
     if acc is None or len(acc) != n_docs:
         acc = owner._acc = np.zeros(n_docs, dtype=np.float64)
-    hit = False
-    for t in terms:
-        for docs, scores in slices_by_term(t):
-            acc[docs] += scores
-            hit = True
-    if not hit:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    uniq = np.nonzero(acc)[0]
-    sums = acc[uniq].copy()
-    acc[uniq] = 0.0
-    return uniq, sums
+    return dense_combine_into(acc, terms, slices_by_term)
+
+
+#: coordinator-side msearch combine threads: the per-query dense
+#: combine + rank is scatter-add / nonzero / partition — all numpy
+#: kernels that release the GIL — so the fused path runs the queries of
+#: one wave on a small thread pool. Accumulators are per-thread, so the
+#: buffer-pool memory is threads × n_docs × 8 B; the thread count is
+#: clamped so that pool stays under GRAFT_MSEARCH_POOL_MB (a 10^8-doc
+#: coordinator runs 1-2 combine threads and scales horizontally
+#: instead, exactly like extra ES coordinating nodes).
+MSEARCH_THREADS = env_cap("GRAFT_MSEARCH_THREADS",
+                          min(8, os.cpu_count() or 1))
+MSEARCH_POOL_MB = env_cap("GRAFT_MSEARCH_POOL_MB", 512)
+
+
+def fused_combine_rank(owner, n_docs: int, jobs, slices_by_term, k: int,
+                       doc_ids):
+    """Combine + rank the multi-term queries of one msearch wave in
+    parallel on the coordinator.
+
+    ``jobs`` is ``[(i, live_terms), ...]``; returns ``[(i, live,
+    (ids, scores)), ...]`` in job order. Bit-identity: each query's
+    combine is the unchanged ``dense_combine_into`` (same sorted-term
+    summation order) over its own zeroed buffer, and queries are
+    independent — threading changes wall-clock, never a float. The
+    sequential path (single job / single thread budget) reuses the
+    owner's cached accumulator exactly as before.
+    """
+    import numpy as np
+
+    from .. import bm25
+
+    def run_with(acc, live):
+        uniq, sums = dense_combine_into(acc, live, slices_by_term)
+        return bm25.rank_topk(doc_ids[uniq], sums, k)
+
+    budget_bytes = MSEARCH_POOL_MB * (1 << 20)
+    max_threads = max(1, min(MSEARCH_THREADS, len(jobs),
+                             budget_bytes // max(1, n_docs * 8)))
+    if max_threads <= 1:
+        acc = getattr(owner, "_acc", None)
+        if acc is None or len(acc) != n_docs:
+            acc = owner._acc = np.zeros(n_docs, dtype=np.float64)
+        return [(i, live, run_with(acc, live)) for i, live in jobs]
+
+    import queue
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = getattr(owner, "_acc_pool", None)
+    if pool is None or getattr(owner, "_acc_pool_ndocs", 0) != n_docs:
+        pool = owner._acc_pool = queue.SimpleQueue()
+        owner._acc_pool_ndocs = n_docs
+
+    def run(job):
+        i, live = job
+        try:
+            acc = pool.get_nowait()
+        except queue.Empty:
+            acc = np.zeros(n_docs, dtype=np.float64)
+        try:
+            return i, live, run_with(acc, live)
+        finally:
+            pool.put(acc)
+
+    ex = getattr(owner, "_msearch_pool", None)
+    if ex is None or ex._max_workers < max_threads:
+        ex = owner._msearch_pool = ThreadPoolExecutor(
+            max_workers=max_threads, thread_name_prefix="msearch-combine")
+    return list(ex.map(run, jobs))
 
 
 #: champion-list depth: single-term top-k requests with k <= this are

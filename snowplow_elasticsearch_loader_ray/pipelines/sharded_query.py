@@ -44,6 +44,7 @@ from .servecache import (
     RequestCache,
     champion_topk,
     dense_combine,
+    fused_combine_rank,
     env_cap,
 )
 
@@ -497,19 +498,28 @@ class ShardedQueryEngine:
         union = sorted({t for i in need if len(lives[i]) > 1
                         for t in lives[i]})
         by_term = self._scatter("partial_scores", union) if union else {}
+        jobs: list[tuple[int, list[str]]] = []
         for i in need:
             if len(lives[i]) == 1:             # pre-ranked on the shard
                 live = lives[i]
                 res = single_res.get(live[0], (np.empty(0, np.int64),
                                                np.empty(0, np.float64)))
+                self._requests.put(RequestCache.key(live, k),
+                                   (res[0].copy(), res[1].copy()))
+                out[i] = res
+                continue
+            live = [t for t in lives[i] if t in by_term]
+            if not live:
+                out[i] = (np.empty(0, np.int64), np.empty(0, np.float64))
             else:
-                live = [t for t in lives[i] if t in by_term]
-                if not live:
-                    out[i] = (np.empty(0, np.int64),
-                              np.empty(0, np.float64))
-                    continue
-                uniq, sums = self._combine(live, by_term)
-                res = bm25.rank_topk(self._doc_ids[uniq], sums, k)
+                jobs.append((i, live))
+        # multi-term combines + ranks run on the coordinator's combine
+        # thread pool (GIL-releasing numpy; per-thread accumulators;
+        # bit-identical per query) — cache puts stay on this thread
+        for i, live, res in fused_combine_rank(
+                self, self.n_docs, jobs,
+                lambda t: ([by_term[t]] if t in by_term else ()),
+                k, self._doc_ids):
             self._requests.put(RequestCache.key(live, k),
                                (res[0].copy(), res[1].copy()))
             out[i] = res

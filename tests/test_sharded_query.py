@@ -157,3 +157,33 @@ def test_sharded_facets_bit_identical_to_single_reader(ray_session, tmp_path):
         assert a == eng.facet_lang_counts("data stream")
     finally:
         eng.shutdown()
+
+
+def test_msearch_threaded_combine_bit_identical(ray_session, tmp_path):
+    """A wave of 24 distinct multi-term queries (request cache OFF)
+    exercises the coordinator's combine THREAD POOL
+    (servecache.fused_combine_rank) — every result must still equal
+    the per-query topk bit-for-bit, on both distributed planes."""
+    from snowplow_elasticsearch_loader_ray.pipelines.grid_query import (
+        GridQueryEngine)
+
+    cfg = IndexConfig(num_term_shards=8)
+    idx = str(tmp_path / "tidx")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx, cfg)
+    single = QueryEngine(idx)
+    vocab = sorted(single.reader.terms)[:48]
+    wave = [f"{a} {b}" for a, b in zip(vocab[:24], vocab[24:])] + \
+        ["the data table", "merge sort value"]
+    want = [single.topk(q, 10) for q in wave]
+    for mk in (lambda: ShardedQueryEngine(idx),
+               lambda: GridQueryEngine(idx, n_doc_parts=3)):
+        eng = mk()
+        try:
+            eng.request_cache_enabled = False
+            for rep in range(2):   # second wave rides warm hot caches
+                got = eng.msearch(wave, 10)
+                for q, (d1, s1), (d2, s2) in zip(wave, want, got):
+                    np.testing.assert_array_equal(d1, d2, err_msg=q)
+                    np.testing.assert_array_equal(s1, s2, err_msg=q)
+        finally:
+            eng.shutdown()
