@@ -209,6 +209,53 @@ def _split_outside_parens(s: str) -> list[str]:
     return out
 
 
+def _mask_quoted(s: str) -> str:
+    """Same length as ``s`` but with the INSIDE of double-quoted string
+    literals replaced by ``\\x00`` — split points found on the mask can
+    never land inside a literal (``RLIKE "foo|bar"``,
+    ``== "black AND white"``). Backslash escapes are honoured; an
+    unterminated quote masks to end-of-string (the literal parser
+    refuses it later)."""
+    out: list[str] = []
+    in_q = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_q:
+            if ch == "\\" and i + 1 < len(s):
+                out.append("\x00\x00")
+                i += 2
+                continue
+            if ch == '"':
+                out.append('"')
+                in_q = False
+            else:
+                out.append("\x00")
+        else:
+            out.append(ch)
+            if ch == '"':
+                in_q = True
+        i += 1
+    return "".join(out)
+
+
+def _split_top(s: str, pattern: str) -> list[str]:
+    """Split ``s`` on regex ``pattern`` matched OUTSIDE double-quoted
+    literals (case-insensitive)."""
+    mask = _mask_quoted(s)
+    parts, last = [], 0
+    for m in re.finditer(pattern, mask, flags=re.I):
+        parts.append(s[last:m.start()])
+        last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+def _search_top(s: str, pattern: str) -> bool:
+    """True when ``pattern`` matches outside double-quoted literals."""
+    return re.search(pattern, _mask_quoted(s), flags=re.I) is not None
+
+
 def _literal(tok: str):
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
@@ -258,7 +305,9 @@ def _parse_cond(cond: str) -> tuple:
 def parse(query: str) -> dict:
     """Parse an ES|QL string into a plan dict; refuses anything the
     executor cannot run exactly."""
-    stages = [s.strip() for s in query.strip().split("|")]
+    # stage split is quote-aware: a '|' inside a string literal (RLIKE
+    # alternation, a separator argument) is not a stage boundary
+    stages = [s.strip() for s in _split_top(query.strip(), r"\|")]
     if not stages or not stages[0].upper().startswith("FROM "):
         raise UnsupportedEsql("query must start with FROM <table>")
     table = stages[0][5:].strip()
@@ -296,6 +345,16 @@ def parse(query: str) -> dict:
             if not m:
                 raise UnsupportedEsql(f"bad EVAL {body!r}")
             name, expr = m.group(1), m.group(2)
+            if any(name == e for e, _t, _o in plan["evals"]) or \
+                    any(name == s for s, _c, _p in
+                        plan.get("splits", [])):
+                raise UnsupportedEsql(
+                    f"EVAL redefines {name!r} — shadowing an earlier "
+                    f"derived column would silently duplicate it")
+            if re.search(rf"\b{re.escape(name)}\b",
+                         _mask_quoted(expr)):
+                raise UnsupportedEsql(
+                    f"self-referential EVAL {name!r} is unsupported")
             ms = re.fullmatch(
                 rf'SPLIT\s*\(\s*({_IDENT})\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)',
                 expr, flags=re.I)
@@ -415,8 +474,10 @@ def parse(query: str) -> dict:
         elif kw == "WHERE":
             if seen_stats:
                 raise UnsupportedEsql("WHERE after STATS is unsupported")
-            has_or = re.search(r"\sOR\s", body, flags=re.I)
-            if has_or and re.search(r"\sAND\s", body, flags=re.I):
+            # AND/OR detection and splits are quote-aware: a literal
+            # containing " AND " / " OR " is not a boolean connective
+            has_or = _search_top(body, r"\sOR\s")
+            if has_or and _search_top(body, r"\sAND\s"):
                 raise UnsupportedEsql(
                     "mixed AND/OR in one WHERE is unsupported (no "
                     "parenthesized precedence) — split into separate "
@@ -426,9 +487,9 @@ def parse(query: str) -> dict:
                 plan["where"].append(
                     ("__or__", "or", tuple(
                         _parse_cond(c.strip()) for c in
-                        re.split(r"\s+OR\s+", body, flags=re.I))))
+                        _split_top(body, r"\s+OR\s+"))))
             else:
-                for cond in re.split(r"\s+AND\s+", body, flags=re.I):
+                for cond in _split_top(body, r"\s+AND\s+"):
                     plan["where"].append(_parse_cond(cond.strip()))
         elif kw == "INLINESTATS":
             if seen_stats:
@@ -504,12 +565,14 @@ def parse(query: str) -> dict:
             for a in _split_outside_parens(aggs_s):
                 a = a.strip()
                 # per-aggregate filter (ES 8.16): agg WHERE cond [AND..]
-                mw = re.split(r"\s+WHERE\s+", a, maxsplit=1, flags=re.I)
+                mw = _split_top(a, r"\s+WHERE\s+")
+                if len(mw) > 2:
+                    raise UnsupportedEsql(f"bad aggregate filter {a!r}")
                 aconds = None
                 if len(mw) == 2:
                     a = mw[0].strip()
                     aconds = [_parse_cond(c.strip()) for c in
-                              re.split(r"\s+AND\s+", mw[1], flags=re.I)]
+                              _split_top(mw[1], r"\s+AND\s+")]
                 mp = re.fullmatch(
                     rf"({_IDENT})\s*=\s*PERCENTILE\s*\(\s*({_IDENT})\s*,"
                     rf"\s*(\d+)\s*\)", a, flags=re.I)
@@ -545,6 +608,17 @@ def parse(query: str) -> dict:
         elif kw == "SORT":
             if not seen_stats:
                 plan["_sort_pre_stats"] = True
+            # the executor applies ONE sort, then LIMIT, then KEEP —
+            # shapes whose textual order differs would be silently
+            # re-ordered, so they refuse
+            if plan["sort"]:
+                raise UnsupportedEsql(
+                    "a second SORT stage re-sorts the first's output — "
+                    "unsupported (use one SORT with multiple keys)")
+            if plan["limit"] is not None:
+                raise UnsupportedEsql(
+                    "SORT after LIMIT sorts the truncated rows — "
+                    "unsupported (write SORT | LIMIT)")
             for part in body.split(","):
                 m = re.fullmatch(rf"({_IDENT})(\s+(ASC|DESC))?",
                                  part.strip(), flags=re.I)
@@ -557,8 +631,16 @@ def parse(query: str) -> dict:
                 plan["_limit_pre_stats"] = True
             if not re.fullmatch(r"\d+", body):
                 raise UnsupportedEsql(f"bad LIMIT {body!r}")
-            plan["limit"] = int(body)
+            # chained LIMITs truncate sequentially == the minimum wins
+            plan["limit"] = (int(body) if plan["limit"] is None
+                             else min(plan["limit"], int(body)))
         elif kw == "KEEP":
+            if not seen_stats:
+                plan["_keep_pre_stats"] = True
+            if plan["keep"] is not None:
+                raise UnsupportedEsql(
+                    "a second KEEP stage subsets the first's output — "
+                    "unsupported (write one KEEP)")
             plan["keep"] = [k.strip() for k in body.split(",")]
             for k in plan["keep"]:
                 if not re.fullmatch(_IDENT, k):
@@ -671,6 +753,11 @@ def parse(query: str) -> dict:
                 "SORT before STATS is a corpus shuffle — unsupported")
         if plan.get("_limit_pre_stats"):
             raise UnsupportedEsql("LIMIT before STATS is unsupported")
+        if plan.get("_keep_pre_stats"):
+            raise UnsupportedEsql(
+                "KEEP before STATS restricts the raw rows — applying "
+                "it to the bucket table would be a silently different "
+                "query")
     return plan
 
 
@@ -758,7 +845,15 @@ def _filter_batch(batch: pa.Table, where: list) -> pa.Table:
 def execute(sf_dir: str, query: str) -> pa.Table:
     """Run an ES|QL query over ``<sf_dir>/<table>.parquet``: pruned
     columnar scan → vectorized WHERE → per-batch partial aggregates →
-    one groupby reduce → bucket-table SORT/LIMIT/KEEP."""
+    one groupby reduce → bucket-table SORT/LIMIT/KEEP.
+
+    Known fail-loud limitation: the executor applies WHERE after the
+    derivation stages (ENRICH/DISSECT/GROK/LOOKUP) regardless of its
+    textual position. For base-column predicates the RESULT is
+    identical either way; the one observable difference is that a
+    derivation MISS on a row the WHERE would have excluded refuses the
+    whole query (spurious refusal, never a silently different answer).
+    """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     plan = parse(query)
@@ -918,6 +1013,21 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             raise UnsupportedEsql(
                 f"enrich table {tbl!r} has no column {col!r}")
         enrich_types[col] = lsch.field(col).type
+    # derived names must not shadow the base schema: the column pruner
+    # skips derived names, so a shadowing EVAL/ENRICH would either
+    # KeyError inside a task (self-reference) or append a duplicate
+    # Arrow column (silently wrong downstream)
+    for name, _t, _o in plan["evals"]:
+        if name in schema.names:
+            raise UnsupportedEsql(
+                f"EVAL name {name!r} shadows a base column")
+        if name in enrich_types:
+            raise UnsupportedEsql(
+                f"EVAL name {name!r} shadows an ENRICH column")
+    for _tbl, _key, col in enrich:
+        if col in schema.names:
+            raise UnsupportedEsql(
+                f"ENRICH WITH {col!r} shadows a base column")
 
     def _out_type(name: str) -> pa.DataType | None:
         """Static type of a column the pipeline produces: base schema,
@@ -1394,19 +1504,39 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                                  np.full(b.num_rows, a, np.int64)
                                  for a in args])
                 else:
-                    acc = val(terms[0])
+                    # standard precedence: collapse * // % runs first,
+                    # then fold + and - left-to-right (a + b * 2 is
+                    # a + (b*2), matching ES|QL and the SQL oracles)
+                    def _div(x, y, _mod):
+                        x, y = np.asarray(x), np.asarray(y)
+                        if np.any(y == 0):
+                            raise UnsupportedEsql(
+                                "division by zero in EVAL — SQL errors "
+                                "here; refusing rather than emitting "
+                                "numpy's silent 0")
+                        # SQL // and % TRUNCATE toward zero; numpy
+                        # floors — adjust the negative-mixed-sign case
+                        q = x // y
+                        r = x - q * y
+                        q = q + ((r != 0) & ((x < 0) != (y < 0)))
+                        return x - q * y if _mod else q
+
+                    rvals = [val(terms[0])]
+                    radds: list[str] = []
                     for o, t in zip(ops, terms[1:]):
                         v = val(t)
-                        if o == "+":
-                            acc = acc + v
-                        elif o == "-":
-                            acc = acc - v
-                        elif o == "*":
-                            acc = acc * v
+                        if o == "*":
+                            rvals[-1] = rvals[-1] * v
                         elif o == "//":
-                            acc = acc // v
+                            rvals[-1] = _div(rvals[-1], v, False)
+                        elif o == "%":
+                            rvals[-1] = _div(rvals[-1], v, True)
                         else:
-                            acc = acc % v
+                            radds.append(o)
+                            rvals.append(v)
+                    acc = rvals[0]
+                    for o, v in zip(radds, rvals[1:]):
+                        acc = acc + v if o == "+" else acc - v
                 if np.isscalar(acc) or acc.ndim == 0:
                     acc = np.full(b.num_rows, acc, dtype=np.int64)
                 b = b.append_column(
@@ -1674,8 +1804,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     f"differing")
             out[name] = out[name].astype(np.int64)
     for name, (s, n) in avg_of.items():
-        out[name] = out[s].to_numpy(np.float64) / out[n].to_numpy(
-            np.float64)
+        nv = out[n].to_numpy(np.float64)
+        if (nv == 0).any():
+            # only reachable with a per-agg filter: a group where no
+            # row passed — SQL returns NULL, 0/0 would emit NaN
+            raise UnsupportedEsql(
+                f"AVG WHERE over a group with zero filtered rows — "
+                f"SQL returns NULL; refusing rather than emitting NaN "
+                f"({name})")
+        out[name] = out[s].to_numpy(np.float64) / nv
         out = out.drop(columns=[s, n])
     if hist_aggs:
         # COUNT_DISTINCT / MEDIAN / PERCENTILE ride a (by, col) groupby:

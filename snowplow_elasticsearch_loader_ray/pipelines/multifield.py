@@ -72,6 +72,13 @@ def derive_field_docs(docs: str | list[str], out_dir: str,
     done = os.path.join(out_dir, "_derived.done")
     if os.path.exists(done):
         return out_dir
+    if os.path.isdir(out_dir):
+        # a prior run died mid-write (no done marker): Ray's writer
+        # would ADD uniquely-named parts next to the stale ones, and a
+        # doubled corpus silently doubles df/tf — start clean instead
+        import shutil
+
+        shutil.rmtree(out_dir)
     (ray.data.read_parquet(docs, columns=["doc_id", spec.column])
         .map_batches(_derive_batch, batch_format="pyarrow",
                      fn_kwargs={"column": spec.column,

@@ -133,7 +133,17 @@ def fused_combine_rank(owner, n_docs: int, jobs, slices_by_term, k: int,
         acc = getattr(owner, "_acc", None)
         if acc is None or len(acc) != n_docs:
             acc = owner._acc = np.zeros(n_docs, dtype=np.float64)
-        return [(i, live, run_with(acc, live)) for i, live in jobs]
+        out = []
+        for i, live in jobs:
+            try:
+                out.append((i, live, run_with(acc, live)))
+            except BaseException:
+                # a mid-combine failure leaves scatter-adds in the
+                # shared buffer — drop it rather than poison the next
+                # query's sums
+                owner._acc = None
+                raise
+        return out
 
     import queue
     from concurrent.futures import ThreadPoolExecutor
@@ -149,13 +159,14 @@ def fused_combine_rank(owner, n_docs: int, jobs, slices_by_term, k: int,
             acc = pool.get_nowait()
         except queue.Empty:
             acc = np.zeros(n_docs, dtype=np.float64)
-        try:
-            return i, live, run_with(acc, live)
-        finally:
-            pool.put(acc)
+        res = run_with(acc, live)   # on failure the dirty acc is DROPPED
+        pool.put(acc)               # (returned to the pool only clean)
+        return i, live, res
 
     ex = getattr(owner, "_msearch_pool", None)
     if ex is None or ex._max_workers < max_threads:
+        if ex is not None:
+            ex.shutdown(wait=False)
         ex = owner._msearch_pool = ThreadPoolExecutor(
             max_workers=max_threads, thread_name_prefix="msearch-combine")
     return list(ex.map(run, jobs))

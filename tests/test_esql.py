@@ -726,3 +726,67 @@ def test_date_extract_matches_duckdb(ray_session):
     ]:
         with pytest.raises(esql.UnsupportedEsql):
             esql.execute(SF, bad)
+
+
+def test_quote_aware_splitting(ray_session):
+    """'|' and AND/OR inside string literals are data, not syntax —
+    RLIKE alternation and literals containing connectives parse."""
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang RLIKE "en|de"'
+            ' | STATS n = COUNT(*) BY lang | SORT lang')
+    want = duckdb.sql(
+        f"SELECT lang, count(*) AS n FROM '{SF}/documents.parquet' "
+        f"WHERE regexp_full_match(lang, 'en|de') "
+        f"GROUP BY lang ORDER BY lang").df()
+    assert got.to_pandas().values.tolist() == want.values.tolist()
+    # a literal containing ' AND ' is one condition, not two
+    p = esql.parse('FROM documents | WHERE text == "black AND white"'
+                   ' | STATS n = COUNT(*)')
+    assert p["where"] == [("text", "==", "black AND white")]
+
+
+def test_eval_precedence_and_trunc_division(ray_session):
+    """a + b*2 binds the * first, and // % truncate toward zero
+    (SQL semantics), so the DuckDB replay is exact."""
+    got = esql.execute(
+        SF, "FROM documents | EVAL v = n_chars + n_chars * 2"
+            " | STATS s = SUM(v)")
+    want = duckdb.sql(
+        f"SELECT sum(n_chars + n_chars * 2) AS s "
+        f"FROM '{SF}/documents.parquet'").df()
+    assert got.to_pandas()["s"].tolist() == want["s"].tolist()
+    got = esql.execute(
+        SF, "FROM documents | EVAL d = n_chars - 999"
+            " | EVAL q = d // 10 | EVAL r = d % 10"
+            " | STATS qs = SUM(q), rs = SUM(r)")
+    want = duckdb.sql(
+        f"SELECT sum((n_chars - 999) // 10) AS qs, "
+        f"sum((n_chars - 999) % 10) AS rs "
+        f"FROM '{SF}/documents.parquet'").df()
+    assert got.to_pandas().values.tolist() == want.values.tolist()
+
+
+@pytest.mark.parametrize("bad", [
+    # EVAL shadowing / self-reference
+    "FROM documents | EVAL n_chars = n_chars + 1 | STATS s = SUM(n_chars)",
+    "FROM documents | EVAL v = n_chars | EVAL v = v * 2 | STATS s = SUM(v)",
+    # stage-order shapes the executor would silently reorder
+    "FROM documents | STATS n = COUNT(*) BY lang | SORT n DESC | SORT lang",
+    "FROM documents | STATS n = COUNT(*) BY lang | LIMIT 3 | SORT n",
+    "FROM documents | KEEP lang | STATS n = COUNT(*) BY lang",
+    # division by zero (numpy would yield 0 where SQL errors)
+    "FROM documents | EVAL z = n_chars - n_chars"
+    " | EVAL q = n_chars // z | STATS s = SUM(q)",
+])
+def test_silently_different_shapes_refuse(ray_session, bad):
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, bad)
+
+
+def test_chained_limits_take_min(ray_session):
+    p = esql.parse("FROM documents | STATS n = COUNT(*) BY lang"
+                   " | SORT lang | LIMIT 10 | LIMIT 2")
+    assert p["limit"] == 2
+    p = esql.parse("FROM documents | STATS n = COUNT(*) BY lang"
+                   " | SORT lang | LIMIT 2 | LIMIT 10")
+    assert p["limit"] == 2

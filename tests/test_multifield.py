@@ -239,3 +239,27 @@ def test_url_field_on_pages_corpus(ray_session, tmp_path):
     ids, _ = multi_match_scores(eng.readers, tok,
                                 [("url", 2.0), ("body", 1.0)])
     assert set(u_ids.tolist()) <= set(ids.tolist())
+
+
+def test_derive_field_docs_restarts_clean_after_partial_write(
+        ray_session, tmp_path):
+    """A derivation dir with parquet parts but NO done marker (a run
+    killed mid-write) is rebuilt from scratch — stale partials must not
+    double the corpus."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from snowplow_elasticsearch_loader_ray.pipelines.multifield import (
+        derive_field_docs)
+
+    out = str(tmp_path / "fld")
+    derive_field_docs("/root/testdata/sf0.001/documents.parquet", out,
+                      FieldSpec("text", first_tokens=5))
+    n = pads.dataset(out).count_rows()
+    # simulate the crash: drop the marker, keep the written parts
+    os.remove(os.path.join(out, "_derived.done"))
+    derive_field_docs("/root/testdata/sf0.001/documents.parquet", out,
+                      FieldSpec("text", first_tokens=5))
+    assert pads.dataset(out).count_rows() == n
+    assert os.path.exists(os.path.join(out, "_derived.done"))
