@@ -11637,6 +11637,36 @@ FROM documents GROUP BY 1 ORDER BY 1 LIMIT 12
 """
 
 
+ESQL_STRPRED_QUERY = (
+    'FROM documents | WHERE STARTS_WITH(source, "src1") | '
+    'WHERE NOT ENDS_WITH(lang, "h") | '
+    'EVAL s4 = LEFT(source, 4) | EVAL r2 = RIGHT(lang, 2) | '
+    'EVAL rp = REPLACE(source, "rc", "_") | '
+    'STATS n = COUNT(*), s = SUM(n_chars) BY s4, r2, rp | '
+    'SORT s4, r2, rp')
+
+
+def esql_string_predicates(sf_dir: str) -> pa.Table:
+    """ES|QL STARTS_WITH / ENDS_WITH boolean predicates and the
+    LEFT / RIGHT / REPLACE string EVAL functions — each a single Arrow
+    kernel (``pc.starts_with`` / ``ends_with`` / codepoint slice /
+    literal ``replace_substring``), codepoint-exact against DuckDB's
+    left/right/replace (pipelines/esql.py)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_STRPRED_QUERY)
+
+
+ESQL_STRPRED_SQL = """
+SELECT left(source, 4) AS s4, right(lang, 2) AS r2,
+       replace(source, 'rc', '_') AS rp,
+       count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
+FROM documents
+WHERE starts_with(source, 'src1') AND NOT ends_with(lang, 'h')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 ESQL_INLINE_QUERY = (
     'FROM documents | WHERE lang IN ("en", "de") | '
     'INLINESTATS mx = MAX(n_chars), grp_n = COUNT(*) BY source | '
@@ -15645,6 +15675,7 @@ def registry() -> tuple[dict, dict]:
         "esql_lookup_join": esql_lookup_join,
         "esql_case_eval": esql_case_eval,
         "esql_string_fns": esql_string_fns,
+        "esql_string_predicates": esql_string_predicates,
         "esql_inlinestats": esql_inlinestats,
         "esql_topn": esql_topn,
         "esql_filtered_aggs": esql_filtered_aggs,
@@ -15930,6 +15961,7 @@ def registry() -> tuple[dict, dict]:
         "esql_lookup_join": ESQL_LOOKUP_SQL,
         "esql_case_eval": ESQL_CASE_SQL,
         "esql_string_fns": ESQL_STRING_SQL,
+        "esql_string_predicates": ESQL_STRPRED_SQL,
         "esql_inlinestats": ESQL_INLINE_SQL,
         "esql_topn": ESQL_TOPN_SQL,
         "esql_filtered_aggs": ESQL_FILTERED_AGGS_SQL,

@@ -299,6 +299,13 @@ def _parse_cond(cond: str) -> tuple:
                 "LIKE pattern may not contain % or _ (reserved by the "
                 "SQL-LIKE parity contract; use * and ?)")
         return (m.group(1), ("not_" if m.group(2) else "") + op, pat)
+    m = re.fullmatch(
+        rf'(NOT\s+)?(STARTS_WITH|ENDS_WITH)\s*\(\s*({_IDENT})\s*,'
+        rf'\s*"((?:[^"\\]|\\.)*)"\s*\)', cond, flags=re.I)
+    if m:
+        pat = m.group(4).replace('\\"', '"').replace("\\\\", "\\")
+        return (m.group(3),
+                ("not_" if m.group(1) else "") + m.group(2).lower(), pat)
     raise UnsupportedEsql(f"bad condition {cond!r}")
 
 
@@ -415,7 +422,8 @@ def parse(query: str) -> dict:
                     (name, [mde.group(2)], [("dfn", part, None)]))
                 continue
             msf = re.fullmatch(
-                rf"(LENGTH|TO_LOWER|TO_UPPER)\s*\(\s*({_IDENT})\s*\)",
+                rf"(LENGTH|TO_LOWER|TO_UPPER|TRIM|LTRIM|RTRIM)"
+                rf"\s*\(\s*({_IDENT})\s*\)",
                 expr, flags=re.I)
             if msf:
                 fname = msf.group(1).upper()
@@ -423,6 +431,29 @@ def parse(query: str) -> dict:
                     (name, [msf.group(2)], [("sfn", fname, None)]))
                 if fname != "LENGTH":
                     plan.setdefault("eval_str", set()).add(name)
+                continue
+            mlr = re.fullmatch(
+                rf"(LEFT|RIGHT)\s*\(\s*({_IDENT})\s*,\s*(\d+)\s*\)",
+                expr, flags=re.I)
+            if mlr:
+                plan["evals"].append(
+                    (name, [mlr.group(2)],
+                     [("sfn", mlr.group(1).upper(), int(mlr.group(3)))]))
+                plan.setdefault("eval_str", set()).add(name)
+                continue
+            mrep = re.fullmatch(
+                rf'REPLACE\s*\(\s*({_IDENT})\s*,\s*"((?:[^"\\]|\\.)*)"'
+                rf'\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)', expr, flags=re.I)
+            if mrep:
+                unq = lambda s: s.replace('\\"', '"').replace("\\\\", "\\")  # noqa: E731
+                if not mrep.group(2):
+                    raise UnsupportedEsql(
+                        "REPLACE search string must be non-empty")
+                plan["evals"].append(
+                    (name, [mrep.group(1)],
+                     [("sfn", "REPLACE",
+                       (unq(mrep.group(2)), unq(mrep.group(3))))]))
+                plan.setdefault("eval_str", set()).add(name)
                 continue
             msub = re.fullmatch(
                 rf"SUBSTRING\s*\(\s*({_IDENT})\s*,\s*(\d+)\s*,"
@@ -827,6 +858,12 @@ def _cond_mask(batch: pa.Table, cond: tuple):
         m = pc.match_substring_regex(c, pattern="^(?:" + lit + ")$")
         if op == "not_rlike":
             m = pc.invert(m)
+    elif op in ("starts_with", "not_starts_with",
+                "ends_with", "not_ends_with"):
+        k = pc.starts_with if "starts" in op else pc.ends_with
+        m = k(c, pattern=lit)
+        if op.startswith("not_"):
+            m = pc.invert(m)
     else:
         m = {"==": pc.equal, "!=": pc.not_equal,
              ">=": pc.greater_equal, "<=": pc.less_equal,
@@ -1225,7 +1262,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             continue
         col_is_str = (pa.types.is_string(ty)
                       or pa.types.is_large_string(ty))
-        if op in ("like", "not_like", "rlike", "not_rlike"):
+        if op in ("like", "not_like", "rlike", "not_rlike",
+                  "starts_with", "not_starts_with",
+                  "ends_with", "not_ends_with"):
             if not col_is_str:
                 raise UnsupportedEsql(
                     f"WHERE {col} {op.upper().replace('_', ' ')}: "
@@ -1460,6 +1499,28 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                         k = (pc.utf8_lower if fname == "TO_LOWER"
                              else pc.utf8_upper)
                         b = b.append_column(name, k(b[terms[0]]))
+                    elif fname in ("TRIM", "LTRIM", "RTRIM"):
+                        k = {"TRIM": pc.utf8_trim_whitespace,
+                             "LTRIM": pc.utf8_ltrim_whitespace,
+                             "RTRIM": pc.utf8_rtrim_whitespace}[fname]
+                        b = b.append_column(name, k(b[terms[0]]))
+                    elif fname == "LEFT":
+                        b = b.append_column(
+                            name, pc.utf8_slice_codeunits(
+                                b[terms[0]], 0, params))
+                    elif fname == "RIGHT":
+                        # negative start slices from the end; a string
+                        # shorter than n comes back whole (DuckDB right)
+                        b = b.append_column(
+                            name, pc.utf8_slice_codeunits(
+                                b[terms[0]], -params, None)
+                            if params else pa.array([""] * b.num_rows))
+                    elif fname == "REPLACE":
+                        pat, rep = params
+                        b = b.append_column(
+                            name, pc.replace_substring(
+                                b[terms[0]], pattern=pat,
+                                replacement=rep))
                     elif fname == "SUBSTRING":
                         start, ln = params
                         b = b.append_column(

@@ -790,3 +790,40 @@ def test_chained_limits_take_min(ray_session):
     p = esql.parse("FROM documents | STATS n = COUNT(*) BY lang"
                    " | SORT lang | LIMIT 2 | LIMIT 10")
     assert p["limit"] == 2
+
+
+def test_string_predicates_and_fns_match_duckdb(ray_session):
+    """STARTS_WITH/ENDS_WITH in WHERE and TRIM/REPLACE/LEFT/RIGHT in
+    EVAL replay exactly in DuckDB."""
+    got = esql.execute(
+        SF, 'FROM documents | WHERE STARTS_WITH(source, "c")'
+            ' | STATS n = COUNT(*) BY source | SORT source')
+    want = duckdb.sql(
+        f"SELECT source, count(*) AS n FROM '{SF}/documents.parquet' "
+        f"WHERE starts_with(source, 'c') GROUP BY source "
+        f"ORDER BY source").df()
+    assert got.to_pandas().values.tolist() == want.values.tolist()
+    got = esql.execute(
+        SF, 'FROM documents | WHERE NOT ENDS_WITH(lang, "n")'
+            ' | STATS n = COUNT(*) BY lang | SORT lang')
+    want = duckdb.sql(
+        f"SELECT lang, count(*) AS n FROM '{SF}/documents.parquet' "
+        f"WHERE NOT ends_with(lang, 'n') GROUP BY lang "
+        f"ORDER BY lang").df()
+    assert got.to_pandas().values.tolist() == want.values.tolist()
+    got = esql.execute(
+        SF, 'FROM documents | EVAL s3 = LEFT(source, 3)'
+            ' | EVAL r2 = RIGHT(lang, 2) | EVAL t = TRIM(lang)'
+            ' | EVAL rp = REPLACE(source, "a", "_")'
+            ' | STATS n = COUNT(*) BY s3, r2, t, rp | SORT s3, r2, t, rp')
+    want = duckdb.sql(
+        f"SELECT left(source,3) AS s3, right(lang,2) AS r2, "
+        f"trim(lang) AS t, replace(source,'a','_') AS rp, count(*) AS n "
+        f"FROM '{SF}/documents.parquet' GROUP BY 1,2,3,4 "
+        f"ORDER BY 1,2,3,4").df()
+    g = got.to_pandas()[["s3", "r2", "t", "rp", "n"]]
+    assert g.values.tolist() == want.values.tolist()
+    # type contract: pattern predicates refuse on integer columns
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | WHERE STARTS_WITH(n_chars, "1")'
+                         ' | STATS n = COUNT(*)')
