@@ -14329,6 +14329,134 @@ FROM big GROUP BY 1, 2
 """
 
 
+def span_within(sf_dir: str) -> pa.Table:
+    """ES ``span_within`` — the mirror of ``span_containing``: little
+    occurrences of token c ENCLOSED in some unordered a-NEAR-b big span
+    (|Δpos| ≤ {SPAN_SLOP}); per (qid, doc) the count of distinct
+    enclosed little positions. Same fixture triples as
+    span_containing; engine =
+    positions.py::span_within_search (broadcast window grid + one
+    containment mask per doc); the oracle runs the EXISTS the other
+    way around (little row qualified by a big-pair witness)."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_within_search)
+
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, counts = [], [], []
+    for qid, a, b, c in _span_triples():
+        d, n = span_within_search(pr, c, a, b, SPAN_SLOP)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        counts.extend(n.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_hits": pa.array(counts, pa.int64()),
+    })
+
+
+def _span_within_sql() -> str:
+    values = ", ".join(f"({qid}, '{a}', '{b}', '{c}')"
+                       for qid, a, b, c in _span_triples())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, s.t AS term, s.p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+),
+q(qid, ta, tb, tc) AS (VALUES {values}),
+little AS (
+  SELECT q.qid, c.doc_id, c.pos
+  FROM q
+  JOIN tok c ON c.term = q.tc
+  WHERE EXISTS (
+    SELECT 1
+    FROM tok a
+    JOIN tok b ON b.doc_id = a.doc_id AND b.term = q.tb
+    WHERE a.term = q.ta AND a.doc_id = c.doc_id
+      AND abs(a.pos - b.pos) <= {SPAN_SLOP}
+      AND c.pos BETWEEN least(a.pos, b.pos) AND greatest(a.pos, b.pos)
+  )
+)
+SELECT qid::BIGINT AS qid, doc_id, count(*)::BIGINT AS n_hits
+FROM little GROUP BY 1, 2
+"""
+
+
+def _span_multi_pairs() -> list[tuple[int, str, str]]:
+    """(qid, prefix, other): prefix = first 3 chars of each span
+    triple's a-token, other = its b-token; pairs where the other token
+    itself matches the prefix are skipped (self-pairing has no pinned
+    semantics — the engine refuses them)."""
+    out = []
+    for qid, a, b, _c in _span_triples():
+        if len(a) >= 3 and not b.startswith(a[:3]):
+            out.append((qid, a[:3], b))
+    return out
+
+
+def span_multi_near(sf_dir: str) -> pa.Table:
+    """ES ``span_near`` with a ``span_multi`` (prefix) clause: the
+    prefix expands against the index vocabulary (same rewrite as the
+    ``prefix`` query), the expansion acts as ONE span clause, and each
+    (expansion occurrence, other-term occurrence) pair within
+    |Δpos| ≤ {SPAN_SLOP} counts (unordered single-token spans —
+    positions.py::span_multi_near_search: per-doc sorted union of
+    expansion positions + two searchsorted probes per other
+    occurrence). Oracle: LIKE-join cross product over the tokenized
+    corpus."""
+    from .pipelines.positions import (PositionalReader, build_positions,
+                                      span_multi_near_search)
+    from .pipelines.query import expand_prefix
+
+    r = _reader(sf_dir)
+    pos_dir = os.path.join(os.path.dirname(_index_dir(sf_dir)), "positions")
+    build_positions(_docs_path(sf_dir), pos_dir, CFG)
+    pr = PositionalReader(pos_dir)
+    qids, docs, counts = [], [], []
+    for qid, prefix, other in _span_multi_pairs():
+        exp = [t for t in expand_prefix(r, prefix) if t != other]
+        d, n = span_multi_near_search(pr, exp, other, SPAN_SLOP)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+        counts.extend(n.tolist())
+    return pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_pairs": pa.array(counts, pa.int64()),
+    })
+
+
+def _span_multi_near_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}', '{o}')"
+                       for qid, p, o in _span_multi_pairs())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, s.t AS term, s.p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform({TOK_SQL}, (x, i) -> {{'t': x, 'p': i}})) AS s
+    FROM documents
+  )
+),
+q(qid, prefix, oth) AS (VALUES {values}),
+pairs AS (
+  SELECT q.qid, a.doc_id
+  FROM q
+  JOIN tok a ON a.term LIKE q.prefix || '%' AND a.term <> q.oth
+  JOIN tok b ON b.doc_id = a.doc_id AND b.term = q.oth
+  WHERE abs(a.pos - b.pos) <= {SPAN_SLOP}
+)
+SELECT qid::BIGINT AS qid, doc_id, count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1, 2
+"""
+
+
 #: global-agg filtered context: the lang whose bucket the filtered leg
 #: reads (reuses the corpus fixture's dominant language).
 GLOBAL_AGG_LANG = "en"
@@ -15710,6 +15838,8 @@ def registry() -> tuple[dict, dict]:
         "normalize_lang_pct": normalize_lang_pct,
         "categorize_text": categorize_text,
         "span_containing": span_containing,
+        "span_within": span_within,
+        "span_multi_near": span_multi_near,
         "global_agg": global_agg,
         "incremental_dedup_stats": incremental_dedup_stats,
         "bucket_script_metrics": bucket_script_metrics,
@@ -15996,6 +16126,8 @@ def registry() -> tuple[dict, dict]:
         "normalize_lang_pct": NORMALIZE_LANG_SQL,
         "categorize_text": CATEGORIZE_TEXT_SQL,
         "span_containing": _span_containing_sql(),
+        "span_within": _span_within_sql(),
+        "span_multi_near": _span_multi_near_sql(),
         "global_agg": GLOBAL_AGG_SQL,
         "incremental_dedup_stats": INCREMENTAL_DEDUP_SQL,
         "bucket_script_metrics": BUCKET_SCRIPT_SQL,

@@ -373,6 +373,12 @@ def parse(query: str) -> dict:
                 plan.setdefault("splits", []).append(
                     (name, ms.group(1), sep))
                 continue
+            mmv = re.fullmatch(rf"MV_COUNT\s*\(\s*({_IDENT})\s*\)",
+                               expr, flags=re.I)
+            if mmv:
+                plan["evals"].append(
+                    (name, [mmv.group(1)], [("mvc", None, None)]))
+                continue
             mc = re.fullmatch(r"CASE\s*\((.*)\)", expr, flags=re.I | re.S)
             if mc:
                 parts = [p.strip()
@@ -1173,12 +1179,28 @@ def execute(sf_dir: str, query: str) -> pa.Table:
             raise UnsupportedEsql(
                 f"MV_EXPAND {n!r}: not a SPLIT-derived multivalued "
                 f"column")
+    # MV_COUNT is the one op that reads a multivalued column WITHOUT
+    # MV_EXPAND (it never materializes the list — the count comes from
+    # separator occurrences on the source string)
+    for _nm, terms, ops_ in plan["evals"]:
+        if ops_ and isinstance(ops_[0], tuple) and ops_[0][0] == "mvc":
+            t = terms[0]
+            if t not in split_names:
+                raise UnsupportedEsql(
+                    f"MV_COUNT({t}): only SPLIT-derived multivalued "
+                    f"columns have a value count")
+            if t in mv_expand:
+                raise UnsupportedEsql(
+                    f"MV_COUNT({t}) after MV_EXPAND is 1 on every row "
+                    f"— drop one of the two")
     unexpanded = split_names - set(mv_expand)
     referenced = set(plan["by"]) \
         | {c for c, _o, _l in plan["where"]} \
         | {c for _n, _f, c in plan["stats"] if c != "*"} \
         | {t for _n, terms, _o in plan["evals"] for t in terms
-           if re.fullmatch(_IDENT, t)}
+           if re.fullmatch(_IDENT, t)
+           and not (_o and isinstance(_o[0], tuple)
+                    and _o[0][0] == "mvc")}
     hit = unexpanded & referenced
     if hit:
         raise UnsupportedEsql(
@@ -1219,6 +1241,8 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     f"DATE_EXTRACT over non-timestamp column "
                     f"{terms[0]!r} ({ty})")
             continue
+        if ops_ and isinstance(ops_[0], tuple) and ops_[0][0] == "mvc":
+            continue            # validated against split_names above
         for t in terms:
             if re.fullmatch(_IDENT, t) and not re.fullmatch(r"\d+", t):
                 ty = _out_type(t)
@@ -1487,6 +1511,14 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                     else:
                         v = getattr(pc, part)(col_arr)
                     b = b.append_column(name, pc.cast(v, pa.int64()))
+                    continue
+                if ops and isinstance(ops[0], tuple) \
+                        and ops[0][0] == "mvc":
+                    src, sep = next((c, s) for n, c, s in splits
+                                    if n == terms[0])
+                    cnt = pc.add(
+                        pc.count_substring(b[src], pattern=sep), 1)
+                    b = b.append_column(name, pc.cast(cnt, pa.int64()))
                     continue
                 if ops and isinstance(ops[0], tuple) \
                         and ops[0][0] == "sfn":

@@ -620,6 +620,107 @@ def span_containing_search(reader, big_a: str, big_b: str, little: str,
     return ext[order], counts[order]
 
 
+def span_within_search(reader, little: str, big_a: str, big_b: str,
+                       slop: int) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_within`` — the mirror of ``span_containing``: matches
+    of the LITTLE span (the single token ``little``) that lie inside
+    some match of the big unordered (``big_a``, ``big_b``) span with
+    |Δpos| ≤ ``slop``. Where span_containing counts qualifying BIG
+    spans per doc, this counts the ENCLOSED little occurrences.
+
+    Returns (external doc_ids ascending, number of distinct little
+    positions contained in ≥ 1 qualifying big span). Per candidate doc
+    the big windows come from one broadcast (n_a × n_b) min/max; each
+    little position probes the near windows with one (W × m) containment
+    mask — the oracle runs the quadratic EXISTS the other way around."""
+    if len({big_a, big_b, little}) != 3:
+        raise ValueError("span_within terms must be distinct")
+    fetched = reader.term_positions_many(sorted({big_a, big_b, little}))
+    docs_a, pos_a = fetched[big_a]
+    docs_b, pos_b = fetched[big_b]
+    docs_c, pos_c = fetched[little]
+    b_at = {int(d): j for j, d in enumerate(docs_b)}
+    c_at = {int(d): j for j, d in enumerate(docs_c)}
+    out_docs: list[int] = []
+    out_counts: list[int] = []
+    for j in range(len(docs_a)):
+        doc = int(docs_a[j])
+        jb, jc = b_at.get(doc), c_at.get(doc)
+        if jb is None or jc is None:
+            continue
+        a = pos_a[j].astype(np.int64)
+        b = pos_b[jb].astype(np.int64)
+        c = pos_c[jc].astype(np.int64)
+        lo = np.minimum(a[:, None], b[None, :]).ravel()
+        hi = np.maximum(a[:, None], b[None, :]).ravel()
+        near = hi - lo <= slop
+        if not near.any():
+            continue
+        lo, hi = lo[near], hi[near]
+        contained = ((lo[:, None] <= c[None, :])
+                     & (hi[:, None] >= c[None, :])).any(axis=0)
+        n = int(contained.sum())
+        if n:
+            out_docs.append(doc)
+            out_counts.append(n)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    counts = np.array(out_counts, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], counts[order]
+
+
+def span_multi_near_search(reader, expansions: list[str], other: str,
+                           slop: int) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``span_near(span_multi(prefix), span_term(other))``: the
+    multi-term query (already expanded against the index vocabulary —
+    the caller's ``expand_prefix``) used as a span clause. Counts
+    (expansion occurrence, ``other`` occurrence) position pairs with
+    |Δpos| ≤ ``slop`` per doc (unordered, single-token spans).
+
+    ``other`` may not be one of the expansions: a token occurrence
+    pairing with itself at Δ=0 has no pinned ES semantics — refused.
+    Per doc the expansion positions concatenate into one sorted array
+    (positions are unique within a doc, so multiplicity is exact) and
+    each ``other`` position counts its window with two searchsorted
+    probes; the oracle runs the LIKE-join cross product."""
+    if other in set(expansions):
+        raise ValueError(
+            "span_multi expansion contains the other span term — "
+            "self-pairing is not pinned")
+    if not expansions:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    fetched = reader.term_positions_many(sorted(set(expansions) | {other}))
+    docs_o, pos_o = fetched[other]
+    if not len(docs_o):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    o_at = {int(d): j for j, d in enumerate(docs_o)}
+    exp_pos: dict[int, list[np.ndarray]] = {}
+    for t in expansions:
+        docs_t, pos_t = fetched[t]
+        for j, d in enumerate(docs_t):
+            if int(d) in o_at:          # only docs that can pair
+                exp_pos.setdefault(int(d), []).append(
+                    pos_t[j].astype(np.int64))
+    out_docs: list[int] = []
+    out_counts: list[int] = []
+    for doc, plists in exp_pos.items():
+        e = np.sort(np.concatenate(plists))
+        o = pos_o[o_at[doc]].astype(np.int64)
+        n = int((np.searchsorted(e, o + slop, side="right")
+                 - np.searchsorted(e, o - slop, side="left")).sum())
+        if n:
+            out_docs.append(doc)
+            out_counts.append(n)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ext = reader.doc_ids[np.array(out_docs, dtype=np.int64)]
+    counts = np.array(out_counts, dtype=np.int64)
+    order = np.argsort(ext)
+    return ext[order], counts[order]
+
+
 def phrase_search(reader, phrase: str) -> np.ndarray:
     """External doc_ids (ascending) containing the exact token sequence.
 

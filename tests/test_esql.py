@@ -827,3 +827,27 @@ def test_string_predicates_and_fns_match_duckdb(ray_session):
     with pytest.raises(esql.UnsupportedEsql):
         esql.execute(SF, 'FROM documents | WHERE STARTS_WITH(n_chars, "1")'
                          ' | STATS n = COUNT(*)')
+
+
+def test_mv_count_matches_duckdb(ray_session):
+    """MV_COUNT over an unexpanded SPLIT column: the value count comes
+    from separator occurrences on the source string (no list
+    materialization, no MV_EXPAND row blowup)."""
+    got = esql.execute(
+        SF, 'FROM documents | EVAL parts = SPLIT(text, " ")'
+            ' | EVAL nw = MV_COUNT(parts)'
+            ' | STATS s = SUM(nw), n = COUNT(*) BY lang | SORT lang')
+    want = duckdb.sql(
+        f"SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS s, "
+        f"count(*) AS n FROM '{SF}/documents.parquet' "
+        f"GROUP BY lang ORDER BY lang").df()
+    g = got.to_pandas()[["lang", "s", "n"]]
+    assert g.values.tolist() == want.values.tolist()
+    # MV_COUNT of a non-SPLIT column or after MV_EXPAND refuses
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, "FROM documents | EVAL c = MV_COUNT(lang)"
+                         " | STATS s = SUM(c)")
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, 'FROM documents | EVAL p = SPLIT(lang, "n")'
+                         ' | MV_EXPAND p | EVAL c = MV_COUNT(p)'
+                         ' | STATS s = SUM(c)')

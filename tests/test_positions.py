@@ -334,3 +334,112 @@ def test_span_containing_search(ray_session, tmp_path):
     assert d.tolist() == []
     with pytest.raises(ValueError):
         span_containing_search(r, "a", "a", "c", 2)
+
+
+def test_span_within_search(ray_session, tmp_path):
+    """span_within (the mirror of span_containing): little occurrences
+    enclosed by some qualifying big window; brute-force parity."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, span_within_search)
+
+    texts = {
+        1: "a c b",
+        2: "a b c",
+        3: "b x c x a",
+        4: "a x x x x x b c",
+        5: "c a b c a c b",    # several enclosed c's
+        6: "a b",
+        7: "a c c c b",        # multiple enclosed little positions
+    }
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pos_dir = str(tmp_path / "pos")
+    build_positions(str(tmp_path / "documents.parquet"), pos_dir,
+                    IndexConfig())
+    r = PositionalReader(pos_dir)
+
+    def brute(slop):
+        want = {}
+        for doc, t in texts.items():
+            toks = re.findall(r"[a-z0-9]+", t)
+            pa_ = [i for i, x in enumerate(toks) if x == "a"]
+            pb_ = [i for i, x in enumerate(toks) if x == "b"]
+            pc_ = [i for i, x in enumerate(toks) if x == "c"]
+            n = sum(1 for k in pc_
+                    if any(abs(i - j) <= slop and min(i, j) <= k <= max(i, j)
+                           for i in pa_ for j in pb_))
+            if n:
+                want[doc] = n
+        return want
+
+    for slop in (1, 2, 4, 7, 100):
+        d, c = span_within_search(r, "c", "a", "b", slop)
+        assert dict(zip(d.tolist(), c.tolist())) == brute(slop), slop
+        assert d.tolist() == sorted(d.tolist())
+
+    d, c = span_within_search(r, "missingterm", "a", "b", 100)
+    assert d.tolist() == []
+    with pytest.raises(ValueError):
+        span_within_search(r, "c", "a", "a", 2)
+
+
+def test_span_multi_near_search(ray_session, tmp_path):
+    """span_near with a span_multi(prefix) clause: every (expanded
+    occurrence, other occurrence) pair within slop; brute parity."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines.positions import (
+        PositionalReader, build_positions, span_multi_near_search)
+
+    texts = {
+        1: "app apple b",          # two expansions near b
+        2: "b x x x apply",        # distance 4
+        3: "apricot b app b",      # multiple pairs
+        4: "b c d",                # no expansion
+        5: "application",          # no b
+    }
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pos_dir = str(tmp_path / "pos")
+    build_positions(str(tmp_path / "documents.parquet"), pos_dir,
+                    IndexConfig())
+    r = PositionalReader(pos_dir)
+    vocab = sorted({t for s in texts.values()
+                    for t in re.findall(r"[a-z0-9]+", s)})
+
+    def brute(prefix, slop):
+        want = {}
+        for doc, t in texts.items():
+            toks = re.findall(r"[a-z0-9]+", t)
+            pe = [i for i, x in enumerate(toks) if x.startswith(prefix)]
+            pb = [i for i, x in enumerate(toks) if x == "b"]
+            n = sum(1 for i in pe for j in pb if abs(i - j) <= slop)
+            if n:
+                want[doc] = n
+        return want
+
+    for slop in (1, 2, 4, 100):
+        exp = [t for t in vocab if t.startswith("ap")]
+        d, c = span_multi_near_search(r, exp, "b", slop)
+        assert dict(zip(d.tolist(), c.tolist())) == brute("ap", slop), slop
+    # self-pairing refusal and empty expansion
+    with pytest.raises(ValueError):
+        span_multi_near_search(r, ["b", "bat"], "b", 2)
+    d, c = span_multi_near_search(r, [], "b", 2)
+    assert d.tolist() == []
