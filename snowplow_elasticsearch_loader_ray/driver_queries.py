@@ -11726,6 +11726,42 @@ ORDER BY n_chars DESC, doc_id LIMIT 15
 """
 
 
+ESQL_FORK_QUERY = (
+    'FROM documents | WHERE lang IN ("en", "de") | '
+    'FORK (STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang) '
+    '(WHERE n_chars >= 1000 | '
+    'STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang) '
+    '(EVAL kb = n_chars // 1024 | '
+    'STATS n = COUNT(*), s = SUM(kb) BY lang | SORT lang)')
+
+
+def esql_fork(sf_dir: str) -> pa.Table:
+    """ES|QL 8.19 ``FORK``: three branch pipelines over one shared
+    WHERE prefix, unioned with the ``_fork`` discriminator column in
+    declared branch order. Branch schemas must match exactly (ES pads
+    mismatches with nulls — refused); executed as one distributed
+    pipeline per branch over ``prefix | branch``
+    (pipelines/esql.py::_execute_fork)."""
+    from .pipelines import esql as Q
+
+    return Q.execute(sf_dir, ESQL_FORK_QUERY)
+
+
+ESQL_FORK_SQL = """
+WITH base AS (SELECT * FROM documents WHERE lang IN ('en', 'de'))
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+       'fork1' AS _fork
+FROM base GROUP BY lang
+UNION ALL
+SELECT lang, count(*)::BIGINT, sum(n_chars)::BIGINT, 'fork2'
+FROM base WHERE n_chars >= 1000 GROUP BY lang
+UNION ALL
+SELECT lang, count(*)::BIGINT, sum(n_chars // 1024)::BIGINT, 'fork3'
+FROM base GROUP BY lang
+ORDER BY _fork, lang
+"""
+
+
 ESQL_FILTERED_AGGS_QUERY = (
     'FROM documents | STATS n = COUNT(*), '
     'n_en = COUNT(*) WHERE lang == "en", '
@@ -15806,6 +15842,7 @@ def registry() -> tuple[dict, dict]:
         "esql_string_predicates": esql_string_predicates,
         "esql_inlinestats": esql_inlinestats,
         "esql_topn": esql_topn,
+        "esql_fork": esql_fork,
         "esql_filtered_aggs": esql_filtered_aggs,
         "token_kl_by_source": token_kl_by_source,
         "esql_date_extract": esql_date_extract,
@@ -16094,6 +16131,7 @@ def registry() -> tuple[dict, dict]:
         "esql_string_predicates": ESQL_STRPRED_SQL,
         "esql_inlinestats": ESQL_INLINE_SQL,
         "esql_topn": ESQL_TOPN_SQL,
+        "esql_fork": ESQL_FORK_SQL,
         "esql_filtered_aggs": ESQL_FILTERED_AGGS_SQL,
         "token_kl_by_source": TOKEN_KL_SQL,
         "esql_date_extract": ESQL_DATE_EXTRACT_SQL,

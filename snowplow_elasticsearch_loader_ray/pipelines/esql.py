@@ -256,6 +256,24 @@ def _search_top(s: str, pattern: str) -> bool:
     return re.search(pattern, _mask_quoted(s), flags=re.I) is not None
 
 
+def _split_stages(s: str) -> list[str]:
+    """Split a query on '|' outside quotes AND parens — a pipe inside a
+    FORK branch group (or any parenthesized argument) is not a stage
+    boundary."""
+    mask = _mask_quoted(s)
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(mask):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def _literal(tok: str):
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
@@ -314,7 +332,7 @@ def parse(query: str) -> dict:
     executor cannot run exactly."""
     # stage split is quote-aware: a '|' inside a string literal (RLIKE
     # alternation, a separator argument) is not a stage boundary
-    stages = [s.strip() for s in _split_top(query.strip(), r"\|")]
+    stages = [s.strip() for s in _split_stages(query.strip())]
     if not stages or not stages[0].upper().startswith("FROM "):
         raise UnsupportedEsql("query must start with FROM <table>")
     table = stages[0][5:].strip()
@@ -885,6 +903,70 @@ def _filter_batch(batch: pa.Table, where: list) -> pa.Table:
     return batch.filter(mask) if mask is not None else batch
 
 
+def _fork_branches(body: str) -> list[str]:
+    """Split a FORK stage body into its parenthesized branch pipelines
+    (quote-aware, paren-depth tracked)."""
+    mask = _mask_quoted(body)
+    branches, depth, start = [], 0, None
+    for i, ch in enumerate(mask):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise UnsupportedEsql("unbalanced parens in FORK")
+            if depth == 0:
+                branches.append(body[start:i].strip())
+                start = None
+        elif depth == 0 and not ch.isspace():
+            raise UnsupportedEsql(
+                "FORK body must be (branch) (branch) ... groups")
+    if depth != 0:
+        raise UnsupportedEsql("unbalanced parens in FORK")
+    if len(branches) < 2:
+        raise UnsupportedEsql("FORK needs at least two branches")
+    return branches
+
+
+def _execute_fork(sf_dir: str, stages: list[str], fork_at: int,
+                  ) -> pa.Table:
+    """ES|QL 8.19 ``FORK``: the shared prefix pipeline feeds N branch
+    pipelines whose results union with a ``_fork`` discriminator
+    column (``fork1``, ``fork2``, ... in declared order).
+
+    Executed as one ``execute()`` per branch over ``prefix | branch``
+    (FORK must be the last stage; branches must produce identical
+    column names and types — ES pads mismatches with nulls, which the
+    integer-exactness contract refuses). This re-scans the shared
+    prefix once per branch — correct first; a shared-scan fork is the
+    optimization path and would not change a value."""
+    if fork_at != len(stages) - 1:
+        raise UnsupportedEsql(
+            "stages after FORK are unsupported — put per-branch "
+            "processing inside the branches")
+    prefix = " | ".join(stages[:fork_at])
+    body = stages[fork_at].split(None, 1)[1] \
+        if len(stages[fork_at].split(None, 1)) > 1 else ""
+    outs = []
+    for i, br in enumerate(_fork_branches(body)):
+        if _search_top(br, r"\bFORK\b"):
+            raise UnsupportedEsql("nested FORK is unsupported")
+        t = execute(sf_dir, f"{prefix} | {br}")
+        outs.append(t.append_column(
+            "_fork", pa.array([f"fork{i + 1}"] * t.num_rows,
+                              pa.string())))
+    sch = outs[0].schema
+    for i, t in enumerate(outs[1:], start=2):
+        if t.schema != sch:
+            raise UnsupportedEsql(
+                f"FORK branch {i} output schema differs from branch 1 "
+                f"({t.schema.names} vs {sch.names}) — ES pads with "
+                f"nulls; refusing instead")
+    return pa.concat_tables(outs)
+
+
 def execute(sf_dir: str, query: str) -> pa.Table:
     """Run an ES|QL query over ``<sf_dir>/<table>.parquet``: pruned
     columnar scan → vectorized WHERE → per-batch partial aggregates →
@@ -899,6 +981,13 @@ def execute(sf_dir: str, query: str) -> pa.Table:
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
+    stages = [s.strip() for s in _split_stages(query.strip())]
+    forks = [i for i, st in enumerate(stages)
+             if st and st.split(None, 1)[0].upper() == "FORK"]
+    if forks:
+        if len(forks) > 1:
+            raise UnsupportedEsql("one FORK stage only")
+        return _execute_fork(sf_dir, stages, forks[0])
     plan = parse(query)
     topn = plan.get("topn", False)
     if topn:

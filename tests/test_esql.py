@@ -851,3 +851,45 @@ def test_mv_count_matches_duckdb(ray_session):
         esql.execute(SF, 'FROM documents | EVAL p = SPLIT(lang, "n")'
                          ' | MV_EXPAND p | EVAL c = MV_COUNT(p)'
                          ' | STATS s = SUM(c)')
+
+
+def test_fork_branches_union_with_discriminator(ray_session):
+    """FORK: branch pipelines over the shared prefix union with a
+    _fork column; exact vs a UNION ALL replay."""
+    got = esql.execute(
+        SF, 'FROM documents | WHERE lang IN ("en", "de")'
+            ' | FORK (STATS n = COUNT(*), s = SUM(n_chars) BY lang'
+            '         | SORT lang)'
+            '        (WHERE n_chars >= 1000'
+            '         | STATS n = COUNT(*), s = SUM(n_chars) BY lang'
+            '         | SORT lang)')
+    want = duckdb.sql(f"""
+        WITH base AS (SELECT * FROM '{SF}/documents.parquet'
+                      WHERE lang IN ('en','de'))
+        SELECT lang, count(*) AS n, sum(n_chars) AS s, 'fork1' AS _fork
+        FROM base GROUP BY lang
+        UNION ALL
+        SELECT lang, count(*), sum(n_chars), 'fork2'
+        FROM base WHERE n_chars >= 1000 GROUP BY lang
+        ORDER BY _fork, lang""").df()
+    g = got.to_pandas()[["lang", "n", "s", "_fork"]]
+    assert g.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.parametrize("bad", [
+    # stages after FORK
+    'FROM documents | FORK (STATS n = COUNT(*)) (STATS n = COUNT(*))'
+    ' | LIMIT 1',
+    # one branch
+    'FROM documents | FORK (STATS n = COUNT(*))',
+    # schema mismatch across branches
+    'FROM documents | FORK (STATS n = COUNT(*)) (STATS m = COUNT(*))',
+    # nested FORK
+    'FROM documents | FORK (FORK (STATS n = COUNT(*))'
+    ' (STATS n = COUNT(*))) (STATS n = COUNT(*))',
+    # loose tokens between branches
+    'FROM documents | FORK (STATS n = COUNT(*)) x (STATS n = COUNT(*))',
+])
+def test_fork_refusals(ray_session, bad):
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute(SF, bad)
