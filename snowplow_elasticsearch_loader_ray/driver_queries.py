@@ -11729,7 +11729,7 @@ ORDER BY n_chars DESC, doc_id LIMIT 15
 ESQL_FORK_QUERY = (
     'FROM documents | WHERE lang IN ("en", "de") | '
     'FORK (STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang) '
-    '(WHERE n_chars >= 1000 | '
+    '(WHERE n_chars >= 300 | '
     'STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang) '
     '(EVAL kb = n_chars // 1024 | '
     'STATS n = COUNT(*), s = SUM(kb) BY lang | SORT lang)')
@@ -11754,7 +11754,7 @@ SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
 FROM base GROUP BY lang
 UNION ALL
 SELECT lang, count(*)::BIGINT, sum(n_chars)::BIGINT, 'fork2'
-FROM base WHERE n_chars >= 1000 GROUP BY lang
+FROM base WHERE n_chars >= 300 GROUP BY lang
 UNION ALL
 SELECT lang, count(*)::BIGINT, sum(n_chars // 1024)::BIGINT, 'fork3'
 FROM base GROUP BY lang
