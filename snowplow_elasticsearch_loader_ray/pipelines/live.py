@@ -351,16 +351,22 @@ class LiveIndex:
         return out
 
     # -- stored source (the ES _source role) -------------------------------
-    def _gen_doc_sources(self, gen_basename: str) -> list[str]:
+    def _gen_doc_sources(self, gen_basename: str,
+                         events: list[dict] | None = None) -> list[str]:
         """Ordered (newest precedence first) document sources for one
         generation: its materialized ``_delta_docs`` (refresh/update/
         compact-merged deltas) followed by any recorded external
-        pointers (the immutable bulk corpus of ``bootstrap``)."""
+        pointers (the immutable bulk corpus of ``bootstrap``).
+
+        ``events``: pass the result of one ``self._events()`` when
+        calling per-generation in a loop — each ``_events()`` is a
+        manifest-directory scan + JSON parse per event file, O(G·E)
+        when re-done per generation on a long-lived chain."""
         out: list[str] = []
         dd = os.path.join(self.root, gen_basename, "_delta_docs")
         if os.path.isdir(dd):
             out.append(dd)
-        for m in self._events():
+        for m in (self._events() if events is None else events):
             if m.get("gen") == gen_basename:
                 out.extend(m.get("doc_ptrs", []))
         return out
@@ -372,12 +378,17 @@ class LiveIndex:
         the ``doc_fetch`` pattern — broadcast id set, vectorized
         semi-join filter inside ``map_batches`` — so the immutable base
         corpus is scanned once, column-pruned, never shuffled."""
+        import ray.data    # siblings import locally; don't rely on
+                           # build.py's module-level import side effect
+
         want = np.unique(np.asarray(doc_ids, dtype=np.int64))
         pieces: list[pa.Table] = []
+        events = self._events()                # one scan for the loop
         for gen in reversed(self.generations()):          # newest first
             if not len(want):
                 break
-            for src in self._gen_doc_sources(os.path.basename(gen)):
+            for src in self._gen_doc_sources(os.path.basename(gen),
+                                             events=events):
                 if not len(want):
                     break
                 want_arr = want                            # bind for task
@@ -395,11 +406,16 @@ class LiveIndex:
                 hit = (pa.concat_tables(blocks) if blocks
                        else _DOCS_SCHEMA.empty_table())
                 if hit.num_rows:
-                    # a source may itself hold several versions (the
-                    # bulk corpus is last-wins-deduped already; delta
-                    # dirs are deduped at write) — keep first per id
-                    pieces.append(hit)
+                    # a source may itself hold several versions (a
+                    # user-supplied bulk corpus is not guaranteed
+                    # deduped) — keep the first row per id so the
+                    # chain's one-live-version invariant holds
                     found = hit["doc_id"].to_numpy(zero_copy_only=False)
+                    uniq, first_idx = np.unique(found, return_index=True)
+                    if len(uniq) != len(found):
+                        hit = hit.take(pa.array(np.sort(first_idx)))
+                        found = uniq
+                    pieces.append(hit)
                     want = want[~np.isin(want, found)]
         if not pieces:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -523,8 +539,10 @@ class LiveIndex:
         root_abs = os.path.abspath(self.root) + os.sep
         ptrs: list[str] = []
         internal: list[tuple[str, np.ndarray, int]] = []
+        events = self._events()
         for prec, (g, dead) in enumerate(zip(gens, deleted)):
-            for src in self._gen_doc_sources(os.path.basename(g)):
+            for src in self._gen_doc_sources(os.path.basename(g),
+                                             events=events):
                 if not (os.path.abspath(src) + os.sep).startswith(root_abs):
                     if src not in ptrs:
                         ptrs.append(src)

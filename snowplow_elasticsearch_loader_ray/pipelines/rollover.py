@@ -57,7 +57,19 @@ class RolloverWriter:
         self.base = base
         self.max_docs = int(max_docs)
         self.cfg = cfg or IndexConfig()
-        self.gen = 0
+        # continue the rollover counter past any generations already in
+        # the root (the ES semantics: docs-000001 exists → next roll is
+        # docs-000002). Restarting at 0 would re-use docs-000001's dir,
+        # and build_index's committed-manifest early-return would then
+        # serve the PREVIOUS run's index for this run's docs.
+        import glob as _glob
+        import re as _re
+
+        pat = _re.compile(rf"^{_re.escape(base)}-(\d{{6}})$")
+        nums = [int(m.group(1))
+                for d in _glob.glob(os.path.join(root, f"{base}-*"))
+                if (m := pat.match(os.path.basename(d)))]
+        self.gen = max(nums) if nums else 0
         self._pending: list[pa.Table] = []
         self._n_pending = 0
         self.generations: list[dict] = []   # sealed + finished gens

@@ -75,6 +75,16 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     if not mf.is_committed(man_dir, "index"):
         raise ValueError("refusing to snapshot: index manifest not committed")
     verified = _verify_segments(index_dir)
+    leftovers = [p for sub in ("segments", "docmap", "manifests")
+                 for p in glob.glob(os.path.join(snap_dir, sub, "*"))]
+    if leftovers:
+        # a prior snapshot of a DIFFERENT index leaves shards that
+        # _copy_tree would not overwrite; they'd pass their own hash
+        # check and restore alongside the new index's — refuse, exactly
+        # like restore_index guards its target
+        raise ValueError(
+            f"refusing to snapshot into non-empty target {snap_dir!r}: "
+            f"{len(leftovers)} leftover file(s) (e.g. {leftovers[0]!r})")
     os.makedirs(snap_dir, exist_ok=True)
     total = sum(_copy_tree(index_dir, snap_dir, sub)
                 for sub in ("segments", "docmap", "manifests"))
@@ -161,6 +171,11 @@ def _store_blobs(repo_dir: str, files: list[tuple[str, str]]) -> dict:
         else:
             shutil.copy2(src, blob + ".tmp")
             os.replace(blob + ".tmp", blob)
+            # stamp UPLOAD time: copy2 preserved the source mtime, and
+            # gc_repository's in-flight grace window keys on blob mtime
+            # — a day-old segment's blob must not look day-old to GC
+            # before its snapshot manifest commits
+            os.utime(blob, None)
             copied += size
         entries.append({"path": rel, "blob": digest, "bytes": size})
     return {"files": entries, "bytes_copied": copied, "bytes_reused": reused}
@@ -229,9 +244,10 @@ def restore_incremental(repo_dir: str, name: str, target_dir: str) -> dict:
     """Materialize a repository snapshot into an empty ``target_dir``
     and re-verify every restored index's segment hashes (single index
     or live chain, per the snapshot's recorded kind)."""
-    snap = mf.load_all(os.path.join(repo_dir, "snapshots")).get(name)
-    if snap is None:
+    snaps_dir = os.path.join(repo_dir, "snapshots")
+    if not mf.is_committed(snaps_dir, name):
         raise ValueError(f"no snapshot {name!r} in {repo_dir!r}")
+    snap = mf.load(snaps_dir, name)   # one read, not a repo-wide scan
     if os.path.isdir(target_dir) and os.listdir(target_dir):
         raise ValueError(
             f"refusing to restore into non-empty target {target_dir!r} — "
@@ -242,6 +258,16 @@ def restore_incremental(repo_dir: str, name: str, target_dir: str) -> dict:
         out = os.path.join(target_dir, e["path"])
         os.makedirs(os.path.dirname(out), exist_ok=True)
         shutil.copy2(os.path.join(blob_dir, e["blob"]), out + ".tmp")
+        # the blob NAME is its content address — re-hash the copy so a
+        # rotted/truncated blob fails the restore loudly for EVERY file
+        # class (docmap/manifests/sidecars), not only hash-manifested
+        # segments
+        got = mf.file_sha256(out + ".tmp")
+        if got != e["blob"]:
+            raise ValueError(
+                f"blob hash mismatch for {e['path']!r}: stored "
+                f"{e['blob'][:12]}…, content {got[:12]}… — repository "
+                f"blob is corrupt")
         os.replace(out + ".tmp", out)
         total += e["bytes"]
     if snap["kind"] == "live":

@@ -200,3 +200,38 @@ def test_filtered_alias_merges_filter(ray_session, tmp_path):
     assert d4.tolist() == d5.tolist()
     with np.testing.assert_raises(AliasError):
         set_alias(root, "bad", idx, filter="lang:en")
+
+
+def test_rollover_writer_resumes_counter_over_existing_root(
+        ray_session, tmp_path):
+    """A new RolloverWriter over a root with prior generations
+    CONTINUES the counter (docs-000002, ...) — restarting at 0 would
+    hit build_index's committed-manifest early-return and silently
+    serve the previous run's index for this run's docs."""
+    import pyarrow as pa
+
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import rollover as RO
+    from snowplow_elasticsearch_loader_ray.pipelines.alias import resolve
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    root = str(tmp_path / "ro3")
+    w1 = RO.RolloverWriter(root, max_docs=5, cfg=IndexConfig())
+    w1.append(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(["alpha run one"] * 6, pa.string())}))
+    g1 = w1.finish()
+    assert [g["name"] for g in g1] == ["docs-000001"]
+
+    w2 = RO.RolloverWriter(root, max_docs=5, cfg=IndexConfig())
+    w2.append(pa.table({
+        "doc_id": pa.array(list(range(100, 106)), pa.int64()),
+        "text": pa.array(["gamma run two"] * 6, pa.string())}))
+    g2 = w2.finish()
+    assert [g["name"] for g in g2] == ["docs-000002"]
+    assert resolve(root, "docs-write") == g2[-1]["index_dir"]
+    # the new generation serves the NEW docs, not run one's
+    d, _ = QueryEngine(g2[-1]["index_dir"]).topk("gamma", 10)
+    assert sorted(d.tolist()) == list(range(100, 106))
+    d, _ = QueryEngine(g1[-1]["index_dir"]).topk("alpha", 10)
+    assert sorted(d.tolist()) == list(range(6))

@@ -233,3 +233,46 @@ def test_slm_retention_keeps_newest(ray_session, tmp_path):
     assert out2["deleted"] == ["snap-002"] and out2["kept"] == ["snap-003"]
     with pytest.raises(ValueError):
         slm_retain(repo, keep_last=0)
+
+
+def test_snapshot_refuses_nonempty_target(ray_session, tmp_path):
+    """A snap_dir holding a previous snapshot (possibly of a DIFFERENT
+    index) refuses — _copy_tree would leave its extra shards in place
+    and they'd restore alongside the new index's."""
+    idx = str(tmp_path / "idxA")
+    B.build_index(DOCS, idx, CFG)
+    snap = str(tmp_path / "snapA")
+    snapshot_index(idx, snap)
+    with pytest.raises(ValueError, match="non-empty target"):
+        snapshot_index(idx, snap)
+
+
+def test_blob_mtime_is_upload_time_not_source_time(ray_session, tmp_path):
+    """gc_repository's in-flight grace window keys on blob mtime, so
+    _store_blobs must stamp UPLOAD time — a blob copied from a day-old
+    segment must not be GC-eligible the moment it lands."""
+    import time
+
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        gc_repository, snapshot_incremental)
+
+    idx = str(tmp_path / "idxB")
+    B.build_index(DOCS, idx, CFG)
+    # age the source files well past any grace window
+    old = time.time() - 7 * 24 * 3600
+    for root, _dirs, files in os.walk(idx):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    repo = str(tmp_path / "repoB")
+    snapshot_incremental(idx, repo, "s1")
+    blobs = [os.path.join(repo, "blobs", b)
+             for b in os.listdir(os.path.join(repo, "blobs"))]
+    assert blobs and all(
+        time.time() - os.path.getmtime(b) < 3600 for b in blobs)
+    # and the grace window therefore protects them even when no
+    # manifest references them yet
+    from snowplow_elasticsearch_loader_ray.pipelines.snapshot import (
+        delete_snapshot)
+    delete_snapshot(repo, "s1")
+    assert gc_repository(repo)["blobs_removed"] == 0          # grace holds
+    assert gc_repository(repo, grace_s=0)["blobs_removed"] == len(blobs)
