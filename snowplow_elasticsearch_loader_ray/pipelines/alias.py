@@ -70,6 +70,43 @@ def _write_atomic(path: str, doc: dict) -> None:
     os.replace(tmp, path)
 
 
+def _repoint_locked(root: str, name: str, target: str,
+                    filter: dict | None, keep_filter: bool,
+                    guard=None, use_prev: bool = False) -> dict:
+    """One locked read-modify-write of an alias doc — shared by
+    ``set_alias`` / ``swap`` / ``rollback`` so the gen counter, prev
+    pointer and FILTER handling have a single decision point.
+
+    ``keep_filter``: carry the existing filter forward (swap/rollback
+    re-point the alias, they do not redefine it — stripping the filter
+    would let readers escape a filtered alias). ``set_alias`` passes
+    False: it REDEFINES the alias, ES add-action style (filter=None
+    removes a filter). ``guard(cur)`` may refuse under the lock (only
+    consulted when the alias exists); ``use_prev`` re-points at
+    ``cur['prev']`` (rollback) and requires the alias to exist."""
+    p = _path(root, name, create=True)
+    with _registry_lock(root):
+        prev, gen, cur_filter = None, 0, None
+        if os.path.exists(p):
+            cur = json.load(open(p))
+            if guard is not None:
+                guard(cur)
+            prev, gen = cur["target"], cur["gen"]
+            cur_filter = cur.get("filter")
+            if use_prev:
+                target = cur["prev"]
+        elif use_prev:
+            raise AliasError(f"unknown alias {name!r}")
+        doc = {"name": name, "target": target, "prev": prev,
+               "gen": gen + 1, "updated_at": time.time()}
+        eff = filter if filter is not None else (
+            cur_filter if keep_filter else None)
+        if eff is not None:
+            doc["filter"] = eff
+        _write_atomic(p, doc)
+    return doc
+
+
 def set_alias(root: str, name: str, index_dir: str,
               filter: dict | None = None) -> dict:
     """Point ``name`` at ``index_dir`` (create or re-point). The target
@@ -77,25 +114,17 @@ def set_alias(root: str, name: str, index_dir: str,
     ``filter`` makes this a FILTERED alias (the ES `_aliases` filter
     action): a query-DSL filter clause every search through the alias
     must apply — stored verbatim, validated at query time by the DSL
-    planner (an unsupported filter refuses there, not silently)."""
+    planner (an unsupported filter refuses there, not silently).
+    Like the ES add action, set_alias REDEFINES the alias: passing no
+    filter removes an existing one (swap/rollback, by contrast,
+    preserve it)."""
     index_dir = os.path.abspath(index_dir)
     if not os.path.isdir(os.path.join(index_dir, "manifests")):
         raise AliasError(f"{index_dir} is not a committed index")
     if filter is not None and not isinstance(filter, dict):
         raise AliasError(f"alias filter must be a DSL dict, got {filter!r}")
-    p = _path(root, name, create=True)
-    with _registry_lock(root):
-        prev = None
-        gen = 0
-        if os.path.exists(p):
-            cur = json.load(open(p))
-            prev, gen = cur["target"], cur["gen"]
-        doc = {"name": name, "target": index_dir, "prev": prev,
-               "gen": gen + 1, "updated_at": time.time()}
-        if filter is not None:
-            doc["filter"] = filter
-        _write_atomic(p, doc)
-    return doc
+    return _repoint_locked(root, name, index_dir, filter,
+                           keep_filter=False)
 
 
 def resolve(root: str, name: str) -> str:
@@ -129,10 +158,20 @@ def search_alias(root: str, name: str, reader, body: dict,
     _target, flt = resolve_with_filter(root, name)
     if flt is not None:
         q = body.get("query", {"match_all": {}})
-        if set(q) == {"bool"}:
+        if set(q) == {"match_all"}:
+            # no-query (or explicit match_all) through a filtered
+            # alias: ES scores every filter-passing doc 1.0 — exactly
+            # the constant_score query
+            node = {"constant_score": {"filter": flt,
+                                       **({"boost": q["match_all"]["boost"]}
+                                          if q["match_all"].get("boost")
+                                          is not None else {})}}
+        elif set(q) == {"bool"}:
             node = {"bool": dict(q["bool"])}
-            node["bool"]["filter"] = list(node["bool"].get("filter", [])) \
-                + [flt]
+            cur = node["bool"].get("filter", [])
+            if isinstance(cur, dict):   # the DSL accepts a dict-valued
+                cur = [cur]             # filter clause — normalize it
+            node["bool"]["filter"] = list(cur) + [flt]
         else:
             node = {"bool": {"must": [q], "filter": [flt]}}
         body = {**body, "query": node}
@@ -140,21 +179,19 @@ def search_alias(root: str, name: str, reader, body: dict,
 
 
 def rollback(root: str, name: str) -> dict:
-    """Re-point the alias at its previous target (one level). The
-    read and the write happen under one writer lock (flock is not
-    reentrant here, so this does not call set_alias)."""
+    """Re-point the alias at its previous target (one level),
+    preserving an attached filter — a rollback un-does the deploy, not
+    the alias's definition."""
     p = _path(root, name)
     if not os.path.exists(p):
         raise AliasError(f"unknown alias {name!r}")
-    with _registry_lock(root):
-        cur = json.load(open(p))
+
+    def guard(cur):
         if not cur.get("prev"):
             raise AliasError(f"alias {name!r} has no previous target")
-        doc = {"name": name, "target": cur["prev"],
-               "prev": cur["target"], "gen": cur["gen"] + 1,
-               "updated_at": time.time()}
-        _write_atomic(p, doc)
-    return doc
+
+    return _repoint_locked(root, name, "", None, keep_filter=True,
+                           guard=guard, use_prev=True)
 
 
 def list_aliases(root: str) -> list[dict]:
@@ -167,24 +204,19 @@ def list_aliases(root: str) -> list[dict]:
 
 
 def swap(root: str, name: str, new_index_dir: str) -> dict:
-    """The reindex-then-swap action: ``set_alias`` plus a refusal of a
+    """The reindex-then-swap action: re-point plus a refusal of a
     no-op re-point (catching a deploy script that forgot to build the
     new index) — checked UNDER the writer lock so two concurrent swaps
-    cannot both pass the guard."""
+    cannot both pass the guard. An attached filter is preserved: the
+    swap replaces the TARGET, not the alias's definition."""
     new_index_dir = os.path.abspath(new_index_dir)
     if not os.path.isdir(os.path.join(new_index_dir, "manifests")):
         raise AliasError(f"{new_index_dir} is not a committed index")
-    p = _path(root, name, create=True)
-    with _registry_lock(root):
-        prev = None
-        gen = 0
-        if os.path.exists(p):
-            cur = json.load(open(p))
-            if cur["target"] == new_index_dir:
-                raise AliasError(f"alias {name!r} already points at "
-                                 f"{new_index_dir} — swap would be a no-op")
-            prev, gen = cur["target"], cur["gen"]
-        doc = {"name": name, "target": new_index_dir, "prev": prev,
-               "gen": gen + 1, "updated_at": time.time()}
-        _write_atomic(p, doc)
-    return doc
+
+    def guard(cur):
+        if cur["target"] == new_index_dir:
+            raise AliasError(f"alias {name!r} already points at "
+                             f"{new_index_dir} — swap would be a no-op")
+
+    return _repoint_locked(root, name, new_index_dir, None,
+                           keep_filter=True, guard=guard)

@@ -548,7 +548,17 @@ def execute(reader: IndexReader, body: dict, pos_reader=None,
                 "wrapper.query is not base64-encoded JSON") from None
         return execute(reader, {**body, "query": decoded},
                        pos_reader=pos_reader, field_readers=field_readers)
-    if kind == "match":
+    if kind == "match_all":
+        # every doc, constant score boost (ES default 1.0); ties break
+        # by doc_id asc — the deterministic "list everything" page
+        ma = node["match_all"]
+        if not isinstance(ma, dict) or set(ma) - {"boost"}:
+            raise UnsupportedDSL(f"unsupported match_all body {ma!r}")
+        boost = float(ma.get("boost", 1.0))
+        d, s = bm25.rank_topk(
+            reader.dl_doc_ids,
+            np.full(len(reader.dl_doc_ids), boost, dtype=np.float64), k)
+    elif kind == "match":
         q, msm = _match_text(node)
         if msm is not None:
             d, s = score_min_should_match(reader, q, msm, k)

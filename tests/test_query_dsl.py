@@ -262,7 +262,7 @@ def test_simple_query_string_bad_fields_raise(reader):
 
 
 @pytest.mark.parametrize("body", [
-    {"query": {"match_all": {}}},
+    {"query": {"match_all": {"norelease": 1}}},
     {"query": {"match": {"title": "x"}}},
     {"query": {"bool": {"should": [{"match": {"text": "x"}}]}}},
     {"query": {"match": {"text": "x"}}, "aggs": {}},
@@ -954,3 +954,70 @@ def test_min_score_drops_suffix(reader):
     with _pytest.raises(DSL.UnsupportedDSL):
         DSL.execute(r, {"query": {"match": {"text": "data"}},
                         "min_score": True})
+
+
+def test_match_all_lists_everything(reader):
+    """match_all: every doc at the boost score, doc_id-ascending ties —
+    the deterministic 'list everything' page ES serves for an empty
+    query."""
+    d, s = DSL.execute(reader, {"query": {"match_all": {}}, "size": 7})
+    assert len(d) == 7 and (s == 1.0).all()
+    assert d.tolist() == sorted(reader.dl_doc_ids.tolist())[:7]
+    d2, s2 = DSL.execute(reader, {"query": {"match_all": {"boost": 2}},
+                                  "size": 3})
+    assert (s2 == 2.0).all() and d2.tolist() == d.tolist()[:3]
+
+
+def test_filtered_alias_no_query_and_dict_filter(ray_session, tmp_path):
+    """Through a filtered alias: a body with NO query serves every
+    filter-passing doc at score 1.0 (ES match_all + filter), and a
+    dict-valued bool filter clause is normalized, not iterated into
+    its keys."""
+    import numpy as np
+
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _docs_path, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines.alias import (
+        search_alias, set_alias)
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, score_taat_filtered)
+
+    idx = _index_dir(SF)
+    r = IndexReader(idx)
+    root = str(tmp_path / "al")
+    set_alias(root, "data-only", idx,
+              filter={"term": {"text": "data"}})
+    d, s = search_alias(root, "data-only", r, {"size": 10_000})
+    want, _ = score_taat_filtered(r, "data", "data", 10_000)
+    assert set(d.tolist()) == set(want.tolist()) and (s == 1.0).all()
+    # dict-valued filter in the caller's bool query
+    d2, s2 = search_alias(root, "data-only", r, {
+        "query": {"bool": {"must": [{"match": {"text": "stream"}}],
+                           "filter": {"term": {"text": "data"}}}},
+        "size": 20})
+    assert len(d2) and set(d2.tolist()) <= set(want.tolist())
+
+
+def test_swap_and_rollback_preserve_alias_filter(ray_session, tmp_path):
+    from snowplow_elasticsearch_loader_ray.driver_queries import (
+        CFG, _index_dir)
+    from snowplow_elasticsearch_loader_ray.pipelines import build as B
+    from snowplow_elasticsearch_loader_ray.pipelines.alias import (
+        resolve_with_filter, rollback, set_alias, swap)
+
+    idx = _index_dir(SF)
+    idx2 = str(tmp_path / "idx2")
+    B.build_index("/root/testdata/sf0.001/documents.parquet", idx2, CFG)
+    root = str(tmp_path / "al2")
+    flt = {"term": {"lang": "en"}}
+    set_alias(root, "tenant", idx, filter=flt)
+    swap(root, "tenant", idx2)
+    t, f = resolve_with_filter(root, "tenant")
+    assert t == idx2 and f == flt           # swap kept the filter
+    rollback(root, "tenant")
+    t, f = resolve_with_filter(root, "tenant")
+    assert t == idx and f == flt            # rollback kept it too
+    # set_alias REDEFINES: no filter drops it (ES add-action semantics)
+    set_alias(root, "tenant", idx2)
+    _t, f = resolve_with_filter(root, "tenant")
+    assert f is None
