@@ -74,6 +74,9 @@ def _parser() -> argparse.ArgumentParser:
     stm.add_argument("--purpose", choices=["json", "bad"], default="json")
     stm.add_argument("--max-bytes", type=int, default=10_000_000)
     stm.add_argument("--max-delay-s", type=float, default=1.0)
+    stm.add_argument("--tail", action="store_true",
+                     help="enforce max-delay flushes in real time while "
+                          "stdin blocks (a live tail, not a replay)")
 
     lv = sub.add_parser(
         "live", help="near-real-time index lifecycle (the reference's loop: "
@@ -196,7 +199,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = IndexConfig(flush_max_bytes=args.max_bytes,
                           flush_max_delay_s=args.max_delay_s)
         lines = (ln.rstrip("\n").encode() for ln in sys.stdin if ln.strip())
-        out = stream_ingest(lines, args.out, purpose=args.purpose, cfg=cfg)
+        out = stream_ingest(lines, args.out, purpose=args.purpose,
+                            cfg=cfg, tail=args.tail)
     elif args.cmd == "live":
         import os
 

@@ -73,28 +73,43 @@ def stream_ingest(payloads: Iterable, out_dir: str,
                   cfg: IndexConfig = DEFAULT_CONFIG,
                   clock: Callable[[], float] = time.monotonic,
                   initial_position: str | tuple[str, float] = "TRIM_HORIZON",
+                  tail: bool = False,
                   ) -> dict:
     """Consume a payload iterator into micro-batch-committed records.
 
     ``payloads`` yields raw ``bytes`` or ``(seq, ts, bytes)`` records
     (a Kinesis shard's sequence number + approximateArrivalTimestamp);
-    bare bytes are auto-sequenced with ts 0.
+    bare bytes are auto-sequenced CONTINUING past the checkpointed
+    sequence (a bare-bytes source is a tail — each run is assumed to
+    deliver only new records, like ``tail -f``; it has no durable
+    sequence for replay dedup) and stamped with ``clock()`` as their
+    arrival ts. Record ``ts`` values and ``clock`` must share a time
+    base (epoch records → pass ``clock=time.time``).
 
     ``initial_position`` mirrors ``input.initialPosition``
     (``config.aws.reference.hocon:16-23``): where to start **the first
-    time the loader runs** —
+    time the loader subscribes** —
 
     - ``"TRIM_HORIZON"`` — oldest available record (default);
     - ``"LATEST"`` — only records arriving from now on: records whose
       arrival ts predates the subscription instant (``clock()`` at
-      startup) are skipped;
+      first startup) are skipped;
     - ``("AT_TIMESTAMP", ts)`` — records with arrival ts >= ``ts``.
 
-    On SUBSEQUENT runs the loader always resumes from where it last
-    checkpointed (the hocon's documented rule): records at or before
-    the max committed sequence number are skipped regardless of
-    ``initial_position``, and uncommitted tail parts are overwritten —
-    the at-least-once KCL grain.
+    The resolved position commits to a ``position`` manifest on first
+    subscription, so a rerun after a crash (or after a first run that
+    flushed zero batches) applies the SAME subscription instant instead
+    of silently taking a new one. On SUBSEQUENT runs the loader always
+    resumes from where it last checkpointed (the hocon's documented
+    rule): records at or before the max committed sequence number are
+    skipped regardless of ``initial_position``, and uncommitted tail
+    parts are overwritten — the at-least-once KCL grain.
+
+    ``tail=True`` enforces the maxDelay flush in real time while the
+    payload iterator blocks (a reader thread + timed queue reads —
+    requires a wall clock; see ``BatchUp.feed``). The default
+    pull-driven mode is deterministic for bounded replays and
+    scripted-clock tests.
 
     Returns counters {good, <error statuses>, batches, flush_size,
     flush_delay, checkpoints, skipped_resume, skipped_position}.
@@ -110,30 +125,47 @@ def stream_ingest(payloads: Iterable, out_dir: str,
                                 "skipped_position": 0}
 
     k0, last_committed_seq = _resume_cursor(man_dir)
-    first_run = k0 == 0
-    if initial_position == "LATEST":
-        min_ts = clock()
-    elif (isinstance(initial_position, tuple)
-          and initial_position[0] == "AT_TIMESTAMP"):
-        min_ts = float(initial_position[1])
-    elif initial_position == "TRIM_HORIZON":
-        min_ts = -float("inf")
+    if mf.is_committed(man_dir, "position"):
+        # the subscription instant is durable: reruns (including after
+        # a zero-batch first run) keep the original position instead of
+        # silently re-subscribing "now"
+        stored = mf.load(man_dir, "position")["min_ts"]
+        min_ts = -float("inf") if stored is None else float(stored)
     else:
-        raise ValueError(f"unknown initialPosition {initial_position!r}")
+        if initial_position == "LATEST":
+            min_ts = clock()
+        elif (isinstance(initial_position, tuple)
+              and initial_position[0] == "AT_TIMESTAMP"):
+            min_ts = float(initial_position[1])
+        elif initial_position == "TRIM_HORIZON":
+            min_ts = -float("inf")
+        else:
+            raise ValueError(
+                f"unknown initialPosition {initial_position!r}")
+        mf.commit(man_dir, "position", {
+            "stage": "stream-position",
+            "min_ts": None if min_ts == -float("inf") else min_ts,
+            "initial_position": (list(initial_position)
+                                 if isinstance(initial_position, tuple)
+                                 else initial_position)})
 
     def _cursor_filter():
         """Normalize records and apply cursor semantics: resume beats
-        initial position; initial position applies on first run only.
-        Yields ((seq, payload), n_bytes) so each flushed batch carries
-        its own exact last sequence — checkpointing a batch can never
-        cover a record that only sits in the batcher (at-least-once)."""
-        for i, item in enumerate(payloads):
-            seq, ts, payload = (i, 0.0, item) if isinstance(item, bytes) \
-                else (int(item[0]), float(item[1]), item[2])
+        initial position. Yields ((seq, payload), n_bytes) so each
+        flushed batch carries its own exact last sequence —
+        checkpointing a batch can never cover a record that only sits
+        in the batcher (at-least-once)."""
+        auto_seq = last_committed_seq     # bare bytes: continue past
+        for item in payloads:             # the checkpoint, never replay
+            if isinstance(item, bytes):
+                auto_seq += 1
+                seq, ts, payload = auto_seq, clock(), item
+            else:
+                seq, ts, payload = int(item[0]), float(item[1]), item[2]
             if seq <= last_committed_seq:
                 counters["skipped_resume"] += 1
                 continue
-            if first_run and ts < min_ts:
+            if ts < min_ts:
                 counters["skipped_position"] += 1
                 continue
             yield (seq, payload), len(payload)
@@ -154,7 +186,8 @@ def stream_ingest(payloads: Iterable, out_dir: str,
             pending.clear()
         last_ckpt[0] = clock()
 
-    for k, batch in enumerate(batcher.feed(_cursor_filter()), start=k0):
+    for k, batch in enumerate(batcher.feed(_cursor_filter(), timely=tail),
+                              start=k0):
         out = transform(pa.table({
             "payload": pa.array([p for _s, p in batch.items], pa.binary())}))
         part = os.path.join(rec_dir, f"batch-{k:06d}.parquet")

@@ -80,14 +80,71 @@ class BatchUp:
         """Flush whatever remains (end of stream)."""
         return self._take("close") if self._items else None
 
-    def feed(self, source: Iterable[tuple[Any, int]]) -> Iterator[Batch]:
+    def feed(self, source: Iterable[tuple[Any, int]],
+             timely: bool = False) -> Iterator[Batch]:
         """Drive the batcher over a (item, n_bytes) iterable, yielding
         flushed batches; polls the age timeout between items and
-        flushes the tail on exhaustion."""
-        for item, n in source:
-            b = self.poll()
+        flushes the tail on exhaustion.
+
+        ``timely=False`` (default): pull-driven — the age timeout is
+        only observed when the next item arrives or the source ends.
+        Deterministic (no threads), right for bounded replays and
+        scripted-clock tests.
+
+        ``timely=True``: the reference's actual ``maxDelay`` contract
+        for a TAILING source — a partial batch flushes within
+        ``max_delay_s`` of its first item even while the source blocks.
+        The source is drained by a reader thread into a queue and the
+        age timeout is enforced with a timed queue read, so this mode
+        requires a real-time ``clock`` (the timeout and the clock must
+        share a time base; scripted clocks pair with the pull mode)."""
+        if not timely:
+            for item, n in source:
+                b = self.poll()
+                if b is not None:
+                    yield b
+                b = self.add(item, n)
+                if b is not None:
+                    yield b
+            b = self.close()
             if b is not None:
                 yield b
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=1024)
+        _END = object()
+
+        def drain():
+            try:
+                for rec in source:
+                    q.put(rec)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=drain, daemon=True,
+                             name="batchup-feed")
+        t.start()
+        done = False
+        while not done:
+            if self._items:
+                remaining = self.max_delay_s - (self.clock()
+                                                - self._opened_at)
+                if remaining <= 0:
+                    yield self._take("delay")
+                    continue
+                try:
+                    rec = q.get(timeout=remaining)
+                except queue.Empty:
+                    continue                  # re-check the age budget
+            else:
+                rec = q.get()                 # empty batcher never ages
+            if rec is _END:
+                done = True
+                continue
+            item, n = rec
             b = self.add(item, n)
             if b is not None:
                 yield b

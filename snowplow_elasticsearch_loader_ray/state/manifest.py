@@ -93,7 +93,9 @@ def commit(manifest_dir: str, name: str, payload: dict) -> dict:
     os.makedirs(manifest_dir, exist_ok=True)
     payload = dict(payload)
     payload.setdefault("committed_at", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
-    tmp = manifest_path(manifest_dir, name) + ".tmp"
+    # writer-unique temp name: two concurrent committers of the same
+    # manifest must not interleave into one .tmp and replace torn JSON
+    tmp = manifest_path(manifest_dir, name) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.flush()

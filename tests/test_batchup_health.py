@@ -89,8 +89,8 @@ def test_stream_ingest_micro_batches(tmp_path):
     parts = sorted(os.listdir(os.path.join(out, "records")))
     assert len(parts) == counters["batches"]
     mans = os.listdir(os.path.join(out, "manifests"))
-    # + stream rollup + the recorded stream identity
-    assert len(mans) == counters["batches"] + 2
+    # + stream rollup + stream identity + the durable subscription position
+    assert len(mans) == counters["batches"] + 3
 
 
 def test_stream_checkpoint_debounce(tmp_path):
@@ -212,3 +212,86 @@ def test_stream_resume_from_checkpoint(tmp_path):
     mans = mf.load_all(os.path.join(out, "manifests"), prefix="batch-")
     assert len(mans) == 12                     # 7 + 5, no index collisions
     assert max(m["last_seq"] for m in mans.values()) == 11
+
+
+def test_stream_tail_mode_flushes_partial_batch_by_delay(tmp_path):
+    """tail=True: a partial batch flushes within max_delay_s even while
+    the payload iterator BLOCKS (the reference's real maxDelay
+    contract); the pull mode would withhold it until the next item."""
+    import threading
+    import time as _time
+
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    first_flushed = threading.Event()
+
+    def gen():
+        yield b'{"n":0}'
+        # block well past max_delay; the delay flush must land BEFORE
+        # this returns
+        _time.sleep(0.6)
+        yield b'{"n":1}'
+
+    cfg = IndexConfig(flush_max_bytes=10_000, flush_max_delay_s=0.1,
+                      checkpoint_debounce_s=0.0)
+    out = str(tmp_path / "tailmode")
+
+    done = {}
+
+    def run():
+        done["counters"] = stream_ingest(gen(), out, purpose="json",
+                                         cfg=cfg, tail=True)
+
+    t = threading.Thread(target=run)
+    t.start()
+    deadline = _time.monotonic() + 0.5
+    rec_dir = os.path.join(out, "records")
+    while _time.monotonic() < deadline:
+        if os.path.isdir(rec_dir) and os.listdir(rec_dir):
+            first_flushed.set()
+            break
+        _time.sleep(0.02)
+    t.join(timeout=10)
+    assert first_flushed.is_set(), \
+        "delay flush did not land while the source was blocking"
+    c = done["counters"]
+    assert c["good"] == 2 and c["flush_delay"] >= 1
+
+
+def test_stream_bare_bytes_resume_ingests_new_records(tmp_path):
+    """A resumed bare-bytes stream (a tail) must INGEST newly delivered
+    lines — the auto-sequence continues past the checkpoint instead of
+    restarting at 0 and dropping everything as already-seen."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    cfg = IndexConfig(flush_max_bytes=1, flush_max_delay_s=1e9)
+    out = str(tmp_path / "bare")
+    c1 = stream_ingest(iter([b'{"n":0}', b'{"n":1}']), out, cfg=cfg,
+                       clock=FakeClock())
+    assert c1["good"] == 2 and c1["skipped_resume"] == 0
+    c2 = stream_ingest(iter([b'{"n":2}', b'{"n":3}', b'{"n":4}']), out,
+                       cfg=cfg, clock=FakeClock())
+    assert c2["good"] == 3 and c2["skipped_resume"] == 0
+
+
+def test_stream_position_is_durable_across_zero_batch_runs(tmp_path):
+    """The subscription instant commits on FIRST subscription: a LATEST
+    run that admits nothing must not re-subscribe 'now' on the next
+    run — records that arrived between the runs are ingested."""
+    from snowplow_elasticsearch_loader_ray.sources.stream import stream_ingest
+
+    cfg = IndexConfig(flush_max_bytes=1, flush_max_delay_s=1e9)
+    out = str(tmp_path / "durpos")
+    clk = FakeClock(); clk.t = 100.0
+    # run 1: whole backlog predates the subscription instant (t=100)
+    c1 = stream_ingest(iter([(i, 10.0 * i, b'{"n":%d}' % i)
+                             for i in range(5)]), out, cfg=cfg,
+                       clock=clk, initial_position="LATEST")
+    assert c1["good"] == 0 and c1["skipped_position"] == 5
+    # run 2 at a LATER clock: records arrived at ts 150 (after the
+    # original subscription) must be ingested, not re-filtered by a
+    # fresh clock() = 500
+    clk.t = 500.0
+    c2 = stream_ingest(iter([(9, 150.0, b'{"n":9}')]), out, cfg=cfg,
+                       clock=clk, initial_position="LATEST")
+    assert c2["good"] == 1 and c2["skipped_position"] == 0
