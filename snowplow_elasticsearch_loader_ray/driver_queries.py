@@ -9345,10 +9345,18 @@ def _rollover_gens(sf_dir: str) -> list[dict]:
     from .pipelines import rollover as RO
     from .pipelines.alias import resolve
 
+    import json as _json
+
     key = hashlib.sha256(
         f"rollover|{os.path.abspath(sf_dir)}|{ROLLOVER_BATCH}|"
         f"{ROLLOVER_MAX_DOCS}".encode()).hexdigest()[:12]
     root = os.path.join(CACHE_ROOT, key, "rollover")
+    # explicit idempotency marker: RolloverWriter CONTINUES the
+    # generation counter over an existing root (the ES semantics), so a
+    # re-run must read back the recorded lifecycle, not append to it
+    marker = os.path.join(root, "_lifecycle.json")
+    if os.path.exists(marker):
+        return _json.load(open(marker))
 
     docs = pq.read_table(_docs_path(sf_dir), columns=["doc_id", "text"])
     docs = docs.sort_by("doc_id")
@@ -9358,6 +9366,10 @@ def _rollover_gens(sf_dir: str) -> list[dict]:
     gens = w.finish()
     if gens and resolve(root, "docs-write") != gens[-1]["index_dir"]:
         raise RuntimeError("write alias does not name the newest generation")
+    tmp = marker + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(gens, f)
+    os.replace(tmp, marker)
     return gens
 
 

@@ -89,14 +89,36 @@ class IndexReader:
         self._ext_sorted: np.ndarray | None = None
         self._ext_order: np.ndarray | None = None
 
-    def doclen_of(self, doc_ids: np.ndarray) -> np.ndarray:
-        """Doc lengths by EXTERNAL doc_id (lazy sorted lookup — result
-        paths that already hold ordinals index ``dl_lens`` directly)."""
+    def ordinals_of(self, doc_ids: np.ndarray,
+                    missing: str = "raise") -> np.ndarray:
+        """Ordinals by EXTERNAL doc_id (lazy sorted lookup).
+        ``missing="raise"``: unknown ids raise ``KeyError`` — a silent
+        wrong-neighbor gather would serve another doc's data.
+        ``missing="drop"``: unknown ids are omitted (the _explain /
+        "not found" convention)."""
         if self._ext_sorted is None:
             self._ext_order = np.argsort(self.dl_doc_ids, kind="stable")
             self._ext_sorted = self.dl_doc_ids[self._ext_order]
-        idx = self._ext_order[np.searchsorted(self._ext_sorted, doc_ids)]
-        return self.dl_lens[idx]
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if not len(doc_ids):
+            return np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(self._ext_sorted, doc_ids)
+        pos_c = np.minimum(pos, max(len(self._ext_sorted) - 1, 0))
+        ok = (self._ext_sorted[pos_c] == doc_ids) \
+            if len(self._ext_sorted) else np.zeros(len(doc_ids), bool)
+        if missing == "drop":
+            return self._ext_order[pos_c[ok]]
+        if not ok.all():
+            raise KeyError(
+                f"doc_id(s) not in the index docmap, e.g. "
+                f"{doc_ids[~ok][:3].tolist()}")
+        return self._ext_order[pos_c]
+
+    def doclen_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Doc lengths by EXTERNAL doc_id (lazy sorted lookup — result
+        paths that already hold ordinals index ``dl_lens`` directly).
+        Unknown ids raise (see ``ordinals_of``)."""
+        return self.dl_lens[self.ordinals_of(doc_ids)]
 
     def acc_buffer(self) -> np.ndarray:
         """Zeroed per-partition score accumulator (reused across queries)."""
@@ -443,7 +465,9 @@ def prefix_match(reader: IndexReader, prefix: str) -> tuple[int, np.ndarray]:
     if not hits:
         return 0, np.empty(0, dtype=np.int64)
     uniq = np.unique(np.concatenate(hits))
-    return len(terms), reader.dl_doc_ids[uniq].astype(np.int64)
+    # ordinals are input-file order, not external-id order — sort so
+    # the documented ascending-doc_ids contract holds on ANY corpus
+    return len(terms), np.sort(reader.dl_doc_ids[uniq].astype(np.int64))
 
 
 def expand_regexp(reader: IndexReader, pattern: str) -> list[str]:
@@ -736,7 +760,12 @@ def facet_lang_counts(reader: IndexReader, query: str) -> dict[str, int]:
     if not hits:
         return {}
     ords = np.unique(np.concatenate(hits))
-    u, c = np.unique(langs[ords], return_counts=True)
+    vals = langs[ords]
+    # ES terms aggs SKIP missing-field docs: drop nulls (an
+    # object-array unique over None raises) instead of crashing the
+    # whole aggregation when one input file lacked the column
+    vals = vals[vals != None]  # noqa: E711  (elementwise on object arr)
+    u, c = np.unique(vals, return_counts=True)
     return dict(zip(u.tolist(), c.tolist()))
 
 
@@ -745,11 +774,12 @@ def facet_doclen_stats(reader: IndexReader, query: str) -> dict:
     ANY query term — aggregations see every hit, not the top-k page):
     count/min/max/sum/avg of document length, straight off the index's
     doclen table (no document fetch)."""
-    docs, _cnt = boolean_or(reader, query)
+    ords = boolean_or_ords(reader, query)
+    docs = ords
     if not len(docs):
         return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,
                 "avg_dl": 0.0}
-    dl = reader.doclen_of(docs).astype(np.int64)
+    dl = reader.dl_lens[ords].astype(np.int64)
     return {
         "n_docs": int(len(docs)),
         "min_dl": int(dl.min()),
@@ -768,12 +798,13 @@ def facet_doclen_extended_stats(reader: IndexReader, query: str) -> dict:
     integer sums."""
     import math
 
-    docs, _cnt = boolean_or(reader, query)
+    ords = boolean_or_ords(reader, query)
+    docs = ords
     if not len(docs):
         return {"n_docs": 0, "min_dl": 0, "max_dl": 0, "sum_dl": 0,
                 "sum_squares": 0, "avg_dl": 0.0, "variance": 0.0,
                 "std_dev": 0.0}
-    dl = reader.doclen_of(docs).astype(np.int64)
+    dl = reader.dl_lens[ords].astype(np.int64)
     n = len(docs)
     s = int(dl.sum())
     sos = int((dl * dl).sum())
@@ -1022,10 +1053,10 @@ def facet_doclen_ranges(reader: IndexReader, query: str,
     independently, exactly as ES does. Vectorized comparisons over the
     gathered doc-values; a doc-partitioned reader sums partial counts
     (n_buckets × partitions rows)."""
-    docs, _cnt = boolean_or(reader, query)
-    if not len(docs):
+    ords = boolean_or_ords(reader, query)
+    if not len(ords):
         return [0] * len(ranges)
-    dl = reader.doclen_of(docs).astype(np.int64)
+    dl = reader.dl_lens[ords].astype(np.int64)
     out = []
     for lo, hi in ranges:
         m = np.ones(len(dl), dtype=bool)
@@ -1047,13 +1078,9 @@ def explain_score(reader: IndexReader, query: str, doc_ids: np.ndarray
     Each term costs one posting decode + one searchsorted into the
     requested ordinal set — no accumulator, no corpus read."""
     targets = np.asarray(doc_ids, dtype=np.int64)
-    # ordinals of the requested docs (external ids are unique per index)
-    order = np.argsort(reader.dl_doc_ids, kind="stable")
-    pos = np.searchsorted(reader.dl_doc_ids[order], targets)
-    pos = np.minimum(pos, len(order) - 1)
-    ok = reader.dl_doc_ids[order[pos]] == targets
-    tgt_ords = order[pos[ok]]
-    tgt_sorted = np.sort(tgt_ords)
+    # ordinals via the reader's cached ext->ord lookup; _explain on an
+    # unknown id is "not found" (no rows), not an error
+    tgt_sorted = np.sort(reader.ordinals_of(targets, missing="drop"))
     out: list[tuple[int, str, int, float]] = []
     for t in sorted(set(tokenize_query(query))):
         pl = reader.postings(t)
@@ -1129,6 +1156,18 @@ def score_random(reader: IndexReader, query: str, k: int = 10
     h = ((ids % RANDOM_PRIME) * RANDOM_MUL + RANDOM_ADD) % RANDOM_PRIME
     top = np.lexsort((ids, -h))[:k]
     return ids[top], h[top].astype(np.float64)
+
+
+def boolean_or_ords(reader: IndexReader, query: str) -> np.ndarray:
+    """Matched ORDINALS (postings union) — the aggregation input; the
+    doclen facets gather ``reader.dl_lens[ords]`` directly instead of
+    round-tripping external ids through the docmap lookup."""
+    terms = tokenize_query(query)
+    hits = [pl.decode_all()[0] for t in terms
+            if (pl := reader.postings(t)) is not None]
+    if not hits:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(hits))
 
 
 def boolean_or(reader: IndexReader, query: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1327,7 +1366,11 @@ def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray,
         pivot = None
         for c in live:
             acc_ub += c.ub
-            if acc_ub > theta or len(heap) < k:
+            # margin mirrors score_maxscore's _PRUNE_MARGIN: theta is
+            # the kth ROUNDED score, so a doc whose raw score rounds
+            # INTO the kth tie class (within 0.5e-7 below theta) must
+            # still be scored — its smaller doc_id can win the tie
+            if acc_ub > theta - _PRUNE_MARGIN or len(heap) < k:
                 pivot = c.cur
                 break
         if pivot is None:
@@ -1340,7 +1383,7 @@ def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray,
             c_bi = c.pl.first_block_geq(pivot)
             if c_bi < c.pl.n_blocks:
                 block_ub += bm25.upper_bound(c.idf, int(c.pl.max_tf[c_bi]))
-        if len(heap) >= k and block_ub <= theta:
+        if len(heap) >= k and block_ub <= theta - _PRUNE_MARGIN:
             # skip: advance cursors at/before the pivot past the nearest
             # block boundary — capped by the first cursor beyond the
             # pivot (its ub wasn't counted in block_ub, so docs at or
@@ -1375,7 +1418,11 @@ def score_bmw(reader: IndexReader, query: str, k: int = 10) -> tuple[np.ndarray,
         # (rank-identity contract); the rounded theta is <= the raw
         # one, so pruning with it only admits more candidates — never
         # unsafe.
-        entry = (round(score, bm25.SCORE_ROUND), -int(reader.dl_doc_ids[pivot]))
+        # np.round, not Python round(): rank_topk rounds with
+        # np.round and the two can disagree by 1 ulp at .5
+        # boundaries — identical rounding keeps scores bit-equal
+        entry = (float(np.round(score, bm25.SCORE_ROUND)),
+                 -int(reader.dl_doc_ids[pivot]))
         if len(heap) < k:
             heapq.heappush(heap, entry)
         elif entry > heap[0]:
@@ -1401,9 +1448,18 @@ class QueryEngine:
     actor-pool analogue of ``uploadParallelism``).
     """
 
+    _STRATEGIES = {"taat": score_taat, "maxscore": score_maxscore,
+                   "bmw": score_bmw}
+
     def __init__(self, index_dir: str, strategy: str = "maxscore"):
         from ..health import HealthMonitor
 
+        if strategy not in self._STRATEGIES:
+            # a typo must not silently serve the ~50x-slower BMW
+            # algorithm-spec path
+            raise ValueError(
+                f"unknown strategy {strategy!r} — one of "
+                f"{sorted(self._STRATEGIES)}")
         self.reader = IndexReader(index_dir)
         self.strategy = strategy
         # H1: the probe the serving layer polls (RuntimeService analogue;
@@ -1411,8 +1467,7 @@ class QueryEngine:
         self.health = HealthMonitor()
 
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        fn = {"taat": score_taat, "maxscore": score_maxscore}.get(
-            self.strategy, score_bmw)
+        fn = self._STRATEGIES[self.strategy]
         op = self.health.begin("query")
         try:
             out = fn(self.reader, query, k)

@@ -435,7 +435,9 @@ class ShardedQueryEngine:
         ords = self._match_ords(query)
         if not len(ords):
             return {}
-        u, c = np.unique(langs[ords], return_counts=True)
+        vals = langs[ords]
+        vals = vals[vals != None]  # noqa: E711 — ES terms aggs skip
+        u, c = np.unique(vals, return_counts=True)  # missing-field docs
         return dict(zip(u.tolist(), c.tolist()))
 
     def facet_doclen_stats(self, query: str) -> dict:

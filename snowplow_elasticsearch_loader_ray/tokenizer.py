@@ -105,10 +105,9 @@ def doc_term_frequencies(
 
 
 def token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row token count (the ``doclen`` scalar), vectorized."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=TOKEN_SPLIT_PATTERN)
-    flat = pc.list_flatten(toks)
-    idx = pc.list_parent_indices(toks)
-    mask = pc.not_equal(flat, "")
-    idx_np = idx.filter(mask).to_numpy(zero_copy_only=False)
+    """Per-row token count (the ``doclen`` scalar), vectorized — one
+    rule, shared with every other tokenizing path (the tokenization
+    rule is the engine's oracle-mirrored invariant)."""
+    _flat, idx = tokenize_to_terms(texts)
+    idx_np = idx.to_numpy(zero_copy_only=False)
     return np.bincount(idx_np, minlength=len(texts)).astype(np.int64)

@@ -413,3 +413,65 @@ def test_infix_expand_identical_to_regexp_scan(built):
         t = infix_search(r, s)
         w = regexp_search(r, f".*{_re.escape(s)}.*")
         assert t.equals(w), s
+
+
+def test_doclen_of_unknown_id_raises(ray_session, built):
+    """doclen_of/ordinals_of on an id not in the docmap must raise, not
+    silently gather a neighbor doc's length."""
+    import numpy as np
+    import pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import IndexReader
+
+    r = IndexReader(built[1])
+    known = r.dl_doc_ids[:2]
+    assert np.array_equal(r.dl_lens[r.ordinals_of(known)],
+                          r.doclen_of(known))
+    absent = np.array([int(r.dl_doc_ids.max()) + 12345], dtype=np.int64)
+    with pytest.raises(KeyError):
+        r.doclen_of(absent)
+    # drop mode: unknown ids are omitted (the _explain convention)
+    got = r.ordinals_of(np.concatenate([known, absent]), missing="drop")
+    assert len(got) == 2
+
+
+def test_query_engine_unknown_strategy_refuses(ray_session, built):
+    import pytest
+
+    from snowplow_elasticsearch_loader_ray.pipelines.query import QueryEngine
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        QueryEngine(built[1], strategy="max_score")
+    d, s = QueryEngine(built[1], strategy="bmw").topk("the data", 5)
+    d2, s2 = QueryEngine(built[1], strategy="taat").topk("the data", 5)
+    import numpy as np
+    assert np.array_equal(d, d2) and np.array_equal(s, s2)
+
+
+def test_facet_lang_counts_skips_null_docvalues(ray_session, tmp_path):
+    """A corpus slice without the lang column yields null doc-values;
+    the terms agg must SKIP those docs (ES missing-field semantics),
+    not crash in np.unique."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snowplow_elasticsearch_loader_ray.config import IndexConfig
+    from snowplow_elasticsearch_loader_ray.pipelines import build as B
+    from snowplow_elasticsearch_loader_ray.pipelines.query import (
+        IndexReader, facet_lang_counts)
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "alpha gamma"], pa.string()),
+        "lang": pa.array(["en", "de"], pa.string())}),
+        d / "a.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "text": pa.array(["alpha delta"], pa.string())}),
+        d / "b.parquet")   # no lang column -> null doc-value
+    idx = str(tmp_path / "idx")
+    B.build_index(str(d), idx, IndexConfig(num_term_shards=2))
+    got = facet_lang_counts(IndexReader(idx), "alpha")
+    assert got == {"en": 1, "de": 1}
