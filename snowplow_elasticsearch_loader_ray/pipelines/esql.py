@@ -391,6 +391,13 @@ def parse(query: str) -> dict:
                 plan.setdefault("splits", []).append(
                     (name, ms.group(1), sep))
                 continue
+            mts = re.fullmatch(rf"TO_STRING\s*\(\s*({_IDENT})\s*\)",
+                               expr, flags=re.I)
+            if mts:
+                plan["evals"].append(
+                    (name, [mts.group(1)], [("sfn", "TO_STRING", None)]))
+                plan.setdefault("eval_str", set()).add(name)
+                continue
             mmv = re.fullmatch(rf"MV_COUNT\s*\(\s*({_IDENT})\s*\)",
                                expr, flags=re.I)
             if mmv:
@@ -1314,6 +1321,15 @@ def execute(sf_dir: str, query: str) -> pa.Table:
 
     for _name, terms, ops_ in plan["evals"]:
         if ops_ and isinstance(ops_[0], tuple) and ops_[0][0] == "sfn":
+            if ops_[0][1] == "TO_STRING":
+                # the one string fn whose INPUT is an integer
+                ty = _out_type(terms[0])
+                if ty is not None and not pa.types.is_integer(ty):
+                    raise UnsupportedEsql(
+                        f"TO_STRING over non-integer column "
+                        f"{terms[0]!r} ({ty}) — float rendering is "
+                        f"not pinned across engines")
+                continue
             for t in terms:       # string functions take STRING columns
                 ty = _out_type(t)
                 if ty is not None and not (
@@ -1620,6 +1636,9 @@ def execute(sf_dir: str, query: str) -> pa.Table:
                         k = (pc.utf8_lower if fname == "TO_LOWER"
                              else pc.utf8_upper)
                         b = b.append_column(name, k(b[terms[0]]))
+                    elif fname == "TO_STRING":
+                        b = b.append_column(
+                            name, pc.cast(b[terms[0]], pa.string()))
                     elif fname in ("TRIM", "LTRIM", "RTRIM"):
                         k = {"TRIM": pc.utf8_trim_whitespace,
                              "LTRIM": pc.utf8_ltrim_whitespace,

@@ -893,3 +893,23 @@ def test_fork_branches_union_with_discriminator(ray_session):
 def test_fork_refusals(ray_session, bad):
     with pytest.raises(esql.UnsupportedEsql):
         esql.execute(SF, bad)
+
+
+def test_to_string_matches_duckdb(ray_session):
+    """TO_STRING casts an integer column to its decimal string (DuckDB
+    ::VARCHAR parity), feeding BY and CONCAT; floats refuse (rendering
+    is not pinned across engines)."""
+    got = esql.execute(
+        SF, 'FROM documents | EVAL b = n_chars // 100'
+            ' | EVAL s = TO_STRING(b) | EVAL key = CONCAT(lang, ":", s)'
+            ' | STATS n = COUNT(*) BY key | SORT key')
+    want = duckdb.sql(
+        f"SELECT lang || ':' || (n_chars // 100)::VARCHAR AS key, "
+        f"count(*) AS n FROM '{SF}/documents.parquet' "
+        f"GROUP BY 1 ORDER BY 1").df()
+    assert got.to_pandas()[["key", "n"]].values.tolist() == \
+        want.values.tolist()
+    with pytest.raises(esql.UnsupportedEsql):
+        esql.execute("/root/testdata/sf0.001",
+                     "FROM events | EVAL s = TO_STRING(value)"
+                     " | STATS n = COUNT(*) BY s | SORT s")
